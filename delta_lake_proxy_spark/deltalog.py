@@ -1,0 +1,326 @@
+"""Minimal Delta-Lake transaction log: writer + pure-DataFrame log replay.
+
+The reference delegates snapshot construction to the ``deltalake`` crate
+(reference ``src/main.rs:357``, dep ``Cargo.toml:13``) and passes raw
+``_delta_log/*.json`` through to clients so they can replay it themselves
+(``src/main.rs:532-538``). delta-spark is not available in this environment,
+so this module implements the subset of the Delta protocol the engine needs
+(public protocol spec; Delta Lake paper, VLDB 2020):
+
+- write: versioned ``_delta_log/{version:020d}.json`` commits containing
+  ``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``commitInfo`` actions,
+  with Hive-style ``partitionValues`` (strings — matching the protocol and the
+  reference's string-typed partition ACLs);
+- replay: reconstruct the live file set at a version with DataFrame ops only —
+  per path, the action with the highest version wins; a file is live iff that
+  action is an ``add`` (the adds-minus-removes reconciliation of SURVEY §2 S6/U2).
+
+File IO uses the local filesystem; on a cluster the log directory would live on
+the object store and the same JSON shapes apply (the replay path already reads
+through ``spark.read.json`` and therefore works against any Hadoop-supported FS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_delta_log"
+
+# Action schema for spark.read.json over the log (explicit: schema-on-read
+# inference is reserved for the log itself per SURVEY §1.2, but an explicit
+# schema keeps replay stable when some commits lack some action types).
+PARTITION_VALUES = T.MapType(T.StringType(), T.StringType())
+ADD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues", PARTITION_VALUES),
+        T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ]
+)
+REMOVE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("deletionTimestamp", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ]
+)
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("format", T.StructType([T.StructField("provider", T.StringType())])),
+        T.StructField("schemaString", T.StringType()),
+        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+        T.StructField("createdTime", T.LongType()),
+    ]
+)
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("add", ADD_SCHEMA),
+        T.StructField("remove", REMOVE_SCHEMA),
+        T.StructField("metaData", METADATA_SCHEMA),
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType()),
+                    T.StructField("minWriterVersion", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "commitInfo",
+            T.StructType(
+                [
+                    T.StructField("operation", T.StringType()),
+                    T.StructField("timestamp", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def log_path(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def _commit_file(table_path: str, version: int) -> str:
+    return os.path.join(log_path(table_path), f"{version:020d}.json")
+
+
+def latest_version(table_path: str) -> int:
+    """Highest committed version, or -1 if the table has no log yet."""
+    d = log_path(table_path)
+    if not os.path.isdir(d):
+        return -1
+    versions = [
+        int(name[:-5])
+        for name in os.listdir(d)
+        if name.endswith(".json") and name[:-5].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def _relative_data_files(table_path: str) -> list[str]:
+    """All parquet data files under the table root, as log-relative paths."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if d != LOG_DIR]
+        for name in files:
+            if name.endswith(".parquet"):
+                full = os.path.join(root, name)
+                out.append(os.path.relpath(full, table_path).replace(os.sep, "/"))
+    return sorted(out)
+
+
+def partition_values_from_path(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
+    """Parse Hive-style ``key=value`` segments (ref path shape
+    ``my_table/part=A/data.parquet``, ``specs/README.md:115``)."""
+    values: dict[str, str] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                values[k] = urllib.parse.unquote(v)
+    return values
+
+
+def write_commit(
+    table_path: str,
+    adds: list[dict[str, Any]],
+    removes: list[dict[str, Any]] | None = None,
+    *,
+    schema_json: str | None = None,
+    partition_cols: list[str] | None = None,
+    operation: str = "WRITE",
+) -> int:
+    """Append one commit; returns the committed version.
+
+    Version 0 additionally carries ``protocol`` and ``metaData`` actions;
+    later commits re-emit ``metaData`` only when a schema is supplied.
+    """
+    os.makedirs(log_path(table_path), exist_ok=True)
+    version = latest_version(table_path) + 1
+    now_ms = int(time.time() * 1000)
+    lines: list[str] = [
+        json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
+    ]
+    if version == 0:
+        lines.append(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
+    if version == 0 or schema_json is not None:
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema_json or "{}",
+                        "partitionColumns": partition_cols or [],
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        )
+    for rm in removes or []:
+        lines.append(
+            json.dumps(
+                {"remove": {"deletionTimestamp": now_ms, "dataChange": True, **rm}}
+            )
+        )
+    for add in adds:
+        lines.append(json.dumps({"add": {"dataChange": True, **add}}))
+    target = _commit_file(table_path, version)
+    tmp = target + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    # Delta's commit protocol is an atomic rename of the next version file.
+    os.rename(tmp, target)
+    return version
+
+
+def commit_dir_state(
+    table_path: str,
+    partition_cols: list[str],
+    schema_json: str | None = None,
+    operation: str = "WRITE",
+) -> int:
+    """Commit the current on-disk parquet state of ``table_path``.
+
+    Files already tracked stay tracked; files on disk but not in the latest
+    snapshot become ``add`` actions; tracked files no longer on disk become
+    ``remove`` actions (this is how overwrite commits get their tombstones).
+    """
+    on_disk = set(_relative_data_files(table_path))
+    tracked: set[str] = set()
+    if latest_version(table_path) >= 0:
+        tracked = set(_live_paths_no_spark(table_path))
+    adds = []
+    for rel in sorted(on_disk - tracked):
+        full = os.path.join(table_path, rel)
+        st = os.stat(full)
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": partition_values_from_path(rel, partition_cols),
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        )
+    removes = [{"path": rel} for rel in sorted(tracked - on_disk)]
+    return write_commit(
+        table_path,
+        adds,
+        removes,
+        schema_json=schema_json,
+        partition_cols=partition_cols,
+        operation=operation,
+    )
+
+
+def _live_paths_no_spark(table_path: str) -> list[str]:
+    """Driver-side replay for the writer path (the log is metadata-sized)."""
+    live: dict[str, bool] = {}
+    d = log_path(table_path)
+    for name in sorted(os.listdir(d)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live[action["remove"]["path"]] = False
+    return [p for p, is_live in live.items() if is_live]
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-side log replay (SURVEY §2 S6/S7/U2)
+# ---------------------------------------------------------------------------
+
+def read_log(spark: SparkSession, table_path: str) -> DataFrame:
+    """Raw log actions with their commit ``version`` (S7 ``read_delta_log``).
+
+    Equivalent of the reference's unfiltered ``_delta_log`` passthrough
+    (``src/main.rs:532-538``): metadata is never ACL-filtered.
+    """
+    glob = os.path.join(log_path(table_path), "*.json")
+    df = spark.read.schema(LOG_SCHEMA).json(glob)
+    version = F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
+        "long"
+    )
+    return df.withColumn("version", version)
+
+
+def snapshot_files(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Live file set at ``version`` (latest if None) — pure DataFrame replay.
+
+    Columns: ``path, size, modificationTime, partitionValues, version``.
+    Replay rule: for each path take the max-version action; live iff ``add``.
+    The log is tiny relative to data, so the window over ``path`` is cheap;
+    at metadata scale (millions of files) this is exactly the shuffle Delta
+    itself performs for snapshot reconstruction.
+    """
+    log = read_log(spark, table_path)
+    if version is not None:
+        log = log.filter(F.col("version") <= F.lit(int(version)))
+    adds = log.filter(F.col("add").isNotNull()).select(
+        F.col("add.path").alias("path"),
+        F.col("add.size").alias("size"),
+        F.col("add.modificationTime").alias("modificationTime"),
+        F.col("add.partitionValues").alias("partitionValues"),
+        F.col("version"),
+        F.lit(True).alias("is_add"),
+    )
+    removes = log.filter(F.col("remove").isNotNull()).select(
+        F.col("remove.path").alias("path"),
+        F.lit(None).cast("long").alias("size"),
+        F.lit(None).cast("long").alias("modificationTime"),
+        F.lit(None).cast(PARTITION_VALUES).alias("partitionValues"),
+        F.col("version"),
+        F.lit(False).alias("is_add"),
+    )
+    actions = adds.unionByName(removes)
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("is_add").asc()
+    )
+    return (
+        actions.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("is_add"))
+        .drop("_rn", "is_add")
+    )
+
+
+def table_metadata(spark: SparkSession, table_path: str) -> dict[str, Any] | None:
+    """Latest ``metaData`` action (schema + partition columns), or None."""
+    rows = (
+        read_log(spark, table_path)
+        .filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .select("metaData.schemaString", "metaData.partitionColumns", "metaData.id")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0]
+    return {
+        "schemaString": r["schemaString"],
+        "partitionColumns": list(r["partitionColumns"] or []),
+        "id": r["id"],
+    }

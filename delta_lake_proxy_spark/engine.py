@@ -1,0 +1,328 @@
+"""The governed lakehouse engine: catalog + ACL-injected reads + file surface.
+
+This is the Spark-native rebuild of the reference proxy's semantic core
+(SURVEY.md §3.1): catalog resolution (ref ``src/main.rs:498-512``), permission
+resolution (``src/main.rs:555-573``), DNF partition-ACL enforcement
+(``src/main.rs:389-415``, ``576-594``), listing with alias<->physical key
+rewriting (``src/main.rs:228-339``), read-only write blocking
+(``src/main.rs:941-948``), and table maintenance (charter G9).
+
+Enforcement model: the reference authorizes at *file* granularity (membership
+of the requested file in the pruned set, else 403). Here the ACL compiles to a
+Catalyst predicate injected into the scan, so Catalyst's partition pruning
+computes the same file set declaratively and enforcement is *row*-level —
+strictly stronger. For explicit file requests, :meth:`Engine.authorize_file`
+reproduces the reference's exact 403 behavior. Divergence (SURVEY §3.3): a
+query over a forbidden partition returns an empty/filtered result rather than
+an error; pass ``strict=True`` to approximate the reference's failure mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import acl, deltalog
+from .config import EngineConfig
+from .errors import ForbiddenByPolicyError, NoSuchKeyError, ReadOnlyError, TableNotFoundError
+from .session import ensure_engine_confs
+
+VIRTUAL_CATALOG = "datalake"  # the reference's single virtual bucket (src/main.rs:127)
+
+
+def compile_dnf_on_partition_values(dnf: acl.PartitionDNF) -> Column | None:
+    """DNF predicate over a ``partitionValues`` map column (file-level ACL)."""
+    branches: list[Column] = []
+    for m in acl.normalize_dnf(dnf):
+        conj: Column | None = None
+        for k, v in m.items():
+            term = F.col("partitionValues").getItem(k) == F.lit(v)
+            conj = term if conj is None else (conj & term)
+        if conj is not None:
+            branches.append(conj)
+    if not branches:
+        return None
+    pred = branches[0]
+    for b in branches[1:]:
+        pred = pred | b
+    return pred
+
+
+class Engine:
+    """Governed Delta lakehouse engine over a table-alias catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig | dict[str, Any] | None = None,
+        permissions_df: DataFrame | None = None,
+    ):
+        self.spark = ensure_engine_confs(spark)
+        if config is None:
+            config = EngineConfig()
+        elif isinstance(config, dict):
+            config = EngineConfig.from_dict(config)
+        self.config = config
+        self.permissions_df = permissions_df
+        self._acl_cache = acl.TTLCache(config.acl_cache_size, config.acl_cache_ttl_s)
+        # Observability counters (ref src/metrics.rs:66-88); the windowed
+        # aggregation over request events lives in streaming.metrics.
+        self.counters: dict[str, int] = {"queries_served": 0, "queries_proxied": 0}
+
+    # -- catalog ------------------------------------------------------------
+
+    def resolve(self, alias: str) -> str:
+        """Alias -> physical table location, else 404 (ref src/main.rs:503-512)."""
+        path = self.config.table_mapping.get(alias)
+        if path is None:
+            raise TableNotFoundError(alias)
+        return path
+
+    def list_catalogs(self) -> DataFrame:
+        """The single virtual namespace (S1, ref src/main.rs:115-141)."""
+        return self.spark.createDataFrame([(VIRTUAL_CATALOG,)], "catalog_name: string")
+
+    def list_tables(self) -> DataFrame:
+        """One row per alias (S2, ref src/main.rs:200-226)."""
+        rows = [(a, p) for a, p in sorted(self.config.table_mapping.items())]
+        return self.spark.createDataFrame(rows, "table_name: string, location: string")
+
+    # -- ACL ---------------------------------------------------------------
+
+    def resolved_dnf(self, alias: str, user: str) -> acl.PartitionDNF:
+        """static config ∪ dynamic DB filters, cached per user:alias
+        (cache key shape ref src/main.rs:377)."""
+        key = f"{user}:{alias}"
+        return self._acl_cache.get_or_compute(
+            key,
+            lambda: acl.union_dnf(
+                self.config.allowed_partitions.get(alias),
+                acl.permissions_for(self.permissions_df, user, alias),
+            ),
+        )
+
+    def acl_predicate(self, alias: str, user: str) -> Column | None:
+        return acl.compile_dnf(self.resolved_dnf(alias, user))
+
+    def invalidate_caches(self) -> None:
+        self._acl_cache.invalidate()
+
+    # -- governed read (G1, the flagship) ----------------------------------
+
+    def read_table(
+        self, alias: str, user: str = acl.ANONYMOUS, strict: bool = False
+    ) -> DataFrame:
+        """Catalog lookup -> ACL resolution -> predicate-injected Delta scan.
+
+        The returned DataFrame's scan carries the compiled DNF filter, so
+        partition pruning selects exactly the files the reference's
+        ``get_file_uris_by_partitions`` union selects (src/main.rs:389-415).
+        """
+        self.counters["queries_served"] += 1
+        path = self.resolve(alias)
+        df = self._read_data(path)
+        pred = self.acl_predicate(alias, user)
+        if pred is None:
+            return df  # no ACL configured => allow everything (src/main.rs:576)
+        if strict and not self.resolved_dnf(alias, user):
+            raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
+        return df.filter(pred)
+
+    def _read_data(self, path: str) -> DataFrame:
+        """Partition-discovering parquet read of a (delta-logged) table dir."""
+        reader = self.spark.read.option("basePath", path)
+        return reader.parquet(path)
+
+    # -- file-level surface (S3-S7, S10, P5, P6) ---------------------------
+
+    def snapshot_files(self, alias: str, version: int | None = None) -> DataFrame:
+        """Live file set from log replay (S6); alias-namespace keys (P5)."""
+        path = self.resolve(alias)
+        return deltalog.snapshot_files(self.spark, path, version).withColumn(
+            "key", F.concat(F.lit(alias + "/"), F.col("path"))
+        )
+
+    def read_delta_log(self, alias: str) -> DataFrame:
+        """Raw log actions — never ACL-filtered (S7, ref src/main.rs:532-538)."""
+        return deltalog.read_log(self.spark, self.resolve(alias))
+
+    def allowed_files(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
+        """The reference's allowed-file set (src/main.rs:389-415) as a DataFrame."""
+        files = self.snapshot_files(alias)
+        pred = compile_dnf_on_partition_values(self.resolved_dnf(alias, user))
+        return files if pred is None else files.filter(pred)
+
+    def authorize_file(self, alias: str, user: str, rel_path: str) -> bool:
+        """File-level membership check; raises 403/404 exactly like the
+        reference's data-file GET (src/main.rs:576-594, 770-788)."""
+        if rel_path.startswith(deltalog.LOG_DIR):
+            return True  # metadata bypasses the ACL (src/main.rs:532-538)
+        snapshot = deltalog.snapshot_files(self.spark, self.resolve(alias))
+        exists = snapshot.filter(F.col("path") == rel_path).limit(1).count() > 0
+        dnf = self.resolved_dnf(alias, user)
+        if dnf:
+            allowed = (
+                self.allowed_files(alias, user)
+                .filter(F.col("path") == rel_path)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not allowed:
+                raise ForbiddenByPolicyError(user, alias, rel_path)
+        if not exists:
+            raise NoSuchKeyError(f"{alias}/{rel_path}")
+        return True
+
+    def authorize_requests(
+        self, requests: DataFrame, alias: str, user: str = acl.ANONYMOUS, mode: str = "allowed"
+    ) -> DataFrame:
+        """Vectorized form of the 200/403 split: semi-join requested keys with
+        the allowed set (``allowed``) or anti-join for the 403 set
+        (``denied``) — P6/J1/J5."""
+        allowed = self.allowed_files(alias, user).select("path")
+        how = "left_semi" if mode == "allowed" else "left_anti"
+        return requests.join(allowed, on="path", how=how)
+
+    def file_stats(self, alias: str) -> DataFrame:
+        """HEAD-equivalent metadata (S10): key, size, modificationTime."""
+        return self.snapshot_files(alias).select(
+            "key",
+            "size",
+            F.timestamp_millis(F.col("modificationTime")).alias("last_modified"),
+        )
+
+    def list_files(
+        self,
+        alias: str,
+        prefix: str | None = None,
+        start_after: str | None = None,
+        max_keys: int | None = None,
+        continuation_token: str | None = None,
+    ) -> DataFrame:
+        """ListObjectsV2 emulation over the snapshot (S3-S5, O1-O2).
+
+        Keys are in the alias namespace and lexicographically ordered; the
+        continuation token is the last key of the previous page (strictly-after
+        semantics, ref src/main.rs:251-262). Listing is ACL-unfiltered, like
+        the reference (src/main.rs:514-529).
+        """
+        df = self.snapshot_files(alias).select("key", "size", "modificationTime")
+        if prefix:
+            df = df.filter(F.col("key").startswith(prefix))
+        after = continuation_token or start_after
+        if after:
+            df = df.filter(F.col("key") > F.lit(after))
+        df = df.orderBy("key")
+        if max_keys is not None:
+            df = df.limit(int(max_keys))
+        return df
+
+    # -- writes & maintenance (S12/G2/G9) ----------------------------------
+
+    def write_table(
+        self,
+        alias: str,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Governed write: blocked when read-only (ref src/main.rs:941-948);
+        otherwise parquet write + Delta log commit. Returns the new version."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported write mode: {mode}")
+        existing_meta = (
+            deltalog.table_metadata(self.spark, path)
+            if deltalog.latest_version(path) >= 0
+            else None
+        )
+        parts = partition_by or (existing_meta or {}).get("partitionColumns") or []
+
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            f".stage-{uuid.uuid4().hex}",
+        )
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            if mode == "overwrite":
+                self._delete_data_files(path)
+            self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return deltalog.commit_dir_state(
+            path,
+            list(parts),
+            schema_json=df.schema.json(),
+            operation=mode.upper(),
+        )
+
+    def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
+        """Small-file compaction (G9): rewrite each partition into
+        ``files_per_partition`` files and commit removes+adds. The Spark-only
+        fallback for delta-spark's OPTIMIZE."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata(self.spark, path) or {}
+        parts = meta.get("partitionColumns") or []
+        df = self._read_data(path)
+        if parts:
+            df = df.repartition(files_per_partition, *[F.col(c) for c in parts])
+        else:
+            df = df.repartition(files_per_partition)
+        read_only, self.config.read_only = self.config.read_only, False
+        try:
+            return self.write_table(alias, df, mode="overwrite", partition_by=list(parts))
+        finally:
+            self.config.read_only = read_only
+
+    def _delete_data_files(self, path: str) -> None:
+        for rel in deltalog._relative_data_files(path):
+            os.remove(os.path.join(path, rel))
+        # prune now-empty partition dirs (keep the log)
+        for root, dirs, files in os.walk(path, topdown=False):
+            dirs[:] = [d for d in dirs if d != deltalog.LOG_DIR]
+            if root != path and not os.listdir(root):
+                os.rmdir(root)
+
+    @staticmethod
+    def _move_staged(staging: str, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        for root, dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, staging)
+                dest = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(full, dest)
+
+
+def write_governed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> str:
+    """Create a delta-logged partitioned table at ``path`` (test/fixture helper)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    deltalog.commit_dir_state(
+        path, list(partition_by), schema_json=df.schema.json(), operation="CREATE"
+    )
+    return path

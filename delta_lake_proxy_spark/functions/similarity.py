@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (charter X3).
+
+Baseline: brute-force cosine top-k — a single scan with the score computed by
+JVM-side higher-order functions (``zip_with`` + ``aggregate`` in double
+precision), then ``orderBy().limit(k)`` which Spark executes as a distributed
+TakeOrdered (per-partition top-k + driver merge, no full sort shuffle).
+
+Scale path: deterministic random-hyperplane LSH — 16 sign bits per vector,
+computed from hash-derived hyperplanes (no stored model, identical on any
+cluster), bucketed self-join for near-neighbor candidate generation; and an
+IVF-style variant that assigns vectors to hash-sampled centroids so queries
+probe only a fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Output: (id, score) with score rounded to 6 decimals; ordering is total
+    (score desc, id asc) so the selected set is deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d is derived from
+    xxhash64(plane, d) mapped to [-0.5, 0.5). Identical on every executor and
+    every run — no fitted model to ship."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(plane), d), F.lit(100003)).cast("double")
+            / F.lit(100003.0)
+            - F.lit(0.5)
+        ),
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """Random-hyperplane signature: ``num_planes`` sign bits packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bit = F.when(dot(vec, _hyperplane(p, dim)) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_near_neighbors(
+    embeddings: DataFrame,
+    dim: int = 64,
+    num_planes: int = 12,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing.
+
+    Vectors sharing the full sign signature land in one bucket; pairs within a
+    bucket get exact cosine verification. Recall can be raised by lowering
+    ``num_planes`` (coarser buckets) — the classic LSH precision/recall dial.
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+    )
+    pairs = (
+        with_bucket.alias("a")
+        .join(with_bucket.alias("b"), on="_bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: centroids are hash-sampled corpus vectors
+    (deterministic); each vector is assigned to its nearest centroid
+    (broadcast join — the centroid table is tiny by construction); the query
+    probes the ``n_probe`` nearest centroids' inverted lists only.
+
+    At 100 TB the assignment is a map-side broadcast pass and the probe reads
+    ~n_probe/num_centroids of the corpus — the standard IVF trade.
+    """
+    centroids = (
+        embeddings.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .filter(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)) < F.lit(10**6 // 50))
+        .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)))
+        .limit(num_centroids)
+    )
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.col("_cscore").desc(), F.col("_cid").asc()
+    )
+    assigned = (
+        embeddings.join(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            dot(F.col(vec_col), F.col("_cvec")).alias("_cscore"),
+        )
+        .withColumn("_rk", F.row_number().over(assign_w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "_cid")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cids = [
+        r["_cid"]
+        for r in centroids.select("_cid", dot(q, F.col("_cvec")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("_cid").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    hits = assigned.filter(F.col("_cid").isin(probe_cids))
+    scored = hits.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (charter X4).
+
+All hot-path computation is JVM-side column expressions (``regexp_count``,
+``transform``/``aggregate`` over char shingles) — no Python UDFs — so these
+run inside whole-stage codegen and scale linearly with document bytes. Each
+operator has an exact ANSI-SQL formulation (see ``__spark_entry__.oracle_sql``)
+used as its DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Deterministic and oracle-replicable; priority order breaks score ties.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "para", "con", "una"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+WORD_RE = "[a-z0-9]+"
+# BPE-ish tokenization: letter runs, digit runs, single non-space symbols.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+EN_STOPWORD_RE = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
+
+
+def word_count(text: Column) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(WORD_RE))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace+symbol token count via the BPE-ish regex (charter)."""
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_RE))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, words, tokens, punctuation, stopwords,
+    average word length, and a deterministic [0,1] quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    n_tokens = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORD_RE))
+    n_alpha = F.regexp_count(t, F.lit("[a-zA-Z]"))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    quality = F.round(
+        F.lit(0.5) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias(
+            "avg_word_len"
+        ),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lowered = F.lower(text)
+    return {
+        lang: F.regexp_count(lowered, F.lit("\\b(" + "|".join(words) + ")\\b"))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language identification; argmax with fixed priority order
+    on ties (en > de > fr > es > zh) so the result is total-order deterministic.
+
+    The prediction is a CASE chain — the first language (in priority order)
+    whose score is >= every later language's and > every earlier language's —
+    which an oracle replicates verbatim in SQL.
+    """
+    scores = lang_scores(F.col(text_col))
+    pred: Column = F.lit(None).cast("string")
+    for lang in reversed(LANG_PRIORITY):
+        cond: Column | None = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            # later-priority langs only need a tie; earlier ones must be beaten
+            ge = (
+                scores[lang] >= scores[other]
+                if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang)
+                else scores[lang] > scores[other]
+            )
+            cond = ge if cond is None else (cond & ge)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the lexicographic minimum of the
+    md5 digests of all ``shingle_len``-char shingles of the normalized text.
+    Near-identical documents collide; computed wholly JVM-side via
+    ``transform`` over a char-offset sequence (no explode, no shuffle)."""
+    norm = F.lower(F.col(text_col))
+    n = F.length(norm)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(shingle_len))),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(shingles).alias("fingerprint"),
+    )

@@ -1,0 +1,1060 @@
+"""Operator query registry: the driver-facing surface of the engine.
+
+Every implemented operator from SURVEY.md §2 registers here as
+``QUERIES[name] -> (spark, sf_dir) -> DataFrame`` and (when SQL-expressible)
+``ORACLES[name]`` — an equivalent DuckDB SQL statement over the raw fixture
+parquet views. The driver hash-compares both at sf0.01; names, column names,
+and value rounding are aligned on both sides by construction.
+
+Cross-engine float stability: double sums go through exact DECIMAL
+accumulation (bit-stable under any partitioning/order), then cast back to
+double; scores/ratios are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import acl
+from .config import EngineConfig
+from .engine import Engine, write_governed_table
+from .errors import ReadOnlyError
+from .functions import dedup, multimodal, similarity, text
+from .io import load_table
+from .operators.joins import asof_join
+from .streaming.metrics import session_windows, tumbling_metrics
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Exact decimal-accumulated sum of a double column, returned as double."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 6) -> Column:
+    return dsum(col, scale) / F.count(col)
+
+
+def _sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+
+
+def _sql_davg(expr: str, scale: int = 6) -> str:
+    return f"{_sql_dsum(expr, scale)} / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Governed-table fixture (built once per process per sf_dir)
+# ---------------------------------------------------------------------------
+
+GOV_ALIAS = "lineitem_gov"
+_FIXTURES: dict[str, str] = {}
+
+
+def governed_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A delta-logged lineitem table partitioned by ``l_returnflag`` (the
+    analog of the reference's MIC partitions, ``config.json:11-18``), with a
+    compaction commit so the log contains remove tombstones (FIXTURES.md B5)."""
+    key = os.path.abspath(sf_dir)
+    if key in _FIXTURES:
+        return _FIXTURES[key]
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
+    )
+    path = os.path.join(base, GOV_ALIAS)
+    marker = os.path.join(base, ".ready")
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem").repartition(1)
+        write_governed_table(spark, li, path, ["l_returnflag"])
+        eng = Engine(
+            spark,
+            EngineConfig(table_mapping={GOV_ALIAS: path}, read_only=False),
+        )
+        eng.compact_table(GOV_ALIAS, files_per_partition=1)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    _FIXTURES[key] = path
+    return path
+
+
+def governed_engine(
+    spark: SparkSession,
+    sf_dir: str,
+    allowed: dict | None = None,
+    permissions: list[tuple] | None = None,
+    read_only: bool = True,
+) -> Engine:
+    path = governed_fixture(spark, sf_dir)
+    perms_df = None
+    if permissions is not None:
+        perms_df = spark.createDataFrame(
+            permissions, "id int, user_id string, table_name string, partition_filters string"
+        )
+    return Engine(
+        spark,
+        EngineConfig(
+            table_mapping={GOV_ALIAS: path},
+            allowed_partitions=allowed or {},
+            read_only=read_only,
+        ),
+        permissions_df=perms_df,
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 governed read (flagship) + ACL semantics (P2-P4, G3, J2)
+# ---------------------------------------------------------------------------
+
+Q1_AGGS = lambda: [  # noqa: E731 - shared TPC-H-Q1-style aggregate list
+    dsum(F.col("l_quantity")).alias("sum_qty"),
+    dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+    dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))), 8).alias("sum_disc_price"),
+    davg(F.col("l_quantity")).alias("avg_qty"),
+    davg(F.col("l_discount"), 8).alias("avg_disc"),
+    F.count(F.lit(1)).alias("count_order"),
+]
+
+_Q1_SQL_AGGS = f"""
+  {_sql_dsum('l_quantity')} AS sum_qty,
+  {_sql_dsum('l_extendedprice')} AS sum_base_price,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS sum_disc_price,
+  {_sql_davg('l_quantity')} AS avg_qty,
+  {_sql_davg('l_discount', 8)} AS avg_disc,
+  COUNT(*) AS count_order
+"""
+
+
+@register(
+    "governed_read",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS}
+    FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def governed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: catalog -> ACL DNF {A} OR {N} -> pruned scan -> aggregation.
+
+    The scan is a real partitioned delta-logged table; the injected predicate
+    prunes partitions (verified in tests via inputFiles())."""
+    eng = governed_engine(
+        spark,
+        sf_dir,
+        allowed={GOV_ALIAS: [{"l_returnflag": "A"}, {"l_returnflag": "N"}]},
+    )
+    df = eng.read_table(GOV_ALIAS, user="analyst")
+    return df.groupBy("l_returnflag", "l_linestatus").agg(*Q1_AGGS())
+
+
+@register(
+    "acl_dnf",
+    """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE (CAST(year(l_shipdate) AS VARCHAR) = '1995' AND CAST(month(l_shipdate) AS VARCHAR) = '3')
+       OR (CAST(year(l_shipdate) AS VARCHAR) = '1996' AND CAST(month(l_shipdate) AS VARCHAR) = '7')
+    GROUP BY 1, 2
+    """,
+)
+def acl_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column DNF (mirrors test_config.json:10-19's year/month ACL):
+    compile_dnf produces the OR-of-ANDs predicate over derived columns."""
+    li = load_table(spark, sf_dir, "lineitem").withColumns(
+        {
+            "ship_year": F.year("l_shipdate").cast("long"),
+            "ship_month": F.month("l_shipdate").cast("long"),
+        }
+    )
+    pred = acl.compile_dnf(
+        [
+            {"ship_year": "1995", "ship_month": "3"},
+            {"ship_year": "1996", "ship_month": "7"},
+        ]
+    )
+    return (
+        li.filter(pred)
+        .groupBy("ship_year", "ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "acl_empty_map_skip",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
+    WHERE l_returnflag = 'R' GROUP BY l_returnflag
+    """,
+)
+def acl_empty_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference semantics: an empty filter map is SKIPPED, not allow-all
+    (src/main.rs:399-401) — DNF [{}, {R}] admits only R."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = acl.compile_dnf([{}, {"l_returnflag": "R"}])
+    return li.filter(pred).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "permission_lookup_join",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag
+    """,
+)
+def permission_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """static config ACL {A} UNION DB-granted {R} for user alice
+    (union semantics: src/main.rs:555-573; DB lookup src/database.rs:38-43)."""
+    eng = governed_engine(
+        spark,
+        sf_dir,
+        allowed={GOV_ALIAS: [{"l_returnflag": "A"}]},
+        permissions=[
+            (1, "alice", GOV_ALIAS, '{"l_returnflag": "R"}'),
+            (2, "bob", GOV_ALIAS, '{"l_returnflag": "N"}'),
+            (3, "alice", "other_table", '{"l_returnflag": "N"}'),
+        ],
+    )
+    df = eng.read_table(GOV_ALIAS, user="alice")
+    return df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+_AUTH_HEADERS = [
+    (1, "AWS4-HMAC-SHA256 Credential=AKIAALICE/20240101/us-east-1/s3/aws4_request, SignedHeaders=host, Signature=abc"),
+    (2, "AWS4-HMAC-SHA256 Credential=AKIABOB/20240102/eu-west-1/s3/aws4_request"),
+    (3, ""),
+    (4, "Bearer not-sigv4"),
+]
+
+
+@register(
+    "extract_user",
+    """
+    SELECT id, CASE WHEN regexp_extract(auth, 'Credential=([^/,[:space:]]+)/', 1) = ''
+                    THEN 'anonymous'
+                    ELSE regexp_extract(auth, 'Credential=([^/,[:space:]]+)/', 1) END AS user_id
+    FROM (VALUES (1, 'AWS4-HMAC-SHA256 Credential=AKIAALICE/20240101/us-east-1/s3/aws4_request, SignedHeaders=host, Signature=abc'),
+                 (2, 'AWS4-HMAC-SHA256 Credential=AKIABOB/20240102/eu-west-1/s3/aws4_request'),
+                 (3, ''),
+                 (4, 'Bearer not-sigv4')) AS t(id, auth)
+    """,
+)
+def extract_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SigV4 identity extraction (G4, src/main.rs:1129-1135) as a column op."""
+    df = spark.createDataFrame(_AUTH_HEADERS, "id int, auth string")
+    extracted = F.regexp_extract(F.col("auth"), r"Credential=([^/,\s]+)/", 1)
+    return df.select(
+        "id",
+        F.when(extracted == "", F.lit(acl.ANONYMOUS)).otherwise(extracted).alias("user_id"),
+    )
+
+
+@register(
+    "key_rewrite",
+    """
+    SELECT concat('trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet') AS key,
+           regexp_replace(
+             concat('physical-bucket/deep/prefix/trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet'),
+             '^physical-bucket/deep/prefix/', '') AS rewritten
+    FROM documents
+    """,
+)
+def key_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias<->physical key-namespace projection (P5, src/main.rs:273-317)."""
+    docs = load_table(spark, sf_dir, "documents")
+    physical = F.concat(
+        F.lit("physical-bucket/deep/prefix/trades/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".parquet"),
+    )
+    alias_key = F.concat(
+        F.lit("trades/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".parquet")
+    )
+    return docs.select(
+        alias_key.alias("key"),
+        F.regexp_replace(physical, "^physical-bucket/deep/prefix/", "").alias("rewritten"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core: filters, aggregations, joins, windows, top-k (P7, A6, J3-J7, W2, O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_quantity < 24
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+@register(
+    "agg_group",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS}
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (A6) — partial+final hash agg, no Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*Q1_AGGS())
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_counts",
+    """
+    SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    """,
+)
+def agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "top_k",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: executed as TakeOrderedAndProject (per-partition top-k + merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "join_inner",
+    f"""
+    SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-ish star join (J3): fact-fact shuffle join on the orderkey,
+    broadcast joins for the small dims (Catalyst picks broadcast via AQE;
+    nation/region are tiny, customer small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    """
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(27,4)")), F.lit(0).cast("decimal(27,4)")
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS band_total
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 300000.0),
+                 ('large', 300000.0, 600000.0)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 theta join: the small band table is broadcast, so the non-equi
+    condition runs as a broadcast nested-loop — the scale-correct shape."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0), ("large", 300000.0, 600000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("band_total"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id AS click_id, NULL::BIGINT AS purchase_id, 1 AS side
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL::BIGINT, event_id, 0 FROM events WHERE event_type = 'purchase'
+    )
+    SELECT click_id AS event_id, user_id, last_purchase_id
+    FROM (
+      SELECT *, last_value(purchase_id IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts ASC, side ASC, purchase_id ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+      FROM u
+    ) WHERE side = 1
+    """,
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join: for each click, the latest purchase by the same user at
+    or before the click. Union+window formulation — one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_id"],
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("purchase_id").alias("last_purchase_id")
+    )
+
+
+@register(
+    "auth_semi_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE l_returnflag IN (SELECT flag FROM (VALUES ('A'), ('N')) AS allowed(flag))
+    """,
+)
+def auth_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J1: requested-rows ∈ allowed set as a left-semi join (the 200 path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    allowed = spark.createDataFrame([("A",), ("N",)], "flag: string")
+    return li.join(
+        F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
+    "auth_anti_join",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_denied FROM lineitem
+    WHERE l_returnflag NOT IN (SELECT flag FROM (VALUES ('A'), ('N')) AS allowed(flag))
+    GROUP BY l_returnflag
+    """,
+)
+def auth_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the 403 complement — rows outside the allowed set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    allowed = spark.createDataFrame([("A",), ("N",)], "flag: string")
+    return (
+        li.join(F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_denied"))
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rk"
+        )
+    )
+
+
+@register(
+    "window_frame",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(AVG(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg_qty
+    FROM lineitem
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(-3, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 6).alias("mov_avg_qty"),
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3: customers with both urgent and low-priority orders."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F1-F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           upper(event_type) AS event_type_uc,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+           concat(CAST(user_id AS VARCHAR), ':', event_type) AS user_event
+    FROM events
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 JSON decode + F1 string algebra + F5 date functions on events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.upper("event_type").alias("event_type_uc"),
+        F.date_trunc("day", F.col("ts")).alias("event_day"),
+        F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type")).alias(
+            "user_event"
+        ),
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 array functions over the embedding column — all JVM higher-order fns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(vec).cast("long").alias("dim"),
+        F.round(F.element_at(vec, 1).cast("double"), 6).alias("first_component"),
+        F.round(F.sqrt(similarity.dot(vec, vec)), 6).alias("l2_norm"),
+        F.aggregate(
+            vec,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        ).alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming metrics (T1-T4, A1-A3) — batch-equivalent forms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metrics_tumbling_window",
+    f"""
+    SELECT date_trunc('minute', ts) AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+           COUNT(*) AS n_requests,
+           COUNT(DISTINCT user_id) AS n_users,
+           {_sql_davg('value', 9)} AS avg_latency
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 60s metrics aggregation (src/metrics.rs:90-137):
+    requests/min, exact distinct users/min, average latency/min."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_metrics(ev, ts_col="ts", user_col="user_id", latency_col="value")
+
+
+@register(
+    "agg_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "window_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       > INTERVAL 5 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 session windows (5-minute inactivity gap) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev, gap="5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup (X1/X2), text analysis (X4), similarity (X3), multimodal (X5)
+# ---------------------------------------------------------------------------
+
+_DUP_UNION_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || '   ' AS text
+      FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a normalized-equal variant of every third doc (uppercased +
+    trailing whitespace — removed by exact-dedup normalization)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("   ")).alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    hashed AS (
+      SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+      FROM corpus
+    )
+    SELECT content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: normalized sha-256 content hash, deterministic survivor."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    out = dedup.exact_dedup(corpus, text_col="text", id_col="doc_id")
+    return out.select("content_hash", "doc_id", "n_copies")
+
+
+@register(
+    "text_stats",
+    """
+    WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents)
+    SELECT doc_id,
+      CAST(length(text) AS INT) AS n_chars,
+      CAST(len(regexp_extract_all(lt, '[a-z0-9]+')) AS INT) AS n_words,
+      CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT) AS n_punct,
+      CAST(len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|that|with)\\b')) AS INT) AS n_stopwords,
+      round(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(lt, '[a-z0-9]+')), 1), 6) AS avg_word_len,
+      round(0.5 * least(CAST(len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|that|with)\\b')) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(lt, '[a-z0-9]+')), 1) * 4, 1.0)
+          + 0.3 * (CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / greatest(length(text), 1))
+          + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                               / greatest(length(text), 1) * 10, 1.0)), 6) AS quality_score
+    FROM t
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs)
+
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    branches = []
+    prio = text.LANG_PRIORITY
+    for lang in prio:
+        conds = []
+        for other in prio:
+            if other == lang:
+                continue
+            op = ">=" if prio.index(other) > prio.index(lang) else ">"
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE NULL END"
+    score_cols = ", ".join(
+        f"CAST({scores[lang]} AS INT) AS score_{lang}" for lang in prio
+    )
+    return f"SELECT doc_id, {case} AS pred_lang, {score_cols} FROM documents"
+
+
+@register("lang_id", _lang_case_sql())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs)
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+            FROM norm)
+    SELECT doc_id, MIN(md5(substring(t, CAST(i AS INT), 8))) AS fingerprint
+    FROM idx GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH sub AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+                 FROM documents WHERE doc_id < 120),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+            FROM sub),
+    shingles AS (
+      SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS sh FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact n-gram Jaccard via the inverted-index join (doc_id < 120 slice)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return dedup.ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.5)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return list(row["embedding"])
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    idx AS (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings),
+    scored AS (
+      SELECT idx.vec_id,
+             round(SUM(CAST(idx.embedding[idx.i] AS DOUBLE) * CAST(q.qv[idx.i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(idx.embedding[idx.i] AS DOUBLE) * CAST(idx.embedding[idx.i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(q.qv[idx.i] AS DOUBLE) * CAST(q.qv[idx.i] AS DOUBLE)))), 6) AS score
+      FROM idx, q
+      GROUP BY idx.vec_id
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 brute-force cosine top-k against the vec_id=0 embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only operators (non-SQL-expressible or path-dependent): file surface,
+# writes/compaction, approximate dedup/similarity, multimodal.
+# ---------------------------------------------------------------------------
+
+
+@register("delta_snapshot_files")
+def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/U2: log replay (adds minus removes) on the governed fixture."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.snapshot_files(GOV_ALIAS).select("key", "size", "partitionValues")
+
+
+@register("read_delta_log")
+def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: raw log actions (metadata is never ACL-filtered)."""
+    eng = governed_engine(spark, sf_dir)
+    log = eng.read_delta_log(GOV_ALIAS)
+    return log.select(
+        "version",
+        F.col("add.path").alias("add_path"),
+        F.col("remove.path").alias("remove_path"),
+        F.col("commitInfo.operation").alias("operation"),
+    )
+
+
+@register("list_files_page")
+def list_files_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-S5: prefix filter + start-after + max-keys pagination."""
+    eng = governed_engine(spark, sf_dir)
+    page1 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=", max_keys=2)
+    rows = page1.select("key").collect()
+    token = rows[-1]["key"] if rows else None
+    page2 = eng.list_files(GOV_ALIAS, continuation_token=token, max_keys=2)
+    return page1.unionByName(page2).select("key", "size")
+
+
+@register("file_stats")
+def file_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 HEAD-equivalent metadata."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.file_stats(GOV_ALIAS)
+
+
+@register("governed_write")
+def governed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 negative path: a write against a read-only engine must raise."""
+    eng = governed_engine(spark, sf_dir, read_only=True)
+    df = load_table(spark, sf_dir, "lineitem").limit(5)
+    try:
+        eng.write_table(GOV_ALIAS, df, mode="append")
+        blocked = False
+    except ReadOnlyError:
+        blocked = True
+    return spark.createDataFrame([(blocked,)], "write_blocked: boolean")
+
+
+@register("compact_table")
+def compact_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 compaction on a scratch copy: file count per partition before/after."""
+    import shutil
+    import tempfile as _tf
+
+    src = governed_fixture(spark, sf_dir)
+    scratch = os.path.join(_tf.mkdtemp(prefix="graft_compact_"), "t")
+    shutil.copytree(src, scratch)
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"scratch": scratch}, read_only=False),
+    )
+    before = eng.snapshot_files("scratch").count()
+    # fragment: append the same data once so partitions have >1 file
+    eng.write_table("scratch", eng.read_table("scratch"), mode="append")
+    fragmented = eng.snapshot_files("scratch").count()
+    eng.compact_table("scratch", files_per_partition=1)
+    after = eng.snapshot_files("scratch").count()
+    rows = eng.read_table("scratch").count()
+    shutil.rmtree(os.path.dirname(scratch), ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(before), int(fragmented), int(after), int(rows))],
+        "files_before int, files_fragmented int, files_after int, n_rows int",
+    )
+
+
+@register("dedup_near_minhash")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash-LSH near-dup candidates with exact-Jaccard verification."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dedup.minhash_near_duplicates(corpus, threshold=0.6)
+
+
+@register("dedup_near_simhash")
+def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup pairs (Hamming <= 8 over 63-bit signatures)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dedup.simhash_near_duplicates(corpus, max_hamming=2)
+
+
+@register("similarity_lsh")
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH near-neighbor pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_neighbors(emb, dim=64, num_planes=6, threshold=0.2)
+
+
+@register("similarity_ivf")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF-style probed approximate top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+@register("multimodal_scan")
+def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary media columns -> Arrow-batched feature extraction -> rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs)
+    feats = multimodal.extract_features(media)
+    return multimodal.multimodal_summary(feats)
+
+
+@register("list_tables")
+def list_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 catalog surface."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.list_tables()
