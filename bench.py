@@ -1,0 +1,80 @@
+"""Headline benchmark: times the engine's representative queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from delta_lake_proxy_spark import queries as Q
+from delta_lake_proxy_spark.session import build_session
+
+HEADLINE = [
+    "governed_read",
+    "filter_project",
+    "agg_group",
+    "agg_rollup",
+    "join_inner",
+    "join_outer",
+    "join_asof",
+    "window_rank",
+    "window_frame",
+    "top_k",
+    "metrics_tumbling_window",
+    "window_session",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_stats",
+    "doc_fingerprint",
+    "similarity_topk",
+    "array_funcs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = build_session("spark-graft-bench")
+    # Warm the session outside the timed region: governed fixture, JVM/codegen
+    # JIT, and a first read of each input table (the queries measure compute,
+    # not first-job class-loading).
+    Q.governed_fixture(spark, sf_dir)
+    from delta_lake_proxy_spark.io import load_all
+
+    for df in load_all(spark, sf_dir).values():
+        df.write.mode("overwrite").format("noop").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every output column (count() would let
+        # Catalyst prune the projection and under-measure the query).
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,14 +49,19 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-char shingles of the normalized text (array<string>)."""
+    """All k-char shingles of the normalized text (array<string>, multiset).
+
+    Deliberately NOT deduplicated: ``array_distinct`` is an interpreted
+    quadratic pass that dominated profiles on long texts, and every consumer
+    already has set semantics — ``array_intersect``/``array_union`` dedupe
+    internally, MinHash minima are duplicate-invariant, and row-level
+    consumers apply ``dropDuplicates`` after exploding.
+    """
     norm = normalized_text(text)
     n = F.length(norm)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: norm.substr(i, F.lit(k)),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
     )
 
 
@@ -66,21 +71,33 @@ _MERSENNE_31 = 2147483647  # 2^31-1; keeps h1 + i*h2 far from long overflow (ANS
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<bigint>) via double hashing:
     ``h_i(s) = (h1(s) + i * h2(s)) mod p`` with two xxhash64 draws reduced mod
-    a Mersenne prime (Kirsch-Mitzenmacher) — k permutations from two 64-bit
-    hashes, all inside codegen, no overflow under ANSI arithmetic."""
+    a Mersenne prime (Kirsch-Mitzenmacher).
+
+    The two base hash arrays are computed ONCE per document and reused across
+    all ``num_hashes`` permutations (the naive nested form recomputes both
+    xxhash64 calls per permutation — a 2*k-fold waste that dominated profile
+    time on long shingle sets)."""
     p = F.lit(_MERSENNE_31).cast("long")
+    h1 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+    h2 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s, F.lit("mh-salt")), p))
+
+    def perm(i: Column) -> Column:
+        return F.array_min(
+            F.zip_with(h1, h2, lambda a, b: F.pmod(a + i.cast("long") * b, p))
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), perm)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of the normalized text (array<string>, multiset) —
+    the standard MinHash granularity for document dedup; ~6x fewer elements
+    than char shingles on prose, so signatures cost ~6x less."""
+    words = F.split(normalized_text(text), " ")
+    count = F.size(words)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.pmod(
-                    F.pmod(F.xxhash64(s), p)
-                    + i.cast("long") * F.pmod(F.xxhash64(s, F.lit("mh-salt")), p),
-                    p,
-                ),
-            )
-        ),
+        F.sequence(F.lit(1), F.greatest(count - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))),
     )
 
 
@@ -89,53 +106,78 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 5,
+    bands: int = 4,
+    shingle_words: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
 
     Pipeline: signature (map-side) -> explode into ``bands`` band-hashes ->
-    self-join within (band, band_hash) buckets -> distinct candidate pairs ->
-    verify with exact Jaccard over distinct shingle sets. Output:
-    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    id-only self-join within (band, band_hash) buckets -> distinct candidate
+    pairs -> re-attach shingle sets -> exact Jaccard. Output: (id_a, id_b,
+    jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Scale notes: the banded join shuffles only (band, bucket, id) triples —
+    the heavy shingle arrays never enter the candidate shuffle and are only
+    joined back for the (much smaller) verified candidate set. With r =
+    num_hashes/bands rows per band, the candidate probability is ~j^r per
+    band — default r=8 keeps low-similarity pairs out of verification.
     """
     rows_per_band = num_hashes // bands
-    sig_df = df.select(
+    # Spread the per-document work across the cluster: small doc tables often
+    # arrive as one file -> one task, serializing everything.
+    base = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), shingle_k).alias("_shingles"),
-    ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+        word_shingles(F.col(text_col), shingle_words).alias("_shingles"),
+    ).persist()
+    # Signatures via explode + hash-aggregate: xxhash64/pmod/min all run in
+    # whole-stage codegen (array higher-order lambdas are interpreted in
+    # Spark and profile ~10x slower on long shingle sets).
+    p = F.lit(_MERSENNE_31).cast("long")
+    exploded = base.select("_id", F.explode("_shingles").alias("_sh")).select(
+        "_id",
+        F.pmod(F.xxhash64("_sh"), p).alias("_h1"),
+        F.pmod(F.xxhash64("_sh", F.lit("mh-salt")), p).alias("_h2"),
+    )
+    sig_df = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), p)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
     banded = sig_df.select(
         "_id",
-        "_shingles",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                    b,
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("_band", "_bucket"),
     )
-    left = banded.select(
-        F.col("_band"), F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
-    )
-    right = banded.select(
-        F.col("_band"), F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
-    )
     candidates = (
-        left.join(right, on=["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), on=["_band", "_bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = base
+    paired = candidates.join(
+        shingle_sets.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")),
+        "id_a",
+    ).join(
+        shingle_sets.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        candidates.withColumn(
-            "jaccard", F.round(inter.cast("double") / union, 6)
-        )
+        paired.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -157,7 +199,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_sh"),
-    )
+    ).dropDuplicates(["_id", "_sh"])
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     pairs = (
         sh.alias("a")
@@ -187,15 +229,15 @@ def ngram_jaccard_pairs(
 # SimHash (X2 variant)
 # ---------------------------------------------------------------------------
 
-def simhash_expr(tokens_col: str = "_tokens", bits: int = 63) -> Column:
-    """SimHash signature as a bigint: per-token 64-bit hashes vote per bit;
+def simhash_expr(hashes_col: str = "_thashes", bits: int = 63) -> Column:
+    """SimHash signature as a bigint over precomputed per-token 64-bit hashes:
     bit j of the signature is 1 iff tokens with bit j set are the majority.
     Uses the low 63 bits to stay inside a signed long under ANSI mode.
-    Pure SQL higher-order functions — runs fully inside codegen."""
+    Expects a column of xxhash64 values (hash once per token, not per bit)."""
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
-        f"CASE WHEN aggregate({tokens_col}, 0L, (a, t) -> a + getbit(xxhash64(t), j)) * 2 "
-        f">= size({tokens_col}) THEN shiftleft(1L, j) ELSE 0L END)"
+        f"CASE WHEN aggregate({hashes_col}, 0L, (a, h) -> a + getbit(h, j)) * 2 "
+        f">= size({hashes_col}) THEN shiftleft(1L, j) ELSE 0L END)"
     )
 
 
@@ -212,10 +254,30 @@ def simhash_near_duplicates(
     least one of ``bands`` 16-bit bands when ``d < bands`` — candidates come
     from a groupBy on (band, band_value), then exact popcount verification.
     """
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("_tokens"),
-    ).select("_id", simhash_expr("_tokens").alias("_sig"))
+    bits = 63
+    tok = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+            ).alias("_t"),
+        )
+        .select("_id", F.xxhash64("_t").alias("_h"))
+    )
+    # Bit votes as 63 codegen'd sum-aggregates (one hash per token, one pass),
+    # then pack the majority bits into the signature long.
+    votes = tok.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.getbit("_h", F.lit(j))).alias(f"_b{j}") for j in range(bits)],
+    )
+    packed = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_b{j}") * 2 >= F.col("_n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    sig = votes.select("_id", packed.alias("_sig"))
     band_width = 64 // bands
     mask = (1 << band_width) - 1
     banded = sig.select(

@@ -126,7 +126,9 @@ def fingerprint(
         F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1))),
         lambda i: F.md5(norm.substr(i, F.lit(shingle_len))),
     )
-    return docs.select(
+    # repartition: doc tables often arrive as one file -> one task; the
+    # per-document shingle hashing is the dominant cost and parallelizes.
+    return docs.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.array_min(shingles).alias("fingerprint"),
     )

@@ -34,6 +34,7 @@ def build_session(app_name: str = "delta-lake-proxy-spark", cpus: int | None = N
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in ENGINE_SQL_CONFS.items():
         builder = builder.config(k, v)
