@@ -129,10 +129,12 @@ def ivf_topk(
     At 100 TB the assignment is a map-side broadcast pass and the probe reads
     ~n_probe/num_centroids of the corpus — the standard IVF trade.
     """
+    # Deterministic hash-ordered sample: the num_centroids rows with the
+    # smallest id-hashes (executed as TakeOrdered — per-partition top-k, no
+    # full sort — so it holds at corpus scale).
     centroids = (
         embeddings.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
-        .filter(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)) < F.lit(10**6 // 50))
-        .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)))
+        .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)), F.col("_cid"))
         .limit(num_centroids)
     )
     assign_w = Window.partitionBy(id_col).orderBy(

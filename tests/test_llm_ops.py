@@ -1,0 +1,161 @@
+"""LLM-pipeline operators (X1-X5): dedup, similarity, text, multimodal, as-of.
+
+These pin semantic behavior on small hand-built corpora (the oracle gate
+covers the fixture-scale equivalence; these cover the properties)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_proxy_spark.functions import dedup, multimodal, similarity, text
+from delta_lake_proxy_spark.operators.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "THE QUICK   BROWN fox jumps over the lazy dog again and again  "),  # = 1 normalized
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup of 1
+        (4, "completely different content about spark query engines and lakehouse tables"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_survivor_and_count(corpus):
+    out = dedup.exact_dedup(corpus).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 3, 4]  # 2 collapses into 1; lowest id survives
+    assert {r["doc_id"]: r["n_copies"] for r in out}[1] == 2
+
+
+def test_minhash_finds_near_dups(corpus):
+    # bands=16 (r=2) lowers the LSH detection threshold to ~(1/16)^(1/2)=0.25
+    # so the one-word-changed pair (jaccard ~0.5) is recalled.
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(corpus, bands=16, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_distance_zero(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(corpus, max_hamming=63).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical token sets -> identical signature
+
+
+def test_ngram_jaccard_exact_dup_is_one(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_cosine_topk_self_is_one(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.8, 0.6, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["score"] == 1.0
+    assert out[1]["vec_id"] == 2 and abs(out[1]["score"] - 0.8) < 1e-6
+
+
+def test_lsh_buckets_group_identical_vectors(spark):
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(3)] + [(9, [-1.0, -2.0, -3.0, -4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.lsh_near_neighbors(vecs, dim=4, num_planes=8, threshold=0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1), (0, 2), (1, 2)}  # identical vectors; opposite one excluded
+
+
+def test_ivf_topk_probes_find_query_cluster(spark):
+    import math
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i / 10.0), math.sin(i / 10.0)])
+            for i in range(100)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.ivf_topk(vecs, [1.0, 0.0], k=5, num_centroids=8, n_probe=4).collect()
+    assert len(out) == 5
+    assert out[0]["score"] >= out[-1]["score"]
+    assert out[0]["vec_id"] < 15  # near angle 0
+
+
+def test_text_stats_simple(spark):
+    docs = spark.createDataFrame([(1, "The cat, and the dog!")], "doc_id long, text string")
+    r = text.text_stats(docs).collect()[0]
+    assert r["n_chars"] == 21
+    assert r["n_words"] == 5
+    assert r["n_punct"] == 2
+    assert r["n_stopwords"] == 3  # the, and, the
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id_deterministic_priority(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is that with"), (2, "der hund und die katze ist ein")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de"}
+
+
+def test_fingerprint_stable_under_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello World Example Text"), (2, "hello world example text")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in text.fingerprint(docs).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_pipeline(corpus):
+    media = multimodal.attach_media(corpus)
+    assert dict(media.dtypes)["media_bytes"] == "binary"
+    feats = multimodal.extract_features(media, n_features=4)
+    rows = feats.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r["feature"]) == 4
+        assert r["modality"] in multimodal.MODALITIES
+        assert r["n_bytes"] > 0
+    summary = multimodal.multimodal_summary(feats).collect()
+    assert sum(r["n_docs"] for r in summary) == 4
+
+
+def test_multimodal_decode_stub_raises(corpus):
+    media = multimodal.attach_media(corpus)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(20)), (2, t(10))], "k long, ts timestamp"
+    ).withColumn("lid", F.monotonically_increasing_id())
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0), (1, t(20), 200.0), (2, t(11), 300.0)],
+        "k long, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_values=["px"])
+    got = {(r["k"], r["ts"].second): r["px_right"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0
+    assert got[(1, 20)] == 200.0  # ties: right at same ts visible (<=)
+    assert got[(2, 10)] is None  # no prior right row
