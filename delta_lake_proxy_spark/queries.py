@@ -619,6 +619,110 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "projected_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate = TIMESTAMP '1997-06-15'
+    """,
+)
+def projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 analog: the byte-range read's Spark equivalent is column pruning +
+    row-group skipping — the pushed equality + 3-column ReadSchema is the
+    engine's version of `Range: bytes=a-b`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") == F.lit("1997-06-15").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           upper(p_brand) AS brand_uc,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS name_words,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F7 string algebra on part names (split/strip/concat/case)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1)
+        .cast("int")
+        .alias("name_words"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@register(
+    "except_op",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2-style reconciliation as a relational operator (adds minus removes)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low)  # SQL EXCEPT (set semantics)
+
+
+@register(
     "set_ops",
     """
     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1055,6 +1159,31 @@ def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("list_tables")
 def list_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/S2 catalog surface."""
+    """S2 catalog surface."""
     eng = governed_engine(spark, sf_dir)
     return eng.list_tables()
+
+
+@register("list_catalogs")
+def list_catalogs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the single virtual bucket namespace."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.list_catalogs()
+
+
+@register("delta_time_travel")
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 versioned replay: live file counts at version 0 vs latest."""
+    eng = governed_engine(spark, sf_dir)
+    v0 = eng.snapshot_files(GOV_ALIAS, version=0).count()
+    latest = eng.snapshot_files(GOV_ALIAS).count()
+    return spark.createDataFrame(
+        [(0, int(v0)), (deltalog_latest(spark, sf_dir), int(latest))],
+        "version int, n_files int",
+    )
+
+
+def deltalog_latest(spark: SparkSession, sf_dir: str) -> int:
+    from . import deltalog
+
+    return int(deltalog.latest_version(governed_fixture(spark, sf_dir)))
