@@ -822,6 +822,72 @@ def metrics_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_avg_latency",
+    f"""
+    SELECT event_type, {_sql_davg('value', 9)} AS avg_latency, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_avg_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference's average-backend-latency gauge (src/metrics.rs:107-133)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        davg(F.col("value"), 9).alias("avg_latency"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "late_data_watermark",
+    f"""
+    SELECT date_trunc('minute', ts) AS window_start, COUNT(*) AS n_requests,
+           {_sql_davg('value', 9)} AS avg_latency
+    FROM events GROUP BY 1
+    """,
+)
+def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: a REAL Structured Streaming run — parquet stream source, 2-minute
+    event-time watermark, tumbling agg, availableNow trigger, memory sink.
+    With a single availableNow batch no rows are late, so the result equals
+    the batch aggregation and stays oracle-checkable; complete output mode
+    keeps the trailing windows that append mode would hold back behind the
+    final watermark."""
+    import uuid as _uuid
+
+    ev_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # streaming file sources require a directory: glob-filter the events file
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            (
+                F.sum(F.col("value").cast("decimal(27,9)")).cast("double")
+                / F.count("value")
+            ).alias("avg_latency"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_requests", "avg_latency"
+        )
+    )
+    qname = f"late_wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+@register(
     "agg_distinct_users",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
@@ -1040,6 +1106,58 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only operators (non-SQL-expressible or path-dependent): file surface,
 # writes/compaction, approximate dedup/similarity, multimodal.
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "partition_filter_scan",
+    """
+    SELECT l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_linestatus
+    """,
+)
+def partition_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: single partition-equality predicate -> Catalyst PartitionPruning
+    on the governed fixture (the reference's one comparison op, src/main.rs:394)."""
+    eng = governed_engine(spark, sf_dir)
+    df = eng.read_table(GOV_ALIAS).filter(F.col("l_returnflag") == "N")
+    return df.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "acl_conjunction",
+    """
+    SELECT COUNT(*) AS n_rows FROM lineitem
+    WHERE CAST(year(l_shipdate) AS VARCHAR) = '1995'
+      AND CAST(month(l_shipdate) AS VARCHAR) = '3'
+    """,
+)
+def acl_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: one filter map = AND of equalities (src/main.rs:391-396)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumns(
+        {"ship_year": F.year("l_shipdate"), "ship_month": F.month("l_shipdate")}
+    )
+    pred = acl.compile_dnf([{"ship_year": "1995", "ship_month": "3"}])
+    return li.filter(pred).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register("list_files_prefix")
+def list_files_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P1: prefix-filtered alias-namespace listing."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=A/").select(
+        "key", "size"
+    )
+
+
+@register("list_files_start_after")
+def list_files_start_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: keys strictly after a given key, in key order."""
+    eng = governed_engine(spark, sf_dir)
+    first = eng.list_files(GOV_ALIAS, max_keys=1).collect()[0]["key"]
+    return eng.list_files(GOV_ALIAS, start_after=first).select("key")
 
 
 @register("delta_snapshot_files")
