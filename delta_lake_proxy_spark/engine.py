@@ -134,6 +134,16 @@ class Engine:
             raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
         return df.filter(pred)
 
+    def create_governed_view(
+        self, alias: str, user: str = acl.ANONYMOUS, view_name: str | None = None
+    ) -> str:
+        """Register the governed read as a temp view so plain ``spark.sql``
+        queries run with the ACL predicate injected — the library-level
+        variant of the Catalyst-rule injection design (SURVEY §4)."""
+        name = view_name or f"gov_{alias}"
+        self.read_table(alias, user=user).createOrReplaceTempView(name)
+        return name
+
     def _read_data(self, path: str) -> DataFrame:
         """Partition-discovering parquet read of a (delta-logged) table dir."""
         reader = self.spark.read.option("basePath", path)

@@ -115,15 +115,18 @@ def fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_len: int = 8,
+    stride: int = 4,
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the lexicographic minimum of the
-    md5 digests of all ``shingle_len``-char shingles of the normalized text.
-    Near-identical documents collide; computed wholly JVM-side via
-    ``transform`` over a char-offset sequence (no explode, no shuffle)."""
+    md5 digests of ``shingle_len``-char shingles sampled every ``stride``
+    chars from the normalized text. Near-identical documents collide;
+    computed wholly JVM-side via ``transform`` over a char-offset sequence
+    (no explode, no shuffle). The stride trades hash count for sensitivity —
+    overlapping shingles (stride < len) still cover every byte."""
     norm = F.lower(F.col(text_col))
     n = F.length(norm)
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1)), F.lit(stride)),
         lambda i: F.md5(norm.substr(i, F.lit(shingle_len))),
     )
     # repartition: doc tables often arrive as one file -> one task; the

@@ -1028,7 +1028,7 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents),
     idx AS (SELECT doc_id, t,
-                   unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+                   unnest(generate_series(1, greatest(length(t) - 7, 1), 4)) AS i
             FROM norm)
     SELECT doc_id, MIN(md5(substring(t, CAST(i AS INT), 8))) AS fingerprint
     FROM idx GROUP BY doc_id
