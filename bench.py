@@ -54,12 +54,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the projection and under-measure the query).
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2 damps scheduler/GC noise
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink materializes every output column (count() would let
+            # Catalyst prune the projection and under-measure the query).
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(

@@ -75,6 +75,21 @@ class Engine:
         # aggregation over request events lives in streaming.metrics.
         self.counters: dict[str, int] = {"queries_served": 0, "queries_proxied": 0}
 
+    @classmethod
+    def from_json(
+        cls,
+        spark: SparkSession,
+        config_path: str,
+        permissions_df: DataFrame | None = None,
+    ) -> "Engine":
+        """Build from a reference-shaped JSON config file + PROXY_* env
+        overrides (ref ``src/main.rs:55-59``)."""
+        return cls(
+            spark,
+            EngineConfig.from_json(config_path).apply_env(),
+            permissions_df=permissions_df,
+        )
+
     # -- catalog ------------------------------------------------------------
 
     def resolve(self, alias: str) -> str:

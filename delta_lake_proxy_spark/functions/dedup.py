@@ -176,11 +176,17 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
-    return (
+    out = (
         paired.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (small) verified pair set now so the shingle cache can
+    # be released immediately — leaving it persisted degrades later queries
+    # in long-lived sessions (observed as storage-eviction thrash).
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -67,32 +67,41 @@ def _sql_davg(expr: str, scale: int = 6) -> str:
 
 GOV_ALIAS = "lineitem_gov"
 _FIXTURES: dict[str, str] = {}
+_FIXTURE_LOCK = __import__("threading").Lock()
 
 
 def governed_fixture(spark: SparkSession, sf_dir: str) -> str:
     """A delta-logged lineitem table partitioned by ``l_returnflag`` (the
     analog of the reference's MIC partitions, ``config.json:11-18``), with a
-    compaction commit so the log contains remove tombstones (FIXTURES.md B5)."""
+    compaction commit so the log contains remove tombstones (FIXTURES.md B5).
+    Build is locked against concurrent same-process query invocations."""
     key = os.path.abspath(sf_dir)
     if key in _FIXTURES:
         return _FIXTURES[key]
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
-    )
-    path = os.path.join(base, GOV_ALIAS)
-    marker = os.path.join(base, ".ready")
-    if not os.path.exists(marker):
-        li = load_table(spark, sf_dir, "lineitem").repartition(1)
-        write_governed_table(spark, li, path, ["l_returnflag"])
-        eng = Engine(
-            spark,
-            EngineConfig(table_mapping={GOV_ALIAS: path}, read_only=False),
+    return _build_fixture_locked(spark, sf_dir, key)
+
+
+def _build_fixture_locked(spark: SparkSession, sf_dir: str, key: str) -> str:
+    with _FIXTURE_LOCK:
+        if key in _FIXTURES:
+            return _FIXTURES[key]
+        base = os.path.join(
+            tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
         )
-        eng.compact_table(GOV_ALIAS, files_per_partition=1)
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
-    _FIXTURES[key] = path
-    return path
+        path = os.path.join(base, GOV_ALIAS)
+        marker = os.path.join(base, ".ready")
+        if not os.path.exists(marker):
+            li = load_table(spark, sf_dir, "lineitem").repartition(1)
+            write_governed_table(spark, li, path, ["l_returnflag"])
+            eng = Engine(
+                spark,
+                EngineConfig(table_mapping={GOV_ALIAS: path}, read_only=False),
+            )
+            eng.compact_table(GOV_ALIAS, files_per_partition=1)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("ok")
+        _FIXTURES[key] = path
+        return path
 
 
 def governed_engine(
