@@ -166,6 +166,10 @@ def minhash_near_duplicates(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Note: a signature-agreement pre-filter before verification was measured
+    # here and REMOVED — with r = num_hashes/bands >= 8 the banding is already
+    # est-selective (any survivor has an 8-run exact agreement), so the extra
+    # 32-column self-joins cost more than the skipped array intersects.
     shingle_sets = base
     paired = candidates.join(
         shingle_sets.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")),
