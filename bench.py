@@ -51,8 +51,19 @@ def main() -> None:
 
     for df in load_all(spark, sf_dir).values():
         df.write.mode("overwrite").format("noop").save()
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate queries: drop cached/checkpointed blocks left by earlier
+        # operators and collect both runtimes so GC pressure from query N
+        # doesn't bill query N+1.
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         fn = Q.QUERIES[name]
         best = None
         for _ in range(2):  # best-of-2 damps scheduler/GC noise

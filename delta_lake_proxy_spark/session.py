@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,11 @@ def build_session(app_name: str = "delta-lake-proxy-spark", cpus: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # keep managed-table state (bucketing tests etc.) out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+        )
     )
     for k, v in ENGINE_SQL_CONFS.items():
         builder = builder.config(k, v)
