@@ -32,6 +32,8 @@ class EngineConfig:
     # src/main.rs:90-93, src/database.rs:28-32).
     acl_cache_size: int = 100
     acl_cache_ttl_s: float = 120.0
+    # Delta-style checkpoint cadence for engine writes (0 disables).
+    checkpoint_interval: int = 10
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "EngineConfig":
@@ -54,6 +56,9 @@ class EngineConfig:
             read_only=bool(pick("readOnly", "read_only", default=True)),
             acl_cache_size=int(pick("aclCacheSize", "acl_cache_size", default=100)),
             acl_cache_ttl_s=float(pick("aclCacheTtlS", "acl_cache_ttl_s", default=120.0)),
+            checkpoint_interval=int(
+                pick("checkpointInterval", "checkpoint_interval", default=10)
+            ),
         )
 
     @classmethod

@@ -248,17 +248,109 @@ def _live_paths_no_spark(table_path: str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Checkpoints (Delta protocol: {version:020d}.checkpoint.parquet + _last_checkpoint)
+# ---------------------------------------------------------------------------
+
+def _last_checkpoint_file(table_path: str) -> str:
+    return os.path.join(log_path(table_path), "_last_checkpoint")
+
+
+def last_checkpoint(table_path: str) -> dict[str, Any] | None:
+    p = _last_checkpoint_file(table_path)
+    if not os.path.exists(p):
+        return None
+    with open(p, "r", encoding="utf-8") as f:
+        return json.loads(f.read())
+
+
+def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Materialize the current snapshot as ``{v:020d}.checkpoint.parquet``
+    and point ``_last_checkpoint`` at it (Delta protocol checkpointing).
+
+    Readers then load the checkpoint columnar file plus only the JSON commits
+    AFTER it — snapshot reconstruction cost stops growing with table history.
+    One parquet action-row per live file, plus the latest protocol/metaData.
+    """
+    version = latest_version(table_path)
+    if version < 0:
+        raise ValueError(f"no commits to checkpoint at {table_path}")
+    live = snapshot_files(spark, table_path, version=version, use_checkpoint=False)
+    adds = live.select(
+        F.struct(
+            F.col("path"),
+            F.col("partitionValues"),
+            F.col("size"),
+            F.col("modificationTime"),
+            F.lit(False).alias("dataChange"),
+        ).alias("add"),
+        F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
+        F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
+        F.lit(None).cast(LOG_SCHEMA["protocol"].dataType).alias("protocol"),
+    )
+    log = read_log(spark, table_path)
+    empty_cols = [
+        F.lit(None).cast(ADD_SCHEMA).alias("add"),
+        F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
+    ]
+    latest_meta = (
+        log.filter(F.col("metaData").isNotNull())
+        .orderBy(F.col("version").desc())
+        .limit(1)
+        .select(*empty_cols, F.col("metaData"), F.lit(None).cast(LOG_SCHEMA["protocol"].dataType).alias("protocol"))
+    )
+    latest_proto = (
+        log.filter(F.col("protocol").isNotNull())
+        .orderBy(F.col("version").desc())
+        .limit(1)
+        .select(*empty_cols, F.lit(None).cast(METADATA_SCHEMA).alias("metaData"), F.col("protocol"))
+    )
+    meta_proto = latest_meta.unionByName(latest_proto)
+    target = os.path.join(log_path(table_path), f"{version:020d}.checkpoint.parquet")
+    tmp_dir = target + ".tmp"
+    adds.unionByName(meta_proto).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    part = next(
+        p for p in os.listdir(tmp_dir) if p.endswith(".parquet") and not p.startswith(".")
+    )
+    os.replace(os.path.join(tmp_dir, part), target)
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp_dir, ignore_errors=True)
+    with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"version": version, "size": live.count()}))
+    return version
+
+
+# ---------------------------------------------------------------------------
 # DataFrame-side log replay (SURVEY §2 S6/S7/U2)
 # ---------------------------------------------------------------------------
 
-def read_log(spark: SparkSession, table_path: str) -> DataFrame:
-    """Raw log actions with their commit ``version`` (S7 ``read_delta_log``).
+def read_log(
+    spark: SparkSession, table_path: str, min_version: int | None = None
+) -> DataFrame:
+    """Raw JSON log actions with their commit ``version`` (S7
+    ``read_delta_log``); ``min_version`` selects only commits strictly after
+    it (checkpoint tail reads list exact files — no glob over old history).
 
     Equivalent of the reference's unfiltered ``_delta_log`` passthrough
     (``src/main.rs:532-538``): metadata is never ACL-filtered.
     """
-    glob = os.path.join(log_path(table_path), "*.json")
-    df = spark.read.schema(LOG_SCHEMA).json(glob)
+    d = log_path(table_path)
+    if min_version is None:
+        sources: list[str] = [os.path.join(d, "*.json")]
+    else:
+        sources = [
+            os.path.join(d, name)
+            for name in sorted(os.listdir(d))
+            if name.endswith(".json")
+            and name[:-5].isdigit()
+            and int(name[:-5]) > min_version
+        ]
+        if not sources:
+            return (
+                spark.createDataFrame([], LOG_SCHEMA)
+                .withColumn("version", F.lit(None).cast("long"))
+            )
+    df = spark.read.schema(LOG_SCHEMA).json(sources)
     version = F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
         "long"
     )
@@ -266,17 +358,40 @@ def read_log(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def snapshot_files(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    use_checkpoint: bool = True,
 ) -> DataFrame:
     """Live file set at ``version`` (latest if None) — pure DataFrame replay.
 
     Columns: ``path, size, modificationTime, partitionValues, version``.
     Replay rule: for each path take the max-version action; live iff ``add``.
+    When a checkpoint at version c exists (and c <= requested version), the
+    replay reads the columnar checkpoint plus only the JSON commits after c —
+    reconstruction cost stops growing with history, exactly as in Delta.
     The log is tiny relative to data, so the window over ``path`` is cheap;
     at metadata scale (millions of files) this is exactly the shuffle Delta
     itself performs for snapshot reconstruction.
     """
-    log = read_log(spark, table_path)
+    ck = last_checkpoint(table_path) if use_checkpoint else None
+    if ck is not None and (version is None or version >= int(ck["version"])):
+        ck_version = int(ck["version"])
+        ck_file = os.path.join(
+            log_path(table_path), f"{ck_version:020d}.checkpoint.parquet"
+        )
+        base = (
+            spark.read.parquet(ck_file)
+            .filter(F.col("add").isNotNull())
+            .select(F.col("add"), F.lit(None).cast(REMOVE_SCHEMA).alias("remove"))
+            .withColumn("version", F.lit(ck_version).cast("long"))
+        )
+        tail = read_log(spark, table_path, min_version=ck_version).select(
+            "add", "remove", "version"
+        )
+        log = base.unionByName(tail)
+    else:
+        log = read_log(spark, table_path).select("add", "remove", "version")
     if version is not None:
         log = log.filter(F.col("version") <= F.lit(int(version)))
     adds = log.filter(F.col("add").isNotNull()).select(

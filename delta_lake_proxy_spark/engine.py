@@ -286,12 +286,16 @@ class Engine:
             self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        return deltalog.commit_dir_state(
+        version = deltalog.commit_dir_state(
             path,
             list(parts),
             schema_json=df.schema.json(),
             operation=mode.upper(),
         )
+        interval = self.config.checkpoint_interval
+        if interval > 0 and version > 0 and version % interval == 0:
+            deltalog.write_checkpoint(self.spark, path)
+        return version
 
     def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
         """Small-file compaction (G9): rewrite each partition into

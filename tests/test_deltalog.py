@@ -96,3 +96,64 @@ def test_read_log_has_versions(spark, tmp_path):
     assert set(r["version"] for r in log.select("version").distinct().collect()) == {0, 1}
     # protocol + metaData only in version 0
     assert log.filter(F.col("protocol").isNotNull()).count() == 1
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    """Checkpoint at version N; later snapshots read checkpoint + JSON tail
+    and must equal the full-history replay (including post-checkpoint removes
+    of checkpointed files)."""
+    t = str(tmp_path / "ckpt")
+    os.makedirs(t)
+    for i in range(4):
+        deltalog.write_commit(
+            t,
+            [{"path": f"f{i}.parquet", "partitionValues": {}, "size": i + 1, "modificationTime": 0}],
+            schema_json='{"v":1}' if i == 0 else None,
+        )
+    v = deltalog.write_checkpoint(spark, t)
+    assert v == 3
+    assert deltalog.last_checkpoint(t)["version"] == 3
+    # post-checkpoint commits: add one, remove a checkpointed file
+    deltalog.write_commit(
+        t,
+        [{"path": "f9.parquet", "partitionValues": {}, "size": 9, "modificationTime": 0}],
+        removes=[{"path": "f1.parquet"}],
+    )
+    got = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    want = {r["path"] for r in deltalog.snapshot_files(spark, t, use_checkpoint=False).collect()}
+    assert got == want == {"f0.parquet", "f2.parquet", "f3.parquet", "f9.parquet"}
+    # time travel BEFORE the checkpoint still works (falls back to JSON replay)
+    v1 = {r["path"] for r in deltalog.snapshot_files(spark, t, version=1).collect()}
+    assert v1 == {"f0.parquet", "f1.parquet"}
+    # metadata survives checkpointing
+    assert deltalog.table_metadata(spark, t)["schemaString"] == '{"v":1}'
+
+
+def test_checkpoint_then_engine_read(spark, tmp_path, lineitem):
+    """End-to-end: governed table, checkpoint, append, read through Engine."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "gct")
+    write_governed_table(spark, lineitem.limit(100).repartition(1), path, ["l_returnflag"])
+    deltalog.write_checkpoint(spark, path)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(10), mode="append")
+    snap_files = eng.snapshot_files("t").count()
+    assert snap_files >= 4  # 3 partitions + appended file(s)
+    assert eng.read_table("t").count() == 110
+
+
+def test_auto_checkpoint_on_interval(spark, tmp_path, lineitem):
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "auto_ck")
+    write_governed_table(spark, lineitem.limit(20).repartition(1), path, [])
+    cfg = EngineConfig(table_mapping={"t": path}, read_only=False, checkpoint_interval=2)
+    eng = Engine(spark, cfg)
+    eng.write_table("t", lineitem.limit(5), mode="append")  # v1 -> no ckpt
+    assert deltalog.last_checkpoint(path) is None
+    eng.write_table("t", lineitem.limit(5), mode="append")  # v2 -> ckpt
+    assert deltalog.last_checkpoint(path)["version"] == 2
+    assert eng.read_table("t").count() == 30
