@@ -46,6 +46,9 @@ ADD_SCHEMA = T.StructType(
         T.StructField("size", T.LongType()),
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
+        # Delta-protocol per-file statistics as a JSON string:
+        # {"numRecords": n, "minValues": {col: v}, "maxValues": {col: v}}
+        T.StructField("stats", T.StringType()),
     ]
 )
 REMOVE_SCHEMA = T.StructType(
@@ -122,6 +125,59 @@ def _relative_data_files(table_path: str) -> list[str]:
                 full = os.path.join(root, name)
                 out.append(os.path.relpath(full, table_path).replace(os.sep, "/"))
     return sorted(out)
+
+
+def collect_file_stats(full_path: str) -> str | None:
+    """Per-file column stats from the parquet footer (metadata-only read):
+    the Delta ``stats`` JSON — numRecords + min/maxValues for primitive
+    columns. Returns None when pyarrow or footer stats are unavailable."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    try:
+        meta = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+
+    def jsonable(v: Any) -> Any:
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+            except Exception:
+                continue  # some physical types expose no footer statistics
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            try:
+                lo, hi = jsonable(st.min), jsonable(st.max)
+            except Exception:
+                continue  # min/max extraction unsupported for this type
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {"numRecords": meta.num_rows, "minValues": mins, "maxValues": maxs}
+    )
 
 
 def partition_values_from_path(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
@@ -215,6 +271,7 @@ def commit_dir_state(
                 "partitionValues": partition_values_from_path(rel, partition_cols),
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
+                "stats": collect_file_stats(full),
             }
         )
     removes = [{"path": rel} for rel in sorted(tracked - on_disk)]
@@ -282,6 +339,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
             F.col("size"),
             F.col("modificationTime"),
             F.lit(False).alias("dataChange"),
+            F.col("stats"),
         ).alias("add"),
         F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
         F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
@@ -380,8 +438,11 @@ def snapshot_files(
         ck_file = os.path.join(
             log_path(table_path), f"{ck_version:020d}.checkpoint.parquet"
         )
+        ck_schema = T.StructType(
+            [T.StructField("add", ADD_SCHEMA), T.StructField("remove", REMOVE_SCHEMA)]
+        )
         base = (
-            spark.read.parquet(ck_file)
+            spark.read.schema(ck_schema).parquet(ck_file)
             .filter(F.col("add").isNotNull())
             .select(F.col("add"), F.lit(None).cast(REMOVE_SCHEMA).alias("remove"))
             .withColumn("version", F.lit(ck_version).cast("long"))
@@ -399,6 +460,7 @@ def snapshot_files(
         F.col("add.size").alias("size"),
         F.col("add.modificationTime").alias("modificationTime"),
         F.col("add.partitionValues").alias("partitionValues"),
+        F.col("add.stats").alias("stats"),
         F.col("version"),
         F.lit(True).alias("is_add"),
     )
@@ -407,6 +469,7 @@ def snapshot_files(
         F.lit(None).cast("long").alias("size"),
         F.lit(None).cast("long").alias("modificationTime"),
         F.lit(None).cast(PARTITION_VALUES).alias("partitionValues"),
+        F.lit(None).cast("string").alias("stats"),
         F.col("version"),
         F.lit(False).alias("is_add"),
     )

@@ -215,6 +215,52 @@ class Engine:
         how = "left_semi" if mode == "allowed" else "left_anti"
         return requests.join(allowed, on="path", how=how)
 
+    def scan_with_skipping(
+        self,
+        alias: str,
+        ranges: dict[str, tuple[Any, Any]],
+        user: str = acl.ANONYMOUS,
+    ) -> DataFrame:
+        """Data-skipping scan: prune files whose footer min/max stats (stored
+        in the log's ``add.stats``, Delta-style) cannot satisfy the given
+        ``col -> (lo, hi)`` ranges, then read only the surviving files with
+        the ACL + residual range predicates applied.
+
+        The pruning decision runs over the snapshot's metadata (O(files),
+        driver-side — exactly where Delta evaluates data skipping); files
+        without stats for a column are conservatively kept.
+        """
+        import json as _json
+
+        path = self.resolve(alias)
+        snapshot = deltalog.snapshot_files(self.spark, path).select("path", "stats")
+        keep: list[str] = []
+        for r in snapshot.collect():
+            stats = _json.loads(r["stats"]) if r["stats"] else None
+            ok = True
+            if stats:
+                mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+                for col, (lo, hi) in ranges.items():
+                    if col in mins and hi is not None and mins[col] > hi:
+                        ok = False
+                    if col in maxs and lo is not None and maxs[col] < lo:
+                        ok = False
+            if ok:
+                keep.append(os.path.join(path, r["path"]))
+        if not keep:
+            df = self._read_data(path).limit(0)
+        else:
+            df = self.spark.read.option("basePath", path).parquet(*keep)
+        pred = self.acl_predicate(alias, user)
+        if pred is not None:
+            df = df.filter(pred)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def file_stats(self, alias: str) -> DataFrame:
         """HEAD-equivalent metadata (S10): key, size, modificationTime."""
         return self.snapshot_files(alias).select(

@@ -157,3 +157,43 @@ def test_auto_checkpoint_on_interval(spark, tmp_path, lineitem):
     eng.write_table("t", lineitem.limit(5), mode="append")  # v2 -> ckpt
     assert deltalog.last_checkpoint(path)["version"] == 2
     assert eng.read_table("t").count() == 30
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path, lineitem):
+    t = str(tmp_path / "stats_t")
+    lineitem.limit(100).repartition(1).write.parquet(t)
+    deltalog.commit_dir_state(t, [])
+    import json
+
+    rows = deltalog.snapshot_files(spark, t).collect()
+    stats = json.loads(rows[0]["stats"])
+    assert stats["numRecords"] == 100
+    assert stats["minValues"]["l_quantity"] <= stats["maxValues"]["l_quantity"]
+    assert "l_returnflag" in stats["minValues"]  # strings too
+
+
+def test_scan_with_skipping_prunes_files(spark, tmp_path, lineitem):
+    """Range-partition lineitem by orderkey into 4 files (tight, disjoint
+    ranges), then a narrow orderkey range must read fewer files and return
+    exactly the filtered rows."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+
+    t = str(tmp_path / "skip_t")
+    lineitem.repartitionByRange(4, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(t)
+    deltalog.commit_dir_state(t, [])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": t}))
+    lo = int(lineitem.agg(F.min("l_orderkey")).collect()[0][0])
+    df = eng.scan_with_skipping("t", {"l_orderkey": (lo, lo + 10)})
+    files_read = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert len(files_read) == 1  # 3 of 4 files skipped via footer stats
+    want = lineitem.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= lo + 10)
+    ).count()
+    assert df.count() == want
+    # no stats match -> conservative full result correctness on open range
+    df_all = eng.scan_with_skipping("t", {"l_orderkey": (None, None)})
+    assert df_all.count() == lineitem.count()
