@@ -303,9 +303,17 @@ class Engine:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_files: int | None = None,
     ) -> int:
         """Governed write: blocked when read-only (ref src/main.rs:941-948);
-        otherwise parquet write + Delta log commit. Returns the new version."""
+        otherwise parquet write + Delta log commit. Returns the new version.
+
+        ``sort_by`` range-partitions and sorts rows before writing so each
+        file covers a tight, near-disjoint range of those columns — the
+        clustering that makes footer-stats data skipping
+        (:meth:`scan_with_skipping`) effective (linear Z-order analog).
+        """
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
@@ -317,6 +325,16 @@ class Engine:
             else None
         )
         parts = partition_by or (existing_meta or {}).get("partitionColumns") or []
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            # explicit file count pins the range split (AQE would otherwise
+            # coalesce small shuffles to one file, defeating clustering);
+            # default lets AQE size partitions by bytes — right at scale.
+            df = (
+                df.repartitionByRange(sort_files, *cols)
+                if sort_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*sort_by)
 
         staging = os.path.join(
             os.path.dirname(path.rstrip("/")) or ".",

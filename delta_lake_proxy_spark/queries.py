@@ -1169,6 +1169,51 @@ def list_files_start_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.list_files(GOV_ALIAS, start_after=first).select("key")
 
 
+@register(
+    "data_skipping_scan",
+    """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate <= TIMESTAMP '1997-12-31'
+    GROUP BY 1
+    """,
+)
+def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats data skipping: a shipdate-clustered (sort-on-write) copy
+    of lineitem is range-scanned via add-action min/max stats — only files
+    overlapping the range are read (Delta data skipping, SURVEY §4)."""
+    key = os.path.abspath(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
+    )
+    path = os.path.join(base, "lineitem_sorted")
+    with _FIXTURE_LOCK:
+        if not os.path.exists(os.path.join(path, ".ready")):
+            eng0 = Engine(
+                spark,
+                EngineConfig(table_mapping={"s": path}, read_only=False),
+            )
+            os.makedirs(path, exist_ok=True)
+            eng0.write_table(
+                "s",
+                load_table(spark, sf_dir, "lineitem").repartition(8),
+                mode="overwrite",
+                sort_by=["l_shipdate"],
+                sort_files=8,
+            )
+            with open(os.path.join(path, ".ready"), "w", encoding="utf-8") as f:
+                f.write("ok")
+    eng = Engine(spark, EngineConfig(table_mapping={"s": path}))
+    df = eng.scan_with_skipping(
+        "s", {"l_shipdate": ("1997-01-01T00:00:00", "1997-12-31T00:00:00")}
+    )
+    return df.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
 @register("delta_snapshot_files")
 def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/U2: log replay (adds minus removes) on the governed fixture."""

@@ -193,3 +193,33 @@ def test_list_catalogs_tables(spark, gov_table):
     eng = make_engine(spark, gov_table)
     assert [r["catalog_name"] for r in eng.list_catalogs().collect()] == ["datalake"]
     assert [r["table_name"] for r in eng.list_tables().collect()] == ["gov"]
+
+
+def test_sort_on_write_tightens_stats(spark, tmp_path, lineitem):
+    """sort_by clustering must make file ranges near-disjoint so skipping
+    reads a strict subset of files."""
+    import json
+
+    from delta_lake_proxy_spark import deltalog
+
+    path = str(tmp_path / "sorted")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    import os
+
+    os.makedirs(path)
+    eng.write_table("t", lineitem.repartition(8), mode="overwrite", sort_by=["l_orderkey"], sort_files=6)
+    snap = deltalog.snapshot_files(spark, path).collect()
+    assert len(snap) > 1
+    ranges = sorted(
+        (json.loads(r["stats"])["minValues"]["l_orderkey"],
+         json.loads(r["stats"])["maxValues"]["l_orderkey"])
+        for r in snap
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint after range-partition + sort
+    from pyspark.sql import functions as F
+
+    mid = ranges[len(ranges) // 2][0]
+    df = eng.scan_with_skipping("t", {"l_orderkey": (mid, mid + 5)})
+    n_files = df.select(F.input_file_name()).distinct().count()
+    assert n_files < len(snap)
