@@ -180,6 +180,20 @@ def collect_file_stats(full_path: str) -> str | None:
     )
 
 
+def add_action_for(table_path: str, rel: str, partition_cols: list[str]) -> dict[str, Any]:
+    """Build a full ``add`` action (size, mtime, partitionValues, stats) for
+    an on-disk data file."""
+    full = os.path.join(table_path, rel)
+    st = os.stat(full)
+    return {
+        "path": rel,
+        "partitionValues": partition_values_from_path(rel, partition_cols),
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "stats": collect_file_stats(full),
+    }
+
+
 def partition_values_from_path(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
     """Parse Hive-style ``key=value`` segments (ref path shape
     ``my_table/part=A/data.parquet``, ``specs/README.md:115``)."""

@@ -131,17 +131,23 @@ class Engine:
     # -- governed read (G1, the flagship) ----------------------------------
 
     def read_table(
-        self, alias: str, user: str = acl.ANONYMOUS, strict: bool = False
+        self,
+        alias: str,
+        user: str = acl.ANONYMOUS,
+        strict: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
         """Catalog lookup -> ACL resolution -> predicate-injected Delta scan.
 
         The returned DataFrame's scan carries the compiled DNF filter, so
         partition pruning selects exactly the files the reference's
         ``get_file_uris_by_partitions`` union selects (src/main.rs:389-415).
+        ``version`` time-travels to an earlier snapshot (readable until
+        :meth:`vacuum` reclaims its tombstoned files).
         """
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
-        df = self._read_data(path)
+        df = self._read_data(path, version=version)
         pred = self.acl_predicate(alias, user)
         if pred is None:
             return df  # no ACL configured => allow everything (src/main.rs:576)
@@ -159,10 +165,32 @@ class Engine:
         self.read_table(alias, user=user).createOrReplaceTempView(name)
         return name
 
-    def _read_data(self, path: str) -> DataFrame:
-        """Partition-discovering parquet read of a (delta-logged) table dir."""
-        reader = self.spark.read.option("basePath", path)
-        return reader.parquet(path)
+    def _read_data(self, path: str, version: int | None = None) -> DataFrame:
+        """Log-driven scan: read exactly the LIVE file set from the Delta
+        snapshot (tombstoned files may still exist on disk until vacuum —
+        a raw directory read would resurrect them). Falls back to a plain
+        partition-discovering read for plain-parquet locations without a log.
+        """
+        if deltalog.latest_version(path) >= 0:
+            live = [
+                os.path.join(path, r["path"])
+                for r in deltalog.snapshot_files(self.spark, path, version=version)
+                .select("path")
+                .collect()
+            ]
+            if not live:
+                return self._empty_table(path)
+            return self.spark.read.option("basePath", path).parquet(*live)
+        return self.spark.read.option("basePath", path).parquet(path)
+
+    def _empty_table(self, path: str) -> DataFrame:
+        meta = deltalog.table_metadata(self.spark, path)
+        if meta and meta.get("schemaString") not in (None, "{}"):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame([], "path string").limit(0)
 
     # -- file-level surface (S3-S7, S10, P5, P6) ---------------------------
 
@@ -344,16 +372,28 @@ class Engine:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(staging)
+        prev_live: list[str] = (
+            deltalog._live_paths_no_spark(path)
+            if deltalog.latest_version(path) >= 0
+            else []
+        )
         try:
-            if mode == "overwrite":
-                self._delete_data_files(path)
-            self._move_staged(staging, path)
+            moved = self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        version = deltalog.commit_dir_state(
+        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        # Delta semantics: an overwrite TOMBSTONES the previous live files in
+        # the log but leaves them on disk — old versions stay time-travel
+        # readable until vacuum() reclaims unreferenced files.
+        removes = (
+            [{"path": p} for p in sorted(prev_live)] if mode == "overwrite" else []
+        )
+        version = deltalog.write_commit(
             path,
-            list(parts),
+            adds,
+            removes,
             schema_json=df.schema.json(),
+            partition_cols=list(parts),
             operation=mode.upper(),
         )
         interval = self.config.checkpoint_interval
@@ -381,27 +421,44 @@ class Engine:
         finally:
             self.config.read_only = read_only
 
-    def _delete_data_files(self, path: str) -> None:
+    def vacuum(self, alias: str) -> int:
+        """G9 maintenance: delete data files no longer referenced by the
+        latest snapshot (tombstoned by removes or orphaned by failed writes).
+        Returns the number of files deleted. The snapshot stays readable —
+        only unreferenced files go."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        live = {
+            r["path"]
+            for r in deltalog.snapshot_files(self.spark, path).select("path").collect()
+        }
+        deleted = 0
         for rel in deltalog._relative_data_files(path):
-            os.remove(os.path.join(path, rel))
-        # prune now-empty partition dirs (keep the log)
+            if rel not in live:
+                os.remove(os.path.join(path, rel))
+                deleted += 1
         for root, dirs, files in os.walk(path, topdown=False):
             dirs[:] = [d for d in dirs if d != deltalog.LOG_DIR]
             if root != path and not os.listdir(root):
                 os.rmdir(root)
+        return deleted
 
     @staticmethod
-    def _move_staged(staging: str, path: str) -> None:
+    def _move_staged(staging: str, path: str) -> list[str]:
         os.makedirs(path, exist_ok=True)
+        moved: list[str] = []
         for root, dirs, files in os.walk(staging):
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(root, name)
-                rel = os.path.relpath(full, staging)
+                rel = os.path.relpath(full, staging).replace(os.sep, "/")
                 dest = os.path.join(path, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 shutil.move(full, dest)
+                moved.append(rel)
+        return sorted(moved)
 
 
 def write_governed_table(

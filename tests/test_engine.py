@@ -223,3 +223,30 @@ def test_sort_on_write_tightens_stats(spark, tmp_path, lineitem):
     df = eng.scan_with_skipping("t", {"l_orderkey": (mid, mid + 5)})
     n_files = df.select(F.input_file_name()).distinct().count()
     assert n_files < len(snap)
+
+
+def test_overwrite_tombstones_and_vacuum(spark, tmp_path, lineitem):
+    """Delta semantics: overwrite tombstones files (time travel stays
+    readable), vacuum reclaims unreferenced files, after which the old
+    version is gone but the latest still reads."""
+    import os
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "tt")
+    write_governed_table(spark, lineitem.limit(100).repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(10), mode="overwrite")
+    # old files still on disk -> version 0 readable
+    assert eng.read_table("t", version=0).count() == 100
+    assert eng.read_table("t").count() == 10
+    n_disk_before = sum(len(fs) for _, _, fs in os.walk(path) if True)
+    deleted = eng.vacuum("t")
+    assert deleted >= 3  # the three partition files of version 0
+    assert eng.read_table("t").count() == 10  # latest unaffected
+    # read-only engines cannot vacuum
+    eng.config.read_only = True
+    import pytest as _pytest
+
+    with _pytest.raises(ReadOnlyError):
+        eng.vacuum("t")
