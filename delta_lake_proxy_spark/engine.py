@@ -71,6 +71,9 @@ class Engine:
         self.config = config
         self.permissions_df = permissions_df
         self._acl_cache = acl.TTLCache(config.acl_cache_size, config.acl_cache_ttl_s)
+        # live-file-list memo per table path — the reference's Delta snapshot
+        # cache (20 entries x 120 s, src/main.rs:82-85); invalidated on write.
+        self._snapshot_cache = acl.TTLCache(20, 120.0)
         # Observability counters (ref src/metrics.rs:66-88); the windowed
         # aggregation over request events lives in streaming.metrics.
         self.counters: dict[str, int] = {"queries_served": 0, "queries_proxied": 0}
@@ -127,6 +130,7 @@ class Engine:
 
     def invalidate_caches(self) -> None:
         self._acl_cache.invalidate()
+        self._snapshot_cache.invalidate()
 
     # -- governed read (G1, the flagship) ----------------------------------
 
@@ -172,12 +176,21 @@ class Engine:
         partition-discovering read for plain-parquet locations without a log.
         """
         if deltalog.latest_version(path) >= 0:
-            live = [
-                os.path.join(path, r["path"])
-                for r in deltalog.snapshot_files(self.spark, path, version=version)
-                .select("path")
-                .collect()
-            ]
+
+            def compute() -> list[str]:
+                return [
+                    os.path.join(path, r["path"])
+                    for r in deltalog.snapshot_files(self.spark, path, version=version)
+                    .select("path")
+                    .collect()
+                ]
+
+            # only the latest snapshot is memoized; explicit versions are rare
+            live = (
+                self._snapshot_cache.get_or_compute(path, compute)
+                if version is None
+                else compute()
+            )
             if not live:
                 return self._empty_table(path)
             return self.spark.read.option("basePath", path).parquet(*live)
@@ -399,6 +412,7 @@ class Engine:
         interval = self.config.checkpoint_interval
         if interval > 0 and version > 0 and version % interval == 0:
             deltalog.write_checkpoint(self.spark, path)
+        self._snapshot_cache.invalidate()  # table state changed
         return version
 
     def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
