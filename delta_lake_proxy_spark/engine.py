@@ -193,8 +193,32 @@ class Engine:
             )
             if not live:
                 return self._empty_table(path)
-            return self.spark.read.option("basePath", path).parquet(*live)
+            reader = self.spark.read.option("basePath", path)
+            schema = self._table_schema(path)
+            if schema is not None:
+                # Delta reads the schema from the log's metaData, not from N
+                # file footers: no footer-merge job, and files written before
+                # an appended column read it as null (schema evolution).
+                reader = reader.schema(schema)
+            return reader.parquet(*live)
         return self.spark.read.option("basePath", path).parquet(path)
+
+    def _table_schema(self, path: str):
+        """Schema from the log's latest metaData action, memoized; None when
+        absent or not a valid Spark schema JSON (raw test logs)."""
+        from pyspark.sql import types as T
+
+        def compute():
+            meta = deltalog.table_metadata(self.spark, path)
+            raw = (meta or {}).get("schemaString")
+            if not raw or raw == "{}":
+                return None
+            try:
+                return T.StructType.fromJson(json.loads(raw))
+            except Exception:
+                return None
+
+        return self._snapshot_cache.get_or_compute(("schema", path), compute)
 
     def _empty_table(self, path: str) -> DataFrame:
         meta = deltalog.table_metadata(self.spark, path)
@@ -366,6 +390,9 @@ class Engine:
             else None
         )
         parts = partition_by or (existing_meta or {}).get("partitionColumns") or []
+        schema_json = df.schema.json()
+        if mode == "append" and existing_meta:
+            schema_json = self._evolve_schema(existing_meta.get("schemaString"), df)
         if sort_by:
             cols = [F.col(c) for c in sort_by]
             # explicit file count pins the range split (AQE would otherwise
@@ -405,7 +432,7 @@ class Engine:
             path,
             adds,
             removes,
-            schema_json=df.schema.json(),
+            schema_json=schema_json,
             partition_cols=list(parts),
             operation=mode.upper(),
         )
@@ -457,6 +484,29 @@ class Engine:
             if root != path and not os.listdir(root):
                 os.rmdir(root)
         return deleted
+
+    @staticmethod
+    def _evolve_schema(existing_json: str | None, df: DataFrame) -> str:
+        """Append-time schema evolution (Delta mergeSchema semantics): the
+        table schema becomes existing ∪ new columns; a column present in both
+        with a different type is a conflict and raises."""
+        from pyspark.sql import types as T
+
+        if not existing_json or existing_json == "{}":
+            return df.schema.json()
+        existing = T.StructType.fromJson(json.loads(existing_json))
+        by_name = {f.name: f for f in existing.fields}
+        merged = list(existing.fields)
+        for f in df.schema.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                merged.append(f)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column '{f.name}': "
+                    f"{prev.dataType.simpleString()} vs {f.dataType.simpleString()}"
+                )
+        return T.StructType(merged).json()
 
     @staticmethod
     def _move_staged(staging: str, path: str) -> list[str]:

@@ -250,3 +250,25 @@ def test_overwrite_tombstones_and_vacuum(spark, tmp_path, lineitem):
 
     with _pytest.raises(ReadOnlyError):
         eng.vacuum("t")
+
+
+def test_schema_evolution_on_append(spark, tmp_path, lineitem):
+    """Append with a new column evolves the table schema (Delta mergeSchema):
+    old files read the new column as null; incompatible type changes raise."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "evolve")
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(50)
+    write_governed_table(spark, base.repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    widened = base.limit(10).withColumn("source_tag", F.lit("v2"))
+    eng.write_table("t", widened, mode="append")
+    out = eng.read_table("t")
+    assert "source_tag" in out.columns
+    assert out.count() == 60
+    assert out.filter(F.col("source_tag").isNull()).count() == 50  # old files
+    assert out.filter(F.col("source_tag") == "v2").count() == 10
+    # conflicting type change rejected
+    bad = base.limit(1).withColumn("l_quantity", F.lit("not-a-double"))
+    with pytest.raises(ValueError):
+        eng.write_table("t", bad, mode="append")
