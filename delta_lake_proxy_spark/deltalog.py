@@ -35,6 +35,17 @@ from pyspark.sql import types as T
 
 LOG_DIR = "_delta_log"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this commit targeted; commits
+    that tombstone files must be recomputed against the new snapshot."""
+
+    def __init__(self, table_path: str, version: int):
+        super().__init__(
+            f"concurrent commit at {table_path} version {version}; "
+            "recompute against the latest snapshot and retry"
+        )
+
 # Action schema for spark.read.json over the log (explicit: schema-on-read
 # inference is reserved for the log itself per SURVEY §1.2, but an explicit
 # schema keeps replay stable when some commits lack some action types).
@@ -221,42 +232,62 @@ def write_commit(
     later commits re-emit ``metaData`` only when a schema is supplied.
     """
     os.makedirs(log_path(table_path), exist_ok=True)
-    version = latest_version(table_path) + 1
     now_ms = int(time.time() * 1000)
-    lines: list[str] = [
-        json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
-    ]
-    if version == 0:
-        lines.append(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
-    if version == 0 or schema_json is not None:
-        lines.append(
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": str(uuid.uuid4()),
-                        "format": {"provider": "parquet"},
-                        "schemaString": schema_json or "{}",
-                        "partitionColumns": partition_cols or [],
-                        "createdTime": now_ms,
+
+    def body_for(version: int) -> str:
+        lines: list[str] = [
+            json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
+        ]
+        if version == 0:
+            lines.append(
+                json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            )
+        if version == 0 or schema_json is not None:
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": str(uuid.uuid4()),
+                            "format": {"provider": "parquet"},
+                            "schemaString": schema_json or "{}",
+                            "partitionColumns": partition_cols or [],
+                            "createdTime": now_ms,
+                        }
                     }
-                }
+                )
             )
-        )
-    for rm in removes or []:
-        lines.append(
-            json.dumps(
-                {"remove": {"deletionTimestamp": now_ms, "dataChange": True, **rm}}
+        for rm in removes or []:
+            lines.append(
+                json.dumps(
+                    {"remove": {"deletionTimestamp": now_ms, "dataChange": True, **rm}}
+                )
             )
-        )
-    for add in adds:
-        lines.append(json.dumps({"add": {"dataChange": True, **add}}))
-    target = _commit_file(table_path, version)
-    tmp = target + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
-    # Delta's commit protocol is an atomic rename of the next version file.
-    os.rename(tmp, target)
-    return version
+        for add in adds:
+            lines.append(json.dumps({"add": {"dataChange": True, **add}}))
+        return "\n".join(lines) + "\n"
+
+    # Delta's commit protocol: atomically create the NEXT version file,
+    # failing if another writer got there first (optimistic concurrency) —
+    # os.link fails with EEXIST where os.rename would silently replace a
+    # concurrent commit. Blind appends retry at the next version; commits
+    # carrying removes were computed against a now-stale snapshot, so the
+    # conflict surfaces to the caller (Delta's write-write conflict rule).
+    version = latest_version(table_path) + 1
+    for _ in range(100):
+        target = _commit_file(table_path, version)
+        tmp = target + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(body_for(version))
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            if removes:
+                raise ConcurrentWriteError(table_path, version)
+            version = latest_version(table_path) + 1
+    raise ConcurrentWriteError(table_path, version)
 
 
 def commit_dir_state(

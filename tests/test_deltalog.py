@@ -197,3 +197,34 @@ def test_scan_with_skipping_prunes_files(spark, tmp_path, lineitem):
     # no stats match -> conservative full result correctness on open range
     df_all = eng.scan_with_skipping("t", {"l_orderkey": (None, None)})
     assert df_all.count() == lineitem.count()
+
+
+def test_optimistic_concurrency(spark, tmp_path):
+    """A racing commit at the same version: blind appends retry at the next
+    version; remove-carrying commits surface ConcurrentWriteError."""
+    t = str(tmp_path / "occ")
+    os.makedirs(t)
+    deltalog.write_commit(t, [{"path": "a", "partitionValues": {}, "size": 1, "modificationTime": 0}])
+    # simulate a concurrent writer owning version 1
+    with open(os.path.join(deltalog.log_path(t), f"{1:020d}.json"), "w") as f:
+        f.write('{"commitInfo": {"operation": "WRITE", "timestamp": 0}}\n'
+                '{"add": {"path": "other", "partitionValues": {}, "size": 1, '
+                '"modificationTime": 0, "dataChange": true}}\n')
+    # blind append lands at version 2
+    v = deltalog.write_commit(t, [{"path": "b", "partitionValues": {}, "size": 1, "modificationTime": 0}])
+    assert v == 2
+    live = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    assert live == {"a", "other", "b"}
+    # an overwrite-style commit that targets an already-taken version
+    # (stale snapshot between version computation and link) must conflict
+    import pytest as _pytest
+    from unittest import mock
+
+    real_latest = deltalog.latest_version
+    with mock.patch.object(deltalog, "latest_version", lambda p: real_latest(p) - 1):
+        with _pytest.raises(deltalog.ConcurrentWriteError):
+            deltalog.write_commit(
+                t,
+                [{"path": "c", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+                removes=[{"path": "a"}],
+            )

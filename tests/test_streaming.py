@@ -94,3 +94,34 @@ def test_engine_counters(spark, gov_table):
     eng.read_table("gov")
     eng.read_table("gov")
     assert eng.counters["queries_served"] == 2
+
+
+def test_stream_static_permission_join(spark, tmp_path):
+    """T6: a streaming event feed joined to the static permissions table —
+    only events whose (user, table) hold a grant pass through."""
+    import datetime as dt
+
+    perms = spark.createDataFrame(
+        [(1, "7", "trades", "{}"), (2, "9", "trades", "{}")],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(
+        [(t0, 7, "trades"), (t0, 8, "trades"), (t0, 9, "trades"), (t0, 7, "other")],
+        "ts timestamp, user_id long, table_name string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user_id long, table_name string").parquet(src)
+    joined = stream.withColumn("user_id", F.col("user_id").cast("string")).join(
+        F.broadcast(perms), ["user_id", "table_name"], "inner"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("perm_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, table_name FROM perm_join").collect()
+    assert sorted((r["user_id"], r["table_name"]) for r in out) == [("7", "trades"), ("9", "trades")]
