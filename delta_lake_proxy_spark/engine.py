@@ -442,6 +442,68 @@ class Engine:
         self._snapshot_cache.invalidate()  # table state changed
         return version
 
+    def merge(self, alias: str, source: DataFrame, on: list[str]) -> int:
+        """Upsert (MERGE): matched target rows are replaced by their source
+        rows, unmatched source rows are inserted, untouched rows are kept.
+
+        Delta-style minimal rewrite: only files that actually CONTAIN matched
+        keys are rewritten (semi-join on the key set to find them, anti-join
+        to keep their surviving rows); every other file is untouched — the
+        property that makes point-upserts affordable on 100 TB tables.
+        Returns the committed version.
+        """
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata(self.spark, path) or {}
+        parts = meta.get("partitionColumns") or []
+        keys = source.select(*on).dropDuplicates()
+        target = self._read_data(path).withColumn("_file", F.input_file_name())
+        touched_uris = [
+            r["_file"]
+            for r in target.join(keys, on=on, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        prefix = "file:" + os.path.abspath(path) + "/"
+        touched_rel = [
+            u.removeprefix("file://").removeprefix(os.path.abspath(path)).lstrip("/")
+            if u.startswith("file://")
+            else u.removeprefix(prefix)
+            for u in touched_uris
+        ]
+        if touched_rel:
+            survivors = (
+                target.filter(F.col("_file").isin(touched_uris))
+                .drop("_file")
+                .join(keys, on=on, how="left_anti")
+            )
+            rewrite = survivors.unionByName(source)
+        else:
+            rewrite = source  # pure insert
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+        )
+        writer = rewrite.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        version = deltalog.write_commit(
+            path,
+            adds,
+            [{"path": p} for p in sorted(touched_rel)],
+            partition_cols=list(parts),
+            operation="MERGE",
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
         """Small-file compaction (G9): rewrite each partition into
         ``files_per_partition`` files and commit removes+adds. The Spark-only

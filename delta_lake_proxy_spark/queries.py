@@ -1292,6 +1292,67 @@ def compact_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_upsert",
+    """
+    WITH src_keys AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber
+      HAVING COUNT(*) = 1 AND MAX(l_returnflag) = 'A'
+      ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 5
+    ),
+    merged AS (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM src_keys k
+                               WHERE k.l_orderkey = l.l_orderkey
+                                 AND k.l_linenumber = l.l_linenumber)
+                  THEN 999.0 ELSE l.l_quantity END AS l_quantity
+      FROM lineitem l
+      UNION ALL SELECT 1.5 AS l_quantity
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CASE WHEN l_quantity = 999.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM merged
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE (upsert) on a scratch copy: 5 deterministic updates + 1
+    insert, verified against a SQL reconstruction of the merged state."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    src_path = governed_fixture(spark, sf_dir)
+    scratch = os.path.join(_tf.mkdtemp(prefix="graft_merge_"), "t")
+    _sh.copytree(src_path, scratch)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": scratch}, read_only=False))
+    target = eng.read_table("t")
+    unique_keys = (
+        target.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("l_returnflag").alias("_fl"))
+        .filter((F.col("_n") == 1) & (F.col("_fl") == "A"))
+        .orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(5)
+        .select("l_orderkey", "l_linenumber")
+    )
+    updates = target.join(unique_keys, ["l_orderkey", "l_linenumber"]).withColumn(
+        "l_quantity", F.lit(999.0)
+    )
+    insert = eng.read_table("t").limit(1).withColumns(
+        {"l_orderkey": F.lit(10**9).cast("long"), "l_linenumber": F.lit(1), "l_quantity": F.lit(1.5)}
+    )
+    eng.merge("t", updates.unionByName(insert), on=["l_orderkey", "l_linenumber"])
+    out = eng.read_table("t").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.sum(F.when(F.col("l_quantity") == 999.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+    )
+    rows = out.collect()
+    _sh.rmtree(os.path.dirname(scratch), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register("dedup_near_minhash")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 MinHash-LSH near-dup candidates with exact-Jaccard verification."""
