@@ -504,6 +504,56 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def delete(self, alias: str, condition: Column) -> int:
+        """Predicate DELETE with minimal file rewrite: only files containing
+        matching rows are rewritten (without those rows); untouched files
+        survive. Returns the committed version."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata(self.spark, path) or {}
+        parts = meta.get("partitionColumns") or []
+        target = self._read_data(path).withColumn("_file", F.input_file_name())
+        touched_uris = [
+            r["_file"]
+            for r in target.filter(condition).select("_file").distinct().collect()
+        ]
+        if not touched_uris:
+            return deltalog.latest_version(path)  # nothing to delete: no-op
+        prefix = "file:" + os.path.abspath(path) + "/"
+        touched_rel = [
+            u.removeprefix("file://").removeprefix(os.path.abspath(path)).lstrip("/")
+            if u.startswith("file://")
+            else u.removeprefix(prefix)
+            for u in touched_uris
+        ]
+        survivors = (
+            target.filter(F.col("_file").isin(touched_uris))
+            .filter(~condition)
+            .drop("_file")
+        )
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+        )
+        writer = survivors.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        version = deltalog.write_commit(
+            path,
+            adds,
+            [{"path": p} for p in sorted(touched_rel)],
+            partition_cols=list(parts),
+            operation="DELETE",
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
         """Small-file compaction (G9): rewrite each partition into
         ``files_per_partition`` files and commit removes+adds. The Spark-only
