@@ -159,6 +159,76 @@ class Engine:
             raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
         return df.filter(pred)
 
+    def read_table_stream(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
+        """Streaming governed read: a file-stream source over the table
+        directory with the ACL predicate injected — newly committed files are
+        picked up by the stream, rows outside the permitted partitions never
+        enter it. Requires the table's logged schema (streaming sources can't
+        infer). Append-only semantics, like Delta's streaming source: the
+        directory stream cannot consult tombstones, so run it on append-only
+        tables (or vacuum before starting)."""
+        self.counters["queries_served"] += 1
+        path = self.resolve(alias)
+        schema = self._table_schema(path)
+        if schema is None:
+            raise ValueError(f"table '{alias}' has no logged schema for streaming")
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("basePath", path)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(path)
+        )
+        pred = self.acl_predicate(alias, user)
+        return stream if pred is None else stream.filter(pred)
+
+    def history(self, alias: str) -> DataFrame:
+        """Commit history (DeltaTable.history analog): one row per version
+        with operation, timestamp, and add/remove counts."""
+        log = self.read_delta_log(alias)
+        return (
+            log.groupBy("version")
+            .agg(
+                F.max("commitInfo.operation").alias("operation"),
+                F.timestamp_millis(F.max("commitInfo.timestamp")).alias("timestamp"),
+                F.count(F.col("add")).alias("n_added"),
+                F.count(F.col("remove")).alias("n_removed"),
+            )
+            .orderBy(F.col("version").desc())
+        )
+
+    def restore(self, alias: str, version: int) -> int:
+        """RESTORE the table to an earlier version: commits adds for files
+        live then but not now, and removes for files live now but not then.
+        Purely a log operation — no data is rewritten — so it fails cleanly
+        if the old files were already vacuumed (missing at read time)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        old = {
+            r["path"]: r
+            for r in deltalog.snapshot_files(self.spark, path, version=version).collect()
+        }
+        cur = {
+            r["path"] for r in deltalog.snapshot_files(self.spark, path).collect()
+        }
+        adds = [
+            {
+                "path": p,
+                "partitionValues": dict(r["partitionValues"] or {}),
+                "size": r["size"],
+                "modificationTime": r["modificationTime"],
+                "stats": r["stats"],
+            }
+            for p, r in old.items()
+            if p not in cur
+        ]
+        removes = [{"path": p} for p in sorted(cur - set(old))]
+        new_version = deltalog.write_commit(
+            path, adds, removes, operation="RESTORE"
+        )
+        self._snapshot_cache.invalidate()
+        return new_version
+
     def create_governed_view(
         self, alias: str, user: str = acl.ANONYMOUS, view_name: str | None = None
     ) -> str:

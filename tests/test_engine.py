@@ -362,3 +362,65 @@ def test_delete_minimal_rewrite(spark, tmp_path, lineitem):
     v_before = _dl.latest_version(path)
     eng.delete("t", F.col("l_quantity") < -1)
     assert _dl.latest_version(path) == v_before
+
+
+def test_history_lists_operations(spark, tmp_path, lineitem):
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "hist_t")
+    write_governed_table(spark, lineitem.limit(30).repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(5), mode="append")
+    eng.delete("t", F.col("l_returnflag") == "R")
+    hist = eng.history("t").collect()
+    ops = [r["operation"] for r in hist]
+    assert ops[0] == "DELETE" and "APPEND" in ops and "CREATE" in ops
+    assert hist[0]["n_removed"] >= 1
+
+
+def test_restore_to_version(spark, tmp_path, lineitem):
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "rest_t")
+    write_governed_table(spark, lineitem.limit(40).repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    n0 = eng.read_table("t").count()
+    eng.write_table("t", lineitem.limit(7), mode="append")      # v1
+    eng.delete("t", F.col("l_returnflag") == "A")               # v2
+    assert eng.read_table("t").count() != n0
+    v = eng.restore("t", version=0)
+    assert v >= 3
+    assert eng.read_table("t").count() == n0
+    flags = {r[0] for r in eng.read_table("t").select("l_returnflag").distinct().collect()}
+    assert "A" in flags  # deleted partition is back
+
+
+def test_streaming_governed_read(spark, tmp_path, lineitem):
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "stream_gov")
+    write_governed_table(
+        spark,
+        lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(60).repartition(1),
+        path,
+        ["l_returnflag"],
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": path},
+            allowed_partitions={"t": [{"l_returnflag": "A"}]},
+        ),
+    )
+    stream = eng.read_table_stream("t", user="u")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gov_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT DISTINCT l_returnflag FROM gov_stream").collect()
+    assert [r[0] for r in out] == ["A"]
