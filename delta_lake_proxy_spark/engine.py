@@ -440,6 +440,7 @@ class Engine:
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
         sort_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Governed write: blocked when read-only (ref src/main.rs:941-948);
         otherwise parquet write + Delta log commit. Returns the new version.
@@ -447,7 +448,10 @@ class Engine:
         ``sort_by`` range-partitions and sorts rows before writing so each
         file covers a tight, near-disjoint range of those columns — the
         clustering that makes footer-stats data skipping
-        (:meth:`scan_with_skipping`) effective (linear Z-order analog).
+        (:meth:`scan_with_skipping`) effective (linear clustering).
+        ``zorder_by`` instead clusters on a bit-interleaved Z-order curve over
+        the given numeric columns, so range skipping is effective on EACH of
+        them independently (Delta's OPTIMIZE ZORDER BY).
         """
         if self.config.read_only:
             raise ReadOnlyError(alias)
@@ -463,7 +467,15 @@ class Engine:
         schema_json = df.schema.json()
         if mode == "append" and existing_meta:
             schema_json = self._evolve_schema(existing_meta.get("schemaString"), df)
-        if sort_by:
+        if zorder_by:
+            df = self._with_zorder(df, zorder_by)
+            cols = [F.col("_zorder")]
+            df = (
+                df.repartitionByRange(sort_files, *cols)
+                if sort_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions("_zorder").drop("_zorder")
+        elif sort_by:
             cols = [F.col(c) for c in sort_by]
             # explicit file count pins the range split (AQE would otherwise
             # coalesce small shuffles to one file, defeating clustering);
@@ -666,6 +678,39 @@ class Engine:
             if root != path and not os.listdir(root):
                 os.rmdir(root)
         return deleted
+
+    def _with_zorder(self, df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+        """Append a ``_zorder`` column: each column is linearly binned to
+        ``bits`` levels between its min and max (one tiny agg job), and the
+        bin indices are bit-interleaved into the Morton/Z-value. Linear
+        binning keeps everything in codegen; rank-based binning would resist
+        skew better at the cost of a global sort — the standard trade."""
+        stats = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in cols],
+        ).collect()[0]
+        levels = (1 << bits) - 1
+        bins = []
+        for c in cols:
+            lo = float(stats[f"_lo_{c}"])
+            hi = float(stats[f"_hi_{c}"])
+            span = (hi - lo) or 1.0
+            b = F.least(
+                F.lit(levels),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels).cast(
+                    "long"
+                ),
+            )
+            bins.append(F.greatest(F.lit(0).cast("long"), b))
+        n = len(cols)
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, b in enumerate(bins):
+                z = z + F.shiftleft(
+                    F.shiftrightunsigned(b, bit).bitwiseAND(F.lit(1).cast("long")),
+                    bit * n + i,
+                )
+        return df.withColumn("_zorder", z)
 
     @staticmethod
     def _evolve_schema(existing_json: str | None, df: DataFrame) -> str:

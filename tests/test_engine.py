@@ -424,3 +424,45 @@ def test_streaming_governed_read(spark, tmp_path, lineitem):
     q.awaitTermination(120)
     out = spark.sql("SELECT DISTINCT l_returnflag FROM gov_stream").collect()
     assert [r[0] for r in out] == ["A"]
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path, lineitem):
+    """Z-order clustering: narrow ranges on EITHER clustered column must
+    prune files (a linear sort can only serve its leading column)."""
+    path = str(tmp_path / "z_t")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    import os
+
+    os.makedirs(path)
+    eng.write_table(
+        "t",
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+        mode="overwrite",
+        zorder_by=["l_orderkey", "l_partkey"],
+        sort_files=16,
+    )
+    from delta_lake_proxy_spark import deltalog
+
+    total = deltalog.snapshot_files(spark, path).count()
+    assert total >= 8
+
+    def files_for(ranges):
+        df = eng.scan_with_skipping("t", ranges)
+        return df.select(F.input_file_name()).distinct().count()
+
+    lo_o = int(lineitem.agg(F.min("l_orderkey")).collect()[0][0])
+    hi_o = int(lineitem.agg(F.max("l_orderkey")).collect()[0][0])
+    lo_p = int(lineitem.agg(F.min("l_partkey")).collect()[0][0])
+    hi_p = int(lineitem.agg(F.max("l_partkey")).collect()[0][0])
+    span_o = (hi_o - lo_o) // 10
+    span_p = (hi_p - lo_p) // 10
+    n_orderkey = files_for({"l_orderkey": (lo_o, lo_o + span_o)})
+    n_partkey = files_for({"l_partkey": (lo_p, lo_p + span_p)})
+    assert n_orderkey < total
+    assert n_partkey < total
+    # correctness: skipped scan equals full filter
+    got = eng.scan_with_skipping("t", {"l_partkey": (lo_p, lo_p + span_p)}).count()
+    want = lineitem.filter(
+        (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= lo_p + span_p)
+    ).count()
+    assert got == want
