@@ -1353,6 +1353,53 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+@register("table_history")
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history surface (DeltaTable.history analog) on the fixture."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.history(GOV_ALIAS)
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    hashed AS (
+      SELECT doc_id, text,
+             sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+             row_number() OVER (PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                                ORDER BY doc_id ASC) AS rn
+      FROM corpus
+    ),
+    survivors AS (SELECT doc_id, text, lower(text) AS lt FROM hashed WHERE rn = 1),
+    scored AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens,
+        round(0.5 * least(CAST(len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|that|with)\\b')) AS DOUBLE)
+                          / greatest(len(regexp_extract_all(lt, '[a-z0-9]+')), 1) * 4, 1.0)
+            + 0.3 * (CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / greatest(length(text), 1))
+            + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                                 / greatest(length(text), 1) * 10, 1.0)), 6) AS quality_score
+      FROM survivors
+    )
+    SELECT doc_id, n_tokens, quality_score FROM scored WHERE quality_score >= 0.5
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: dedup (X1) ->
+    quality scoring (X4) -> quality gate -> token counting — each stage the
+    already-verified operator, chained as one declarative plan (one shuffle
+    for the dedup window, everything else map-side)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    survivors = dedup.exact_dedup(corpus, text_col="text", id_col="doc_id").select(
+        "doc_id", "text"
+    )
+    stats = text.text_stats(survivors)
+    return stats.filter(F.col("quality_score") >= 0.5).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
 @register("dedup_near_minhash")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 MinHash-LSH near-dup candidates with exact-Jaccard verification."""
