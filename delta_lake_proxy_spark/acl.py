@@ -10,7 +10,10 @@ enforcement becomes row-level (strictly stronger than file-level).
 Exact semantics preserved (SURVEY.md §1.3):
 - a filter map = AND of ``col = value`` string equalities (``src/main.rs:391-396``);
 - the list of maps = OR (union of file sets, ``src/main.rs:389-415``);
-- an EMPTY filter map is skipped, it does not mean allow-all (``src/main.rs:399-401``);
+- an EMPTY filter map is skipped, it does not mean allow-all (``src/main.rs:399-401``),
+  so a DNF that contains ONLY empty maps yields an empty allowed file set —
+  i.e. **deny-all**, never allow-all (the reference enforces whenever the
+  combined filter list is non-empty, ``src/main.rs:576-594``);
 - an empty/absent DNF means NO restriction at all (``src/main.rs:576``);
 - partition values are strings; comparison is string-typed, so non-string
   partition columns are cast to string before comparing (``src/config.rs:17``).
@@ -57,7 +60,16 @@ def compile_dnf(dnf: PartitionDNF | None) -> Column | None:
     Casting the column (not the literal) keeps the comparison faithful to the
     reference's string-typed partition values while still letting Catalyst
     prune string-typed Hive partition columns.
+
+    Fail-closed: a NON-empty DNF whose maps are all empty (e.g. an admin
+    blanking a grant to ``[{}]``) normalizes to zero branches. The reference
+    still enforces in that state and the per-map loop contributes no files, so
+    the allowed set is EMPTY (``src/main.rs:389-415, 576-594``) — we return a
+    false literal (deny-all), never ``None`` (which would be allow-all).
+    Only an absent/empty DNF means unrestricted.
     """
+    if not dnf:
+        return None
     branches = []
     for m in normalize_dnf(dnf):
         conj: Column | None = None
@@ -67,7 +79,7 @@ def compile_dnf(dnf: PartitionDNF | None) -> Column | None:
         if conj is not None:
             branches.append(conj)
     if not branches:
-        return None
+        return F.lit(False)  # configured but no non-empty maps => deny-all
     pred = branches[0]
     for b in branches[1:]:
         pred = pred | b
@@ -75,8 +87,18 @@ def compile_dnf(dnf: PartitionDNF | None) -> Column | None:
 
 
 def union_dnf(static: PartitionDNF | None, dynamic: PartitionDNF | None) -> PartitionDNF:
-    """DB-derived filters EXTEND the static config filters (ref ``src/main.rs:555-573``)."""
-    return normalize_dnf(static) + normalize_dnf(dynamic)
+    """DB-derived filters EXTEND the static config filters (ref ``src/main.rs:555-573``).
+
+    Empty maps are PRESERVED here (stringified only): they carry the
+    "ACL configured" signal that makes :func:`compile_dnf` fail closed.
+    """
+
+    def _stringify(d: PartitionDNF | None) -> PartitionDNF:
+        if not d:
+            return []
+        return [{str(k): str(v) for k, v in m.items()} for m in d]
+
+    return _stringify(static) + _stringify(dynamic)
 
 
 PERMISSIONS_COLUMNS = ("id", "user_id", "table_name", "partition_filters")
@@ -106,8 +128,10 @@ def permissions_for(perms_df: DataFrame | None, user: str, table: str) -> Partit
         if not raw:
             continue
         parsed = json.loads(raw) if isinstance(raw, str) else dict(raw)
-        if parsed:
-            out.append({str(k): str(v) for k, v in parsed.items()})
+        # Keep an empty parsed map: the ROW exists, so the ACL is configured —
+        # compile_dnf turns an all-empty DNF into deny-all, matching the
+        # reference's empty-allowed-file-set outcome (src/main.rs:389-415).
+        out.append({str(k): str(v) for k, v in parsed.items()})
     return out
 
 

@@ -37,7 +37,14 @@ VIRTUAL_CATALOG = "datalake"  # the reference's single virtual bucket (src/main.
 
 
 def compile_dnf_on_partition_values(dnf: acl.PartitionDNF) -> Column | None:
-    """DNF predicate over a ``partitionValues`` map column (file-level ACL)."""
+    """DNF predicate over a ``partitionValues`` map column (file-level ACL).
+
+    Same fail-closed rule as :func:`acl.compile_dnf`: a configured DNF with
+    only empty maps denies everything (empty allowed file set,
+    ref ``src/main.rs:389-415``), it does not fall open.
+    """
+    if not dnf:
+        return None
     branches: list[Column] = []
     for m in acl.normalize_dnf(dnf):
         conj: Column | None = None
@@ -47,7 +54,7 @@ def compile_dnf_on_partition_values(dnf: acl.PartitionDNF) -> Column | None:
         if conj is not None:
             branches.append(conj)
     if not branches:
-        return None
+        return F.lit(False)
     pred = branches[0]
     for b in branches[1:]:
         pred = pred | b
@@ -152,10 +159,13 @@ class Engine:
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
         df = self._read_data(path, version=version)
-        pred = self.acl_predicate(alias, user)
+        dnf = self.resolved_dnf(alias, user)
+        pred = acl.compile_dnf(dnf)
         if pred is None:
             return df  # no ACL configured => allow everything (src/main.rs:576)
-        if strict and not self.resolved_dnf(alias, user):
+        # ACL configured but every map empty => deny-all (pred is lit(False));
+        # strict mode surfaces that as 403 instead of an empty result.
+        if strict and not acl.normalize_dnf(dnf):
             raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
         return df.filter(pred)
 

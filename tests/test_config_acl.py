@@ -54,13 +54,24 @@ def test_extract_user_sigv4():
     assert acl.extract_user("Bearer zzz") == "anonymous"
 
 
-def test_empty_map_skipped_not_allow_all():
-    # [{}] must NOT compile to allow-all; {} is skipped (src/main.rs:399-401)
+def test_empty_map_skipped_not_allow_all(spark):
+    # {} inside a DNF is skipped as a branch (src/main.rs:399-401)...
     assert acl.normalize_dnf([{}]) == []
-    assert acl.compile_dnf([{}]) is None  # nothing left -> no restriction...
-    # ...but [{}, {k:v}] restricts to {k:v} only
+    # ...but a CONFIGURED DNF of only empty maps is an EMPTY allowed set =
+    # deny-all (src/main.rs:389-415, 576-594), never allow-all.
+    pred = acl.compile_dnf([{}])
+    assert pred is not None
+    # [{}, {k:v}] restricts to {k:v} only
     dnf = acl.normalize_dnf([{}, {"k": "v"}])
     assert dnf == [{"k": "v"}]
+
+
+def test_all_empty_dnf_denies_all(spark):
+    df = spark.createDataFrame([("A", 1), ("R", 9)], "flag string, n int")
+    assert df.filter(acl.compile_dnf([{}])).count() == 0
+    assert df.filter(acl.compile_dnf([{}, {}])).count() == 0
+    # a non-empty branch alongside empties still admits its rows
+    assert df.filter(acl.compile_dnf([{}, {"flag": "R"}])).count() == 1
 
 
 def test_compile_dnf_none_means_unrestricted():
@@ -69,8 +80,11 @@ def test_compile_dnf_none_means_unrestricted():
 
 
 def test_union_static_db():
+    # empty maps are PRESERVED by the union: they carry the "configured"
+    # signal that makes compile_dnf fail closed instead of open.
     merged = acl.union_dnf([{"a": "1"}], [{"b": "2"}, {}])
-    assert merged == [{"a": "1"}, {"b": "2"}]
+    assert merged == [{"a": "1"}, {"b": "2"}, {}]
+    assert acl.union_dnf(None, []) == []
 
 
 def test_dnf_filter_on_dataframe(spark):
@@ -87,15 +101,21 @@ def test_permissions_for(spark):
     perms = spark.createDataFrame(
         [
             (1, "alice", "t", json.dumps({"mic": "XLON"})),
-            (2, "alice", "t", json.dumps({})),  # empty map -> dropped
+            (2, "alice", "t", json.dumps({})),  # blanked grant -> kept as {}
             (3, "alice", "u", json.dumps({"mic": "XPAR"})),
             (4, "bob", "t", json.dumps({"mic": "XMIL"})),
+            (5, "dave", "t", json.dumps({})),  # ONLY a blanked grant
         ],
         "id int, user_id string, table_name string, partition_filters string",
     )
-    assert acl.permissions_for(perms, "alice", "t") == [{"mic": "XLON"}]
+    assert acl.permissions_for(perms, "alice", "t") == [{"mic": "XLON"}, {}]
     assert acl.permissions_for(perms, "carol", "t") == []
     assert acl.permissions_for(None, "alice", "t") == []
+    # dave's blanked grant must resolve to a configured-but-empty DNF
+    dave = acl.permissions_for(perms, "dave", "t")
+    assert dave == [{}]
+    assert acl.compile_dnf(dave) is not None  # deny-all, not unrestricted
+    assert acl.compile_dnf([]) is None  # no rows at all -> unrestricted
 
 
 def test_ttl_cache_eviction_and_expiry():

@@ -58,6 +58,21 @@ def test_acl_filters_rows(spark, gov_table, lineitem):
     assert eng.read_table("gov", user="u").count() == expected
 
 
+def test_blanked_acl_denies_not_allows(spark, gov_table):
+    """An admin blanking a grant ([{}] config, or a DB row of '{}') must flip
+    to DENY-ALL, never allow-all (reference: non-empty filter list enforces,
+    empty maps add no files, src/main.rs:389-415, 576-594)."""
+    eng = make_engine(spark, gov_table, allowed={"gov": [{}]})
+    assert eng.read_table("gov", user="u").count() == 0
+    with pytest.raises(ForbiddenByPolicyError):
+        eng.read_table("gov", user="u", strict=True)
+    # a DB row with partition_filters='{}' and no static ACL: same outcome
+    eng2 = make_engine(spark, gov_table, perms=[(1, "dave", "gov", "{}")])
+    assert eng2.read_table("gov", user="dave").count() == 0
+    # ...but an unconfigured user on the same engine is still unrestricted
+    assert eng2.read_table("gov", user="other").count() > 0
+
+
 def test_acl_injects_partition_filters(spark, gov_table):
     eng = make_engine(spark, gov_table, allowed={"gov": [{"l_returnflag": "A"}]})
     df = eng.read_table("gov", user="u")
