@@ -438,21 +438,23 @@ def read_log(
     (``src/main.rs:532-538``): metadata is never ACL-filtered.
     """
     d = log_path(table_path)
-    if min_version is None:
-        sources: list[str] = [os.path.join(d, "*.json")]
-    else:
-        sources = [
-            os.path.join(d, name)
-            for name in sorted(os.listdir(d))
-            if name.endswith(".json")
-            and name[:-5].isdigit()
-            and int(name[:-5]) > min_version
-        ]
-        if not sources:
-            return (
-                spark.createDataFrame([], LOG_SCHEMA)
-                .withColumn("version", F.lit(None).cast("long"))
-            )
+    # Enumerate commit files explicitly rather than passing a glob: Spark's
+    # FileStreamSink.hasMetadata stats the literal glob string and logs a
+    # spurious WARN + FileNotFoundException stack trace on every glob read.
+    # Listing the log directory driver-side is exactly what Delta does.
+    names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    sources = [
+        os.path.join(d, name)
+        for name in names
+        if name.endswith(".json")
+        and name[:-5].isdigit()
+        and (min_version is None or int(name[:-5]) > min_version)
+    ]
+    if not sources:
+        return (
+            spark.createDataFrame([], LOG_SCHEMA)
+            .withColumn("version", F.lit(None).cast("long"))
+        )
     df = spark.read.schema(LOG_SCHEMA).json(sources)
     version = F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
         "long"

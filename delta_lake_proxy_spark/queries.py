@@ -1050,9 +1050,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard",
-    """
-    WITH sub AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-                 FROM documents WHERE doc_id < 120),
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    sub AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+                 FROM corpus WHERE doc_id % 1000000 < 120),
     idx AS (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
             FROM sub),
@@ -1072,9 +1073,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact n-gram Jaccard via the inverted-index join (doc_id < 120 slice)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    return dedup.ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.5)
+    """X2 exact n-gram Jaccard via the inverted-index join.
+
+    Runs over the dup-seeded corpus (original ∪ normalized-equal variants of
+    every third doc) sliced to base ids < 120, so the result provably has >0
+    pairs at every test SF — the r1 driver row passed vacuously (0 == 0 rows)
+    on the raw ``documents`` slice."""
+    corpus = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 1000000 < 120)
+    return dedup.ngram_jaccard_pairs(corpus, shingle_k=5, threshold=0.5)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1216,9 +1222,14 @@ def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("delta_snapshot_files")
 def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6/U2: log replay (adds minus removes) on the governed fixture."""
+    """S6/U2: log replay (adds minus removes) on the governed fixture.
+
+    ``partitionValues`` is serialized to JSON: the driver's pandas
+    canonicalizer cannot sort a map-typed column (r1 harness error)."""
     eng = governed_engine(spark, sf_dir)
-    return eng.snapshot_files(GOV_ALIAS).select("key", "size", "partitionValues")
+    return eng.snapshot_files(GOV_ALIAS).select(
+        "key", "size", F.to_json("partitionValues").alias("partition_values_json")
+    )
 
 
 @register("read_delta_log")
