@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from typing import Any
 
@@ -59,6 +60,26 @@ def compile_dnf_on_partition_values(dnf: acl.PartitionDNF) -> Column | None:
     for b in branches[1:]:
         pred = pred | b
     return pred
+
+
+def uri_to_rel(uri: str, table_path: str) -> str:
+    """Table-relative path from an ``input_file_name()`` URI.
+
+    ``input_file_name`` returns a percent-encoded URI (``file:///a/x%20y/...``);
+    naive prefix-stripping silently mismatches when the table path or a
+    partition value contains spaces/special characters, producing remove
+    actions that never tombstone anything. Decode first, then relativize.
+    """
+    parsed = urllib.parse.urlparse(uri)
+    local = urllib.parse.unquote(parsed.path) if parsed.scheme else urllib.parse.unquote(uri)
+    return os.path.relpath(local, os.path.abspath(table_path))
+
+
+# Beyond this many touched files, DML filters use a broadcast semi-join on a
+# paths DataFrame instead of Column.isin: a literal IN-list grows the
+# expression tree (and codegen) linearly with the file count, which a
+# broad-predicate DELETE over 100k files would blow up.
+ISIN_FILE_LIMIT = 64
 
 
 class Engine:
@@ -534,6 +555,32 @@ class Engine:
         self._snapshot_cache.invalidate()  # table state changed
         return version
 
+    def _rel_touched(self, touched_uris: list[str], path: str) -> list[str]:
+        """Decode touched-file URIs to table-relative paths, validated against
+        the live snapshot — a path that fails to relativize into the live set
+        would emit a remove action that never tombstones anything (silently
+        resurrecting deleted rows), so fail loudly instead."""
+        rels = [uri_to_rel(u, path) for u in touched_uris]
+        live = set(deltalog._live_paths_no_spark(path))
+        bogus = [r for r in rels if r not in live]
+        if bogus:
+            raise RuntimeError(
+                f"touched files not in live snapshot of {path}: {bogus[:3]} "
+                f"({len(bogus)} total) — URI decoding mismatch?"
+            )
+        return rels
+
+    def _rows_in_files(self, target: DataFrame, touched_uris: list[str]) -> DataFrame:
+        """Rows of ``target`` whose ``_file`` is in the touched set: IN-list
+        for small sets, broadcast semi-join on a paths DataFrame beyond
+        ISIN_FILE_LIMIT (constant-size plan at any touched-file count)."""
+        if len(touched_uris) <= ISIN_FILE_LIMIT:
+            return target.filter(F.col("_file").isin(touched_uris))
+        files_df = self.spark.createDataFrame(
+            [(u,) for u in touched_uris], "_file string"
+        )
+        return target.join(F.broadcast(files_df), on="_file", how="left_semi")
+
     def merge(self, alias: str, source: DataFrame, on: list[str]) -> int:
         """Upsert (MERGE): matched target rows are replaced by their source
         rows, unmatched source rows are inserted, untouched rows are kept.
@@ -558,16 +605,10 @@ class Engine:
             .distinct()
             .collect()
         ]
-        prefix = "file:" + os.path.abspath(path) + "/"
-        touched_rel = [
-            u.removeprefix("file://").removeprefix(os.path.abspath(path)).lstrip("/")
-            if u.startswith("file://")
-            else u.removeprefix(prefix)
-            for u in touched_uris
-        ]
+        touched_rel = self._rel_touched(touched_uris, path)
         if touched_rel:
             survivors = (
-                target.filter(F.col("_file").isin(touched_uris))
+                self._rows_in_files(target, touched_uris)
                 .drop("_file")
                 .join(keys, on=on, how="left_anti")
             )
@@ -612,15 +653,9 @@ class Engine:
         ]
         if not touched_uris:
             return deltalog.latest_version(path)  # nothing to delete: no-op
-        prefix = "file:" + os.path.abspath(path) + "/"
-        touched_rel = [
-            u.removeprefix("file://").removeprefix(os.path.abspath(path)).lstrip("/")
-            if u.startswith("file://")
-            else u.removeprefix(prefix)
-            for u in touched_uris
-        ]
+        touched_rel = self._rel_touched(touched_uris, path)
         survivors = (
-            target.filter(F.col("_file").isin(touched_uris))
+            self._rows_in_files(target, touched_uris)
             .filter(~condition)
             .drop("_file")
         )

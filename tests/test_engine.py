@@ -379,6 +379,59 @@ def test_delete_minimal_rewrite(spark, tmp_path, lineitem):
     assert _dl.latest_version(path) == v_before
 
 
+def test_wide_delete_semi_join_path(spark, tmp_path, lineitem, monkeypatch):
+    """A broad-predicate DELETE touching more files than ISIN_FILE_LIMIT must
+    go through the broadcast semi-join path (constant-size plan, not an
+    O(files) IN-list) and still tombstone/rewrite correctly."""
+    from delta_lake_proxy_spark import engine as eng_mod
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "wide_del")
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(400)
+    # 8 files per partition x 3 partitions = many touched files
+    write_governed_table(spark, base.repartition(8), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    n_files = eng.snapshot_files("t").count()
+    monkeypatch.setattr(eng_mod, "ISIN_FILE_LIMIT", 2)
+    assert n_files > 2
+    n = eng.read_table("t").count()
+    n_del = eng.read_table("t").filter(F.col("l_quantity") < 25).count()
+    assert n_del > 0
+    eng.delete("t", F.col("l_quantity") < 25)
+    out = eng.read_table("t")
+    assert out.count() == n - n_del
+    assert out.filter(F.col("l_quantity") < 25).count() == 0
+
+
+def test_dml_on_path_with_special_chars(spark, tmp_path, lineitem):
+    """input_file_name() returns percent-encoded URIs; a table path with
+    spaces must still produce remove actions that match the log's relative
+    paths (deleted rows must not resurface on the next read)."""
+    from delta_lake_proxy_spark import deltalog as _dl
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "dir with space" / "del t")
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+    write_governed_table(spark, base.repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    n = eng.read_table("t").count()
+    n_del = eng.read_table("t").filter(F.col("l_returnflag") == "A").count()
+    assert n_del > 0
+    v_before = _dl.latest_version(path)
+    eng.delete("t", F.col("l_returnflag") == "A")
+    assert _dl.latest_version(path) == v_before + 1
+    # the delete actually tombstoned: rows gone after a fresh read
+    eng.invalidate_caches()
+    assert eng.read_table("t").count() == n - n_del
+    assert eng.read_table("t").filter(F.col("l_returnflag") == "A").count() == 0
+    # merge on the same spaced path: update 3 rows in place
+    src = (
+        eng.read_table("t").limit(3).withColumn("l_quantity", F.lit(777.0))
+    )
+    eng.merge("t", src, on=["l_orderkey"])
+    assert eng.read_table("t").filter(F.col("l_quantity") == 777.0).count() >= 3
+
+
 def test_history_lists_operations(spark, tmp_path, lineitem):
     from delta_lake_proxy_spark.engine import write_governed_table
 
