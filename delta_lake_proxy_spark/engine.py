@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import urllib.parse
 import uuid
 from typing import Any
@@ -197,7 +198,11 @@ class Engine:
         enter it. Requires the table's logged schema (streaming sources can't
         infer). Append-only semantics, like Delta's streaming source: the
         directory stream cannot consult tombstones, so run it on append-only
-        tables (or vacuum before starting)."""
+        tables (or vacuum before starting). Caveat: a writer that has moved
+        files into the table root but not yet won its log commit is briefly
+        visible to the directory source; failed commits clean their files up
+        (:meth:`_commit_moved`), so the exposure is bounded by the in-flight
+        commit window, not permanent."""
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
         schema = self._table_schema(path)
@@ -541,8 +546,9 @@ class Engine:
         removes = (
             [{"path": p} for p in sorted(prev_live)] if mode == "overwrite" else []
         )
-        version = deltalog.write_commit(
+        version = self._commit_moved(
             path,
+            moved,
             adds,
             removes,
             schema_json=schema_json,
@@ -627,8 +633,9 @@ class Engine:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
-        version = deltalog.write_commit(
+        version = self._commit_moved(
             path,
+            moved,
             adds,
             [{"path": p} for p in sorted(touched_rel)],
             partition_cols=list(parts),
@@ -671,8 +678,9 @@ class Engine:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
-        version = deltalog.write_commit(
+        version = self._commit_moved(
             path,
+            moved,
             adds,
             [{"path": p} for p in sorted(touched_rel)],
             partition_cols=list(parts),
@@ -701,11 +709,18 @@ class Engine:
         finally:
             self.config.read_only = read_only
 
-    def vacuum(self, alias: str) -> int:
+    def vacuum(self, alias: str, retention_hours: float = 168.0) -> int:
         """G9 maintenance: delete data files no longer referenced by the
         latest snapshot (tombstoned by removes or orphaned by failed writes).
         Returns the number of files deleted. The snapshot stays readable —
-        only unreferenced files go."""
+        only unreferenced files go.
+
+        ``retention_hours`` (default 7 days, like Delta's VACUUM) keeps
+        recently-modified unreferenced files: a concurrent reader whose plan
+        was built against the previous snapshot (or the snapshot-cache TTL)
+        would otherwise hit FileNotFound mid-scan. Pass ``0`` to reclaim
+        everything immediately (test/offline use). Ends time travel to the
+        vacuumed versions either way (documented)."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
@@ -713,15 +728,19 @@ class Engine:
             r["path"]
             for r in deltalog.snapshot_files(self.spark, path).select("path").collect()
         }
+        cutoff = time.time() - retention_hours * 3600.0
         deleted = 0
         for rel in deltalog._relative_data_files(path):
-            if rel not in live:
-                os.remove(os.path.join(path, rel))
+            full = os.path.join(path, rel)
+            if rel not in live and os.stat(full).st_mtime <= cutoff:
+                os.remove(full)
                 deleted += 1
         for root, dirs, files in os.walk(path, topdown=False):
             dirs[:] = [d for d in dirs if d != deltalog.LOG_DIR]
             if root != path and not os.listdir(root):
                 os.rmdir(root)
+        # stale cached file lists must not survive a reclamation
+        self._snapshot_cache.invalidate()
         return deleted
 
     def _with_zorder(self, df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
@@ -779,6 +798,22 @@ class Engine:
                     f"{prev.dataType.simpleString()} vs {f.dataType.simpleString()}"
                 )
         return T.StructType(merged).json()
+
+    def _commit_moved(self, path: str, moved: list[str], *args: Any, **kwargs: Any) -> int:
+        """``deltalog.write_commit`` with failure cleanup: if the commit loses
+        (e.g. :class:`ConcurrentWriteError`), the already-moved data files are
+        removed from the table root so the directory only ever holds committed
+        files — otherwise a failed write would permanently expose uncommitted
+        rows to :meth:`read_table_stream`'s directory source."""
+        try:
+            return deltalog.write_commit(path, *args, **kwargs)
+        except BaseException:
+            for rel in moved:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+            raise
 
     @staticmethod
     def _move_staged(staging: str, path: str) -> list[str]:

@@ -256,14 +256,26 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Pigeonhole banding: signatures within distance d must agree exactly on at
-    least one of ``bands`` 16-bit bands when ``d < bands`` — candidates come
-    from a groupBy on (band, band_value), then exact popcount verification.
+    least one of ``bands`` bands when ``d < bands`` — candidates come from a
+    groupBy on (band, band_value), then exact popcount verification.
+
+    ``bands`` defaults to ``max_hamming + 1`` so the pigeonhole recall
+    guarantee holds for the configured distance; passing fewer bands than
+    that explicitly raises (it would silently miss pairs whose differing
+    bits spread across every band).
     """
+    if bands is None:
+        bands = max_hamming + 1
+    elif max_hamming >= bands:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands > max_hamming (pigeonhole)"
+        )
     bits = 63
     tok = (
         df.repartition(F.col(id_col))

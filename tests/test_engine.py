@@ -256,7 +256,12 @@ def test_overwrite_tombstones_and_vacuum(spark, tmp_path, lineitem):
     assert eng.read_table("t", version=0).count() == 100
     assert eng.read_table("t").count() == 10
     n_disk_before = sum(len(fs) for _, _, fs in os.walk(path) if True)
-    deleted = eng.vacuum("t")
+    # default retention keeps recently-tombstoned files (concurrent-reader
+    # safety, like Delta's 7-day default)...
+    assert eng.vacuum("t") == 0
+    assert eng.read_table("t", version=0).count() == 100  # still time-travelable
+    # ...retention 0 reclaims immediately
+    deleted = eng.vacuum("t", retention_hours=0)
     assert deleted >= 3  # the three partition files of version 0
     assert eng.read_table("t").count() == 10  # latest unaffected
     # read-only engines cannot vacuum

@@ -50,6 +50,16 @@ def test_simhash_identical_distance_zero(corpus):
     assert pairs[(1, 2)] == 0  # identical token sets -> identical signature
 
 
+def test_simhash_rejects_bands_below_pigeonhole(corpus):
+    # bands <= max_hamming cannot guarantee recall at that distance: the
+    # differing bits can spread across every band. Explicitly asking for that
+    # config raises instead of silently under-recalling.
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(corpus, max_hamming=8, bands=4)
+
+
 def test_ngram_jaccard_exact_dup_is_one(corpus):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
