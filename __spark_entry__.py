@@ -30,4 +30,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per SQL-expressible query."""
-    return dict(Q.ORACLES)
+    return Q.resolved_oracles()

@@ -31,10 +31,12 @@ from .streaming.metrics import session_windows, tumbling_metrics
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable resolved at oracle_sql() time (used by oracles
+# whose SQL embeds the on-disk fixture path, which depends on the scale factor)
+ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: "str | Callable[[], str] | None" = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
@@ -42,6 +44,60 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy (callable) entries resolved to SQL strings."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+
+
+def _oracle_fixture_base() -> str:
+    """On-disk fixture directory the driver's oracle SQL must read.
+
+    The driver evaluates oracle SQL at sf0.01 (its CORRECTNESS scale);
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local checks at other SFs.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fixtures",
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+
+
+def _gov_replay_sql(body: str) -> Callable[[], str]:
+    """Lazy oracle: DuckDB replay of the governed fixture's Delta log (adds
+    minus removes, latest action per path wins) exposed as CTE ``live(key,
+    size, modificationTime, pv)``; ``log(version, add, remove, commitInfo)``
+    holds the raw actions. ``body`` selects from either."""
+
+    def build() -> str:
+        glob = os.path.join(_oracle_fixture_base(), GOV_ALIAS, "_delta_log", "*.json")
+        return f"""
+        WITH log AS (
+          SELECT CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) AS version,
+                 add, remove, commitInfo
+          FROM read_json_auto('{glob}', filename=true, format='newline_delimited')
+        ),
+        actions AS (
+          SELECT COALESCE(add.path, remove.path) AS path, add.size AS size,
+                 add.modificationTime AS modificationTime,
+                 to_json(add.partitionValues) AS pv,
+                 add IS NOT NULL AS is_add, version
+          FROM log WHERE add IS NOT NULL OR remove IS NOT NULL
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC, is_add ASC) AS rn
+          FROM actions
+        ),
+        live AS (
+          SELECT '{GOV_ALIAS}/' || path AS key, size, modificationTime, pv
+          FROM ranked WHERE rn = 1 AND is_add
+        )
+        {body}
+        """
+
+    return build
 
 
 def dsum(col: Column, scale: int = 4) -> Column:
@@ -1158,16 +1214,25 @@ def acl_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(pred).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@register("list_files_prefix")
+@register(
+    "list_files_prefix",
+    _gov_replay_sql(
+        f"SELECT key, size FROM live WHERE key LIKE '{GOV_ALIAS}/l_returnflag=A/%'"
+    ),
+)
 def list_files_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/P1: prefix-filtered alias-namespace listing."""
+    """S3/P1: prefix-filtered alias-namespace listing (oracle: DuckDB replay
+    of the fixture's Delta log)."""
     eng = governed_engine(spark, sf_dir)
     return eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=A/").select(
         "key", "size"
     )
 
 
-@register("list_files_start_after")
+@register(
+    "list_files_start_after",
+    _gov_replay_sql("SELECT key FROM live WHERE key > (SELECT min(key) FROM live)"),
+)
 def list_files_start_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: keys strictly after a given key, in key order."""
     eng = governed_engine(spark, sf_dir)
@@ -1220,7 +1285,10 @@ def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("delta_snapshot_files")
+@register(
+    "delta_snapshot_files",
+    _gov_replay_sql("SELECT key, size, pv AS partition_values_json FROM live"),
+)
 def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/U2: log replay (adds minus removes) on the governed fixture.
 
@@ -1232,7 +1300,13 @@ def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("read_delta_log")
+@register(
+    "read_delta_log",
+    _gov_replay_sql(
+        "SELECT version, add.path AS add_path, remove.path AS remove_path, "
+        "commitInfo.operation AS operation FROM log"
+    ),
+)
 def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: raw log actions (metadata is never ACL-filtered)."""
     eng = governed_engine(spark, sf_dir)
@@ -1245,7 +1319,20 @@ def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("list_files_page")
+@register(
+    "list_files_page",
+    _gov_replay_sql(
+        f"""
+        , p1 AS (SELECT key, size FROM live
+                 WHERE key LIKE '{GOV_ALIAS}/l_returnflag=%'
+                 ORDER BY key ASC LIMIT 2),
+        p2 AS (SELECT key, size FROM live
+               WHERE key > (SELECT max(key) FROM p1)
+               ORDER BY key ASC LIMIT 2)
+        SELECT key, size FROM p1 UNION ALL SELECT key, size FROM p2
+        """
+    ),
+)
 def list_files_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3-S5: prefix filter + start-after + max-keys pagination."""
     eng = governed_engine(spark, sf_dir)
@@ -1256,7 +1343,13 @@ def list_files_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page1.unionByName(page2).select("key", "size")
 
 
-@register("file_stats")
+@register(
+    "file_stats",
+    _gov_replay_sql(
+        "SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified "
+        "FROM live"
+    ),
+)
 def file_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 HEAD-equivalent metadata."""
     eng = governed_engine(spark, sf_dir)
@@ -1364,7 +1457,17 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-@register("table_history")
+@register(
+    "table_history",
+    _gov_replay_sql(
+        """
+        SELECT version, max(commitInfo.operation) AS operation,
+               make_timestamp(max(commitInfo.timestamp) * 1000) AS timestamp,
+               count(add) AS n_added, count(remove) AS n_removed
+        FROM log GROUP BY version
+        """
+    ),
+)
 def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-history surface (DeltaTable.history analog) on the fixture."""
     eng = governed_engine(spark, sf_dir)
@@ -1448,21 +1551,41 @@ def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_summary(feats)
 
 
-@register("list_tables")
+def _list_tables_oracle() -> str:
+    path = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
+    return f"SELECT '{GOV_ALIAS}' AS table_name, '{path}' AS location"
+
+
+@register("list_tables", _list_tables_oracle)
 def list_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 catalog surface."""
     eng = governed_engine(spark, sf_dir)
     return eng.list_tables()
 
 
-@register("list_catalogs")
+@register("list_catalogs", "SELECT 'datalake' AS catalog_name")
 def list_catalogs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: the single virtual bucket namespace."""
     eng = governed_engine(spark, sf_dir)
     return eng.list_catalogs()
 
 
-@register("delta_time_travel")
+@register(
+    "delta_time_travel",
+    _gov_replay_sql(
+        """
+        , r0 AS (
+          SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC, is_add ASC) AS rn
+          FROM actions WHERE version <= 0
+        ),
+        v0 AS (SELECT count(*) AS n FROM r0 WHERE rn = 1 AND is_add)
+        SELECT CAST(0 AS INT) AS version, CAST((SELECT n FROM v0) AS INT) AS n_files
+        UNION ALL
+        SELECT CAST((SELECT max(version) FROM log) AS INT),
+               CAST((SELECT count(*) FROM live) AS INT)
+        """
+    ),
+)
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 versioned replay: live file counts at version 0 vs latest."""
     eng = governed_engine(spark, sf_dir)

@@ -81,6 +81,10 @@ def compare(name: str, spark, con, sf_dir: str) -> str:
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    # fixture-path-dependent oracles resolve their SQL lazily from this
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     names = [a for a in args if "/" not in a] or list(entry_mod.queries())
     spark = build_session("oracle-check")
     con = duck_connection(sf_dir)
