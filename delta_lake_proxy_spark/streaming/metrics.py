@@ -89,6 +89,37 @@ def streaming_tumbling_metrics(
     )
 
 
+def sliding_metrics(
+    events: DataFrame,
+    ts_col: str = "ts",
+    latency_col: str = "value",
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window metrics (T4 first half, SURVEY §2.9).
+
+    ``window(ts, duration, slide)`` assigns each event to
+    duration/slide overlapping windows; the aggregation is still one hash
+    agg keyed on window — Spark expands the window list map-side, so no
+    extra shuffle versus tumbling."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_duration, slide_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            (
+                F.sum(F.col(latency_col).cast("decimal(27,9)")).cast("double")
+                / F.count(latency_col)
+            ).alias("avg_latency"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_requests",
+            "avg_latency",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "5 minutes",

@@ -468,6 +468,53 @@ def test_restore_to_version(spark, tmp_path, lineitem):
     assert "A" in flags  # deleted partition is back
 
 
+def test_raw_path_bypass_is_the_documented_trust_boundary(spark, tmp_path, lineitem):
+    """SURVEY §4 design 2 (plan-level ACL injection): the library-level design
+    concedes that code holding the physical path AND SparkSession can bypass
+    governance with spark.read.parquet(raw_path). This test pins the concrete
+    behavior gap so the limitation stays documented-and-true:
+
+    - raw reads ignore the ACL entirely;
+    - raw directory reads RESURRECT tombstoned (overwritten) files — they do
+      not even see a consistent snapshot;
+    - the supported spark.sql surface (create_governed_view) returns exactly
+      the governed result.
+
+    The reference closes this hole with a process boundary (clients hold no
+    storage credentials, src/main.rs:576-594); the Spark-native equivalents —
+    storage-layer ACLs or a Scala spark.sql.extensions resolution rule — are
+    documented in engine.py's module docstring.
+    """
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "bypass")
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(90)
+    write_governed_table(spark, base.repartition(1), path, ["l_returnflag"])
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": path},
+            allowed_partitions={"t": [{"l_returnflag": "A"}]},
+            read_only=False,
+        ),
+    )
+    n_governed = eng.read_table("t", user="u").count()
+    n_total = base.count()
+    assert 0 < n_governed < n_total
+    # overwrite: tombstones the v0 files but leaves them on disk (time travel)
+    eng.write_table("t", base.limit(10), mode="overwrite")
+    eng.invalidate_caches()
+    n_governed_v1 = eng.read_table("t", user="u").count()
+    raw = spark.read.option("basePath", path).parquet(path)
+    # the raw read ignores the ACL AND double-counts tombstoned files
+    assert raw.count() == n_total + 10  # v0 files + v1 files: not a snapshot
+    assert raw.count() > n_governed_v1
+    # the supported SQL surface stays governed
+    view = eng.create_governed_view("t", user="u")
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0]["n"] == n_governed_v1
+    spark.catalog.dropTempView(view)
+
+
 def test_streaming_governed_read(spark, tmp_path, lineitem):
     from delta_lake_proxy_spark.engine import write_governed_table
 

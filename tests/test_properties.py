@@ -25,11 +25,13 @@ partition_st = st.tuples(st.sampled_from(VALS), st.sampled_from(VALS))
 
 def reference_allowed(dnf: list[dict[str, str]], part: dict[str, str]) -> bool:
     """Direct transcription of the proxy's allowed-file-set computation:
-    per-map AND, union across maps, empty maps skipped, empty DNF = allow."""
-    non_empty = [m for m in dnf if m]
-    if not non_empty:
+    per-map AND, union across maps, empty maps skipped inside the loop,
+    absent/empty DNF = allow. Enforcement runs whenever the combined list is
+    NON-empty (src/main.rs:576-594) — so a list of only empty maps yields an
+    empty allowed set, i.e. deny-all, not allow-all."""
+    if not dnf:
         return True  # no membership check runs (src/main.rs:576)
-    return any(all(part.get(k) == v for k, v in m.items()) for m in non_empty)
+    return any(m and all(part.get(k) == v for k, v in m.items()) for m in dnf)
 
 
 @given(dnf=dnf_st, parts=st.lists(partition_st, min_size=1, max_size=10))
