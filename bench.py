@@ -30,11 +30,15 @@ HEADLINE = [
     "top_k",
     "metrics_tumbling_window",
     "window_session",
+    "window_sliding",
     "dedup_exact",
     "dedup_near_minhash",
     "text_stats",
     "doc_fingerprint",
     "similarity_topk",
+    "similarity_lsh",
+    "multimodal_scan",
+    "pipeline_clean_corpus",
     "array_funcs",
 ]
 

@@ -425,27 +425,37 @@ class Engine:
         ``col -> (lo, hi)`` ranges, then read only the surviving files with
         the ACL + residual range predicates applied.
 
-        The pruning decision runs over the snapshot's metadata (O(files),
-        driver-side — exactly where Delta evaluates data skipping); files
-        without stats for a column are conservatively kept.
+        The range test runs as a DataFrame filter over the parsed ``stats``
+        JSON — distributed across executors, so pruning stays cheap at
+        millions of files (only the SURVIVING paths are collected, which the
+        reader API requires regardless). Files without stats for a column are
+        conservatively kept.
         """
-        import json as _json
-
         path = self.resolve(alias)
         snapshot = deltalog.snapshot_files(self.spark, path).select("path", "stats")
-        keep: list[str] = []
-        for r in snapshot.collect():
-            stats = _json.loads(r["stats"]) if r["stats"] else None
-            ok = True
-            if stats:
-                mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
-                for col, (lo, hi) in ranges.items():
-                    if col in mins and hi is not None and mins[col] > hi:
-                        ok = False
-                    if col in maxs and lo is not None and maxs[col] < lo:
-                        ok = False
-            if ok:
-                keep.append(os.path.join(path, r["path"]))
+        keep_pred: Column = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            # string-typed stats compare lexicographically (ISO timestamps),
+            # numeric bounds coerce the extracted stat to double — matching
+            # the type of the comparison the writer's stats collector made
+            numeric = isinstance(lo if lo is not None else hi, (int, float)) and not isinstance(
+                lo if lo is not None else hi, bool
+            )
+
+            def stat(field: str, c: str = col, num: bool = numeric) -> Column:
+                s = F.get_json_object(F.col("stats"), f"$.{field}.{c}")
+                return s.cast("double") if num else s
+
+            if hi is not None:
+                keep_pred = keep_pred & (
+                    stat("minValues").isNull() | (stat("minValues") <= F.lit(hi))
+                )
+            if lo is not None:
+                keep_pred = keep_pred & (
+                    stat("maxValues").isNull() | (stat("maxValues") >= F.lit(lo))
+                )
+        survivors = snapshot.filter(F.col("stats").isNull() | keep_pred)
+        keep = [os.path.join(path, r["path"]) for r in survivors.select("path").collect()]
         if not keep:
             df = self._read_data(path).limit(0)
         else:
@@ -505,6 +515,7 @@ class Engine:
         sort_by: list[str] | None = None,
         sort_files: int | None = None,
         zorder_by: list[str] | None = None,
+        zorder_method: str = "linear",
     ) -> int:
         """Governed write: blocked when read-only (ref src/main.rs:941-948);
         otherwise parquet write + Delta log commit. Returns the new version.
@@ -515,7 +526,9 @@ class Engine:
         (:meth:`scan_with_skipping`) effective (linear clustering).
         ``zorder_by`` instead clusters on a bit-interleaved Z-order curve over
         the given numeric columns, so range skipping is effective on EACH of
-        them independently (Delta's OPTIMIZE ZORDER BY).
+        them independently (Delta's OPTIMIZE ZORDER BY);
+        ``zorder_method="rank"`` bins by approximate quantiles instead of
+        min/max — use it when a clustered column is skewed.
         """
         if self.config.read_only:
             raise ReadOnlyError(alias)
@@ -532,7 +545,7 @@ class Engine:
         if mode == "append" and existing_meta:
             schema_json = self._evolve_schema(existing_meta.get("schemaString"), df)
         if zorder_by:
-            df = self._with_zorder(df, zorder_by)
+            df = self._with_zorder(df, zorder_by, method=zorder_method)
             cols = [F.col("_zorder")]
             df = (
                 df.repartitionByRange(sort_files, *cols)
@@ -771,29 +784,56 @@ class Engine:
         self._snapshot_cache.invalidate()
         return deleted
 
-    def _with_zorder(self, df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
-        """Append a ``_zorder`` column: each column is linearly binned to
-        ``bits`` levels between its min and max (one tiny agg job), and the
-        bin indices are bit-interleaved into the Morton/Z-value. Linear
-        binning keeps everything in codegen; rank-based binning would resist
-        skew better at the cost of a global sort — the standard trade."""
-        stats = df.agg(
-            *[F.min(c).alias(f"_lo_{c}") for c in cols],
-            *[F.max(c).alias(f"_hi_{c}") for c in cols],
-        ).collect()[0]
-        levels = (1 << bits) - 1
-        bins = []
-        for c in cols:
-            lo = float(stats[f"_lo_{c}"])
-            hi = float(stats[f"_hi_{c}"])
-            span = (hi - lo) or 1.0
-            b = F.least(
-                F.lit(levels),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels).cast(
-                    "long"
-                ),
-            )
-            bins.append(F.greatest(F.lit(0).cast("long"), b))
+    def _with_zorder(
+        self, df: DataFrame, cols: list[str], bits: int = 16, method: str = "linear"
+    ) -> DataFrame:
+        """Append a ``_zorder`` column: each column is binned, and the bin
+        indices are bit-interleaved into the Morton/Z-value.
+
+        ``method="linear"``: bins are equal-width between the column's min and
+        max (one tiny agg job, everything stays in codegen). Skewed columns
+        collapse into few bins — a heavy-hitter value drags most rows into one
+        Z-range and skipping degrades.
+
+        ``method="rank"``: bins are approximate QUANTILES (one distributed
+        ``approxQuantile`` pass, 256 bins/column), so every bin holds ~equal
+        row counts regardless of skew — the Delta OPTIMIZE ZORDER approach —
+        at the cost of the quantile sketch pass. The bin lookup compiles to a
+        when-chain, still codegen."""
+        if method == "rank":
+            bits = 8
+            probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            quantiles = df.stat.approxQuantile(list(cols), probs, 0.001)
+            bins = []
+            for c, qs in zip(cols, quantiles):
+                edges = sorted(set(qs))[: (1 << bits) - 1]
+                b = F.lit(0).cast("long")
+                for e in edges:
+                    b = b + F.when(
+                        F.col(c).cast("double") >= F.lit(float(e)),
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                bins.append(b)
+        elif method == "linear":
+            stats = df.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in cols],
+            ).collect()[0]
+            levels = (1 << bits) - 1
+            bins = []
+            for c in cols:
+                lo = float(stats[f"_lo_{c}"])
+                hi = float(stats[f"_hi_{c}"])
+                span = (hi - lo) or 1.0
+                b = F.least(
+                    F.lit(levels),
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels).cast(
+                        "long"
+                    ),
+                )
+                bins.append(F.greatest(F.lit(0).cast("long"), b))
+        else:
+            raise ValueError(f"unknown zorder method: {method!r}")
         n = len(cols)
         z = F.lit(0).cast("long")
         for bit in range(bits):

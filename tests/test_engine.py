@@ -586,3 +586,48 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path, lineitem):
         (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= lo_p + span_p)
     ).count()
     assert got == want
+
+
+def test_rank_zorder_handles_skew(spark, tmp_path):
+    """An outlier stretches linear (min/max) Z-bins so the entire data bulk
+    collapses into bin 0 — a narrow query INSIDE the bulk can then prune
+    nothing and scans ~all rows. Rank (quantile) bins spread the bulk across
+    bins, so the same query's footer-stats overlap covers few rows."""
+    import json as _json
+    import os
+
+    from delta_lake_proxy_spark import deltalog
+
+    # bulk uniform over [0, 950), plus outliers at 1e9 stretching the range
+    rows = [(i, i % 950) for i in range(1900)] + [
+        (i + 1900, 10**9) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long")
+    lo, hi = 100, 199
+
+    def scanned_rows(path):
+        tot = 0
+        for r in deltalog.snapshot_files(spark, path).select("stats").collect():
+            st = _json.loads(r["stats"])
+            mn, mx = st["minValues"].get("x"), st["maxValues"].get("x")
+            if mn is None or mx is None or not (mn > hi or mx < lo):
+                tot += st["numRecords"]
+        return tot
+
+    scanned, results = {}, {}
+    for method in ("linear", "rank"):
+        path = str(tmp_path / f"skew_{method}")
+        os.makedirs(path)
+        eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+        eng.write_table(
+            "t", df, mode="overwrite", zorder_by=["x"], sort_files=8,
+            zorder_method=method,
+        )
+        scanned[method] = scanned_rows(path)
+        results[method] = eng.scan_with_skipping("t", {"x": (lo, hi)}).count()
+    want = df.filter((F.col("x") >= lo) & (F.col("x") <= hi)).count()
+    assert results["linear"] == want and results["rank"] == want
+    # linear: the outlier collapses the bulk into one bin -> scans ~everything
+    assert scanned["linear"] >= 1900
+    # rank: quantile bins keep the scan to a fraction of the bulk
+    assert scanned["rank"] < scanned["linear"] / 3
