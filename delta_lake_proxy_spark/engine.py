@@ -245,6 +245,30 @@ class Engine:
         pred = self.acl_predicate(alias, user)
         return stream if pred is None else stream.filter(pred)
 
+    def governed_batch_filter(self, alias: str, user: str = acl.ANONYMOUS):
+        """Per-micro-batch ACL re-resolution for long-running streams.
+
+        :meth:`read_table_stream` compiles the ACL predicate ONCE at stream
+        definition — a permission grant or revocation made after the stream
+        starts is never picked up. This returns a ``(batch_df, batch_id) ->
+        DataFrame`` function for ``foreachBatch`` sinks that re-resolves the
+        DNF on every micro-batch through the engine's TTL ACL cache, so
+        permission changes propagate within ``acl_cache_ttl_s`` (120 s by
+        default — the reference's cache-bounded staleness, src/main.rs:90-93)
+        without restarting the stream::
+
+            gate = engine.governed_batch_filter("trades", user)
+            stream.writeStream.foreachBatch(
+                lambda df, bid: gate(df, bid).write.save(...)
+            )
+        """
+
+        def gate(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            pred = acl.compile_dnf(self.resolved_dnf(alias, user))
+            return batch_df if pred is None else batch_df.filter(pred)
+
+        return gate
+
     def history(self, alias: str) -> DataFrame:
         """Commit history (DeltaTable.history analog): one row per version
         with operation, timestamp, and add/remove counts."""
@@ -730,17 +754,67 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
-    def compact_table(self, alias: str, files_per_partition: int = 1) -> int:
+    def compact_table(
+        self,
+        alias: str,
+        files_per_partition: int = 1,
+        target_file_bytes: int | None = None,
+    ) -> int:
         """Small-file compaction (G9): rewrite each partition into
         ``files_per_partition`` files and commit removes+adds. The Spark-only
-        fallback for delta-spark's OPTIMIZE."""
+        fallback for delta-spark's OPTIMIZE.
+
+        ``target_file_bytes`` switches to per-partition BIN-PACKING: each
+        partition's live byte total (from the snapshot's add actions — a
+        metadata-sized read) picks its own file count, so a 100 GB partition
+        and a 100 MB partition both land near the target size instead of
+        sharing one global file count. Rows spread across a partition's bins
+        by row hash; each (partition, bin) pair becomes ~one output file."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
         meta = deltalog.table_metadata(self.spark, path) or {}
         parts = meta.get("partitionColumns") or []
         df = self._read_data(path)
-        if parts:
+        if target_file_bytes is not None:
+            import math
+
+            per_part: dict[tuple, int] = {}
+            for r in (
+                deltalog.snapshot_files(self.spark, path)
+                .select("size", "partitionValues")
+                .collect()
+            ):
+                key = tuple(sorted((r["partitionValues"] or {}).items()))
+                per_part[key] = per_part.get(key, 0) + int(r["size"] or 0)
+            nmap = {
+                k: max(1, math.ceil(v / target_file_bytes)) for k, v in per_part.items()
+            }
+            if parts:
+                nf: Column = F.lit(1)
+                for key, n in nmap.items():
+                    cond = None
+                    for col_name, val in key:
+                        term = F.col(col_name).cast("string") == F.lit(val)
+                        cond = term if cond is None else (cond & term)
+                    if cond is not None:
+                        nf = F.when(cond, F.lit(n)).otherwise(nf)
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]), nf.cast("long")
+                )
+                df = (
+                    df.withColumn("_bin", bucket)
+                    .repartition(
+                        max(sum(nmap.values()), 1),
+                        *[F.col(c) for c in parts],
+                        F.col("_bin"),
+                    )
+                    .drop("_bin")
+                )
+            else:
+                total_n = max(nmap.values(), default=1)
+                df = df.repartition(total_n)
+        elif parts:
             df = df.repartition(files_per_partition, *[F.col(c) for c in parts])
         else:
             df = df.repartition(files_per_partition)

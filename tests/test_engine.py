@@ -588,6 +588,79 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path, lineitem):
     assert got == want
 
 
+def test_governed_batch_filter_refreshes_permissions(spark, gov_table, lineitem):
+    """Streams outlive grants: the foreachBatch gate must re-resolve the ACL
+    per micro-batch (through the TTL cache), so a revocation between batches
+    changes what the next batch emits — without restarting the stream."""
+    perms = [(1, "u", "gov", json.dumps({"l_returnflag": "A"}))]
+    eng = make_engine(spark, gov_table, perms=perms)
+    gate = eng.governed_batch_filter("gov", user="u")
+    batch = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    n_a = batch.filter(F.col("l_returnflag") == "A").count()
+    assert gate(batch, 0).count() == n_a
+    # revoke: only R allowed now; expire the cache as the TTL would
+    eng.permissions_df = spark.createDataFrame(
+        [(1, "u", "gov", json.dumps({"l_returnflag": "R"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng.invalidate_caches()
+    n_r = batch.filter(F.col("l_returnflag") == "R").count()
+    assert gate(batch, 1).count() == n_r
+    # end-to-end: the gate composes with a real foreachBatch stream run
+    schema = eng._table_schema(gov_table)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", gov_table)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(gov_table)
+    )
+    seen = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: seen.append(gate(df, bid).count())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen and seen[0] == n_r  # the refreshed (revoked) grant applies
+
+
+def test_compact_bin_packing_by_target_bytes(spark, tmp_path, lineitem):
+    """target_file_bytes sizes each partition's file count from its own byte
+    total: a big partition splits into multiple near-target files while a
+    small one stays at one file — not one global files-per-partition."""
+    from collections import Counter
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "binpack")
+    # A: ~10x the rows of the other partitions
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(2000)
+    skewed = base.filter(F.col("l_returnflag") == "A").unionByName(
+        base.filter(F.col("l_returnflag") != "A").limit(100)
+    )
+    write_governed_table(spark, skewed.repartition(4), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    sizes: dict[str, int] = {}
+    for r in eng.snapshot_files("t").select("size", "partitionValues").collect():
+        flag = r["partitionValues"]["l_returnflag"]
+        sizes[flag] = sizes.get(flag, 0) + r["size"]
+    big = max(sizes.values())
+    n_rows = eng.read_table("t").count()
+    eng.compact_table("t", target_file_bytes=big // 3)
+    per_dir = Counter(
+        r["partitionValues"]["l_returnflag"]
+        for r in eng.snapshot_files("t").select("partitionValues").collect()
+    )
+    big_flag = max(sizes, key=sizes.get)
+    small_flags = [f for f in sizes if sizes[f] != big]
+    assert per_dir[big_flag] >= 2  # big partition split toward the target
+    assert all(per_dir[f] <= 2 for f in small_flags)  # small ones stay small
+    assert eng.read_table("t").count() == n_rows
+
+
 def test_rank_zorder_handles_skew(spark, tmp_path):
     """An outlier stretches linear (min/max) Z-bins so the entire data bulk
     collapses into bin 0 — a narrow query INSIDE the bulk can then prune
