@@ -6,7 +6,7 @@ extended with LLM-data-pipeline operators (dedup, similarity search,
 multimodal columns, text analysis). See SURVEY.md for the full blueprint.
 """
 
-from .acl import ANONYMOUS, compile_dnf, extract_user
+from .acl import ANONYMOUS, compile_dnf, dnf_to_sql, extension_confs, extract_user
 from .config import EngineConfig
 from .engine import Engine, write_governed_table
 from .errors import (
@@ -29,7 +29,9 @@ __all__ = [
     "TableNotFoundError",
     "build_session",
     "compile_dnf",
+    "dnf_to_sql",
     "ensure_engine_confs",
+    "extension_confs",
     "extract_user",
     "write_governed_table",
 ]

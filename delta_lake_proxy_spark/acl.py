@@ -22,6 +22,7 @@ Exact semantics preserved (SURVEY.md §1.3):
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 from collections import OrderedDict
@@ -84,6 +85,56 @@ def compile_dnf(dnf: PartitionDNF | None) -> Column | None:
     for b in branches[1:]:
         pred = pred | b
     return pred
+
+
+def dnf_to_sql(dnf: PartitionDNF | None) -> str | None:
+    """The DNF as a SQL predicate string — same semantics as
+    :func:`compile_dnf` (``None`` = unrestricted, ``'false'`` = configured
+    but empty = deny-all). Used for plan-level injection, where the predicate
+    crosses into the JVM as text (``spark.graft.acl.rules``)."""
+    if not dnf:
+        return None
+    branches = []
+    for m in normalize_dnf(dnf):
+        if not m:
+            continue
+        terms = [
+            "CAST(`{}` AS STRING) = '{}'".format(k.replace("`", "``"), v.replace("'", "''"))
+            for k, v in m.items()
+        ]
+        branches.append("(" + " AND ".join(terms) + ")")
+    if not branches:
+        return "false"
+    return "(" + " OR ".join(branches) + ")"
+
+
+def extension_jar_path() -> str:
+    """Location of the compiled Catalyst ACL extension jar
+    (build: ``tools/build_acl_ext.sh``)."""
+    return os.path.join(os.path.dirname(__file__), "ext", "graft-acl-ext.jar")
+
+
+def extension_confs(path_to_dnf: dict[str, PartitionDNF]) -> dict[str, str]:
+    """Spark confs enabling PLAN-LEVEL ACL injection (SURVEY §4 design 2).
+
+    Set these on the session builder BEFORE the first SparkSession exists
+    (``spark.jars``/``spark.sql.extensions`` are static confs). Every file
+    relation rooted under a registered path — including raw
+    ``spark.read.parquet(path)`` that never touches the Engine — gets the
+    compiled DNF filter injected by the analyzer rule in
+    ``ext/java/graft/GovernedAclRule.java``, closing the raw-path bypass the
+    library-level design concedes.
+    """
+    rules = []
+    for path, dnf in sorted(path_to_dnf.items()):
+        sql = dnf_to_sql(dnf)
+        if sql is not None:
+            rules.append(f"{os.path.abspath(path)}\t{sql}")
+    return {
+        "spark.jars": extension_jar_path(),
+        "spark.sql.extensions": "graft.GovernedAclExtension",
+        "spark.graft.acl.rules": "\n".join(rules),
+    }
 
 
 def union_dnf(static: PartitionDNF | None, dynamic: PartitionDNF | None) -> PartitionDNF:

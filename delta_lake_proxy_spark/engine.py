@@ -28,16 +28,16 @@ requires one of:
 1. **Storage-layer ACLs** (the deployment-grade answer): executors read via an
    instance role that only the governed pipeline holds; ad-hoc sessions get no
    credentials for the table root. Equivalent to the reference's model.
-2. **A Catalyst resolution rule** via ``spark.sql.extensions``: inject a rule
-   that rewrites every ``LogicalRelation``/DSv2 relation rooted under a
-   governed path into ``Filter(compiled_dnf, relation)`` (resolving the DNF
-   from ``spark.graft.acl.<path>`` SQL confs). The extension point only
-   accepts JVM classes, so the rule must ship as a small Scala/Java jar —
-   infeasible to build in this Python-only environment; the recipe is:
-   ``SparkSessionExtensions.injectResolutionRule(s => new GovernedAclRule(s))``
-   with the rule's filter built by ``sessionState.sqlParser.parseExpression``
-   over the same DNF-to-SQL compilation :mod:`delta_lake_proxy_spark.acl`
-   performs.
+2. **A Catalyst resolution rule** via ``spark.sql.extensions`` — IMPLEMENTED:
+   ``ext/java/graft/GovernedAclRule.java`` (built by ``tools/build_acl_ext.sh``
+   into ``ext/graft-acl-ext.jar``) rewrites every V1 file relation rooted
+   under a governed path into ``Filter(compiled_dnf, relation)``, parsing the
+   DNF from the ``spark.graft.acl.rules`` conf that
+   :func:`delta_lake_proxy_spark.acl.extension_confs` /
+   :meth:`Engine.extension_confs` emit. Build a session with those (static)
+   confs and raw ``spark.read.parquet(governed_path)`` carries the ACL with
+   no Engine involvement — verified end-to-end in
+   ``tests/test_acl_extension.py``.
 3. **Spark Connect**: run the engine server-side and hand clients a Connect
    endpoint — the session boundary becomes a process boundary again.
 
@@ -188,6 +188,20 @@ class Engine:
     def invalidate_caches(self) -> None:
         self._acl_cache.invalidate()
         self._snapshot_cache.invalidate()
+
+    def extension_confs(self, user: str = acl.ANONYMOUS) -> dict[str, str]:
+        """Static Spark confs that enforce this engine's resolved ACLs at the
+        PLAN level for ``user``'s session (Catalyst rule in
+        ``ext/java/graft/GovernedAclRule.java``): raw path reads in a session
+        built with these confs carry the same DNF filter the governed read
+        injects. Apply on the builder of a NEW session — extensions are
+        static configuration."""
+        return acl.extension_confs(
+            {
+                self.resolve(alias): self.resolved_dnf(alias, user)
+                for alias in self.config.table_mapping
+            }
+        )
 
     # -- governed read (G1, the flagship) ----------------------------------
 

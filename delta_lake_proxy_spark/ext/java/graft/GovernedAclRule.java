@@ -1,0 +1,112 @@
+package graft;
+
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag;
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
+import org.apache.spark.sql.execution.datasources.LogicalRelation;
+import scala.runtime.AbstractPartialFunction;
+
+/**
+ * Plan-level partition-ACL enforcement (SURVEY section 4, design 2).
+ *
+ * A resolution rule that wraps every file-source relation whose root path is
+ * registered in {@code spark.graft.acl.rules} with a Filter on the compiled
+ * DNF predicate. Unlike the library-level Engine.read_table() filter, this
+ * closes the raw-path bypass: {@code spark.read.parquet(governed_path)} in an
+ * extension-enabled session carries the ACL whether or not the caller went
+ * through the Engine (the reference enforces the same invariant with a
+ * process boundary, src/main.rs:576-594).
+ *
+ * Conf format (set by delta_lake_proxy_spark.acl.extension_confs):
+ *   spark.graft.acl.rules = <path>\t<predicate sql>\n<path>\t<predicate sql>...
+ *
+ * The predicate SQL is parsed unresolved and resolved by the analyzer's
+ * fixed point against the relation's own output; a TreeNodeTag prevents
+ * re-injection on later passes. V1 file sources only (parquet/orc/csv are V1
+ * by default via spark.sql.sources.useV1SourceList).
+ */
+public class GovernedAclRule extends Rule<LogicalPlan> {
+  private static final TreeNodeTag<Boolean> INJECTED =
+      new TreeNodeTag<>("graft.acl.injected");
+
+  private final SparkSession session;
+
+  public GovernedAclRule(SparkSession session) {
+    this.session = session;
+  }
+
+  private String normalize(String p) {
+    // compare on the filesystem path, ignoring scheme and trailing slash
+    String s = p;
+    int scheme = s.indexOf(":/");
+    if (s.startsWith("file:")) {
+      s = s.substring(5);
+    } else if (scheme > 0 && scheme < 8) {
+      s = s.substring(scheme + 1);
+    }
+    while (s.startsWith("//")) {
+      s = s.substring(1);
+    }
+    if (s.endsWith("/") && s.length() > 1) {
+      s = s.substring(0, s.length() - 1);
+    }
+    return s;
+  }
+
+  private String predicateFor(LogicalRelation rel) {
+    String rules = session.conf().get("spark.graft.acl.rules", "");
+    if (rules.isEmpty() || !(rel.relation() instanceof HadoopFsRelation)) {
+      return null;
+    }
+    HadoopFsRelation fs = (HadoopFsRelation) rel.relation();
+    scala.collection.Iterator<org.apache.hadoop.fs.Path> it =
+        fs.location().rootPaths().iterator();
+    while (it.hasNext()) {
+      String root = normalize(it.next().toString());
+      for (String line : rules.split("\n")) {
+        int tab = line.indexOf('\t');
+        if (tab <= 0) {
+          continue;
+        }
+        String govPath = normalize(line.substring(0, tab));
+        if (root.equals(govPath) || root.startsWith(govPath + "/")) {
+          return line.substring(tab + 1);
+        }
+      }
+    }
+    return null;
+  }
+
+  @Override
+  public LogicalPlan apply(LogicalPlan plan) {
+    return plan.resolveOperatorsUp(
+        new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
+          @Override
+          public boolean isDefinedAt(LogicalPlan p) {
+            return p instanceof LogicalRelation
+                && p.getTagValue(INJECTED).isEmpty()
+                && predicateFor((LogicalRelation) p) != null;
+          }
+
+          @Override
+          public LogicalPlan apply(LogicalPlan p) {
+            LogicalRelation rel = (LogicalRelation) p;
+            String sql = predicateFor(rel);
+            rel.setTagValue(INJECTED, Boolean.TRUE);
+            Expression cond;
+            try {
+              cond = session.sessionState().sqlParser().parseExpression(sql);
+            } catch (org.apache.spark.sql.catalyst.parser.ParseException e) {
+              // fail CLOSED: an unparseable ACL must never widen access
+              throw new IllegalStateException(
+                  "invalid spark.graft.acl.rules predicate: " + sql, e);
+            }
+            return new Filter(cond, rel);
+          }
+        });
+  }
+}

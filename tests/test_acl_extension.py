@@ -1,0 +1,88 @@
+"""Plan-level ACL injection (SURVEY §4 design 2): the compiled Catalyst
+resolution rule in ``ext/java/graft/GovernedAclRule.java``.
+
+The rule must apply to RAW ``spark.read.parquet(path)`` — no Engine involved —
+so these tests drive a fresh subprocess SparkSession (extensions are static
+confs; the shared test session cannot load them).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from delta_lake_proxy_spark import acl
+
+JAR = acl.extension_jar_path()
+
+
+def test_dnf_to_sql_semantics():
+    assert acl.dnf_to_sql(None) is None
+    assert acl.dnf_to_sql([]) is None
+    assert acl.dnf_to_sql([{}]) == "false"  # configured-but-empty: deny-all
+    sql = acl.dnf_to_sql([{"a": "1", "b": "x"}, {"c": "o'k"}])
+    assert "CAST(`a` AS STRING) = '1'" in sql and " OR " in sql
+    assert "'o''k'" in sql  # quote escaping
+
+
+def test_extension_confs_shape(tmp_path):
+    confs = acl.extension_confs({str(tmp_path / "t"): [{"p": "1"}]})
+    assert confs["spark.sql.extensions"] == "graft.GovernedAclExtension"
+    assert confs["spark.jars"].endswith("graft-acl-ext.jar")
+    assert "\t" in confs["spark.graft.acl.rules"]
+
+
+@pytest.mark.skipif(not os.path.exists(JAR), reason="extension jar not built")
+def test_raw_read_is_filtered_in_extension_session(spark, tmp_path, lineitem):
+    """End-to-end in a fresh JVM: a session built with extension_confs
+    filters raw parquet reads of the governed path (allow one partition,
+    deny-all for a second path), while an unregistered path is untouched."""
+    gov = str(tmp_path / "govext")
+    free = str(tmp_path / "freeext")
+    base = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(300)
+    base.write.partitionBy("l_returnflag").parquet(gov)
+    base.write.partitionBy("l_returnflag").parquet(free)
+    n_total = base.count()
+    n_a = base.filter("l_returnflag = 'A'").count()
+    assert 0 < n_a < n_total
+
+    confs = acl.extension_confs(
+        {gov: [{"l_returnflag": "A"}], str(tmp_path / "denied"): [{}]}
+    )
+    script = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        b = (SparkSession.builder.master("local[2]").appName("ext-test")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "4"))
+        for k, v in {confs!r}.items():
+            b = b.config(k, v)
+        spark = b.getOrCreate()
+        raw = spark.read.parquet({gov!r})
+        assert raw.count() == {n_a}, f"governed: got {{raw.count()}}, want {n_a}"
+        flags = {{r[0] for r in raw.select("l_returnflag").distinct().collect()}}
+        assert flags == {{"A"}}, flags
+        # plan carries the injected filter
+        plan = raw._jdf.queryExecution().optimizedPlan().toString()
+        assert "l_returnflag" in plan and "Filter" in plan, plan
+        free = spark.read.parquet({free!r})
+        assert free.count() == {n_total}, "unregistered path must be untouched"
+        print("EXT-OK")
+        spark.stop()
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "EXT-OK" in out.stdout
