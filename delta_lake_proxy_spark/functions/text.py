@@ -135,3 +135,31 @@ def fingerprint(
         F.col(id_col),
         F.array_min(shingles).alias("fingerprint"),
     )
+
+
+def quality_tier(
+    score: Column, high: float = 0.55, mid: float = 0.45
+) -> Column:
+    """Bucket a [0,1] quality score into 'high'/'mid'/'low' tiers."""
+    return (
+        F.when(score >= high, F.lit("high"))
+        .when(score >= mid, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+
+
+def stratified_keep(
+    tier: Column, doc_id: Column, keep_mod: dict[str, int]
+) -> Column:
+    """Deterministic per-stratum sampling flag: a row is kept iff
+    ``doc_id % keep_mod[tier] == 0`` (mod 1 keeps everything).
+
+    Modular id sampling rather than rand(): shuffle-free, reproducible
+    across engines and runs (the property a training-data pipeline needs
+    for auditable mixes), and exactly expressible by an external oracle.
+    At scale this is a map-side filter — no shuffle, no state."""
+    kept = None
+    for t, mod in keep_mod.items():
+        cond = (tier == t) & (F.pmod(doc_id, F.lit(mod)) == 0)
+        kept = cond if kept is None else (kept | cond)
+    return kept if kept is not None else F.lit(True)

@@ -1062,9 +1062,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("content_hash", "doc_id", "n_copies")
 
 
-@register(
-    "text_stats",
-    """
+_TEXT_STATS_SQL = """
     WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents)
     SELECT doc_id,
       CAST(length(text) AS INT) AS n_chars,
@@ -1079,11 +1077,106 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
                                / greatest(length(text), 1) * 10, 1.0)), 6) AS quality_score
     FROM t
-    """,
-)
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.text_stats(docs)
+
+
+_TIER_SQL = (
+    "CASE WHEN quality_score >= 0.55 THEN 'high' "
+    "WHEN quality_score >= 0.45 THEN 'mid' ELSE 'low' END"
+)
+
+
+@register(
+    "corpus_sample_stratified",
+    f"""
+    WITH stats AS ({_TEXT_STATS_SQL}),
+    tiered AS (SELECT doc_id, n_tokens, {_TIER_SQL} AS tier FROM stats),
+    flagged AS (
+      SELECT tier, n_tokens,
+             (tier = 'high') OR (tier = 'mid' AND doc_id % 2 = 0)
+                             OR (tier = 'low' AND doc_id % 10 = 0) AS kept
+      FROM tiered
+    )
+    SELECT tier, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens
+    FROM flagged GROUP BY tier
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline stratified sampling: quality-tier the corpus, keep
+    all high, 1/2 of mid, 1/10 of low — deterministic modular-id sampling
+    (reproducible, shuffle-free, auditable; see text.stratified_keep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs)
+    tiered = stats.select(
+        "doc_id",
+        "n_tokens",
+        text.quality_tier(F.col("quality_score")).alias("tier"),
+    )
+    flagged = tiered.withColumn(
+        "kept",
+        text.stratified_keep(
+            F.col("tier"), F.col("doc_id"), {"high": 1, "mid": 2, "low": 10}
+        ),
+    )
+    return flagged.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("sampled_tokens"),
+    )
+
+
+@register(
+    "training_mix",
+    f"""
+    WITH stats AS ({_TEXT_STATS_SQL}),
+    tiered AS (SELECT doc_id, n_tokens, {_TIER_SQL} AS tier FROM stats),
+    mix AS (
+      SELECT 'high-epoch1' AS part, n_tokens FROM tiered WHERE tier = 'high'
+      UNION ALL
+      SELECT 'high-epoch2' AS part, n_tokens FROM tiered WHERE tier = 'high'
+      UNION ALL
+      SELECT 'rest' AS part, n_tokens FROM tiered
+      WHERE tier <> 'high' AND doc_id % 2 = 0
+    )
+    SELECT part, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM mix GROUP BY part
+    """,
+)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition (U1 for data pipelines): high-quality docs
+    weighted at 2 epochs, the rest down-sampled 50% — one declarative union
+    plan, so at 100 TB the mix is a scan per source with map-side filters
+    feeding a single shuffle-free union (the agg here only summarizes it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs)
+    tiered = stats.select(
+        "doc_id",
+        "n_tokens",
+        text.quality_tier(F.col("quality_score")).alias("tier"),
+    )
+    high = tiered.filter(F.col("tier") == "high")
+    rest = tiered.filter(
+        (F.col("tier") != "high") & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    )
+    mix = (
+        high.select(F.lit("high-epoch1").alias("part"), "n_tokens")
+        .unionByName(high.select(F.lit("high-epoch2").alias("part"), "n_tokens"))
+        .unionByName(rest.select(F.lit("rest").alias("part"), "n_tokens"))
+    )
+    return mix.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
 
 
 def _lang_case_sql() -> str:
