@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.rules.Rule;
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag;
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation;
+import org.apache.spark.sql.execution.datasources.v2.FileTable;
 import scala.runtime.AbstractPartialFunction;
 
 /**
@@ -26,8 +28,10 @@ import scala.runtime.AbstractPartialFunction;
  *
  * The predicate SQL is parsed unresolved and resolved by the analyzer's
  * fixed point against the relation's own output; a TreeNodeTag prevents
- * re-injection on later passes. V1 file sources only (parquet/orc/csv are V1
- * by default via spark.sql.sources.useV1SourceList).
+ * re-injection on later passes. Matches both V1 file relations
+ * (LogicalRelation over HadoopFsRelation, the default for parquet/orc/csv)
+ * and V2 (DataSourceV2Relation over a FileTable, e.g. when
+ * spark.sql.sources.useV1SourceList excludes the format).
  */
 public class GovernedAclRule extends Rule<LogicalPlan> {
   private static final TreeNodeTag<Boolean> INJECTED =
@@ -57,14 +61,35 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
     return s;
   }
 
-  private String predicateFor(LogicalRelation rel) {
+  /** Root paths for V1 (LogicalRelation/HadoopFsRelation) and V2
+   * (DataSourceV2Relation/FileTable) file relations; null otherwise. */
+  private scala.collection.Iterator<org.apache.hadoop.fs.Path> rootPaths(LogicalPlan p) {
+    if (p instanceof LogicalRelation
+        && ((LogicalRelation) p).relation() instanceof HadoopFsRelation) {
+      return ((HadoopFsRelation) ((LogicalRelation) p).relation())
+          .location()
+          .rootPaths()
+          .iterator();
+    }
+    if (p instanceof DataSourceV2Relation
+        && ((DataSourceV2Relation) p).table() instanceof FileTable) {
+      return ((FileTable) ((DataSourceV2Relation) p).table())
+          .fileIndex()
+          .rootPaths()
+          .iterator();
+    }
+    return null;
+  }
+
+  private String predicateFor(LogicalPlan rel) {
     String rules = session.conf().get("spark.graft.acl.rules", "");
-    if (rules.isEmpty() || !(rel.relation() instanceof HadoopFsRelation)) {
+    if (rules.isEmpty()) {
       return null;
     }
-    HadoopFsRelation fs = (HadoopFsRelation) rel.relation();
-    scala.collection.Iterator<org.apache.hadoop.fs.Path> it =
-        fs.location().rootPaths().iterator();
+    scala.collection.Iterator<org.apache.hadoop.fs.Path> it = rootPaths(rel);
+    if (it == null) {
+      return null;
+    }
     while (it.hasNext()) {
       String root = normalize(it.next().toString());
       for (String line : rules.split("\n")) {
@@ -87,14 +112,11 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
         new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
           @Override
           public boolean isDefinedAt(LogicalPlan p) {
-            return p instanceof LogicalRelation
-                && p.getTagValue(INJECTED).isEmpty()
-                && predicateFor((LogicalRelation) p) != null;
+            return p.getTagValue(INJECTED).isEmpty() && predicateFor(p) != null;
           }
 
           @Override
-          public LogicalPlan apply(LogicalPlan p) {
-            LogicalRelation rel = (LogicalRelation) p;
+          public LogicalPlan apply(LogicalPlan rel) {
             String sql = predicateFor(rel);
             rel.setTagValue(INJECTED, Boolean.TRUE);
             Expression cond;

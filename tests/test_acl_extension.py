@@ -71,6 +71,12 @@ def test_raw_read_is_filtered_in_extension_session(spark, tmp_path, lineitem):
         assert "l_returnflag" in plan and "Filter" in plan, plan
         free = spark.read.parquet({free!r})
         assert free.count() == {n_total}, "unregistered path must be untouched"
+        # V2 path: force parquet through DataSourceV2Relation (FileTable)
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        raw2 = spark.read.parquet({gov!r})
+        plan2 = raw2._jdf.queryExecution().analyzed().toString()
+        assert "RelationV2" in plan2, "expected a DSv2 relation: " + plan2
+        assert raw2.count() == {n_a}, f"DSv2 governed: got {{raw2.count()}}, want {n_a}"
         print("EXT-OK")
         spark.stop()
         """

@@ -437,6 +437,31 @@ def test_dml_on_path_with_special_chars(spark, tmp_path, lineitem):
     assert eng.read_table("t").filter(F.col("l_quantity") == 777.0).count() >= 3
 
 
+def test_dml_with_special_char_partition_values(spark, tmp_path):
+    """Partition VALUES with spaces/specials produce percent-encoded URIs in
+    input_file_name(); tombstoning must still match the log paths."""
+    from delta_lake_proxy_spark import deltalog as _dl
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "pv_special")
+    rows = [(i, "north america" if i % 2 == 0 else "emea#1", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, region string, v double")
+    write_governed_table(spark, df.repartition(1), path, ["region"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    assert eng.read_table("t").count() == 40
+    v0 = _dl.latest_version(path)
+    eng.delete("t", F.col("region") == "north america")
+    assert _dl.latest_version(path) == v0 + 1
+    eng.invalidate_caches()
+    out = eng.read_table("t")
+    assert out.count() == 20
+    assert out.filter(F.col("region") == "north america").count() == 0
+    # merge back into the surviving partition
+    src = spark.createDataFrame([(100, "emea#1", 9.5)], "id long, region string, v double")
+    eng.merge("t", src, on=["id"])
+    assert eng.read_table("t").count() == 21
+
+
 def test_history_lists_operations(spark, tmp_path, lineitem):
     from delta_lake_proxy_spark.engine import write_governed_table
 

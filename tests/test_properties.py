@@ -50,6 +50,28 @@ def test_compiled_dnf_matches_reference_model(spark, dnf, parts):
     assert got == want
 
 
+@given(dnf=dnf_st, parts=st.lists(partition_st, min_size=1, max_size=10))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dnf_to_sql_agrees_with_compiled_predicate(spark, dnf, parts):
+    """The two enforcement tiers — the library predicate (compile_dnf) and
+    the plan-level SQL text (dnf_to_sql, parsed by the Catalyst extension) —
+    must admit identical row sets for every DNF."""
+    df = spark.createDataFrame(
+        [(p, q, i) for i, (p, q) in enumerate(parts)], "p string, q string, i long"
+    )
+    df.createOrReplaceTempView("dnf_prop_t")
+    pred = acl.compile_dnf(dnf)
+    via_col = set(
+        r["i"] for r in (df if pred is None else df.filter(pred)).select("i").collect()
+    )
+    sql = acl.dnf_to_sql(dnf)
+    where = "" if sql is None else f" WHERE {sql}"
+    via_sql = set(
+        r["i"] for r in spark.sql(f"SELECT i FROM dnf_prop_t{where}").collect()
+    )
+    assert via_col == via_sql
+
+
 action_st = st.tuples(st.booleans(), st.sampled_from(["a", "b", "c", "d"]))
 commit_st = st.lists(action_st, min_size=1, max_size=3)
 
