@@ -1154,9 +1154,12 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix composition (U1 for data pipelines): high-quality docs
-    weighted at 2 epochs, the rest down-sampled 50% — one declarative union
-    plan, so at 100 TB the mix is a scan per source with map-side filters
-    feeding a single shuffle-free union (the agg here only summarizes it)."""
+    weighted at 2 epochs, the rest down-sampled 50%.
+
+    A naive union of filtered branches would SCAN (and re-run the regex
+    stats over) the corpus once per branch; instead each row explodes into
+    its list of mix memberships — one scan, one map-side explode, one
+    aggregation shuffle, at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     stats = text.text_stats(docs)
     tiered = stats.select(
@@ -1164,15 +1167,15 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         text.quality_tier(F.col("quality_score")).alias("tier"),
     )
-    high = tiered.filter(F.col("tier") == "high")
-    rest = tiered.filter(
-        (F.col("tier") != "high") & (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    memberships = (
+        F.when(
+            F.col("tier") == "high",
+            F.array(F.lit("high-epoch1"), F.lit("high-epoch2")),
+        )
+        .when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.array(F.lit("rest")))
+        .otherwise(F.array().cast("array<string>"))
     )
-    mix = (
-        high.select(F.lit("high-epoch1").alias("part"), "n_tokens")
-        .unionByName(high.select(F.lit("high-epoch2").alias("part"), "n_tokens"))
-        .unionByName(rest.select(F.lit("rest").alias("part"), "n_tokens"))
-    )
+    mix = tiered.select(F.explode(memberships).alias("part"), "n_tokens")
     return mix.groupBy("part").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
