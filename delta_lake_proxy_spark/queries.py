@@ -949,6 +949,7 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    q.stop()
     return spark.table(qname)
 
 

@@ -567,6 +567,7 @@ def test_streaming_governed_read(spark, tmp_path, lineitem):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     out = spark.sql("SELECT DISTINCT l_returnflag FROM gov_stream").collect()
     assert [r[0] for r in out] == ["A"]
 
@@ -648,6 +649,7 @@ def test_governed_batch_filter_refreshes_permissions(spark, gov_table, lineitem)
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     assert seen and seen[0] == n_r  # the refreshed (revoked) grant applies
 
 

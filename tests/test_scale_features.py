@@ -120,6 +120,7 @@ def test_stateful_spike_monitor_streaming(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     out = spark.sql("SELECT * FROM spikes").collect()
     assert len(out) == 1
     assert out[0]["user_id"] == 1 and out[0]["spike_value"] == 50.0

@@ -79,6 +79,7 @@ def test_streaming_tumbling_smoke(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     out = spark.sql("SELECT * FROM metrics_smoke").orderBy("window_start").collect()
     assert len(out) == 2
     assert out[0]["n_requests"] == 4 and out[1]["n_requests"] == 2
@@ -123,5 +124,6 @@ def test_stream_static_permission_join(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    q.stop()
     out = spark.sql("SELECT user_id, table_name FROM perm_join").collect()
     assert sorted((r["user_id"], r["table_name"]) for r in out) == [("7", "trades"), ("9", "trades")]
