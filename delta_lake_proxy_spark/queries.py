@@ -768,6 +768,94 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_escape",
+    """
+    SELECT p_partkey,
+           replace(replace(replace(replace(replace(
+             concat(p_name, ' <', p_brand, '> & "', p_type, ''''),
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+             '"', '&quot;'), '''', '&apos;') AS escaped
+    FROM part
+    """,
+)
+def xml_escape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 XML escaping (the reference's S3 ListObjects XML layer,
+    src/main.rs:352): the 5 XML entities, & first so entities don't
+    double-escape — a pure codegen replace chain, no UDF."""
+    p = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.col("p_name"), F.lit(" <"), F.col("p_brand"), F.lit("> & \""),
+        F.col("p_type"), F.lit("'"),
+    )
+    escaped = raw
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]:
+        escaped = F.replace(escaped, F.lit(ch), F.lit(ent))
+    return p.select("p_partkey", escaped.alias("escaped"))
+
+
+@register(
+    "url_parse",
+    """
+    WITH u AS (
+      SELECT o_orderkey,
+             concat('https://datalake.example.com/tables/orders?user=u',
+                    CAST(o_custkey AS VARCHAR), '&priority=',
+                    split_part(o_orderpriority, '-', 1)) AS url
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]user=([^&]*)', 1) AS user_param
+    FROM u
+    """,
+)
+def url_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 URL parsing (the reference decodes/splits request URLs,
+    src/main.rs:1129-1135 and the key-rewrite path): Spark's native
+    parse_url extracts protocol/host/path/query and a named query param;
+    the oracle reconstructs each with regexes."""
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://datalake.example.com/tables/orders?user=u"),
+        F.col("o_custkey").cast("string"),
+        F.lit("&priority="),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user")).alias("user_param"),
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b,
+           CAST(length(a.r_name) + length(b.r_name) AS INT) AS name_len_sum
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 cross join: the tiny-dimension Cartesian case (the only sane one;
+    Spark uses BroadcastNestedLoopJoin since region is broadcast-sized)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    a, b = r.alias("a"), r.alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.r_name").alias("region_a"),
+        F.col("b.r_name").alias("region_b"),
+        (F.length("a.r_name") + F.length("b.r_name")).cast("int").alias("name_len_sum"),
+    )
+
+
+@register(
     "except_op",
     """
     SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
