@@ -87,6 +87,19 @@ def compile_dnf(dnf: PartitionDNF | None) -> Column | None:
     return pred
 
 
+def dnf_allows(dnf: PartitionDNF | None, partition_values: dict[str, str]) -> bool:
+    """Pure-Python DNF evaluation against one file's partitionValues map —
+    the reference's per-file membership test (``src/main.rs:389-415``), with
+    the same fail-closed rule as :func:`compile_dnf`: absent/empty DNF allows,
+    a configured DNF admits a file only via a non-empty matching map."""
+    if not dnf:
+        return True
+    pv = {str(k): str(v) for k, v in (partition_values or {}).items()}
+    return any(
+        m and all(pv.get(k) == v for k, v in m.items()) for m in normalize_dnf(dnf)
+    )
+
+
 def dnf_to_sql(dnf: PartitionDNF | None) -> str | None:
     """The DNF as a SQL predicate string — same semantics as
     :func:`compile_dnf` (``None`` = unrestricted, ``'false'`` = configured

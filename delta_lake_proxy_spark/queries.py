@@ -1581,6 +1581,37 @@ def governed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "governed_source_read",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag
+    """,
+)
+def governed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format("governed") Python Data Source: the reference's FILE-level
+    allowed-file-set serving (forbidden files never become input partitions)
+    read through Spark's DataSource API and hash-checked against SQL."""
+    import json as _json
+
+    from .sources.governed import GovernedDataSource
+
+    try:
+        spark.dataSource.register(GovernedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = governed_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("governed")
+        .option("path", path)
+        .option("dnf", _json.dumps([{"l_returnflag": "A"}]))
+        .load()
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
     "governed_write_roundtrip",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
