@@ -1593,8 +1593,12 @@ def governed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     read through Spark's DataSource API and hash-checked against SQL."""
     import json as _json
 
+    from .session import ensure_engine_confs
     from .sources.governed import GovernedDataSource
 
+    # the reader implements pushFilters, which Spark gates behind a conf —
+    # set explicitly (a warm fixture skips load_table's conf pass)
+    ensure_engine_confs(spark)
     try:
         spark.dataSource.register(GovernedDataSource)
     except Exception:

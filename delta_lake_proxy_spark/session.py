@@ -20,6 +20,9 @@ ENGINE_SQL_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path (similarity/multimodal) — batch, not row.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let the format("governed") Python Data Source receive pushed filters
+    # for advisory file-level pruning (sources/governed.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

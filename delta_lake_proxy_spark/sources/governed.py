@@ -36,7 +36,18 @@ import os
 from typing import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 from .. import acl, deltalog
 
@@ -90,15 +101,66 @@ class GovernedReader(DataSourceReader):
         self._schema = schema
         self.path = options["path"]
         self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
+        self._pruning: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Advisory file pruning (Spark 4.1 filter pushdown): simple
+        comparisons are remembered and applied file-level in
+        :meth:`partitions` — partition-value equality like the reference's
+        prefix listing, min/max stats ranges like Delta data skipping. ALL
+        filters are returned, so Spark still evaluates them row-level: the
+        pruning is a pure IO optimization and can stay conservative."""
+        self._pruning = [
+            f
+            for f in filters
+            if isinstance(
+                f, (EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            )
+            and len(f.attribute) == 1
+        ]
+        return filters
+
+    def _file_may_match(self, pv: dict, stats: dict | None) -> bool:
+        mins = (stats or {}).get("minValues", {})
+        maxs = (stats or {}).get("maxValues", {})
+        for f in self._pruning:
+            col = f.attribute[0]
+            try:
+                if col in pv:
+                    # partition values are strings (Delta protocol)
+                    if isinstance(f, EqualTo) and pv[col] != str(f.value):
+                        return False
+                    if isinstance(f, In) and pv[col] not in {str(v) for v in f.value}:
+                        return False
+                elif col in mins or col in maxs:
+                    lo, hi = mins.get(col), maxs.get(col)
+                    if isinstance(f, EqualTo):
+                        if (lo is not None and lo > f.value) or (
+                            hi is not None and hi < f.value
+                        ):
+                            return False
+                    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        if hi is not None and hi < f.value:
+                            return False
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        if lo is not None and lo > f.value:
+                            return False
+            except TypeError:
+                continue  # incomparable stat/value types: keep the file
+        return True
 
     def partitions(self) -> list[GovernedFilePartition]:
         out = []
         for add in _live_adds(self.path):
             pv = add.get("partitionValues") or {}
-            if acl.dnf_allows(self.dnf, pv):
-                out.append(
-                    GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv))
-                )
+            if not acl.dnf_allows(self.dnf, pv):
+                continue
+            stats = json.loads(add["stats"]) if add.get("stats") else None
+            if not self._file_may_match(pv, stats):
+                continue
+            out.append(
+                GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv))
+            )
         return out
 
     def read(self, partition: GovernedFilePartition) -> Iterator:

@@ -56,6 +56,23 @@ def test_governed_source_typed_partition_columns(registered, spark, ym_table):
     assert dict(out.dtypes)["year"] in ("int", "bigint")
 
 
+def test_governed_source_filter_pushdown_prunes_files(registered, spark, gov_table, lineitem):
+    """A WHERE on the partition column must shrink the FILE set (advisory
+    pruning via pushFilters), while Spark still row-filters — results equal
+    the plain filtered read."""
+    full = _read(spark, gov_table)
+    n_files_full = full.rdd.getNumPartitions()
+    filtered = _read(spark, gov_table).filter(F.col("l_returnflag") == "A")
+    want = lineitem.filter(F.col("l_returnflag") == "A").count()
+    assert filtered.count() == want
+    assert filtered.rdd.getNumPartitions() < n_files_full
+    # stats-range pushdown on a data column is conservative but correct
+    hi = lineitem.agg(F.max("l_quantity")).collect()[0][0]
+    over = _read(spark, gov_table).filter(F.col("l_quantity") > hi)
+    assert over.count() == 0
+    assert over.rdd.getNumPartitions() <= n_files_full
+
+
 def test_dnf_allows_model():
     assert acl.dnf_allows(None, {"p": "1"}) and acl.dnf_allows([], {})
     assert not acl.dnf_allows([{}], {"p": "1"})  # configured-empty: deny
