@@ -21,12 +21,11 @@ HEADLINE = [
     "governed_read",
     "filter_project",
     "agg_group",
-    "agg_rollup",
+    "agg_rollup_cube",
     "join_inner",
     "join_outer",
     "join_asof",
-    "window_rank",
-    "window_frame",
+    "window_funcs",
     "top_k",
     "metrics_tumbling_window",
     "window_session",
@@ -34,7 +33,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_minhash",
     "text_stats",
-    "doc_fingerprint",
     "similarity_topk",
     "similarity_lsh",
     "multimodal_scan",

@@ -244,7 +244,12 @@ def governed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def acl_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column DNF (mirrors test_config.json:10-19's year/month ACL):
-    compile_dnf produces the OR-of-ANDs predicate over derived columns."""
+    compile_dnf produces the OR-of-ANDs predicate over derived columns.
+
+    The leading empty map exercises the reference's empty-filter-map SKIP
+    (src/main.rs:399-401, P4): an empty map contributes nothing — it is NOT
+    allow-all — so the result equals the two non-empty branches alone. The
+    oracle omits the empty branch; hash equality certifies the skip."""
     li = load_table(spark, sf_dir, "lineitem").withColumns(
         {
             "ship_year": F.year("l_shipdate").cast("long"),
@@ -253,6 +258,7 @@ def acl_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = acl.compile_dnf(
         [
+            {},
             {"ship_year": "1995", "ship_month": "3"},
             {"ship_year": "1996", "ship_month": "7"},
         ]
@@ -265,21 +271,6 @@ def acl_dnf(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
-
-
-@register(
-    "acl_empty_map_skip",
-    """
-    SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
-    WHERE l_returnflag = 'R' GROUP BY l_returnflag
-    """,
-)
-def acl_empty_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference semantics: an empty filter map is SKIPPED, not allow-all
-    (src/main.rs:399-401) — DNF [{}, {R}] admits only R."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pred = acl.compile_dnf([{}, {"l_returnflag": "R"}])
-    return li.filter(pred).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 @register(
@@ -306,49 +297,34 @@ def permission_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-_AUTH_HEADERS = [
-    (1, "AWS4-HMAC-SHA256 Credential=AKIAALICE/20240101/us-east-1/s3/aws4_request, SignedHeaders=host, Signature=abc"),
-    (2, "AWS4-HMAC-SHA256 Credential=AKIABOB/20240102/eu-west-1/s3/aws4_request"),
-    (3, ""),
-    (4, "Bearer not-sigv4"),
-]
-
-
 @register(
-    "extract_user",
+    "request_identity",
     """
-    SELECT id, CASE WHEN regexp_extract(auth, 'Credential=([^/,[:space:]]+)/', 1) = ''
-                    THEN 'anonymous'
-                    ELSE regexp_extract(auth, 'Credential=([^/,[:space:]]+)/', 1) END AS user_id
-    FROM (VALUES (1, 'AWS4-HMAC-SHA256 Credential=AKIAALICE/20240101/us-east-1/s3/aws4_request, SignedHeaders=host, Signature=abc'),
-                 (2, 'AWS4-HMAC-SHA256 Credential=AKIABOB/20240102/eu-west-1/s3/aws4_request'),
-                 (3, ''),
-                 (4, 'Bearer not-sigv4')) AS t(id, auth)
-    """,
-)
-def extract_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SigV4 identity extraction (G4, src/main.rs:1129-1135) as a column op."""
-    df = spark.createDataFrame(_AUTH_HEADERS, "id int, auth string")
-    extracted = F.regexp_extract(F.col("auth"), r"Credential=([^/,\s]+)/", 1)
-    return df.select(
-        "id",
-        F.when(extracted == "", F.lit(acl.ANONYMOUS)).otherwise(extracted).alias("user_id"),
-    )
-
-
-@register(
-    "key_rewrite",
-    """
-    SELECT concat('trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet') AS key,
+    SELECT doc_id,
+           concat('trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet') AS key,
            regexp_replace(
              concat('physical-bucket/deep/prefix/trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet'),
-             '^physical-bucket/deep/prefix/', '') AS rewritten
+             '^physical-bucket/deep/prefix/', '') AS rewritten,
+           CASE WHEN doc_id % 5 = 0 THEN 'anonymous'
+                ELSE concat('AKIA', upper(source)) END AS user_id
     FROM documents
     """,
 )
-def key_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alias<->physical key-namespace projection (P5, src/main.rs:273-317)."""
+def request_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-request parsing in one pass (G4 + P5): SigV4 identity extraction
+    from a synthesized Authorization header (src/main.rs:1129-1135; every
+    fifth request anonymous) and the alias<->physical key-namespace
+    projection (src/main.rs:273-317). The oracle reconstructs the extracted
+    credential directly, so hash equality certifies the regex."""
     docs = load_table(spark, sf_dir, "documents")
+    auth = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("AWS4-HMAC-SHA256 Credential=AKIA"),
+            F.upper("source"),
+            F.lit("/20240101/us-east-1/s3/aws4_request, SignedHeaders=host, Signature=abc"),
+        )
+    )
+    extracted = F.regexp_extract(auth, r"Credential=([^/,\s]+)/", 1)
     physical = F.concat(
         F.lit("physical-bucket/deep/prefix/trades/"),
         F.col("source"),
@@ -360,8 +336,10 @@ def key_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("trades/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".parquet")
     )
     return docs.select(
+        "doc_id",
         alias_key.alias("key"),
         F.regexp_replace(physical, "^physical-bucket/deep/prefix/", "").alias("rewritten"),
+        F.when(extracted == "", F.lit(acl.ANONYMOUS)).otherwise(extracted).alias("user_id"),
     )
 
 
@@ -380,6 +358,9 @@ def key_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 row filter + projection; also the S9 byte-range analog — the
+    pushed predicates + 4-column ReadSchema (verified via .explain in
+    tests) are the engine's version of `Range: bytes=a-b`."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -392,53 +373,61 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_group",
     f"""
-    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS}
+    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS},
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary (A6) — partial+final hash agg, no Python."""
+    """TPC-H Q1 pricing summary (A6) — partial+final hash agg, no Python —
+    plus the reference's plain counting surface in the same pass: exact
+    distinct order count (A2), min/max extrema, row counts (A1)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(*Q1_AGGS())
+        .agg(
+            *Q1_AGGS(),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
     )
 
 
 @register(
-    "agg_rollup",
+    "agg_rollup_cube",
     """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+    SELECT 'rollup' AS gset, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS gset, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 multi-level aggregation: ROLLUP and CUBE grouping sets over the
+    same keys, tagged and unioned so both operators run under one driver
+    row (each is a single Expand + hash-agg; no extra shuffle vs separate
+    queries)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")
+    aggs = [F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")]
+    r = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("gset"), "l_returnflag", "l_linestatus", "n_rows", "sum_qty")
     )
-
-
-@register(
-    "agg_counts",
-    """
-    SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
-    FROM orders
-    """,
-)
-def agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    c = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("gset"), "l_returnflag", "l_linestatus", "n_rows", "sum_qty")
     )
+    return r.unionByName(c)
 
 
 @register(
@@ -630,129 +619,94 @@ def auth_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_rank",
-    """
-    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
-      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
-             CAST(row_number() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
-      FROM orders)
-    WHERE rk <= 3
-    """,
-)
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        o.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select(
-            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rk"
-        )
-    )
-
-
-@register(
-    "window_frame",
-    """
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(AVG(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg_qty
-    FROM lineitem
-    """,
-)
-def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    li = load_table(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
-        .rowsBetween(-3, 0)
-    )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.avg("l_quantity").over(w), 6).alias("mov_avg_qty"),
-    )
-
-
-@register(
-    "agg_cube",
-    """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
-
-
-@register(
-    "window_lag_lead",
+    "window_funcs",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rk,
            lag(o_totalprice) OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price
+           lead(o_totalprice) OVER w AS next_price,
+           round(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
 )
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 in one pass: ranking (row_number), offsets (lag/lead), and a
+    bounded frame aggregate (3-preceding moving average) over the same
+    deterministic window spec — ONE sort+shuffle instead of three separate
+    window queries (the r2 registry spent three driver rows on these)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
+    wf = w.rowsBetween(-3, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rk"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-    )
-
-
-@register(
-    "projected_scan",
-    """
-    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-    WHERE l_shipdate = TIMESTAMP '1997-06-15'
-    """,
-)
-def projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 analog: the byte-range read's Spark equivalent is column pruning +
-    row-group skipping — the pushed equality + 3-column ReadSchema is the
-    engine's version of `Range: bytes=a-b`."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") == F.lit("1997-06-15").cast("timestamp")).select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
+        F.round(F.avg("o_totalprice").over(wf), 6).alias("mov_avg_price"),
     )
 
 
 @register(
     "string_funcs",
     """
-    SELECT p_partkey,
+    WITH u AS (
+      SELECT p_partkey,
+             concat('https://datalake.example.com/catalog/part?pkey=',
+                    CAST(p_partkey AS VARCHAR), '&size=',
+                    CAST(p_size AS VARCHAR)) AS url
+      FROM part
+    )
+    SELECT p.p_partkey,
            lower(p_name) AS name_lc,
            upper(p_brand) AS brand_uc,
            split_part(p_type, ' ', 1) AS type_head,
            CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS name_words,
-           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
-    FROM part
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           replace(replace(replace(replace(replace(
+             concat(p_name, ' <', p_brand, '> & "', p_type, ''''),
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+             '"', '&quot;'), '''', '&apos;') AS escaped,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]pkey=([^&]*)', 1) AS pkey_param
+    FROM part p JOIN u ON u.p_partkey = p.p_partkey
     """,
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F7 string algebra on part names (split/strip/concat/case)."""
+    """The scalar string surface in one projection over ``part``:
+
+    - F1/F7 string algebra (split/strip/concat/case);
+    - F2 XML escaping (the reference's S3 ListObjects XML layer,
+      src/main.rs:352): the 5 XML entities, & first so entities don't
+      double-escape — a pure codegen replace chain, no UDF;
+    - F3 URL parsing (src/main.rs:1129-1135): Spark's native parse_url
+      extracts protocol/host/path/query and a named query param; the oracle
+      reconstructs each with regexes."""
     p = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.col("p_name"), F.lit(" <"), F.col("p_brand"), F.lit("> & \""),
+        F.col("p_type"), F.lit("'"),
+    )
+    escaped = raw
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]:
+        escaped = F.replace(escaped, F.lit(ch), F.lit(ent))
+    url = F.concat(
+        F.lit("https://datalake.example.com/catalog/part?pkey="),
+        F.col("p_partkey").cast("string"),
+        F.lit("&size="),
+        F.col("p_size").cast("string"),
+    )
     return p.select(
         "p_partkey",
         F.lower("p_name").alias("name_lc"),
@@ -764,74 +718,12 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
             "brand_size"
         ),
-    )
-
-
-@register(
-    "xml_escape",
-    """
-    SELECT p_partkey,
-           replace(replace(replace(replace(replace(
-             concat(p_name, ' <', p_brand, '> & "', p_type, ''''),
-             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
-             '"', '&quot;'), '''', '&apos;') AS escaped
-    FROM part
-    """,
-)
-def xml_escape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 XML escaping (the reference's S3 ListObjects XML layer,
-    src/main.rs:352): the 5 XML entities, & first so entities don't
-    double-escape — a pure codegen replace chain, no UDF."""
-    p = load_table(spark, sf_dir, "part")
-    raw = F.concat(
-        F.col("p_name"), F.lit(" <"), F.col("p_brand"), F.lit("> & \""),
-        F.col("p_type"), F.lit("'"),
-    )
-    escaped = raw
-    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]:
-        escaped = F.replace(escaped, F.lit(ch), F.lit(ent))
-    return p.select("p_partkey", escaped.alias("escaped"))
-
-
-@register(
-    "url_parse",
-    """
-    WITH u AS (
-      SELECT o_orderkey,
-             concat('https://datalake.example.com/tables/orders?user=u',
-                    CAST(o_custkey AS VARCHAR), '&priority=',
-                    split_part(o_orderpriority, '-', 1)) AS url
-      FROM orders
-    )
-    SELECT o_orderkey,
-           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
-           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
-           regexp_extract(url, '\\?(.*)$', 1) AS query,
-           regexp_extract(url, '[?&]user=([^&]*)', 1) AS user_param
-    FROM u
-    """,
-)
-def url_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 URL parsing (the reference decodes/splits request URLs,
-    src/main.rs:1129-1135 and the key-rewrite path): Spark's native
-    parse_url extracts protocol/host/path/query and a named query param;
-    the oracle reconstructs each with regexes."""
-    o = load_table(spark, sf_dir, "orders")
-    url = F.concat(
-        F.lit("https://datalake.example.com/tables/orders?user=u"),
-        F.col("o_custkey").cast("string"),
-        F.lit("&priority="),
-        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)),
-    )
-    u = o.select("o_orderkey", url.alias("url"))
-    return u.select(
-        "o_orderkey",
-        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
-        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
-        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
-        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user")).alias("user_param"),
+        escaped.alias("escaped"),
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))).alias("scheme"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("pkey")).alias("pkey_param"),
     )
 
 
@@ -856,35 +748,23 @@ def join_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "except_op",
-    """
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-)
-def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2-style reconciliation as a relational operator (adds minus removes)."""
-    o = load_table(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return urgent.subtract(low)  # SQL EXCEPT (set semantics)
-
-
-@register(
     "set_ops",
     """
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    SELECT 'except' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
     """,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1-U3: customers with both urgent and low-priority orders."""
+    """U1-U3 in one row: EXCEPT (the adds-minus-removes reconciliation
+    shape, U2), INTERSECT (U3), and the UNION ALL that tags and combines
+    them (U1) — customers with urgent-only vs both urgent and low orders."""
     o = load_table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -892,7 +772,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("custkey")
     )
-    return urgent.intersect(low)
+    ex = urgent.subtract(low).select(F.lit("except").alias("op"), "custkey")
+    inter = urgent.intersect(low).select(F.lit("intersect").alias("op"), "custkey")
+    return ex.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------
@@ -975,16 +857,19 @@ def metrics_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_avg_latency",
+    "agg_events",
     f"""
-    SELECT event_type, {_sql_davg('value', 9)} AS avg_latency, COUNT(*) AS n_events
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           {_sql_davg('value', 9)} AS avg_latency, COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
 )
-def agg_avg_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: the reference's average-backend-latency gauge (src/metrics.rs:107-133)."""
+def agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 on the request stream: exact distinct users and the reference's
+    average-backend-latency gauge (src/metrics.rs:107-133) per event type."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
         davg(F.col("value"), 9).alias("avg_latency"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -1039,21 +924,6 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table(qname)
-
-
-@register(
-    "agg_distinct_users",
-    """
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
 
 
 @register(
@@ -1169,10 +1039,33 @@ _TEXT_STATS_SQL = """
 """
 
 
-@register("text_stats", _TEXT_STATS_SQL)
+_FINGERPRINT_SQL = """
+    WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 7, 1), 4)) AS i
+            FROM norm)
+    SELECT doc_id, MIN(md5(substring(t, CAST(i AS INT), 8))) AS fingerprint
+    FROM idx GROUP BY doc_id
+"""
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH stats AS ({_TEXT_STATS_SQL}),
+    fp AS ({_FINGERPRINT_SQL})
+    SELECT s.doc_id, s.n_chars, s.n_words, s.n_tokens, s.n_punct, s.n_stopwords,
+           s.avg_word_len, s.quality_score, fp.fingerprint
+    FROM stats s JOIN fp ON fp.doc_id = s.doc_id
+    """,
+)
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 text analysis: length/token/punct/stopword stats + quality score
+    (text.text_stats) joined with the rolling-hash document fingerprint
+    (text.fingerprint) — both shuffle-free column pipelines; the join is
+    on the already-colocated doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.text_stats(docs)
+    return text.text_stats(docs).join(text.fingerprint(docs), "doc_id")
 
 
 _TIER_SQL = (
@@ -1300,22 +1193,6 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_fingerprint",
-    """
-    WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents),
-    idx AS (SELECT doc_id, t,
-                   unnest(generate_series(1, greatest(length(t) - 7, 1), 4)) AS i
-            FROM norm)
-    SELECT doc_id, MIN(md5(substring(t, CAST(i AS INT), 8))) AS fingerprint
-    FROM idx GROUP BY doc_id
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text.fingerprint(docs)
-
-
-@register(
     "ngram_jaccard",
     f"""
     WITH corpus AS ({_DUP_UNION_SQL}),
@@ -1395,60 +1272,22 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linestatus, COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
-    FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_linestatus
+    FROM lineitem WHERE l_returnflag = 'N' AND l_linestatus = 'O'
+    GROUP BY l_linestatus
     """,
 )
 def partition_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: single partition-equality predicate -> Catalyst PartitionPruning
-    on the governed fixture (the reference's one comparison op, src/main.rs:394)."""
+    """P2+P3: one ACL filter map = AND of equalities (src/main.rs:391-396),
+    compiled by compile_dnf; the l_returnflag term prunes partitions on the
+    governed fixture (Catalyst PartitionPruning — pinned by
+    tests/test_engine.py via inputFiles()), the l_linestatus term applies
+    as a pushed row filter."""
     eng = governed_engine(spark, sf_dir)
-    df = eng.read_table(GOV_ALIAS).filter(F.col("l_returnflag") == "N")
+    pred = acl.compile_dnf([{"l_returnflag": "N", "l_linestatus": "O"}])
+    df = eng.read_table(GOV_ALIAS).filter(pred)
     return df.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")
     )
-
-
-@register(
-    "acl_conjunction",
-    """
-    SELECT COUNT(*) AS n_rows FROM lineitem
-    WHERE CAST(year(l_shipdate) AS VARCHAR) = '1995'
-      AND CAST(month(l_shipdate) AS VARCHAR) = '3'
-    """,
-)
-def acl_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: one filter map = AND of equalities (src/main.rs:391-396)."""
-    li = load_table(spark, sf_dir, "lineitem").withColumns(
-        {"ship_year": F.year("l_shipdate"), "ship_month": F.month("l_shipdate")}
-    )
-    pred = acl.compile_dnf([{"ship_year": "1995", "ship_month": "3"}])
-    return li.filter(pred).agg(F.count(F.lit(1)).alias("n_rows"))
-
-
-@register(
-    "list_files_prefix",
-    _gov_replay_sql(
-        f"SELECT key, size FROM live WHERE key LIKE '{GOV_ALIAS}/l_returnflag=A/%'"
-    ),
-)
-def list_files_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/P1: prefix-filtered alias-namespace listing (oracle: DuckDB replay
-    of the fixture's Delta log)."""
-    eng = governed_engine(spark, sf_dir)
-    return eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=A/").select(
-        "key", "size"
-    )
-
-
-@register(
-    "list_files_start_after",
-    _gov_replay_sql("SELECT key FROM live WHERE key > (SELECT min(key) FROM live)"),
-)
-def list_files_start_after(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: keys strictly after a given key, in key order."""
-    eng = governed_engine(spark, sf_dir)
-    first = eng.list_files(GOV_ALIAS, max_keys=1).collect()[0]["key"]
-    return eng.list_files(GOV_ALIAS, start_after=first).select("key")
 
 
 @register(
@@ -1531,53 +1370,35 @@ def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "list_files_page",
+    "file_surface",
     _gov_replay_sql(
         f"""
-        , p1 AS (SELECT key, size FROM live
+        , p1 AS (SELECT key, size, modificationTime FROM live
                  WHERE key LIKE '{GOV_ALIAS}/l_returnflag=%'
                  ORDER BY key ASC LIMIT 2),
-        p2 AS (SELECT key, size FROM live
+        p2 AS (SELECT key, size, modificationTime FROM live
                WHERE key > (SELECT max(key) FROM p1)
-               ORDER BY key ASC LIMIT 2)
-        SELECT key, size FROM p1 UNION ALL SELECT key, size FROM p2
+               ORDER BY key ASC LIMIT 2),
+        u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified
+        FROM u
         """
     ),
 )
-def list_files_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3-S5: prefix filter + start-after + max-keys pagination."""
+def file_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ListObjectsV2 + HEAD surface in one row (S3-S5, S10, P1, O1-O2):
+    page 1 is a prefix-filtered, key-ordered, max-keys-limited listing; the
+    continuation token (last key of page 1, strictly-after semantics, ref
+    src/main.rs:251-262) drives page 2; each key carries its HEAD-equivalent
+    size + last-modified metadata."""
     eng = governed_engine(spark, sf_dir)
     page1 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=", max_keys=2)
     rows = page1.select("key").collect()
     token = rows[-1]["key"] if rows else None
     page2 = eng.list_files(GOV_ALIAS, continuation_token=token, max_keys=2)
-    return page1.unionByName(page2).select("key", "size")
-
-
-@register(
-    "file_stats",
-    _gov_replay_sql(
-        "SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified "
-        "FROM live"
-    ),
-)
-def file_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 HEAD-equivalent metadata."""
-    eng = governed_engine(spark, sf_dir)
-    return eng.file_stats(GOV_ALIAS)
-
-
-@register("governed_write", "SELECT true AS write_blocked")
-def governed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 negative path: a write against a read-only engine must raise."""
-    eng = governed_engine(spark, sf_dir, read_only=True)
-    df = load_table(spark, sf_dir, "lineitem").limit(5)
-    try:
-        eng.write_table(GOV_ALIAS, df, mode="append")
-        blocked = False
-    except ReadOnlyError:
-        blocked = True
-    return spark.createDataFrame([(blocked,)], "write_blocked: boolean")
+    return page1.unionByName(page2).select(
+        "key", "size", F.timestamp_millis(F.col("modificationTime")).alias("last_modified")
+    )
 
 
 @register(
@@ -1618,26 +1439,41 @@ def governed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "governed_write_roundtrip",
     f"""
-    SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
+    SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty,
+           true AS write_blocked
     FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_returnflag
     """,
 )
 def governed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12 positive path under the driver gate: a deterministic lineitem
-    slice goes through the full write path (staging + move + Delta commit,
-    partitioned), is read back through the governed read, and aggregated —
-    hash-checked against a SQL reconstruction of the same slice."""
+    """S12 positive path + G2 negative path under one driver row.
+
+    Positive: a deterministic lineitem slice goes through the full write
+    path (staging + move + Delta commit, partitioned), is read back through
+    the governed read, and aggregated — hash-checked against a SQL
+    reconstruction of the same slice. Negative: the same write against a
+    read-only engine must raise ReadOnlyError; the ``write_blocked`` column
+    carries that fact into the hash."""
     import shutil as _sh
     import tempfile as _tf
 
     src = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    ro = governed_engine(spark, sf_dir, read_only=True)
+    try:
+        ro.write_table(GOV_ALIAS, src.limit(5), mode="append")
+        blocked = False
+    except ReadOnlyError:
+        blocked = True
     scratch = os.path.join(_tf.mkdtemp(prefix="graft_gwrt_"), "t")
     eng = Engine(spark, EngineConfig(table_mapping={"t": scratch}, read_only=False))
     eng.write_table("t", src, mode="overwrite", partition_by=["l_returnflag"])
     out = (
         eng.read_table("t")
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .withColumn("write_blocked", F.lit(blocked))
     )
     rows = out.collect()
     _sh.rmtree(os.path.dirname(scratch), ignore_errors=True)
@@ -1749,17 +1585,63 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_history",
     _gov_replay_sql(
         """
-        SELECT version, max(commitInfo.operation) AS operation,
-               make_timestamp(max(commitInfo.timestamp) * 1000) AS timestamp,
-               count(add) AS n_added, count(remove) AS n_removed
-        FROM log GROUP BY version
+        , versions AS (SELECT DISTINCT version AS v FROM log),
+        pairs AS (
+          SELECT v.v, a.path, a.is_add,
+                 row_number() OVER (PARTITION BY v.v, a.path
+                                    ORDER BY a.version DESC, a.is_add ASC) AS rn
+          FROM actions a JOIN versions v ON a.version <= v.v
+        ),
+        counts AS (
+          SELECT v AS version,
+                 COUNT(*) FILTER (WHERE rn = 1 AND is_add) AS n_files
+          FROM pairs GROUP BY v
+        ),
+        hist AS (
+          SELECT version, max(commitInfo.operation) AS operation,
+                 make_timestamp(max(commitInfo.timestamp) * 1000) AS timestamp,
+                 count(add) AS n_added, count(remove) AS n_removed
+          FROM log GROUP BY version
+        )
+        SELECT h.version, h.operation, h.timestamp, h.n_added, h.n_removed,
+               COALESCE(c.n_files, 0) AS n_files
+        FROM hist h LEFT JOIN counts c ON c.version = h.version
         """
     ),
 )
 def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Commit-history surface (DeltaTable.history analog) on the fixture."""
+    """Commit history + time travel in one row (S6 versioned replay):
+    DeltaTable.history analog per version, joined with the live file count
+    AT that version (``snapshot_files(version=v)`` semantics — the oracle
+    independently replays every version's adds-minus-removes), so the row
+    set certifies both the history surface and versioned log replay."""
+    from pyspark.sql import Window
+
     eng = governed_engine(spark, sf_dir)
-    return eng.history(GOV_ALIAS)
+    log = eng.read_delta_log(GOV_ALIAS)
+    versions = log.select("version").distinct()
+    actions = log.select(
+        F.coalesce("add.path", "remove.path").alias("path"),
+        F.col("add").isNotNull().alias("is_add"),
+        "version",
+    ).filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+    pairs = actions.alias("a").join(
+        F.broadcast(versions.alias("v")), F.col("a.version") <= F.col("v.version")
+    )
+    w = Window.partitionBy("v.version", "a.path").orderBy(
+        F.col("a.version").desc(), F.col("a.is_add").asc()
+    )
+    live = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & F.col("a.is_add")
+    )
+    counts = live.groupBy(F.col("v.version").alias("version")).agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    return (
+        eng.history(GOV_ALIAS)
+        .join(counts, "version", "left")
+        .na.fill(0, ["n_files"])
+    )
 
 
 @register(
@@ -1931,53 +1813,17 @@ def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_summary(feats)
 
 
-def _list_tables_oracle() -> str:
+def _catalog_surface_oracle() -> str:
     path = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
-    return f"SELECT '{GOV_ALIAS}' AS table_name, '{path}' AS location"
-
-
-@register("list_tables", _list_tables_oracle)
-def list_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 catalog surface."""
-    eng = governed_engine(spark, sf_dir)
-    return eng.list_tables()
-
-
-@register("list_catalogs", "SELECT 'datalake' AS catalog_name")
-def list_catalogs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1: the single virtual bucket namespace."""
-    eng = governed_engine(spark, sf_dir)
-    return eng.list_catalogs()
-
-
-@register(
-    "delta_time_travel",
-    _gov_replay_sql(
-        """
-        , r0 AS (
-          SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC, is_add ASC) AS rn
-          FROM actions WHERE version <= 0
-        ),
-        v0 AS (SELECT count(*) AS n FROM r0 WHERE rn = 1 AND is_add)
-        SELECT CAST(0 AS INT) AS version, CAST((SELECT n FROM v0) AS INT) AS n_files
-        UNION ALL
-        SELECT CAST((SELECT max(version) FROM log) AS INT),
-               CAST((SELECT count(*) FROM live) AS INT)
-        """
-    ),
-)
-def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 versioned replay: live file counts at version 0 vs latest."""
-    eng = governed_engine(spark, sf_dir)
-    v0 = eng.snapshot_files(GOV_ALIAS, version=0).count()
-    latest = eng.snapshot_files(GOV_ALIAS).count()
-    return spark.createDataFrame(
-        [(0, int(v0)), (deltalog_latest(spark, sf_dir), int(latest))],
-        "version int, n_files int",
+    return (
+        f"SELECT 'datalake' AS catalog_name, '{GOV_ALIAS}' AS table_name, "
+        f"'{path}' AS location"
     )
 
 
-def deltalog_latest(spark: SparkSession, sf_dir: str) -> int:
-    from . import deltalog
-
-    return int(deltalog.latest_version(governed_fixture(spark, sf_dir)))
+@register("catalog_surface", _catalog_surface_oracle)
+def catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 catalog surface: the virtual bucket namespace crossed with its
+    table listing (catalog -> tables, both driver-hashed)."""
+    eng = governed_engine(spark, sf_dir)
+    return eng.list_catalogs().crossJoin(eng.list_tables())

@@ -1,0 +1,186 @@
+"""Pins the query-registry size and order.
+
+The correctness driver checks EXACTLY the first 50 entries of
+``__spark_entry__.queries()`` in registration order (observed in rounds 1-2:
+CORRECTNESS keys == registry[0:50]). Reordering or growing the registry past
+50 silently evicts queries from driver verification, so:
+
+- the registry must hold at most 50 queries;
+- the order is frozen here — any change to it must be deliberate (update
+  EXPECTED_ORDER in the same commit, never by accident);
+- every SURVEY.md §2 operator ID and every LLM-pipeline flagship must map to
+  a registered (hence driver-checked) query.
+"""
+
+from __future__ import annotations
+
+from delta_lake_proxy_spark.queries import ORACLES, QUERIES
+
+EXPECTED_ORDER = [
+    "governed_read",
+    "acl_dnf",
+    "permission_lookup_join",
+    "request_identity",
+    "filter_project",
+    "agg_group",
+    "agg_rollup_cube",
+    "top_k",
+    "join_inner",
+    "join_outer",
+    "join_range",
+    "join_asof",
+    "auth_semi_join",
+    "auth_anti_join",
+    "window_funcs",
+    "string_funcs",
+    "join_cross",
+    "set_ops",
+    "json_props",
+    "array_funcs",
+    "metrics_tumbling_window",
+    "agg_events",
+    "late_data_watermark",
+    "window_session",
+    "window_sliding",
+    "dedup_exact",
+    "text_stats",
+    "corpus_sample_stratified",
+    "training_mix",
+    "lang_id",
+    "ngram_jaccard",
+    "similarity_topk",
+    "partition_filter_scan",
+    "data_skipping_scan",
+    "delta_snapshot_files",
+    "read_delta_log",
+    "file_surface",
+    "governed_source_read",
+    "governed_write_roundtrip",
+    "compact_table",
+    "merge_upsert",
+    "table_history",
+    "pipeline_clean_corpus",
+    "dedup_near_minhash",
+    "dedup_near_simhash",
+    "similarity_lsh",
+    "similarity_ivf",
+    "multimodal_scan",
+    "catalog_surface",
+]
+
+# SURVEY.md §2 operator ID -> the registered query that certifies it.
+# (S11/S13/G8 are documented-n/a transport items; T5/G5/G6 are engine
+# services certified by pytest, not a driver row.)
+SURVEY_COVERAGE = {
+    "S1": "catalog_surface",
+    "S2": "catalog_surface",
+    "S3": "file_surface",
+    "S4": "file_surface",
+    "S5": "file_surface",
+    "S6": "table_history",
+    "S7": "read_delta_log",
+    "S8": "governed_read",
+    "S9": "filter_project",
+    "S10": "file_surface",
+    "S12": "governed_write_roundtrip",
+    "S14": "governed_source_read",
+    "P1": "file_surface",
+    "P2": "partition_filter_scan",
+    "P3": "partition_filter_scan",
+    "P4": "acl_dnf",
+    "P5": "request_identity",
+    "P6": "auth_semi_join",
+    "P7": "filter_project",
+    "J1": "auth_semi_join",
+    "J2": "permission_lookup_join",
+    "J3": "join_inner",
+    "J4": "join_outer",
+    "J5": "auth_anti_join",
+    "J6": "join_range",
+    "J7": "join_asof",
+    "J8": "join_cross",
+    "A1": "agg_group",
+    "A2": "agg_events",
+    "A3": "agg_events",
+    "A4": "acl_dnf",
+    "A5": "file_surface",
+    "A6": "agg_rollup_cube",
+    "W1": "metrics_tumbling_window",
+    "W2": "window_funcs",
+    "O1": "file_surface",
+    "O2": "file_surface",
+    "O3": "filter_project",
+    "O4": "top_k",
+    "U1": "set_ops",
+    "U2": "set_ops",
+    "U3": "set_ops",
+    "F1": "string_funcs",
+    "F2": "string_funcs",
+    "F3": "string_funcs",
+    "F4": "json_props",
+    "F5": "json_props",
+    "F6": "agg_group",
+    "F7": "string_funcs",
+    "F8": "array_funcs",
+    "F9": "dedup_exact",
+    "T1": "metrics_tumbling_window",
+    "T2": "metrics_tumbling_window",
+    "T3": "late_data_watermark",
+    "T4": "window_sliding",
+    "G1": "governed_read",
+    "G2": "governed_write_roundtrip",
+    "G3": "permission_lookup_join",
+    "G4": "request_identity",
+    "G7": "metrics_tumbling_window",
+    "G9": "compact_table",
+    "X1": "dedup_exact",
+    "X2": "dedup_near_minhash",
+    "X3": "similarity_topk",
+    "X4": "text_stats",
+    "X5": "multimodal_scan",
+}
+
+FLAGSHIPS = [
+    "governed_read",
+    "dedup_near_minhash",
+    "dedup_near_simhash",
+    "similarity_lsh",
+    "similarity_ivf",
+    "multimodal_scan",
+    "governed_source_read",
+    "governed_write_roundtrip",
+    "compact_table",
+    "merge_upsert",
+    "table_history",
+    "pipeline_clean_corpus",
+    "corpus_sample_stratified",
+    "training_mix",
+]
+
+
+def test_registry_fits_driver_window():
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} queries registered; the driver only checks the "
+        "first 50 — consolidate before adding more"
+    )
+
+
+def test_registry_order_is_pinned():
+    assert list(QUERIES.keys()) == EXPECTED_ORDER
+
+
+def test_every_survey_id_has_a_registered_query():
+    for survey_id, query in SURVEY_COVERAGE.items():
+        assert query in QUERIES, f"{survey_id} maps to unregistered {query!r}"
+
+
+def test_flagships_registered():
+    for name in FLAGSHIPS:
+        assert name in QUERIES, f"flagship {name!r} missing from registry"
+
+
+def test_single_justified_rows_only_query():
+    # every query has a DuckDB oracle except the xxhash64-based simhash
+    # (not reproducible in an external SQL engine — documented rows-only)
+    missing = [q for q in QUERIES if q not in ORACLES]
+    assert missing == ["dedup_near_simhash"]
