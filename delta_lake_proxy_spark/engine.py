@@ -793,38 +793,23 @@ class Engine:
         if target_file_bytes is not None:
             import math
 
-            per_part: dict[tuple, int] = {}
-            for r in (
+            # per-PARTITION byte totals, aggregated executor-side: the
+            # collect is one row per partition (not per file), so the driver
+            # footprint stays bounded even for 10^6-file tables
+            sizes = (
                 deltalog.snapshot_files(self.spark, path)
-                .select("size", "partitionValues")
+                .groupBy("partitionValues")
+                .agg(F.sum("size").alias("bytes"))
                 .collect()
-            ):
-                key = tuple(sorted((r["partitionValues"] or {}).items()))
-                per_part[key] = per_part.get(key, 0) + int(r["size"] or 0)
+            )
             nmap = {
-                k: max(1, math.ceil(v / target_file_bytes)) for k, v in per_part.items()
+                tuple(sorted((r["partitionValues"] or {}).items())): max(
+                    1, math.ceil(int(r["bytes"] or 0) / target_file_bytes)
+                )
+                for r in sizes
             }
             if parts:
-                nf: Column = F.lit(1)
-                for key, n in nmap.items():
-                    cond = None
-                    for col_name, val in key:
-                        term = F.col(col_name).cast("string") == F.lit(val)
-                        cond = term if cond is None else (cond & term)
-                    if cond is not None:
-                        nf = F.when(cond, F.lit(n)).otherwise(nf)
-                bucket = F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]), nf.cast("long")
-                )
-                df = (
-                    df.withColumn("_bin", bucket)
-                    .repartition(
-                        max(sum(nmap.values()), 1),
-                        *[F.col(c) for c in parts],
-                        F.col("_bin"),
-                    )
-                    .drop("_bin")
-                )
+                df = self._binpack(df, parts, nmap)
             else:
                 total_n = max(nmap.values(), default=1)
                 df = df.repartition(total_n)
@@ -837,6 +822,43 @@ class Engine:
             return self.write_table(alias, df, mode="overwrite", partition_by=list(parts))
         finally:
             self.config.read_only = read_only
+
+    def _binpack(
+        self, df: DataFrame, parts: list[str], nmap: dict[tuple, int]
+    ) -> DataFrame:
+        """Spread each partition's rows across its own bin count via a
+        BROADCAST JOIN against the tiny (partition-values -> n_files) map.
+
+        The plan stays O(1) in partition count — a literal CASE-chain here
+        (one WHEN per partition) would grow the codegen expression to
+        megabytes at 10^4-10^5 partitions and stall the driver."""
+        pv_cols = [f"__pv_{c}" for c in parts]
+        rows = [
+            tuple(dict(key).get(c) for c in parts) + (int(n),)
+            for key, n in nmap.items()
+        ]
+        schema = ", ".join([f"`{pc}` string" for pc in pv_cols] + ["`__nf` long"])
+        nmap_df = self.spark.createDataFrame(rows, schema)
+        cond = None
+        for c, pc in zip(parts, pv_cols):
+            # null-safe: Delta logs a null partition value as null
+            term = F.col(c).cast("string").eqNullSafe(F.col(pc))
+            cond = term if cond is None else (cond & term)
+        data_cols = list(df.columns)
+        joined = df.join(F.broadcast(nmap_df), cond, "left")
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in data_cols]),
+            F.coalesce(F.col("__nf"), F.lit(1)).cast("long"),
+        )
+        return (
+            joined.withColumn("_bin", bucket)
+            .repartition(
+                max(sum(nmap.values()), 1),
+                *[F.col(c) for c in parts],
+                F.col("_bin"),
+            )
+            .drop("_bin", "__nf", *pv_cols)
+        )
 
     def vacuum(self, alias: str, retention_hours: float = 168.0) -> int:
         """G9 maintenance: delete data files no longer referenced by the

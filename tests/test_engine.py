@@ -688,6 +688,23 @@ def test_compact_bin_packing_by_target_bytes(spark, tmp_path, lineitem):
     assert eng.read_table("t").count() == n_rows
 
 
+def test_binpack_plan_constant_in_partition_count(spark):
+    """The (partition -> n_files) routing is a broadcast join against a tiny
+    map DataFrame — the plan must NOT grow a CASE/WHEN branch per partition
+    (the r2 implementation codegen'd one WHEN per partition, which becomes a
+    megabyte-scale expression at 10^4-10^5 partitions)."""
+    eng = Engine(spark, EngineConfig(table_mapping={}, read_only=True))
+    df = spark.range(1000).select(
+        (F.col("id") % 1000).cast("string").alias("p"), F.col("id").alias("v")
+    )
+    nmap = {(("p", str(i)),): (i % 3) + 1 for i in range(1000)}
+    packed = eng._binpack(df, ["p"], nmap)
+    plan = packed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("WHEN") <= 5, "plan grows with partition count"
+    assert len(plan) < 20_000
+    assert packed.count() == 1000  # no rows lost by the routing join
+
+
 def test_rank_zorder_handles_skew(spark, tmp_path):
     """An outlier stretches linear (min/max) Z-bins so the entire data bulk
     collapses into bin 0 — a narrow query INSIDE the bulk can then prune
