@@ -44,6 +44,50 @@ def exact_dedup(
     )
 
 
+def salt_oversized_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    salt_expr: Column,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """Skew guard for bucketed candidate self-joins: split any bucket larger
+    than ``max_bucket_size`` into ``ceil(size/max)`` salted sub-buckets.
+
+    Without a cap, one hot bucket (an adversarial near-identical corpus, a
+    degenerate signature) makes the within-bucket self-join quadratic in that
+    bucket's size — at 100 TB a single 10^7-row bucket is a 10^14-pair
+    explosion. Salting bounds the work at ~N*max/2 pairs per bucket at a
+    DOCUMENTED recall cost: pairs split across sub-buckets are only found if
+    another band co-buckets them (callers salt per-band so the split differs
+    per band, which restores most of the banding redundancy).
+
+    The oversized-bucket map is aggregated executor-side and broadcast — it
+    holds at most N/max_bucket_size rows by construction.
+    """
+    if max_bucket_size is None:
+        return df, bucket_cols
+    big = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .withColumn(
+            "_nsub", F.ceil(F.col("_bsz") / F.lit(max_bucket_size)).cast("long")
+        )
+        .select(*bucket_cols, "_nsub")
+    )
+    salted = (
+        df.join(F.broadcast(big), list(bucket_cols), "left")
+        .withColumn(
+            "_sub",
+            F.when(
+                F.col("_nsub").isNotNull(), F.pmod(salt_expr, F.col("_nsub"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_nsub")
+    )
+    return salted, list(bucket_cols) + ["_sub"]
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (X2)
 # ---------------------------------------------------------------------------
@@ -109,6 +153,7 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_words: int = 3,
     threshold: float = 0.6,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
 
@@ -122,6 +167,9 @@ def minhash_near_duplicates(
     joined back for the (much smaller) verified candidate set. With r =
     num_hashes/bands rows per band, the candidate probability is ~j^r per
     band — default r=8 keeps low-similarity pairs out of verification.
+    Buckets larger than ``max_bucket_size`` are salted into sub-buckets
+    (per-band salt — see :func:`salt_oversized_buckets` for the recall
+    trade); ``None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
     # Spread the per-document work across the cluster: small doc tables often
@@ -159,9 +207,15 @@ def minhash_near_duplicates(
             )
         ).alias("_band", "_bucket"),
     )
+    banded, join_keys = salt_oversized_buckets(
+        banded,
+        ["_band", "_bucket"],
+        F.xxhash64(F.col("_id"), F.col("_band")),
+        max_bucket_size,
+    )
     candidates = (
         banded.alias("a")
-        .join(banded.alias("b"), on=["_band", "_bucket"])
+        .join(banded.alias("b"), on=join_keys)
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -257,6 +311,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
@@ -267,7 +322,9 @@ def simhash_near_duplicates(
     ``bands`` defaults to ``max_hamming + 1`` so the pigeonhole recall
     guarantee holds for the configured distance; passing fewer bands than
     that explicitly raises (it would silently miss pairs whose differing
-    bits spread across every band).
+    bits spread across every band). Buckets larger than ``max_bucket_size``
+    are salted into per-band sub-buckets (skew guard; weakens the pigeonhole
+    guarantee for pairs inside oversized buckets — documented trade).
     """
     if bands is None:
         bands = max_hamming + 1
@@ -312,9 +369,15 @@ def simhash_near_duplicates(
             )
         ).alias("_band", "_bucket"),
     )
+    banded, join_keys = salt_oversized_buckets(
+        banded,
+        ["_band", "_bucket"],
+        F.xxhash64(F.col("_id"), F.col("_band")),
+        max_bucket_size,
+    )
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), on=["_band", "_bucket"])
+        .join(banded.alias("b"), on=join_keys)
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),

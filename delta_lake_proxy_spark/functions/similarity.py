@@ -101,21 +101,33 @@ def lsh_near_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     axis_planes: bool = False,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing.
 
     Vectors sharing the full sign signature land in one bucket; pairs within a
     bucket get exact cosine verification. Recall can be raised by lowering
     ``num_planes`` (coarser buckets) — the classic LSH precision/recall dial.
+
+    Buckets larger than ``max_bucket_size`` are salted into sub-buckets
+    (``dedup.salt_oversized_buckets``): one hot bucket — e.g. a mass of
+    near-identical embeddings — would otherwise make the self-join quadratic
+    in that bucket's size. Pairs split across sub-buckets are missed
+    (documented recall trade; ``None`` disables the cap).
     """
+    from .dedup import salt_oversized_buckets
+
     with_bucket = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("_bucket"),
     )
+    with_bucket, join_keys = salt_oversized_buckets(
+        with_bucket, ["_bucket"], F.xxhash64(F.col("_id")), max_bucket_size
+    )
     pairs = (
         with_bucket.alias("a")
-        .join(with_bucket.alias("b"), on="_bucket")
+        .join(with_bucket.alias("b"), on=join_keys)
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),

@@ -42,6 +42,50 @@ def test_minhash_finds_near_dups(corpus):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    """Adversarial all-identical corpus: every doc lands in ONE (band, bucket)
+    for every band, so the uncapped candidate join is quadratic — C(120,2) =
+    7140 pairs. With max_bucket_size=12 each bucket is salted into sub-buckets
+    and the pair count is bounded well below quadratic; every returned pair
+    must still be a true duplicate (jaccard 1.0)."""
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, "identical adversarial hot bucket document text payload") for i in range(n)],
+        "doc_id long, text string",
+    )
+    full = n * (n - 1) // 2
+    capped = dedup.minhash_near_duplicates(
+        docs, threshold=0.9, max_bucket_size=12
+    ).collect()
+    assert 0 < len(capped) < full // 2  # bounded, not quadratic
+    assert all(r["jaccard"] == 1.0 for r in capped)
+    # uncapped control: the same corpus explodes to the full quadratic set
+    uncapped = dedup.minhash_near_duplicates(
+        docs, threshold=0.9, max_bucket_size=None
+    ).count()
+    assert uncapped == full
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Same skew guard on the embedding-LSH self-join: identical vectors all
+    share one sign bucket."""
+    n = 100
+    vec = [1.0, -2.0, 3.0, 0.5]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    full = n * (n - 1) // 2
+    capped = similarity.lsh_near_neighbors(
+        emb, dim=4, num_planes=4, threshold=0.9, max_bucket_size=10
+    ).collect()
+    assert 0 < len(capped) < full // 2
+    assert all(r["cosine"] == 1.0 for r in capped)
+    uncapped = similarity.lsh_near_neighbors(
+        emb, dim=4, num_planes=4, threshold=0.9, max_bucket_size=None
+    ).count()
+    assert uncapped == full
+
+
 def test_simhash_identical_distance_zero(corpus):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
