@@ -1813,6 +1813,43 @@ def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_summary(feats)
 
 
+@register(
+    "multimodal_wav_decode",
+    """
+    WITH ks AS (SELECT unnest(generate_series(0, 255)) AS k),
+    s AS (SELECT doc_id, ((doc_id * 31 + k * 7) % 65536) - 32768 AS v
+          FROM documents CROSS JOIN ks)
+    SELECT doc_id,
+           CAST(256 AS DOUBLE) AS n_samples,
+           CAST(SUM(v) AS DOUBLE) AS sum_amp,
+           CAST(SUM(v * v) AS DOUBLE) AS sum_sq,
+           CAST(MIN(v) AS DOUBLE) AS min_amp,
+           CAST(MAX(v) AS DOUBLE) AS max_amp,
+           CAST(16000 AS DOUBLE) AS sample_rate
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 REAL decode path (decode_stub=False): per-document synthetic RIFF
+    PCM16 WAV payloads (sample formula is public — see synth_wav_corpus) are
+    encoded executor-side, decoded by the pure-numpy RIFF chunk parser, and
+    reduced to exact integer features. The oracle recomputes the features
+    from the sample formula alone, so hash equality certifies the encoder ->
+    container bytes -> parser round-trip."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = multimodal.synth_wav_corpus(docs, n_samples=256, sample_rate=16000)
+    feats = multimodal.extract_features(wav, n_features=6, decode_stub=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("feature", 1).alias("n_samples"),
+        F.element_at("feature", 2).alias("sum_amp"),
+        F.element_at("feature", 3).alias("sum_sq"),
+        F.element_at("feature", 4).alias("min_amp"),
+        F.element_at("feature", 5).alias("max_amp"),
+        F.element_at("feature", 6).alias("sample_rate"),
+    )
+
+
 def _catalog_surface_oracle() -> str:
     path = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
     return (

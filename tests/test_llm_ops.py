@@ -191,10 +191,71 @@ def test_multimodal_pipeline(corpus):
     assert sum(r["n_docs"] for r in summary) == 4
 
 
-def test_multimodal_decode_stub_raises(corpus):
+def test_multimodal_decode_stub_false_rejects_fake_payloads(corpus):
+    # attach_media payloads are utf-8 text, not real containers: the REAL
+    # decoders must reject them (ValueError for non-RIFF audio / non-PPM
+    # image, NotImplementedError for video) — errors surface via Py4J
     media = multimodal.attach_media(corpus)
-    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+    with pytest.raises(Exception):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    samples = ((np.arange(500) * 977) % 65536 - 32768).astype(np.int16)
+    payload = multimodal.encode_wav_pcm16(samples, sample_rate=8000)
+    decoded, sr = multimodal.decode_wav_pcm16(payload)
+    assert sr == 8000
+    assert decoded.dtype == np.float64
+    assert (decoded == samples.astype(np.float64)).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav_pcm16(b"not a wav file at all")
+
+
+def test_ppm_roundtrip_with_comment_header():
+    import numpy as np
+
+    px = (np.arange(5 * 4 * 3).reshape(5, 4, 3) % 256).astype(np.uint8)
+    payload = multimodal.encode_ppm(px)
+    # inject a comment line into the header (netpbm allows them)
+    payload = payload.replace(b"P6\n", b"P6\n# synthetic fixture\n", 1)
+    decoded = multimodal.decode_ppm(payload)
+    assert decoded.shape == (5, 4, 3)
+    assert (decoded == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        multimodal.decode_ppm(b"\x89PNG....")
+
+
+def test_real_decode_features_on_wav_and_ppm(spark):
+    """decode_stub=False end-to-end through mapInPandas on genuine payloads."""
+    import numpy as np
+
+    wav = multimodal.encode_wav_pcm16(np.array([100, -200, 300], dtype=np.int16))
+    ppm = multimodal.encode_ppm(np.full((2, 3, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav), {"modality": "audio", "n_bytes": len(wav),
+                                 "width": None, "height": None, "sample_rate": 16000}),
+            (2, bytearray(ppm), {"modality": "image", "n_bytes": len(ppm),
+                                 "width": 3, "height": 2, "sample_rate": None}),
+        ],
+        multimodal.T.StructType(
+            [
+                multimodal.T.StructField("doc_id", multimodal.T.LongType()),
+                multimodal.T.StructField("media_bytes", multimodal.T.BinaryType()),
+                multimodal.T.StructField("media_meta", multimodal.MEDIA_META_SCHEMA),
+            ]
+        ),
+    )
+    rows = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(media, n_features=5, decode_stub=False).collect()
+    }
+    # audio: [n, sum, sum_sq, min, max]
+    assert rows[1] == [3.0, 200.0, 140000.0, -200.0, 300.0]
+    # image: [w, h, sum_r, sum_g, sum_b] — 2*3 pixels of value 7 per channel
+    assert rows[2] == [3.0, 2.0, 42.0, 42.0, 42.0]
 
 
 def test_asof_join_backward(spark):

@@ -65,6 +65,7 @@ EXPECTED_ORDER = [
     "similarity_lsh",
     "similarity_ivf",
     "multimodal_scan",
+    "multimodal_wav_decode",
     "catalog_surface",
 ]
 
@@ -137,7 +138,7 @@ SURVEY_COVERAGE = {
     "X2": "dedup_near_minhash",
     "X3": "similarity_topk",
     "X4": "text_stats",
-    "X5": "multimodal_scan",
+    "X5": "multimodal_wav_decode",
 }
 
 FLAGSHIPS = [
