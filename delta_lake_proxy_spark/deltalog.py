@@ -330,23 +330,50 @@ def commit_dir_state(
     )
 
 
+def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
+    """Driver-side snapshot replay: path -> latest live ``add`` action.
+
+    CHECKPOINT-AWARE, exactly like :func:`snapshot_files`: when
+    ``_last_checkpoint`` exists, the columnar checkpoint is read with pyarrow
+    (driver-side — the log is metadata-sized) and only JSON commits AFTER it
+    replay on top. This keeps every driver-side consumer (per-request
+    authorization, the write-path reconcile, the governed Python DataSource)
+    correct the day log cleanup prunes pre-checkpoint JSON commits.
+    """
+    state: dict[str, dict | None] = {}
+    min_version = -1
+    ck = last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
+
+        v = int(ck["version"])
+        ck_file = os.path.join(log_path(table_path), f"{v:020d}.checkpoint.parquet")
+        for a in pq.read_table(ck_file, columns=["add"]).column("add").to_pylist():
+            if a is not None:
+                state[a["path"]] = a
+        min_version = v
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            if int(name[:-5]) <= min_version:
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        state[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        state[action["remove"]["path"]] = None
+    return {p: a for p, a in state.items() if a is not None}
+
+
 def _live_paths_no_spark(table_path: str) -> list[str]:
     """Driver-side replay for the writer path (the log is metadata-sized)."""
-    live: dict[str, bool] = {}
-    d = log_path(table_path)
-    for name in sorted(os.listdir(d)):
-        if not (name.endswith(".json") and name[:-5].isdigit()):
-            continue
-        with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    live[action["add"]["path"]] = True
-                elif "remove" in action:
-                    live[action["remove"]["path"]] = False
-    return [p for p, is_live in live.items() if is_live]
+    return list(_live_adds_no_spark(table_path))
 
 
 # ---------------------------------------------------------------------------

@@ -422,23 +422,29 @@ class Engine:
 
     def authorize_file(self, alias: str, user: str, rel_path: str) -> bool:
         """File-level membership check; raises 403/404 exactly like the
-        reference's data-file GET (src/main.rs:576-594, 770-788)."""
+        reference's data-file GET (src/main.rs:576-594, 770-788).
+
+        Runs ZERO Spark jobs: the reference's per-request shape is a
+        driver-side set lookup against its cached snapshot, so here the
+        live-file map comes from the checkpoint-aware driver-side log replay
+        (memoized in the snapshot TTL cache) and the DNF evaluates in pure
+        Python. Batch authorization stays on the DataFrame path
+        (:meth:`authorize_requests`)."""
         if rel_path.startswith(deltalog.LOG_DIR):
             return True  # metadata bypasses the ACL (src/main.rs:532-538)
-        snapshot = deltalog.snapshot_files(self.spark, self.resolve(alias))
-        exists = snapshot.filter(F.col("path") == rel_path).limit(1).count() > 0
+        path = self.resolve(alias)
+        live = self._snapshot_cache.get_or_compute(
+            ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+        )
+        add = live.get(rel_path)
         dnf = self.resolved_dnf(alias, user)
-        if dnf:
-            allowed = (
-                self.allowed_files(alias, user)
-                .filter(F.col("path") == rel_path)
-                .limit(1)
-                .count()
-                > 0
-            )
-            if not allowed:
-                raise ForbiddenByPolicyError(user, alias, rel_path)
-        if not exists:
+        if dnf and (
+            add is None or not acl.dnf_allows(dnf, add.get("partitionValues") or {})
+        ):
+            # membership-in-allowed-set precedes existence (a nonexistent key
+            # in a governed table 403s, not 404s — reference-faithful)
+            raise ForbiddenByPolicyError(user, alias, rel_path)
+        if add is None:
             raise NoSuchKeyError(f"{alias}/{rel_path}")
         return True
 

@@ -59,7 +59,7 @@ class GovernedFilePartition(InputPartition):
 
 
 def _log_actions(table_path: str) -> list[dict]:
-    """Driver-side raw action list (metadata-sized, no SparkSession)."""
+    """Driver-side raw JSON action list (metadata-sized, no SparkSession)."""
     d = deltalog.log_path(table_path)
     actions: list[dict] = []
     if not os.path.isdir(d):
@@ -76,24 +76,51 @@ def _log_actions(table_path: str) -> list[dict]:
 
 def _live_adds(table_path: str) -> list[dict]:
     """Replay: latest action per path wins; keep live adds (with their
-    partitionValues)."""
-    state: dict[str, dict | None] = {}
-    for a in _log_actions(table_path):
-        if "add" in a:
-            state[a["add"]["path"]] = a["add"]
-        elif "remove" in a:
-            state[a["remove"]["path"]] = None
-    return [v for v in state.values() if v is not None]
+    partitionValues). Delegates to the CHECKPOINT-AWARE driver-side replay in
+    ``deltalog`` — this source stays equal to ``deltalog.snapshot_files``
+    even after log cleanup prunes pre-checkpoint JSON commits."""
+    return list(deltalog._live_adds_no_spark(table_path).values())
 
 
 def _logged_schema(table_path: str) -> T.StructType | None:
+    """Latest metaData schemaString: checkpoint first (it carries the
+    metaData action), then any JSON commits on top."""
     schema_json = None
+    ck = deltalog.last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
+
+        ck_file = os.path.join(
+            deltalog.log_path(table_path),
+            f"{int(ck['version']):020d}.checkpoint.parquet",
+        )
+        for m in pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist():
+            if m and m.get("schemaString"):
+                schema_json = m["schemaString"]
     for a in _log_actions(table_path):
         if "metaData" in a and a["metaData"].get("schemaString"):
             schema_json = a["metaData"]["schemaString"]
     if not schema_json or schema_json == "{}":
         return None
     return T.StructType.fromJson(json.loads(schema_json))
+
+
+def _delta_pv_str(value) -> str | None:
+    """Canonicalize a pushed-filter value to Delta's partition-value STRING
+    form for comparison against ``add.partitionValues``. Returns ``None`` for
+    types whose serialization is not reproduced here (timestamps, decimals,
+    binary, ...) — callers must then keep the file (conservative).
+
+    Python ``str(True)`` is ``'True'`` but Delta logs ``'true'`` — comparing
+    raw ``str()`` output would wrongly prune every matching file of a boolean
+    partition column and silently drop rows."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (str, int)):
+        return str(value)
+    if isinstance(value, float):
+        return str(value)
+    return None
 
 
 class GovernedReader(DataSourceReader):
@@ -127,11 +154,17 @@ class GovernedReader(DataSourceReader):
             col = f.attribute[0]
             try:
                 if col in pv:
-                    # partition values are strings (Delta protocol)
-                    if isinstance(f, EqualTo) and pv[col] != str(f.value):
-                        return False
-                    if isinstance(f, In) and pv[col] not in {str(v) for v in f.value}:
-                        return False
+                    # partition values are strings (Delta protocol); compare
+                    # via the canonical Delta serialization — values whose
+                    # serialization we don't reproduce keep the file
+                    if isinstance(f, EqualTo):
+                        want = _delta_pv_str(f.value)
+                        if want is not None and pv[col] != want:
+                            return False
+                    if isinstance(f, In):
+                        wants = {_delta_pv_str(v) for v in f.value}
+                        if None not in wants and pv[col] not in wants:
+                            return False
                 elif col in mins or col in maxs:
                     lo, hi = mins.get(col), maxs.get(col)
                     if isinstance(f, EqualTo):
@@ -178,21 +211,17 @@ class GovernedReader(DataSourceReader):
                 cols.append(table.column(field.name))
             else:
                 # partition column: constant from the add action's
-                # partitionValues (string-typed in the log; cast to the
-                # logged schema type)
+                # partitionValues (string-typed in the log), cast to the
+                # Arrow type DERIVED from the Spark field — covers
+                # timestamp/decimal/long-form types the old literal map
+                # missed (an unmapped type used to ship a string array
+                # against a non-string schema and fail at runtime)
+                from pyspark.sql.pandas.types import to_arrow_type
+
                 raw = partition.partition_values.get(field.name)
                 arr = pa.array([raw] * n, type=pa.string())
-                pa_type = {
-                    "int": pa.int32(),
-                    "bigint": pa.int64(),
-                    "smallint": pa.int16(),
-                    "double": pa.float64(),
-                    "float": pa.float32(),
-                    "boolean": pa.bool_(),
-                    "string": pa.string(),
-                    "date": pa.date32(),
-                }.get(field.dataType.simpleString())
-                if pa_type is not None and pa_type != pa.string():
+                pa_type = to_arrow_type(field.dataType)
+                if pa_type != pa.string():
                     import pyarrow.compute as pc
 
                     arr = pc.cast(arr, pa_type)

@@ -137,6 +137,27 @@ def test_authorize_file_matrix(spark, gov_table):
         eng2.authorize_file("gov", "u", "l_returnflag=A/ghost.parquet")
 
 
+def test_authorize_file_runs_zero_spark_jobs(spark, gov_table):
+    """The per-request membership check is the reference's driver-side set
+    lookup — it must never launch a Spark job. Severing eng.spark after
+    construction makes any Spark touch explode immediately."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = make_engine(spark, gov_table, allowed={"gov": [{"l_returnflag": "A"}]})
+    files = {
+        (a.get("partitionValues") or {})["l_returnflag"]: p
+        for p, a in deltalog._live_adds_no_spark(gov_table).items()
+    }
+    eng.spark = None  # any Spark usage now raises AttributeError
+    assert eng.authorize_file("gov", "u", files["A"]) is True
+    with pytest.raises(ForbiddenByPolicyError):
+        eng.authorize_file("gov", "u", files["R"])
+    with pytest.raises(ForbiddenByPolicyError):
+        # nonexistent key in a governed table: membership precedes existence
+        eng.authorize_file("gov", "u", "l_returnflag=A/ghost.parquet")
+    assert eng.authorize_file("gov", "u", "_delta_log/00000000000000000000.json")
+
+
 def test_authorize_requests_semi_anti(spark, gov_table):
     eng = make_engine(spark, gov_table, allowed={"gov": [{"l_returnflag": "A"}]})
     all_paths = eng.snapshot_files("gov").select("path")
