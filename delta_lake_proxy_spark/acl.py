@@ -111,8 +111,14 @@ def dnf_to_sql(dnf: PartitionDNF | None) -> str | None:
     for m in normalize_dnf(dnf):
         if not m:
             continue
+        # escape backslash BEFORE the quote: Spark string literals treat
+        # backslash as an escape character (default parser mode), so an
+        # unescaped '\' in a value would shift what the predicate matches
         terms = [
-            "CAST(`{}` AS STRING) = '{}'".format(k.replace("`", "``"), v.replace("'", "''"))
+            "CAST(`{}` AS STRING) = '{}'".format(
+                k.replace("`", "``"),
+                v.replace("\\", "\\\\").replace("'", "\\'"),
+            )
             for k, v in m.items()
         ]
         branches.append("(" + " AND ".join(terms) + ")")
@@ -135,14 +141,36 @@ def extension_confs(path_to_dnf: dict[str, PartitionDNF]) -> dict[str, str]:
     relation rooted under a registered path — including raw
     ``spark.read.parquet(path)`` that never touches the Engine — gets the
     compiled DNF filter injected by the analyzer rule in
-    ``ext/java/graft/GovernedAclRule.java``, closing the raw-path bypass the
-    library-level design concedes.
+    ``ext/java/graft/GovernedAclRule.java``, covering the raw DataFrame-path
+    bypass the library-level design concedes.
+
+    Scope: plan-level enforcement for Catalyst file relations in sessions
+    built with these confs — NOT a same-process security boundary. RDD-level
+    reads bypass Catalyst entirely, and any code can build its own session
+    without the extension. The rule snapshots the rules string at session
+    creation, so runtime ``spark.conf.set`` mutation cannot clear it.
+
+    The encoding is line/tab-delimited, so paths or partition values
+    containing tab/newline/CR would corrupt rule framing (fragments
+    misparsed as path rules) — they are rejected loudly here.
     """
+
+    def _no_control(s: str, what: str) -> str:
+        if any(c in s for c in "\t\n\r"):
+            raise ValueError(
+                f"{what} contains tab/newline characters unsupported by the "
+                f"line-oriented ACL rule encoding: {s!r}"
+            )
+        return s
+
     rules = []
     for path, dnf in sorted(path_to_dnf.items()):
         sql = dnf_to_sql(dnf)
         if sql is not None:
-            rules.append(f"{os.path.abspath(path)}\t{sql}")
+            rules.append(
+                f"{_no_control(os.path.abspath(path), 'table path')}\t"
+                f"{_no_control(sql, 'ACL predicate')}"
+            )
     return {
         "spark.jars": extension_jar_path(),
         "spark.sql.extensions": "graft.GovernedAclExtension",

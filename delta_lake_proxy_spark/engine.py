@@ -195,7 +195,11 @@ class Engine:
         ``ext/java/graft/GovernedAclRule.java``): raw path reads in a session
         built with these confs carry the same DNF filter the governed read
         injects. Apply on the builder of a NEW session — extensions are
-        static configuration."""
+        static configuration.
+
+        Scope: covers Catalyst file relations (DataFrame/SQL reads) in that
+        session; RDD-level reads bypass Catalyst, and this is not a
+        same-process security boundary (see acl.extension_confs)."""
         return acl.extension_confs(
             {
                 self.resolve(alias): self.resolved_dnf(alias, user)

@@ -18,10 +18,19 @@ import scala.runtime.AbstractPartialFunction;
  * A resolution rule that wraps every file-source relation whose root path is
  * registered in {@code spark.graft.acl.rules} with a Filter on the compiled
  * DNF predicate. Unlike the library-level Engine.read_table() filter, this
- * closes the raw-path bypass: {@code spark.read.parquet(governed_path)} in an
- * extension-enabled session carries the ACL whether or not the caller went
+ * covers the raw DataFrame path: {@code spark.read.parquet(governed_path)} in
+ * an extension-enabled session carries the ACL whether or not the caller went
  * through the Engine (the reference enforces the same invariant with a
  * process boundary, src/main.rs:576-594).
+ *
+ * SCOPE OF THE GUARANTEE: this is plan-level enforcement for Catalyst file
+ * relations inside sessions built with the extension confs. It is NOT a
+ * security boundary against code running in the same process: RDD-level
+ * reads (sparkContext.textFile/hadoopFile) never enter Catalyst, and a caller
+ * can always build a separate session without the extension. The rules
+ * string is snapshotted at session creation, so in-session
+ * {@code spark.conf.set("spark.graft.acl.rules", ...)} mutation cannot
+ * clear or alter enforcement.
  *
  * Conf format (set by delta_lake_proxy_spark.acl.extension_confs):
  *   spark.graft.acl.rules = <path>\t<predicate sql>\n<path>\t<predicate sql>...
@@ -38,9 +47,14 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
       new TreeNodeTag<>("graft.acl.injected");
 
   private final SparkSession session;
+  private final String rules;
 
   public GovernedAclRule(SparkSession session) {
     this.session = session;
+    // Snapshot at rule construction (session creation): the extension confs
+    // are static, and reading the mutable RuntimeConfig on every analyzer
+    // pass would let any in-session conf.set() disable enforcement.
+    this.rules = session.conf().get("spark.graft.acl.rules", "");
   }
 
   private String normalize(String p) {
@@ -82,7 +96,6 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
   }
 
   private String predicateFor(LogicalPlan rel) {
-    String rules = session.conf().get("spark.graft.acl.rules", "");
     if (rules.isEmpty()) {
       return null;
     }

@@ -26,7 +26,18 @@ def test_dnf_to_sql_semantics():
     assert acl.dnf_to_sql([{}]) == "false"  # configured-but-empty: deny-all
     sql = acl.dnf_to_sql([{"a": "1", "b": "x"}, {"c": "o'k"}])
     assert "CAST(`a` AS STRING) = '1'" in sql and " OR " in sql
-    assert "'o''k'" in sql  # quote escaping
+    assert r"'o\'k'" in sql  # quote escaping (backslash form)
+    # backslash escapes before the quote: '\' must not shift literal parsing
+    assert r"'a\\b'" in acl.dnf_to_sql([{"c": "a\\b"}])
+
+
+def test_dnf_to_sql_quote_and_backslash_roundtrip(spark):
+    """The escaped literal must select exactly the raw value when Spark
+    parses it (the ADVICE failure mode: backslash shifting the match)."""
+    for raw in ("o'k", "a\\b", "a\\'b", "plain"):
+        df = spark.createDataFrame([(raw,), ("other",)], "c string")
+        sql = acl.dnf_to_sql([{"c": raw}])
+        assert [r["c"] for r in df.filter(sql).collect()] == [raw]
 
 
 def test_extension_confs_shape(tmp_path):
@@ -34,6 +45,15 @@ def test_extension_confs_shape(tmp_path):
     assert confs["spark.sql.extensions"] == "graft.GovernedAclExtension"
     assert confs["spark.jars"].endswith("graft-acl-ext.jar")
     assert "\t" in confs["spark.graft.acl.rules"]
+
+
+def test_extension_confs_reject_control_characters(tmp_path):
+    # a tab/newline in a path or partition value would corrupt the
+    # line-oriented rule encoding — rejected loudly, never emitted
+    with pytest.raises(ValueError, match="tab/newline"):
+        acl.extension_confs({str(tmp_path / "evil\tpath"): [{"p": "1"}]})
+    with pytest.raises(ValueError, match="tab/newline"):
+        acl.extension_confs({str(tmp_path / "t"): [{"p": "1\n/etc\tfalse"}]})
 
 
 @pytest.mark.skipif(not os.path.exists(JAR), reason="extension jar not built")
@@ -77,6 +97,11 @@ def test_raw_read_is_filtered_in_extension_session(spark, tmp_path, lineitem):
         plan2 = raw2._jdf.queryExecution().analyzed().toString()
         assert "RelationV2" in plan2, "expected a DSv2 relation: " + plan2
         assert raw2.count() == {n_a}, f"DSv2 governed: got {{raw2.count()}}, want {n_a}"
+        # runtime conf mutation must NOT clear enforcement: the rule
+        # snapshotted the rules string at session creation
+        spark.conf.set("spark.graft.acl.rules", "")
+        still = spark.read.parquet({gov!r})
+        assert still.count() == {n_a}, "conf.set('') must not disable the ACL rule"
         print("EXT-OK")
         spark.stop()
         """
