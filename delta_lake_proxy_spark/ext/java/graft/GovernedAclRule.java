@@ -10,6 +10,7 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation;
 import org.apache.spark.sql.execution.datasources.v2.FileTable;
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation;
 import scala.runtime.AbstractPartialFunction;
 
 /**
@@ -75,8 +76,9 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
     return s;
   }
 
-  /** Root paths for V1 (LogicalRelation/HadoopFsRelation) and V2
-   * (DataSourceV2Relation/FileTable) file relations; null otherwise. */
+  /** Root paths for V1 (LogicalRelation/HadoopFsRelation), V2
+   * (DataSourceV2Relation/FileTable), and streaming (StreamingRelation,
+   * i.e. {@code spark.readStream.parquet(path)}) file relations; null otherwise. */
   private scala.collection.Iterator<org.apache.hadoop.fs.Path> rootPaths(LogicalPlan p) {
     if (p instanceof LogicalRelation
         && ((LogicalRelation) p).relation() instanceof HadoopFsRelation) {
@@ -91,6 +93,19 @@ public class GovernedAclRule extends Rule<LogicalPlan> {
           .fileIndex()
           .rootPaths()
           .iterator();
+    }
+    if (p instanceof StreamingRelation) {
+      // file-source streams carry their root as the "path" option; the
+      // injected Filter stays in the logical plan and applies to every
+      // micro-batch the stream plans from this relation
+      scala.Option<String> path =
+          ((StreamingRelation) p).dataSource().options().get("path");
+      if (path.isDefined()) {
+        java.util.List<org.apache.hadoop.fs.Path> one =
+            java.util.Collections.singletonList(
+                new org.apache.hadoop.fs.Path(path.get()));
+        return scala.jdk.javaapi.CollectionConverters.asScala(one.iterator());
+      }
     }
     return null;
   }

@@ -97,6 +97,17 @@ def test_raw_read_is_filtered_in_extension_session(spark, tmp_path, lineitem):
         plan2 = raw2._jdf.queryExecution().analyzed().toString()
         assert "RelationV2" in plan2, "expected a DSv2 relation: " + plan2
         assert raw2.count() == {n_a}, f"DSv2 governed: got {{raw2.count()}}, want {n_a}"
+        # streaming relations are governed too: readStream over the
+        # governed path must only surface the allowed partition
+        seen = []
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "*.parquet").parquet({gov!r}))
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: seen.append(df.count()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        q.stop()
+        assert sum(seen) == {n_a}, f"streaming governed: got {{sum(seen)}}, want {n_a}"
         # runtime conf mutation must NOT clear enforcement: the rule
         # snapshotted the rules string at session creation
         spark.conf.set("spark.graft.acl.rules", "")
