@@ -110,6 +110,14 @@ def uri_to_rel(uri: str, table_path: str) -> str:
 # broad-predicate DELETE over 100k files would blow up.
 ISIN_FILE_LIMIT = 64
 
+# Beyond this many LIVE files, reads stop enumerating the snapshot on the
+# driver entirely (no collect, no N-path reader argument list) and switch to
+# the listing-join scan — see Engine._read_data_listing_join.
+LARGE_LISTING_THRESHOLD = 100_000
+
+# Cache sentinel for "this snapshot is too large to enumerate driver-side".
+_TOO_MANY_FILES = object()
+
 
 class Engine:
     """Governed Delta lakehouse engine over a table-alias catalog."""
@@ -131,6 +139,7 @@ class Engine:
         # live-file-list memo per table path — the reference's Delta snapshot
         # cache (20 entries x 120 s, src/main.rs:82-85); invalidated on write.
         self._snapshot_cache = acl.TTLCache(20, 120.0)
+        self.large_listing_threshold = LARGE_LISTING_THRESHOLD
         # Observability counters (ref src/metrics.rs:66-88); the windowed
         # aggregation over request events lives in streaming.metrics.
         self.counters: dict[str, int] = {"queries_served": 0, "queries_proxied": 0}
@@ -352,14 +361,20 @@ class Engine:
         partition-discovering read for plain-parquet locations without a log.
         """
         if deltalog.latest_version(path) >= 0:
+            limit = self.large_listing_threshold
 
-            def compute() -> list[str]:
-                return [
-                    os.path.join(path, r["path"])
-                    for r in deltalog.snapshot_files(self.spark, path, version=version)
+            def compute():
+                # limit+1 bounds driver memory AND detects overflow in the
+                # same single job — no separate count() pass.
+                rows = (
+                    deltalog.snapshot_files(self.spark, path, version=version)
                     .select("path")
+                    .limit(limit + 1)
                     .collect()
-                ]
+                )
+                if len(rows) > limit:
+                    return _TOO_MANY_FILES
+                return [os.path.join(path, r["path"]) for r in rows]
 
             # only the latest snapshot is memoized; explicit versions are rare
             live = (
@@ -367,6 +382,8 @@ class Engine:
                 if version is None
                 else compute()
             )
+            if live is _TOO_MANY_FILES:
+                return self._read_data_listing_join(path, version)
             if not live:
                 return self._empty_table(path)
             reader = self.spark.read.option("basePath", path)
@@ -378,6 +395,46 @@ class Engine:
                 reader = reader.schema(schema)
             return reader.parquet(*live)
         return self.spark.read.option("basePath", path).parquet(path)
+
+    def _read_data_listing_join(self, path: str, version: int | None) -> DataFrame:
+        """Million-file scan: the live file list never touches the driver.
+
+        The table directory is read directly (Spark's distributed file
+        listing; ``_delta_log`` is skipped as a ``_``-hidden path) with the
+        log's schema, and rows are kept via a broadcast LEFT SEMI join of the
+        scan's decoded ``input_file_name()`` against the snapshot's
+        relative-path DataFrame — driver memory and plan size stay O(1) in the
+        file count, vs the enumerated path's O(N) reader-argument list.
+
+        Trade (documented): tombstoned-but-unvacuumed and staged-uncommitted
+        files are scanned and then dropped row-wise, so dead bytes are read
+        until vacuum; the enumerated path reads live bytes only. Correctness
+        is identical — only snapshot files survive the join.
+        """
+        reader = self.spark.read.option("basePath", path)
+        schema = self._table_schema(path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(path)
+        # Column-side twin of uri_to_rel: input_file_name() is a
+        # percent-encoded URI; strip the scheme, decode, strip the table
+        # prefix. (url_decode is form-decoding, so a literal '+' in a file
+        # name — which Hadoop URIs leave unencoded — would decode to a space;
+        # accepted divergence, parquet writers never emit '+' in part names.)
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+        )
+        rel = F.substring(decoded, len(os.path.abspath(path)) + 2, 1 << 30)
+        live = deltalog.snapshot_files(self.spark, path, version=version).select(
+            F.col("path").alias("_live_rel")
+        )
+        # non-deterministic expressions (input_file_name) may appear in a
+        # Project but not a join condition — materialize the column first
+        return (
+            df.withColumn("_scan_rel", rel)
+            .join(F.broadcast(live), F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
+            .drop("_scan_rel")
+        )
 
     def _table_schema(self, path: str):
         """Schema from the log's latest metaData action, memoized; None when

@@ -63,9 +63,18 @@ def salt_oversized_buckets(
 
     The oversized-bucket map is aggregated executor-side and broadcast — it
     holds at most N/max_bucket_size rows by construction.
+
+    The input is materialized (eager localCheckpoint) before salting: it
+    feeds THREE plan branches (the size aggregate and both sides of the
+    caller's self-join), and without a materialization point Spark recomputes
+    the full upstream pipeline — e.g. MinHash's explode + 32-way signature
+    aggregation — once per branch. The checkpointed relation is the light
+    bucketed projection (ids + bucket keys [+ verify payload]), not the
+    corpus, so the materialization is cheap relative to the recompute.
     """
     if max_bucket_size is None:
         return df, bucket_cols
+    df = df.localCheckpoint(eager=True)
     big = (
         df.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bsz"))

