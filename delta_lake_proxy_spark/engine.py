@@ -396,7 +396,9 @@ class Engine:
             return reader.parquet(*live)
         return self.spark.read.option("basePath", path).parquet(path)
 
-    def _read_data_listing_join(self, path: str, version: int | None) -> DataFrame:
+    def _read_data_listing_join(
+        self, path: str, version: int | None = None, live: DataFrame | None = None
+    ) -> DataFrame:
         """Million-file scan: the live file list never touches the driver.
 
         The table directory is read directly (Spark's distributed file
@@ -405,6 +407,10 @@ class Engine:
         scan's decoded ``input_file_name()`` against the snapshot's
         relative-path DataFrame — driver memory and plan size stay O(1) in the
         file count, vs the enumerated path's O(N) reader-argument list.
+
+        ``live`` overrides the file set: any DataFrame with a relative
+        ``path`` column (e.g. the stats-surviving subset from
+        :meth:`scan_with_skipping`); defaults to the full snapshot.
 
         Trade (documented): tombstoned-but-unvacuumed and staged-uncommitted
         files are scanned and then dropped row-wise, so dead bytes are read
@@ -425,9 +431,9 @@ class Engine:
             F.regexp_replace(F.input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
         )
         rel = F.substring(decoded, len(os.path.abspath(path)) + 2, 1 << 30)
-        live = deltalog.snapshot_files(self.spark, path, version=version).select(
-            F.col("path").alias("_live_rel")
-        )
+        if live is None:
+            live = deltalog.snapshot_files(self.spark, path, version=version)
+        live = live.select(F.col("path").alias("_live_rel"))
         # non-deterministic expressions (input_file_name) may appear in a
         # Project but not a join condition — materialize the column first
         return (
@@ -532,9 +538,11 @@ class Engine:
 
         The range test runs as a DataFrame filter over the parsed ``stats``
         JSON — distributed across executors, so pruning stays cheap at
-        millions of files (only the SURVIVING paths are collected, which the
-        reader API requires regardless). Files without stats for a column are
-        conservatively kept.
+        millions of files. Up to ``large_listing_threshold`` surviving paths
+        are collected for an exact file-list read; past it the listing-join
+        scan takes over (broadcast semi-join on the survivor set — the
+        survivor list never touches the driver). Files without stats for a
+        column are conservatively kept.
         """
         path = self.resolve(alias)
         snapshot = deltalog.snapshot_files(self.spark, path).select("path", "stats")
@@ -560,10 +568,18 @@ class Engine:
                     stat("maxValues").isNull() | (stat("maxValues") >= F.lit(lo))
                 )
         survivors = snapshot.filter(F.col("stats").isNull() | keep_pred)
-        keep = [os.path.join(path, r["path"]) for r in survivors.select("path").collect()]
-        if not keep:
+        # limit+1 bounds driver memory AND detects overflow in one job, same
+        # as _read_data; past the threshold the listing-join scan takes over
+        # (survivor paths never touch the driver, pruning happens row-wise
+        # via the broadcast semi-join on the survivor set).
+        limit = self.large_listing_threshold
+        rows = survivors.select("path").limit(limit + 1).collect()
+        if len(rows) > limit:
+            df = self._read_data_listing_join(path, live=survivors)
+        elif not rows:
             df = self._read_data(path).limit(0)
         else:
+            keep = [os.path.join(path, r["path"]) for r in rows]
             df = self.spark.read.option("basePath", path).parquet(*keep)
         pred = self.acl_predicate(alias, user)
         if pred is not None:

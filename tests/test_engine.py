@@ -804,9 +804,41 @@ def test_listing_join_scan_matches_enumerated_path(spark, tmp_path, lineitem):
     eng.invalidate_caches()
     eng.large_listing_threshold = 1  # force the listing-join path
     joined_df = eng.read_table("t")
-    assert "LeftSemi" in joined_df._jdf.queryExecution().toString() or True
+    assert "LeftSemi" in joined_df._jdf.queryExecution().toString()
     joined = joined_df.toPandas().sort_values("l_orderkey")
     assert len(joined) == 60
     assert joined.reset_index(drop=True).equals(enumerated.reset_index(drop=True))
     # time travel still works through the listing-join path
     assert eng.read_table("t", version=0).count() == 200
+
+
+def test_scan_with_skipping_listing_join_overflow(spark, tmp_path, lineitem):
+    """Past large_listing_threshold SURVIVING files, scan_with_skipping stops
+    collecting the survivor list and prunes via the broadcast semi-join on
+    the survivor DataFrame instead — same rows, still stats-pruned, residual
+    range + ACL predicates still applied."""
+    from delta_lake_proxy_spark import deltalog
+
+    t = str(tmp_path / "skip_big")
+    lineitem.repartitionByRange(4, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(t)
+    deltalog.commit_dir_state(t, [])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": t}))
+    lo = int(lineitem.agg(F.min("l_orderkey")).collect()[0][0])
+    want = lineitem.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= lo + 10)
+    ).count()
+    enumerated = eng.scan_with_skipping("t", {"l_orderkey": (lo, lo + 10)})
+    assert enumerated.count() == want
+    eng.invalidate_caches()
+    eng.large_listing_threshold = 0  # force the semi-join path
+    joined = eng.scan_with_skipping("t", {"l_orderkey": (lo, lo + 10)})
+    plan = joined._jdf.queryExecution().toString()
+    # survivor set feeds a broadcast semi-join, and the broadcast side still
+    # carries the stats-range filter (the pruning happened, just row-wise).
+    # input_file_name() can't be selected here — the joined plan has two file
+    # sources (parquet scan + JSON log relation), which PreReadCheck rejects.
+    assert "LeftSemi" in plan
+    assert "minValues" in plan and "maxValues" in plan
+    assert joined.count() == want
