@@ -6,12 +6,13 @@ metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 
 Decode status: ``decode_stub=True`` produces a deterministic fake feature
 vector (byte-histogram moments) for any payload. ``decode_stub=False`` runs
-REAL decoders for the two public uncompressed formats that need no codec
-libraries — WAV (RIFF PCM16, :func:`decode_wav_pcm16`) for audio and binary
-PPM (P6, :func:`decode_ppm`) for images — both pure numpy chunk/header
-parsers. Compressed formats (JPEG/MP3/video containers) still raise
-``NotImplementedError``: those genuinely require codec libraries absent from
-this environment.
+REAL decoders for one public uncompressed container per modality, all pure
+numpy chunk/header parsers needing no codec libraries: WAV (RIFF PCM16,
+:func:`decode_wav_pcm16`) for audio, binary PPM (P6, :func:`decode_ppm`)
+for images, and YUV4MPEG2 (:func:`decode_y4m`, with stride frame-sampling)
+for video. Compressed formats (JPEG/MP3/H.264/...) are rejected by the
+container parsers with ``ValueError`` — decoding them genuinely requires
+codec libraries absent from this environment.
 
 Scale notes: binary payloads ride the normal columnar path (Parquet binary),
 and feature extraction is an Arrow-batched ``mapInPandas`` — one Python worker
@@ -143,6 +144,90 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+def encode_y4m(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """YUV4MPEG2 encoder (fixture builder for the decoder round-trip; the
+    layout follows the public yuv4mpeg spec): stream header with W/H/F/C
+    tags, then per-frame ``FRAME\\n`` + planar Y, Cb, Cr bytes. ``y`` is
+    (n_frames, h, w) uint8; ``cb``/``cr`` carry the chroma planes at the
+    subsampling the colorspace implies ((h, w) for C444, (h/2, w/2) for
+    C420 variants)."""
+    n, h, w = y.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(y[i].astype(np.uint8).tobytes())
+        out.append(cb[i].astype(np.uint8).tobytes())
+        out.append(cr[i].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _y4m_chroma_shape(colorspace: str, h: int, w: int) -> tuple[int, int]:
+    cs = colorspace.lstrip("C")
+    if cs.startswith("420"):
+        return h // 2, w // 2
+    if cs.startswith("422"):
+        return h, w // 2
+    if cs.startswith("444"):
+        return h, w
+    if cs == "mono":
+        return 0, 0
+    raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+
+
+def decode_y4m(
+    payload: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 parser: validates the ``YUV4MPEG2`` magic, reads the tagged
+    stream header (W/H/F/C — C defaults to 420jpeg per the spec), then walks
+    ``FRAME`` headers collecting planar frames. Returns
+    ``(y (n,h,w) uint8, cb, cr, (fps_num, fps_den))``; chroma arrays are at
+    the container's subsampling (empty for mono). Raises ValueError for
+    non-Y4M payloads, unknown colorspaces, or truncated rasters."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    colorspace = "C420jpeg"
+    for tag in payload[9:nl].split():
+        k, v = tag[:1], tag[1:].decode("ascii", "replace")
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            num, den = v.split(":")
+            fps = (int(num), int(den))
+        elif k == b"C":
+            colorspace = tag.decode("ascii")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    ch, cw = _y4m_chroma_shape(colorspace, h, w)
+    y_sz, c_sz = h * w, ch * cw
+    ys, cbs, crs, pos = [], [], [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        pos = fnl + 1
+        end = pos + y_sz + 2 * c_sz
+        if end > len(payload):
+            raise ValueError("truncated Y4M raster")
+        ys.append(np.frombuffer(payload[pos : pos + y_sz], np.uint8).reshape(h, w))
+        cbs.append(
+            np.frombuffer(payload[pos + y_sz : pos + y_sz + c_sz], np.uint8).reshape(ch, cw)
+        )
+        crs.append(np.frombuffer(payload[pos + y_sz + c_sz : end], np.uint8).reshape(ch, cw))
+        pos = end
+    return np.array(ys), np.array(cbs), np.array(crs), fps
+
+
 def _wav_features(payload: bytes, n_features: int) -> list[float]:
     """Exact integer features from decoded PCM16 samples — every value is an
     integer representable in float64, so an external SQL oracle recomputes
@@ -168,6 +253,29 @@ def _ppm_features(payload: bytes, n_features: int) -> list[float]:
         float(px[:, :, 0].sum()),
         float(px[:, :, 1].sum()),
         float(px[:, :, 2].sum()),
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
+
+
+# every VIDEO_FRAME_STEP-th frame enters the video features — the standard
+# frame-sampling step of a training pipeline (decode all, featurize a stride)
+VIDEO_FRAME_STEP = 2
+
+
+def _y4m_features(payload: bytes, n_features: int) -> list[float]:
+    """Exact integer features from decoded Y4M luma: frame count, sampled
+    frame count (every VIDEO_FRAME_STEP-th frame), and the sampled frames'
+    luma sum / sum-of-squares — all integers exactly representable in
+    float64, so an external SQL oracle recomputes them bit-identically."""
+    y, _cb, _cr, fps = decode_y4m(payload)
+    sampled = y[::VIDEO_FRAME_STEP].astype(np.int64)
+    feats = [
+        float(y.shape[0]),
+        float(sampled.shape[0]),
+        float(sampled.sum()),
+        float((sampled * sampled).sum()),
+        float(y.shape[2]),  # width
+        float(fps[0]),
     ]
     return (feats + [0.0] * n_features)[:n_features]
 
@@ -206,9 +314,10 @@ def extract_features(
     feature vector (byte-histogram moments) so the full pipeline — schema,
     batching, partitioning — is exercised on any payload. With
     ``decode_stub=False`` payloads are REALLY decoded: audio via the pure
-    RIFF/PCM16 parser, images via the binary-PPM parser; video (and any
-    compressed codec) raises ``NotImplementedError`` — those formats need
-    codec libraries absent from this environment.
+    RIFF/PCM16 parser, images via the binary-PPM parser, video via the
+    YUV4MPEG2 parser (luma features over a VIDEO_FRAME_STEP frame stride);
+    compressed codecs are rejected by the container parsers (ValueError) —
+    those formats need codec libraries absent from this environment.
     """
 
     def _decode(payload: bytes, modality: str) -> list[float]:
@@ -217,10 +326,12 @@ def extract_features(
                 return _wav_features(payload, n_features)
             if modality == "image":
                 return _ppm_features(payload, n_features)
+            if modality == "video":
+                return _y4m_features(payload, n_features)
             raise NotImplementedError(
                 f"real {modality!r} decode requires codec libraries not present "
-                "in this environment (only WAV/PCM16 audio and PPM images have "
-                "dependency-free decoders)"
+                "in this environment (WAV/PCM16 audio, PPM images, and Y4M "
+                "video have dependency-free decoders)"
             )
         if not payload:
             return [0.0] * n_features
@@ -288,6 +399,77 @@ def synth_wav_corpus(
                         for p in payloads
                     ],
                 }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_bytes", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def synth_media_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+    img_w: int = 8,
+    img_h: int = 8,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Deterministic synthetic payload per document in its ``id % 3``
+    modality (image / audio / video — same assignment as
+    :func:`attach_media`), built in ONE corpus scan / one ``mapInPandas``
+    pass (no per-modality union re-reading the input). All three payload
+    formulas are PUBLIC so an external SQL oracle can recompute any feature
+    of the decoded media independently:
+
+    - image, PPM pixel (row y, col x, channel c):  (d*11 + y*5 + x*3 + c*7) % 256
+    - audio, PCM16 sample k:                      ((d*31 + k*7) % 65536) - 32768
+    - video, Y4M luma pixel (frame f, row y, col x): (d*7 + f*13 + y*3 + x) % 256
+      (chroma planes (d + f + y + x) % 256 / (d*5 + f*3 + y + x) % 256 ride
+      the container but carry no feature)
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(n_samples, dtype=np.int64)
+        yy, xx = np.meshgrid(
+            np.arange(img_h, dtype=np.int64), np.arange(img_w, dtype=np.int64), indexing="ij"
+        )
+        ff = np.arange(n_frames, dtype=np.int64)[:, None, None]
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads, metas = [], []
+            for d in ids:
+                d = int(d)
+                m = MODALITIES[d % 3]
+                if m == "image":
+                    px = np.stack(
+                        [(d * 11 + yy * 5 + xx * 3 + c * 7) % 256 for c in range(3)], axis=-1
+                    ).astype(np.uint8)
+                    p = encode_ppm(px)
+                    meta = {"modality": m, "n_bytes": len(p), "width": img_w,
+                            "height": img_h, "sample_rate": None}
+                elif m == "audio":
+                    p = encode_wav_pcm16(
+                        (((d * 31 + k * 7) % 65536) - 32768).astype(np.int16), sample_rate
+                    )
+                    meta = {"modality": m, "n_bytes": len(p), "width": None,
+                            "height": None, "sample_rate": sample_rate}
+                else:
+                    y = ((d * 7 + ff * 13 + yy * 3 + xx) % 256).astype(np.uint8)
+                    cb = ((d + ff + yy + xx) % 256).astype(np.uint8)
+                    cr = ((d * 5 + ff * 3 + yy + xx) % 256).astype(np.uint8)
+                    p = encode_y4m(y, cb, cr, fps=(25, 1), colorspace="C444")
+                    meta = {"modality": m, "n_bytes": len(p), "width": img_w,
+                            "height": img_h, "sample_rate": None}
+                payloads.append(p)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_bytes": payloads, "media_meta": metas}
             )
 
     schema = T.StructType(

@@ -1814,39 +1814,66 @@ def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_wav_decode",
+    "multimodal_decode",
     """
-    WITH ks AS (SELECT unnest(generate_series(0, 255)) AS k),
-    s AS (SELECT doc_id, ((doc_id * 31 + k * 7) % 65536) - 32768 AS v
-          FROM documents CROSS JOIN ks)
-    SELECT doc_id,
-           CAST(256 AS DOUBLE) AS n_samples,
-           CAST(SUM(v) AS DOUBLE) AS sum_amp,
-           CAST(SUM(v * v) AS DOUBLE) AS sum_sq,
-           CAST(MIN(v) AS DOUBLE) AS min_amp,
-           CAST(MAX(v) AS DOUBLE) AS max_amp,
-           CAST(16000 AS DOUBLE) AS sample_rate
-    FROM s GROUP BY doc_id
+    WITH d8 AS (SELECT unnest(generate_series(0, 7)) AS v),
+    img AS (
+      SELECT doc_id,
+             CAST(8 AS DOUBLE) AS f1, CAST(8 AS DOUBLE) AS f2,
+             CAST(SUM((doc_id*11 + y.v*5 + x.v*3) % 256) AS DOUBLE) AS f3,
+             CAST(SUM((doc_id*11 + y.v*5 + x.v*3 + 7) % 256) AS DOUBLE) AS f4
+      FROM documents CROSS JOIN d8 y CROSS JOIN d8 x
+      WHERE doc_id % 3 = 0 GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+             CAST(256 AS DOUBLE) AS f1,
+             CAST(SUM(v) AS DOUBLE) AS f2,
+             CAST(SUM(v * v) AS DOUBLE) AS f3,
+             CAST(MIN(v) AS DOUBLE) AS f4
+      FROM (SELECT doc_id, ((doc_id * 31 + k.v * 7) % 65536) - 32768 AS v
+            FROM documents
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS v) k
+            WHERE doc_id % 3 = 1)
+      GROUP BY doc_id
+    ),
+    vid AS (
+      SELECT doc_id,
+             CAST(6 AS DOUBLE) AS f1, CAST(3 AS DOUBLE) AS f2,
+             CAST(SUM(yv) AS DOUBLE) AS f3,
+             CAST(SUM(yv * yv) AS DOUBLE) AS f4
+      FROM (SELECT doc_id, (doc_id*7 + f.v*13 + y.v*3 + x.v) % 256 AS yv
+            FROM documents
+            CROSS JOIN (SELECT unnest([0, 2, 4]) AS v) f
+            CROSS JOIN d8 y CROSS JOIN d8 x
+            WHERE doc_id % 3 = 2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, 'image' AS modality, f1, f2, f3, f4 FROM img
+    UNION ALL SELECT doc_id, 'audio', f1, f2, f3, f4 FROM aud
+    UNION ALL SELECT doc_id, 'video', f1, f2, f3, f4 FROM vid
     """,
 )
-def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 REAL decode path (decode_stub=False): per-document synthetic RIFF
-    PCM16 WAV payloads (sample formula is public — see synth_wav_corpus) are
-    encoded executor-side, decoded by the pure-numpy RIFF chunk parser, and
-    reduced to exact integer features. The oracle recomputes the features
-    from the sample formula alone, so hash equality certifies the encoder ->
-    container bytes -> parser round-trip."""
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 REAL decode path (decode_stub=False) for ALL THREE modalities: each
+    document gets a synthetic payload in its id%3 modality — binary PPM
+    image, RIFF PCM16 WAV audio, or YUV4MPEG2 video (all pixel/sample
+    formulas are public — see synth_media_corpus) — built in ONE corpus scan,
+    decoded by the pure-numpy container parsers (video additionally
+    frame-samples at stride VIDEO_FRAME_STEP), and reduced to exact integer
+    features. The oracle recomputes every feature from the formulas alone, so
+    hash equality certifies each encoder -> container bytes -> parser
+    round-trip."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wav = multimodal.synth_wav_corpus(docs, n_samples=256, sample_rate=16000)
-    feats = multimodal.extract_features(wav, n_features=6, decode_stub=False)
+    media = multimodal.synth_media_corpus(docs)
+    feats = multimodal.extract_features(media, n_features=6, decode_stub=False)
     return feats.select(
         "doc_id",
-        F.element_at("feature", 1).alias("n_samples"),
-        F.element_at("feature", 2).alias("sum_amp"),
-        F.element_at("feature", 3).alias("sum_sq"),
-        F.element_at("feature", 4).alias("min_amp"),
-        F.element_at("feature", 5).alias("max_amp"),
-        F.element_at("feature", 6).alias("sample_rate"),
+        "modality",
+        F.element_at("feature", 1).alias("f1"),
+        F.element_at("feature", 2).alias("f2"),
+        F.element_at("feature", 3).alias("f3"),
+        F.element_at("feature", 4).alias("f4"),
     )
 
 

@@ -258,6 +258,76 @@ def test_real_decode_features_on_wav_and_ppm(spark):
     assert rows[2] == [3.0, 2.0, 42.0, 42.0, 42.0]
 
 
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    rng = (np.arange(4 * 6 * 8) % 256).astype(np.uint8)
+    y = rng.reshape(4, 6, 8)
+    cb = ((rng + 31) % 256).reshape(4, 6, 8)
+    cr = ((rng + 77) % 256).reshape(4, 6, 8)
+    payload = multimodal.encode_y4m(y, cb, cr, fps=(30, 1), colorspace="C444")
+    dy, dcb, dcr, fps = multimodal.decode_y4m(payload)
+    assert fps == (30, 1)
+    assert (dy == y).all() and (dcb == cb).all() and (dcr == cr).all()
+    # 4:2:0 chroma subsampling (the spec's default when no C tag is present)
+    cb2, cr2 = cb[:, :3, :4], cr[:, :3, :4]
+    p420 = multimodal.encode_y4m(y, cb2, cr2, colorspace="C420jpeg")
+    dy2, dcb2, dcr2, fps2 = multimodal.decode_y4m(p420)
+    assert (dy2 == y).all() and dcb2.shape == (4, 3, 4) and (dcr2 == cr2).all()
+    assert fps2 == (25, 1)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(payload[:-5])
+
+
+def test_real_decode_features_on_y4m():
+    import numpy as np
+
+    # 5 frames, stride-2 sampling keeps frames 0, 2, 4
+    y = np.stack([np.full((2, 3), 10 * (i + 1), dtype=np.uint8) for i in range(5)])
+    c = np.zeros((5, 2, 3), dtype=np.uint8)
+    payload = multimodal.encode_y4m(y, c, c, fps=(24, 1), colorspace="C444")
+    feats = multimodal._y4m_features(payload, 6)
+    # [n_frames, n_sampled, sum_y, sum_y_sq, width, fps_num]
+    sampled = [10, 30, 50]
+    assert feats == [
+        5.0,
+        3.0,
+        float(sum(6 * v for v in sampled)),
+        float(sum(6 * v * v for v in sampled)),
+        3.0,
+        24.0,
+    ]
+
+
+def test_synth_media_corpus_all_three_modalities_decode(spark):
+    """One-scan synthetic corpus -> real decode for image/audio/video; spot
+    checks the feature slots against the public payload formulas."""
+    docs = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    media = multimodal.synth_media_corpus(docs)
+    feats = {
+        r["doc_id"]: (r["modality"], r["feature"])
+        for r in multimodal.extract_features(media, n_features=6, decode_stub=False).collect()
+    }
+    assert len(feats) == 6
+    assert feats[0][0] == "image" and feats[1][0] == "audio" and feats[2][0] == "video"
+    # image doc 3: sumR = sum over y,x of (33 + 5y + 3x) % 256
+    sum_r = sum((3 * 11 + yv * 5 + xv * 3) % 256 for yv in range(8) for xv in range(8))
+    assert feats[3][1][:3] == [8.0, 8.0, float(sum_r)]
+    # audio doc 4: n=256 and exact sample sum
+    sum_amp = sum(((4 * 31 + k * 7) % 65536) - 32768 for k in range(256))
+    assert feats[4][1][:2] == [256.0, float(sum_amp)]
+    # video doc 5: 6 frames, 3 sampled (stride 2), exact luma sum
+    sum_y = sum(
+        (5 * 7 + f * 13 + yv * 3 + xv) % 256
+        for f in (0, 2, 4)
+        for yv in range(8)
+        for xv in range(8)
+    )
+    assert feats[5][1][:3] == [6.0, 3.0, float(sum_y)]
+
+
 def test_asof_join_backward(spark):
     import datetime as dt
 

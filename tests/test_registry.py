@@ -65,7 +65,7 @@ EXPECTED_ORDER = [
     "similarity_lsh",
     "similarity_ivf",
     "multimodal_scan",
-    "multimodal_wav_decode",
+    "multimodal_decode",
     "catalog_surface",
 ]
 
@@ -138,7 +138,7 @@ SURVEY_COVERAGE = {
     "X2": "dedup_near_minhash",
     "X3": "similarity_topk",
     "X4": "text_stats",
-    "X5": "multimodal_wav_decode",
+    "X5": "multimodal_decode",
 }
 
 FLAGSHIPS = [
