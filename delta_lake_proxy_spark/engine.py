@@ -170,12 +170,16 @@ class Engine:
 
     def list_catalogs(self) -> DataFrame:
         """The single virtual namespace (S1, ref src/main.rs:115-141)."""
-        return self.spark.createDataFrame([(VIRTUAL_CATALOG,)], "catalog_name: string")
+        from .io import local_df
+
+        return local_df(self.spark, [(VIRTUAL_CATALOG,)], "catalog_name: string")
 
     def list_tables(self) -> DataFrame:
         """One row per alias (S2, ref src/main.rs:200-226)."""
+        from .io import local_df
+
         rows = [(a, p) for a, p in sorted(self.config.table_mapping.items())]
-        return self.spark.createDataFrame(rows, "table_name: string, location: string")
+        return local_df(self.spark, rows, "table_name: string, location: string")
 
     # -- ACL ---------------------------------------------------------------
 

@@ -41,3 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Single-partition local DataFrame for tiny metadata row sets.
+
+    ``createDataFrame`` slices local data across ``defaultParallelism``
+    (32 under the bench profile), so a 1-row catalog listing becomes 32
+    near-empty tasks — and a cross join of two of them 32x32 ≈ 1000 tasks of
+    pure scheduler overhead. One slice keeps metadata surfaces at one task.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -25,7 +25,7 @@ from .config import EngineConfig
 from .engine import Engine, write_governed_table
 from .errors import ReadOnlyError
 from .functions import dedup, multimodal, similarity, text
-from .io import load_table
+from .io import load_table, local_df
 from .operators.joins import asof_join
 from .streaming.metrics import session_windows, sliding_metrics, tumbling_metrics
 
@@ -1477,7 +1477,7 @@ def governed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     _sh.rmtree(os.path.dirname(scratch), ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1514,7 +1514,8 @@ def compact_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = eng.snapshot_files("scratch").count()
     rows = eng.read_table("scratch").count()
     shutil.rmtree(os.path.dirname(scratch), ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(before), int(fragmented), int(after), int(rows))],
         "files_before int, files_fragmented int, files_after int, n_rows int",
     )
@@ -1578,7 +1579,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     _sh.rmtree(os.path.dirname(scratch), ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
