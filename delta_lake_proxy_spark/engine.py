@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from . import acl, deltalog
 from .config import EngineConfig
 from .errors import ForbiddenByPolicyError, NoSuchKeyError, ReadOnlyError, TableNotFoundError
+from .io import local_df
 from .session import ensure_engine_confs
 
 VIRTUAL_CATALOG = "datalake"  # the reference's single virtual bucket (src/main.rs:127)
@@ -170,14 +171,10 @@ class Engine:
 
     def list_catalogs(self) -> DataFrame:
         """The single virtual namespace (S1, ref src/main.rs:115-141)."""
-        from .io import local_df
-
         return local_df(self.spark, [(VIRTUAL_CATALOG,)], "catalog_name: string")
 
     def list_tables(self) -> DataFrame:
         """One row per alias (S2, ref src/main.rs:200-226)."""
-        from .io import local_df
-
         rows = [(a, p) for a, p in sorted(self.config.table_mapping.items())]
         return local_df(self.spark, rows, "table_name: string, location: string")
 
@@ -748,9 +745,7 @@ class Engine:
         ISIN_FILE_LIMIT (constant-size plan at any touched-file count)."""
         if len(touched_uris) <= ISIN_FILE_LIMIT:
             return target.filter(F.col("_file").isin(touched_uris))
-        files_df = self.spark.createDataFrame(
-            [(u,) for u in touched_uris], "_file string"
-        )
+        files_df = local_df(self.spark, [(u,) for u in touched_uris], "_file string")
         return target.join(F.broadcast(files_df), on="_file", how="left_semi")
 
     def merge(self, alias: str, source: DataFrame, on: list[str]) -> int:
@@ -925,7 +920,7 @@ class Engine:
             for key, n in nmap.items()
         ]
         schema = ", ".join([f"`{pc}` string" for pc in pv_cols] + ["`__nf` long"])
-        nmap_df = self.spark.createDataFrame(rows, schema)
+        nmap_df = local_df(self.spark, rows, schema)
         cond = None
         for c, pc in zip(parts, pv_cols):
             # null-safe: Delta logs a null partition value as null

@@ -526,7 +526,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 theta join: the small band table is broadcast, so the non-equi
     condition runs as a broadcast nested-loop — the scale-correct shape."""
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0), ("large", 300000.0, 600000.0)],
         "band string, lo double, hi double",
     )
@@ -593,7 +594,7 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auth_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/J1: requested-rows ∈ allowed set as a left-semi join (the 200 path)."""
     li = load_table(spark, sf_dir, "lineitem")
-    allowed = spark.createDataFrame([("A",), ("N",)], "flag: string")
+    allowed = local_df(spark, [("A",), ("N",)], "flag: string")
     return li.join(
         F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_semi"
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
@@ -610,7 +611,7 @@ def auth_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auth_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: the 403 complement — rows outside the allowed set."""
     li = load_table(spark, sf_dir, "lineitem")
-    allowed = spark.createDataFrame([("A",), ("N",)], "flag: string")
+    allowed = local_df(spark, [("A",), ("N",)], "flag: string")
     return (
         li.join(F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_anti")
         .groupBy("l_returnflag")
