@@ -23,10 +23,13 @@ Usage::
           .load())
 
 Scale notes: the file list is O(metadata); reads are Arrow-batched (one
-``pyarrow`` scan per file, no per-row Python), and Spark schedules one task
-per allowed file. The native parquet reader (Engine path) remains the fast
-path; this source exists for the reference-faithful file-level serving
-surface and as the package's Python DataSource exemplar.
+``pyarrow`` scan per file, no per-row Python), and allowed files are
+BIN-PACKED into tasks by cumulative logged size (``target_task_bytes``,
+default 128 MiB like ``spark.sql.files.maxPartitionBytes``) — a
+million-small-file table schedules thousands of tasks, not a million. The
+native parquet reader (Engine path) remains the fast path; this source exists
+for the reference-faithful file-level serving surface and as the package's
+Python DataSource exemplar.
 """
 
 from __future__ import annotations
@@ -56,6 +59,13 @@ class GovernedFilePartition(InputPartition):
     def __init__(self, full_path: str, partition_values: dict[str, str]):
         self.full_path = full_path
         self.partition_values = partition_values
+
+
+class GovernedFilesPartition(InputPartition):
+    """One task's worth of allowed files, bin-packed by cumulative size."""
+
+    def __init__(self, files: list[GovernedFilePartition]):
+        self.files = files
 
 
 def _log_actions(table_path: str) -> list[dict]:
@@ -128,6 +138,8 @@ class GovernedReader(DataSourceReader):
         self._schema = schema
         self.path = options["path"]
         self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
+        # task sizing mirrors spark.sql.files.maxPartitionBytes' default
+        self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
         self._pruning: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -182,8 +194,8 @@ class GovernedReader(DataSourceReader):
                 continue  # incomparable stat/value types: keep the file
         return True
 
-    def partitions(self) -> list[GovernedFilePartition]:
-        out = []
+    def partitions(self) -> list[GovernedFilesPartition]:
+        allowed: list[tuple[GovernedFilePartition, int]] = []
         for add in _live_adds(self.path):
             pv = add.get("partitionValues") or {}
             if not acl.dnf_allows(self.dnf, pv):
@@ -191,17 +203,41 @@ class GovernedReader(DataSourceReader):
             stats = json.loads(add["stats"]) if add.get("stats") else None
             if not self._file_may_match(pv, stats):
                 continue
-            out.append(
-                GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv))
+            allowed.append(
+                (
+                    GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv)),
+                    int(add.get("size") or 0),
+                )
             )
+        # Greedy bin-packing in path order (keeps partition-directory
+        # locality): a task closes when its cumulative logged size reaches
+        # target_task_bytes, so a million-small-file table yields thousands
+        # of tasks, not a million, and one task never gets two huge files.
+        allowed.sort(key=lambda t: t[0].full_path)
+        out: list[GovernedFilesPartition] = []
+        bucket: list[GovernedFilePartition] = []
+        bucket_bytes = 0
+        for fp, size in allowed:
+            if bucket and bucket_bytes + size > self.target_task_bytes:
+                out.append(GovernedFilesPartition(bucket))
+                bucket, bucket_bytes = [], 0
+            bucket.append(fp)
+            bucket_bytes += size
+        if bucket:
+            out.append(GovernedFilesPartition(bucket))
         return out
 
-    def read(self, partition: GovernedFilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if partition is None:  # deny-all ACL: zero partitions, one empty task
+            return
+        files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
+        for fp in files:
+            yield from self._read_file(fp)
+
+    def _read_file(self, partition: GovernedFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if partition is None:  # deny-all ACL: zero partitions, one empty task
-            return
         table = pq.read_table(partition.full_path)
         n = table.num_rows
         cols, names = [], []

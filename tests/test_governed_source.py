@@ -20,10 +20,13 @@ def registered(spark):
     return spark
 
 
-def _read(spark, path, dnf=None):
+def _read(spark, path, dnf=None, target_task_bytes=None):
     r = spark.read.format("governed").option("path", path)
     if dnf is not None:
         r = r.option("dnf", json.dumps(dnf))
+    if target_task_bytes is not None:
+        # one file per task makes getNumPartitions() observe the FILE set
+        r = r.option("target_task_bytes", str(target_task_bytes))
     return r.load()
 
 
@@ -40,7 +43,7 @@ def test_governed_source_matches_engine(registered, spark, gov_table, lineitem):
 
 def test_governed_source_file_level_acl(registered, spark, gov_table, lineitem):
     dnf = [{"l_returnflag": "A"}]
-    out = _read(spark, gov_table, dnf)
+    out = _read(spark, gov_table, dnf, target_task_bytes=1)
     want = lineitem.filter(F.col("l_returnflag") == "A").count()
     assert out.count() == want
     # file-level: only the A partition's file becomes an input partition
@@ -60,17 +63,34 @@ def test_governed_source_filter_pushdown_prunes_files(registered, spark, gov_tab
     """A WHERE on the partition column must shrink the FILE set (advisory
     pruning via pushFilters), while Spark still row-filters — results equal
     the plain filtered read."""
-    full = _read(spark, gov_table)
+    full = _read(spark, gov_table, target_task_bytes=1)
     n_files_full = full.rdd.getNumPartitions()
-    filtered = _read(spark, gov_table).filter(F.col("l_returnflag") == "A")
+    filtered = _read(spark, gov_table, target_task_bytes=1).filter(F.col("l_returnflag") == "A")
     want = lineitem.filter(F.col("l_returnflag") == "A").count()
     assert filtered.count() == want
     assert filtered.rdd.getNumPartitions() < n_files_full
     # stats-range pushdown on a data column is conservative but correct
     hi = lineitem.agg(F.max("l_quantity")).collect()[0][0]
-    over = _read(spark, gov_table).filter(F.col("l_quantity") > hi)
+    over = _read(spark, gov_table, target_task_bytes=1).filter(F.col("l_quantity") > hi)
     assert over.count() == 0
     assert over.rdd.getNumPartitions() <= n_files_full
+
+
+def test_governed_source_bin_packs_files_into_tasks(registered, spark, gov_table):
+    """Tasks are sized by cumulative logged bytes (target_task_bytes,
+    default 128 MiB): the 3 small partition files pack into ONE task by
+    default, and a 1-byte target degenerates to one file per task — a
+    million-small-file table must not schedule a million tasks."""
+    assert _read(spark, gov_table).rdd.getNumPartitions() == 1
+    assert _read(spark, gov_table, target_task_bytes=1).rdd.getNumPartitions() == 3
+    # row results are identical either way
+    a = _read(spark, gov_table).orderBy("l_orderkey", "l_linenumber").collect()
+    b = (
+        _read(spark, gov_table, target_task_bytes=1)
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert a == b
 
 
 def test_governed_source_reads_through_checkpoint(registered, spark, gov_table, tmp_path):

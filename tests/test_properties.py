@@ -103,3 +103,76 @@ def test_log_replay_matches_sequential_model(spark, tmp_path_factory, commits):
     got = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
     want = {p for p, alive in live.items() if alive}
     assert got == want
+
+
+# -- container parsers: encode -> decode round-trips on random media ---------
+
+import numpy as np  # noqa: E402
+
+from delta_lake_proxy_spark.functions import multimodal  # noqa: E402
+
+dims = st.integers(min_value=1, max_value=16)
+
+
+@given(
+    w=dims,
+    h=dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_roundtrip_random(w, h, seed):
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+
+
+@given(
+    n=st.integers(min_value=0, max_value=2000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_random(n, sr, seed):
+    samples = (
+        np.random.RandomState(seed).randint(-32768, 32768, n).astype(np.int16)
+    )
+    decoded, got_sr = multimodal.decode_wav_pcm16(
+        multimodal.encode_wav_pcm16(samples, sr)
+    )
+    assert got_sr == sr
+    assert (decoded == samples.astype(np.float64)).all()
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=8),
+    w=st.integers(min_value=2, max_value=16).filter(lambda v: v % 2 == 0),
+    h=st.integers(min_value=2, max_value=16).filter(lambda v: v % 2 == 0),
+    cs=st.sampled_from(["C444", "C422", "C420jpeg"]),
+    fps=st.sampled_from([(24, 1), (30, 1), (30000, 1001)]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_y4m_roundtrip_random(n_frames, w, h, cs, fps, seed):
+    rng = np.random.RandomState(seed)
+    ch, cw = multimodal._y4m_chroma_shape(cs, h, w)
+    y = rng.randint(0, 256, (n_frames, h, w), dtype=np.uint8)
+    cb = rng.randint(0, 256, (n_frames, ch, cw), dtype=np.uint8)
+    cr = rng.randint(0, 256, (n_frames, ch, cw), dtype=np.uint8)
+    dy, dcb, dcr, got_fps = multimodal.decode_y4m(
+        multimodal.encode_y4m(y, cb, cr, fps=fps, colorspace=cs)
+    )
+    assert got_fps == fps
+    assert (dy == y).all() and (dcb == cb).all() and (dcr == cr).all()
+
+
+@given(data=st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parsers_reject_garbage_with_valueerror(data):
+    """Random bytes must raise ValueError (never crash, never return junk
+    silently) from all three container parsers — unless the bytes happen to
+    be a genuinely valid payload, which 200 random bytes won't be for the
+    magic-checked formats."""
+    for parse in (multimodal.decode_ppm, multimodal.decode_wav_pcm16, multimodal.decode_y4m):
+        try:
+            parse(data)
+        except ValueError:
+            pass
