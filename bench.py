@@ -68,7 +68,9 @@ def main() -> None:
             pass
         fn = Q.QUERIES[name]
         best = None
-        for _ in range(2):  # best-of-2 damps scheduler/GC noise
+        # best-of-3: this VM's load spikes can inflate a single run 2-4x,
+        # and the driver records exactly one bench per round
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink materializes every output column (count() would let

@@ -39,9 +39,18 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit(TOKEN_RE))
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[Column, ...] = (),
+) -> DataFrame:
     """Per-document stats: chars, words, tokens, punctuation, stopwords,
-    average word length, and a deterministic [0,1] quality score."""
+    average word length, and a deterministic [0,1] quality score.
+
+    ``extra_cols`` lets callers append further per-row columns (e.g. the
+    document fingerprint) to the same projection — one scan instead of a
+    projection-per-operator self-join."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_words = word_count(t)
@@ -69,6 +78,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             "avg_word_len"
         ),
         quality.alias("quality_score"),
+        *extra_cols,
     )
 
 
@@ -110,6 +120,25 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def fingerprint_col(
+    text: Column, shingle_len: int = 8, stride: int = 4
+) -> Column:
+    """Winnowing-style document fingerprint as a Column: the lexicographic
+    minimum of the md5 digests of ``shingle_len``-char shingles sampled every
+    ``stride`` chars from the normalized text. Near-identical documents
+    collide; computed wholly JVM-side via ``transform`` over a char-offset
+    sequence (no explode, no shuffle). The stride trades hash count for
+    sensitivity — overlapping shingles (stride < len) still cover every
+    byte."""
+    norm = F.lower(text)
+    n = F.length(norm)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1)), F.lit(stride)),
+        lambda i: F.md5(norm.substr(i, F.lit(shingle_len))),
+    )
+    return F.array_min(shingles)
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",
@@ -117,23 +146,12 @@ def fingerprint(
     shingle_len: int = 8,
     stride: int = 4,
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: the lexicographic minimum of the
-    md5 digests of ``shingle_len``-char shingles sampled every ``stride``
-    chars from the normalized text. Near-identical documents collide;
-    computed wholly JVM-side via ``transform`` over a char-offset sequence
-    (no explode, no shuffle). The stride trades hash count for sensitivity —
-    overlapping shingles (stride < len) still cover every byte."""
-    norm = F.lower(F.col(text_col))
-    n = F.length(norm)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1)), F.lit(stride)),
-        lambda i: F.md5(norm.substr(i, F.lit(shingle_len))),
-    )
+    """Per-document fingerprint table — see :func:`fingerprint_col`."""
     # repartition: doc tables often arrive as one file -> one task; the
     # per-document shingle hashing is the dominant cost and parallelizes.
     return docs.repartition(F.col(id_col)).select(
         F.col(id_col),
-        F.array_min(shingles).alias("fingerprint"),
+        fingerprint_col(F.col(text_col), shingle_len, stride).alias("fingerprint"),
     )
 
 

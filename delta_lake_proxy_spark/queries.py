@@ -1062,11 +1062,16 @@ _FINGERPRINT_SQL = """
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 text analysis: length/token/punct/stopword stats + quality score
-    (text.text_stats) joined with the rolling-hash document fingerprint
-    (text.fingerprint) — both shuffle-free column pipelines; the join is
-    on the already-colocated doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.text_stats(docs).join(text.fingerprint(docs), "doc_id")
+    (text.text_stats) and the rolling-hash document fingerprint
+    (text.fingerprint_col) in ONE projection over ONE scan — per-row
+    operators over the same table must never self-join (at 100 TB that is
+    a second scan plus a full-corpus shuffle for columns that are
+    computable side by side). The repartition spreads single-file doc
+    tables across the cluster; the rest is shuffle-free codegen."""
+    docs = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    return text.text_stats(
+        docs, extra_cols=(text.fingerprint_col(F.col("text")).alias("fingerprint"),)
+    )
 
 
 _TIER_SQL = (
