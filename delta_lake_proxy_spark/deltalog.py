@@ -350,6 +350,12 @@ def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
         ck_file = os.path.join(log_path(table_path), f"{v:020d}.checkpoint.parquet")
         for a in pq.read_table(ck_file, columns=["add"]).column("add").to_pylist():
             if a is not None:
+                # pyarrow renders map columns as [(k, v), ...]; JSON-commit
+                # adds carry a dict — normalize so ACL DNF evaluation
+                # (acl.dnf_allows -> .items()) sees one shape either way.
+                pv = a.get("partitionValues")
+                if pv is not None and not isinstance(pv, dict):
+                    a["partitionValues"] = dict(pv)
                 state[a["path"]] = a
         min_version = v
     d = log_path(table_path)

@@ -30,13 +30,47 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_engine_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts as a real timestamp regardless of fixture encoding.
+
+    Driver fixtures have shipped both shapes across rounds: raw int64
+    ns-since-epoch and parquet timestamp[us]. Branch on the OBSERVED dtype —
+    assuming one unit turned every 60 s window into garbage when the fixture
+    flipped (r4's late_data_watermark 44-row red)."""
+    if dict(df.dtypes).get("ts") == "bigint":
         # ns epoch -> µs timestamp (integer div keeps ANSI mode happy).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a Structured Streaming source with normalized ts.
+
+    Streaming file sources need an explicit schema AND a directory path: the
+    schema comes from a driver-side footer read of the same file (metadata
+    only), and a glob filter narrows the directory to the events table."""
+    ensure_engine_confs(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    # Event-time watermarks reject TIMESTAMP_NTZ; fixtures that ship
+    # timestamp[us] (isAdjustedToUTC=false) infer as NTZ, so cast.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

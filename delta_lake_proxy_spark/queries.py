@@ -31,6 +31,10 @@ from .streaming.metrics import session_windows, sliding_metrics, tumbling_metric
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
+
+# Streaming drains must finish before their sink is read; overridable so tests
+# can simulate a loaded machine (timeout -> raise, never a partial result).
+_STREAM_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S", "300"))
 # str, or a zero-arg callable resolved at oracle_sql() time (used by oracles
 # whose SQL embeds the on-disk fixture path, which depends on the scale factor)
 ORACLES: dict[str, "str | Callable[[], str]"] = {}
@@ -893,14 +897,10 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark."""
     import uuid as _uuid
 
-    ev_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    # streaming file sources require a directory: glob-filter the events file
+    from .io import read_event_stream
+
     stream = (
-        spark.readStream.schema(ev_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        read_event_stream(spark, sf_dir)
         .withWatermark("ts", "2 minutes")
         .groupBy(F.window("ts", "60 seconds").alias("w"))
         .agg(
@@ -922,8 +922,19 @@ def late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    try:
+        # availableNow must drain fully before the sink is read: a partial
+        # aggregate is silently wrong, so a timeout is a hard failure, never
+        # a truncated result (returns False iff the timeout elapsed).
+        if not q.awaitTermination(_STREAM_TIMEOUT_S):
+            raise TimeoutError(
+                f"late_data_watermark: streaming query still active after "
+                f"{_STREAM_TIMEOUT_S}s; refusing to return a partial sink"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
     return spark.table(qname)
 
 
@@ -1804,7 +1815,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(AVG(CAST(ascii(substring(text, CAST(i AS INT), 1)) AS DOUBLE)), 6) AS f0
       FROM idx GROUP BY doc_id, modality
     )
-    SELECT modality, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+    SELECT modality, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            round(CAST(SUM(CAST(f0 AS DECIMAL(27,9))) AS DOUBLE) / COUNT(f0), 6) AS avg_f0
     FROM f0 GROUP BY modality
     """,

@@ -115,6 +115,53 @@ def test_governed_source_reads_through_checkpoint(registered, spark, gov_table, 
     assert _read(spark, path).count() == before_rows  # schema + files via checkpoint
 
 
+def test_checkpoint_with_partition_dnf(registered, spark, gov_table, lineitem, tmp_path):
+    """Partition ACLs must keep working AFTER a checkpoint: the columnar
+    checkpoint renders ``partitionValues`` as a list of (k, v) tuples via
+    pyarrow, while JSON commits carry a dict — the replay normalizes both to
+    dict so ``acl.dnf_allows`` (and file pruning) see one shape. Covers
+    Engine.authorize_file AND format('governed') with a DNF post-checkpoint."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.errors import ForbiddenByPolicyError
+
+    path = str(tmp_path / "ckpt_dnf_t")
+    shutil.copytree(gov_table, path)
+    dnf = [{"l_returnflag": "A"}]
+    want = lineitem.filter(F.col("l_returnflag") == "A").count()
+    v = deltalog.write_checkpoint(spark, path)
+    logd = deltalog.log_path(path)
+    for name in os.listdir(logd):
+        if name.endswith(".json") and name[:-5].isdigit() and int(name[:-5]) <= v:
+            os.remove(os.path.join(logd, name))
+
+    # replayed adds carry dict-shaped partitionValues even from the checkpoint
+    for add in deltalog._live_adds_no_spark(path).values():
+        assert isinstance(add.get("partitionValues") or {}, dict)
+
+    # file-level governed source honors the DNF through the checkpoint
+    out = _read(spark, path, dnf, target_task_bytes=1)
+    assert out.count() == want
+    assert out.rdd.getNumPartitions() == 1
+
+    # per-request authorization: allowed partition passes, others 403
+    cfg = EngineConfig(table_mapping={"t": path}, allowed_partitions={"t": dnf})
+    eng = Engine(spark, cfg)
+    live = deltalog._live_adds_no_spark(path)
+    a_files = [
+        p for p, add in live.items() if add["partitionValues"]["l_returnflag"] == "A"
+    ]
+    n_files = [
+        p for p, add in live.items() if add["partitionValues"]["l_returnflag"] == "N"
+    ]
+    assert a_files and n_files
+    assert eng.authorize_file("t", "anonymous", a_files[0]) is True
+    with pytest.raises(ForbiddenByPolicyError):
+        eng.authorize_file("t", "anonymous", n_files[0])
+
+
 def test_pushdown_boolean_partition_is_not_pruned():
     """str(True) == 'True' but Delta logs 'true': raw str() comparison would
     wrongly prune the matching file of a boolean partition column."""

@@ -127,3 +127,27 @@ def test_stream_static_permission_join(spark, tmp_path):
     q.stop()
     out = spark.sql("SELECT user_id, table_name FROM perm_join").collect()
     assert sorted((r["user_id"], r["table_name"]) for r in out) == [("7", "trades"), ("9", "trades")]
+
+
+def test_late_data_watermark_timeout_raises_not_partial(spark, monkeypatch):
+    """T3 regression (driver r4): if the availableNow drain has not finished
+    within the timeout, the query must RAISE — never read the memory sink and
+    silently return a partial aggregate (the 44/8961-row red row)."""
+    import pytest as _pytest
+
+    from delta_lake_proxy_spark import queries
+
+    monkeypatch.setattr(queries, "_STREAM_TIMEOUT_S", 0.001)
+    with _pytest.raises(TimeoutError, match="partial sink"):
+        queries.late_data_watermark(spark, "/root/testdata/sf0.001")
+
+
+def test_late_data_watermark_completes(spark):
+    """Happy path: the full drain equals the batch aggregation row count."""
+    from delta_lake_proxy_spark import queries
+    from delta_lake_proxy_spark.io import load_table
+
+    out = queries.late_data_watermark(spark, "/root/testdata/sf0.001")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = ev.select(F.date_trunc("minute", "ts")).distinct().count()
+    assert out.count() == want
