@@ -56,6 +56,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         # isolate queries: drop cached/checkpointed blocks left by earlier
         # operators and collect both runtimes so GC pressure from query N
@@ -67,19 +68,20 @@ def main() -> None:
         except Exception:
             pass
         fn = Q.QUERIES[name]
-        best = None
-        # best-of-3: this VM's load spikes can inflate a single run 2-4x,
-        # and the driver records exactly one bench per round
+        # min-of-3: this VM's load spikes can inflate a single run 2-4x,
+        # and the driver records exactly one bench per round; per-run times
+        # are published so a reader can see the noise band, not just the min
+        rs = []
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink materializes every output column (count() would let
             # Catalyst prune the projection and under-measure the query).
             df.write.mode("overwrite").format("noop").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+            rs.append(round(time.time() - t0, 3))
+        timings[name] = min(rs)
+        runs[name] = rs
+        print(f"# {name}: min {timings[name]:.2f}s of {rs}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

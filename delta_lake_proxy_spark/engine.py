@@ -116,6 +116,13 @@ ISIN_FILE_LIMIT = 64
 # the listing-join scan — see Engine._read_data_listing_join.
 LARGE_LISTING_THRESHOLD = 100_000
 
+# Past this many LIVE files, the listing-join semi-join stops broadcasting
+# the path set (a broadcast materializes it on the DRIVER and each executor
+# — ~250 B/path puts 4M paths near 1 GB, and Spark hard-caps broadcasts at
+# 8 GB) and switches to a shuffle-hash join: driver memory back to O(1),
+# one extra shuffle of the scan's path column.
+LISTING_JOIN_BROADCAST_LIMIT = 4_000_000
+
 # Cache sentinel for "this snapshot is too large to enumerate driver-side".
 _TOO_MANY_FILES = object()
 
@@ -141,6 +148,7 @@ class Engine:
         # cache (20 entries x 120 s, src/main.rs:82-85); invalidated on write.
         self._snapshot_cache = acl.TTLCache(20, 120.0)
         self.large_listing_threshold = LARGE_LISTING_THRESHOLD
+        self.listing_join_broadcast_limit = LISTING_JOIN_BROADCAST_LIMIT
         # Observability counters (ref src/metrics.rs:66-88); the windowed
         # aggregation over request events lives in streaming.metrics.
         self.counters: dict[str, int] = {"queries_served": 0, "queries_proxied": 0}
@@ -400,14 +408,18 @@ class Engine:
     def _read_data_listing_join(
         self, path: str, version: int | None = None, live: DataFrame | None = None
     ) -> DataFrame:
-        """Million-file scan: the live file list never touches the driver.
+        """Million-file scan: no N-path reader argument list, no collect.
 
         The table directory is read directly (Spark's distributed file
         listing; ``_delta_log`` is skipped as a ``_``-hidden path) with the
-        log's schema, and rows are kept via a broadcast LEFT SEMI join of the
-        scan's decoded ``input_file_name()`` against the snapshot's
-        relative-path DataFrame — driver memory and plan size stay O(1) in the
-        file count, vs the enumerated path's O(N) reader-argument list.
+        log's schema, and rows are kept via a LEFT SEMI join of the scan's
+        decoded ``input_file_name()`` against the snapshot's relative-path
+        DataFrame. Plan size is O(1) in the file count either way; DRIVER
+        memory depends on the join strategy: up to
+        ``listing_join_broadcast_limit`` live files the path set is broadcast
+        (one job to count it, then driver + each executor hold the set —
+        cheap, no shuffle), past it a shuffle-hash join keeps driver memory
+        O(1) at the cost of shuffling the scan's path column.
 
         ``live`` overrides the file set: any DataFrame with a relative
         ``path`` column (e.g. the stats-surviving subset from
@@ -435,11 +447,15 @@ class Engine:
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
         live = live.select(F.col("path").alias("_live_rel"))
+        if live.count() <= self.listing_join_broadcast_limit:
+            live = F.broadcast(live)
+        else:
+            live = live.hint("shuffle_hash")
         # non-deterministic expressions (input_file_name) may appear in a
         # Project but not a join condition — materialize the column first
         return (
             df.withColumn("_scan_rel", rel)
-            .join(F.broadcast(live), F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
+            .join(live, F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
             .drop("_scan_rel")
         )
 

@@ -14,8 +14,30 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+from collections import deque
+
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Persisted bucketed projections from salt_oversized_buckets, retired FIFO so
+# long-lived sessions running many dedup/LSH calls never accumulate cached
+# blocks without bound. persist() (unlike localCheckpoint) keeps lineage, so
+# a retired relation stays correct — it just recomputes.
+_SALT_CACHE: deque[DataFrame] = deque()
+_SALT_CACHE_MAX = 4
+
+
+def release_salt_caches(keep: int = 0) -> int:
+    """Unpersist salted-bucket projections beyond ``keep`` (oldest first).
+
+    Returns how many were released. Safe at any time: persisted plans keep
+    their lineage and recompute if re-used after release."""
+    n = 0
+    while len(_SALT_CACHE) > keep:
+        _SALT_CACHE.popleft().unpersist()
+        n += 1
+    return n
 
 
 def normalized_text(text: Column) -> Column:
@@ -64,17 +86,23 @@ def salt_oversized_buckets(
     The oversized-bucket map is aggregated executor-side and broadcast — it
     holds at most N/max_bucket_size rows by construction.
 
-    The input is materialized (eager localCheckpoint) before salting: it
-    feeds THREE plan branches (the size aggregate and both sides of the
-    caller's self-join), and without a materialization point Spark recomputes
-    the full upstream pipeline — e.g. MinHash's explode + 32-way signature
-    aggregation — once per branch. The checkpointed relation is the light
+    The input is materialized (eager persist) before salting: it feeds THREE
+    plan branches (the size aggregate and both sides of the caller's
+    self-join), and without a materialization point Spark recomputes the full
+    upstream pipeline — e.g. MinHash's explode + 32-way signature
+    aggregation — once per branch. The persisted relation is the light
     bucketed projection (ids + bucket keys [+ verify payload]), not the
-    corpus, so the materialization is cheap relative to the recompute.
+    corpus. persist (not localCheckpoint) keeps lineage, so the cache is
+    RELEASABLE: entries retire FIFO after ``_SALT_CACHE_MAX`` newer calls
+    (or explicitly via :func:`release_salt_caches`) without breaking any
+    still-referenced result.
     """
     if max_bucket_size is None:
         return df, bucket_cols
-    df = df.localCheckpoint(eager=True)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize before the plan forks into three branches
+    _SALT_CACHE.append(df)
+    release_salt_caches(keep=_SALT_CACHE_MAX)
     big = (
         df.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -342,7 +370,11 @@ def simhash_near_duplicates(
             f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
             f"need bands > max_hamming (pigeonhole)"
         )
-    bits = 63
+    # 60-bit token hash from the top 15 hex digits of sha2-256: engine-
+    # portable (DuckDB: CAST('0x'||substring(sha256(t),1,15) AS BIGINT)), so
+    # the whole pipeline is oracle-checkable; xxhash64 was not reproducible
+    # outside Spark. 60 bits keeps the signature in a signed long.
+    bits = 60
     tok = (
         df.repartition(F.col(id_col))
         .select(
@@ -351,7 +383,12 @@ def simhash_near_duplicates(
                 F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
             ).alias("_t"),
         )
-        .select("_id", F.xxhash64("_t").alias("_h"))
+        .select(
+            "_id",
+            F.conv(F.substring(F.sha2(F.col("_t"), 256), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
     )
     # Bit votes as 63 codegen'd sum-aggregates (one hash per token, one pass),
     # then pack the majority bits into the signature long.
@@ -399,7 +436,7 @@ def simhash_near_duplicates(
     xor = F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))
     hamming = F.bit_count(xor)
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -1737,9 +1737,55 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(corpus, threshold=0.6)
 
 
-@register("dedup_near_simhash")
+@register(
+    "dedup_near_simhash",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM corpus
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(sha256(tk), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, j.j AS j, COUNT(*) AS n, SUM((h >> j.j) & 1) AS ones
+      FROM hashed, (SELECT unnest(generate_series(0, 59)) AS j) j
+      GROUP BY doc_id, j.j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ones * 2 >= n
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 21)) & 2097151 AS bucket
+      FROM sig, (SELECT unnest([0, 1, 2]) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                      a.sig AS sa, b2.sig AS sb
+      FROM banded a
+      JOIN banded b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+    """,
+)
 def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash near-dup pairs (Hamming <= 8 over 63-bit signatures)."""
+    """X2 SimHash near-dup pairs (Hamming <= 2 over 60-bit signatures).
+
+    The token hash is sha2-derived (top 15 hex digits as a 60-bit int), so
+    the ENTIRE pipeline — tokenize, bit votes, signature packing, pigeonhole
+    banding, Hamming verify — reproduces in the DuckDB oracle bit-for-bit."""
     corpus = _docs_with_dups(spark, sf_dir)
     return dedup.simhash_near_duplicates(corpus, max_hamming=2)
 

@@ -842,3 +842,24 @@ def test_scan_with_skipping_listing_join_overflow(spark, tmp_path, lineitem):
     assert "LeftSemi" in plan
     assert "minValues" in plan and "maxValues" in plan
     assert joined.count() == want
+
+
+def test_listing_join_shuffle_hash_past_broadcast_limit(spark, tmp_path, lineitem):
+    """Past listing_join_broadcast_limit live files, the listing-join's semi
+    join must NOT broadcast (broadcast puts the path set in driver memory —
+    O(N), 8 GB hard cap) and instead shuffle-hash join; rows identical."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "huge_listing")
+    write_governed_table(spark, lineitem.limit(100).repartition(2), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}))
+    want = eng.read_table("t").count()
+    eng.invalidate_caches()
+    eng.large_listing_threshold = 0  # force the listing-join path
+    eng.listing_join_broadcast_limit = 0  # force the non-broadcast strategy
+    df = eng.read_table("t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert df.count() == want

@@ -344,3 +344,21 @@ def test_asof_join_backward(spark):
     assert got[(1, 10)] == 100.0
     assert got[(1, 20)] == 200.0  # ties: right at same ts visible (<=)
     assert got[(2, 10)] is None  # no prior right row
+
+
+def test_salt_cache_bounded_and_releasable(spark, corpus):
+    """salt_oversized_buckets must not accumulate pinned blocks across
+    repeated calls (long-lived session), and releasing the cache must not
+    break later reuse of a result (persist keeps lineage -> recompute)."""
+    dedup.release_salt_caches()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(dedup._SALT_CACHE_MAX + 3):
+        dedup.simhash_near_duplicates(corpus, max_hamming=2).count()
+    assert len(dedup._SALT_CACHE) <= dedup._SALT_CACHE_MAX
+    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_cached - base <= dedup._SALT_CACHE_MAX
+    out = dedup.simhash_near_duplicates(corpus, max_hamming=2)
+    released = dedup.release_salt_caches()
+    assert released >= 1
+    assert out.count() >= 1  # recomputes fine after its cache was dropped
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base

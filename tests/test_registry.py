@@ -180,8 +180,8 @@ def test_flagships_registered():
         assert name in QUERIES, f"flagship {name!r} missing from registry"
 
 
-def test_single_justified_rows_only_query():
-    # every query has a DuckDB oracle except the xxhash64-based simhash
-    # (not reproducible in an external SQL engine — documented rows-only)
+def test_every_query_has_an_oracle():
+    # 50/50: since the simhash token hash moved to sha2-derived bits, every
+    # registered query reproduces in DuckDB
     missing = [q for q in QUERIES if q not in ORACLES]
-    assert missing == ["dedup_near_simhash"]
+    assert missing == []
