@@ -347,16 +347,16 @@ def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
         import pyarrow.parquet as pq
 
         v = int(ck["version"])
-        ck_file = os.path.join(log_path(table_path), f"{v:020d}.checkpoint.parquet")
-        for a in pq.read_table(ck_file, columns=["add"]).column("add").to_pylist():
-            if a is not None:
-                # pyarrow renders map columns as [(k, v), ...]; JSON-commit
-                # adds carry a dict — normalize so ACL DNF evaluation
-                # (acl.dnf_allows -> .items()) sees one shape either way.
-                pv = a.get("partitionValues")
-                if pv is not None and not isinstance(pv, dict):
-                    a["partitionValues"] = dict(pv)
-                state[a["path"]] = a
+        for ck_file in checkpoint_data_files(table_path, ck):
+            for a in pq.read_table(ck_file, columns=["add"]).column("add").to_pylist():
+                if a is not None:
+                    # pyarrow renders map columns as [(k, v), ...]; JSON-
+                    # commit adds carry a dict — normalize so ACL DNF
+                    # evaluation (acl.dnf_allows -> .items()) sees one shape.
+                    pv = a.get("partitionValues")
+                    if pv is not None and not isinstance(pv, dict):
+                        a["partitionValues"] = dict(pv)
+                    state[a["path"]] = a
         min_version = v
     d = log_path(table_path)
     if os.path.isdir(d):
@@ -386,8 +386,30 @@ def _live_paths_no_spark(table_path: str) -> list[str]:
 # Checkpoints (Delta protocol: {version:020d}.checkpoint.parquet + _last_checkpoint)
 # ---------------------------------------------------------------------------
 
+# One checkpoint part file per this many actions: bounds both the write
+# task's output and any single footer read. A 10^7-file table checkpoints as
+# ~10 parallel parts instead of one multi-GB single-task file.
+CHECKPOINT_PART_ACTIONS = 1_000_000
+
+
 def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
+
+
+def checkpoint_data_files(table_path: str, ck: dict[str, Any]) -> list[str]:
+    """Physical parquet files of the checkpoint described by ``ck``
+    (a ``_last_checkpoint`` dict): the single classic file, or the
+    ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` multi-part set
+    (Delta protocol)."""
+    v = int(ck["version"])
+    d = log_path(table_path)
+    parts = int(ck.get("parts") or 0)
+    if parts <= 1:
+        return [os.path.join(d, f"{v:020d}.checkpoint.parquet")]
+    return [
+        os.path.join(d, f"{v:020d}.checkpoint.{p:010d}.{parts:010d}.parquet")
+        for p in range(1, parts + 1)
+    ]
 
 
 def last_checkpoint(table_path: str) -> dict[str, Any] | None:
@@ -398,13 +420,21 @@ def last_checkpoint(table_path: str) -> dict[str, Any] | None:
         return json.loads(f.read())
 
 
-def write_checkpoint(spark: SparkSession, table_path: str) -> int:
-    """Materialize the current snapshot as ``{v:020d}.checkpoint.parquet``
-    and point ``_last_checkpoint`` at it (Delta protocol checkpointing).
+def write_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    max_actions_per_part: int = CHECKPOINT_PART_ACTIONS,
+) -> int:
+    """Materialize the current snapshot as a Delta-protocol checkpoint and
+    point ``_last_checkpoint`` at it.
 
-    Readers then load the checkpoint columnar file plus only the JSON commits
-    AFTER it — snapshot reconstruction cost stops growing with table history.
-    One parquet action-row per live file, plus the latest protocol/metaData.
+    Readers then load the checkpoint columnar file(s) plus only the JSON
+    commits AFTER them — snapshot reconstruction cost stops growing with
+    table history. One parquet action-row per live file, plus the latest
+    protocol/metaData. Snapshots above ``max_actions_per_part`` actions write
+    the MULTI-PART form ``{v:020d}.checkpoint.{part:010d}.{parts:010d}
+    .parquet`` (parts recorded in ``_last_checkpoint``): the write
+    parallelizes across tasks and no single file grows with the table.
     """
     version = latest_version(table_path)
     if version < 0:
@@ -441,18 +471,36 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
         .select(*empty_cols, F.lit(None).cast(METADATA_SCHEMA).alias("metaData"), F.col("protocol"))
     )
     meta_proto = latest_meta.unionByName(latest_proto)
-    target = os.path.join(log_path(table_path), f"{version:020d}.checkpoint.parquet")
-    tmp_dir = target + ".tmp"
-    adds.unionByName(meta_proto).coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    part = next(
+    n_actions = live.count()
+    parts = max(1, -(-(n_actions + 2) // max_actions_per_part))
+    all_actions = adds.unionByName(meta_proto)
+    tmp_dir = os.path.join(
+        log_path(table_path), f"{version:020d}.checkpoint.parquet.tmp"
+    )
+    (
+        all_actions.coalesce(1)
+        if parts == 1
+        else all_actions.repartition(parts)
+    ).write.mode("overwrite").parquet(tmp_dir)
+    written = sorted(
         p for p in os.listdir(tmp_dir) if p.endswith(".parquet") and not p.startswith(".")
     )
-    os.replace(os.path.join(tmp_dir, part), target)
+    ck_meta: dict[str, Any] = {"version": version, "size": n_actions}
+    if parts == 1:
+        targets = [os.path.join(log_path(table_path), f"{version:020d}.checkpoint.parquet")]
+    else:
+        parts = len(written)  # repartition may emit fewer non-empty files
+        targets = checkpoint_data_files(
+            table_path, {"version": version, "parts": parts}
+        )
+        ck_meta["parts"] = parts
+    for src, dst in zip(written, targets):
+        os.replace(os.path.join(tmp_dir, src), dst)
     import shutil as _shutil
 
     _shutil.rmtree(tmp_dir, ignore_errors=True)
     with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
-        f.write(json.dumps({"version": version, "size": live.count()}))
+        f.write(json.dumps(ck_meta))
     return version
 
 
@@ -515,14 +563,11 @@ def snapshot_files(
     ck = last_checkpoint(table_path) if use_checkpoint else None
     if ck is not None and (version is None or version >= int(ck["version"])):
         ck_version = int(ck["version"])
-        ck_file = os.path.join(
-            log_path(table_path), f"{ck_version:020d}.checkpoint.parquet"
-        )
         ck_schema = T.StructType(
             [T.StructField("add", ADD_SCHEMA), T.StructField("remove", REMOVE_SCHEMA)]
         )
         base = (
-            spark.read.schema(ck_schema).parquet(ck_file)
+            spark.read.schema(ck_schema).parquet(*checkpoint_data_files(table_path, ck))
             .filter(F.col("add").isNotNull())
             .select(F.col("add"), F.lit(None).cast(REMOVE_SCHEMA).alias("remove"))
             .withColumn("version", F.lit(ck_version).cast("long"))
@@ -565,7 +610,11 @@ def snapshot_files(
 
 
 def table_metadata(spark: SparkSession, table_path: str) -> dict[str, Any] | None:
-    """Latest ``metaData`` action (schema + partition columns), or None."""
+    """Latest ``metaData`` action (schema + partition columns), or None.
+
+    JSON commits first (any post-checkpoint metaData is strictly newer);
+    falls back to the checkpoint's carried metaData when log cleanup has
+    pruned the pre-checkpoint commits that held it."""
     rows = (
         read_log(spark, table_path)
         .filter(F.col("metaData").isNotNull())
@@ -575,7 +624,22 @@ def table_metadata(spark: SparkSession, table_path: str) -> dict[str, Any] | Non
         .collect()
     )
     if not rows:
-        return None
+        ck = last_checkpoint(table_path)
+        if ck is None:
+            return None
+        ck_schema = T.StructType([T.StructField("metaData", METADATA_SCHEMA)])
+        rows = (
+            spark.read.schema(ck_schema)
+            .parquet(*checkpoint_data_files(table_path, ck))
+            .filter(F.col("metaData").isNotNull())
+            .select(
+                "metaData.schemaString", "metaData.partitionColumns", "metaData.id"
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
     r = rows[0]
     return {
         "schemaString": r["schemaString"],

@@ -100,13 +100,12 @@ def _logged_schema(table_path: str) -> T.StructType | None:
     if ck is not None:
         import pyarrow.parquet as pq
 
-        ck_file = os.path.join(
-            deltalog.log_path(table_path),
-            f"{int(ck['version']):020d}.checkpoint.parquet",
-        )
-        for m in pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist():
-            if m and m.get("schemaString"):
-                schema_json = m["schemaString"]
+        for ck_file in deltalog.checkpoint_data_files(table_path, ck):
+            for m in (
+                pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist()
+            ):
+                if m and m.get("schemaString"):
+                    schema_json = m["schemaString"]
     for a in _log_actions(table_path):
         if "metaData" in a and a["metaData"].get("schemaString"):
             schema_json = a["metaData"]["schemaString"]

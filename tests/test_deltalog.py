@@ -228,3 +228,46 @@ def test_optimistic_concurrency(spark, tmp_path):
                 [{"path": "c", "partitionValues": {}, "size": 1, "modificationTime": 0}],
                 removes=[{"path": "a"}],
             )
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """A snapshot above max_actions_per_part writes the multi-part
+    {v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet set; BOTH readers
+    (Spark snapshot_files and the driver-side _live_adds_no_spark) must
+    reconstruct the identical live set after pre-checkpoint JSON pruning,
+    with dict-shaped partitionValues."""
+    t = str(tmp_path / "ckpt_multi")
+    os.makedirs(t)
+    adds = [
+        {
+            "path": f"p={i % 3}/f{i}.parquet",
+            "partitionValues": {"p": str(i % 3)},
+            "size": i + 1,
+            "modificationTime": 0,
+        }
+        for i in range(25)
+    ]
+    deltalog.write_commit(t, adds, schema_json='{"v":1}')
+    deltalog.write_commit(
+        t,
+        [{"path": "p=9/f99.parquet", "partitionValues": {"p": "9"}, "size": 9, "modificationTime": 0}],
+        removes=[{"path": "p=0/f0.parquet"}],
+    )
+    v = deltalog.write_checkpoint(spark, t, max_actions_per_part=10)
+    ck = deltalog.last_checkpoint(t)
+    assert ck["version"] == v and ck.get("parts", 0) >= 2
+    files = deltalog.checkpoint_data_files(t, ck)
+    assert all(os.path.exists(f) for f in files) and len(files) == ck["parts"]
+    # prune the pre-checkpoint JSON commits (log cleanup)
+    logd = deltalog.log_path(t)
+    for name in os.listdir(logd):
+        if name.endswith(".json") and name[:-5].isdigit() and int(name[:-5]) <= v:
+            os.remove(os.path.join(logd, name))
+    want = {f"p={i % 3}/f{i}.parquet" for i in range(1, 25)} | {"p=9/f99.parquet"}
+    got_spark = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    assert got_spark == want
+    live = deltalog._live_adds_no_spark(t)
+    assert set(live) == want
+    assert live["p=9/f99.parquet"]["partitionValues"] == {"p": "9"}
+    # metadata (schema) survives via the multi-part checkpoint
+    assert deltalog.table_metadata(spark, t)["schemaString"] == '{"v":1}'
