@@ -396,6 +396,45 @@ def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
 
 
+def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
+    """Delta log-retention cleanup: delete JSON commits AT OR BELOW the last
+    checkpoint version, plus checkpoint part files of superseded (older)
+    checkpoints. Returns how many files were removed.
+
+    Commits after the checkpoint are never touched — snapshot replay needs
+    them. ``retention_hours`` keeps recently-written files (a reader replaying
+    against a cached ``_last_checkpoint`` may still be reading them); pass 0
+    to reclaim immediately. Time travel to versions BELOW the checkpoint
+    stops working once their commits are gone (Delta semantics).
+    """
+    ck = last_checkpoint(table_path)
+    if ck is None:
+        return 0
+    v = int(ck["version"])
+    keep = set(os.path.basename(p) for p in checkpoint_data_files(table_path, ck))
+    cutoff = time.time() - retention_hours * 3600.0
+    d = log_path(table_path)
+    removed = 0
+    for name in sorted(os.listdir(d)):
+        is_old_commit = (
+            name.endswith(".json") and name[:-5].isdigit() and int(name[:-5]) <= v
+        )
+        is_old_ckpt = (
+            ".checkpoint." in name
+            and name.endswith(".parquet")
+            and name not in keep
+            and name[:20].isdigit()
+            and int(name[:20]) < v
+        )
+        if not (is_old_commit or is_old_ckpt):
+            continue
+        full = os.path.join(d, name)
+        if os.stat(full).st_mtime <= cutoff:
+            os.remove(full)
+            removed += 1
+    return removed
+
+
 def checkpoint_data_files(table_path: str, ck: dict[str, Any]) -> list[str]:
     """Physical parquet files of the checkpoint described by ``ck``
     (a ``_last_checkpoint`` dict): the single classic file, or the

@@ -992,6 +992,20 @@ class Engine:
         self._snapshot_cache.invalidate()
         return deleted
 
+    def cleanup_log(self, alias: str, retention_hours: float = 168.0) -> int:
+        """G9 maintenance: Delta log-retention cleanup — drop JSON commits
+        already captured by the last checkpoint (and superseded checkpoint
+        files) past ``retention_hours``. The snapshot replay is unaffected
+        (checkpoint + JSON tail); time travel below the checkpoint ends.
+        Returns the number of log files deleted."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        removed = deltalog.cleanup_log(path, retention_hours=retention_hours)
+        if removed:
+            self._snapshot_cache.invalidate()
+        return removed
+
     def _with_zorder(
         self, df: DataFrame, cols: list[str], bits: int = 16, method: str = "linear"
     ) -> DataFrame:

@@ -271,3 +271,33 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert live["p=9/f99.parquet"]["partitionValues"] == {"p": "9"}
     # metadata (schema) survives via the multi-part checkpoint
     assert deltalog.table_metadata(spark, t)["schemaString"] == '{"v":1}'
+
+
+def test_cleanup_log_retention(spark, tmp_path, lineitem):
+    """cleanup_log removes only checkpoint-covered JSON commits and
+    superseded checkpoint files; snapshot replay, schema, and engine reads
+    survive; post-checkpoint commits and the current checkpoint stay."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "cleanup_t")
+    write_governed_table(spark, lineitem.limit(100).repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(10))
+    deltalog.write_checkpoint(spark, path)  # ckpt @ v1 (superseded below)
+    eng.write_table("t", lineitem.limit(10))
+    v = deltalog.write_checkpoint(spark, path)  # ckpt @ v2
+    eng.write_table("t", lineitem.limit(10))  # JSON tail @ v3
+    before = eng.read_table("t").count()
+    # retention keeps everything young
+    assert eng.cleanup_log("t", retention_hours=1.0) == 0
+    removed = eng.cleanup_log("t", retention_hours=0.0)
+    # v0..v2 commits + the superseded v1 checkpoint file
+    assert removed == 4
+    logd = deltalog.log_path(path)
+    names = sorted(os.listdir(logd))
+    assert f"{3:020d}.json" in names
+    assert all(not (n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= v) for n in names)
+    eng.invalidate_caches()
+    assert eng.read_table("t").count() == before
+    assert deltalog.table_metadata(spark, path)["partitionColumns"] == ["l_returnflag"]

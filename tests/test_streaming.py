@@ -151,3 +151,49 @@ def test_late_data_watermark_completes(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     want = ev.select(F.date_trunc("minute", "ts")).distinct().count()
     assert out.count() == want
+
+
+def test_event_ts_encoding_invariance(spark, tmp_path):
+    """The driver fixtures have shipped events.ts as BOTH int64 ns-since-epoch
+    and parquet timestamp[us] across rounds (the r4 red-row cause). Batch and
+    streaming readers must produce identical windows for either encoding."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_proxy_spark import queries
+    from delta_lake_proxy_spark.io import load_table
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=90 * i) for i in range(40)]
+    cols = {
+        "event_id": pa.array(range(40), pa.int64()),
+        "user_id": pa.array([i % 5 for i in range(40)], pa.int64()),
+        "event_type": pa.array(["get"] * 40),
+        "value": pa.array([float(i) for i in range(40)]),
+        "props": pa.array(["{}"] * 40),
+    }
+    d_us = tmp_path / "us"
+    d_ns = tmp_path / "ns"
+    d_us.mkdir()
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(ts, pa.timestamp("us"))}),
+        str(d_us / "events.parquet"),
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    ns_vals = [int((t - epoch).total_seconds() * 1_000_000) * 1000 for t in ts]
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(ns_vals, pa.int64())}),
+        str(d_ns / "events.parquet"),
+    )
+    for sf_dir in (str(d_us), str(d_ns)):
+        assert dict(load_table(spark, sf_dir, "events").dtypes)["ts"] in (
+            "timestamp",
+            "timestamp_ntz",
+        )
+    a = queries.late_data_watermark(spark, str(d_us)).orderBy("window_start").collect()
+    b = queries.late_data_watermark(spark, str(d_ns)).orderBy("window_start").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 40  # 90s spacing -> every event in its own 60s window
