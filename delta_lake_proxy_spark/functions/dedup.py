@@ -326,6 +326,44 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 12,
+    axis_planes: bool = False,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup SURVIVORS (charter X2, embedding variant).
+
+    Candidate pairs come from :func:`similarity.lsh_near_neighbors`
+    (sign-bucket self-join + exact cosine verify on candidates only); the
+    survivor rule is the same greedy lowest-id policy as
+    :func:`exact_dedup`: a vector is dropped iff it has a verified near-dup
+    with a smaller id. Greedy (not connected components — that's iterative)
+    so the whole operator stays one declarative plan; the standard
+    training-pipeline trade.
+
+    Returns the surviving rows of ``embeddings`` unchanged.
+    """
+    from .similarity import lsh_near_neighbors
+
+    pairs = lsh_near_neighbors(
+        embeddings,
+        dim=dim,
+        num_planes=num_planes,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        axis_planes=axis_planes,
+        max_bucket_size=max_bucket_size,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dropped, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (X2 variant)
 # ---------------------------------------------------------------------------

@@ -362,3 +362,30 @@ def test_salt_cache_bounded_and_releasable(spark, corpus):
     assert released >= 1
     assert out.count() >= 1  # recomputes fine after its cache was dropped
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
+
+
+def test_embedding_near_duplicates_survivors(spark):
+    """Embedding-cosine dedup: duplicate vectors collapse to the lowest id;
+    the dropped set is exactly the ids with a lower-id near-dup."""
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = [
+        (1, unit(0.300)),
+        (2, unit(0.301)),   # near-dup of 1
+        (3, unit(1.2)),     # distinct direction (cosine vs 1 ~ 0.62)
+        (4, unit(0.302)),   # near-dup of 1 and 2
+        (5, unit(-1.2)),    # distinct direction, different sign bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(
+        df, threshold=0.99, dim=8, num_planes=2, axis_planes=True
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3, 5]
+    # no near-dups at an impossible threshold -> everything survives
+    keep_all = dedup.embedding_near_duplicates(
+        df, threshold=1.1, dim=8, num_planes=2, axis_planes=True
+    )
+    assert keep_all.count() == 5
