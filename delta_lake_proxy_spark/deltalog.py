@@ -396,6 +396,32 @@ def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
 
 
+def version_at_timestamp(
+    spark: SparkSession, table_path: str, ts_millis: int
+) -> int:
+    """Largest version whose commit timestamp is <= ``ts_millis`` (the Delta
+    ``timestampAsOf`` resolution rule), from ``commitInfo.timestamp``.
+
+    Resolves within RETAINED history: commits pruned by ``cleanup_log`` no
+    longer carry timestamps, so a timestamp older than the oldest retained
+    commit raises (matching Delta, which errors below its earliest
+    reproducible version)."""
+    rows = (
+        read_log(spark, table_path)
+        .filter(F.col("commitInfo.timestamp").isNotNull())
+        .filter(F.col("commitInfo.timestamp") <= F.lit(int(ts_millis)))
+        .agg(F.max("version"))
+        .collect()
+    )
+    v = rows[0][0]
+    if v is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_millis} in the retained "
+            f"log of {table_path} (history may have been cleaned up)"
+        )
+    return int(v)
+
+
 def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
     """Delta log-retention cleanup: delete JSON commits AT OR BELOW the last
     checkpoint version, plus checkpoint part files of superseded (older)

@@ -127,6 +127,19 @@ LISTING_JOIN_BROADCAST_LIMIT = 4_000_000
 _TOO_MANY_FILES = object()
 
 
+def _to_epoch_millis(ts: "int | float | str") -> int:
+    """Epoch-ms from epoch seconds (int/float) or an ISO-8601 string; naive
+    strings are read as UTC (commit timestamps are UTC epoch millis)."""
+    if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        return int(ts * 1000)
+    import datetime as _dt
+
+    parsed = _dt.datetime.fromisoformat(str(ts))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    return int(parsed.timestamp() * 1000)
+
+
 class Engine:
     """Governed Delta lakehouse engine over a table-alias catalog."""
 
@@ -233,6 +246,7 @@ class Engine:
         user: str = acl.ANONYMOUS,
         strict: bool = False,
         version: int | None = None,
+        timestamp_as_of: "int | float | str | None" = None,
     ) -> DataFrame:
         """Catalog lookup -> ACL resolution -> predicate-injected Delta scan.
 
@@ -240,10 +254,19 @@ class Engine:
         partition pruning selects exactly the files the reference's
         ``get_file_uris_by_partitions`` union selects (src/main.rs:389-415).
         ``version`` time-travels to an earlier snapshot (readable until
-        :meth:`vacuum` reclaims its tombstoned files).
+        :meth:`vacuum` reclaims its tombstoned files); ``timestamp_as_of``
+        (Delta ``timestampAsOf``: epoch seconds, or an ISO-8601 string read
+        as UTC) resolves to the last version committed at or before that
+        time — within retained history (see ``deltalog.version_at_timestamp``).
         """
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or timestamp_as_of, not both")
+            version = deltalog.version_at_timestamp(
+                self.spark, path, _to_epoch_millis(timestamp_as_of)
+            )
         df = self._read_data(path, version=version)
         dnf = self.resolved_dnf(alias, user)
         pred = acl.compile_dnf(dnf)

@@ -301,3 +301,28 @@ def test_cleanup_log_retention(spark, tmp_path, lineitem):
     eng.invalidate_caches()
     assert eng.read_table("t").count() == before
     assert deltalog.table_metadata(spark, path)["partitionColumns"] == ["l_returnflag"]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path, lineitem):
+    """timestamp_as_of resolves to the last version committed at or before
+    the given time (Delta timestampAsOf rule); too-early timestamps raise."""
+    import time as _time
+
+    import pytest
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "ts_travel")
+    write_governed_table(spark, lineitem.limit(50).repartition(1), path, [])
+    t_v0 = _time.time()
+    _time.sleep(0.05)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(10))
+    assert eng.read_table("t", timestamp_as_of=t_v0).count() == 50
+    assert eng.read_table("t", timestamp_as_of=_time.time()).count() == 60
+    with pytest.raises(ValueError, match="no commit at or before"):
+        eng.read_table("t", timestamp_as_of=t_v0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        eng.read_table("t", version=0, timestamp_as_of=t_v0)
+    # ISO-8601 string form (UTC): far future resolves to the latest version
+    assert eng.read_table("t", timestamp_as_of="2100-01-01T00:00:00").count() == 60
