@@ -889,6 +889,104 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def update(
+        self, alias: str, condition: Column, assignments: dict[str, Column]
+    ) -> int:
+        """Predicate UPDATE (Delta UPDATE analog) with minimal file rewrite:
+        only files containing matching rows are rewritten — matching rows get
+        the ``assignments`` applied, the files' other rows are carried over
+        unchanged, and every untouched file survives as-is. Returns the
+        committed version (no-op returns the current one).
+
+        ``assignments`` maps column name -> new-value Column (may reference
+        existing columns, e.g. ``{"price": F.col("price") * 1.1}``).
+        Assigning a partition column is rejected: rewritten rows would move
+        directories and the minimal-rewrite commit does not re-bin them —
+        use MERGE (full row replacement) for partition-moving updates."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata(self.spark, path) or {}
+        parts = meta.get("partitionColumns") or []
+        bad = sorted(set(assignments) & set(parts))
+        if bad:
+            raise ValueError(f"cannot UPDATE partition column(s) {bad}; use merge()")
+        target = self._read_data(path).withColumn("_file", F.input_file_name())
+        unknown = sorted(set(assignments) - set(target.columns))
+        if unknown:
+            raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
+        touched_uris = [
+            r["_file"]
+            for r in target.filter(condition).select("_file").distinct().collect()
+        ]
+        if not touched_uris:
+            return deltalog.latest_version(path)  # nothing matches: no-op
+        touched_rel = self._rel_touched(touched_uris, path)
+        rewritten = self._rows_in_files(target, touched_uris).withColumns(
+            {
+                c: F.when(condition, expr.cast(dict(target.dtypes)[c])).otherwise(
+                    F.col(c)
+                )
+                for c, expr in assignments.items()
+            }
+        ).drop("_file")
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+        )
+        writer = rewritten.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        version = self._commit_moved(
+            path,
+            moved,
+            adds,
+            [{"path": p} for p in sorted(touched_rel)],
+            partition_cols=list(parts),
+            operation="UPDATE",
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def write_table_stream(
+        self,
+        alias: str,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = False,
+        query_name: str | None = None,
+    ):
+        """Governed streaming SINK: append each micro-batch to the governed
+        table through the same commit path as :meth:`write_table` (read-only
+        enforcement, schema evolution, OCC, auto-checkpointing). Built on
+        ``foreachBatch`` — the standard Spark pattern for sinks with custom
+        transactional commit. Returns the ``StreamingQuery``; exactly-once
+        at the micro-batch level comes from the streaming checkpoint plus
+        the log's OCC (a replayed batch that already committed conflicts and
+        is dropped by the caller's idempotence or surfaces loudly)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.write_table(alias, batch_df, mode="append")
+
+        writer = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if query_name:
+            writer = writer.queryName(query_name)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def compact_table(
         self,
         alias: str,

@@ -863,3 +863,74 @@ def test_listing_join_shuffle_hash_past_broadcast_limit(spark, tmp_path, lineite
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
     assert df.count() == want
+
+
+def test_update_minimal_rewrite(spark, tmp_path, lineitem):
+    """UPDATE applies assignments to matching rows only, rewrites only the
+    files containing them, rejects partition-column and unknown-column
+    assignments, and no-ops when nothing matches."""
+    from delta_lake_proxy_spark import deltalog as _dl
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "upd_t")
+    write_governed_table(
+        spark,
+        lineitem.select("l_orderkey", "l_quantity", "l_returnflag").repartition(1),
+        path,
+        ["l_returnflag"],
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    before_files = {r["path"] for r in eng.snapshot_files("t").collect()}
+    n = eng.read_table("t").count()
+    cond = (F.col("l_returnflag") == "A") & (F.col("l_quantity") < 10)
+    n_match = eng.read_table("t").filter(cond).count()
+    assert n_match > 0
+    sum_before = eng.read_table("t").filter(~cond).agg(F.sum("l_quantity")).collect()[0][0]
+    eng.update("t", cond, {"l_quantity": F.lit(1000)})
+    out = eng.read_table("t")
+    assert out.count() == n  # row count preserved
+    assert out.filter(cond).count() == 0  # matched rows moved out of the predicate
+    assert out.filter((F.col("l_returnflag") == "A") & (F.col("l_quantity") == 1000)).count() == n_match
+    # non-matching rows untouched (sum preserved up to float re-aggregation)
+    sum_after = out.filter(F.col("l_quantity") != 1000).agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(float(sum_after) - float(sum_before)) < 1e-6 * max(1.0, abs(float(sum_before)))
+    after_files = {r["path"] for r in eng.snapshot_files("t").collect()}
+    assert {p for p in before_files if "l_returnflag=A" not in p} <= after_files
+    v_before = _dl.latest_version(path)
+    eng.update("t", F.col("l_quantity") < -1, {"l_quantity": F.lit(1)})
+    assert _dl.latest_version(path) == v_before  # no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        eng.update("t", cond, {"l_returnflag": F.lit("X")})
+    with _pytest.raises(ValueError, match="non-existent"):
+        eng.update("t", cond, {"nope": F.lit(1)})
+
+
+def test_write_table_stream_governed_sink(spark, tmp_path, lineitem):
+    """Streaming sink: micro-batches append through the governed commit path
+    (log versions advance, reads see the rows); read-only blocks the sink."""
+    from delta_lake_proxy_spark import deltalog as _dl
+    from delta_lake_proxy_spark.engine import write_governed_table
+    from delta_lake_proxy_spark.errors import ReadOnlyError
+
+    src_dir = str(tmp_path / "sink_src")
+    lineitem.limit(30).select("l_orderkey", "l_quantity").coalesce(1).write.parquet(src_dir)
+    path = str(tmp_path / "sink_t")
+    write_governed_table(
+        spark, lineitem.limit(5).select("l_orderkey", "l_quantity").repartition(1), path, []
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    stream = spark.readStream.schema("l_orderkey long, l_quantity double").parquet(src_dir)
+    q = eng.write_table_stream(
+        "t", stream, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    assert eng.read_table("t").count() == 35
+    assert _dl.latest_version(path) >= 1
+    ro = Engine(spark, EngineConfig(table_mapping={"t": path}))
+    import pytest as _pytest
+
+    with _pytest.raises(ReadOnlyError):
+        ro.write_table_stream("t", stream, str(tmp_path / "ckpt2"))
