@@ -36,11 +36,13 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -50,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from .. import acl, deltalog
@@ -265,9 +268,156 @@ class GovernedReader(DataSourceReader):
             yield batch
 
 
+def _logged_partition_cols(table_path: str) -> list[str]:
+    """Latest metaData partitionColumns, checkpoint-aware (mirrors
+    :func:`_logged_schema`'s resolution order)."""
+    cols: list[str] = []
+    ck = deltalog.last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
+
+        for ck_file in deltalog.checkpoint_data_files(table_path, ck):
+            for m in (
+                pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist()
+            ):
+                if m and m.get("partitionColumns") is not None:
+                    cols = list(m["partitionColumns"])
+    for a in _log_actions(table_path):
+        if "metaData" in a and a["metaData"].get("partitionColumns") is not None:
+            cols = list(a["metaData"]["partitionColumns"])
+    return cols
+
+
+@dataclass
+class GovernedWriteCommit(WriterCommitMessage):
+    rel_paths: list
+
+
+class GovernedWriter(DataSourceArrowWriter):
+    """``df.write.format("governed")`` — the write half of the source (S12).
+
+    Each task streams its Arrow batches into hive-laid-out parquet files
+    under the table root (partition columns become ``key=value`` directories
+    and are DROPPED from the file, Delta convention); the driver-side
+    ``commit`` turns the collected relative paths into ``add`` actions (size/
+    mtime/footer stats via ``deltalog.add_action_for``) and appends ONE log
+    commit — so a multi-task write is atomic at the log level, and a failed
+    job's ``abort`` deletes every staged file. Overwrite mode tombstones the
+    previously-live file set in the same commit. Read-only tables (option
+    ``readonly=true``, the reference's ``readOnly`` gate) reject the plan at
+    writer-construction time.
+
+    Uncommitted files are briefly visible to raw directory readers until the
+    log commit lands (same bounded exposure as ``Engine._commit_moved``,
+    documented there); log-aware readers never see them.
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.table_path = options["path"]
+        if str(options.get("readonly", "false")).strip().lower() in (
+            "1", "true", "yes", "on",
+        ):
+            raise ValueError(f"table at {self.table_path} is read-only")
+        logged = _logged_schema(self.table_path)
+        if logged is None:
+            raise ValueError(
+                f"no logged schema at {self.table_path} — the governed "
+                "writer appends to existing Delta-logged tables only"
+            )
+        if set(schema.names) != set(logged.names):
+            raise ValueError(
+                f"schema mismatch: write has {sorted(schema.names)}, table has "
+                f"{sorted(logged.names)} (use Engine.write_table for evolution)"
+            )
+        self.partition_cols = _logged_partition_cols(self.table_path)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import urllib.parse
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writers: dict[tuple, tuple] = {}  # partition values -> (writer, rel)
+
+        def writer_for(pv: tuple, data_schema: pa.Schema):
+            if pv not in writers:
+                segs = [
+                    f"{c}={urllib.parse.quote(str(v), safe='')}"
+                    for c, v in zip(self.partition_cols, pv)
+                ]
+                rel = "/".join(segs + [f"part-{_uuid.uuid4().hex}.parquet"])
+                full = os.path.join(self.table_path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                writers[pv] = (pq.ParquetWriter(full, data_schema), rel)
+            return writers[pv][0]
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if not self.partition_cols:
+                writer_for((), tbl.schema).write_table(tbl)
+                continue
+            for col in self.partition_cols:
+                if tbl.column(col).null_count:
+                    raise ValueError(f"null partition value in column {col!r}")
+            # split the batch by partition values (pandas groupby — this is
+            # the Arrow<->pandas path every mapInPandas stage already rides),
+            # writing each group minus its partition columns (hive layout)
+            data_schema = pa.schema(
+                [f for f in tbl.schema if f.name not in self.partition_cols]
+            )
+            pdf = tbl.to_pandas()
+            for pv, group in pdf.groupby(list(self.partition_cols), sort=False):
+                pv = pv if isinstance(pv, tuple) else (pv,)
+                out = pa.Table.from_pandas(
+                    group.drop(columns=list(self.partition_cols)),
+                    schema=data_schema,
+                    preserve_index=False,
+                )
+                writer_for(tuple(str(v) for v in pv), data_schema).write_table(out)
+        rels = []
+        for w, rel in writers.values():
+            w.close()
+            rels.append(rel)
+        return GovernedWriteCommit(rel_paths=sorted(rels))
+
+    def _all_rels(self, messages) -> list[str]:
+        return [r for m in messages if m is not None for r in m.rel_paths]
+
+    def commit(self, messages) -> None:
+        rels = self._all_rels(messages)
+        adds = [
+            deltalog.add_action_for(self.table_path, rel, self.partition_cols)
+            for rel in rels
+        ]
+        removes = []
+        if self.overwrite:
+            live = deltalog._live_adds_no_spark(self.table_path)
+            removes = [{"path": p} for p in sorted(set(live) - set(rels))]
+        try:
+            deltalog.write_commit(
+                self.table_path,
+                adds,
+                removes,
+                partition_cols=self.partition_cols,
+                operation="WRITE",
+            )
+        except BaseException:
+            self.abort(messages)
+            raise
+
+    def abort(self, messages) -> None:
+        for rel in self._all_rels(messages):
+            try:
+                os.remove(os.path.join(self.table_path, rel))
+            except OSError:
+                pass
+
+
 class GovernedDataSource(DataSource):
-    """``spark.read.format("governed")`` — reference-faithful file-level
-    governed reads (register with ``spark.dataSource.register``)."""
+    """``format("governed")`` — reference-faithful file-level governed reads
+    and log-committed writes (register with ``spark.dataSource.register``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -284,3 +434,6 @@ class GovernedDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> GovernedReader:
         return GovernedReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> GovernedWriter:
+        return GovernedWriter(self.options, schema, overwrite)

@@ -218,3 +218,60 @@ def test_dnf_allows_model():
     assert not acl.dnf_allows([{}], {"p": "1"})  # configured-empty: deny
     assert acl.dnf_allows([{"p": "1"}, {}], {"p": "1", "q": "2"})
     assert not acl.dnf_allows([{"p": "1", "q": "9"}], {"p": "1", "q": "2"})
+
+
+def test_governed_writer_append_and_overwrite(registered, spark, gov_table, lineitem, tmp_path):
+    """df.write.format('governed'): task-written hive files + ONE atomic log
+    commit; append adds rows, overwrite tombstones the old live set; the
+    partition column leaves the file and comes back from the path."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+
+    path = str(tmp_path / "w_t")
+    shutil.copytree(gov_table, path)
+    base = _read(spark, path)
+    n0 = base.count()
+    v0 = deltalog.latest_version(path)
+    extra = lineitem.limit(20).select(*base.columns)
+    extra.write.format("governed").mode("append").option("path", path).save()
+    assert deltalog.latest_version(path) == v0 + 1
+    assert _read(spark, path).count() == n0 + 20
+    # written files are hive-partitioned and drop the partition column
+    live = deltalog._live_adds_no_spark(path)
+    new_rels = [r for r in live if "part-" in r]
+    assert new_rels and all(r.startswith("l_returnflag=") for r in new_rels)
+    import pyarrow.parquet as pq
+
+    assert "l_returnflag" not in pq.read_schema(
+        os.path.join(path, new_rels[0])
+    ).names
+    # engine read agrees (log-aware, row-level)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}))
+    assert eng.read_table("t").count() == n0 + 20
+    # overwrite replaces the live set in one commit
+    lineitem.limit(7).select(*base.columns).write.format("governed").mode(
+        "overwrite"
+    ).option("path", path).save()
+    assert _read(spark, path).count() == 7
+    # the engine's snapshot cache is TTL-bounded (reference semantics);
+    # an external writer's commit shows up after invalidation/TTL
+    eng.invalidate_caches()
+    assert eng.read_table("t").count() == 7
+
+
+def test_governed_writer_rejects_readonly_and_schema_drift(registered, spark, gov_table, lineitem, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "ro_t")
+    shutil.copytree(gov_table, path)
+    df = lineitem.limit(5)
+    with pytest.raises(Exception, match="read-only"):
+        df.select(*_read(spark, path).columns).write.format("governed").mode(
+            "append"
+        ).option("path", path).option("readonly", "true").save()
+    with pytest.raises(Exception, match="schema mismatch"):
+        df.select("l_orderkey").write.format("governed").mode("append").option(
+            "path", path
+        ).save()
