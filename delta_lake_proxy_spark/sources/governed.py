@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -415,6 +416,27 @@ class GovernedWriter(DataSourceArrowWriter):
                 pass
 
 
+class GovernedStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("governed")`` — streaming sink over the same
+    machinery: each micro-batch's task files land hive-laid-out and the
+    driver appends ONE log commit per micro-batch (append-only; the
+    streaming checkpoint provides batch-level replay protection — a replayed
+    batch after a commit-then-crash window re-appends, the documented
+    at-least-once edge shared with every non-txn-action Delta sink)."""
+
+    def __init__(self, options, schema: T.StructType):
+        self._w = GovernedWriter(options, schema, overwrite=False)
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._w.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
+
+
 class GovernedDataSource(DataSource):
     """``format("governed")`` — reference-faithful file-level governed reads
     and log-committed writes (register with ``spark.dataSource.register``)."""
@@ -437,3 +459,6 @@ class GovernedDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> GovernedWriter:
         return GovernedWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> GovernedStreamWriter:
+        return GovernedStreamWriter(self.options, schema)

@@ -275,3 +275,31 @@ def test_governed_writer_rejects_readonly_and_schema_drift(registered, spark, go
         df.select("l_orderkey").write.format("governed").mode("append").option(
             "path", path
         ).save()
+
+
+def test_governed_stream_writer_sink(registered, spark, gov_table, lineitem, tmp_path):
+    """writeStream.format('governed'): one log commit per micro-batch through
+    the same hive-file machinery; rows land and versions advance."""
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+
+    path = str(tmp_path / "sw_t")
+    shutil.copytree(gov_table, path)
+    cols = _read(spark, path).columns
+    n0 = _read(spark, path).count()
+    v0 = deltalog.latest_version(path)
+    src = str(tmp_path / "sw_src")
+    lineitem.limit(25).select(*cols).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(_read(spark, path).schema).parquet(src)
+    q = (
+        stream.writeStream.format("governed")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    assert _read(spark, path).count() == n0 + 25
+    assert deltalog.latest_version(path) > v0
