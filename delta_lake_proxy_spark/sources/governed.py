@@ -241,32 +241,39 @@ class GovernedReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.full_path)
-        n = table.num_rows
-        cols, names = [], []
-        for field in self._schema.fields:
-            names.append(field.name)
-            if field.name in table.column_names:
-                cols.append(table.column(field.name))
-            else:
-                # partition column: constant from the add action's
-                # partitionValues (string-typed in the log), cast to the
-                # Arrow type DERIVED from the Spark field — covers
-                # timestamp/decimal/long-form types the old literal map
-                # missed (an unmapped type used to ship a string array
-                # against a non-string schema and fail at runtime)
-                from pyspark.sql.pandas.types import to_arrow_type
+        # Streamed row-group batches, not read_table: a task never holds a
+        # whole (possibly multi-GB) file in memory, only one batch.
+        pf = pq.ParquetFile(partition.full_path)
+        file_cols = set(pf.schema_arrow.names)
+        data_names = [f.name for f in self._schema.fields if f.name in file_cols]
+        for rb in pf.iter_batches(columns=data_names):
+            n = rb.num_rows
+            cols, names = [], []
+            for field in self._schema.fields:
+                names.append(field.name)
+                if field.name in file_cols:
+                    cols.append(rb.column(data_names.index(field.name)))
+                else:
+                    # partition column: constant from the add action's
+                    # partitionValues (string-typed in the log), cast to the
+                    # Arrow type DERIVED from the Spark field — covers
+                    # timestamp/decimal/long-form types the old literal map
+                    # missed (an unmapped type used to ship a string array
+                    # against a non-string schema and fail at runtime)
+                    from pyspark.sql.pandas.types import to_arrow_type
 
-                raw = partition.partition_values.get(field.name)
-                arr = pa.array([raw] * n, type=pa.string())
-                pa_type = to_arrow_type(field.dataType)
-                if pa_type != pa.string():
-                    import pyarrow.compute as pc
+                    raw = partition.partition_values.get(field.name)
+                    arr = pa.array([raw] * n, type=pa.string())
+                    pa_type = to_arrow_type(field.dataType)
+                    if pa_type != pa.string():
+                        import pyarrow.compute as pc
 
-                    arr = pc.cast(arr, pa_type)
-                cols.append(arr)
-        for batch in pa.Table.from_arrays(cols, names=names).to_batches():
-            yield batch
+                        arr = pc.cast(arr, pa_type)
+                    cols.append(arr)
+            yield pa.RecordBatch.from_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+                names=names,
+            )
 
 
 def _logged_partition_cols(table_path: str) -> list[str]:
