@@ -101,6 +101,17 @@ LOG_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # Delta streaming-sink idempotence: the last batch version committed
+        # by each writer application (txn action, Delta protocol).
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -225,11 +236,14 @@ def write_commit(
     schema_json: str | None = None,
     partition_cols: list[str] | None = None,
     operation: str = "WRITE",
+    txn: dict[str, Any] | None = None,
 ) -> int:
     """Append one commit; returns the committed version.
 
     Version 0 additionally carries ``protocol`` and ``metaData`` actions;
     later commits re-emit ``metaData`` only when a schema is supplied.
+    ``txn`` (``{"appId": str, "version": int}``) records a streaming sink's
+    batch watermark for idempotent re-commits (Delta txn action).
     """
     os.makedirs(log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
@@ -254,6 +268,12 @@ def write_commit(
                             "createdTime": now_ms,
                         }
                     }
+                )
+            )
+        if txn is not None:
+            lines.append(
+                json.dumps(
+                    {"txn": {"appId": str(txn["appId"]), "version": int(txn["version"])}}
                 )
             )
         for rm in removes or []:
@@ -394,6 +414,33 @@ CHECKPOINT_PART_ACTIONS = 1_000_000
 
 def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
+
+
+def last_txn_version(table_path: str, app_id: str) -> int:
+    """Highest ``txn.version`` committed by ``app_id``, or -1 (driver-side
+    JSON scan — the log tail is metadata-sized).
+
+    Scans RETAINED commits only: our checkpoints do not carry txn actions,
+    so after ``cleanup_log`` an old app's watermark reads as -1 — a replayed
+    ancient batch would then re-append. The streaming checkpoint makes that
+    window replay-of-cleaned-history only (documented trade; Delta proper
+    persists txn in checkpoints)."""
+    best = -1
+    d = log_path(table_path)
+    if not os.path.isdir(d):
+        return best
+    for name in sorted(os.listdir(d)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                t = action.get("txn")
+                if t and t.get("appId") == app_id:
+                    best = max(best, int(t.get("version", -1)))
+    return best
 
 
 def version_at_timestamp(

@@ -677,6 +677,7 @@ class Engine:
         sort_files: int | None = None,
         zorder_by: list[str] | None = None,
         zorder_method: str = "linear",
+        txn: dict | None = None,
     ) -> int:
         """Governed write: blocked when read-only (ref src/main.rs:941-948);
         otherwise parquet write + Delta log commit. Returns the new version.
@@ -756,6 +757,7 @@ class Engine:
             schema_json=schema_json,
             partition_cols=list(parts),
             operation=mode.upper(),
+            txn=txn,
         )
         interval = self.config.checkpoint_interval
         if interval > 0 and version > 0 and version % interval == 0:
@@ -972,10 +974,23 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
 
+        path = self.resolve(alias)
+        app_id = f"write_table_stream:{os.path.abspath(checkpoint_dir)}"
+
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.write_table(alias, batch_df, mode="append")
+            # Delta txn idempotence: a replayed micro-batch (sink committed
+            # but the streaming checkpoint didn't advance before a crash) is
+            # recognized by its recorded batch watermark and skipped.
+            if batch_id <= deltalog.last_txn_version(path, app_id):
+                return
+            self.write_table(
+                alias,
+                batch_df,
+                mode="append",
+                txn={"appId": app_id, "version": batch_id},
+            )
 
         writer = (
             stream.writeStream.foreachBatch(sink)

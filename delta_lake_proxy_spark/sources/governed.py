@@ -393,7 +393,7 @@ class GovernedWriter(DataSourceArrowWriter):
     def _all_rels(self, messages) -> list[str]:
         return [r for m in messages if m is not None for r in m.rel_paths]
 
-    def commit(self, messages) -> None:
+    def commit(self, messages, txn: dict | None = None) -> None:
         rels = self._all_rels(messages)
         adds = [
             deltalog.add_action_for(self.table_path, rel, self.partition_cols)
@@ -410,6 +410,7 @@ class GovernedWriter(DataSourceArrowWriter):
                 removes,
                 partition_cols=self.partition_cols,
                 operation="WRITE",
+                txn=txn,
             )
         except BaseException:
             self.abort(messages)
@@ -433,11 +434,24 @@ class GovernedStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options, schema: T.StructType):
         self._w = GovernedWriter(options, schema, overwrite=False)
+        # Delta txn idempotence: with a txnAppId option, each commit records
+        # {appId, batchId} and a REPLAYED batch (sink committed, streaming
+        # checkpoint didn't advance) is recognized and dropped — its staged
+        # files deleted — instead of double-appending.
+        self._app_id = options.get("txnappid") or options.get("txnAppId")
 
     def write(self, iterator):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        if self._app_id is not None:
+            if batchId <= deltalog.last_txn_version(self._w.table_path, self._app_id):
+                self._w.abort(messages)  # replayed batch: drop staged files
+                return
+            self._w.commit(
+                messages, txn={"appId": self._app_id, "version": batchId}
+            )
+            return
         self._w.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:

@@ -303,3 +303,58 @@ def test_governed_stream_writer_sink(registered, spark, gov_table, lineitem, tmp
     q.stop()
     assert _read(spark, path).count() == n0 + 25
     assert deltalog.latest_version(path) > v0
+
+
+def test_stream_writer_txn_idempotent_replay(registered, spark, gov_table, lineitem, tmp_path):
+    """Delta txn idempotence: with txnAppId, a replayed micro-batch (same
+    batchId re-committed after a sink-committed/checkpoint-lost crash) is
+    dropped — no double append, and its staged files are cleaned up."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.sources.governed import (
+        GovernedStreamWriter,
+        GovernedWriteCommit,
+    )
+
+    path = str(tmp_path / "txn_t")
+    shutil.copytree(gov_table, path)
+    cols = _read(spark, path).columns
+    n0 = _read(spark, path).count()
+    src = str(tmp_path / "txn_src")
+    lineitem.limit(10).select(*cols).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(_read(spark, path).schema).parquet(src)
+    q = (
+        stream.writeStream.format("governed")
+        .option("path", path)
+        .option("txnAppId", "app-1")
+        .option("checkpointLocation", str(tmp_path / "txn_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    assert _read(spark, path).count() == n0 + 10
+    assert deltalog.last_txn_version(path, "app-1") == 0  # batch 0 recorded
+    n_files = len(deltalog._live_adds_no_spark(path))
+
+    # simulate the replay: same appId, same batchId, fresh writer
+    w = GovernedStreamWriter({"path": path, "txnappid": "app-1"}, _read(spark, path).schema)
+    import pyarrow.parquet as pq
+
+    rel = "l_returnflag=A/replayed-part.parquet"
+    full = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    any_live = next(iter(deltalog._live_adds_no_spark(path)))
+    shutil.copyfile(os.path.join(path, any_live), full)
+    w.commit([GovernedWriteCommit(rel_paths=[rel])], batchId=0)
+    # replay dropped: row count unchanged, staged file deleted, no new commit
+    assert _read(spark, path).count() == n0 + 10
+    assert not os.path.exists(full)
+    assert len(deltalog._live_adds_no_spark(path)) == n_files
+    # a NEW batchId commits normally
+    shutil.copyfile(os.path.join(path, any_live), full)
+    w.commit([GovernedWriteCommit(rel_paths=[rel])], batchId=1)
+    assert deltalog.last_txn_version(path, "app-1") == 1
+    assert len(deltalog._live_adds_no_spark(path)) == n_files + 1
