@@ -125,16 +125,29 @@ def _commit_file(table_path: str, version: int) -> str:
 
 
 def latest_version(table_path: str) -> int:
-    """Highest committed version, or -1 if the table has no log yet."""
+    """Highest committed version, or -1 if the table has no log yet.
+
+    Derived from BOTH ``.json`` commits and checkpoint parquet files (plus
+    ``_last_checkpoint``), exactly as Delta lists the log: after
+    ``cleanup_log`` prunes every pre-checkpoint JSON commit, the checkpoint
+    itself still pins the version floor. Without this, a cleanup with the
+    checkpoint at the log tip would reset the next commit to version 0 —
+    which snapshot replay (checkpoint + strictly-newer JSON tail) silently
+    ignores: committed data would vanish from every snapshot.
+    """
     d = log_path(table_path)
     if not os.path.isdir(d):
         return -1
-    versions = [
-        int(name[:-5])
-        for name in os.listdir(d)
-        if name.endswith(".json") and name[:-5].isdigit()
-    ]
-    return max(versions, default=-1)
+    best = -1
+    for name in os.listdir(d):
+        if name.endswith(".json") and name[:-5].isdigit():
+            best = max(best, int(name[:-5]))
+        elif ".checkpoint." in name and name.endswith(".parquet") and name[:20].isdigit():
+            best = max(best, int(name[:20]))
+    ck = last_checkpoint(table_path)
+    if ck is not None:
+        best = max(best, int(ck["version"]))
+    return best
 
 
 def _relative_data_files(table_path: str) -> list[str]:
@@ -416,31 +429,51 @@ def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
 
 
-def last_txn_version(table_path: str, app_id: str) -> int:
-    """Highest ``txn.version`` committed by ``app_id``, or -1 (driver-side
-    JSON scan — the log tail is metadata-sized).
+def all_txn_versions(table_path: str) -> dict[str, int]:
+    """Latest ``txn.version`` per appId — CHECKPOINT-FIRST, like snapshot
+    replay: the checkpoint's carried ``txn`` rows seed the map, then only
+    JSON commits after it apply on top. Delta checkpoints txn actions for
+    exactly this reason: app watermarks must outlive log-retention cleanup,
+    or a restarted streaming sink whose micro-batch replays would
+    double-append (exactly-once broken by routine maintenance)."""
+    out: dict[str, int] = {}
+    min_version = -1
+    ck = last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
 
-    Scans RETAINED commits only: our checkpoints do not carry txn actions,
-    so after ``cleanup_log`` an old app's watermark reads as -1 — a replayed
-    ancient batch would then re-append. The streaming checkpoint makes that
-    window replay-of-cleaned-history only (documented trade; Delta proper
-    persists txn in checkpoints)."""
-    best = -1
+        for ck_file in checkpoint_data_files(table_path, ck):
+            pf = pq.ParquetFile(ck_file)
+            if "txn" not in pf.schema_arrow.names:
+                continue  # pre-txn-era checkpoint: JSON tail is authoritative
+            for t in pq.read_table(ck_file, columns=["txn"]).column("txn").to_pylist():
+                if t is not None and t.get("appId") is not None:
+                    app = t["appId"]
+                    out[app] = max(out.get(app, -1), int(t.get("version", -1)))
+        min_version = int(ck["version"])
     d = log_path(table_path)
-    if not os.path.isdir(d):
-        return best
-    for name in sorted(os.listdir(d)):
-        if not (name.endswith(".json") and name[:-5].isdigit()):
-            continue
-        with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                t = action.get("txn")
-                if t and t.get("appId") == app_id:
-                    best = max(best, int(t.get("version", -1)))
-    return best
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            if int(name[:-5]) <= min_version:
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    t = json.loads(line).get("txn")
+                    if t and t.get("appId") is not None:
+                        app = t["appId"]
+                        out[app] = max(out.get(app, -1), int(t.get("version", -1)))
+    return out
+
+
+def last_txn_version(table_path: str, app_id: str) -> int:
+    """Highest ``txn.version`` committed by ``app_id``, or -1 — read
+    checkpoint-first via :func:`all_txn_versions`, so the streaming sink's
+    idempotence watermark survives ``cleanup_log`` (Delta txn semantics)."""
+    return all_txn_versions(table_path).get(app_id, -1)
 
 
 def version_at_timestamp(
@@ -551,7 +584,12 @@ def write_checkpoint(
     version = latest_version(table_path)
     if version < 0:
         raise ValueError(f"no commits to checkpoint at {table_path}")
-    live = snapshot_files(spark, table_path, version=version, use_checkpoint=False)
+    # Checkpoint-AWARE replay (prior checkpoint + JSON tail): after a
+    # cleanup_log, pre-checkpoint JSON commits are gone, so a full-JSON
+    # replay would silently rebuild a partial snapshot.
+    live = snapshot_files(spark, table_path, version=version)
+    proto_t = LOG_SCHEMA["protocol"].dataType
+    txn_t = LOG_SCHEMA["txn"].dataType
     adds = live.select(
         F.struct(
             F.col("path"),
@@ -563,7 +601,8 @@ def write_checkpoint(
         ).alias("add"),
         F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
         F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
-        F.lit(None).cast(LOG_SCHEMA["protocol"].dataType).alias("protocol"),
+        F.lit(None).cast(proto_t).alias("protocol"),
+        F.lit(None).cast(txn_t).alias("txn"),
     )
     log = read_log(spark, table_path)
     empty_cols = [
@@ -574,18 +613,79 @@ def write_checkpoint(
         log.filter(F.col("metaData").isNotNull())
         .orderBy(F.col("version").desc())
         .limit(1)
-        .select(*empty_cols, F.col("metaData"), F.lit(None).cast(LOG_SCHEMA["protocol"].dataType).alias("protocol"))
+        .select(*empty_cols, F.col("metaData"), F.lit(None).cast(proto_t).alias("protocol"), F.lit(None).cast(txn_t).alias("txn"))
     )
+    if latest_meta.rdd.isEmpty():
+        # pre-checkpoint metaData was cleaned up: carry the prior
+        # checkpoint's forward (same fallback as table_metadata).
+        meta = table_metadata(spark, table_path)
+        if meta is not None:
+            latest_meta = spark.createDataFrame(
+                [
+                    (
+                        None,
+                        None,
+                        {
+                            "id": meta["id"],
+                            "format": {"provider": "parquet"},
+                            "schemaString": meta["schemaString"],
+                            "partitionColumns": meta["partitionColumns"],
+                            "createdTime": None,
+                        },
+                        None,
+                        None,
+                    )
+                ],
+                T.StructType(
+                    [
+                        T.StructField("add", ADD_SCHEMA),
+                        T.StructField("remove", REMOVE_SCHEMA),
+                        T.StructField("metaData", METADATA_SCHEMA),
+                        T.StructField("protocol", proto_t),
+                        T.StructField("txn", txn_t),
+                    ]
+                ),
+            )
     latest_proto = (
         log.filter(F.col("protocol").isNotNull())
         .orderBy(F.col("version").desc())
         .limit(1)
-        .select(*empty_cols, F.lit(None).cast(METADATA_SCHEMA).alias("metaData"), F.col("protocol"))
+        .select(*empty_cols, F.lit(None).cast(METADATA_SCHEMA).alias("metaData"), F.col("protocol"), F.lit(None).cast(txn_t).alias("txn"))
     )
+    if latest_proto.rdd.isEmpty():
+        latest_proto = spark.createDataFrame(
+            [(None, None, None, {"minReaderVersion": 1, "minWriterVersion": 2}, None)],
+            T.StructType(
+                [
+                    T.StructField("add", ADD_SCHEMA),
+                    T.StructField("remove", REMOVE_SCHEMA),
+                    T.StructField("metaData", METADATA_SCHEMA),
+                    T.StructField("protocol", proto_t),
+                    T.StructField("txn", txn_t),
+                ]
+            ),
+        )
     meta_proto = latest_meta.unionByName(latest_proto)
+    # txn actions: app watermarks checkpoint alongside the file set (Delta
+    # protocol) so exactly-once sinks survive log cleanup.
+    txns = all_txn_versions(table_path)
     n_actions = live.count()
-    parts = max(1, -(-(n_actions + 2) // max_actions_per_part))
+    parts = max(1, -(-(n_actions + 2 + len(txns)) // max_actions_per_part))
     all_actions = adds.unionByName(meta_proto)
+    if txns:
+        txn_df = spark.createDataFrame(
+            [(None, None, None, None, {"appId": k, "version": v}) for k, v in sorted(txns.items())],
+            T.StructType(
+                [
+                    T.StructField("add", ADD_SCHEMA),
+                    T.StructField("remove", REMOVE_SCHEMA),
+                    T.StructField("metaData", METADATA_SCHEMA),
+                    T.StructField("protocol", proto_t),
+                    T.StructField("txn", txn_t),
+                ]
+            ),
+        )
+        all_actions = all_actions.unionByName(txn_df)
     tmp_dir = os.path.join(
         log_path(table_path), f"{version:020d}.checkpoint.parquet.tmp"
     )

@@ -340,6 +340,12 @@ class GovernedWriter(DataSourceArrowWriter):
         self.partition_cols = _logged_partition_cols(self.table_path)
         self.overwrite = overwrite
 
+    # Bound on concurrently-open ParquetWriters per task: a high-cardinality
+    # partition column must not exhaust file descriptors/memory. Past the
+    # cap the least-recently-written writer is closed; a recurring partition
+    # simply opens a NEW part file (more small files, bounded resources).
+    MAX_OPEN_WRITERS = 64
+
     def write(self, iterator):
         import urllib.parse
         import uuid as _uuid
@@ -347,19 +353,26 @@ class GovernedWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        writers: dict[tuple, tuple] = {}  # partition values -> (writer, rel)
+        writers: dict[tuple, pq.ParquetWriter] = {}  # pv -> open writer (LRU)
+        rels: list[str] = []  # every part file this task produced
 
         def writer_for(pv: tuple, data_schema: pa.Schema):
-            if pv not in writers:
-                segs = [
-                    f"{c}={urllib.parse.quote(str(v), safe='')}"
-                    for c, v in zip(self.partition_cols, pv)
-                ]
-                rel = "/".join(segs + [f"part-{_uuid.uuid4().hex}.parquet"])
-                full = os.path.join(self.table_path, rel)
-                os.makedirs(os.path.dirname(full), exist_ok=True)
-                writers[pv] = (pq.ParquetWriter(full, data_schema), rel)
-            return writers[pv][0]
+            if pv in writers:
+                writers[pv] = writers.pop(pv)  # refresh LRU position
+                return writers[pv]
+            if len(writers) >= self.MAX_OPEN_WRITERS:
+                oldest_pv = next(iter(writers))
+                writers.pop(oldest_pv).close()
+            segs = [
+                f"{c}={urllib.parse.quote(_delta_pv_str(v) or str(v), safe='')}"
+                for c, v in zip(self.partition_cols, pv)
+            ]
+            rel = "/".join(segs + [f"part-{_uuid.uuid4().hex}.parquet"])
+            full = os.path.join(self.table_path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            writers[pv] = pq.ParquetWriter(full, data_schema)
+            rels.append(rel)
+            return writers[pv]
 
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
@@ -369,25 +382,23 @@ class GovernedWriter(DataSourceArrowWriter):
             for col in self.partition_cols:
                 if tbl.column(col).null_count:
                     raise ValueError(f"null partition value in column {col!r}")
-            # split the batch by partition values (pandas groupby — this is
-            # the Arrow<->pandas path every mapInPandas stage already rides),
-            # writing each group minus its partition columns (hive layout)
+            # Split the batch by partition values with PURE-ARROW take():
+            # only the (small) key columns round-trip through Python; data
+            # columns stay Arrow, so exotic types (timestamps, decimals,
+            # nested) survive untouched — no pandas conversion.
+            data_cols = [f.name for f in tbl.schema if f.name not in self.partition_cols]
             data_schema = pa.schema(
                 [f for f in tbl.schema if f.name not in self.partition_cols]
             )
-            pdf = tbl.to_pandas()
-            for pv, group in pdf.groupby(list(self.partition_cols), sort=False):
-                pv = pv if isinstance(pv, tuple) else (pv,)
-                out = pa.Table.from_pandas(
-                    group.drop(columns=list(self.partition_cols)),
-                    schema=data_schema,
-                    preserve_index=False,
-                )
-                writer_for(tuple(str(v) for v in pv), data_schema).write_table(out)
-        rels = []
-        for w, rel in writers.values():
+            key_lists = [tbl.column(c).to_pylist() for c in self.partition_cols]
+            groups: dict[tuple, list[int]] = {}
+            for i, key in enumerate(zip(*key_lists)):
+                groups.setdefault(key, []).append(i)
+            for pv, idxs in groups.items():
+                out = tbl.take(idxs).select(data_cols)
+                writer_for(pv, data_schema).write_table(out)
+        for w in writers.values():
             w.close()
-            rels.append(rel)
         return GovernedWriteCommit(rel_paths=sorted(rels))
 
     def _all_rels(self, messages) -> list[str]:
@@ -427,13 +438,17 @@ class GovernedWriter(DataSourceArrowWriter):
 class GovernedStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("governed")`` — streaming sink over the same
     machinery: each micro-batch's task files land hive-laid-out and the
-    driver appends ONE log commit per micro-batch (append-only; the
-    streaming checkpoint provides batch-level replay protection — a replayed
-    batch after a commit-then-crash window re-appends, the documented
-    at-least-once edge shared with every non-txn-action Delta sink)."""
+    driver appends ONE log commit per micro-batch. With ``overwrite=True``
+    (outputMode complete / truncate semantics) each batch's commit also
+    tombstones the previously-live file set, so the table always holds
+    exactly the latest batch's result — reusing GovernedWriter's batch
+    overwrite path instead of silently appending duplicates. Exactly-once
+    via the Delta ``txn`` action when ``txnAppId`` is set; without it the
+    streaming checkpoint gives batch-level at-least-once (the documented
+    commit-then-crash replay edge of every non-txn Delta sink)."""
 
-    def __init__(self, options, schema: T.StructType):
-        self._w = GovernedWriter(options, schema, overwrite=False)
+    def __init__(self, options, schema: T.StructType, overwrite: bool = False):
+        self._w = GovernedWriter(options, schema, overwrite=overwrite)
         # Delta txn idempotence: with a txnAppId option, each commit records
         # {appId, batchId} and a REPLAYED batch (sink committed, streaming
         # checkpoint didn't advance) is recognized and dropped — its staged
@@ -482,4 +497,4 @@ class GovernedDataSource(DataSource):
         return GovernedWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> GovernedStreamWriter:
-        return GovernedStreamWriter(self.options, schema)
+        return GovernedStreamWriter(self.options, schema, overwrite)

@@ -326,3 +326,81 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, lineitem):
         eng.read_table("t", version=0, timestamp_as_of=t_v0)
     # ISO-8601 string form (UTC): far future resolves to the latest version
     assert eng.read_table("t", timestamp_as_of="2100-01-01T00:00:00").count() == 60
+
+
+def test_cleanup_at_tip_then_write_not_lost(spark, tmp_path):
+    """Regression (round-6 HIGH): checkpoint at the log tip, cleanup_log
+    removes every JSON commit — the NEXT commit must still land at
+    checkpoint_version + 1 (not restart at 0, which snapshot replay would
+    silently ignore: data loss)."""
+    t = str(tmp_path / "tip")
+    os.makedirs(t)
+    for i in range(3):
+        deltalog.write_commit(
+            t,
+            [{"path": f"f{i}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+            schema_json='{"v":1}' if i == 0 else None,
+        )
+    v = deltalog.write_checkpoint(spark, t)
+    assert v == 2
+    removed = deltalog.cleanup_log(t, retention_hours=0.0)
+    assert removed == 3  # all JSON commits are checkpoint-covered
+    # latest_version must see the checkpoint, not report -1
+    assert deltalog.latest_version(t) == 2
+    nv = deltalog.write_commit(
+        t, [{"path": "f9.parquet", "partitionValues": {}, "size": 9, "modificationTime": 0}]
+    )
+    assert nv == 3
+    live = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    assert live == {"f0.parquet", "f1.parquet", "f2.parquet", "f9.parquet"}
+    # the driver-side replay agrees
+    assert set(deltalog._live_adds_no_spark(t)) == live
+    # and a RE-checkpoint after cleanup must not lose the pre-cleanup files
+    v2 = deltalog.write_checkpoint(spark, t)
+    assert v2 == 3
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    live2 = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    assert live2 == live
+    # protocol/metaData survive two generations of checkpoint + cleanup
+    assert deltalog.table_metadata(spark, t)["schemaString"] == '{"v":1}'
+
+
+def test_txn_watermark_survives_checkpoint_and_cleanup(spark, tmp_path):
+    """Delta checkpoints carry txn actions so app watermarks outlive log
+    retention: stream two batches -> checkpoint -> cleanup_log(0) -> the
+    appId's last version is still visible (replayed batch stays dropped)."""
+    t = str(tmp_path / "txn_ck")
+    os.makedirs(t)
+    deltalog.write_commit(
+        t,
+        [{"path": "b0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        txn={"appId": "app-A", "version": 0},
+    )
+    deltalog.write_commit(
+        t,
+        [{"path": "b1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        txn={"appId": "app-A", "version": 1},
+    )
+    deltalog.write_commit(
+        t,
+        [{"path": "c0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        txn={"appId": "app-B", "version": 7},
+    )
+    deltalog.write_checkpoint(spark, t)
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    # all JSON commits are gone; the checkpoint alone must answer
+    assert deltalog.last_txn_version(t, "app-A") == 1
+    assert deltalog.last_txn_version(t, "app-B") == 7
+    assert deltalog.last_txn_version(t, "app-C") == -1
+    # a newer JSON txn supersedes the checkpointed one
+    deltalog.write_commit(
+        t,
+        [{"path": "b2.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        txn={"appId": "app-A", "version": 2},
+    )
+    assert deltalog.last_txn_version(t, "app-A") == 2
+    # and the next checkpoint carries the SUPERSEDED map forward
+    deltalog.write_checkpoint(spark, t)
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    assert deltalog.last_txn_version(t, "app-A") == 2
+    assert deltalog.last_txn_version(t, "app-B") == 7

@@ -358,3 +358,134 @@ def test_stream_writer_txn_idempotent_replay(registered, spark, gov_table, linei
     w.commit([GovernedWriteCommit(rel_paths=[rel])], batchId=1)
     assert deltalog.last_txn_version(path, "app-1") == 1
     assert len(deltalog._live_adds_no_spark(path)) == n_files + 1
+
+
+def test_stream_writer_txn_survives_cleanup(registered, spark, gov_table, lineitem, tmp_path):
+    """Exactly-once must survive log maintenance: stream a batch -> checkpoint
+    -> cleanup_log(0) removes every pre-checkpoint JSON commit -> a REPLAYED
+    batch is STILL dropped (txn watermark read from the checkpoint)."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.sources.governed import (
+        GovernedStreamWriter,
+        GovernedWriteCommit,
+    )
+
+    path = str(tmp_path / "txn_clean_t")
+    shutil.copytree(gov_table, path)
+    schema = _read(spark, path).schema
+    n0 = _read(spark, path).count()
+    w = GovernedStreamWriter({"path": path, "txnappid": "app-X"}, schema)
+
+    def staged(rel):
+        full = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        any_live = next(iter(deltalog._live_adds_no_spark(path)))
+        shutil.copyfile(os.path.join(path, any_live), full)
+        return full
+
+    f0 = staged("l_returnflag=A/b0.parquet")
+    n_f0 = spark.read.parquet(f0).count()
+    w.commit([GovernedWriteCommit(rel_paths=["l_returnflag=A/b0.parquet"])], batchId=0)
+    f1 = staged("l_returnflag=A/b1.parquet")
+    w.commit([GovernedWriteCommit(rel_paths=["l_returnflag=A/b1.parquet"])], batchId=1)
+    assert deltalog.last_txn_version(path, "app-X") == 1
+    n_after = _read(spark, path).count()
+    assert n_after == n0 + 2 * n_f0
+
+    deltalog.write_checkpoint(spark, path)
+    assert deltalog.cleanup_log(path, retention_hours=0.0) > 0
+    # watermark survives the cleanup via the checkpointed txn action
+    assert deltalog.last_txn_version(path, "app-X") == 1
+    # replayed batch 1 after cleanup: dropped, files cleaned, no growth
+    f1r = staged("l_returnflag=A/b1-replay.parquet")
+    w.commit([GovernedWriteCommit(rel_paths=["l_returnflag=A/b1-replay.parquet"])], batchId=1)
+    assert not os.path.exists(f1r)
+    assert _read(spark, path).count() == n_after
+    # batch 2 still lands, at a version above the checkpoint
+    staged("l_returnflag=A/b2.parquet")
+    w.commit([GovernedWriteCommit(rel_paths=["l_returnflag=A/b2.parquet"])], batchId=2)
+    assert _read(spark, path).count() == n_after + n_f0
+
+
+def test_stream_writer_overwrite_truncates(registered, spark, gov_table, tmp_path):
+    """streamWriter(overwrite=True) — outputMode('complete') semantics: each
+    micro-batch's commit tombstones the previously-live set, so the table
+    holds exactly the latest batch (no silent duplicate accumulation)."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.sources.governed import (
+        GovernedDataSource,
+        GovernedStreamWriter,
+        GovernedWriteCommit,
+    )
+
+    path = str(tmp_path / "trunc_t")
+    shutil.copytree(gov_table, path)
+    schema = _read(spark, path).schema
+    # the DataSource now threads the overwrite flag through
+    ds = GovernedDataSource({"path": path})
+    w = ds.streamWriter(schema, overwrite=True)
+    assert isinstance(w, GovernedStreamWriter)
+
+    any_live = next(iter(deltalog._live_adds_no_spark(path)))
+
+    def staged(rel):
+        full = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        shutil.copyfile(os.path.join(path, any_live), full)
+
+    n_one = spark.read.parquet(os.path.join(path, any_live)).count()
+    staged("l_returnflag=A/c0.parquet")
+    w.commit([GovernedWriteCommit(rel_paths=["l_returnflag=A/c0.parquet"])], batchId=0)
+    assert _read(spark, path).count() == n_one  # prior live set tombstoned
+    staged("l_returnflag=A/c1a.parquet")
+    staged("l_returnflag=N/c1b.parquet")
+    w.commit(
+        [GovernedWriteCommit(rel_paths=["l_returnflag=A/c1a.parquet", "l_returnflag=N/c1b.parquet"])],
+        batchId=1,
+    )
+    assert _read(spark, path).count() == 2 * n_one
+    live = set(deltalog._live_adds_no_spark(path))
+    assert live == {"l_returnflag=A/c1a.parquet", "l_returnflag=N/c1b.parquet"}
+
+
+def test_governed_writer_caps_open_writers(registered, spark, gov_table, lineitem, tmp_path, monkeypatch):
+    """A high-cardinality partition column must not hold unbounded open
+    ParquetWriters per task: with the cap forced to 2, a 10-partition write
+    still lands every row (rotated part files, bounded descriptors)."""
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.sources.governed import GovernedWriter
+
+    path = str(tmp_path / "cap_t")
+    # build a table partitioned by a 10-value key
+    df = lineitem.limit(200).withColumn("bucket", (F.col("l_orderkey") % 10).cast("string"))
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    write_governed_table(spark, df.repartition(1), path, ["bucket"])
+    n0 = _read(spark, path).count()
+    monkeypatch.setattr(GovernedWriter, "MAX_OPEN_WRITERS", 2)
+    more = lineitem.limit(100).withColumn(
+        "bucket", (F.col("l_orderkey") % 10).cast("string")
+    )
+    more.select(*_read(spark, path).columns).coalesce(1).write.format("governed").mode(
+        "append"
+    ).option("path", path).save()
+    assert _read(spark, path).count() == n0 + 100
+    # every bucket value still readable with correct per-bucket counts
+    got = {r["bucket"]: r["count"] for r in _read(spark, path).groupBy("bucket").count().collect()}
+    want = {
+        r["bucket"]: r["count"]
+        for r in df.select(*_read(spark, path).columns)
+        .unionByName(more.select(*_read(spark, path).columns))
+        .groupBy("bucket")
+        .count()
+        .collect()
+    }
+    assert got == want
