@@ -415,6 +415,85 @@ def _live_paths_no_spark(table_path: str) -> list[str]:
     return list(_live_adds_no_spark(table_path))
 
 
+# Deliberately LOW bytes-per-action divisor: real add actions serialize to
+# ~300-800 bytes, so dividing by 64 OVERESTIMATES the action count — the
+# estimate errs toward the distributed path, never toward an oversized
+# driver-side replay.
+_BYTES_PER_ACTION_ESTIMATE = 64
+
+
+def estimate_snapshot_actions(table_path: str) -> int:
+    """Cheap upper-bound estimate of snapshot action count WITHOUT replaying:
+    checkpoint parquet row counts (footer metadata only, no column reads)
+    plus tail-JSON bytes / 64. O(#log files) driver work — used to decide
+    whether a driver-side replay is safe or the distributed path is needed."""
+    total = 0
+    min_version = -1
+    ck = last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
+
+        for f in checkpoint_data_files(table_path, ck):
+            total += pq.ParquetFile(f).metadata.num_rows
+        min_version = int(ck["version"])
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if (
+                name.endswith(".json")
+                and name[:-5].isdigit()
+                and int(name[:-5]) > min_version
+            ):
+                total += max(
+                    1,
+                    os.path.getsize(os.path.join(d, name)) // _BYTES_PER_ACTION_ESTIMATE,
+                )
+    return total
+
+
+def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
+    """Driver-side :func:`table_metadata` (no Spark job): JSON commits first
+    (newest metaData wins), checkpoint fallback after log cleanup. The
+    per-request read path resolves its schema this way — one request must
+    not cost a Spark job for metadata the reference serves from its cache."""
+    meta = None
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    # cheap prefix probe before json.loads: action objects are
+                    # single-key, so a metaData action names its key in the
+                    # first bytes of the line — add/remove lines never parse
+                    if '"metaData"' not in line[:64]:
+                        continue
+                    m = json.loads(line).get("metaData")
+                    if m is not None:
+                        meta = m
+    if meta is None:
+        ck = last_checkpoint(table_path)
+        if ck is None:
+            return None
+        import pyarrow.parquet as pq
+
+        for ck_file in checkpoint_data_files(table_path, ck):
+            pf = pq.ParquetFile(ck_file)
+            if "metaData" not in pf.schema_arrow.names:
+                continue
+            for m in pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist():
+                if m is not None and m.get("schemaString"):
+                    meta = m
+        if meta is None:
+            return None
+    return {
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "id": meta.get("id"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Checkpoints (Delta protocol: {version:020d}.checkpoint.parquet + _last_checkpoint)
 # ---------------------------------------------------------------------------

@@ -396,8 +396,22 @@ class Engine:
             limit = self.large_listing_threshold
 
             def compute():
-                # limit+1 bounds driver memory AND detects overflow in the
-                # same single job — no separate count() pass.
+                # Driver-side checkpoint-aware replay — ZERO Spark jobs for
+                # the common (latest-version) plan, exactly the reference's
+                # cached-snapshot lookup (src/main.rs:82-85). Guarded by a
+                # metadata-only action-count estimate so an over-threshold
+                # table never materializes on the driver: past the limit the
+                # scan switches to the distributed listing-join.
+                if deltalog.estimate_snapshot_actions(path) > limit:
+                    return _TOO_MANY_FILES
+                live_adds = deltalog._live_adds_no_spark(path)
+                if len(live_adds) > limit:
+                    return _TOO_MANY_FILES
+                return [os.path.join(path, rel) for rel in sorted(live_adds)]
+
+            def compute_versioned():
+                # time travel replays distributed (rare path; limit+1 bounds
+                # driver memory AND detects overflow in one job)
                 rows = (
                     deltalog.snapshot_files(self.spark, path, version=version)
                     .select("path")
@@ -412,7 +426,7 @@ class Engine:
             live = (
                 self._snapshot_cache.get_or_compute(path, compute)
                 if version is None
-                else compute()
+                else compute_versioned()
             )
             if live is _TOO_MANY_FILES:
                 return self._read_data_listing_join(path, version)
@@ -488,7 +502,10 @@ class Engine:
         from pyspark.sql import types as T
 
         def compute():
-            meta = deltalog.table_metadata(self.spark, path)
+            # driver-side (no Spark job): schema resolution is per-request
+            # metadata, served from the log files directly like the
+            # reference's cached snapshot metadata
+            meta = deltalog.table_metadata_no_spark(path)
             raw = (meta or {}).get("schemaString")
             if not raw or raw == "{}":
                 return None
