@@ -290,17 +290,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Explode distinct shingles, self-join on shingle (the inverted-index join),
     count intersections per pair, derive the union from per-doc set sizes.
     SQL-oracle-able; for very large corpora prefer minhash_near_duplicates.
+
+    ``max_shingle_df`` guards the quadratic blowup of HOT shingles: the
+    inverted-index self-join produces df² pairs per shingle, so one stopword
+    5-gram ("the a") present in 10⁶ docs is a 10¹²-pair bucket. Shingles with
+    document frequency above the cap are dropped BEFORE sizing and joining —
+    Jaccard is then exact over the capped shingle space (a ubiquitous shingle
+    carries ~0 discrimination: it inflates every pair's intersection AND
+    union alike). The df count is a window over ``_sh`` — one shuffle, linear
+    in the hottest posting list, never quadratic. ``None`` disables the cap
+    (trusted-small corpora only).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_sh"),
     ).dropDuplicates(["_id", "_sh"])
+    if max_shingle_df is not None:
+        w = Window.partitionBy("_sh")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= int(max_shingle_df))
+            .drop("_df")
+        )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     pairs = (
         sh.alias("a")

@@ -1218,8 +1218,14 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
             FROM sub),
-    shingles AS (
+    shingles_all AS (
       SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS sh FROM idx
+    ),
+    shingles AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+        FROM shingles_all
+      ) WHERE df <= 100
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
@@ -1239,9 +1245,10 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs over the dup-seeded corpus (original ∪ normalized-equal variants of
     every third doc) sliced to base ids < 120, so the result provably has >0
     pairs at every test SF — the r1 driver row passed vacuously (0 == 0 rows)
-    on the raw ``documents`` slice."""
+    on the raw ``documents`` slice. ``max_shingle_df=100`` exercises the
+    hot-shingle guard (mirrored in the oracle's windowed df filter)."""
     corpus = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 1000000 < 120)
-    return dedup.ngram_jaccard_pairs(corpus, shingle_k=5, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(corpus, shingle_k=5, threshold=0.5, max_shingle_df=100)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:

@@ -389,3 +389,36 @@ def test_embedding_near_duplicates_survivors(spark):
         df, threshold=1.1, dim=8, num_planes=2, axis_planes=True
     )
     assert keep_all.count() == 5
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """Adversarial corpus: 40 documents that all share one ubiquitous run of
+    text (a hot shingle with df=40) but are otherwise disjoint. Uncapped, the
+    inverted index emits 40*39/2 = 780 candidate pairs from the hot shingles
+    alone; with max_shingle_df below 40 those shingles are dropped, so NO
+    cross-pair survives — and genuinely-duplicate docs still score 1.0
+    because their non-hot shingles carry the match."""
+    import hashlib
+
+    common = "zzzz common header zzzz"
+    rows = [
+        (
+            i,
+            f"{common} document body {hashlib.md5(str(i).encode()).hexdigest()} "
+            f"{hashlib.md5(f'tail-{i}'.encode()).hexdigest()}",
+        )
+        for i in range(40)
+    ]
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # the exact-duplicate pair survives at jaccard 1.0 over the capped space
+    assert got[(0, 100)] == 1.0
+    # the shared-header cross pairs are gone: only the true duplicate remains
+    assert set(got) == {(0, 100)}
+
+    # uncapped (None) still works on small data and finds the noisy pairs too
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=None)
+    assert uncapped.count() >= 1
