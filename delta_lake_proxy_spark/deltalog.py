@@ -258,19 +258,50 @@ def write_commit(
     ``txn`` (``{"appId": str, "version": int}``) records a streaming sink's
     batch watermark for idempotent re-commits (Delta txn action).
     """
+    return write_commit_streamed(
+        table_path,
+        lambda: iter(adds),
+        (lambda: iter(removes)) if removes else None,
+        schema_json=schema_json,
+        partition_cols=partition_cols,
+        operation=operation,
+        txn=txn,
+    )
+
+
+def write_commit_streamed(
+    table_path: str,
+    adds_fn,
+    removes_fn=None,
+    *,
+    schema_json: str | None = None,
+    partition_cols: list[str] | None = None,
+    operation: str = "WRITE",
+    txn: dict[str, Any] | None = None,
+) -> int:
+    """:func:`write_commit` for action sets too large to hold in driver
+    memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
+    iterables of action dicts, streamed to the commit file line by line (a
+    DataFrame's ``toLocalIterator`` composes directly — a 10^7-file RESTORE
+    never materializes its file lists driver-side). Factories are called
+    once per commit attempt; a retried blind append re-invokes them.
+    """
     os.makedirs(log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
 
-    def body_for(version: int) -> str:
-        lines: list[str] = [
+    def stream_body(version: int, f) -> bool:
+        """Write the commit body; returns whether any remove was emitted."""
+        f.write(
             json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
-        ]
+            + "\n"
+        )
         if version == 0:
-            lines.append(
+            f.write(
                 json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+                + "\n"
             )
         if version == 0 or schema_json is not None:
-            lines.append(
+            f.write(
                 json.dumps(
                     {
                         "metaData": {
@@ -282,22 +313,27 @@ def write_commit(
                         }
                     }
                 )
+                + "\n"
             )
         if txn is not None:
-            lines.append(
+            f.write(
                 json.dumps(
                     {"txn": {"appId": str(txn["appId"]), "version": int(txn["version"])}}
                 )
+                + "\n"
             )
-        for rm in removes or []:
-            lines.append(
+        wrote_remove = False
+        for rm in removes_fn() if removes_fn is not None else ():
+            wrote_remove = True
+            f.write(
                 json.dumps(
                     {"remove": {"deletionTimestamp": now_ms, "dataChange": True, **rm}}
                 )
+                + "\n"
             )
-        for add in adds:
-            lines.append(json.dumps({"add": {"dataChange": True, **add}}))
-        return "\n".join(lines) + "\n"
+        for add in adds_fn():
+            f.write(json.dumps({"add": {"dataChange": True, **add}}) + "\n")
+        return wrote_remove
 
     # Delta's commit protocol: atomically create the NEXT version file,
     # failing if another writer got there first (optimistic concurrency) —
@@ -310,14 +346,14 @@ def write_commit(
         target = _commit_file(table_path, version)
         tmp = target + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(body_for(version))
+            has_removes = stream_body(version, f)
         try:
             os.link(tmp, target)
             os.unlink(tmp)
             return version
         except FileExistsError:
             os.unlink(tmp)
-            if removes:
+            if has_removes:
                 raise ConcurrentWriteError(table_path, version)
             version = latest_version(table_path) + 1
     raise ConcurrentWriteError(table_path, version)

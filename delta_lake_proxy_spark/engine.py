@@ -351,27 +351,31 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        old = {
-            r["path"]: r
-            for r in deltalog.snapshot_files(self.spark, path, version=version).collect()
-        }
-        cur = {
-            r["path"] for r in deltalog.snapshot_files(self.spark, path).collect()
-        }
-        adds = [
-            {
-                "path": p,
-                "partitionValues": dict(r["partitionValues"] or {}),
-                "size": r["size"],
-                "modificationTime": r["modificationTime"],
-                "stats": r["stats"],
-            }
-            for p, r in old.items()
-            if p not in cur
-        ]
-        removes = [{"path": p} for p in sorted(cur - set(old))]
-        new_version = deltalog.write_commit(
-            path, adds, removes, operation="RESTORE"
+        # Version diff computed DISTRIBUTED (two anti-joins over the log
+        # replays); only the commit body streams to the driver, row by row,
+        # via toLocalIterator — a 10^7-file restore never materializes
+        # either snapshot's file list in driver memory.
+        old = deltalog.snapshot_files(self.spark, path, version=version)
+        cur = deltalog.snapshot_files(self.spark, path)
+        re_adds = old.join(cur.select("path"), "path", "left_anti")
+        re_removes = cur.select("path").join(old.select("path"), "path", "left_anti")
+
+        def add_rows():
+            for r in re_adds.toLocalIterator():
+                yield {
+                    "path": r["path"],
+                    "partitionValues": dict(r["partitionValues"] or {}),
+                    "size": r["size"],
+                    "modificationTime": r["modificationTime"],
+                    "stats": r["stats"],
+                }
+
+        def remove_rows():
+            for r in re_removes.toLocalIterator():
+                yield {"path": r["path"]}
+
+        new_version = deltalog.write_commit_streamed(
+            path, add_rows, remove_rows, operation="RESTORE"
         )
         self._snapshot_cache.invalidate()
         return new_version
@@ -1126,17 +1130,64 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        live = {
-            r["path"]
-            for r in deltalog.snapshot_files(self.spark, path).select("path").collect()
-        }
         cutoff = time.time() - retention_hours * 3600.0
-        deleted = 0
-        for rel in deltalog._relative_data_files(path):
-            full = os.path.join(path, rel)
-            if rel not in live and os.stat(full).st_mtime <= cutoff:
-                os.remove(full)
-                deleted += 1
+        # FULLY DISTRIBUTED at file scale — the driver never holds a file
+        # list: (1) the directory walk fans out one task per top-level entry
+        # (partition directories), emitting (rel_path, mtime); (2) the
+        # unreferenced set is a LEFT ANTI join against the distributed
+        # snapshot replay; (3) deletion runs in foreachPartition with an
+        # accumulator carrying back only the count. At 10^7 files the driver
+        # does O(top-level dirs) work.
+        sc = self.spark.sparkContext
+        tops = sorted(e for e in os.listdir(path) if e != deltalog.LOG_DIR)
+        if not tops:
+            return 0
+        table_root = path
+
+        def walk_entries(entries):
+            import os as _os
+
+            for e in entries:
+                full = _os.path.join(table_root, e)
+                if _os.path.isfile(full):
+                    if e.endswith(".parquet"):
+                        yield (e, _os.stat(full).st_mtime)
+                    continue
+                for r, _dirs, files in _os.walk(full):
+                    for name in files:
+                        if not name.endswith(".parquet"):
+                            continue
+                        fl = _os.path.join(r, name)
+                        yield (
+                            _os.path.relpath(fl, table_root).replace(_os.sep, "/"),
+                            _os.stat(fl).st_mtime,
+                        )
+
+        listing = self.spark.createDataFrame(
+            sc.parallelize(tops, min(len(tops), 64)).mapPartitions(walk_entries),
+            "path string, mtime double",
+        )
+        live = deltalog.snapshot_files(self.spark, path).select("path")
+        dead = listing.join(live, "path", "left_anti").filter(
+            F.col("mtime") <= F.lit(cutoff)
+        )
+        acc = sc.accumulator(0)
+
+        def delete_partition(rows):
+            import os as _os
+
+            n = 0
+            for row in rows:
+                try:
+                    _os.remove(_os.path.join(table_root, row["path"]))
+                    n += 1
+                except FileNotFoundError:
+                    pass  # another vacuum raced us; the file is gone either way
+            acc.add(n)
+
+        dead.foreachPartition(delete_partition)
+        deleted = int(acc.value)
+        # empty-directory sweep: O(#directories), driver-side
         for root, dirs, files in os.walk(path, topdown=False):
             dirs[:] = [d for d in dirs if d != deltalog.LOG_DIR]
             if root != path and not os.listdir(root):

@@ -934,3 +934,37 @@ def test_write_table_stream_governed_sink(spark, tmp_path, lineitem):
 
     with _pytest.raises(ReadOnlyError):
         ro.write_table_stream("t", stream, str(tmp_path / "ckpt2"))
+
+
+def test_vacuum_and_restore_never_collect_file_lists(spark, tmp_path, lineitem, monkeypatch):
+    """Scale contract (round-6): vacuum computes the unreferenced set as a
+    distributed anti-join and deletes in foreachPartition; restore streams
+    the commit body via toLocalIterator. NEITHER may materialize a snapshot
+    file list through DataFrame.collect — at 10^7 files that pins the
+    driver. collect() is patched to raise for the duration."""
+    from pyspark.sql import DataFrame
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "dist_maint")
+    write_governed_table(spark, lineitem.limit(60).repartition(1), path, ["l_returnflag"])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    n0 = eng.read_table("t").count()
+    eng.write_table("t", lineitem.limit(10), mode="overwrite")  # v1: tombstones v0
+
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError("driver-side collect() during maintenance op")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    try:
+        v = eng.restore("t", version=0)          # distributed diff, streamed body
+        deleted = eng.vacuum("t", retention_hours=0)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert v >= 2
+    assert eng.read_table("t").count() == n0     # restore worked
+    assert deleted >= 1                          # v1's overwrite file reclaimed
+    # restored table remains fully readable post-vacuum
+    assert eng.read_table("t").count() == n0
