@@ -399,7 +399,7 @@ def commit_dir_state(
     )
 
 
-def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
+def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict[str, dict]:
     """Driver-side snapshot replay: path -> latest live ``add`` action.
 
     CHECKPOINT-AWARE, exactly like :func:`snapshot_files`: when
@@ -408,10 +408,14 @@ def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
     replay on top. This keeps every driver-side consumer (per-request
     authorization, the write-path reconcile, the governed Python DataSource)
     correct the day log cleanup prunes pre-checkpoint JSON commits.
+    ``max_version`` bounds the replay (time travel / stream offsets); the
+    checkpoint seeds it only when not newer than the bound.
     """
     state: dict[str, dict | None] = {}
     min_version = -1
     ck = last_checkpoint(table_path)
+    if ck is not None and max_version is not None and int(ck["version"]) > max_version:
+        ck = None  # checkpoint is past the requested version: replay JSON only
     if ck is not None:
         import pyarrow.parquet as pq
 
@@ -432,7 +436,10 @@ def _live_adds_no_spark(table_path: str) -> dict[str, dict]:
         for name in sorted(os.listdir(d)):
             if not (name.endswith(".json") and name[:-5].isdigit()):
                 continue
-            if int(name[:-5]) <= min_version:
+            v_name = int(name[:-5])
+            if v_name <= min_version:
+                continue
+            if max_version is not None and v_name > max_version:
                 continue
             with open(os.path.join(d, name), "r", encoding="utf-8") as f:
                 for line in f:

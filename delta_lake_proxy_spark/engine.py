@@ -304,6 +304,26 @@ class Engine:
         pred = self.acl_predicate(alias, user)
         return stream if pred is None else stream.filter(pred)
 
+    def read_table_stream_log(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
+        """Streaming governed read over the LOG CURSOR (preferred over
+        :meth:`read_table_stream` for governed tables): registers the
+        ``governed`` DataSource and serves commits incrementally — the first
+        micro-batch is the tombstone-reconciled live snapshot, later batches
+        are the new ``add`` actions per commit window, the resolved DNF
+        filters at file level, and uncommitted staged files are NEVER
+        visible (the directory-stream caveats don't apply). See
+        ``sources.governed.GovernedStreamReader``."""
+        self.counters["queries_served"] += 1
+        path = self.resolve(alias)
+        from .sources.governed import GovernedDataSource
+
+        self.spark.dataSource.register(GovernedDataSource)
+        reader = self.spark.readStream.format("governed").option("path", path)
+        dnf = self.resolved_dnf(alias, user)
+        if dnf is not None and dnf != []:
+            reader = reader.option("dnf", json.dumps(dnf))
+        return reader.load()
+
     def governed_batch_filter(self, alias: str, user: str = acl.ANONYMOUS):
         """Per-micro-batch ACL re-resolution for long-running streams.
 

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -136,6 +137,68 @@ def _delta_pv_str(value) -> str | None:
     return None
 
 
+def _bin_pack_files(
+    allowed: list[tuple["GovernedFilePartition", int]], target_task_bytes: int
+) -> list["GovernedFilesPartition"]:
+    """Greedy bin-packing in path order (keeps partition-directory locality):
+    a task closes when its cumulative logged size reaches the target, so a
+    million-small-file table yields thousands of tasks, not a million."""
+    allowed = sorted(allowed, key=lambda t: t[0].full_path)
+    out: list[GovernedFilesPartition] = []
+    bucket: list[GovernedFilePartition] = []
+    bucket_bytes = 0
+    for fp, size in allowed:
+        if bucket and bucket_bytes + size > target_task_bytes:
+            out.append(GovernedFilesPartition(bucket))
+            bucket, bucket_bytes = [], 0
+        bucket.append(fp)
+        bucket_bytes += size
+    if bucket:
+        out.append(GovernedFilesPartition(bucket))
+    return out
+
+
+def _iter_file_batches(
+    full_path: str, partition_values: dict[str, str], schema: T.StructType
+):
+    """Executor-side Arrow-batched read of one logged file: streamed
+    row-group batches (a task never holds a whole file), partition columns
+    materialized from the add action's string values cast to the Spark
+    field's Arrow type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full_path)
+    file_cols = set(pf.schema_arrow.names)
+    data_names = [f.name for f in schema.fields if f.name in file_cols]
+    for rb in pf.iter_batches(columns=data_names):
+        n = rb.num_rows
+        cols, names = [], []
+        for field in schema.fields:
+            names.append(field.name)
+            if field.name in file_cols:
+                cols.append(rb.column(data_names.index(field.name)))
+            else:
+                # partition column: constant from the add action's
+                # partitionValues (string-typed in the log), cast to the
+                # Arrow type DERIVED from the Spark field — covers
+                # timestamp/decimal/long-form types a literal map would miss
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                raw = partition_values.get(field.name)
+                arr = pa.array([raw] * n, type=pa.string())
+                pa_type = to_arrow_type(field.dataType)
+                if pa_type != pa.string():
+                    import pyarrow.compute as pc
+
+                    arr = pc.cast(arr, pa_type)
+                cols.append(arr)
+        yield pa.RecordBatch.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            names=names,
+        )
+
+
 class GovernedReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
         self._schema = schema
@@ -212,68 +275,116 @@ class GovernedReader(DataSourceReader):
                     int(add.get("size") or 0),
                 )
             )
-        # Greedy bin-packing in path order (keeps partition-directory
-        # locality): a task closes when its cumulative logged size reaches
-        # target_task_bytes, so a million-small-file table yields thousands
-        # of tasks, not a million, and one task never gets two huge files.
-        allowed.sort(key=lambda t: t[0].full_path)
-        out: list[GovernedFilesPartition] = []
-        bucket: list[GovernedFilePartition] = []
-        bucket_bytes = 0
-        for fp, size in allowed:
-            if bucket and bucket_bytes + size > self.target_task_bytes:
-                out.append(GovernedFilesPartition(bucket))
-                bucket, bucket_bytes = [], 0
-            bucket.append(fp)
-            bucket_bytes += size
-        if bucket:
-            out.append(GovernedFilesPartition(bucket))
-        return out
+        return _bin_pack_files(allowed, self.target_task_bytes)
 
     def read(self, partition) -> Iterator:
         if partition is None:  # deny-all ACL: zero partitions, one empty task
             return
         files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
         for fp in files:
-            yield from self._read_file(fp)
+            yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
 
-    def _read_file(self, partition: GovernedFilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        # Streamed row-group batches, not read_table: a task never holds a
-        # whole (possibly multi-GB) file in memory, only one batch.
-        pf = pq.ParquetFile(partition.full_path)
-        file_cols = set(pf.schema_arrow.names)
-        data_names = [f.name for f in self._schema.fields if f.name in file_cols]
-        for rb in pf.iter_batches(columns=data_names):
-            n = rb.num_rows
-            cols, names = [], []
-            for field in self._schema.fields:
-                names.append(field.name)
-                if field.name in file_cols:
-                    cols.append(rb.column(data_names.index(field.name)))
-                else:
-                    # partition column: constant from the add action's
-                    # partitionValues (string-typed in the log), cast to the
-                    # Arrow type DERIVED from the Spark field — covers
-                    # timestamp/decimal/long-form types the old literal map
-                    # missed (an unmapped type used to ship a string array
-                    # against a non-string schema and fail at runtime)
-                    from pyspark.sql.pandas.types import to_arrow_type
+class GovernedStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("governed")`` — a LOG-CURSOR streaming
+    source (the Delta streaming-source model, replacing the directory-stream
+    caveats of ``Engine.read_table_stream``):
 
-                    raw = partition.partition_values.get(field.name)
-                    arr = pa.array([raw] * n, type=pa.string())
-                    pa_type = to_arrow_type(field.dataType)
-                    if pa_type != pa.string():
-                        import pyarrow.compute as pc
+    - the offset is the last fully-served commit version ``{"version": N}``;
+      each micro-batch serves the ``add`` actions of commits ``(start, end]``;
+    - the FIRST batch (start = -1) is the whole live snapshot at ``end`` —
+      checkpoint-aware, tombstone-reconciled replay, so files removed before
+      the stream started are never served;
+    - an ``add`` that is tombstoned by a LATER commit inside the same batch
+      window is dropped (never served at all); a ``remove`` of a file served
+      in an earlier batch is ignored — already-emitted rows are not
+      retracted (Delta's ``ignoreDeletes`` stance; this source is for
+      append-mostly tables);
+    - the DNF option filters at FILE level exactly like the batch reader —
+      a forbidden partition's files never become input partitions;
+    - offsets that predate log retention (their JSON commits were cleaned
+      up) fail the stream loudly instead of silently skipping data.
+    """
 
-                        arr = pc.cast(arr, pa_type)
-                    cols.append(arr)
-            yield pa.RecordBatch.from_arrays(
-                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
-                names=names,
+    def __init__(self, schema: T.StructType, options):
+        self._schema = schema
+        self.path = options["path"]
+        self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
+        self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": deltalog.latest_version(self.path)}
+
+    def _adds_in_range(self, start: int, end: int) -> list[dict]:
+        """Net-new live adds from JSON commits in ``(start, end]``: adds
+        keyed by path, minus removes landing later in the same window."""
+        d = deltalog.log_path(self.path)
+        names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        present: set[int] = set()
+        state: dict[str, dict | None] = {}
+        for name in names:
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            v = int(name[:-5])
+            if not (start < v <= end):
+                continue
+            present.add(v)
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        state[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        # tombstoned within the window: never serve it;
+                        # removes of files served earlier are ignored
+                        state.pop(action["remove"]["path"], None)
+        missing = set(range(start + 1, end + 1)) - present
+        if missing:
+            raise ValueError(
+                f"stream offset version {start} predates log retention at "
+                f"{self.path}: commits {sorted(missing)} were cleaned up — "
+                "restart the stream from a fresh checkpoint"
             )
+        return [a for a in state.values() if a is not None]
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        if s < 0:
+            adds = list(deltalog._live_adds_no_spark(self.path, max_version=e).values())
+        else:
+            adds = self._adds_in_range(s, e)
+        allowed: list[tuple[GovernedFilePartition, int]] = []
+        for add in adds:
+            pv = add.get("partitionValues") or {}
+            if not acl.dnf_allows(self.dnf, pv):
+                continue
+            allowed.append(
+                (
+                    GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv)),
+                    int(add.get("size") or 0),
+                )
+            )
+        return _bin_pack_files(allowed, self.target_task_bytes)
+
+    def read(self, partition) -> Iterator:
+        if partition is None:
+            return
+        files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
+        for fp in files:
+            yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by the streaming checkpoint
+
+    def stop(self) -> None:
+        pass
 
 
 def _logged_partition_cols(table_path: str) -> list[str]:
@@ -492,6 +603,9 @@ class GovernedDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> GovernedReader:
         return GovernedReader(schema, self.options)
+
+    def streamReader(self, schema: T.StructType) -> GovernedStreamReader:
+        return GovernedStreamReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> GovernedWriter:
         return GovernedWriter(self.options, schema, overwrite)

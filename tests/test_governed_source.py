@@ -489,3 +489,135 @@ def test_governed_writer_caps_open_writers(registered, spark, gov_table, lineite
         .collect()
     }
     assert got == want
+
+
+def test_governed_stream_reader_log_cursor(registered, spark, gov_table, lineitem, tmp_path):
+    """readStream.format('governed'): the log-cursor source serves the live
+    snapshot as batch one, picks up append commits, never serves forbidden
+    partitions, and never re-serves tombstoned files."""
+    import os
+    import shutil
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "sr_t")
+    shutil.copytree(gov_table, path)
+    cols = spark.read.format("governed").option("path", path).load().columns
+
+    # tombstone the N partition BEFORE the stream starts (overwrite with A+R only)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    keep = eng.read_table("t").filter(F.col("l_returnflag") != "N")
+    n_keep = keep.count()
+    eng.write_table("t", keep, mode="overwrite")
+
+    dnf = [{"l_returnflag": "A"}, {"l_returnflag": "R"}]
+    want_initial = (
+        spark.read.format("governed").option("path", path)
+        .option("dnf", json.dumps(dnf)).load().count()
+    )
+    assert want_initial == n_keep  # sanity: N rows gone from the live set
+
+    ckpt = str(tmp_path / "sr_ckpt")
+    out_dir = str(tmp_path / "sr_out")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("governed")
+            .option("path", path)
+            .option("dnf", json.dumps(dnf))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_stream()
+    got = spark.read.parquet(out_dir)
+    # batch one == the tombstone-reconciled, DNF-filtered live snapshot
+    assert got.count() == want_initial
+    flags = {r[0] for r in got.select("l_returnflag").distinct().collect()}
+    assert "N" not in flags  # forbidden/tombstoned partition never served
+
+    # append new rows (one commit); a restarted availableNow stream picks up
+    # ONLY the new commit (offset cursor advances past the snapshot batch)
+    extra = lineitem.limit(30).select(*cols).filter(F.col("l_returnflag") == "A")
+    n_extra = extra.count()
+    eng.invalidate_caches()
+    eng.write_table("t", extra, mode="append")
+    # also append rows in the FORBIDDEN partition — must never be served
+    bad = lineitem.limit(40).select(*cols).filter(F.col("l_returnflag") == "N")
+    assert bad.count() > 0
+    eng.write_table("t", bad, mode="append")
+
+    run_stream()  # resumes from the SAME checkpoint: serves only the delta
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == want_initial + n_extra  # allowed append only, no re-serves
+    flags2 = {r[0] for r in got2.select("l_returnflag").distinct().collect()}
+    assert "N" not in flags2
+
+
+def test_governed_stream_reader_add_then_remove_in_window(registered, spark, gov_table, tmp_path):
+    """An add tombstoned by a LATER commit inside the same batch window is
+    never served; an offset predating log retention fails loudly."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.sources.governed import GovernedStreamReader
+
+    path = str(tmp_path / "srw_t")
+    shutil.copytree(gov_table, path)
+    schema = spark.read.format("governed").option("path", path).load().schema
+    r = GovernedStreamReader(schema, {"path": path})
+    v0 = deltalog.latest_version(path)
+
+    any_live = next(iter(deltalog._live_adds_no_spark(path)))
+    rel = "l_returnflag=A/transient.parquet"
+    full = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    shutil.copyfile(os.path.join(path, any_live), full)
+    deltalog.write_commit(path, [deltalog.add_action_for(path, rel, ["l_returnflag"])])
+    deltalog.write_commit(path, [], [{"path": rel}])
+    v2 = deltalog.latest_version(path)
+    parts = r.partitions({"version": v0}, {"version": v2})
+    served = {fp.full_path for p in parts for fp in p.files}
+    assert full not in served  # add+remove inside the window: never served
+    # a cleaned-up commit range fails the stream instead of skipping data
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log(path, retention_hours=0.0)
+    with _pytest.raises(ValueError, match="predates log retention"):
+        r.partitions({"version": v0}, {"version": v2})
+
+
+def test_engine_read_table_stream_log(registered, spark, gov_table, tmp_path):
+    """Engine.read_table_stream_log resolves the user's DNF into the
+    log-cursor stream: only permitted partitions flow."""
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": gov_table},
+            allowed_partitions={"t": [{"l_returnflag": "A"}]},
+        ),
+    )
+    stream = eng.read_table_stream_log("t", user="analyst")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("eng_log_stream")
+        .option("checkpointLocation", str(tmp_path / "els_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT * FROM eng_log_stream")
+    want = _read(spark, gov_table, [{"l_returnflag": "A"}]).count()
+    assert got.count() == want
+    assert {r[0] for r in got.select("l_returnflag").distinct().collect()} == {"A"}
