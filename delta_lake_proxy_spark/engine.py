@@ -105,6 +105,18 @@ def uri_to_rel(uri: str, table_path: str) -> str:
     return os.path.relpath(local, os.path.abspath(table_path))
 
 
+def uri_rel_col(col: Column, table_path: str) -> Column:
+    """Column-side twin of :func:`uri_to_rel`: strip the URI scheme, percent-
+    decode, strip the table prefix. (``url_decode`` is form-decoding, so a
+    literal '+' in a file name — which Hadoop URIs leave unencoded — would
+    decode to a space; accepted divergence, parquet writers never emit '+'
+    in part names.)"""
+    decoded = F.url_decode(
+        F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+    )
+    return F.substring(decoded, len(os.path.abspath(table_path)) + 2, 1 << 30)
+
+
 # Beyond this many touched files, DML filters use a broadcast semi-join on a
 # paths DataFrame instead of Column.isin: a literal IN-list grows the
 # expression tree (and codegen) linearly with the file count, which a
@@ -410,11 +422,18 @@ class Engine:
         self.read_table(alias, user=user).createOrReplaceTempView(name)
         return name
 
-    def _read_data(self, path: str, version: int | None = None) -> DataFrame:
+    def _read_data(
+        self, path: str, version: int | None = None, keep_file_col: bool = False
+    ) -> DataFrame:
         """Log-driven scan: read exactly the LIVE file set from the Delta
         snapshot (tombstoned files may still exist on disk until vacuum —
         a raw directory read would resurrect them). Falls back to a plain
         partition-discovering read for plain-parquet locations without a log.
+
+        ``keep_file_col`` adds the source-file URI as ``_file`` (DML needs
+        it): materialized INSIDE the scan projection, because
+        ``input_file_name()`` cannot be applied on top of the listing-join
+        plan (multi-source).
         """
         if deltalog.latest_version(path) >= 0:
             limit = self.large_listing_threshold
@@ -453,7 +472,9 @@ class Engine:
                 else compute_versioned()
             )
             if live is _TOO_MANY_FILES:
-                return self._read_data_listing_join(path, version)
+                return self._read_data_listing_join(
+                    path, version, keep_file_col=keep_file_col
+                )
             if not live:
                 return self._empty_table(path)
             reader = self.spark.read.option("basePath", path)
@@ -463,11 +484,17 @@ class Engine:
                 # file footers: no footer-merge job, and files written before
                 # an appended column read it as null (schema evolution).
                 reader = reader.schema(schema)
-            return reader.parquet(*live)
-        return self.spark.read.option("basePath", path).parquet(path)
+            df = reader.parquet(*live)
+            return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
+        df = self.spark.read.option("basePath", path).parquet(path)
+        return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
 
     def _read_data_listing_join(
-        self, path: str, version: int | None = None, live: DataFrame | None = None
+        self,
+        path: str,
+        version: int | None = None,
+        live: DataFrame | None = None,
+        keep_file_col: bool = False,
     ) -> DataFrame:
         """Million-file scan: no N-path reader argument list, no collect.
 
@@ -496,15 +523,6 @@ class Engine:
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(path)
-        # Column-side twin of uri_to_rel: input_file_name() is a
-        # percent-encoded URI; strip the scheme, decode, strip the table
-        # prefix. (url_decode is form-decoding, so a literal '+' in a file
-        # name — which Hadoop URIs leave unencoded — would decode to a space;
-        # accepted divergence, parquet writers never emit '+' in part names.)
-        decoded = F.url_decode(
-            F.regexp_replace(F.input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
-        )
-        rel = F.substring(decoded, len(os.path.abspath(path)) + 2, 1 << 30)
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
         live = live.select(F.col("path").alias("_live_rel"))
@@ -513,12 +531,16 @@ class Engine:
         else:
             live = live.hint("shuffle_hash")
         # non-deterministic expressions (input_file_name) may appear in a
-        # Project but not a join condition — materialize the column first
-        return (
-            df.withColumn("_scan_rel", rel)
+        # Project but not a join condition — materialize the column first.
+        # _file (the raw URI) is kept when DML asks for it: it must be
+        # computed HERE, inside the single-source scan projection.
+        out = (
+            df.withColumn("_file", F.input_file_name())
+            .withColumn("_scan_rel", uri_rel_col(F.col("_file"), path))
             .join(live, F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
             .drop("_scan_rel")
         )
+        return out if keep_file_col else out.drop("_file")
 
     def _table_schema(self, path: str):
         """Schema from the log's latest metaData action, memoized; None when
@@ -821,10 +843,58 @@ class Engine:
             )
         return rels
 
-    def _rows_in_files(self, target: DataFrame, touched_uris: list[str]) -> DataFrame:
+    def _dml_touched(self, path: str, matched: DataFrame):
+        """Touched-file set of a DML predicate, overflow-guarded.
+
+        ``matched`` is the target restricted to matching rows (carrying the
+        ``_file`` column). Returns ``(touched_uris, touched_df, removes)``:
+
+        - NARROW (≤ ``large_listing_threshold`` files): ``touched_uris`` is
+          the collected URI list and ``removes`` the validated remove-action
+          list — the point-update fast path, one small collect.
+        - BROAD (a predicate touching more files than the driver should
+          hold — detected by ``limit(N+1)`` on the same single job):
+          ``touched_uris`` is None; the rewrite set flows through a
+          join on ``touched_df`` and ``removes`` is a re-callable factory
+          STREAMING relative paths via ``toLocalIterator`` into the commit
+          (``write_commit_streamed``), validated against the snapshot by a
+          distributed anti-join — driver memory stays O(1) in the touched
+          count.
+        """
+        touched_df = matched.select("_file").distinct()
+        limit = self.large_listing_threshold
+        rows = touched_df.limit(limit + 1).collect()
+        if len(rows) <= limit:
+            uris = [r["_file"] for r in rows]
+            removes = [{"path": p} for p in sorted(self._rel_touched(uris, path))]
+            return uris, touched_df, removes
+        rel_df = touched_df.select(uri_rel_col(F.col("_file"), path).alias("path"))
+        snap = deltalog.snapshot_files(self.spark, path).select("path")
+        if rel_df.join(snap, "path", "left_anti").limit(1).count() > 0:
+            raise RuntimeError(
+                f"touched files not in live snapshot of {path} — "
+                "URI decoding mismatch or concurrent overwrite?"
+            )
+
+        def removes_fn():
+            for r in rel_df.toLocalIterator():
+                yield {"path": r["path"]}
+
+        return None, touched_df, removes_fn
+
+    def _rows_in_files(
+        self,
+        target: DataFrame,
+        touched_uris: list[str] | None,
+        touched_df: DataFrame | None = None,
+    ) -> DataFrame:
         """Rows of ``target`` whose ``_file`` is in the touched set: IN-list
         for small sets, broadcast semi-join on a paths DataFrame beyond
-        ISIN_FILE_LIMIT (constant-size plan at any touched-file count)."""
+        ISIN_FILE_LIMIT (constant-size plan at any touched-file count), and
+        a distributed semi-join on ``touched_df`` when the set overflowed
+        the driver collect (``touched_uris is None``)."""
+        if touched_uris is None:
+            return target.join(touched_df, on="_file", how="left_semi")
         if len(touched_uris) <= ISIN_FILE_LIMIT:
             return target.filter(F.col("_file").isin(touched_uris))
         files_df = local_df(self.spark, [(u,) for u in touched_uris], "_file string")
@@ -846,18 +916,13 @@ class Engine:
         meta = deltalog.table_metadata(self.spark, path) or {}
         parts = meta.get("partitionColumns") or []
         keys = source.select(*on).dropDuplicates()
-        target = self._read_data(path).withColumn("_file", F.input_file_name())
-        touched_uris = [
-            r["_file"]
-            for r in target.join(keys, on=on, how="left_semi")
-            .select("_file")
-            .distinct()
-            .collect()
-        ]
-        touched_rel = self._rel_touched(touched_uris, path)
-        if touched_rel:
+        target = self._read_data(path, keep_file_col=True)
+        touched_uris, touched_df, removes = self._dml_touched(
+            path, target.join(keys, on=on, how="left_semi")
+        )
+        if touched_uris is None or touched_uris:
             survivors = (
-                self._rows_in_files(target, touched_uris)
+                self._rows_in_files(target, touched_uris, touched_df)
                 .drop("_file")
                 .join(keys, on=on, how="left_anti")
             )
@@ -880,7 +945,7 @@ class Engine:
             path,
             moved,
             adds,
-            [{"path": p} for p in sorted(touched_rel)],
+            removes if (touched_uris is None or touched_uris) else [],
             partition_cols=list(parts),
             operation="MERGE",
         )
@@ -896,16 +961,14 @@ class Engine:
         path = self.resolve(alias)
         meta = deltalog.table_metadata(self.spark, path) or {}
         parts = meta.get("partitionColumns") or []
-        target = self._read_data(path).withColumn("_file", F.input_file_name())
-        touched_uris = [
-            r["_file"]
-            for r in target.filter(condition).select("_file").distinct().collect()
-        ]
-        if not touched_uris:
+        target = self._read_data(path, keep_file_col=True)
+        touched_uris, touched_df, removes = self._dml_touched(
+            path, target.filter(condition)
+        )
+        if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing to delete: no-op
-        touched_rel = self._rel_touched(touched_uris, path)
         survivors = (
-            self._rows_in_files(target, touched_uris)
+            self._rows_in_files(target, touched_uris, touched_df)
             .filter(~condition)
             .drop("_file")
         )
@@ -925,7 +988,7 @@ class Engine:
             path,
             moved,
             adds,
-            [{"path": p} for p in sorted(touched_rel)],
+            removes,
             partition_cols=list(parts),
             operation="DELETE",
         )
@@ -954,18 +1017,16 @@ class Engine:
         bad = sorted(set(assignments) & set(parts))
         if bad:
             raise ValueError(f"cannot UPDATE partition column(s) {bad}; use merge()")
-        target = self._read_data(path).withColumn("_file", F.input_file_name())
+        target = self._read_data(path, keep_file_col=True)
         unknown = sorted(set(assignments) - set(target.columns))
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
-        touched_uris = [
-            r["_file"]
-            for r in target.filter(condition).select("_file").distinct().collect()
-        ]
-        if not touched_uris:
+        touched_uris, touched_df, removes = self._dml_touched(
+            path, target.filter(condition)
+        )
+        if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing matches: no-op
-        touched_rel = self._rel_touched(touched_uris, path)
-        rewritten = self._rows_in_files(target, touched_uris).withColumns(
+        rewritten = self._rows_in_files(target, touched_uris, touched_df).withColumns(
             {
                 c: F.when(condition, expr.cast(dict(target.dtypes)[c])).otherwise(
                     F.col(c)
@@ -989,7 +1050,7 @@ class Engine:
             path,
             moved,
             adds,
-            [{"path": p} for p in sorted(touched_rel)],
+            removes,
             partition_cols=list(parts),
             operation="UPDATE",
         )
@@ -1313,14 +1374,24 @@ class Engine:
                 )
         return T.StructType(merged).json()
 
-    def _commit_moved(self, path: str, moved: list[str], *args: Any, **kwargs: Any) -> int:
+    def _commit_moved(
+        self, path: str, moved: list[str], adds: list, removes: Any, **kwargs: Any
+    ) -> int:
         """``deltalog.write_commit`` with failure cleanup: if the commit loses
         (e.g. :class:`ConcurrentWriteError`), the already-moved data files are
         removed from the table root so the directory only ever holds committed
         files — otherwise a failed write would permanently expose uncommitted
-        rows to :meth:`read_table_stream`'s directory source."""
+        rows to :meth:`read_table_stream`'s directory source.
+
+        ``removes`` may be a list of remove actions OR a re-callable factory
+        of them (broad-predicate DML streams relative paths through
+        ``write_commit_streamed`` instead of holding them on the driver)."""
         try:
-            return deltalog.write_commit(path, *args, **kwargs)
+            if callable(removes):
+                return deltalog.write_commit_streamed(
+                    path, lambda: iter(adds), removes, **kwargs
+                )
+            return deltalog.write_commit(path, adds, removes, **kwargs)
         except BaseException:
             for rel in moved:
                 try:

@@ -968,3 +968,45 @@ def test_vacuum_and_restore_never_collect_file_lists(spark, tmp_path, lineitem, 
     assert deleted >= 1                          # v1's overwrite file reclaimed
     # restored table remains fully readable post-vacuum
     assert eng.read_table("t").count() == n0
+
+
+def test_broad_predicate_dml_streams_removes(spark, tmp_path, lineitem, monkeypatch):
+    """Round-6: a DML whose predicate touches more files than
+    large_listing_threshold must NOT collect the URI list — the rewrite set
+    flows through a distributed semi-join and the remove actions stream into
+    the commit. Narrow-path-only helpers must not run."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "broad_dml")
+    # 6 files (round-robin repartition guarantees non-empty splits)
+    df = lineitem.limit(300).repartition(6)
+    write_governed_table(spark, df, path, [])
+    from delta_lake_proxy_spark import deltalog as _dl
+
+    n_files = len(_dl._live_paths_no_spark(path))
+    assert n_files >= 4
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.large_listing_threshold = 2  # force the broad path
+    n0 = eng.read_table("t").count()
+    n_match = eng.read_table("t").filter(F.col("l_quantity") > 10).count()
+    assert 0 < n_match < n0
+
+    # the narrow-path validator must not be called on the broad path
+    def no_narrow(self, uris, p):
+        raise AssertionError("narrow-path _rel_touched on broad DML")
+
+    monkeypatch.setattr(Engine, "_rel_touched", no_narrow)
+    v = eng.delete("t", F.col("l_quantity") > 10)
+    assert v >= 1
+    eng.invalidate_caches()
+    eng.large_listing_threshold = 100_000  # read back normally
+    assert eng.read_table("t").count() == n0 - n_match
+    assert eng.read_table("t").filter(F.col("l_quantity") > 10).count() == 0
+    # update on the broad path too
+    eng.large_listing_threshold = 2
+    v2 = eng.update("t", F.col("l_quantity") <= 10, {"l_tax": F.lit(0.99)})
+    eng.invalidate_caches()
+    eng.large_listing_threshold = 100_000
+    assert v2 > v
+    got = eng.read_table("t")
+    assert got.filter(F.col("l_tax") == 0.99).count() == got.count()
