@@ -338,9 +338,12 @@ def write_commit_streamed(
     # Delta's commit protocol: atomically create the NEXT version file,
     # failing if another writer got there first (optimistic concurrency) —
     # os.link fails with EEXIST where os.rename would silently replace a
-    # concurrent commit. Blind appends retry at the next version; commits
-    # carrying removes were computed against a now-stale snapshot, so the
-    # conflict surfaces to the caller (Delta's write-write conflict rule).
+    # concurrent commit. Blind appends always retry at the next version.
+    # Commits carrying removes were computed against a now-stale snapshot:
+    # they retry ONLY when the conflict check (Delta's WriteSerializable
+    # rules, _conflicts_with_winners) proves the winners' changes are
+    # disjoint from the files this commit tombstones; otherwise the
+    # conflict surfaces to the caller to recompute.
     version = latest_version(table_path) + 1
     for _ in range(100):
         target = _commit_file(table_path, version)
@@ -353,10 +356,50 @@ def write_commit_streamed(
             return version
         except FileExistsError:
             os.unlink(tmp)
-            if has_removes:
+            new_latest = latest_version(table_path)
+            if has_removes and _conflicts_with_winners(
+                table_path, version, new_latest, removes_fn
+            ):
                 raise ConcurrentWriteError(table_path, version)
-            version = latest_version(table_path) + 1
+            version = new_latest + 1
     raise ConcurrentWriteError(table_path, version)
+
+
+def _conflicts_with_winners(
+    table_path: str, from_version: int, to_version: int, removes_fn
+) -> bool:
+    """Delta's WriteSerializable conflict check for a losing remove-carrying
+    commit: replay the WINNING commits ``[from_version, to_version]`` and
+    conflict iff (a) any winner changed ``metaData``/``protocol``, (b) any
+    winner touched (added or removed) a path this commit tombstones — a
+    remove/remove on the same file must not double-tombstone, and a
+    compaction's re-add must not be silently deleted — or (c) a winning
+    commit is missing (cleaned up mid-race: cannot prove disjointness).
+    Winners that merely APPENDED disjoint files do not conflict — that is
+    the WriteSerializable anomaly Delta itself allows (a concurrent DELETE
+    does not see rows appended after its snapshot)."""
+    if to_version < from_version:
+        # the listing hasn't even caught up with the commit that beat us:
+        # cannot prove disjointness — conservative conflict
+        return True
+    d = log_path(table_path)
+    touched: set[str] = set()
+    for v in range(from_version, to_version + 1):
+        p = os.path.join(d, f"{v:020d}.json")
+        if not os.path.exists(p):
+            return True
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a or "protocol" in a:
+                    return True
+                if "add" in a:
+                    touched.add(a["add"]["path"])
+                elif "remove" in a:
+                    touched.add(a["remove"]["path"])
+    return any(rm["path"] in touched for rm in removes_fn())
 
 
 def commit_dir_state(

@@ -404,3 +404,77 @@ def test_txn_watermark_survives_checkpoint_and_cleanup(spark, tmp_path):
     deltalog.cleanup_log(t, retention_hours=0.0)
     assert deltalog.last_txn_version(t, "app-A") == 2
     assert deltalog.last_txn_version(t, "app-B") == 7
+
+
+def test_occ_disjoint_remove_commit_retries(spark, tmp_path):
+    """Round-6 OCC: a remove-carrying commit that loses the version race to a
+    winner whose changes are DISJOINT (pure append of other files) retries
+    and lands at the next version — Delta's WriteSerializable rule — while
+    a winner that touched the same file still conflicts."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    t = str(tmp_path / "occ_retry")
+    os.makedirs(t)
+    deltalog.write_commit(
+        t,
+        [
+            {"path": "a", "partitionValues": {}, "size": 1, "modificationTime": 0},
+            {"path": "b", "partitionValues": {}, "size": 1, "modificationTime": 0},
+        ],
+    )
+    # winner: blind append of c (disjoint from the loser's remove of a)
+    deltalog.write_commit(
+        t, [{"path": "c", "partitionValues": {}, "size": 1, "modificationTime": 0}]
+    )
+
+    real = deltalog.latest_version
+
+    def stale_once(p):
+        # first call (version computation) sees the pre-winner log; the
+        # retry's re-listing sees reality
+        stale_once.n += 1
+        return real(p) - 1 if stale_once.n == 1 else real(p)
+
+    stale_once.n = 0
+    with mock.patch.object(deltalog, "latest_version", stale_once):
+        v = deltalog.write_commit(
+            t,
+            [{"path": "a2", "partitionValues": {}, "size": 2, "modificationTime": 0}],
+            removes=[{"path": "a"}],
+        )
+    assert v == 2  # landed AFTER the winner instead of failing
+    live = {r["path"] for r in deltalog.snapshot_files(spark, t).collect()}
+    assert live == {"b", "c", "a2"}
+
+    # same race, but the winner REMOVED the file the loser tombstones -> conflict
+    deltalog.write_commit(
+        t,
+        [{"path": "b2", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        removes=[{"path": "b"}],
+    )  # v3: winner removes b
+
+    stale_once.n = 0
+    with mock.patch.object(deltalog, "latest_version", stale_once):
+        with _pytest.raises(deltalog.ConcurrentWriteError):
+            deltalog.write_commit(
+                t,
+                [{"path": "b3", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+                removes=[{"path": "b"}],
+            )
+
+    # a winner that changed metaData conflicts with any remove-carrying loser
+    deltalog.write_commit(
+        t,
+        [{"path": "d", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+        schema_json='{"v":2}',
+    )
+    stale_once.n = 0
+    with mock.patch.object(deltalog, "latest_version", stale_once):
+        with _pytest.raises(deltalog.ConcurrentWriteError):
+            deltalog.write_commit(
+                t,
+                [{"path": "c2", "partitionValues": {}, "size": 1, "modificationTime": 0}],
+                removes=[{"path": "c"}],
+            )
