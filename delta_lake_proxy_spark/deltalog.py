@@ -650,21 +650,36 @@ def version_at_timestamp(
     Resolves within RETAINED history: commits pruned by ``cleanup_log`` no
     longer carry timestamps, so a timestamp older than the oldest retained
     commit raises (matching Delta, which errors below its earliest
-    reproducible version)."""
-    rows = (
+    reproducible version). A timestamp AFTER the newest commit also raises,
+    mirroring Delta's out-of-range ``timestampAsOf`` error — resolving it
+    silently to "latest" would hide that the table has no state at that
+    time yet."""
+    row = (
         read_log(spark, table_path)
         .filter(F.col("commitInfo.timestamp").isNotNull())
-        .filter(F.col("commitInfo.timestamp") <= F.lit(int(ts_millis)))
-        .agg(F.max("version"))
-        .collect()
+        .agg(
+            F.max(
+                F.when(
+                    F.col("commitInfo.timestamp") <= F.lit(int(ts_millis)),
+                    F.col("version"),
+                )
+            ).alias("v"),
+            F.max("commitInfo.timestamp").alias("max_ts"),
+        )
+        .collect()[0]
     )
-    v = rows[0][0]
-    if v is None:
+    if row["max_ts"] is not None and int(ts_millis) > int(row["max_ts"]):
+        raise ValueError(
+            f"timestamp {ts_millis} is after the latest commit "
+            f"({row['max_ts']}) of {table_path} — out of range for "
+            "timestampAsOf (Delta semantics)"
+        )
+    if row["v"] is None:
         raise ValueError(
             f"no commit at or before timestamp {ts_millis} in the retained "
             f"log of {table_path} (history may have been cleaned up)"
         )
-    return int(v)
+    return int(row["v"])
 
 
 def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:

@@ -319,13 +319,21 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, lineitem):
     eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
     eng.write_table("t", lineitem.limit(10))
     assert eng.read_table("t", timestamp_as_of=t_v0).count() == 50
-    assert eng.read_table("t", timestamp_as_of=_time.time()).count() == 60
+    # the newest commit's own timestamp resolves to the latest version...
+    newest_ms = (
+        deltalog.read_log(spark, path)
+        .agg(F.max("commitInfo.timestamp"))
+        .collect()[0][0]
+    )
+    assert eng.read_table("t", timestamp_as_of=newest_ms / 1000.0).count() == 60
     with pytest.raises(ValueError, match="no commit at or before"):
         eng.read_table("t", timestamp_as_of=t_v0 - 3600)
     with pytest.raises(ValueError, match="not both"):
         eng.read_table("t", version=0, timestamp_as_of=t_v0)
-    # ISO-8601 string form (UTC): far future resolves to the latest version
-    assert eng.read_table("t", timestamp_as_of="2100-01-01T00:00:00").count() == 60
+    # ...but a timestamp AFTER the latest commit is OUT OF RANGE (Delta
+    # timestampAsOf semantics), not silently "latest"
+    with pytest.raises(ValueError, match="after the latest commit"):
+        eng.read_table("t", timestamp_as_of="2100-01-01T00:00:00")
 
 
 def test_cleanup_at_tip_then_write_not_lost(spark, tmp_path):
