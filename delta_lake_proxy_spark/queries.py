@@ -13,6 +13,7 @@ double; scores/ratios are rounded to 6 decimals on both sides.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 from typing import Callable
@@ -231,6 +232,54 @@ def governed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = eng.read_table(GOV_ALIAS, user="analyst")
     return df.groupBy("l_returnflag", "l_linestatus").agg(*Q1_AGGS())
+
+
+@register(
+    "governed_stream_read",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    """,
+)
+def governed_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: the log-cursor governed STREAMING reader, driver-checkable — an
+    availableNow run serves exactly one batch: the tombstone-reconciled,
+    DNF-filtered live snapshot, so the drained sink equals the batch filter
+    and the DuckDB oracle can certify a real streaming execution (same
+    memory-sink discipline as ``late_data_watermark``: a timed-out drain is
+    a hard failure, never a partial result)."""
+    import uuid as _uuid
+
+    from .sources.governed import GovernedDataSource
+
+    path = governed_fixture(spark, sf_dir)
+    spark.dataSource.register(GovernedDataSource)
+    stream = (
+        spark.readStream.format("governed")
+        .option("path", path)
+        .option("dnf", json.dumps([{"l_returnflag": "A"}, {"l_returnflag": "N"}]))
+        .load()
+    )
+    qname = f"gov_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(_STREAM_TIMEOUT_S):
+            raise TimeoutError(
+                f"governed_stream_read: streaming query still active after "
+                f"{_STREAM_TIMEOUT_S}s; refusing to return a partial sink"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
 
 
 @register(
@@ -1356,21 +1405,6 @@ def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_extendedprice")).alias("sum_price"),
-    )
-
-
-@register(
-    "delta_snapshot_files",
-    _gov_replay_sql("SELECT key, size, pv AS partition_values_json FROM live"),
-)
-def delta_snapshot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6/U2: log replay (adds minus removes) on the governed fixture.
-
-    ``partitionValues`` is serialized to JSON: the driver's pandas
-    canonicalizer cannot sort a map-typed column (r1 harness error)."""
-    eng = governed_engine(spark, sf_dir)
-    return eng.snapshot_files(GOV_ALIAS).select(
-        "key", "size", F.to_json("partitionValues").alias("partition_values_json")
     )
 
 

@@ -18,6 +18,7 @@ from delta_lake_proxy_spark.queries import ORACLES, QUERIES
 
 EXPECTED_ORDER = [
     "governed_read",
+    "governed_stream_read",
     "acl_dnf",
     "permission_lookup_join",
     "request_identity",
@@ -51,7 +52,6 @@ EXPECTED_ORDER = [
     "similarity_topk",
     "partition_filter_scan",
     "data_skipping_scan",
-    "delta_snapshot_files",
     "read_delta_log",
     "file_surface",
     "governed_source_read",
@@ -128,6 +128,7 @@ SURVEY_COVERAGE = {
     "T2": "metrics_tumbling_window",
     "T3": "late_data_watermark",
     "T4": "window_sliding",
+    "T7": "governed_stream_read",
     "G1": "governed_read",
     "G2": "governed_write_roundtrip",
     "G3": "permission_lookup_join",
