@@ -291,10 +291,15 @@ class Engine:
         return df.filter(pred)
 
     def read_table_stream(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
-        """Streaming governed read: a file-stream source over the table
-        directory with the ACL predicate injected — newly committed files are
-        picked up by the stream, rows outside the permitted partitions never
-        enter it. Requires the table's logged schema (streaming sources can't
+        """Streaming governed read over a DIRECTORY file-stream source.
+        Prefer :meth:`read_table_stream_log` (the log-cursor source) for
+        governed tables — it is tombstone-aware and never sees staged
+        uncommitted files; this directory variant remains for plain-parquet
+        drop directories without a log.
+
+        A file-stream source over the table directory with the ACL predicate
+        injected — newly committed files are picked up by the stream, rows
+        outside the permitted partitions never enter it. Requires the table's logged schema (streaming sources can't
         infer). Append-only semantics, like Delta's streaming source: the
         directory stream cannot consult tombstones, so run it on append-only
         tables (or vacuum before starting). Caveat: a writer that has moved
