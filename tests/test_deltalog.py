@@ -486,3 +486,44 @@ def test_occ_disjoint_remove_commit_retries(spark, tmp_path):
                 [{"path": "c2", "partitionValues": {}, "size": 1, "modificationTime": 0}],
                 removes=[{"path": "c"}],
             )
+
+
+def test_estimate_snapshot_actions_bounds(spark, tmp_path):
+    """The driver-side replay guard must OVERESTIMATE (err toward the
+    distributed path): the estimate is >= the true action count both before
+    and after checkpointing."""
+    t = str(tmp_path / "est")
+    os.makedirs(t)
+    for i in range(5):
+        deltalog.write_commit(
+            t,
+            [
+                {"path": f"f{i}-{j}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}
+                for j in range(4)
+            ],
+        )
+    true_live = len(deltalog._live_adds_no_spark(t))
+    assert deltalog.estimate_snapshot_actions(t) >= true_live
+    deltalog.write_checkpoint(spark, t)
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    est = deltalog.estimate_snapshot_actions(t)
+    assert est >= true_live
+    # post-cleanup the estimate is exact-ish: checkpoint rows only
+    assert est <= true_live + 3  # + metaData/protocol rows
+
+
+def test_multipart_checkpoint_carries_txn(spark, tmp_path):
+    """txn watermarks survive via MULTI-PART checkpoints too (the txn row
+    may land in any part)."""
+    t = str(tmp_path / "mp_txn")
+    os.makedirs(t)
+    adds = [
+        {"path": f"f{i}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}
+        for i in range(30)
+    ]
+    deltalog.write_commit(t, adds, txn={"appId": "mp-app", "version": 9})
+    v = deltalog.write_checkpoint(spark, t, max_actions_per_part=10)
+    assert (deltalog.last_checkpoint(t).get("parts") or 0) >= 2
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    assert deltalog.last_txn_version(t, "mp-app") == 9
+    assert len(deltalog._live_adds_no_spark(t)) == 30

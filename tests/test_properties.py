@@ -176,3 +176,36 @@ def test_parsers_reject_garbage_with_valueerror(data):
             parse(data)
         except ValueError:
             pass
+
+
+def test_uri_rel_col_matches_uri_to_rel(spark, tmp_path):
+    """Column-side URI decoding (broad DML / listing-join) must agree with
+    the driver-side uri_to_rel for awkward names: spaces, percent-escapes,
+    unicode, nested hive dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_proxy_spark.engine import uri_rel_col, uri_to_rel
+
+    table = str(tmp_path / "uri t@ble")  # space + symbol in the TABLE path
+    rels = [
+        "part=A/f1.parquet",
+        "part=hello world/f 2.parquet",
+        "part=café/unicode–name.parquet",
+        "a=1/b=two words/deep.parquet",
+    ]
+    uris = []
+    for rel in rels:
+        full = os.path.join(table, rel)
+        # the URI shape input_file_name() produces: file:// + percent-encoding
+        import urllib.parse as up
+
+        uris.append("file://" + up.quote(os.path.abspath(full)))
+    df = spark.createDataFrame([(u,) for u in uris], "uri string")
+    got = [
+        r["rel"]
+        for r in df.select(uri_rel_col(F.col("uri"), table).alias("rel")).collect()
+    ]
+    want = [uri_to_rel(u, table) for u in uris]
+    assert got == want == rels
