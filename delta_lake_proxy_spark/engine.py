@@ -452,7 +452,11 @@ class Engine:
                 # scan switches to the distributed listing-join.
                 if deltalog.estimate_snapshot_actions(path) > limit:
                     return _TOO_MANY_FILES
-                live_adds = deltalog._live_adds_no_spark(path)
+                # share the ("live_files", path) entry with authorize_file:
+                # one replay serves both the scan plan and per-request auth
+                live_adds = self._snapshot_cache.get_or_compute(
+                    ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+                )
                 if len(live_adds) > limit:
                     return _TOO_MANY_FILES
                 return [os.path.join(path, rel) for rel in sorted(live_adds)]
