@@ -935,6 +935,35 @@ def read_log(
     return df.withColumn("version", version)
 
 
+def assert_version_reproducible(table_path: str, version: int) -> None:
+    """Fail LOUDLY when a requested version cannot be reconstructed from the
+    retained log — without this, time travel below a cleaned-up checkpoint
+    silently replays an empty log (and a RESTORE to it would tombstone the
+    whole table). Version V is reproducible iff the JSON commits after the
+    covering base (the checkpoint when ck.version <= V, else version -1)
+    through V are all retained; a version above the log tip does not exist
+    (Delta's VersionNotFound)."""
+    latest = latest_version(table_path)
+    if version > latest:
+        raise ValueError(
+            f"version {version} does not exist at {table_path} (latest is {latest})"
+        )
+    ck = last_checkpoint(table_path)
+    base = int(ck["version"]) if ck is not None and int(ck["version"]) <= version else -1
+    d = log_path(table_path)
+    have = {
+        int(name[:-5])
+        for name in (os.listdir(d) if os.path.isdir(d) else [])
+        if name.endswith(".json") and name[:-5].isdigit()
+    }
+    missing = [v for v in range(base + 1, version + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"version {version} of {table_path} is no longer reproducible: "
+            f"commit(s) {missing[:5]} were removed by log cleanup"
+        )
+
+
 def snapshot_files(
     spark: SparkSession,
     table_path: str,
@@ -952,6 +981,8 @@ def snapshot_files(
     at metadata scale (millions of files) this is exactly the shuffle Delta
     itself performs for snapshot reconstruction.
     """
+    if version is not None:
+        assert_version_reproducible(table_path, int(version))
     ck = last_checkpoint(table_path) if use_checkpoint else None
     if ck is not None and (version is None or version >= int(ck["version"])):
         ck_version = int(ck["version"])

@@ -527,3 +527,32 @@ def test_multipart_checkpoint_carries_txn(spark, tmp_path):
     deltalog.cleanup_log(t, retention_hours=0.0)
     assert deltalog.last_txn_version(t, "mp-app") == 9
     assert len(deltalog._live_adds_no_spark(t)) == 30
+
+
+def test_time_travel_below_cleanup_fails_loudly(spark, tmp_path):
+    """After cleanup_log, a version below the checkpoint must RAISE, not
+    silently replay an empty log (a RESTORE to it would otherwise tombstone
+    the whole table); nonexistent future versions also raise."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tt_guard")
+    os.makedirs(t)
+    for i in range(3):
+        deltalog.write_commit(
+            t, [{"path": f"f{i}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0}]
+        )
+    deltalog.write_checkpoint(spark, t)
+    deltalog.cleanup_log(t, retention_hours=0.0)
+    # the checkpointed tip itself still replays
+    assert deltalog.snapshot_files(spark, t, version=2).count() == 3
+    with _pytest.raises(ValueError, match="no longer reproducible"):
+        deltalog.snapshot_files(spark, t, version=1).count()
+    with _pytest.raises(ValueError, match="does not exist"):
+        deltalog.snapshot_files(spark, t, version=99).count()
+    # restore to a cleaned version fails loudly instead of emptying the table
+    from delta_lake_proxy_spark import Engine, EngineConfig
+
+    eng = Engine(spark, EngineConfig(table_mapping={"t": t}, read_only=False))
+    with _pytest.raises(ValueError, match="no longer reproducible"):
+        eng.restore("t", version=0)
+    assert deltalog.snapshot_files(spark, t).count() == 3  # table intact
