@@ -357,6 +357,10 @@ class GovernedStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         if s < 0:
+            # guard the rare race where a checkpoint newer than `e` landed
+            # after latestOffset(): the bounded replay then needs the JSON
+            # commits 0..e retained — verify instead of silently under-serving
+            deltalog.assert_version_reproducible(self.path, e)
             adds = list(deltalog._live_adds_no_spark(self.path, max_version=e).values())
         else:
             adds = self._adds_in_range(s, e)
