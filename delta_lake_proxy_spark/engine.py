@@ -572,7 +572,7 @@ class Engine:
         return self._snapshot_cache.get_or_compute(("schema", path), compute)
 
     def _empty_table(self, path: str) -> DataFrame:
-        meta = deltalog.table_metadata(self.spark, path)
+        meta = deltalog.table_metadata_no_spark(path)
         if meta and meta.get("schemaString") not in (None, "{}"):
             from pyspark.sql import types as T
 
@@ -770,7 +770,7 @@ class Engine:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported write mode: {mode}")
         existing_meta = (
-            deltalog.table_metadata(self.spark, path)
+            deltalog.table_metadata_no_spark(path)
             if deltalog.latest_version(path) >= 0
             else None
         )
@@ -922,7 +922,7 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        meta = deltalog.table_metadata(self.spark, path) or {}
+        meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         keys = source.select(*on).dropDuplicates()
         target = self._read_data(path, keep_file_col=True)
@@ -968,7 +968,7 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        meta = deltalog.table_metadata(self.spark, path) or {}
+        meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         target = self._read_data(path, keep_file_col=True)
         touched_uris, touched_df, removes = self._dml_touched(
@@ -1021,7 +1021,7 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        meta = deltalog.table_metadata(self.spark, path) or {}
+        meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         bad = sorted(set(assignments) & set(parts))
         if bad:
@@ -1132,7 +1132,7 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
-        meta = deltalog.table_metadata(self.spark, path) or {}
+        meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         df = self._read_data(path)
         if target_file_bytes is not None:
