@@ -361,6 +361,47 @@ def extract_features(
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Charter X5 *resize*: nearest-neighbor downscale/upscale of every
+    IMAGE payload (binary PPM) to ``(out_h, out_w)``; audio/video/other
+    modalities pass through byte-identical. ONE Arrow-batched
+    ``mapInPandas`` pass — the schema is unchanged (payload replaced,
+    ``width``/``height``/``n_bytes`` metadata updated), so resizes compose
+    with :func:`extract_features` and further pipeline stages.
+
+    Nearest-neighbor (``src_idx = (dst_idx * src_dim) // dst_dim``) is
+    chosen deliberately: it is exact integer arithmetic, deterministic
+    across platforms, and reproducible by an external oracle; smoother
+    kernels (bilinear/Lanczos) need codec/image libraries absent from this
+    environment and are the documented NotImplementedError edge alongside
+    compressed codecs."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for b, m in zip(pdf["media_bytes"], pdf["media_meta"]):
+                if m["modality"] != "image":
+                    payloads.append(b)
+                    metas.append(m)
+                    continue
+                px = decode_ppm(bytes(b))
+                rows = (np.arange(out_h, dtype=np.int64) * px.shape[0]) // out_h
+                cols = (np.arange(out_w, dtype=np.int64) * px.shape[1]) // out_w
+                out = encode_ppm(px[rows][:, cols])
+                m2 = dict(m)
+                m2["width"], m2["height"], m2["n_bytes"] = out_w, out_h, len(out)
+                payloads.append(out)
+                metas.append(m2)
+            out_pdf = pdf.copy()
+            out_pdf["media_bytes"] = payloads
+            out_pdf["media_meta"] = metas
+            yield out_pdf
+
+    return media.mapInPandas(gen, schema=media.schema)
+
+
 def synth_wav_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

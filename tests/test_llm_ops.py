@@ -422,3 +422,40 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
     # uncapped (None) still works on small data and finds the noisy pairs too
     uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=None)
     assert uncapped.count() >= 1
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    """Charter X5 resize: image payloads downscale via exact nearest-neighbor
+    (src = (dst*src_dim)//dst_dim) with metadata updated; non-image payloads
+    pass through byte-identical; schema is unchanged so stages compose."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(9)], "doc_id long, text string"
+    )
+    media = multimodal.synth_media_corpus(docs, img_w=8, img_h=8)
+    resized = multimodal.resize_media(media, out_w=4, out_h=4)
+    assert resized.schema == media.schema
+    before = {r["doc_id"]: r for r in media.collect()}
+    after = {r["doc_id"]: r for r in resized.collect()}
+    assert set(before) == set(after)
+    checked_img = checked_other = 0
+    for d, row in after.items():
+        m = row["media_meta"]
+        if m["modality"] == "image":
+            checked_img += 1
+            assert (m["width"], m["height"]) == (4, 4)
+            px = multimodal.decode_ppm(bytes(row["media_bytes"]))
+            assert px.shape == (4, 4, 3)
+            src = multimodal.decode_ppm(bytes(before[d]["media_bytes"]))
+            rows = (np.arange(4) * 8) // 4
+            want = src[rows][:, rows]
+            assert np.array_equal(px, want)
+            assert m["n_bytes"] == len(bytes(row["media_bytes"]))
+        else:
+            checked_other += 1
+            assert bytes(row["media_bytes"]) == bytes(before[d]["media_bytes"])
+    assert checked_img >= 2 and checked_other >= 2
+    # resized images still feed the real decoder downstream
+    feats = multimodal.extract_features(resized, n_features=4, decode_stub=False)
+    assert feats.count() == 9
