@@ -365,6 +365,91 @@ class Engine:
 
         return gate
 
+    def table_changes(
+        self, alias: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed between two snapshots (Delta CDF analog,
+        computed from the log at FILE granularity): rows of files added in
+        ``(from_version, to_version]`` carry ``_change_type='insert'`` and
+        ``_commit_version`` of the adding commit; rows of files REMOVED in
+        the window (still on disk until vacuum) carry ``'delete'``. The
+        incremental-processing primitive for a 100 TB corpus: a downstream
+        consumer re-reads only the changed files, never the table.
+
+        Granularity caveat (documented divergence from Delta's
+        ``_change_data``-file CDF): a copy-on-write DML rewrite surfaces as
+        the WHOLE old file deleted + the whole new file inserted — carried
+        rows appear on both sides and cancel under reconciliation by key.
+        Exact row-level diffs would require change files the writer does not
+        produce. A removed file already reclaimed by vacuum fails the read
+        (time-travel-after-vacuum semantics); both versions must also be
+        within retained log history (:func:`deltalog.assert_version_reproducible`).
+        """
+        path = self.resolve(alias)
+        to_version = (
+            deltalog.latest_version(path) if to_version is None else int(to_version)
+        )
+        deltalog.assert_version_reproducible(path, int(from_version))
+        deltalog.assert_version_reproducible(path, to_version)
+        log = deltalog.read_log(self.spark, path).filter(
+            (F.col("version") > F.lit(int(from_version)))
+            & (F.col("version") <= F.lit(to_version))
+        )
+        schema = self._table_schema(path)
+
+        def rows_for(action: str, change_type: str) -> DataFrame | None:
+            limit = self.large_listing_threshold
+            files = (
+                log.filter(F.col(action).isNotNull())
+                .select(F.col(f"{action}.path").alias("path"), "version")
+                .limit(limit + 1)
+                .collect()
+            )
+            if len(files) > limit:
+                raise ValueError(
+                    f"change window ({from_version}, {to_version}] of {alias} "
+                    f"touches more than {limit} files — narrow the window "
+                    "(consume changes more frequently)"
+                )
+            if not files:
+                return None
+            reader = self.spark.read.option("basePath", path)
+            if schema is not None:
+                reader = reader.schema(schema)
+            out = None
+            # one read per commit version (paths grouped), so the version
+            # column stays exact; windows span few commits by construction
+            by_version: dict[int, list[str]] = {}
+            for r in files:
+                by_version.setdefault(int(r["version"]), []).append(
+                    os.path.join(path, r["path"])
+                )
+            for v, paths in sorted(by_version.items()):
+                part = reader.parquet(*paths).withColumns(
+                    {
+                        "_change_type": F.lit(change_type),
+                        "_commit_version": F.lit(v).cast("long"),
+                    }
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        inserts = rows_for("add", "insert")
+        deletes = rows_for("remove", "delete")
+        if inserts is not None and deletes is not None:
+            return inserts.unionByName(deletes)
+        if inserts is not None:
+            return inserts
+        if deletes is not None:
+            return deletes
+        empty = self._empty_table(path)
+        return empty.withColumns(
+            {
+                "_change_type": F.lit(None).cast("string"),
+                "_commit_version": F.lit(None).cast("long"),
+            }
+        ).limit(0)
+
     def history(self, alias: str) -> DataFrame:
         """Commit history (DeltaTable.history analog): one row per version
         with operation, timestamp, and add/remove counts."""

@@ -1010,3 +1010,41 @@ def test_broad_predicate_dml_streams_removes(spark, tmp_path, lineitem, monkeypa
     assert v2 > v
     got = eng.read_table("t")
     assert got.filter(F.col("l_tax") == 0.99).count() == got.count()
+
+
+def test_table_changes_incremental_feed(spark, tmp_path, lineitem):
+    """CDF-analog: (from, to] windows yield inserts for added files and
+    deletes for removed files with exact per-commit versions; empty windows
+    yield an empty typed frame; out-of-retention windows raise."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "cdf_t")
+    write_governed_table(spark, lineitem.limit(50).repartition(1), path, [])  # v0
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(10), mode="append")                   # v1
+    eng.write_table("t", lineitem.limit(5), mode="overwrite")                 # v2
+
+    ch01 = eng.table_changes("t", 0, 1)
+    assert {r[0] for r in ch01.select("_change_type").distinct().collect()} == {"insert"}
+    assert ch01.count() == 10
+    assert {r[0] for r in ch01.select("_commit_version").distinct().collect()} == {1}
+
+    ch02 = eng.table_changes("t", 0)  # to latest: v1 insert, v2 overwrite
+    by_type = {r["_change_type"]: r["count"] for r in ch02.groupBy("_change_type").count().collect()}
+    assert by_type["insert"] == 10 + 5       # v1 append + v2 new file
+    assert by_type["delete"] == 50 + 10      # v2 tombstoned v0+v1 files
+    # empty window
+    assert eng.table_changes("t", 2, 2).count() == 0
+    # overflow guard trips on a tiny threshold
+    eng.large_listing_threshold = 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="narrow the window"):
+        eng.table_changes("t", 0)
+    eng.large_listing_threshold = 100_000
+    # windows outside retained history raise (reuse the retention guard)
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log(path, retention_hours=0.0)
+    with _pytest.raises(ValueError, match="no longer reproducible"):
+        eng.table_changes("t", 0, 1)
