@@ -209,3 +209,55 @@ def test_uri_rel_col_matches_uri_to_rel(spark, tmp_path):
     ]
     want = [uri_to_rel(u, table) for u in uris]
     assert got == want == rels
+
+
+def test_driver_replay_matches_model_random_histories(tmp_path):
+    """Property: for ANY random interleaving of add/remove/re-add commits,
+    the driver-side log replay equals a trivial dict model (latest action
+    per path wins). Pure file IO — no SparkSession — so hypothesis can
+    explore hundreds of histories cheaply."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_proxy_spark import deltalog
+
+    paths = [f"p{i}.parquet" for i in range(6)]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(paths), st.booleans()),  # (path, is_add)
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def run(history):
+        import os
+        import shutil
+        import uuid
+
+        t = str(tmp_path / f"h{uuid.uuid4().hex[:12]}")
+        os.makedirs(t)
+        try:
+            model: dict[str, bool] = {}
+            # group into commits of up to 3 actions
+            for i in range(0, len(history), 3):
+                chunk = history[i : i + 3]
+                adds, removes, seen = [], [], set()
+                for p, is_add in chunk:
+                    if p in seen:
+                        continue  # one action per path per commit
+                    seen.add(p)
+                    if is_add:
+                        adds.append({"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0})
+                    else:
+                        removes.append({"path": p})
+                    model[p] = is_add
+                deltalog.write_commit(t, adds, removes)
+            live = set(deltalog._live_adds_no_spark(t))
+            want = {p for p, is_add in model.items() if is_add}
+            assert live == want
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    run()
