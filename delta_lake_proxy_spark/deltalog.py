@@ -795,7 +795,7 @@ def write_checkpoint(
         .limit(1)
         .select(*empty_cols, F.col("metaData"), F.lit(None).cast(proto_t).alias("protocol"), F.lit(None).cast(txn_t).alias("txn"))
     )
-    if latest_meta.rdd.isEmpty():
+    if not latest_meta.take(1):
         # pre-checkpoint metaData was cleaned up: carry the prior
         # checkpoint's forward (same fallback as table_metadata).
         meta = table_metadata(spark, table_path)
@@ -832,7 +832,7 @@ def write_checkpoint(
         .limit(1)
         .select(*empty_cols, F.lit(None).cast(METADATA_SCHEMA).alias("metaData"), F.col("protocol"), F.lit(None).cast(txn_t).alias("txn"))
     )
-    if latest_proto.rdd.isEmpty():
+    if not latest_proto.take(1):
         latest_proto = spark.createDataFrame(
             [(None, None, None, {"minReaderVersion": 1, "minWriterVersion": 2}, None)],
             T.StructType(
