@@ -621,3 +621,30 @@ def test_engine_read_table_stream_log(registered, spark, gov_table, tmp_path):
     want = _read(spark, gov_table, [{"l_returnflag": "A"}]).count()
     assert got.count() == want
     assert {r[0] for r in got.select("l_returnflag").distinct().collect()} == {"A"}
+
+
+def test_governed_stream_reader_typed_partitions(registered, spark, ym_table, tmp_path):
+    """The log-cursor stream materializes typed (int) partition columns from
+    the string partitionValues exactly like the batch reader, and a
+    two-column DNF prunes at file level."""
+    dnf = [{"year": "1995", "month": "3"}]
+    want = _read(spark, ym_table, dnf).count()
+    assert want > 0
+    q = (
+        spark.readStream.format("governed")
+        .option("path", ym_table)
+        .option("dnf", json.dumps(dnf))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ym_stream")
+        .option("checkpointLocation", str(tmp_path / "ym_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT * FROM ym_stream")
+    assert got.count() == want
+    pairs = {(r["year"], r["month"]) for r in got.select("year", "month").distinct().collect()}
+    assert pairs == {(1995, 3)}
+    assert dict(got.dtypes)["year"] in ("int", "bigint")
