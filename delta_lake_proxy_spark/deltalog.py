@@ -33,7 +33,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .errors import UnsupportedProtocolError
+
 LOG_DIR = "_delta_log"
+
+# The protocol this engine implements (what it EMITS and what it can HONOR):
+# reader 1 (no column mapping, no deletion vectors, no table features),
+# writer 2 (appends, tombstones, txn actions, invariants-free tables). The
+# reference delegates the same gate to ``deltalake::open_table``
+# (ref src/main.rs:357), which errors on tables demanding more.
+SUPPORTED_READER_VERSION = 1
+SUPPORTED_WRITER_VERSION = 2
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -89,6 +99,8 @@ LOG_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+                    T.StructField("writerFeatures", T.ArrayType(T.StringType())),
                 ]
             ),
         ),
@@ -286,6 +298,11 @@ def write_commit_streamed(
     never materializes its file lists driver-side). Factories are called
     once per commit attempt; a retried blind append re-invokes them.
     """
+    # Gate BEFORE any attempt: committing into a table that demands writer
+    # capabilities we lack (constraints, generated columns, row tracking)
+    # corrupts it for conforming clients. New tables (no logged protocol yet)
+    # pass vacuously and emit our own supported protocol at version 0.
+    check_write_protocol(table_path)
     os.makedirs(log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
 
@@ -454,6 +471,7 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
     ``max_version`` bounds the replay (time travel / stream offsets); the
     checkpoint seeds it only when not newer than the bound.
     """
+    check_read_protocol(table_path)
     state: dict[str, dict | None] = {}
     min_version = -1
     ck = last_checkpoint(table_path)
@@ -541,7 +559,10 @@ def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
     """Driver-side :func:`table_metadata` (no Spark job): JSON commits first
     (newest metaData wins), checkpoint fallback after log cleanup. The
     per-request read path resolves its schema this way — one request must
-    not cost a Spark job for metadata the reference serves from its cache."""
+    not cost a Spark job for metadata the reference serves from its cache.
+    Protocol-gated: a column-mapping table's schemaString carries PHYSICAL
+    column names — serving it as-is would be wrong, so refuse."""
+    check_read_protocol(table_path)
     meta = None
     d = log_path(table_path)
     if os.path.isdir(d):
@@ -578,6 +599,104 @@ def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
         "partitionColumns": list(meta.get("partitionColumns") or []),
         "id": meta.get("id"),
     }
+
+
+def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
+    """Latest ``protocol`` action, driver-side (no Spark job): JSON commits
+    first (protocol upgrades are strictly newer commits), checkpoint fallback
+    after log cleanup pruned the commit that carried it. ``None`` when the
+    log exists but records no protocol (raw fixture logs) — callers treat
+    that as the minimum (reader 1 / writer 1), like Delta's own default."""
+    proto = None
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    # action objects are single-key: a protocol action names
+                    # its key in the first bytes of the line (cheap probe)
+                    if '"protocol"' not in line[:64]:
+                        continue
+                    p = json.loads(line).get("protocol")
+                    if p is not None:
+                        proto = p
+    if proto is None:
+        ck = last_checkpoint(table_path)
+        if ck is None:
+            return None
+        import pyarrow.parquet as pq
+
+        for ck_file in checkpoint_data_files(table_path, ck):
+            pf = pq.ParquetFile(ck_file)
+            if "protocol" not in pf.schema_arrow.names:
+                continue
+            for p in pq.read_table(ck_file, columns=["protocol"]).column("protocol").to_pylist():
+                if p is not None and p.get("minReaderVersion") is not None:
+                    proto = p
+    return proto
+
+
+def check_read_protocol(table_path: str) -> None:
+    """Refuse to REPLAY a table whose protocol this engine cannot honor
+    (``minReaderVersion`` > 1 or any ``readerFeatures``): a column-mapping
+    (reader 2) or deletion-vector (reader 3) table replayed naively would
+    return WRONG ROWS — resurrected DV-deleted rows, physical column names —
+    not an error. Matches ``deltalake::open_table``'s refusal (ref
+    ``src/main.rs:357``). Absent protocol (raw fixture logs) = reader 1."""
+    proto = table_protocol_no_spark(table_path)
+    if proto is None:
+        return
+    reader = int(proto.get("minReaderVersion") or 1)
+    features = list(proto.get("readerFeatures") or [])
+    if reader > SUPPORTED_READER_VERSION or features:
+        raise UnsupportedProtocolError(
+            table_path,
+            f"table requires minReaderVersion={reader}"
+            + (f" with readerFeatures={features}" if features else "")
+            + f"; this engine supports reader version {SUPPORTED_READER_VERSION} "
+            "and no reader table features (column mapping and deletion "
+            "vectors would be silently mis-read)",
+        )
+
+
+def check_write_protocol(table_path: str) -> None:
+    """Refuse to COMMIT into a table demanding writer capabilities this
+    engine lacks (``minWriterVersion`` > 2 or any ``writerFeatures``):
+    committing without honoring e.g. CHECK constraints, generated columns, or
+    row tracking corrupts the table for every conforming client. A writer
+    must also be able to read the table it rewrites, so the read gate applies
+    too."""
+    check_read_protocol(table_path)
+    proto = table_protocol_no_spark(table_path)
+    if proto is None:
+        return
+    writer = int(proto.get("minWriterVersion") or 1)
+    features = list(proto.get("writerFeatures") or [])
+    if writer > SUPPORTED_WRITER_VERSION or features:
+        raise UnsupportedProtocolError(
+            table_path,
+            f"table requires minWriterVersion={writer}"
+            + (f" with writerFeatures={features}" if features else "")
+            + f"; this engine supports writer version {SUPPORTED_WRITER_VERSION} "
+            "and no writer table features — committing would corrupt the "
+            "table for conforming clients",
+        )
+
+
+def check_protocol_action(table_path: str, proto: dict[str, Any]) -> None:
+    """Gate one in-stream ``protocol`` action (a mid-stream protocol upgrade
+    commit must stop an incremental reader exactly like a fresh open)."""
+    reader = int(proto.get("minReaderVersion") or 1)
+    features = list(proto.get("readerFeatures") or [])
+    if reader > SUPPORTED_READER_VERSION or features:
+        raise UnsupportedProtocolError(
+            table_path,
+            f"protocol upgraded to minReaderVersion={reader}"
+            + (f" with readerFeatures={features}" if features else "")
+            + " — this engine cannot continue reading",
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -981,6 +1100,7 @@ def snapshot_files(
     at metadata scale (millions of files) this is exactly the shuffle Delta
     itself performs for snapshot reconstruction.
     """
+    check_read_protocol(table_path)
     if version is not None:
         assert_version_reproducible(table_path, int(version))
     ck = last_checkpoint(table_path) if use_checkpoint else None

@@ -50,6 +50,25 @@ class ForbiddenByPolicyError(EngineError):
         self.alias = alias
 
 
+class UnsupportedProtocolError(EngineError):
+    """The table's Delta protocol demands a reader/writer capability this
+    engine does not implement (column mapping, deletion vectors, any table
+    feature). Mirrors the reference's delegated behavior: ``deltalake::
+    open_table`` (ref ``src/main.rs:357``) refuses tables whose
+    ``protocol.minReaderVersion`` it cannot honor. Failing loudly here is a
+    CORRECTNESS guarantee — replaying a reader-3 log as if it were reader-1
+    would silently resurrect DV-deleted rows or serve physical column names.
+    """
+
+    status = 500
+
+    def __init__(self, table_path: str, detail: str):
+        super().__init__(
+            f"unsupported Delta protocol at '{table_path}': {detail}"
+        )
+        self.table_path = table_path
+
+
 class ReadOnlyError(EngineError):
     """Write attempted while the engine is read-only (ref ``src/main.rs:941-948``)."""
 

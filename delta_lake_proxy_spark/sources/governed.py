@@ -99,7 +99,10 @@ def _live_adds(table_path: str) -> list[dict]:
 
 def _logged_schema(table_path: str) -> T.StructType | None:
     """Latest metaData schemaString: checkpoint first (it carries the
-    metaData action), then any JSON commits on top."""
+    metaData action), then any JSON commits on top. Protocol-gated — a
+    column-mapping table's schemaString holds physical names, so the source
+    refuses at schema-resolution time (deltalog.check_read_protocol)."""
+    deltalog.check_read_protocol(table_path)
     schema_json = None
     ck = deltalog.last_checkpoint(table_path)
     if ck is not None:
@@ -343,6 +346,10 @@ class GovernedStreamReader(DataSourceStreamReader):
                         # tombstoned within the window: never serve it;
                         # removes of files served earlier are ignored
                         state.pop(action["remove"]["path"], None)
+                    elif "protocol" in action:
+                        # a mid-stream protocol upgrade must stop the
+                        # incremental reader exactly like a fresh open
+                        deltalog.check_protocol_action(self.path, action["protocol"])
         missing = set(range(start + 1, end + 1)) - present
         if missing:
             raise ValueError(

@@ -1,0 +1,220 @@
+"""Delta protocol version/feature gating (round-7 verdict item 1).
+
+The reference delegates reads to ``deltalake::open_table`` (src/main.rs:357),
+which refuses tables whose ``protocol.minReaderVersion`` it cannot honor.
+These tests pin the same refusal through EVERY replay path of this engine:
+a column-mapping (reader 2) or deletion-vector (reader 3) table must raise
+``UnsupportedProtocolError`` — never silently mis-read — and commits into
+tables demanding ``minWriterVersion`` > 2 (or writer features) must refuse,
+never corrupt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_proxy_spark import Engine, EngineConfig, deltalog
+from delta_lake_proxy_spark.errors import UnsupportedProtocolError
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_parquet(full_path: str, ids: list[int]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array(ids, type=pa.int64())}), full_path)
+    return os.path.getsize(full_path)
+
+
+def make_table(root: str, protocol: dict, extra_meta_conf: dict | None = None) -> str:
+    """A minimal foreign delta table whose version-0 commit carries the given
+    ``protocol`` action (and optionally a metaData ``configuration``)."""
+    rel = "part=A/part-00000.parquet"
+    size = _write_parquet(os.path.join(root, rel), [1, 2, 3])
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": "p-test",
+                "format": {"provider": "parquet"},
+                "schemaString": SCHEMA_STRING,
+                "partitionColumns": ["part"],
+                "configuration": extra_meta_conf or {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {"part": "A"},
+                "size": size,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+READER2 = {"minReaderVersion": 2, "minWriterVersion": 5}
+READER3 = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
+WRITER_FEATS = {
+    "minReaderVersion": 1,
+    "minWriterVersion": 7,
+    "writerFeatures": ["checkConstraints"],
+}
+SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+@pytest.fixture(params=["reader2", "reader3"])
+def unreadable_table(request, tmp_path):
+    proto = READER2 if request.param == "reader2" else READER3
+    conf = (
+        {"delta.columnMapping.mode": "name"} if request.param == "reader2" else None
+    )
+    return make_table(str(tmp_path / "t"), proto, conf)
+
+
+def test_protocol_resolver(tmp_path):
+    path = make_table(str(tmp_path / "t"), READER3)
+    proto = deltalog.table_protocol_no_spark(path)
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["deletionVectors"]
+
+
+def test_unreadable_snapshot_files(spark, unreadable_table):
+    with pytest.raises(UnsupportedProtocolError, match="minReaderVersion"):
+        deltalog.snapshot_files(spark, unreadable_table).collect()
+
+
+def test_unreadable_driver_replay(unreadable_table):
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog._live_adds_no_spark(unreadable_table)
+
+
+def test_unreadable_metadata(unreadable_table):
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.table_metadata_no_spark(unreadable_table)
+
+
+def test_unreadable_engine_read(spark, unreadable_table):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": unreadable_table}))
+    with pytest.raises(UnsupportedProtocolError):
+        eng.read_table("t").collect()
+
+
+def test_unreadable_governed_source(spark, unreadable_table):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    with pytest.raises(Exception, match="[Uu]nsupported Delta protocol"):
+        spark.read.format("governed").option("path", unreadable_table).load().collect()
+
+
+def test_unwritable_commit_refused(tmp_path):
+    path = make_table(str(tmp_path / "t"), WRITER7)
+    # readable (reader 1) ...
+    assert len(deltalog._live_adds_no_spark(path)) == 1
+    # ... but a commit must refuse, not corrupt
+    with pytest.raises(UnsupportedProtocolError, match="minWriterVersion"):
+        deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+
+
+def test_writer_features_refused(tmp_path):
+    path = make_table(str(tmp_path / "t"), WRITER_FEATS)
+    with pytest.raises(UnsupportedProtocolError, match="checkConstraints"):
+        deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+
+
+def test_unwritable_engine_dml(spark, tmp_path):
+    path = make_table(str(tmp_path / "t"), WRITER7)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    assert eng.read_table("t").count() == 3  # reads stay fine
+    with pytest.raises(UnsupportedProtocolError):
+        eng.delete("t", F.col("id") == 1)
+
+
+def test_supported_protocol_fully_functional(spark, tmp_path):
+    path = make_table(str(tmp_path / "t"), SUPPORTED)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    assert eng.read_table("t").count() == 3
+    eng.delete("t", F.col("id") == 1)
+    assert eng.read_table("t").count() == 2
+
+
+def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
+    """An upgrade commit AFTER version 0 wins (newest protocol), and survives
+    log cleanup via the checkpoint fallback."""
+    path = make_table(str(tmp_path / "t"), SUPPORTED)
+    with open(
+        os.path.join(path, "_delta_log", "00000000000000000001.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": READER2}) + "\n")
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog._live_adds_no_spark(path)
+
+
+def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
+    """A protocol-upgrade commit inside an incremental window must fail the
+    stream reader, not be skipped."""
+    from delta_lake_proxy_spark.sources.governed import GovernedStreamReader
+    from pyspark.sql import types as T
+
+    path = make_table(str(tmp_path / "t"), SUPPORTED)
+    reader = GovernedStreamReader(
+        T.StructType.fromJson(json.loads(SCHEMA_STRING)), {"path": path}
+    )
+    assert len(reader.partitions({"version": -1}, {"version": 0})) == 1
+    rel = "part=A/part-00001.parquet"
+    size = _write_parquet(os.path.join(path, rel), [9])
+    with open(
+        os.path.join(path, "_delta_log", "00000000000000000001.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(json.dumps({"protocol": READER3}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"part": "A"},
+                        "size": size,
+                        "modificationTime": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(UnsupportedProtocolError):
+        reader.partitions({"version": 0}, {"version": 1})
