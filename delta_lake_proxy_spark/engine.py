@@ -321,7 +321,14 @@ class Engine:
         pred = self.acl_predicate(alias, user)
         return stream if pred is None else stream.filter(pred)
 
-    def read_table_stream_log(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
+    def read_table_stream_log(
+        self,
+        alias: str,
+        user: str = acl.ANONYMOUS,
+        max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
+        ignore_changes: bool = False,
+    ) -> DataFrame:
         """Streaming governed read over the LOG CURSOR (preferred over
         :meth:`read_table_stream` for governed tables): registers the
         ``governed`` DataSource and serves commits incrementally — the first
@@ -329,7 +336,22 @@ class Engine:
         are the new ``add`` actions per commit window, the resolved DNF
         filters at file level, and uncommitted staged files are NEVER
         visible (the directory-stream caveats don't apply). See
-        ``sources.governed.GovernedStreamReader``."""
+        ``sources.governed.GovernedStreamReader``.
+
+        ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
+        micro-batch (Delta's admission-control options): the initial
+        snapshot of a large table then bootstraps across many checkpointable
+        batches instead of arriving as one table-sized batch. By default a
+        non-append commit (DELETE / copy-on-write rewrite) FAILS the stream;
+        ``ignore_changes=True`` streams past it, accepting re-served rows.
+
+        ACL staleness: the user's DNF is resolved ONCE here, at stream
+        definition, and baked into the source options — a grant or
+        revocation made after the stream starts never applies for the
+        stream's lifetime. For revocation-sensitive pipelines compose
+        :meth:`governed_batch_filter` in a ``foreachBatch`` sink, which
+        re-resolves the DNF per micro-batch through the TTL ACL cache (same
+        guidance as :meth:`read_table_stream`)."""
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
         from .sources.governed import GovernedDataSource
@@ -339,6 +361,12 @@ class Engine:
         dnf = self.resolved_dnf(alias, user)
         if dnf is not None and dnf != []:
             reader = reader.option("dnf", json.dumps(dnf))
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        if max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+        if ignore_changes:
+            reader = reader.option("ignoreChanges", "true")
         return reader.load()
 
     def governed_batch_filter(self, alias: str, user: str = acl.ANONYMOUS):

@@ -288,42 +288,187 @@ class GovernedReader(DataSourceReader):
             yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
 
 
+def _opt(options, *names, default=None):
+    """Option lookup tolerant of the DataSource option-key casing."""
+    for n in names:
+        for k in (n, n.lower()):
+            v = options.get(k)
+            if v is not None:
+                return v
+    return default
+
+
+def _truthy(v) -> bool:
+    return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
+class _TriggerBudget:
+    """Admission budget for one trigger (``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger``, Delta's public source options). The FIRST file of
+    a trigger is always admitted — otherwise a file larger than the byte cap
+    would stall the stream forever."""
+
+    def __init__(self, max_files: int | None, max_bytes: int | None):
+        self.files_left = max_files
+        self.bytes_left = max_bytes
+        self.took_any = False
+
+    def take(self, size: int) -> bool:
+        if self.took_any and (
+            (self.files_left is not None and self.files_left < 1)
+            or (self.bytes_left is not None and self.bytes_left < size)
+        ):
+            return False
+        self.took_any = True
+        if self.files_left is not None:
+            self.files_left -= 1
+        if self.bytes_left is not None:
+            self.bytes_left -= size
+        return True
+
+    def exhausted(self) -> bool:
+        return (self.files_left is not None and self.files_left < 1) or (
+            self.bytes_left is not None and self.bytes_left <= 0
+        )
+
+
+def _norm_offset(off: dict) -> tuple[int, int | None, bool]:
+    """(version, index-or-None, is_snapshot). A missing ``index`` marks a
+    FULLY-SERVED window (the legacy ``{"version": N}`` shape) — old
+    checkpoints restart seamlessly into admission-controlled streams."""
+    idx = off.get("index")
+    return int(off["version"]), (None if idx is None else int(idx)), bool(off.get("snapshot"))
+
+
 class GovernedStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("governed")`` — a LOG-CURSOR streaming
     source (the Delta streaming-source model, replacing the directory-stream
     caveats of ``Engine.read_table_stream``):
 
-    - the offset is the last fully-served commit version ``{"version": N}``;
-      each micro-batch serves the ``add`` actions of commits ``(start, end]``;
-    - the FIRST batch (start = -1) is the whole live snapshot at ``end`` —
+    - offsets are ``{"version": N}`` (window N fully served) or — under
+      admission control — ``{"version": N, "index": i[, "snapshot": true]}``:
+      the first ``i`` files of window N served, where a window is the sorted
+      allowed file list of ONE commit (or of the whole live snapshot during
+      bootstrap). Windows are deterministic given the log, so a batch is
+      exactly reproducible from its two offsets across restarts;
+    - the FIRST batch (from ``{"version": -1}``) is the live snapshot —
       checkpoint-aware, tombstone-reconciled replay, so files removed before
-      the stream started are never served;
-    - an ``add`` that is tombstoned by a LATER commit inside the same batch
-      window is dropped (never served at all); a ``remove`` of a file served
-      in an earlier batch is ignored — already-emitted rows are not
-      retracted (Delta's ``ignoreDeletes`` stance; this source is for
-      append-mostly tables);
-    - the DNF option filters at FILE level exactly like the batch reader —
-      a forbidden partition's files never become input partitions;
-    - offsets that predate log retention (their JSON commits were cleaned
-      up) fail the stream loudly instead of silently skipping data.
+      the stream started are never served. With ``maxFilesPerTrigger`` /
+      ``maxBytesPerTrigger`` set, the snapshot BOOTSTRAPS ACROSS MICRO-
+      BATCHES (``(version, index)`` offsets, Delta's initial-snapshot
+      semantics) instead of arriving as one table-sized batch;
+    - non-append changes FAIL the stream: a ``remove`` of a file outside the
+      current window (a DELETE, or the remove half of a copy-on-write
+      UPDATE/MERGE rewrite whose re-add would duplicate already-served rows)
+      raises unless ``ignoreDeletes``/``ignoreChanges`` is set — matching
+      Delta's streaming-source contract. An add tombstoned within the same
+      window is simply never served;
+    - the DNF option filters at FILE level exactly like the batch reader;
+    - offsets predating log retention, and mid-stream protocol upgrades,
+      fail the stream loudly instead of silently skipping/mis-reading data.
+
+    Restart pacing: the Python API's ``latestOffset()`` receives no start
+    offset, but Spark's PythonMicroBatchStream implements
+    ``AcceptsLatestSeenOffset`` — on restart the checkpointed offset arrives
+    as a ``partitions(off, off)`` no-op BEFORE the first ``latestOffset``,
+    seeding the pacing cursor. Fresh queries therefore bootstrap bounded
+    from the very first batch, and restarts (pending-batch replay or clean)
+    resume bounded from the checkpointed position. Under
+    ``Trigger.AvailableNow`` the target offset is captured once per run, so
+    a capped run drains one window-slice per invocation.
     """
+
+    # bound on memoized per-commit window lists (driver memory)
+    _COMMIT_CACHE_MAX = 128
 
     def __init__(self, schema: T.StructType, options):
         self._schema = schema
         self.path = options["path"]
         self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
         self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
+        mf = _opt(options, "maxFilesPerTrigger")
+        mb = _opt(options, "maxBytesPerTrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        self.ignore_changes = _truthy(
+            _opt(options, "ignoreChanges", default=False)
+        ) or _truthy(_opt(options, "ignoreDeletes", default=False))
+        self._pos: dict | None = None  # last offset this reader emitted/saw
+        self._snap_cache: dict[int, list[dict]] = {}
+        self._commit_cache: dict[int, list[dict]] = {}
 
-    def initialOffset(self) -> dict:
-        return {"version": -1}
+    @property
+    def _limited(self) -> bool:
+        return self.max_files is not None or self.max_bytes is not None
 
-    def latestOffset(self) -> dict:
-        return {"version": deltalog.latest_version(self.path)}
+    # -- deterministic windows ------------------------------------------------
+
+    def _allowed(self, adds) -> list[dict]:
+        """DNF-filter + sort by path: the canonical window file list. The
+        DNF is frozen in the stream options, so the list — and therefore
+        every ``(version, index)`` offset — is deterministic given the log."""
+        out = [a for a in adds if acl.dnf_allows(self.dnf, a.get("partitionValues") or {})]
+        out.sort(key=lambda a: a["path"])
+        return out
+
+    def _snapshot_list(self, version: int) -> list[dict]:
+        """Bootstrap window: the allowed live snapshot at ``version``."""
+        if version not in self._snap_cache:
+            deltalog.assert_version_reproducible(self.path, version)
+            self._snap_cache = {
+                version: self._allowed(
+                    deltalog._live_adds_no_spark(self.path, max_version=version).values()
+                )
+            }  # keep exactly one snapshot materialized
+        return self._snap_cache[version]
+
+    def _commit_list(self, version: int) -> list[dict]:
+        """Incremental window: the allowed net adds of commit ``version``
+        alone. Missing commit JSON (log cleanup) and protocol upgrades fail
+        loudly; a remove of a path NOT added by this same commit is a
+        non-append change and fails unless ignoreDeletes/ignoreChanges."""
+        if version in self._commit_cache:
+            return self._commit_cache[version]
+        p = os.path.join(deltalog.log_path(self.path), f"{version:020d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"stream offset predates log retention at {self.path}: commit "
+                f"{version} was cleaned up — restart the stream from a fresh "
+                "checkpoint"
+            )
+        state: dict[str, dict] = {}
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    state[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    if action["remove"]["path"] in state:
+                        del state[action["remove"]["path"]]  # add+remove: never serve
+                    elif not self.ignore_changes:
+                        raise ValueError(
+                            f"commit {version} at {self.path} removes "
+                            f"{action['remove']['path']!r} (a DELETE or "
+                            "copy-on-write rewrite): rows already served may "
+                            "be duplicated or retracted. Set ignoreDeletes "
+                            "or ignoreChanges to stream past non-append "
+                            "changes (Delta streaming-source semantics)."
+                        )
+                elif "protocol" in action:
+                    deltalog.check_protocol_action(self.path, action["protocol"])
+        out = self._allowed(state.values())
+        if len(self._commit_cache) >= self._COMMIT_CACHE_MAX:
+            self._commit_cache.pop(next(iter(self._commit_cache)))
+        self._commit_cache[version] = out
+        return out
 
     def _adds_in_range(self, start: int, end: int) -> list[dict]:
-        """Net-new live adds from JSON commits in ``(start, end]``: adds
-        keyed by path, minus removes landing later in the same window."""
+        """Legacy (un-indexed) window: net-new live adds from commits in
+        ``(start, end]`` — adds keyed by path, minus removes landing later in
+        the SAME window; removes of files outside the window are non-append
+        changes (fail unless ignoreDeletes/ignoreChanges)."""
         d = deltalog.log_path(self.path)
         names = sorted(os.listdir(d)) if os.path.isdir(d) else []
         present: set[int] = set()
@@ -343,9 +488,17 @@ class GovernedStreamReader(DataSourceStreamReader):
                     if "add" in action:
                         state[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
-                        # tombstoned within the window: never serve it;
-                        # removes of files served earlier are ignored
-                        state.pop(action["remove"]["path"], None)
+                        if action["remove"]["path"] in state:
+                            state.pop(action["remove"]["path"])
+                        elif not self.ignore_changes:
+                            raise ValueError(
+                                f"commit {v} at {self.path} removes "
+                                f"{action['remove']['path']!r} (a DELETE or "
+                                "copy-on-write rewrite): rows already served "
+                                "may be duplicated or retracted. Set "
+                                "ignoreDeletes or ignoreChanges to stream "
+                                "past non-append changes."
+                            )
                     elif "protocol" in action:
                         # a mid-stream protocol upgrade must stop the
                         # incremental reader exactly like a fresh open
@@ -359,29 +512,127 @@ class GovernedStreamReader(DataSourceStreamReader):
             )
         return [a for a in state.values() if a is not None]
 
+    # -- offsets --------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        # May be called AFTER the first latestOffset (Spark resolves the
+        # start offset lazily): never regress an already-advanced cursor.
+        off = {"version": -1, "index": 0} if self._limited else {"version": -1}
+        if self._pos is None:
+            self._pos = off
+        return off
+
+    def latestOffset(self) -> dict:
+        tip = deltalog.latest_version(self.path)
+        if not self._limited:
+            off = {"version": tip}
+            self._pos = off
+            return off
+        pos = self._pos
+        if pos is None:
+            # PythonMicroBatchStream implements AcceptsLatestSeenOffset: on a
+            # RESTART Spark delivers the checkpointed offset (via a
+            # partitions(off, off) no-op) before the first latestOffset,
+            # seeding _pos. Reaching here with no cursor therefore means a
+            # FRESH query — pace the bootstrap from the very first batch.
+            pos = {"version": -1, "index": 0}
+        off = self._advance_offset(pos, tip)
+        self._pos = off
+        return off
+
+    def _advance_offset(self, pos: dict, tip: int) -> dict:
+        v, i, snap = _norm_offset(pos)
+        budget = _TriggerBudget(self.max_files, self.max_bytes)
+        if v < 0:
+            if tip < 0:
+                return pos  # table still empty
+            L = self._snapshot_list(tip)
+            j = self._advance_index(L, 0, budget)
+            return {"version": tip, "index": j, "snapshot": True}
+        if snap:
+            L = self._snapshot_list(v)
+            start_i = len(L) if i is None else i
+            if start_i < len(L):
+                j = self._advance_index(L, start_i, budget)
+                return {"version": v, "index": j, "snapshot": True}
+        elif i is not None:
+            L = self._commit_list(v)
+            if i < len(L):
+                j = self._advance_index(L, i, budget)
+                return {"version": v, "index": j}
+        # current window exhausted: step across subsequent commits
+        last: dict | None = None
+        w = v
+        while w < tip and not budget.exhausted():
+            w += 1
+            L = self._commit_list(w)
+            j = self._advance_index(L, 0, budget)
+            last = {"version": w, "index": j}
+            if j < len(L):
+                break
+        return last if last is not None else pos
+
+    @staticmethod
+    def _advance_index(L: list[dict], i: int, budget: _TriggerBudget) -> int:
+        j = i
+        while j < len(L) and budget.take(int(L[j].get("size") or 0)):
+            j += 1
+        return j
+
+    # -- batch planning -------------------------------------------------------
+
     def partitions(self, start: dict, end: dict):
-        s, e = int(start["version"]), int(end["version"])
-        if e <= s:
+        if self._pos is None:
+            # restart: either Spark's AcceptsLatestSeenOffset delivery (a
+            # (off, off) no-op call carrying the checkpointed position) or a
+            # pending-batch replay — the end offset is the authoritative
+            # resume point for pacing
+            self._pos = dict(end)
+        sv, si, ssnap = _norm_offset(start)
+        ev, ei, esnap = _norm_offset(end)
+        if ev < 0 or ev < sv or (start == end):
             return []
-        if s < 0:
-            # guard the rare race where a checkpoint newer than `e` landed
-            # after latestOffset(): the bounded replay then needs the JSON
-            # commits 0..e retained — verify instead of silently under-serving
-            deltalog.assert_version_reproducible(self.path, e)
-            adds = list(deltalog._live_adds_no_spark(self.path, max_version=e).values())
+        adds: list[dict] = []
+        if sv == ev and ssnap == esnap:
+            # window split: a slice of one snapshot/commit window
+            L = self._snapshot_list(ev) if esnap else self._commit_list(ev)
+            lo = len(L) if si is None else si
+            hi = len(L) if ei is None else ei
+            adds = L[lo:hi]
+        elif esnap:
+            # bootstrap from the initial offset into a snapshot slice
+            L = self._snapshot_list(ev)
+            adds = L[0 : (len(L) if ei is None else ei)]
+        elif sv < 0:
+            # legacy initial offset: the whole snapshot in one batch
+            L = self._snapshot_list(ev)
+            adds = L[0 : (len(L) if ei is None else ei)]
         else:
-            adds = self._adds_in_range(s, e)
-        allowed: list[tuple[GovernedFilePartition, int]] = []
-        for add in adds:
-            pv = add.get("partitionValues") or {}
-            if not acl.dnf_allows(self.dnf, pv):
-                continue
-            allowed.append(
-                (
-                    GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv)),
-                    int(add.get("size") or 0),
-                )
+            if ssnap:
+                # finish the bootstrap snapshot, then the commits after it
+                L = self._snapshot_list(sv)
+                adds.extend(L[(len(L) if si is None else si) :])
+            elif si is not None:
+                L = self._commit_list(sv)
+                adds.extend(L[si:])
+            if si is None and not ssnap and ei is None:
+                # pure legacy incremental range: reconciled multi-commit
+                # window (pre-admission-control semantics, same offsets)
+                adds.extend(self._allowed(self._adds_in_range(sv, ev)))
+            else:
+                for w in range(sv + 1, ev + 1):
+                    L = self._commit_list(w)
+                    adds.extend(L if w < ev else L[0 : (len(L) if ei is None else ei)])
+        allowed = [
+            (
+                GovernedFilePartition(
+                    os.path.join(self.path, add["path"]),
+                    dict(add.get("partitionValues") or {}),
+                ),
+                int(add.get("size") or 0),
             )
+            for add in adds
+        ]
         return _bin_pack_files(allowed, self.target_task_bytes)
 
     def read(self, partition) -> Iterator:
@@ -392,7 +643,10 @@ class GovernedStreamReader(DataSourceStreamReader):
             yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
 
     def commit(self, end: dict) -> None:
-        pass  # progress is tracked by the streaming checkpoint
+        # progress is tracked by the streaming checkpoint; recover the pacing
+        # cursor here after a restart whose first trigger had no pending batch
+        if self._pos is None:
+            self._pos = dict(end)
 
     def stop(self) -> None:
         pass
