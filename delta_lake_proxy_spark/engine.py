@@ -831,6 +831,7 @@ class Engine:
         start_after: str | None = None,
         max_keys: int | None = None,
         continuation_token: str | None = None,
+        delimiter: str | None = None,
     ) -> DataFrame:
         """ListObjectsV2 emulation over the snapshot (S3-S5, O1-O2).
 
@@ -838,10 +839,56 @@ class Engine:
         continuation token is the last key of the previous page (strictly-after
         semantics, ref src/main.rs:251-262). Listing is ACL-unfiltered, like
         the reference (src/main.rs:514-529).
+
+        ``delimiter`` adds the CommonPrefixes grouping (ref rewrites grouped
+        listing entries, src/main.rs:307-317; golden test src/main.rs:
+        1286-1294): keys whose post-``prefix`` remainder contains the
+        delimiter collapse into one row per distinct prefix-up-to-and-
+        including-the-delimiter — how S3 clients discover partition
+        directories with ``delimiter=/``. With a delimiter the result gains
+        an ``is_common_prefix`` column (grouped rows carry null size/mtime),
+        and prefixes count toward ``max_keys`` interleaved in key order,
+        matching S3. The grouping is one groupBy over the (metadata-sized)
+        key listing — fully declarative, no driver-side key walk.
         """
         df = self.snapshot_files(alias).select("key", "size", "modificationTime")
         if prefix:
             df = df.filter(F.col("key").startswith(prefix))
+        if delimiter:
+            plen = len(prefix or "")
+            rest = F.substring(F.col("key"), plen + 1, 1 << 30)
+            pos = F.instr(rest, delimiter)
+            grouped_key = F.when(
+                pos > 0,
+                F.concat(
+                    F.lit(prefix or ""),
+                    F.substring(rest, 1, pos + len(delimiter) - 1),
+                ),
+            ).otherwise(F.col("key"))
+            df = (
+                df.select(
+                    grouped_key.alias("key"),
+                    (pos > 0).alias("is_common_prefix"),
+                    "size",
+                    "modificationTime",
+                )
+                .groupBy("key", "is_common_prefix")
+                .agg(
+                    F.max("size").alias("size"),
+                    F.max("modificationTime").alias("modificationTime"),
+                )
+                .withColumns(
+                    {
+                        "size": F.when(
+                            F.col("is_common_prefix"), F.lit(None).cast("long")
+                        ).otherwise(F.col("size")),
+                        "modificationTime": F.when(
+                            F.col("is_common_prefix"), F.lit(None).cast("long")
+                        ).otherwise(F.col("modificationTime")),
+                    }
+                )
+                .select("key", "size", "modificationTime", "is_common_prefix")
+            )
         after = continuation_token or start_after
         if after:
             df = df.filter(F.col("key") > F.lit(after))

@@ -1437,8 +1437,18 @@ def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2 AS (SELECT key, size, modificationTime FROM live
                WHERE key > (SELECT max(key) FROM p1)
                ORDER BY key ASC LIMIT 2),
-        u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-        SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified
+        p3 AS (SELECT DISTINCT
+                 '{GOV_ALIAS}/' || split_part(substr(key, {len(GOV_ALIAS) + 2}), '/', 1) || '/' AS key,
+                 CAST(NULL AS BIGINT) AS size,
+                 CAST(NULL AS BIGINT) AS modificationTime,
+                 true AS is_common_prefix
+               FROM live WHERE key LIKE '{GOV_ALIAS}/%'),
+        u AS (SELECT key, size, modificationTime, false AS is_common_prefix FROM p1
+              UNION ALL
+              SELECT key, size, modificationTime, false AS is_common_prefix FROM p2
+              UNION ALL SELECT * FROM p3)
+        SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified,
+               is_common_prefix
         FROM u
         """
     ),
@@ -1447,15 +1457,26 @@ def file_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ListObjectsV2 + HEAD surface in one row (S3-S5, S10, P1, O1-O2):
     page 1 is a prefix-filtered, key-ordered, max-keys-limited listing; the
     continuation token (last key of page 1, strictly-after semantics, ref
-    src/main.rs:251-262) drives page 2; each key carries its HEAD-equivalent
-    size + last-modified metadata."""
+    src/main.rs:251-262) drives page 2; page 3 is a ``delimiter='/'``
+    listing whose CommonPrefixes groups discover the partition directories
+    (ref src/main.rs:307-317, golden src/main.rs:1286-1294); each content
+    key carries its HEAD-equivalent size + last-modified metadata."""
     eng = governed_engine(spark, sf_dir)
     page1 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=", max_keys=2)
     rows = page1.select("key").collect()
     token = rows[-1]["key"] if rows else None
     page2 = eng.list_files(GOV_ALIAS, continuation_token=token, max_keys=2)
-    return page1.unionByName(page2).select(
-        "key", "size", F.timestamp_millis(F.col("modificationTime")).alias("last_modified")
+    page3 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/", delimiter="/")
+    return (
+        page1.unionByName(page2)
+        .withColumn("is_common_prefix", F.lit(False))
+        .unionByName(page3)
+        .select(
+            "key",
+            "size",
+            F.timestamp_millis(F.col("modificationTime")).alias("last_modified"),
+            "is_common_prefix",
+        )
     )
 
 

@@ -60,6 +60,41 @@ def test_listing_is_not_acl_filtered(spark, gov_table):
     assert len(keys(eng.list_files("gov"))) == 3
 
 
+def test_delimiter_groups_common_prefixes(eng):
+    """delimiter='/' collapses partition directories into CommonPrefixes
+    rows (ref src/main.rs:307-317; golden src/main.rs:1286-1294)."""
+    df = eng.list_files("gov", prefix="gov/", delimiter="/")
+    rows = df.collect()
+    assert [r["key"] for r in rows] == [
+        "gov/l_returnflag=A/",
+        "gov/l_returnflag=N/",
+        "gov/l_returnflag=R/",
+    ]
+    assert all(r["is_common_prefix"] for r in rows)
+    assert all(r["size"] is None and r["modificationTime"] is None for r in rows)
+
+
+def test_delimiter_mixes_contents_and_prefixes_in_key_order(eng):
+    """Keys without the delimiter in their remainder stay Contents rows,
+    interleaved with prefixes in lexicographic order; max_keys counts both
+    (S3 semantics)."""
+    # delimiter '=' with prefix 'gov/': every key groups at 'gov/l_returnflag='
+    rows = eng.list_files("gov", prefix="gov/", delimiter="=").collect()
+    assert [r["key"] for r in rows] == ["gov/l_returnflag="]
+    assert rows[0]["is_common_prefix"]
+    # a prefix BELOW the partition dir leaves plain file keys ungrouped
+    rows2 = eng.list_files("gov", prefix="gov/l_returnflag=A/", delimiter="/").collect()
+    assert len(rows2) == 1 and not rows2[0]["is_common_prefix"]
+    assert rows2[0]["size"] > 0
+    # pagination over grouped rows: strictly-after + max_keys
+    page1 = eng.list_files("gov", prefix="gov/", delimiter="/", max_keys=2).collect()
+    assert [r["key"] for r in page1] == ["gov/l_returnflag=A/", "gov/l_returnflag=N/"]
+    page2 = eng.list_files(
+        "gov", prefix="gov/", delimiter="/", continuation_token=page1[-1]["key"]
+    ).collect()
+    assert [r["key"] for r in page2] == ["gov/l_returnflag=R/"]
+
+
 def test_file_stats_schema(eng):
     rows = eng.file_stats("gov").collect()
     assert len(rows) == 3
