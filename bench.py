@@ -29,7 +29,6 @@ HEADLINE = [
     "top_k",
     "metrics_tumbling_window",
     "window_session",
-    "window_sliding",
     "dedup_exact",
     "dedup_near_minhash",
     "text_stats",

@@ -42,7 +42,6 @@ EXPECTED_ORDER = [
     "agg_events",
     "late_data_watermark",
     "window_session",
-    "window_sliding",
     "dedup_exact",
     "text_stats",
     "corpus_sample_stratified",
@@ -59,6 +58,7 @@ EXPECTED_ORDER = [
     "compact_table",
     "merge_upsert",
     "table_history",
+    "table_changes",
     "pipeline_clean_corpus",
     "dedup_near_minhash",
     "dedup_near_simhash",
@@ -127,14 +127,14 @@ SURVEY_COVERAGE = {
     "T1": "metrics_tumbling_window",
     "T2": "metrics_tumbling_window",
     "T3": "late_data_watermark",
-    "T4": "window_sliding",
+    "T4": "window_session",
     "T7": "governed_stream_read",
     "G1": "governed_read",
     "G2": "governed_write_roundtrip",
     "G3": "permission_lookup_join",
     "G4": "request_identity",
     "G7": "metrics_tumbling_window",
-    "G9": "compact_table",
+    "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history
     "X1": "dedup_exact",
     "X2": "dedup_near_minhash",
     "X3": "similarity_topk",

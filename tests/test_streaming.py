@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from delta_lake_proxy_spark.streaming.metrics import (
     session_windows,
+    sliding_metrics,
     streaming_tumbling_metrics,
     tumbling_metrics,
 )
@@ -35,6 +36,35 @@ def test_tumbling_metrics_exact(spark):
     assert w0["n_requests"] == 3 and w0["n_users"] == 2 and w0["avg_latency"] == 3.0
     assert w1["n_requests"] == 1 and w1["n_users"] == 1 and w1["avg_latency"] == 7.0
     assert (w0["window_end"] - w0["window_start"]).total_seconds() == 60
+
+
+def test_sliding_metrics_exact(spark):
+    """T4 sliding windows (pytest pin — the driver row was folded into
+    window_session in round 7): 10-minute windows every 5 minutes place each
+    event in exactly two windows with exact counts/averages."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t0 + dt.timedelta(minutes=1), 1, 2.0),   # windows [-5,5) and [0,10)
+        (t0 + dt.timedelta(minutes=6), 2, 4.0),   # windows [0,10) and [5,15)
+        (t0 + dt.timedelta(minutes=6, seconds=30), 3, 8.0),
+    ]
+    out = {
+        r["window_start"]: r
+        for r in sliding_metrics(
+            _events(spark, rows), window_duration="10 minutes", slide_duration="5 minutes"
+        ).collect()
+    }
+    assert sum(r["n_requests"] for r in out.values()) == 2 * len(rows)
+    w_0 = out[t0]
+    assert w_0["n_requests"] == 3 and w_0["avg_latency"] == (2.0 + 4.0 + 8.0) / 3
+    w_5 = out[t0 + dt.timedelta(minutes=5)]
+    assert w_5["n_requests"] == 2 and w_5["avg_latency"] == 6.0
+    w_m5 = out[t0 - dt.timedelta(minutes=5)]
+    assert w_m5["n_requests"] == 1 and w_m5["avg_latency"] == 2.0
+    assert all(
+        (r["window_end"] - r["window_start"]).total_seconds() == 600
+        for r in out.values()
+    )
 
 
 def test_session_windows_gap(spark):
