@@ -14,7 +14,7 @@ probe only a fraction of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -138,6 +138,28 @@ def lsh_near_neighbors(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _assign_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id for a vector column against LITERAL centroids —
+    pure codegen, shuffle-free: an array of (score, -cid) structs reduced by
+    ``array_max`` (struct compare: max score, ties broken toward the
+    SMALLEST cid via the negation). The list is tiny (num_centroids), so the
+    expression tree stays constant-size per centroid count."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), dot(vec, _lit_vec(cv)),
+                F.lit("negc"), F.lit(-int(cid)).cast("long"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return -F.array_max(scored)["negc"]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -146,47 +168,72 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: centroids are hash-sampled corpus vectors
-    (deterministic); each vector is assigned to its nearest centroid
-    (broadcast join — the centroid table is tiny by construction); the query
-    probes the ``n_probe`` nearest centroids' inverted lists only.
+    """IVF-style approximate top-k: centroids are hash-sampled corpus
+    vectors (deterministic), refined by ``lloyd_iters`` distributed Lloyd
+    (k-means) steps; each vector is assigned to its nearest centroid by a
+    codegen literal-argmax (no join, no shuffle); the query probes the
+    ``n_probe`` nearest centroids' inverted lists only.
 
-    At 100 TB the assignment is a map-side broadcast pass and the probe reads
-    ~n_probe/num_centroids of the corpus — the standard IVF trade.
+    At 100 TB: seeding is a TakeOrdered (per-partition top-k, no full
+    sort); each Lloyd step is one scan with MAP-SIDE partial aggregation of
+    per-(centroid, dimension) sums (the shuffle carries only
+    num_centroids x dim x partitions rows — the standard distributed
+    k-means pass); the final probe reads ~n_probe/num_centroids of the
+    corpus. Refinement makes the approximation contract real instead of
+    sample-coincidental: recall@k is pytest-bounded (test_llm_ops).
     """
     # Deterministic hash-ordered sample: the num_centroids rows with the
     # smallest id-hashes (executed as TakeOrdered — per-partition top-k, no
     # full sort — so it holds at corpus scale).
-    centroids = (
+    seed_rows = (
         embeddings.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)), F.col("_cid"))
         .limit(num_centroids)
-    )
-    assign_w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col("_cid").asc()
-    )
-    assigned = (
-        embeddings.join(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("_cid"),
-            dot(F.col(vec_col), F.col("_cvec")).alias("_cscore"),
-        )
-        .withColumn("_rk", F.row_number().over(assign_w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, "_cid")
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_cids = [
-        r["_cid"]
-        for r in centroids.select("_cid", dot(q, F.col("_cvec")).alias("s"))
-        .orderBy(F.col("s").desc(), F.col("_cid").asc())
-        .limit(n_probe)
         .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["_cid"]), [float(x) for x in r["_cvec"]]) for r in seed_rows
     ]
-    hits = assigned.filter(F.col("_cid").isin(probe_cids))
+    for _ in range(max(0, lloyd_iters)):
+        assigned_cid = _assign_centroid(F.col(vec_col), cents)
+        sums = (
+            embeddings.select(
+                assigned_cid.alias("_cid"),
+                F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+            )
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()  # num_centroids x dim rows — metadata-sized
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = (
+                float(r["_s"]) / int(r["_n"])
+            )
+        cents = [
+            (
+                cid,
+                [m[p] for p in sorted(m)] if (m := by_cid.get(cid)) else cv,
+            )  # empty cluster: keep the seed centroid
+            for cid, cv in cents
+        ]
+    probe = sorted(
+        cents,
+        key=lambda c: (
+            -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
+            c[0],
+        ),
+    )[: max(1, n_probe)]
+    probe_cids = [cid for cid, _ in probe]
+    q = _lit_vec(query_vec)
+    hits = embeddings.filter(
+        _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
+    )
     scored = hits.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )

@@ -149,6 +149,50 @@ def test_ivf_topk_probes_find_query_cluster(spark):
     assert out[0]["vec_id"] < 15  # near angle 0
 
 
+def test_ivf_recall_bound_clustered_corpus(spark):
+    """The IVF approximation CONTRACT (not fixture coincidence): on a
+    corpus with real cluster structure — IVF's operating regime — probing
+    2 of 8 refined cells recovers >= 0.9 of the exact top-10."""
+    import random
+
+    rng = random.Random(7)
+    dim, per_cluster = 16, 60
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [x + rng.gauss(0, 0.1) for x in centers[3]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, num_centroids=8, n_probe=2, lloyd_iters=1
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.9
+
+
+def test_ivf_recall_bound_sf001_embeddings(spark):
+    """recall@10 >= 0.9 on the driver's real sf0.01 embeddings at a HALF
+    scan (n_probe 8 of 16) with one Lloyd step — without refinement the
+    same setting measured 0.2-0.5 (hash-sample centroids only)."""
+    from delta_lake_proxy_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, num_centroids=16, n_probe=8, lloyd_iters=1
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.9
+
+
 def test_text_stats_simple(spark):
     docs = spark.createDataFrame([(1, "The cat, and the dog!")], "doc_id long, text string")
     r = text.text_stats(docs).collect()[0]
