@@ -273,6 +273,14 @@ class Engine:
         """
         self.counters["queries_served"] += 1
         path = self.resolve(alias)
+        dnf = self.resolved_dnf(alias, user)
+        pred = acl.compile_dnf(dnf)
+        # ACL configured but every map empty => deny-all (pred is lit(False));
+        # strict mode surfaces that as 403 BEFORE any scan is planned — the
+        # reference's authorization check precedes data access
+        # (src/main.rs:576-594).
+        if strict and pred is not None and not acl.normalize_dnf(dnf):
+            raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
         if timestamp_as_of is not None:
             if version is not None:
                 raise ValueError("pass either version or timestamp_as_of, not both")
@@ -280,14 +288,8 @@ class Engine:
                 self.spark, path, _to_epoch_millis(timestamp_as_of)
             )
         df = self._read_data(path, version=version)
-        dnf = self.resolved_dnf(alias, user)
-        pred = acl.compile_dnf(dnf)
         if pred is None:
             return df  # no ACL configured => allow everything (src/main.rs:576)
-        # ACL configured but every map empty => deny-all (pred is lit(False));
-        # strict mode surfaces that as 403 instead of an empty result.
-        if strict and not acl.normalize_dnf(dnf):
-            raise ForbiddenByPolicyError(user, alias, "empty permitted partition set")
         return df.filter(pred)
 
     def read_table_stream(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:

@@ -215,7 +215,8 @@ _Q1_SQL_AGGS = f"""
 @register(
     "governed_read",
     f"""
-    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS}
+    SELECT l_returnflag, l_linestatus, {_Q1_SQL_AGGS},
+           true AS strict_forbidden_403
     FROM lineitem WHERE l_returnflag IN ('A', 'N')
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -224,14 +225,50 @@ def governed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: catalog -> ACL DNF {A} OR {N} -> pruned scan -> aggregation.
 
     The scan is a real partitioned delta-logged table; the injected predicate
-    prunes partitions (verified in tests via inputFiles())."""
+    prunes partitions (verified in tests via inputFiles()).
+
+    ``strict_forbidden_403`` is the driver-visible NEGATIVE branch (the
+    documented 403-vs-filter policy divergence, SURVEY §3.3): the reference
+    403s explicit forbidden reads (src/main.rs:576-594) where the default
+    governed read silently filters. The column certifies both reference
+    behaviors: (a) ``strict=True`` with an empty permitted partition set
+    raises before any scan is planned, and (b) an explicit file request in
+    a forbidden partition (the R files, outside the A/N DNF) 403s through
+    ``authorize_file`` — both driver-side, zero extra Spark jobs."""
+    from . import deltalog as _dl
+    from .errors import ForbiddenByPolicyError
+
     eng = governed_engine(
         spark,
         sf_dir,
         allowed={GOV_ALIAS: [{"l_returnflag": "A"}, {"l_returnflag": "N"}]},
     )
     df = eng.read_table(GOV_ALIAS, user="analyst")
-    return df.groupBy("l_returnflag", "l_linestatus").agg(*Q1_AGGS())
+    # (a) strict read with a configured-but-empty DNF -> 403, not empty rows
+    denied_eng = governed_engine(spark, sf_dir, allowed={GOV_ALIAS: [{}]})
+    try:
+        denied_eng.read_table(GOV_ALIAS, user="intruder", strict=True)
+        strict_403 = False
+    except ForbiddenByPolicyError:
+        strict_403 = True
+    # (b) explicit GET of a forbidden partition's file -> 403 (file-level
+    # membership check, reference semantics)
+    path = governed_fixture(spark, sf_dir)
+    r_file = next(
+        rel
+        for rel, add in sorted(_dl._live_adds_no_spark(path).items())
+        if (add.get("partitionValues") or {}).get("l_returnflag") == "R"
+    )
+    try:
+        eng.authorize_file(GOV_ALIAS, "analyst", r_file)
+        file_403 = False
+    except ForbiddenByPolicyError:
+        file_403 = True
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(*Q1_AGGS())
+        .withColumn("strict_forbidden_403", F.lit(strict_403 and file_403))
+    )
 
 
 @register(

@@ -199,6 +199,59 @@ def test_scan_with_skipping_prunes_files(spark, tmp_path, lineitem):
     assert df_all.count() == lineitem.count()
 
 
+def test_stats_survive_every_commit_producer(spark, tmp_path, lineitem):
+    """Stats-emission audit (round-7 verdict item 7): every write path that
+    rewrites files — compaction, UPDATE, MERGE, overwrite — must re-emit
+    ``add.stats`` from the new footers, or ``scan_with_skipping`` silently
+    stops pruning after routine maintenance. Pins that (a) every live add
+    carries stats after each operation and (b) skipping still prunes files
+    on the compacted table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+
+    t = str(tmp_path / "stats_t")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": t}, read_only=False))
+
+    def assert_all_stats(op: str):
+        adds = deltalog._live_adds_no_spark(t).values()
+        assert adds and all(a.get("stats") for a in adds), f"stats lost by {op}"
+        for a in adds:
+            st = json.loads(a["stats"])
+            assert "l_orderkey" in st["minValues"], f"column stats lost by {op}"
+
+    # overwrite write with clustering
+    eng.write_table("t", lineitem, mode="overwrite", sort_by=["l_orderkey"], sort_files=4)
+    assert_all_stats("overwrite")
+    # fragment + compact (files_per_partition collapses the 4 files to 1;
+    # bin-packing path exercised separately) — stats must be re-collected
+    eng.write_table("t", lineitem.limit(500), mode="append")
+    eng.compact_table("t", files_per_partition=4)
+    assert_all_stats("compact")
+    # DML rewrites
+    eng.update("t", F.col("l_orderkey") >= 0, {"l_tax": F.col("l_tax")})
+    assert_all_stats("update")
+    eng.delete("t", F.col("l_linenumber") == 7)
+    assert_all_stats("delete")
+    keys = eng.read_table("t").limit(3).select("l_orderkey", "l_linenumber")
+    eng.merge("t", eng.read_table("t").join(keys, ["l_orderkey", "l_linenumber"]), on=["l_orderkey", "l_linenumber"])
+    assert_all_stats("merge")
+
+    # after ALL of that, footer-stats skipping still prunes: recompact into
+    # tight ranges and scan a narrow window
+    eng.write_table(
+        "t", eng.read_table("t"), mode="overwrite", sort_by=["l_orderkey"], sort_files=4
+    )
+    assert_all_stats("recluster")
+    lo = int(lineitem.agg(F.min("l_orderkey")).collect()[0][0])
+    df = eng.scan_with_skipping("t", {"l_orderkey": (lo, lo + 10)})
+    files_read = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    n_live = len(deltalog._live_adds_no_spark(t))
+    assert len(files_read) < n_live  # pruning still effective post-maintenance
+
+
 def test_optimistic_concurrency(spark, tmp_path):
     """A racing commit at the same version: blind appends retry at the next
     version; remove-carrying commits surface ConcurrentWriteError."""
