@@ -1039,9 +1039,18 @@ class Engine:
             uris = [r["_file"] for r in rows]
             removes = [{"path": p} for p in sorted(self._rel_touched(uris, path))]
             return uris, touched_df, removes
+        # PIN the touched set: the anti-join below validates it and
+        # removes_fn later re-executes the plan (twice on OCC retry) — on
+        # the listing-join scan each execution would re-derive the live set,
+        # so a concurrent commit between validation and commit could change
+        # the streamed remove set AFTER it was validated. persist() makes
+        # the validated and streamed sets one materialization; callers
+        # unpersist after the commit lands.
+        touched_df = touched_df.persist()
         rel_df = touched_df.select(uri_rel_col(F.col("_file"), path).alias("path"))
         snap = deltalog.snapshot_files(self.spark, path).select("path")
         if rel_df.join(snap, "path", "left_anti").limit(1).count() > 0:
+            touched_df.unpersist()
             raise RuntimeError(
                 f"touched files not in live snapshot of {path} — "
                 "URI decoding mismatch or concurrent overwrite?"
@@ -1091,35 +1100,38 @@ class Engine:
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.join(keys, on=on, how="left_semi")
         )
-        if touched_uris is None or touched_uris:
-            survivors = (
-                self._rows_in_files(target, touched_uris, touched_df)
-                .drop("_file")
-                .join(keys, on=on, how="left_anti")
-            )
-            rewrite = survivors.unionByName(source)
-        else:
-            rewrite = source  # pure insert
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-        )
-        writer = rewrite.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
         try:
-            moved = self._move_staged(staging, path)
+            if touched_uris is None or touched_uris:
+                survivors = (
+                    self._rows_in_files(target, touched_uris, touched_df)
+                    .drop("_file")
+                    .join(keys, on=on, how="left_anti")
+                )
+                rewrite = survivors.unionByName(source)
+            else:
+                rewrite = source  # pure insert
+            staging = os.path.join(
+                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+            )
+            writer = rewrite.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(staging)
+            try:
+                moved = self._move_staged(staging, path)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            version = self._commit_moved(
+                path,
+                moved,
+                adds,
+                removes if (touched_uris is None or touched_uris) else [],
+                partition_cols=list(parts),
+                operation="MERGE",
+            )
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
-        version = self._commit_moved(
-            path,
-            moved,
-            adds,
-            removes if (touched_uris is None or touched_uris) else [],
-            partition_cols=list(parts),
-            operation="MERGE",
-        )
+            touched_df.unpersist()  # no-op unless the broad path pinned it
         self._snapshot_cache.invalidate()
         return version
 
@@ -1138,31 +1150,34 @@ class Engine:
         )
         if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing to delete: no-op
-        survivors = (
-            self._rows_in_files(target, touched_uris, touched_df)
-            .filter(~condition)
-            .drop("_file")
-        )
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-        )
-        writer = survivors.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
         try:
-            moved = self._move_staged(staging, path)
+            survivors = (
+                self._rows_in_files(target, touched_uris, touched_df)
+                .filter(~condition)
+                .drop("_file")
+            )
+            staging = os.path.join(
+                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+            )
+            writer = survivors.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(staging)
+            try:
+                moved = self._move_staged(staging, path)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            version = self._commit_moved(
+                path,
+                moved,
+                adds,
+                removes,
+                partition_cols=list(parts),
+                operation="DELETE",
+            )
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
-        version = self._commit_moved(
-            path,
-            moved,
-            adds,
-            removes,
-            partition_cols=list(parts),
-            operation="DELETE",
-        )
+            touched_df.unpersist()  # no-op unless the broad path pinned it
         self._snapshot_cache.invalidate()
         return version
 
@@ -1197,34 +1212,37 @@ class Engine:
         )
         if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing matches: no-op
-        rewritten = self._rows_in_files(target, touched_uris, touched_df).withColumns(
-            {
-                c: F.when(condition, expr.cast(dict(target.dtypes)[c])).otherwise(
-                    F.col(c)
-                )
-                for c, expr in assignments.items()
-            }
-        ).drop("_file")
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-        )
-        writer = rewritten.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
         try:
-            moved = self._move_staged(staging, path)
+            rewritten = self._rows_in_files(target, touched_uris, touched_df).withColumns(
+                {
+                    c: F.when(condition, expr.cast(dict(target.dtypes)[c])).otherwise(
+                        F.col(c)
+                    )
+                    for c, expr in assignments.items()
+                }
+            ).drop("_file")
+            staging = os.path.join(
+                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+            )
+            writer = rewritten.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(staging)
+            try:
+                moved = self._move_staged(staging, path)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            version = self._commit_moved(
+                path,
+                moved,
+                adds,
+                removes,
+                partition_cols=list(parts),
+                operation="UPDATE",
+            )
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
-        version = self._commit_moved(
-            path,
-            moved,
-            adds,
-            removes,
-            partition_cols=list(parts),
-            operation="UPDATE",
-        )
+            touched_df.unpersist()  # no-op unless the broad path pinned it
         self._snapshot_cache.invalidate()
         return version
 

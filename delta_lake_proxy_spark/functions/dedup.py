@@ -290,7 +290,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
@@ -305,8 +305,14 @@ def ngram_jaccard_pairs(
     Jaccard is then exact over the capped shingle space (a ubiquitous shingle
     carries ~0 discrimination: it inflates every pair's intersection AND
     union alike). The df count is a window over ``_sh`` — one shuffle, linear
-    in the hottest posting list, never quadratic. ``None`` disables the cap
-    (trusted-small corpora only).
+    in the hottest posting list, never quadratic.
+
+    The default is ``None`` (uncapped): capping changes RESULTS — pairs
+    whose overlap rests on ubiquitous shingles disappear, and all Jaccard
+    values are computed over the capped shingle space — so it is an explicit
+    opt-in, not a silent default (the registered driver query opts in with
+    cap=100, shared with its oracle). At corpus scale, SET A CAP: uncapped
+    hot shingles make the self-join quadratic.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),

@@ -377,6 +377,13 @@ def resize_media(
     kernels (bilinear/Lanczos) need codec/image libraries absent from this
     environment and are the documented NotImplementedError edge alongside
     compressed codecs."""
+    # fail at PLAN time, not inside an executor task: zero/negative targets
+    # would encode degenerate PPMs while media_meta claims the requested
+    # dimensions, surfacing only in downstream decoders
+    if int(out_w) < 1 or int(out_h) < 1:
+        raise ValueError(
+            f"resize_media target must be >= 1x1, got {out_w}x{out_h}"
+        )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -468,6 +468,18 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
     assert uncapped.count() >= 1
 
 
+def test_resize_media_rejects_degenerate_targets(spark):
+    """Zero/negative targets fail at plan time, not in an executor task
+    (they would encode degenerate PPMs whose meta claims the bad dims)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    media = multimodal.synth_media_corpus(docs)
+    for w, h in [(0, 4), (4, 0), (-1, 4)]:
+        with _pytest.raises(ValueError, match="resize_media target"):
+            multimodal.resize_media(media, out_w=w, out_h=h)
+
+
 def test_resize_media_nearest_neighbor_exact(spark):
     """Charter X5 resize: image payloads downscale via exact nearest-neighbor
     (src = (dst*src_dim)//dst_dim) with metadata updated; non-image payloads
