@@ -330,6 +330,8 @@ class Engine:
         max_files_per_trigger: int | None = None,
         max_bytes_per_trigger: int | None = None,
         ignore_changes: bool = False,
+        starting_version: "int | str | None" = None,
+        starting_timestamp: "int | float | str | None" = None,
     ) -> DataFrame:
         """Streaming governed read over the LOG CURSOR (preferred over
         :meth:`read_table_stream` for governed tables): registers the
@@ -346,6 +348,10 @@ class Engine:
         batches instead of arriving as one table-sized batch. By default a
         non-append commit (DELETE / copy-on-write rewrite) FAILS the stream;
         ``ignore_changes=True`` streams past it, accepting re-served rows.
+        ``starting_version`` (a commit version, or ``"latest"``) /
+        ``starting_timestamp`` skip the initial snapshot and serve changes
+        from that point on (Delta's public source options); mid-stream
+        schema changes fail the stream until restart.
 
         ACL staleness: the user's DNF is resolved ONCE here, at stream
         definition, and baked into the source options — a grant or
@@ -369,6 +375,10 @@ class Engine:
             reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
         if ignore_changes:
             reader = reader.option("ignoreChanges", "true")
+        if starting_version is not None:
+            reader = reader.option("startingVersion", str(starting_version))
+        if starting_timestamp is not None:
+            reader = reader.option("startingTimestamp", str(starting_timestamp))
         return reader.load()
 
     def governed_batch_filter(self, alias: str, user: str = acl.ANONYMOUS):

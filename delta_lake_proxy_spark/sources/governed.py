@@ -302,6 +302,22 @@ def _truthy(v) -> bool:
     return str(v).strip().lower() in ("1", "true", "yes", "on")
 
 
+def _epoch_millis(ts) -> int:
+    """Epoch-ms from epoch seconds (numeric string) or ISO-8601; naive
+    strings read as UTC (commit timestamps are UTC epoch millis)."""
+    s = str(ts).strip()
+    try:
+        return int(float(s) * 1000)
+    except ValueError:
+        pass
+    import datetime as _dt
+
+    parsed = _dt.datetime.fromisoformat(s)
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    return int(parsed.timestamp() * 1000)
+
+
 class _TriggerBudget:
     """Admission budget for one trigger (``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger``, Delta's public source options). The FIRST file of
@@ -393,6 +409,14 @@ class GovernedStreamReader(DataSourceStreamReader):
         self.ignore_changes = _truthy(
             _opt(options, "ignoreChanges", default=False)
         ) or _truthy(_opt(options, "ignoreDeletes", default=False))
+        sv = _opt(options, "startingVersion")
+        st = _opt(options, "startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass either startingVersion or startingTimestamp, not both"
+            )
+        self.starting_version = sv if sv == "latest" else (int(sv) if sv is not None else None)
+        self.starting_timestamp = st
         self._pos: dict | None = None  # last offset this reader emitted/saw
         self._snap_cache: dict[int, list[dict]] = {}
         self._commit_cache: dict[int, list[dict]] = {}
@@ -422,11 +446,34 @@ class GovernedStreamReader(DataSourceStreamReader):
             }  # keep exactly one snapshot materialized
         return self._snap_cache[version]
 
+    def _check_schema_change(self, meta: dict, version: int) -> None:
+        """A metaData action whose schema is NOT readable with this stream's
+        schema fails the stream (Delta's mid-stream schema-change contract:
+        restart to pick up the new schema). Historical schemas that are a
+        type-equal SUBSET of the reader's fields pass — old files simply
+        null-fill the columns appended since."""
+        raw = meta.get("schemaString")
+        if not raw or raw == "{}":
+            return
+        try:
+            logged = T.StructType.fromJson(json.loads(raw))
+        except Exception:
+            return  # non-Spark schema JSON (raw fixture logs): not a change
+        reader_fields = {f.name: f.dataType for f in self._schema.fields}
+        for f in logged.fields:
+            if reader_fields.get(f.name) != f.dataType:
+                raise ValueError(
+                    f"schema of {self.path} changed at commit {version} "
+                    f"(column {f.name!r}): restart the stream to pick up the "
+                    "new schema (Delta streaming-source semantics)"
+                )
+
     def _commit_list(self, version: int) -> list[dict]:
         """Incremental window: the allowed net adds of commit ``version``
-        alone. Missing commit JSON (log cleanup) and protocol upgrades fail
-        loudly; a remove of a path NOT added by this same commit is a
-        non-append change and fails unless ignoreDeletes/ignoreChanges."""
+        alone. Missing commit JSON (log cleanup), protocol upgrades, and
+        incompatible mid-stream schema changes fail loudly; a remove of a
+        path NOT added by this same commit is a non-append change and fails
+        unless ignoreDeletes/ignoreChanges."""
         if version in self._commit_cache:
             return self._commit_cache[version]
         p = os.path.join(deltalog.log_path(self.path), f"{version:020d}.json")
@@ -458,6 +505,8 @@ class GovernedStreamReader(DataSourceStreamReader):
                         )
                 elif "protocol" in action:
                     deltalog.check_protocol_action(self.path, action["protocol"])
+                elif "metaData" in action:
+                    self._check_schema_change(action["metaData"], version)
         out = self._allowed(state.values())
         if len(self._commit_cache) >= self._COMMIT_CACHE_MAX:
             self._commit_cache.pop(next(iter(self._commit_cache)))
@@ -503,6 +552,8 @@ class GovernedStreamReader(DataSourceStreamReader):
                         # a mid-stream protocol upgrade must stop the
                         # incremental reader exactly like a fresh open
                         deltalog.check_protocol_action(self.path, action["protocol"])
+                    elif "metaData" in action:
+                        self._check_schema_change(action["metaData"], v)
         missing = set(range(start + 1, end + 1)) - present
         if missing:
             raise ValueError(
@@ -514,10 +565,46 @@ class GovernedStreamReader(DataSourceStreamReader):
 
     # -- offsets --------------------------------------------------------------
 
+    def _first_version_at_or_after(self, ts_millis: int) -> int:
+        """Smallest retained commit version whose commitInfo.timestamp is
+        >= ``ts_millis`` (Delta streaming ``startingTimestamp`` resolution);
+        latest+1 when the timestamp is after every commit (only future
+        commits will serve)."""
+        d = deltalog.log_path(self.path)
+        names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        for name in names:
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if '"commitInfo"' not in line[:64]:
+                        continue
+                    info = json.loads(line).get("commitInfo") or {}
+                    ts = info.get("timestamp")
+                    if ts is not None and int(ts) >= ts_millis:
+                        return int(name[:-5])
+        return deltalog.latest_version(self.path) + 1
+
+    def _initial_pos(self) -> dict:
+        """The stream's start position: the default bootstrap (full
+        snapshot), or a commit cursor from ``startingVersion`` /
+        ``startingTimestamp`` (Delta's public options — skip the existing
+        snapshot, serve changes from that point on)."""
+        if self.starting_version == "latest":
+            return {"version": deltalog.latest_version(self.path)}
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version) - 1}
+        if self.starting_timestamp is not None:
+            v = self._first_version_at_or_after(
+                _epoch_millis(self.starting_timestamp)
+            )
+            return {"version": v - 1}
+        return {"version": -1, "index": 0} if self._limited else {"version": -1}
+
     def initialOffset(self) -> dict:
         # May be called AFTER the first latestOffset (Spark resolves the
         # start offset lazily): never regress an already-advanced cursor.
-        off = {"version": -1, "index": 0} if self._limited else {"version": -1}
+        off = self._initial_pos()
         if self._pos is None:
             self._pos = off
         return off
@@ -525,7 +612,10 @@ class GovernedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         tip = deltalog.latest_version(self.path)
         if not self._limited:
-            off = {"version": tip}
+            pos = self._pos if self._pos is not None else self._initial_pos()
+            # never regress below a startingVersion floor that is still in
+            # the future (no commits there yet)
+            off = {"version": max(tip, int(pos.get("version", -1)))}
             self._pos = off
             return off
         pos = self._pos
@@ -535,7 +625,7 @@ class GovernedStreamReader(DataSourceStreamReader):
             # partitions(off, off) no-op) before the first latestOffset,
             # seeding _pos. Reaching here with no cursor therefore means a
             # FRESH query — pace the bootstrap from the very first batch.
-            pos = {"version": -1, "index": 0}
+            pos = self._initial_pos()
         off = self._advance_offset(pos, tip)
         self._pos = off
         return off

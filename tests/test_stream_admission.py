@@ -255,6 +255,85 @@ def test_end_to_end_paced_stream(spark, table, tmp_path):
     assert len(offsets) >= n_live  # one bounded batch per file (plus maybe empty)
 
 
+def test_starting_version_skips_snapshot(spark, table, lineitem):
+    """startingVersion=N (Delta public option): no initial snapshot — the
+    stream serves changes from commit N on."""
+    schema = _schema(spark, table)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": table}, read_only=False))
+    cols = [f.name for f in schema.fields]
+    before = set(deltalog._live_adds_no_spark(table))
+    eng.write_table("t", lineitem.limit(20).select(*cols), mode="append")
+    v_new = deltalog.latest_version(table)
+    new_files = sorted(
+        os.path.join(table, p)
+        for p in set(deltalog._live_adds_no_spark(table)) - before
+    )
+    r = GovernedStreamReader(schema, {"path": table, "startingVersion": str(v_new)})
+    pos = r.initialOffset()
+    assert pos == {"version": v_new - 1}
+    nxt = r.latestOffset()
+    assert _served(r, pos, nxt) == new_files  # snapshot never served
+
+    # "latest": only commits made AFTER the stream starts
+    r2 = GovernedStreamReader(schema, {"path": table, "startingVersion": "latest"})
+    pos2 = r2.initialOffset()
+    assert r2.latestOffset() == pos2  # nothing yet
+    eng.write_table("t", lineitem.limit(5).select(*cols), mode="append")
+    nxt2 = r2.latestOffset()
+    served2 = _served(r2, pos2, nxt2)
+    assert len(served2) >= 1
+    assert set(served2).isdisjoint(set(new_files))
+
+
+def test_starting_timestamp_resolves_first_commit(spark, table, lineitem):
+    import time
+
+    schema = _schema(spark, table)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": table}, read_only=False))
+    cols = [f.name for f in schema.fields]
+    time.sleep(0.05)
+    t_between = time.time() * 1000
+    time.sleep(0.05)
+    before = set(deltalog._live_adds_no_spark(table))
+    eng.write_table("t", lineitem.limit(10).select(*cols), mode="append")
+    new_files = sorted(
+        os.path.join(table, p)
+        for p in set(deltalog._live_adds_no_spark(table)) - before
+    )
+    r = GovernedStreamReader(
+        schema, {"path": table, "startingTimestamp": str(t_between / 1000.0)}
+    )
+    pos = r.initialOffset()
+    nxt = r.latestOffset()
+    assert _served(r, pos, nxt) == new_files  # only the post-timestamp commit
+
+
+def test_mid_stream_schema_change_fails(spark, table, lineitem):
+    """A commit that EVOLVES the table schema fails an already-running
+    stream (Delta semantics: restart to pick up the new schema); historical
+    re-emissions of the same schema pass."""
+    old_schema = _schema(spark, table)
+    r = GovernedStreamReader(old_schema, {"path": table})
+    _drain_legacy_pos = r.initialOffset()
+    v0 = deltalog.latest_version(table)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": table}, read_only=False))
+    cols = [f.name for f in old_schema.fields]
+    # same-schema append: metaData re-emitted identically -> no failure
+    eng.write_table("t", lineitem.limit(5).select(*cols), mode="append")
+    v1 = deltalog.latest_version(table)
+    assert r.partitions({"version": v0}, {"version": v1})
+    # evolving append: new column -> the old stream must fail loudly
+    evolved = lineitem.limit(5).select(*cols).withColumn("extra_col", F.lit(1))
+    eng.write_table("t", evolved, mode="append")
+    v2 = deltalog.latest_version(table)
+    with pytest.raises(ValueError, match="schema .* changed"):
+        r.partitions({"version": v1}, {"version": v2})
+    # a NEW stream opened with the evolved schema reads fine
+    fresh_schema = _schema(spark, table)
+    r2 = GovernedStreamReader(fresh_schema, {"path": table})
+    assert r2.partitions({"version": v1}, {"version": v2})
+
+
 def test_available_now_runs_resume_across_restarts(spark, table, tmp_path):
     """Repeated availableNow runs over ONE checkpoint: every run is a real
     query restart (AcceptsLatestSeenOffset path); the paced bootstrap
