@@ -334,6 +334,135 @@ def test_mid_stream_schema_change_fails(spark, table, lineitem):
     assert r2.partitions({"version": v1}, {"version": v2})
 
 
+def test_offset_arithmetic_property(spark):
+    """Model-based check of the offset arithmetic: for RANDOM commit
+    histories, pacing limits, crashes mid-batch, and clean restarts, a
+    faithful simulation of the micro-batch loop (including the
+    AcceptsLatestSeenOffset delivery and pending-batch replay) must deliver
+    every file EXACTLY once with every batch within the file cap."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    event = st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=0, max_value=4)),
+        st.just(("crash_mid",)),
+        st.just(("restart",)),
+        st.just(("tick",)),
+    )
+
+    @given(
+        pre_commits=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=4),
+        max_files=st.one_of(st.none(), st.integers(min_value=1, max_value=5)),
+        events=st.lists(event, max_size=8),
+    )
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(pre_commits, max_files, events):
+        root = tempfile.mkdtemp(prefix="offprop_")
+        try:
+            table = os.path.join(root, "t")
+            os.makedirs(table)
+            all_files: list[str] = []
+            counter = [0]
+
+            def append_commit(n):
+                adds = []
+                for _ in range(n):
+                    rel = f"part=A/f{counter[0]:05d}.parquet"
+                    counter[0] += 1
+                    adds.append(
+                        {"path": rel, "partitionValues": {"part": "A"}, "size": 1}
+                    )
+                    all_files.append(os.path.join(table, rel))
+                deltalog.write_commit(table, adds)
+
+            for n in pre_commits:
+                append_commit(n)
+
+            opts = {"path": table}
+            if max_files is not None:
+                opts["maxFilesPerTrigger"] = str(max_files)
+
+            reader = GovernedStreamReader(None, dict(opts))
+            committed = reader.initialOffset()  # fresh query
+            wal_end = committed
+            pending = False
+            served: list[str] = []
+
+            def files_of(start, end):
+                return [
+                    fp.full_path
+                    for p in reader.partitions(start, end)
+                    for fp in p.files
+                ]
+
+            def tick():
+                nonlocal wal_end, committed, pending
+                assert not pending
+                nxt = reader.latestOffset()
+                if nxt == wal_end:
+                    return False
+                batch = files_of(wal_end, nxt)
+                if max_files is not None:
+                    assert len(batch) <= max_files
+                served.extend(batch)
+                wal_end = nxt
+                reader.commit(nxt)
+                committed = nxt
+                return True
+
+            for ev in events:
+                if ev[0] == "append":
+                    append_commit(ev[1])
+                elif ev[0] == "tick":
+                    if not pending:
+                        tick()
+                elif ev[0] == "crash_mid":
+                    # plan a batch (WAL advances) but crash before running it
+                    if not pending:
+                        nxt = reader.latestOffset()
+                        if nxt != wal_end:
+                            pending = True
+                            prev, wal_end = wal_end, nxt
+                            pending_range = (prev, nxt)
+                elif ev[0] == "restart":
+                    reader = GovernedStreamReader(None, dict(opts))
+                    # AcceptsLatestSeenOffset: checkpointed offset delivered
+                    # as a (off, off) no-op before anything else
+                    assert reader.partitions(wal_end, wal_end) == []
+                    if pending:
+                        batch = files_of(*pending_range)
+                        if max_files is not None:
+                            assert len(batch) <= max_files
+                        served.extend(batch)
+                        reader.commit(wal_end)
+                        committed = wal_end
+                        pending = False
+            # crash with a pending batch at the end: replay it like a restart
+            if pending:
+                reader = GovernedStreamReader(None, dict(opts))
+                assert reader.partitions(wal_end, wal_end) == []
+                served.extend(files_of(*pending_range))
+                reader.commit(wal_end)
+                pending = False
+            # drain to quiescence
+            for _ in range(200):
+                if not tick():
+                    break
+            assert sorted(served) == sorted(all_files)  # exactly once each
+            assert len(served) == len(set(served))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_available_now_runs_resume_across_restarts(spark, table, tmp_path):
     """Repeated availableNow runs over ONE checkpoint: every run is a real
     query restart (AcceptsLatestSeenOffset path); the paced bootstrap
