@@ -66,6 +66,64 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    known_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus update — the 100 TB pattern: dedup ONLY the new
+    documents, never rescanning the accepted corpus.
+
+    ``new_docs`` is the freshly-arrived batch (e.g. the ``'insert'`` rows of
+    ``Engine.table_changes`` between two corpus versions — the CDF feed);
+    ``known_hashes`` is the accepted survivors' fingerprint set (a DataFrame
+    with a ``content_hash`` column, maintained as its own table and appended
+    after each batch). New docs dedup among themselves first
+    (:func:`exact_dedup`), then against the corpus via ONE anti-join on the
+    hash — shuffle keyed on ``content_hash`` only, proportional to the new
+    batch plus the fingerprint table, never the corpus text.
+
+    Returns ``(new_survivors, new_hashes)``: survivors carry
+    ``content_hash``/``n_copies`` like :func:`exact_dedup`; ``new_hashes``
+    is exactly the rows to append to the fingerprint table.
+    """
+    fresh = exact_dedup(new_docs, text_col=text_col, id_col=id_col, normalize=normalize)
+    survivors = fresh.join(
+        known_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+    return survivors, survivors.select("content_hash")
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    normalize: bool = True,
+) -> DataFrame:
+    """X1 over an UNBOUNDED stream: exact content dedup with Structured
+    Streaming state.
+
+    Without ``ts_col`` the state is the full hash set (exact
+    forever-dedup — state grows with distinct content; survives restarts via
+    the streaming checkpoint). With ``ts_col`` the operator switches to
+    ``dropDuplicatesWithinWatermark``: state is TTL'd by the watermark, so a
+    duplicate arriving later than ``watermark`` after the original is
+    re-admitted — the documented bounded-state trade at unbounded scale
+    (compose with a periodic batch :func:`exact_dedup` for exactness).
+    """
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = stream.withColumn("content_hash", F.sha2(content, 256))
+    if ts_col is None:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def salt_oversized_buckets(
     df: DataFrame,
     bucket_cols: list[str],

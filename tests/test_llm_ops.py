@@ -149,6 +149,86 @@ def test_ivf_topk_probes_find_query_cluster(spark):
     assert out[0]["vec_id"] < 15  # near angle 0
 
 
+def test_incremental_dedup_via_table_changes(spark, tmp_path):
+    """The incremental-corpus pattern end-to-end: accepted survivors +
+    fingerprints at version N; new docs arrive as a commit; the CDF feed
+    (table_changes inserts) flows through incremental_exact_dedup — only
+    genuinely new content survives, the corpus is never rescanned."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "corpus")
+    docs0 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "ALPHA   text ")],
+        "doc_id long, text string",
+    )
+    write_governed_table(spark, docs0, path, [])
+    eng = Engine(spark, EngineConfig(table_mapping={"c": path}, read_only=False))
+    v0 = 0
+    survivors0 = dedup.exact_dedup(eng.read_table("c"))
+    hashes0 = survivors0.select("content_hash")
+    assert survivors0.count() == 2  # 1 and 3 are the same content
+
+    # new batch: a dup of existing (4), an intra-batch dup pair (5, 6), fresh (7)
+    new_docs = spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text"), (6, "gamma  TEXT"), (7, "delta text")],
+        "doc_id long, text string",
+    )
+    eng.write_table("c", new_docs, mode="append")
+    v1 = eng.history("c").agg(F.max("version")).collect()[0][0]
+    inserts = eng.table_changes("c", from_version=v0, to_version=v1).filter(
+        F.col("_change_type") == "insert"
+    ).select("doc_id", "text")
+    assert inserts.count() == 4  # exactly the CDF insert rows
+    new_survivors, new_hashes = dedup.incremental_exact_dedup(inserts, hashes0)
+    got = {r["doc_id"] for r in new_survivors.collect()}
+    assert got == {5, 7}  # 4 dups the corpus, 6 dups 5 in-batch
+    assert new_hashes.count() == 2
+    # the fingerprint table grows by exactly the new survivors' hashes
+    assert hashes0.unionByName(new_hashes).distinct().count() == 4
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
+    """Streaming X1: dropDuplicates state carries the seen-hash set across
+    an availableNow restart (same checkpoint) — a second batch re-sending
+    old content emits only the genuinely fresh doc."""
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            dedup.streaming_exact_dedup(stream)
+            .select("doc_id", "text", "content_hash")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "ALPHA ")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    first = spark.read.parquet(out)
+    assert first.count() == 2  # alpha + beta (3 normalizes to alpha)
+
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    second = spark.read.parquet(out)
+    assert second.count() == 3  # only gamma added: state survived the restart
+    assert {r["doc_id"] for r in second.collect()} <= {1, 2, 3, 5}  # never 4
+
+
 def test_ivf_recall_bound_clustered_corpus(spark):
     """The IVF approximation CONTRACT (not fixture coincidence): on a
     corpus with real cluster structure — IVF's operating regime — probing
