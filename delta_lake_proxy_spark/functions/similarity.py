@@ -138,6 +138,56 @@ def lsh_near_neighbors(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``q[i] = round(x[i] * 127 / max|x|)`` stored as ``array<tinyint>`` plus
+    the reconstruction scale ``max|x| / 127`` — 4x smaller than float32
+    (8x vs float64), the standard memory lever for billion-vector ANN.
+
+    Cosine is SCALE-INVARIANT, so ranking by cosine over the quantized
+    vectors needs no dequantization at all — the only error is rounding
+    (recall pytest-bounded). Pure codegen (``transform``/``array_max``),
+    no UDF. Zero vectors quantize to zeros with scale 0.
+    """
+    vec = F.col(vec_col)
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(mx > 0, mx).otherwise(F.lit(1.0))
+    return embeddings.withColumns(
+        {
+            out_col: F.transform(
+                vec, lambda x: F.round(x.cast("double") / safe * 127).cast("tinyint")
+            ),
+            scale_col: (mx / F.lit(127.0)).cast("double"),
+        }
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k by cosine over int8-QUANTIZED vectors (the query is
+    quantized the same way): same TakeOrdered plan as :func:`cosine_topk`,
+    reading 1/4 the vector bytes. Approximation = rounding only."""
+    mx = max(abs(float(x)) for x in query_vec) or 1.0
+    q = F.array(
+        *[F.lit(int(round(float(x) / mx * 127))).cast("tinyint") for x in query_vec]
+    )
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(qvec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
