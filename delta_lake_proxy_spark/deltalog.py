@@ -85,6 +85,10 @@ METADATA_SCHEMA = T.StructType(
         T.StructField("format", T.StructType([T.StructField("provider", T.StringType())])),
         T.StructField("schemaString", T.StringType()),
         T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+        # table properties (delta.appendOnly, retention settings, ...): read,
+        # carried through metaData re-emissions AND checkpoints — dropping it
+        # would silently strip a foreign table's constraints
+        T.StructField("configuration", PARTITION_VALUES),
         T.StructField("createdTime", T.LongType()),
     ]
 )
@@ -262,6 +266,7 @@ def write_commit(
     partition_cols: list[str] | None = None,
     operation: str = "WRITE",
     txn: dict[str, Any] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -278,6 +283,7 @@ def write_commit(
         partition_cols=partition_cols,
         operation=operation,
         txn=txn,
+        configuration=configuration,
     )
 
 
@@ -290,6 +296,7 @@ def write_commit_streamed(
     partition_cols: list[str] | None = None,
     operation: str = "WRITE",
     txn: dict[str, Any] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -303,6 +310,24 @@ def write_commit_streamed(
     # corrupts it for conforming clients. New tables (no logged protocol yet)
     # pass vacuously and emit our own supported protocol at version 0.
     check_write_protocol(table_path)
+    # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
+    # column invariants require per-row enforcement this engine does not
+    # implement (refuse all writes rather than silently violate), and
+    # delta.appendOnly forbids remove-carrying commits (checked as removes
+    # stream, below).
+    inv_col = _schema_has_invariants(table_path)
+    if inv_col is not None:
+        raise UnsupportedProtocolError(
+            table_path,
+            f"column {inv_col!r} declares delta.invariants — this engine "
+            "does not enforce row invariants, so writing could violate the "
+            "table's constraint contract",
+        )
+    append_only = check_append_only(table_path)
+    if configuration is None:
+        # re-emitting metaData without the table's properties would STRIP
+        # them (delta.appendOnly would silently turn off) — carry forward
+        configuration = table_configuration_no_spark(table_path)
     os.makedirs(log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
 
@@ -326,6 +351,7 @@ def write_commit_streamed(
                             "format": {"provider": "parquet"},
                             "schemaString": schema_json or "{}",
                             "partitionColumns": partition_cols or [],
+                            "configuration": configuration or {},
                             "createdTime": now_ms,
                         }
                     }
@@ -341,6 +367,13 @@ def write_commit_streamed(
             )
         wrote_remove = False
         for rm in removes_fn() if removes_fn is not None else ():
+            if append_only:
+                raise ValueError(
+                    f"table at {table_path} is delta.appendOnly=true: "
+                    "remove-carrying commits (DELETE/UPDATE/MERGE/overwrite/"
+                    "compaction) are forbidden by the table property "
+                    "(Delta writer protocol 2)"
+                )
             wrote_remove = True
             f.write(
                 json.dumps(
@@ -365,8 +398,17 @@ def write_commit_streamed(
     for _ in range(100):
         target = _commit_file(table_path, version)
         tmp = target + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            has_removes = stream_body(version, f)
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                has_removes = stream_body(version, f)
+        except BaseException:
+            # a mid-body failure (appendOnly violation, a factory raising)
+            # must not leave a .tmp behind in the log directory
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         try:
             os.link(tmp, target)
             os.unlink(tmp)
@@ -685,6 +727,69 @@ def check_write_protocol(table_path: str) -> None:
         )
 
 
+def table_configuration_no_spark(table_path: str) -> dict[str, str]:
+    """Latest ``metaData.configuration`` map, driver-side (table properties
+    like ``delta.appendOnly``); empty when absent."""
+    conf: dict[str, str] | None = None
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if '"metaData"' not in line[:64]:
+                        continue
+                    m = json.loads(line).get("metaData")
+                    if m is not None:
+                        conf = dict(m.get("configuration") or {})
+    if conf is None:
+        # metaData commit cleaned up: the checkpoint carries it forward
+        ck = last_checkpoint(table_path)
+        if ck is not None:
+            import pyarrow.parquet as pq
+
+            for ck_file in checkpoint_data_files(table_path, ck):
+                pf = pq.ParquetFile(ck_file)
+                if "metaData" not in pf.schema_arrow.names:
+                    continue
+                for m in (
+                    pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist()
+                ):
+                    if m is not None and m.get("schemaString"):
+                        mc = m.get("configuration")
+                        conf = dict(mc) if isinstance(mc, dict) else dict(mc or [])
+    return conf or {}
+
+
+def _schema_has_invariants(table_path: str) -> str | None:
+    """Name of the first column carrying a ``delta.invariants`` constraint
+    in the table's current schema, else None. Writer protocol 2 REQUIRES
+    enforcing invariants on every written row; this engine does not
+    implement that enforcement, so tables that declare them must refuse
+    writes rather than silently violate the constraint contract."""
+    meta = table_metadata_no_spark(table_path)
+    raw = (meta or {}).get("schemaString")
+    if not raw or raw == "{}":
+        return None
+    try:
+        fields = json.loads(raw).get("fields") or []
+    except Exception:
+        return None
+    for f in fields:
+        if "delta.invariants" in (f.get("metadata") or {}):
+            return str(f.get("name"))
+    return None
+
+
+def check_append_only(table_path: str) -> bool:
+    """True when the table's ``delta.appendOnly`` property is set — writer
+    protocol 2 semantics: commits that REMOVE files must be refused."""
+    return str(
+        table_configuration_no_spark(table_path).get("delta.appendOnly", "")
+    ).strip().lower() == "true"
+
+
 def check_protocol_action(table_path: str, proto: dict[str, Any]) -> None:
     """Gate one in-stream ``protocol`` action (a mid-stream protocol upgrade
     commit must stop an incremental reader exactly like a fresh open)."""
@@ -929,6 +1034,7 @@ def write_checkpoint(
                             "format": {"provider": "parquet"},
                             "schemaString": meta["schemaString"],
                             "partitionColumns": meta["partitionColumns"],
+                            "configuration": table_configuration_no_spark(table_path),
                             "createdTime": None,
                         },
                         None,

@@ -183,6 +183,121 @@ def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
         deltalog._live_adds_no_spark(path)
 
 
+def test_append_only_table_refuses_removes(spark, tmp_path):
+    """Writer protocol 2 semantics, HONORED not just version-gated: a table
+    with delta.appendOnly=true accepts appends but refuses every
+    remove-carrying commit (DELETE/overwrite/compaction)."""
+    path = make_table(
+        str(tmp_path / "t"), SUPPORTED, extra_meta_conf={"delta.appendOnly": "true"}
+    )
+    rel = "part=A/part-00001.parquet"
+    _write_parquet(os.path.join(path, rel), [9])
+    v = deltalog.write_commit(
+        path,
+        [{"path": rel, "partitionValues": {"part": "A"}, "size": 1, "modificationTime": 1}],
+    )
+    assert v == 1  # appends fine
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalog.write_commit(path, [], [{"path": rel}])
+    # no .tmp debris left in the log directory after the refused commit
+    logd = os.path.join(path, "_delta_log")
+    assert not [n for n in os.listdir(logd) if n.endswith(".tmp")]
+    # engine-level DML refuses too
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    with pytest.raises(ValueError, match="appendOnly"):
+        eng.delete("t", F.col("id") == 1)
+
+
+def test_table_properties_survive_commits_and_cleanup(spark, tmp_path):
+    """metaData.configuration must be CARRIED, not stripped: a
+    schema-re-emitting append, a checkpoint, and log cleanup all preserve
+    delta.appendOnly — the remove refusal still fires afterwards."""
+    path = make_table(
+        str(tmp_path / "t"), SUPPORTED, extra_meta_conf={"delta.appendOnly": "true"}
+    )
+    rel = "part=A/part-00001.parquet"
+    _write_parquet(os.path.join(path, rel), [9])
+    # schema-carrying commit (metaData re-emitted): property carried forward
+    deltalog.write_commit(
+        path,
+        [{"path": rel, "partitionValues": {"part": "A"}, "size": 1, "modificationTime": 1}],
+        schema_json=SCHEMA_STRING,
+        partition_cols=["part"],
+    )
+    assert deltalog.check_append_only(path)
+    # checkpoint + cleanup: the checkpoint's metaData carries it
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log(path, retention_hours=0.0)
+    assert deltalog.check_append_only(path)
+    with pytest.raises(ValueError, match="appendOnly"):
+        deltalog.write_commit(path, [], [{"path": rel}])
+
+
+def test_invariants_table_refuses_writes(tmp_path):
+    """Writer protocol 2 requires ENFORCING column invariants on every
+    written row; this engine does not implement that, so a table declaring
+    delta.invariants must refuse writes instead of silently violating the
+    constraint."""
+    import json as _json
+
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+                    },
+                },
+                {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    root = str(tmp_path / "t")
+    rel = "part=A/part-00000.parquet"
+    _write_parquet(os.path.join(root, rel), [1])
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd)
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"protocol": SUPPORTED}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "inv",
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema,
+                        "partitionColumns": ["part"],
+                        "createdTime": 1,
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"part": "A"},
+                        "size": 1,
+                        "modificationTime": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    # readable...
+    assert len(deltalog._live_adds_no_spark(root)) == 1
+    # ...but unwritable: we cannot enforce the declared invariant
+    with pytest.raises(UnsupportedProtocolError, match="delta.invariants"):
+        deltalog.write_commit(root, [{"path": "x", "partitionValues": {}, "size": 1}])
+
+
 def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
     """A protocol-upgrade commit inside an incremental window must fail the
     stream reader, not be skipped."""
