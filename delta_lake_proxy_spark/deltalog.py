@@ -782,6 +782,43 @@ def _schema_has_invariants(table_path: str) -> str | None:
     return None
 
 
+_INTERVAL_UNIT_HOURS = {
+    "millisecond": 1 / 3_600_000, "milliseconds": 1 / 3_600_000,
+    "second": 1 / 3600, "seconds": 1 / 3600,
+    "minute": 1 / 60, "minutes": 1 / 60,
+    "hour": 1.0, "hours": 1.0,
+    "day": 24.0, "days": 24.0,
+    "week": 168.0, "weeks": 168.0,
+}
+
+
+def parse_interval_hours(s: str | None) -> float | None:
+    """Hours from a Delta table-property interval string
+    (``"interval 7 days"``, ``"interval 168 hours"``, ...); None when absent
+    or unparseable (callers fall back to their defaults)."""
+    if not s:
+        return None
+    parts = str(s).strip().lower().split()
+    if len(parts) == 3 and parts[0] == "interval":
+        parts = parts[1:]
+    if len(parts) != 2:
+        return None
+    try:
+        qty = float(parts[0])
+    except ValueError:
+        return None
+    unit = _INTERVAL_UNIT_HOURS.get(parts[1])
+    return None if unit is None else qty * unit
+
+
+def retention_hours_property(table_path: str, prop: str) -> float | None:
+    """Hours from a retention table property (``delta.logRetentionDuration``
+    / ``delta.deletedFileRetentionDuration``), or None when unset."""
+    return parse_interval_hours(
+        table_configuration_no_spark(table_path).get(prop)
+    )
+
+
 def check_append_only(table_path: str) -> bool:
     """True when the table's ``delta.appendOnly`` property is set — writer
     protocol 2 semantics: commits that REMOVE files must be refused."""

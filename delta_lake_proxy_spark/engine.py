@@ -1003,7 +1003,11 @@ class Engine:
             operation=mode.upper(),
             txn=txn,
         )
+        # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
+        prop = deltalog.table_configuration_no_spark(path).get("delta.checkpointInterval")
+        if prop is not None and str(prop).isdigit():
+            interval = int(prop)
         if interval > 0 and version > 0 and version % interval == 0:
             deltalog.write_checkpoint(self.spark, path)
         self._snapshot_cache.invalidate()  # table state changed
@@ -1395,7 +1399,7 @@ class Engine:
             .drop("_bin", "__nf", *pv_cols)
         )
 
-    def vacuum(self, alias: str, retention_hours: float = 168.0) -> int:
+    def vacuum(self, alias: str, retention_hours: float | None = None) -> int:
         """G9 maintenance: delete data files no longer referenced by the
         latest snapshot (tombstoned by removes or orphaned by failed writes).
         Returns the number of files deleted. The snapshot stays readable —
@@ -1410,6 +1414,13 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        if retention_hours is None:
+            # Delta semantics: the table's own deletedFileRetentionDuration
+            # property governs when unset by the caller; 7 days otherwise
+            prop = deltalog.retention_hours_property(
+                path, "delta.deletedFileRetentionDuration"
+            )
+            retention_hours = prop if prop is not None else 168.0
         cutoff = time.time() - retention_hours * 3600.0
         # FULLY DISTRIBUTED at file scale — the driver never holds a file
         # list: (1) the directory walk fans out one task per top-level entry
@@ -1476,7 +1487,7 @@ class Engine:
         self._snapshot_cache.invalidate()
         return deleted
 
-    def cleanup_log(self, alias: str, retention_hours: float = 168.0) -> int:
+    def cleanup_log(self, alias: str, retention_hours: float | None = None) -> int:
         """G9 maintenance: Delta log-retention cleanup — drop JSON commits
         already captured by the last checkpoint (and superseded checkpoint
         files) past ``retention_hours``. The snapshot replay is unaffected
@@ -1485,6 +1496,13 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        if retention_hours is None:
+            # table property first (delta.logRetentionDuration), else the
+            # Delta default order of magnitude (7 days here; Delta's is 30)
+            prop = deltalog.retention_hours_property(
+                path, "delta.logRetentionDuration"
+            )
+            retention_hours = prop if prop is not None else 168.0
         removed = deltalog.cleanup_log(path, retention_hours=retention_hours)
         if removed:
             self._snapshot_cache.invalidate()

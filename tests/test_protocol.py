@@ -233,6 +233,54 @@ def test_table_properties_survive_commits_and_cleanup(spark, tmp_path):
         deltalog.write_commit(path, [], [{"path": rel}])
 
 
+def test_parse_interval_hours():
+    assert deltalog.parse_interval_hours("interval 7 days") == 168.0
+    assert deltalog.parse_interval_hours("interval 168 hours") == 168.0
+    assert deltalog.parse_interval_hours("2 weeks") == 336.0
+    assert deltalog.parse_interval_hours("interval 30 minutes") == 0.5
+    assert deltalog.parse_interval_hours("interval 0 hours") == 0.0
+    assert deltalog.parse_interval_hours(None) is None
+    assert deltalog.parse_interval_hours("garbage") is None
+
+
+def test_retention_properties_govern_maintenance(spark, tmp_path):
+    """delta.deletedFileRetentionDuration / delta.logRetentionDuration /
+    delta.checkpointInterval on the TABLE govern vacuum, cleanup_log, and
+    auto-checkpointing when the caller passes no explicit values."""
+    import shutil
+
+    path = make_table(
+        str(tmp_path / "t"),
+        SUPPORTED,
+        extra_meta_conf={
+            "delta.deletedFileRetentionDuration": "interval 0 hours",
+            "delta.logRetentionDuration": "interval 0 hours",
+            "delta.checkpointInterval": "2",
+        },
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"t": path}, read_only=False, checkpoint_interval=0),
+    )
+    # orphan a file, then default-args vacuum reclaims it IMMEDIATELY
+    # because the table property sets retention to zero
+    orphan = os.path.join(path, "part=A", "orphan.parquet")
+    shutil.copyfile(os.path.join(path, "part=A", "part-00000.parquet"), orphan)
+    assert eng.vacuum("t") == 1
+    assert not os.path.exists(orphan)
+    # two appends: delta.checkpointInterval=2 fires at version 2 even though
+    # the ENGINE's own interval is disabled
+    df = eng.read_table("t").limit(1)
+    eng.write_table("t", df, mode="append")
+    assert deltalog.last_checkpoint(path) is None
+    eng.write_table("t", df, mode="append")
+    ck = deltalog.last_checkpoint(path)
+    assert ck is not None and int(ck["version"]) == 2
+    # default-args cleanup_log prunes immediately (property zero retention)
+    assert eng.cleanup_log("t") > 0
+    assert eng.read_table("t").count() == 5  # snapshot intact post-cleanup
+
+
 def test_invariants_table_refuses_writes(tmp_path):
     """Writer protocol 2 requires ENFORCING column invariants on every
     written row; this engine does not implement that, so a table declaring
