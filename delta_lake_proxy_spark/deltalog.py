@@ -267,6 +267,7 @@ def write_commit(
     operation: str = "WRITE",
     txn: dict[str, Any] | None = None,
     configuration: dict[str, str] | None = None,
+    enforced_constraints: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -284,6 +285,7 @@ def write_commit(
         operation=operation,
         txn=txn,
         configuration=configuration,
+        enforced_constraints=enforced_constraints,
     )
 
 
@@ -297,6 +299,7 @@ def write_commit_streamed(
     operation: str = "WRITE",
     txn: dict[str, Any] | None = None,
     configuration: dict[str, str] | None = None,
+    enforced_constraints: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -309,7 +312,7 @@ def write_commit_streamed(
     # capabilities we lack (constraints, generated columns, row tracking)
     # corrupts it for conforming clients. New tables (no logged protocol yet)
     # pass vacuously and emit our own supported protocol at version 0.
-    check_write_protocol(table_path)
+    check_write_protocol(table_path, enforced_constraints=enforced_constraints)
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
     # implement (refuse all writes rather than silently violate), and
@@ -703,27 +706,45 @@ def check_read_protocol(table_path: str) -> None:
         )
 
 
-def check_write_protocol(table_path: str) -> None:
+def declared_constraints(table_path: str) -> dict[str, str]:
+    """CHECK constraints declared as ``delta.constraints.<name>`` table
+    properties (Delta writer protocol 3), name -> SQL expression."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in table_configuration_no_spark(table_path).items()
+        if k.startswith(prefix)
+    }
+
+
+def check_write_protocol(table_path: str, enforced_constraints: bool = False) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
-    engine lacks (``minWriterVersion`` > 2 or any ``writerFeatures``):
-    committing without honoring e.g. CHECK constraints, generated columns, or
-    row tracking corrupts the table for every conforming client. A writer
-    must also be able to read the table it rewrites, so the read gate applies
-    too."""
+    engine lacks: ``minWriterVersion`` > 3, any ``writerFeatures``, or
+    version 3 (CHECK constraints) unless the caller VALIDATED the written
+    rows against the declared constraints (``enforced_constraints=True`` —
+    the Engine write paths do; raw commits cannot prove it and are refused
+    when constraints exist). Committing without honoring generated columns,
+    row tracking, or an unvalidated constraint corrupts the table for every
+    conforming client. A writer must also be able to read the table it
+    rewrites, so the read gate applies too."""
     check_read_protocol(table_path)
     proto = table_protocol_no_spark(table_path)
     if proto is None:
         return
     writer = int(proto.get("minWriterVersion") or 1)
     features = list(proto.get("writerFeatures") or [])
-    if writer > SUPPORTED_WRITER_VERSION or features:
+    writer_ok = writer <= SUPPORTED_WRITER_VERSION or (
+        writer == 3 and (enforced_constraints or not declared_constraints(table_path))
+    )
+    if not writer_ok or features:
         raise UnsupportedProtocolError(
             table_path,
             f"table requires minWriterVersion={writer}"
             + (f" with writerFeatures={features}" if features else "")
             + f"; this engine supports writer version {SUPPORTED_WRITER_VERSION} "
-            "and no writer table features — committing would corrupt the "
-            "table for conforming clients",
+            "(and version 3 only when its CHECK constraints are validated by "
+            "the Engine write path) — committing would corrupt the table for "
+            "conforming clients",
         )
 
 

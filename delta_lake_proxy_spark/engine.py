@@ -537,7 +537,13 @@ class Engine:
                 yield {"path": r["path"]}
 
         new_version = deltalog.write_commit_streamed(
-            path, add_rows, remove_rows, operation="RESTORE"
+            path,
+            add_rows,
+            remove_rows,
+            operation="RESTORE",
+            # RESTORE writes no new rows — only re-adds files that were
+            # committed as constraint-valid in the target version
+            enforced_constraints=True,
         )
         self._snapshot_cache.invalidate()
         return new_version
@@ -969,6 +975,7 @@ class Engine:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*sort_by)
 
+        enforced = self._enforce_check_constraints(path, df)
         staging = os.path.join(
             os.path.dirname(path.rstrip("/")) or ".",
             f".stage-{uuid.uuid4().hex}",
@@ -1002,6 +1009,7 @@ class Engine:
             partition_cols=list(parts),
             operation=mode.upper(),
             txn=txn,
+            enforced_constraints=enforced,
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -1012,6 +1020,23 @@ class Engine:
             deltalog.write_checkpoint(self.spark, path)
         self._snapshot_cache.invalidate()  # table state changed
         return version
+
+    def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
+        """Validate ``df`` (the rows about to be written) against the
+        table's declared CHECK constraints (``delta.constraints.<name>``
+        properties, Delta writer protocol 3). SQL CHECK semantics: a row
+        violates only when the expression evaluates to FALSE (null passes).
+        One ``limit(1)`` probe job per constraint, run only when any are
+        declared. Returns True — the ``enforced_constraints`` proof the
+        commit gate requires for writer-3 tables."""
+        for name, sql in sorted(deltalog.declared_constraints(path).items()):
+            violating = ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
+            if df.filter(violating).limit(1).count() > 0:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({sql}) violated by written "
+                    f"row(s) — write rejected (Delta constraint semantics)"
+                )
+        return True
 
     def _rel_touched(self, touched_uris: list[str], path: str) -> list[str]:
         """Decode touched-file URIs to table-relative paths, validated against
@@ -1124,6 +1149,7 @@ class Engine:
                 rewrite = survivors.unionByName(source)
             else:
                 rewrite = source  # pure insert
+            enforced = self._enforce_check_constraints(path, rewrite)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
             )
@@ -1143,6 +1169,7 @@ class Engine:
                 removes if (touched_uris is None or touched_uris) else [],
                 partition_cols=list(parts),
                 operation="MERGE",
+                enforced_constraints=enforced,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -1170,6 +1197,7 @@ class Engine:
                 .filter(~condition)
                 .drop("_file")
             )
+            enforced = self._enforce_check_constraints(path, survivors)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
             )
@@ -1189,6 +1217,7 @@ class Engine:
                 removes,
                 partition_cols=list(parts),
                 operation="DELETE",
+                enforced_constraints=enforced,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -1235,6 +1264,7 @@ class Engine:
                     for c, expr in assignments.items()
                 }
             ).drop("_file")
+            enforced = self._enforce_check_constraints(path, rewritten)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
             )
@@ -1254,6 +1284,7 @@ class Engine:
                 removes,
                 partition_cols=list(parts),
                 operation="UPDATE",
+                enforced_constraints=enforced,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it

@@ -803,6 +803,15 @@ class GovernedWriter(DataSourceArrowWriter):
                 f"schema mismatch: write has {sorted(schema.names)}, table has "
                 f"{sorted(logged.names)} (use Engine.write_table for evolution)"
             )
+        cons = deltalog.declared_constraints(self.table_path)
+        if cons:
+            # the task-side Arrow writer cannot evaluate SQL CHECK
+            # expressions; refusing beats committing unvalidated rows
+            raise ValueError(
+                f"table at {self.table_path} declares CHECK constraints "
+                f"{sorted(cons)} — use Engine.write_table, which validates "
+                "them (the governed DataSource writer cannot)"
+            )
         self.partition_cols = _logged_partition_cols(self.table_path)
         self.overwrite = overwrite
 

@@ -233,6 +233,71 @@ def test_table_properties_survive_commits_and_cleanup(spark, tmp_path):
         deltalog.write_commit(path, [], [{"path": rel}])
 
 
+WRITER3 = {"minReaderVersion": 1, "minWriterVersion": 3}
+
+
+def test_check_constraints_enforced_on_engine_writes(spark, tmp_path):
+    """Writer protocol 3 (CHECK constraints) is SUPPORTED through the Engine
+    write path: declared delta.constraints.* are validated on every written
+    row-set (violations reject the write), raw log-level commits are refused
+    (they cannot prove validation), and DML keeps working when rows stay
+    valid."""
+    path = make_table(
+        str(tmp_path / "t"),
+        WRITER3,
+        extra_meta_conf={"delta.constraints.positive_id": "id > 0"},
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    assert eng.read_table("t").count() == 3  # reads unaffected (reader 1)
+
+    good = spark.createDataFrame([(7, "A")], "id long, part string")
+    eng.write_table("t", good, mode="append")
+    assert eng.read_table("t").count() == 4
+
+    bad = spark.createDataFrame([(-1, "A")], "id long, part string")
+    with pytest.raises(ValueError, match="positive_id"):
+        eng.write_table("t", bad, mode="append")
+    # null passes (SQL CHECK semantics)
+    nullrow = spark.createDataFrame([(None, "A")], "id long, part string")
+    eng.write_table("t", nullrow, mode="append")
+
+    # UPDATE that would break the constraint is rejected; a valid one lands
+    with pytest.raises(ValueError, match="positive_id"):
+        eng.update("t", F.col("id") == 7, {"id": F.lit(-7)})
+    eng.update("t", F.col("id") == 7, {"id": F.lit(70)})
+    assert eng.read_table("t").filter("id = 70").count() == 1
+
+    # raw commits cannot prove validation -> refused while constraints exist
+    with pytest.raises(UnsupportedProtocolError, match="minWriterVersion=3"):
+        deltalog.write_commit(path, [{"path": "x", "partitionValues": {}, "size": 1}])
+
+
+def test_writer3_without_constraints_is_writable(tmp_path):
+    """A writer-3 table with NO declared constraints is vacuously compliant:
+    raw commits pass the gate."""
+    path = make_table(str(tmp_path / "t"), WRITER3)
+    rel = "part=A/part-00001.parquet"
+    _write_parquet(os.path.join(path, rel), [5])
+    v = deltalog.write_commit(
+        path, [{"path": rel, "partitionValues": {"part": "A"}, "size": 1}]
+    )
+    assert v == 1
+
+
+def test_governed_writer_refuses_constraint_tables(spark, tmp_path):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    path = make_table(
+        str(tmp_path / "t"),
+        WRITER3,
+        extra_meta_conf={"delta.constraints.positive_id": "id > 0"},
+    )
+    spark.dataSource.register(GovernedDataSource)
+    df = spark.createDataFrame([(7, "A")], "id long, part string")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        df.write.format("governed").option("path", path).mode("append").save()
+
+
 def test_parse_interval_hours():
     assert deltalog.parse_interval_hours("interval 7 days") == 168.0
     assert deltalog.parse_interval_hours("interval 168 hours") == 168.0
