@@ -505,6 +505,109 @@ class Engine:
             .orderBy(F.col("version").desc())
         )
 
+    def describe_table(self, alias: str) -> DataFrame:
+        """DESCRIBE DETAIL analog (DeltaTable.detail): one row of table
+        metadata — format, id, location, partition columns, live file count
+        and bytes (from the snapshot replay, metadata-sized), table
+        properties, and protocol versions."""
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        agg = (
+            deltalog.snapshot_files(self.spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("size"), F.lit(0)).alias("b"),
+            )
+            .collect()[0]
+        )
+        row = (
+            "parquet",
+            meta.get("id"),
+            path,
+            list(meta.get("partitionColumns") or []),
+            int(agg["n"]),
+            int(agg["b"]),
+            deltalog.table_configuration_no_spark(path),
+            int(proto.get("minReaderVersion") or 1),
+            int(proto.get("minWriterVersion") or 1),
+        )
+        return local_df(
+            self.spark,
+            [row],
+            "format string, id string, location string, "
+            "partitionColumns array<string>, numFiles long, sizeInBytes long, "
+            "properties map<string,string>, minReaderVersion int, "
+            "minWriterVersion int",
+        )
+
+    def set_table_properties(
+        self, alias: str, properties: dict[str, str], unset: list[str] | None = None
+    ) -> int:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES analog: commit a metaData
+        action whose configuration is the current map updated with
+        ``properties`` minus ``unset``. Adding a ``delta.constraints.*``
+        property must go through :meth:`add_check_constraint` (which
+        validates existing rows first — setting it blindly would declare a
+        constraint history may violate)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        for k in properties:
+            if k.startswith("delta.constraints."):
+                raise ValueError(
+                    f"set constraint {k!r} via add_check_constraint(), which "
+                    "validates existing rows first"
+                )
+        path = self.resolve(alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        conf.update({str(k): str(v) for k, v in properties.items()})
+        for k in unset or []:
+            conf.pop(k, None)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        version = deltalog.write_commit(
+            path,
+            [],
+            [],
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="SET TBLPROPERTIES",
+            configuration=conf,
+            enforced_constraints=True,  # no rows written
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def add_check_constraint(self, alias: str, name: str, sql: str) -> int:
+        """ADD CONSTRAINT analog (Delta writer protocol 3): validate the
+        EXISTING table against ``sql`` first (one limit(1) probe — Delta
+        scans the table the same way), then commit the
+        ``delta.constraints.<name>`` property; subsequent writes through the
+        engine enforce it (:meth:`_enforce_check_constraints`)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        violating = ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
+        if self._read_data(path).filter(violating).limit(1).count() > 0:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({sql}): existing "
+                "rows violate it"
+            )
+        conf = deltalog.table_configuration_no_spark(path)
+        conf[f"delta.constraints.{name}"] = str(sql)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        version = deltalog.write_commit(
+            path,
+            [],
+            [],
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="ADD CONSTRAINT",
+            configuration=conf,
+            enforced_constraints=True,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def restore(self, alias: str, version: int) -> int:
         """RESTORE the table to an earlier version: commits adds for files
         live then but not now, and removes for files live now but not then.

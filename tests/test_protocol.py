@@ -284,6 +284,45 @@ def test_writer3_without_constraints_is_writable(tmp_path):
     assert v == 1
 
 
+def test_describe_and_property_management(spark, tmp_path, lineitem):
+    """DESCRIBE DETAIL + SET TBLPROPERTIES + ADD CONSTRAINT round-trip on
+    an engine-created table."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "t")
+    write_governed_table(
+        spark, lineitem.limit(100).repartition(1), path, ["l_returnflag"]
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    d = eng.describe_table("t").collect()[0]
+    assert d["format"] == "parquet" and d["location"] == path
+    assert d["partitionColumns"] == ["l_returnflag"]
+    assert d["numFiles"] >= 1 and d["sizeInBytes"] > 0
+    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
+
+    eng.set_table_properties("t", {"delta.appendOnly": "false", "team": "data"})
+    assert deltalog.table_configuration_no_spark(path)["team"] == "data"
+    eng.set_table_properties("t", {}, unset=["team"])
+    assert "team" not in deltalog.table_configuration_no_spark(path)
+    with pytest.raises(ValueError, match="add_check_constraint"):
+        eng.set_table_properties("t", {"delta.constraints.x": "l_quantity > 0"})
+
+    # existing rows satisfy qty > 0 -> constraint lands and then ENFORCES
+    eng.add_check_constraint("t", "qty_pos", "l_quantity > 0")
+    assert (
+        deltalog.declared_constraints(path)["qty_pos"] == "l_quantity > 0"
+    )
+    bad = eng.read_table("t").limit(1).withColumn("l_quantity", F.lit(-5.0))
+    with pytest.raises(ValueError, match="qty_pos"):
+        eng.write_table("t", bad, mode="append")
+    # a constraint existing rows violate is refused up front
+    with pytest.raises(ValueError, match="existing"):
+        eng.add_check_constraint("t", "impossible", "l_quantity > 1e9")
+    # describe surfaces the property map
+    props = eng.describe_table("t").collect()[0]["properties"]
+    assert props["delta.constraints.qty_pos"] == "l_quantity > 0"
+
+
 def test_governed_writer_refuses_constraint_tables(spark, tmp_path):
     from delta_lake_proxy_spark.sources.governed import GovernedDataSource
 
