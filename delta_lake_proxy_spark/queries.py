@@ -2047,15 +2047,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _catalog_surface_oracle() -> str:
     path = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
-    return (
+    body = (
         f"SELECT 'datalake' AS catalog_name, '{GOV_ALIAS}' AS table_name, "
-        f"'{path}' AS location"
+        f"'{path}' AS location, 'parquet' AS format, "
+        "CAST(COUNT(*) AS BIGINT) AS num_files, "
+        "CAST(SUM(size) AS BIGINT) AS size_in_bytes, "
+        "1 AS min_reader_version, 2 AS min_writer_version "
+        "FROM live"
     )
+    return _gov_replay_sql(body)()
 
 
 @register("catalog_surface", _catalog_surface_oracle)
 def catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S2 catalog surface: the virtual bucket namespace crossed with its
-    table listing (catalog -> tables, both driver-hashed)."""
+    """S1+S2 catalog surface + DESCRIBE DETAIL in one driver row: the
+    virtual bucket namespace crossed with its table listing, enriched with
+    ``describe_table`` facts the oracle independently derives from its own
+    log replay (live file count, total logged bytes) plus the protocol
+    constants this engine emits."""
     eng = governed_engine(spark, sf_dir)
-    return eng.list_catalogs().crossJoin(eng.list_tables())
+    detail = eng.describe_table(GOV_ALIAS).select(
+        "format",
+        F.col("numFiles").alias("num_files"),
+        F.col("sizeInBytes").alias("size_in_bytes"),
+        F.col("minReaderVersion").alias("min_reader_version"),
+        F.col("minWriterVersion").alias("min_writer_version"),
+    )
+    return eng.list_catalogs().crossJoin(eng.list_tables()).crossJoin(detail)
