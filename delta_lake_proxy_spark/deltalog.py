@@ -423,8 +423,46 @@ def write_commit_streamed(
                 table_path, version, new_latest, removes_fn
             ):
                 raise ConcurrentWriteError(table_path, version)
+            if not has_removes and _winners_changed_rules(
+                table_path, version, new_latest, configuration
+            ):
+                # a winner changed the table's configuration or protocol
+                # between our gate checks and the commit (e.g. a concurrent
+                # ADD CONSTRAINT or appendOnly flip): this append was
+                # validated against STALE rules — surface the conflict so
+                # the caller revalidates (Delta's metadataChanged conflict)
+                raise ConcurrentWriteError(table_path, version)
             version = new_latest + 1
     raise ConcurrentWriteError(table_path, version)
+
+
+def _winners_changed_rules(
+    table_path: str, from_version: int, to_version: int, expected_conf: dict | None
+) -> bool:
+    """True when a winning commit in ``[from_version, to_version]`` carries a
+    protocol action or a metaData whose CONFIGURATION differs from the one
+    this commit's gates were evaluated against — plain same-config metaData
+    re-emissions (every engine append carries one) do not conflict."""
+    if to_version < from_version:
+        return True
+    d = log_path(table_path)
+    for v in range(from_version, to_version + 1):
+        p = os.path.join(d, f"{v:020d}.json")
+        if not os.path.exists(p):
+            return True  # cleaned up mid-race: cannot verify
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    return True
+                m = a.get("metaData")
+                if m is not None and dict(m.get("configuration") or {}) != dict(
+                    expected_conf or {}
+                ):
+                    return True
+    return False
 
 
 def _conflicts_with_winners(

@@ -323,6 +323,57 @@ def test_describe_and_property_management(spark, tmp_path, lineitem):
     assert props["delta.constraints.qty_pos"] == "l_quantity > 0"
 
 
+def test_blind_append_conflicts_on_concurrent_rule_change(tmp_path):
+    """A blind append that loses the version race to a commit that CHANGED
+    the table's configuration (concurrent ADD CONSTRAINT / appendOnly flip)
+    must conflict, not retry with stale validation; losing to a plain
+    same-config append still retries cleanly."""
+    from unittest import mock
+
+    path = make_table(str(tmp_path / "t"), SUPPORTED)
+    rel = "part=A/part-00001.parquet"
+    _write_parquet(os.path.join(path, rel), [5])
+
+    # winner: a config-changing metaData commit
+    deltalog.write_commit(
+        path,
+        [],
+        [],
+        schema_json=SCHEMA_STRING,
+        partition_cols=["part"],
+        configuration={"delta.constraints.pos": "id > 0"},
+        enforced_constraints=True,
+    )
+    real = deltalog.latest_version
+
+    def stale_once(p):
+        stale_once.n += 1
+        return real(p) - 1 if stale_once.n == 1 else real(p)
+
+    stale_once.n = 0
+    with mock.patch.object(deltalog, "latest_version", stale_once):
+        with pytest.raises(deltalog.ConcurrentWriteError):
+            # our gates saw the PRE-constraint config; the race must surface
+            deltalog.write_commit(
+                path,
+                [{"path": rel, "partitionValues": {"part": "A"}, "size": 1}],
+                configuration={},
+                enforced_constraints=True,
+            )
+
+    # losing to a plain append (same config) retries fine
+    v_now = real(path)
+    stale_once.n = 0
+    with mock.patch.object(deltalog, "latest_version", stale_once):
+        v = deltalog.write_commit(
+            path,
+            [{"path": rel, "partitionValues": {"part": "A"}, "size": 1}],
+            configuration={"delta.constraints.pos": "id > 0"},
+            enforced_constraints=True,
+        )
+    assert v == v_now + 1
+
+
 def test_governed_writer_refuses_constraint_tables(spark, tmp_path):
     from delta_lake_proxy_spark.sources.governed import GovernedDataSource
 
