@@ -409,6 +409,48 @@ def resize_media(
     return media.mapInPandas(gen, schema=media.schema)
 
 
+def resample_media(media: DataFrame, factor: int) -> DataFrame:
+    """Charter X5 *audio resample*: integer-factor DECIMATION of every AUDIO
+    payload (RIFF PCM16 WAV) — keep every ``factor``-th sample and rewrite
+    the header at ``sample_rate // factor``; image/video/other modalities
+    pass through byte-identical. ONE Arrow-batched ``mapInPandas`` pass with
+    an unchanged schema (payload replaced, ``sample_rate``/``n_bytes`` meta
+    updated), composing with :func:`extract_features` exactly like
+    :func:`resize_media`.
+
+    Plain decimation (no anti-alias filter) is chosen deliberately: exact
+    integer arithmetic an external oracle reproduces sample-for-sample;
+    filtered resampling needs DSP libraries absent from this environment
+    (documented alongside the compressed-codec NotImplementedError edge)."""
+    if int(factor) < 1:
+        raise ValueError(f"resample_media factor must be >= 1, got {factor}")
+    factor = int(factor)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for b, m in zip(pdf["media_bytes"], pdf["media_meta"]):
+                if m["modality"] != "audio":
+                    payloads.append(b)
+                    metas.append(m)
+                    continue
+                samples, rate = decode_wav_pcm16(bytes(b))
+                out = encode_wav_pcm16(
+                    samples[::factor].astype(np.int16), max(1, rate // factor)
+                )
+                m2 = dict(m)
+                m2["sample_rate"] = max(1, int(rate) // factor)
+                m2["n_bytes"] = len(out)
+                payloads.append(out)
+                metas.append(m2)
+            out_pdf = pdf.copy()
+            out_pdf["media_bytes"] = payloads
+            out_pdf["media_meta"] = metas
+            yield out_pdf
+
+    return media.mapInPandas(gen, schema=media.schema)
+
+
 def synth_wav_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -586,6 +586,41 @@ def test_resize_media_rejects_degenerate_targets(spark):
             multimodal.resize_media(media, out_w=w, out_h=h)
 
 
+def test_resample_media_decimation_exact(spark):
+    """Charter X5 audio resample: WAV payloads decimate exactly (every
+    factor-th sample, header rate divided), non-audio passes through
+    byte-identical, schema unchanged so stages compose."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(9)], "doc_id long, text string"
+    )
+    media = multimodal.synth_media_corpus(docs)
+    out = multimodal.resample_media(media, factor=4)
+    assert out.schema == media.schema
+    before = {r["doc_id"]: r for r in media.collect()}
+    after = {r["doc_id"]: r for r in out.collect()}
+    checked_audio = checked_other = 0
+    for d, row in after.items():
+        m = row["media_meta"]
+        if m["modality"] == "audio":
+            checked_audio += 1
+            src, src_rate = multimodal.decode_wav_pcm16(bytes(before[d]["media_bytes"]))
+            got, got_rate = multimodal.decode_wav_pcm16(bytes(row["media_bytes"]))
+            assert got_rate == src_rate // 4
+            assert int(m["sample_rate"]) == src_rate // 4
+            assert np.array_equal(got, src[::4])
+            assert m["n_bytes"] == len(bytes(row["media_bytes"]))
+        else:
+            checked_other += 1
+            assert bytes(row["media_bytes"]) == bytes(before[d]["media_bytes"])
+    assert checked_audio and checked_other
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="factor"):
+        multimodal.resample_media(media, factor=0)
+
+
 def test_resize_media_nearest_neighbor_exact(spark):
     """Charter X5 resize: image payloads downscale via exact nearest-neighbor
     (src = (dst*src_dim)//dst_dim) with metadata updated; non-image payloads
