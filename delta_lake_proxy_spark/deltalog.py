@@ -37,11 +37,13 @@ from .errors import UnsupportedProtocolError
 
 LOG_DIR = "_delta_log"
 
-# The protocol this engine implements (what it EMITS and what it can HONOR):
-# reader 1 (no column mapping, no deletion vectors, no table features),
-# writer 2 (appends, tombstones, txn actions, invariants-free tables). The
-# reference delegates the same gate to ``deltalake::open_table``
-# (ref src/main.rs:357), which errors on tables demanding more.
+# The protocol this engine EMITS: reader 1 / writer 2. What it can HONOR on
+# top: reader 2/3 column mapping in NAME mode (read-only, see
+# column_mapping/check_read_protocol), writer-2 table properties
+# (delta.appendOnly, invariants-refusal), and writer-3 CHECK constraints
+# through the validating Engine write path. The reference delegates the
+# same gate to ``deltalake::open_table`` (ref src/main.rs:357), which
+# errors on tables demanding more.
 SUPPORTED_READER_VERSION = 1
 SUPPORTED_WRITER_VERSION = 2
 
@@ -643,8 +645,9 @@ def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
     (newest metaData wins), checkpoint fallback after log cleanup. The
     per-request read path resolves its schema this way — one request must
     not cost a Spark job for metadata the reference serves from its cache.
-    Protocol-gated: a column-mapping table's schemaString carries PHYSICAL
-    column names — serving it as-is would be wrong, so refuse."""
+    Protocol-gated (check_read_protocol). In NAME-mode column-mapped tables
+    the schemaString's field names are LOGICAL; the physical names the data
+    files carry resolve via :func:`column_mapping`."""
     check_read_protocol(table_path)
     meta = None
     d = log_path(table_path)
@@ -721,27 +724,112 @@ def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
     return proto
 
 
+# Reader capabilities beyond version 1 this engine IMPLEMENTS: column
+# mapping in NAME mode (physical parquet names resolved through the
+# schemaString's delta.columnMapping.physicalName metadata — see
+# column_mapping()). ID mode (parquet field-id resolution) and deletion
+# vectors are NOT implemented and stay refused.
+SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
 def check_read_protocol(table_path: str) -> None:
-    """Refuse to REPLAY a table whose protocol this engine cannot honor
-    (``minReaderVersion`` > 1 or any ``readerFeatures``): a column-mapping
-    (reader 2) or deletion-vector (reader 3) table replayed naively would
-    return WRONG ROWS — resurrected DV-deleted rows, physical column names —
-    not an error. Matches ``deltalake::open_table``'s refusal (ref
-    ``src/main.rs:357``). Absent protocol (raw fixture logs) = reader 1."""
+    """Refuse to REPLAY a table whose protocol this engine cannot honor: a
+    table replayed without honoring its reader demands would return WRONG
+    ROWS — resurrected DV-deleted rows, physical column names — not an
+    error. Matches ``deltalake::open_table``'s refusal (ref
+    ``src/main.rs:357``). Absent protocol (raw fixture logs) = reader 1.
+
+    Honored beyond version 1: reader 2 / the ``columnMapping`` reader
+    feature, in NAME mode only (the read paths translate physical column
+    names — :func:`column_mapping`); ID mode and any other feature refuse."""
     proto = table_protocol_no_spark(table_path)
     if proto is None:
         return
     reader = int(proto.get("minReaderVersion") or 1)
-    features = list(proto.get("readerFeatures") or [])
-    if reader > SUPPORTED_READER_VERSION or features:
+    features = set(proto.get("readerFeatures") or [])
+    reader_ok = (
+        reader <= SUPPORTED_READER_VERSION
+        or (reader == 2 and not features)
+        or (reader == 3 and features <= SUPPORTED_READER_FEATURES)
+    )
+    if reader_ok and reader > SUPPORTED_READER_VERSION:
+        # column mapping is only readable in NAME mode (or none)
+        mode = str(
+            table_configuration_no_spark(table_path).get(
+                "delta.columnMapping.mode", "none"
+            )
+        ).lower()
+        reader_ok = mode in ("none", "name")
+    if not reader_ok:
         raise UnsupportedProtocolError(
             table_path,
             f"table requires minReaderVersion={reader}"
-            + (f" with readerFeatures={features}" if features else "")
-            + f"; this engine supports reader version {SUPPORTED_READER_VERSION} "
-            "and no reader table features (column mapping and deletion "
-            "vectors would be silently mis-read)",
+            + (f" with readerFeatures={sorted(features)}" if features else "")
+            + f"; this engine supports reader version {SUPPORTED_READER_VERSION}, "
+            "plus column mapping in name mode only (id-mode mapping and "
+            "deletion vectors would be silently mis-read)",
         )
+
+
+def _type_contains_struct(t: Any) -> bool:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return True
+        return any(
+            _type_contains_struct(t.get(k))
+            for k in ("elementType", "keyType", "valueType")
+            if t.get(k) is not None
+        )
+    return False
+
+
+def column_mapping(table_path: str) -> dict[str, str]:
+    """Logical -> physical column-name map for NAME-mode column mapping
+    (``delta.columnMapping.mode=name``): each top-level field's
+    ``delta.columnMapping.physicalName`` metadata. Empty when the table has
+    no mapping. Struct columns (whose nested fields carry their own
+    physical names) are not implemented and refuse loudly; arrays/maps of
+    primitives are unaffected by mapping and pass."""
+    conf = table_configuration_no_spark(table_path)
+    mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    if mode in ("", "none"):
+        return {}
+    if mode != "name":
+        raise UnsupportedProtocolError(
+            table_path,
+            f"columnMapping mode {mode!r} is not supported (name mode only)",
+        )
+    meta = table_metadata_no_spark(table_path) or {}
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        fields = []
+    out: dict[str, str] = {}
+    for f in fields:
+        if _type_contains_struct(f.get("type")):
+            raise UnsupportedProtocolError(
+                table_path,
+                f"column mapping over struct column {f.get('name')!r} is "
+                "not implemented (nested physical names)",
+            )
+        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise UnsupportedProtocolError(
+                table_path,
+                f"column {f.get('name')!r} lacks delta.columnMapping."
+                "physicalName in a name-mapped table — malformed metadata",
+            )
+        out[str(f["name"])] = str(phys)
+    return out
+
+
+def translate_dnf(dnf, l2p: dict[str, str]):
+    """Rewrite a DNF's LOGICAL column keys to PHYSICAL names for evaluation
+    against ``add.partitionValues`` (which the protocol keys physically in
+    mapped tables). Identity when the map is empty."""
+    if not l2p or not dnf:
+        return dnf
+    return [{l2p.get(k, k): v for k, v in m.items()} for m in dnf]
 
 
 def declared_constraints(table_path: str) -> dict[str, str]:
@@ -766,6 +854,15 @@ def check_write_protocol(table_path: str, enforced_constraints: bool = False) ->
     conforming client. A writer must also be able to read the table it
     rewrites, so the read gate applies too."""
     check_read_protocol(table_path)
+    if str(
+        table_configuration_no_spark(table_path).get("delta.columnMapping.mode", "none")
+    ).lower() not in ("", "none"):
+        raise UnsupportedProtocolError(
+            table_path,
+            "writing to column-mapped tables is not implemented (reads are; "
+            "a write would emit logical-named files into a physical-named "
+            "table)",
+        )
     proto = table_protocol_no_spark(table_path)
     if proto is None:
         return

@@ -722,13 +722,19 @@ class Engine:
                 return self._empty_table(path)
             reader = self.spark.read.option("basePath", path)
             schema = self._table_schema(path)
-            if schema is not None:
+            phys_schema, l2p = self._physical_schema(path, schema)
+            if phys_schema is not None:
                 # Delta reads the schema from the log's metaData, not from N
                 # file footers: no footer-merge job, and files written before
                 # an appended column read it as null (schema evolution).
-                reader = reader.schema(schema)
+                # Column-mapped tables read under PHYSICAL names (that's
+                # what the files and partition dirs carry), renamed to
+                # logical below.
+                reader = reader.schema(phys_schema)
             df = reader.parquet(*live)
-            return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
+            if keep_file_col:
+                df = df.withColumn("_file", F.input_file_name())
+            return self._rename_physical(df, schema, l2p, keep=["_file"])
         df = self.spark.read.option("basePath", path).parquet(path)
         return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
 
@@ -763,8 +769,9 @@ class Engine:
         """
         reader = self.spark.read.option("basePath", path)
         schema = self._table_schema(path)
-        if schema is not None:
-            reader = reader.schema(schema)
+        phys_schema, l2p = self._physical_schema(path, schema)
+        if phys_schema is not None:
+            reader = reader.schema(phys_schema)
         df = reader.parquet(path)
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
@@ -783,7 +790,39 @@ class Engine:
             .join(live, F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
             .drop("_scan_rel")
         )
+        out = self._rename_physical(out, schema, l2p, keep=["_file"])
         return out if keep_file_col else out.drop("_file")
+
+    def _column_mapping(self, path: str) -> dict[str, str]:
+        """Memoized logical->physical name map (reader-2 NAME-mode column
+        mapping); empty for unmapped tables."""
+        return self._snapshot_cache.get_or_compute(
+            ("colmap", path), lambda: deltalog.column_mapping(path)
+        )
+
+    def _physical_schema(self, path: str, schema):
+        """The schema to READ parquet with: physical field names when the
+        table is column-mapped (files and partition directories carry
+        physical names), else the logical schema unchanged."""
+        from pyspark.sql import types as T
+
+        l2p = self._column_mapping(path)
+        if not l2p or schema is None:
+            return schema, None
+        phys = T.StructType(
+            [T.StructField(l2p.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
+        )
+        return phys, l2p
+
+    @staticmethod
+    def _rename_physical(df: DataFrame, schema, l2p: dict[str, str] | None, keep: list[str] = ()) -> DataFrame:
+        """Project physical columns back to their LOGICAL names (plus any
+        pass-through columns like ``_file``)."""
+        if not l2p:
+            return df
+        cols = [F.col(l2p.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+        cols += [F.col(c) for c in keep if c in df.columns]
+        return df.select(*cols)
 
     def _table_schema(self, path: str):
         """Schema from the log's latest metaData action, memoized; None when
@@ -830,7 +869,11 @@ class Engine:
     def allowed_files(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
         """The reference's allowed-file set (src/main.rs:389-415) as a DataFrame."""
         files = self.snapshot_files(alias)
-        pred = compile_dnf_on_partition_values(self.resolved_dnf(alias, user))
+        # file-level partitionValues carry PHYSICAL names in mapped tables
+        dnf = deltalog.translate_dnf(
+            self.resolved_dnf(alias, user), self._column_mapping(self.resolve(alias))
+        )
+        pred = compile_dnf_on_partition_values(dnf)
         return files if pred is None else files.filter(pred)
 
     def authorize_file(self, alias: str, user: str, rel_path: str) -> bool:
@@ -850,7 +893,9 @@ class Engine:
             ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
         )
         add = live.get(rel_path)
-        dnf = self.resolved_dnf(alias, user)
+        dnf = deltalog.translate_dnf(
+            self.resolved_dnf(alias, user), self._column_mapping(path)
+        )
         if dnf and (
             add is None or not acl.dnf_allows(dnf, add.get("partitionValues") or {})
         ):
@@ -891,9 +936,12 @@ class Engine:
         column are conservatively kept.
         """
         path = self.resolve(alias)
+        l2p_map = self._column_mapping(path)
         snapshot = deltalog.snapshot_files(self.spark, path).select("path", "stats")
         keep_pred: Column = F.lit(True)
-        for col, (lo, hi) in ranges.items():
+        # stats JSON keys are PHYSICAL names in mapped tables
+        stat_ranges = {l2p_map.get(c, c): b for c, b in ranges.items()}
+        for col, (lo, hi) in stat_ranges.items():
             # string-typed stats compare lexicographically (ISO timestamps),
             # numeric bounds coerce the extracted stat to double — matching
             # the type of the comparison the writer's stats collector made
@@ -926,7 +974,12 @@ class Engine:
             df = self._read_data(path).limit(0)
         else:
             keep = [os.path.join(path, r["path"]) for r in rows]
-            df = self.spark.read.option("basePath", path).parquet(*keep)
+            reader = self.spark.read.option("basePath", path)
+            schema = self._table_schema(path)
+            phys_schema, l2p = self._physical_schema(path, schema)
+            if phys_schema is not None:
+                reader = reader.schema(phys_schema)
+            df = self._rename_physical(reader.parquet(*keep), schema, l2p)
         pred = self.acl_predicate(alias, user)
         if pred is not None:
             df = df.filter(pred)

@@ -99,9 +99,10 @@ def _live_adds(table_path: str) -> list[dict]:
 
 def _logged_schema(table_path: str) -> T.StructType | None:
     """Latest metaData schemaString: checkpoint first (it carries the
-    metaData action), then any JSON commits on top. Protocol-gated — a
-    column-mapping table's schemaString holds physical names, so the source
-    refuses at schema-resolution time (deltalog.check_read_protocol)."""
+    metaData action), then any JSON commits on top. Protocol-gated
+    (deltalog.check_read_protocol); for NAME-mode column-mapped tables the
+    schemaString's field names are LOGICAL (physical names live in field
+    metadata and are resolved by the readers via deltalog.column_mapping)."""
     deltalog.check_read_protocol(table_path)
     schema_json = None
     ck = deltalog.last_checkpoint(table_path)
@@ -162,7 +163,8 @@ def _bin_pack_files(
 
 
 def _iter_file_batches(
-    full_path: str, partition_values: dict[str, str], schema: T.StructType
+    full_path: str, partition_values: dict[str, str], schema: T.StructType,
+    l2p: dict[str, str] | None = None,
 ):
     """Executor-side Arrow-batched read of one logged file: streamed
     row-group batches (a task never holds a whole file), partition columns
@@ -171,16 +173,18 @@ def _iter_file_batches(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    l2p = l2p or {}
     pf = pq.ParquetFile(full_path)
     file_cols = set(pf.schema_arrow.names)
-    data_names = [f.name for f in schema.fields if f.name in file_cols]
+    phys_of = {f.name: l2p.get(f.name, f.name) for f in schema.fields}
+    data_names = [phys_of[f.name] for f in schema.fields if phys_of[f.name] in file_cols]
     for rb in pf.iter_batches(columns=data_names):
         n = rb.num_rows
         cols, names = [], []
         for field in schema.fields:
             names.append(field.name)
-            if field.name in file_cols:
-                cols.append(rb.column(data_names.index(field.name)))
+            if phys_of[field.name] in file_cols:
+                cols.append(rb.column(data_names.index(phys_of[field.name])))
             else:
                 # partition column: constant from the add action's
                 # partitionValues (string-typed in the log), cast to the
@@ -188,7 +192,7 @@ def _iter_file_batches(
                 # timestamp/decimal/long-form types a literal map would miss
                 from pyspark.sql.pandas.types import to_arrow_type
 
-                raw = partition_values.get(field.name)
+                raw = partition_values.get(phys_of[field.name])
                 arr = pa.array([raw] * n, type=pa.string())
                 pa_type = to_arrow_type(field.dataType)
                 if pa_type != pa.string():
@@ -210,6 +214,10 @@ class GovernedReader(DataSourceReader):
         # task sizing mirrors spark.sql.files.maxPartitionBytes' default
         self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
         self._pruning: list[Filter] = []
+        # NAME-mode column mapping: DNF keys / pushed filters arrive with
+        # LOGICAL names; files, partitionValues, and stats carry PHYSICAL
+        self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
+        self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
 
     def pushFilters(self, filters: list[Filter]):
         """Advisory file pruning (Spark 4.1 filter pushdown): simple
@@ -232,7 +240,7 @@ class GovernedReader(DataSourceReader):
         mins = (stats or {}).get("minValues", {})
         maxs = (stats or {}).get("maxValues", {})
         for f in self._pruning:
-            col = f.attribute[0]
+            col = self.l2p.get(f.attribute[0], f.attribute[0])
             try:
                 if col in pv:
                     # partition values are strings (Delta protocol); compare
@@ -285,7 +293,9 @@ class GovernedReader(DataSourceReader):
             return
         files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
         for fp in files:
-            yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
+            yield from _iter_file_batches(
+                fp.full_path, fp.partition_values, self._schema, self.l2p
+            )
 
 
 def _opt(options, *names, default=None):
@@ -402,6 +412,8 @@ class GovernedStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
         self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
+        self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
+        self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
         mf = _opt(options, "maxFilesPerTrigger")
         mb = _opt(options, "maxBytesPerTrigger")
         self.max_files = int(mf) if mf is not None else None
@@ -730,7 +742,9 @@ class GovernedStreamReader(DataSourceStreamReader):
             return
         files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
         for fp in files:
-            yield from _iter_file_batches(fp.full_path, fp.partition_values, self._schema)
+            yield from _iter_file_batches(
+                fp.full_path, fp.partition_values, self._schema, self.l2p
+            )
 
     def commit(self, end: dict) -> None:
         # progress is tracked by the streaming checkpoint; recover the pacing

@@ -1,0 +1,248 @@
+"""Reader-2 column mapping, NAME mode — SUPPORTED, not just refused.
+
+A delta-spark table with ``delta.columnMapping.mode=name`` stores parquet
+columns and partition directories under opaque PHYSICAL names
+(``col-<uuid>``) while the logged schema exposes LOGICAL names via field
+metadata. Every read path here must serve LOGICAL columns with correct
+values: the engine scan (enumerated and listing-join), ACL enforcement at
+row and file level, data skipping, the governed DataSource (batch and
+stream). ID-mode mapping and writes to mapped tables stay refused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_proxy_spark import Engine, EngineConfig, deltalog
+from delta_lake_proxy_spark.errors import UnsupportedProtocolError
+
+PHYS_ID = "col-9a8b7c6d"
+PHYS_VAL = "col-1f2e3d4c"
+PHYS_PART = "col-0a1b2c3d"
+
+MAPPED_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": PHYS_ID,
+                },
+            },
+            {
+                "name": "val",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": PHYS_VAL,
+                },
+            },
+            {
+                "name": "part",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": PHYS_PART,
+                },
+            },
+        ],
+    }
+)
+
+
+def _write_phys_parquet(full_path: str, ids: list[int]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    t = pa.table(
+        {
+            PHYS_ID: pa.array(ids, type=pa.int64()),
+            PHYS_VAL: pa.array([i * 1.5 for i in ids], type=pa.float64()),
+        }
+    )
+    pq.write_table(t, full_path)
+    return os.path.getsize(full_path)
+
+
+def make_mapped_table(root: str) -> dict:
+    """A foreign NAME-mapped table: physical parquet columns, physical
+    partition directories, physical partitionValues keys."""
+    files = {
+        f"{PHYS_PART}=A/part-00000.parquet": ([1, 2, 3], "A"),
+        f"{PHYS_PART}=B/part-00001.parquet": ([4, 5], "B"),
+    }
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-test",
+                "format": {"provider": "parquet"},
+                "schemaString": MAPPED_SCHEMA,
+                "partitionColumns": ["part"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 1700000000000,
+            }
+        },
+    ]
+    for rel, (ids, part) in files.items():
+        size = _write_phys_parquet(os.path.join(root, rel), ids)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {PHYS_PART: part},
+                    "size": size,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": len(ids),
+                            "minValues": {PHYS_ID: min(ids), PHYS_VAL: min(ids) * 1.5},
+                            "maxValues": {PHYS_ID: max(ids), PHYS_VAL: max(ids) * 1.5},
+                        }
+                    ),
+                }
+            }
+        )
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return {"root": root}
+
+
+@pytest.fixture()
+def mapped(tmp_path):
+    return make_mapped_table(str(tmp_path / "cm"))["root"]
+
+
+def test_column_mapping_resolver(mapped):
+    assert deltalog.column_mapping(mapped) == {
+        "id": PHYS_ID, "val": PHYS_VAL, "part": PHYS_PART
+    }
+
+
+def test_engine_read_serves_logical_columns(spark, mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}))
+    df = eng.read_table("t")
+    assert set(df.columns) == {"id", "val", "part"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[4]["val"] == 6.0 and rows[4]["part"] == "B"
+
+
+def test_engine_listing_join_path(spark, mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}))
+    eng.large_listing_threshold = 0  # force the listing-join scan
+    eng.invalidate_caches()
+    df = eng.read_table("t")
+    assert set(df.columns) == {"id", "val", "part"}
+    assert df.count() == 5
+    assert df.filter(F.col("part") == "A").count() == 3
+
+
+def test_acl_enforced_on_logical_names(spark, mapped):
+    """The user's DNF uses LOGICAL names; enforcement must prune the mapped
+    physical partitions at row AND file level."""
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": mapped},
+            allowed_partitions={"t": [{"part": "A"}]},
+        ),
+    )
+    assert eng.read_table("t", user="u").count() == 3  # row-level
+    allowed = {r["path"] for r in eng.allowed_files("t", "u").collect()}
+    assert all(f"{PHYS_PART}=A" in p for p in allowed) and len(allowed) == 1
+    from delta_lake_proxy_spark.errors import ForbiddenByPolicyError
+
+    with pytest.raises(ForbiddenByPolicyError):
+        eng.authorize_file("t", "u", f"{PHYS_PART}=B/part-00001.parquet")
+    eng.authorize_file("t", "u", f"{PHYS_PART}=A/part-00000.parquet")
+
+
+def test_data_skipping_translates_stats_keys(spark, mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}))
+    df = eng.scan_with_skipping("t", {"id": (4, 10)})
+    files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1  # the A file (ids 1-3) pruned via physical stats
+    assert {r["id"] for r in df.collect()} == {4, 5}
+
+
+def test_governed_source_batch_and_stream(spark, mapped, tmp_path):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    df = (
+        spark.read.format("governed")
+        .option("path", mapped)
+        .option("dnf", json.dumps([{"part": "B"}]))
+        .load()
+    )
+    assert set(df.columns) == {"id", "val", "part"}
+    rows = df.collect()
+    assert {r["id"] for r in rows} == {4, 5}
+    assert all(r["part"] == "B" for r in rows)
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("governed")
+        .option("path", mapped)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert {r["id"] for r in got.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_id_mode_and_writes_still_refused(spark, mapped, tmp_path):
+    # writes to a mapped table refuse (we'd emit logical-named files)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
+    with pytest.raises(UnsupportedProtocolError, match="column-mapped"):
+        eng.write_table("t", eng.read_table("t").limit(1), mode="append")
+    # id-mode mapping refuses reads
+    root = str(tmp_path / "idm")
+    make_mapped_table(root)
+    p = os.path.join(root, "_delta_log", "00000000000000000000.json")
+    s = open(p).read().replace('"delta.columnMapping.mode": "name"', '"delta.columnMapping.mode": "id"')
+    open(p, "w").write(s)
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog._live_adds_no_spark(root)
+
+
+def test_reader3_columnmapping_feature_allowed(spark, tmp_path):
+    """Reader 3 whose ONLY demanded feature is columnMapping (name mode) is
+    readable; any other feature still refuses."""
+    root = str(tmp_path / "r3")
+    make_mapped_table(root)
+    p = os.path.join(root, "_delta_log", "00000000000000000000.json")
+    s = open(p).read().replace(
+        '{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}',
+        '{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, '
+        '"readerFeatures": ["columnMapping"], "writerFeatures": ["columnMapping"]}}',
+    )
+    open(p, "w").write(s)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
+    assert eng.read_table("t").count() == 5

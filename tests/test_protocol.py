@@ -92,11 +92,16 @@ WRITER_FEATS = {
 SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-@pytest.fixture(params=["reader2", "reader3"])
+@pytest.fixture(params=["reader2_idmode", "reader3"])
 def unreadable_table(request, tmp_path):
-    proto = READER2 if request.param == "reader2" else READER3
+    """Still-unreadable protocols: ID-mode column mapping (parquet field-id
+    resolution, not implemented — NAME mode is supported, see
+    test_column_mapping.py) and deletion vectors."""
+    proto = READER2 if request.param == "reader2_idmode" else READER3
     conf = (
-        {"delta.columnMapping.mode": "name"} if request.param == "reader2" else None
+        {"delta.columnMapping.mode": "id"}
+        if request.param == "reader2_idmode"
+        else None
     )
     return make_table(str(tmp_path / "t"), proto, conf)
 
@@ -170,7 +175,9 @@ def test_supported_protocol_fully_functional(spark, tmp_path):
 
 def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
     """An upgrade commit AFTER version 0 wins (newest protocol), and survives
-    log cleanup via the checkpoint fallback."""
+    log cleanup via the checkpoint fallback. A reader-2 table WITHOUT
+    column mapping demands nothing beyond reader-1 semantics and stays
+    readable; reader-3 (deletion vectors) refuses."""
     path = make_table(str(tmp_path / "t"), SUPPORTED)
     with open(
         os.path.join(path, "_delta_log", "00000000000000000001.json"),
@@ -179,6 +186,13 @@ def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
     ) as f:
         f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
         f.write(json.dumps({"protocol": READER2}) + "\n")
+    assert len(deltalog._live_adds_no_spark(path)) == 1  # reader 2, no mapping
+    with open(
+        os.path.join(path, "_delta_log", "00000000000000000002.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(json.dumps({"protocol": READER3}) + "\n")
     with pytest.raises(UnsupportedProtocolError):
         deltalog._live_adds_no_spark(path)
 
