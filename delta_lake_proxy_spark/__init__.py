@@ -15,6 +15,7 @@ from .errors import (
     NoSuchKeyError,
     ReadOnlyError,
     TableNotFoundError,
+    UnsupportedProtocolError,
 )
 from .session import build_session, ensure_engine_confs
 
@@ -27,6 +28,7 @@ __all__ = [
     "NoSuchKeyError",
     "ReadOnlyError",
     "TableNotFoundError",
+    "UnsupportedProtocolError",
     "build_session",
     "compile_dnf",
     "dnf_to_sql",
