@@ -62,6 +62,34 @@ class ConcurrentWriteError(RuntimeError):
 # inference is reserved for the log itself per SURVEY §1.2, but an explicit
 # schema keeps replay stable when some commits lack some action types).
 PARTITION_VALUES = T.MapType(T.StringType(), T.StringType())
+# Deletion-vector descriptor (Delta protocol "Deletion Vector Descriptor
+# Schema"): parsed on BOTH add and remove — reconciliation is by
+# (path, dv uniqueId), and the read paths filter the deleted positions.
+DV_SCHEMA = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
+def dv_uid_col(dvcol):
+    """Column form of :func:`dv.dv_unique_id` (the protocol's logical-file
+    identity suffix): '' when no DV, else storageType+pathOrInlineDv[@offset]."""
+    return F.when(
+        dvcol.isNotNull() & dvcol.getField("storageType").isNotNull(),
+        F.concat(
+            dvcol.getField("storageType"),
+            F.coalesce(dvcol.getField("pathOrInlineDv"), F.lit("")),
+            F.when(
+                dvcol.getField("offset").isNotNull(),
+                F.concat(F.lit("@"), dvcol.getField("offset").cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+
+
 ADD_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -72,6 +100,7 @@ ADD_SCHEMA = T.StructType(
         # Delta-protocol per-file statistics as a JSON string:
         # {"numRecords": n, "minValues": {col: v}, "maxValues": {col: v}}
         T.StructField("stats", T.StringType()),
+        T.StructField("deletionVector", DV_SCHEMA),
     ]
 )
 REMOVE_SCHEMA = T.StructType(
@@ -79,6 +108,7 @@ REMOVE_SCHEMA = T.StructType(
         T.StructField("path", T.StringType()),
         T.StructField("deletionTimestamp", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
+        T.StructField("deletionVector", DV_SCHEMA),
     ]
 )
 METADATA_SCHEMA = T.StructType(
@@ -557,7 +587,14 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
     checkpoint seeds it only when not newer than the bound.
     """
     check_read_protocol(table_path)
-    state: dict[str, dict | None] = {}
+    from .dv import dv_unique_id
+
+    # Reconciliation key is (path, deletionVector uniqueId) — the Delta
+    # protocol's logical-file identity. A DV update commits
+    # remove(path, old-dv) + add(path, new-dv) in ONE commit: path-keyed
+    # replay would let line order decide liveness. DV-less actions key as
+    # (path, ""), reproducing plain-table behavior exactly.
+    state: dict[tuple[str, str], dict | None] = {}
     min_version = -1
     ck = last_checkpoint(table_path)
     if ck is not None and max_version is not None and int(ck["version"]) > max_version:
@@ -575,7 +612,7 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
                     pv = a.get("partitionValues")
                     if pv is not None and not isinstance(pv, dict):
                         a["partitionValues"] = dict(pv)
-                    state[a["path"]] = a
+                    state[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
         min_version = v
     d = log_path(table_path)
     if os.path.isdir(d):
@@ -593,10 +630,14 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
                         continue
                     action = json.loads(line)
                     if "add" in action:
-                        state[action["add"]["path"]] = action["add"]
+                        a = action["add"]
+                        state[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
                     elif "remove" in action:
-                        state[action["remove"]["path"]] = None
-    return {p: a for p, a in state.items() if a is not None}
+                        r = action["remove"]
+                        state[(r["path"], dv_unique_id(r.get("deletionVector")))] = None
+    # one live add per path in any valid table (an add with a new DV always
+    # tombstones the old identity); later-keyed duplicates win determinally
+    return {p: a for (p, _uid), a in state.items() if a is not None}
 
 
 def _live_paths_no_spark(table_path: str) -> list[str]:
@@ -727,9 +768,10 @@ def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
 # Reader capabilities beyond version 1 this engine IMPLEMENTS: column
 # mapping in NAME mode (physical parquet names resolved through the
 # schemaString's delta.columnMapping.physicalName metadata — see
-# column_mapping()). ID mode (parquet field-id resolution) and deletion
-# vectors are NOT implemented and stay refused.
-SUPPORTED_READER_FEATURES = {"columnMapping"}
+# column_mapping()), and deletion vectors (position filtering through
+# every row-serving read path — see dv.py and the scan paths). ID-mode
+# column mapping (parquet field-id resolution) stays refused.
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 
 def check_read_protocol(table_path: str) -> None:
@@ -766,8 +808,8 @@ def check_read_protocol(table_path: str) -> None:
             f"table requires minReaderVersion={reader}"
             + (f" with readerFeatures={sorted(features)}" if features else "")
             + f"; this engine supports reader version {SUPPORTED_READER_VERSION}, "
-            "plus column mapping in name mode only (id-mode mapping and "
-            "deletion vectors would be silently mis-read)",
+            "plus name-mode column mapping and deletion vectors (id-mode "
+            "mapping would be silently mis-read)",
         )
 
 
@@ -984,15 +1026,25 @@ def check_append_only(table_path: str) -> bool:
 
 
 def check_protocol_action(table_path: str, proto: dict[str, Any]) -> None:
-    """Gate one in-stream ``protocol`` action (a mid-stream protocol upgrade
-    commit must stop an incremental reader exactly like a fresh open)."""
+    """Gate one in-stream ``protocol`` action: a mid-stream upgrade to a
+    protocol this engine could not open fresh must stop the incremental
+    reader. Upgrades WITHIN the supported surface (reader 2 bare, reader 3
+    with deletionVectors / columnMapping) pass — a deletion-vector enable is
+    handled file-locally by the partitions, and a column-mapping enable
+    necessarily rewrites metaData, which the stream's schema-change
+    detection fails separately (restart re-resolves the mapping)."""
     reader = int(proto.get("minReaderVersion") or 1)
-    features = list(proto.get("readerFeatures") or [])
-    if reader > SUPPORTED_READER_VERSION or features:
+    features = set(proto.get("readerFeatures") or [])
+    reader_ok = (
+        reader <= SUPPORTED_READER_VERSION
+        or (reader == 2 and not features)
+        or (reader == 3 and features <= SUPPORTED_READER_FEATURES)
+    )
+    if not reader_ok:
         raise UnsupportedProtocolError(
             table_path,
             f"protocol upgraded to minReaderVersion={reader}"
-            + (f" with readerFeatures={features}" if features else "")
+            + (f" with readerFeatures={sorted(features)}" if features else "")
             + " — this engine cannot continue reading",
         )
 
@@ -1195,6 +1247,9 @@ def write_checkpoint(
             F.col("modificationTime"),
             F.lit(False).alias("dataChange"),
             F.col("stats"),
+            # carried for foreign DV tables: a checkpoint that dropped the
+            # descriptor would resurrect the deleted rows
+            F.col("deletionVector"),
         ).alias("add"),
         F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
         F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
@@ -1428,6 +1483,7 @@ def snapshot_files(
         F.col("add.modificationTime").alias("modificationTime"),
         F.col("add.partitionValues").alias("partitionValues"),
         F.col("add.stats").alias("stats"),
+        F.col("add.deletionVector").alias("deletionVector"),
         F.col("version"),
         F.lit(True).alias("is_add"),
     )
@@ -1437,11 +1493,16 @@ def snapshot_files(
         F.lit(None).cast("long").alias("modificationTime"),
         F.lit(None).cast(PARTITION_VALUES).alias("partitionValues"),
         F.lit(None).cast("string").alias("stats"),
+        F.col("remove.deletionVector").alias("deletionVector"),
         F.col("version"),
         F.lit(False).alias("is_add"),
     )
     actions = adds.unionByName(removes)
-    w = Window.partitionBy("path").orderBy(
+    # Logical-file identity is (path, deletionVector uniqueId): a DV update
+    # removes the old identity and adds the new one in the SAME commit, so
+    # path-alone keying would mis-reconcile DV tables; "" for DV-less
+    # actions keeps plain tables byte-identical to the old replay.
+    w = Window.partitionBy("path", dv_uid_col(F.col("deletionVector"))).orderBy(
         F.col("version").desc(), F.col("is_add").asc()
     )
     return (

@@ -60,7 +60,13 @@ from pyspark.sql import functions as F
 
 from . import acl, deltalog
 from .config import EngineConfig
-from .errors import ForbiddenByPolicyError, NoSuchKeyError, ReadOnlyError, TableNotFoundError
+from .errors import (
+    ForbiddenByPolicyError,
+    NoSuchKeyError,
+    ReadOnlyError,
+    TableNotFoundError,
+    UnsupportedProtocolError,
+)
 from .io import local_df
 from .session import ensure_engine_confs
 
@@ -134,6 +140,13 @@ LARGE_LISTING_THRESHOLD = 100_000
 # 8 GB) and switches to a shuffle-hash join: driver memory back to O(1),
 # one extra shuffle of the scan's path column.
 LISTING_JOIN_BROADCAST_LIMIT = 4_000_000
+
+# Up to this many total deleted positions, the deletion-vector anti-join
+# broadcasts the exploded position set (8 B/position + path → ~100 MB at the
+# limit): the scan keeps its no-shuffle shape, mirroring Delta's own
+# file-local DV application. Past it, a shuffle anti-join keeps every
+# participant O(1) in memory at the cost of shuffling the scan's key pair.
+DV_BROADCAST_POSITIONS_LIMIT = 5_000_000
 
 # Cache sentinel for "this snapshot is too large to enumerate driver-side".
 _TOO_MANY_FILES = object()
@@ -441,10 +454,24 @@ class Engine:
             limit = self.large_listing_threshold
             files = (
                 log.filter(F.col(action).isNotNull())
-                .select(F.col(f"{action}.path").alias("path"), "version")
+                .select(
+                    F.col(f"{action}.path").alias("path"),
+                    "version",
+                    F.col(f"{action}.deletionVector.storageType").alias("_dv"),
+                )
                 .limit(limit + 1)
                 .collect()
             )
+            if any(r["_dv"] is not None for r in files):
+                # a DV commit changes row LIVENESS inside an unchanged file —
+                # file-granularity CDF cannot express that (it would emit the
+                # whole file on both sides with the wrong row sets)
+                raise UnsupportedProtocolError(
+                    path,
+                    f"table_changes window ({from_version}, {to_version}] "
+                    "contains deletion-vector commits; file-granularity CDF "
+                    "cannot represent row-level liveness changes",
+                )
             if len(files) > limit:
                 raise ValueError(
                     f"change window ({from_version}, {to_version}] of {alias} "
@@ -700,20 +727,35 @@ class Engine:
                 # driver memory AND detects overflow in one job)
                 rows = (
                     deltalog.snapshot_files(self.spark, path, version=version)
-                    .select("path")
+                    .select("path", "deletionVector")
                     .limit(limit + 1)
                     .collect()
                 )
                 if len(rows) > limit:
                     return _TOO_MANY_FILES
-                return [os.path.join(path, r["path"]) for r in rows]
+                return rows
 
             # only the latest snapshot is memoized; explicit versions are rare
-            live = (
-                self._snapshot_cache.get_or_compute(path, compute)
-                if version is None
-                else compute_versioned()
-            )
+            if version is None:
+                live = self._snapshot_cache.get_or_compute(path, compute)
+                dv_items = (
+                    None
+                    if live is _TOO_MANY_FILES
+                    else list(self._dv_map(path).items())
+                )
+            else:
+                rows = compute_versioned()
+                if rows is _TOO_MANY_FILES:
+                    live = _TOO_MANY_FILES
+                    dv_items = None
+                else:
+                    live = [os.path.join(path, r["path"]) for r in rows]
+                    dv_items = [
+                        (r["path"], r["deletionVector"].asDict())
+                        for r in rows
+                        if r["deletionVector"] is not None
+                        and r["deletionVector"]["storageType"] is not None
+                    ]
             if live is _TOO_MANY_FILES:
                 return self._read_data_listing_join(
                     path, version, keep_file_col=keep_file_col
@@ -733,7 +775,14 @@ class Engine:
                 reader = reader.schema(phys_schema)
             df = reader.parquet(*live)
             if keep_file_col:
+                # materialized INSIDE the scan projection — input_file_name
+                # on top of the DV anti-join would be multi-source
                 df = df.withColumn("_file", F.input_file_name())
+            if dv_items:
+                # deletion vectors: filter the deleted positions BEFORE the
+                # logical rename (the hidden _metadata struct resolves
+                # against the file-source scan only)
+                df = self._filter_deleted_positions(df, path, dv_items=dv_items)
             return self._rename_physical(df, schema, l2p, keep=["_file"])
         df = self.spark.read.option("basePath", path).parquet(path)
         return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
@@ -775,6 +824,7 @@ class Engine:
         df = reader.parquet(path)
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
+        dv_filter = self._dv_protocol(path)
         live = live.select(F.col("path").alias("_live_rel"))
         if live.count() <= self.listing_join_broadcast_limit:
             live = F.broadcast(live)
@@ -784,14 +834,163 @@ class Engine:
         # Project but not a join condition — materialize the column first.
         # _file (the raw URI) is kept when DML asks for it: it must be
         # computed HERE, inside the single-source scan projection.
-        out = (
-            df.withColumn("_file", F.input_file_name())
-            .withColumn("_scan_rel", uri_rel_col(F.col("_file"), path))
-            .join(live, F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
-            .drop("_scan_rel")
+        scan = df.withColumn("_file", F.input_file_name()).withColumn(
+            "_scan_rel", uri_rel_col(F.col("_file"), path)
         )
+        if dv_filter:
+            # materialized inside the scan projection (hidden _metadata
+            # resolves only against the file source); the anti-join below
+            # runs after the liveness semi-join so dead files never probe
+            scan = scan.withColumn("_dv_pos", F.col("_metadata.row_index"))
+        out = scan.join(live, F.col("_scan_rel") == F.col("_live_rel"), "left_semi")
+        if dv_filter:
+            pos_df = self._dv_positions_df(
+                path,
+                dv_df=deltalog.snapshot_files(self.spark, path, version=version),
+            )
+            if pos_df is not None:
+                out = out.join(
+                    pos_df,
+                    (out["_scan_rel"] == pos_df["_dv_rel"])
+                    & (out["_dv_pos"] == pos_df["_dv_pos"]),
+                    "left_anti",
+                )
+            out = out.drop("_dv_pos")
+        out = out.drop("_scan_rel")
         out = self._rename_physical(out, schema, l2p, keep=["_file"])
         return out if keep_file_col else out.drop("_file")
+
+    def _dv_protocol(self, path: str) -> bool:
+        """Whether the table's protocol declares the ``deletionVectors``
+        reader feature (memoized): the cheap gate that keeps every scan of a
+        plain table zero-cost with respect to DV handling."""
+
+        def compute():
+            proto = deltalog.table_protocol_no_spark(path) or {}
+            return "deletionVectors" in (proto.get("readerFeatures") or [])
+
+        return self._snapshot_cache.get_or_compute(("dv_proto", path), compute)
+
+    def _dv_map(self, path: str) -> dict[str, dict]:
+        """rel path -> deletionVector descriptor over the LIVE snapshot
+        (driver-side; reuses the memoized live-adds replay, so enumerated
+        scans pay nothing extra). Empty for plain tables."""
+
+        def compute():
+            if not self._dv_protocol(path):
+                return {}
+            live = self._snapshot_cache.get_or_compute(
+                ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+            )
+            return {
+                rel: dict(a["deletionVector"])
+                for rel, a in live.items()
+                if a.get("deletionVector") and a["deletionVector"].get("storageType")
+            }
+
+        return self._snapshot_cache.get_or_compute(("dv_map", path), compute)
+
+    _DV_FLAT_SCHEMA = "_dv_rel string, st string, pod string, off int, sz int, card long"
+
+    def _dv_positions_df(
+        self,
+        path: str,
+        dv_items: "list[tuple[str, dict]] | None" = None,
+        dv_df: DataFrame | None = None,
+    ) -> "DataFrame | None":
+        """Exploded deleted-position set ``(_dv_rel, _dv_pos)`` for the
+        deletion-vector anti-join, or None when no file carries a DV.
+
+        The descriptors — not the positions — travel in the plan; bitmaps
+        decode EXECUTOR-side (``dv.load_dv_positions`` in ``mapInPandas``).
+        Below ``DV_BROADCAST_POSITIONS_LIMIT`` total cardinality the position
+        set broadcasts, so the scan keeps its no-shuffle shape (the moral
+        equivalent of Delta's per-task DV filter); past it a shuffle
+        anti-join keeps memory O(1) everywhere. ``dv_items`` is the
+        driver-side descriptor list (enumerated scans); ``dv_df`` a
+        distributed ``(path, deletionVector)`` frame (listing-join scans).
+        """
+        if dv_items is not None:
+            if not dv_items:
+                return None
+            rows = [
+                (
+                    rel,
+                    d.get("storageType"),
+                    d.get("pathOrInlineDv"),
+                    d.get("offset"),
+                    d.get("sizeInBytes"),
+                    d.get("cardinality"),
+                )
+                for rel, d in dv_items
+            ]
+            flat = self.spark.createDataFrame(rows, self._DV_FLAT_SCHEMA)
+            total = sum(int(r[5] or 0) for r in rows)
+        else:
+            flat = dv_df.filter(
+                F.col("deletionVector").isNotNull()
+                & F.col("deletionVector.storageType").isNotNull()
+            ).select(
+                F.col("path").alias("_dv_rel"),
+                F.col("deletionVector.storageType").alias("st"),
+                F.col("deletionVector.pathOrInlineDv").alias("pod"),
+                F.col("deletionVector.offset").alias("off"),
+                F.col("deletionVector.sizeInBytes").alias("sz"),
+                F.col("deletionVector.cardinality").alias("card"),
+            )
+            agg = flat.agg(F.count("*").alias("n"), F.sum("card").alias("c")).collect()[0]
+            if not agg["n"]:
+                return None
+            # null cardinality (malformed descriptor) => assume big, no broadcast
+            total = int(agg["c"]) if agg["c"] is not None else DV_BROADCAST_POSITIONS_LIMIT + 1
+        table_path = path
+
+        def expand(iter_pdf):
+            import pandas as pd
+            from delta_lake_proxy_spark import dv as dv_mod
+
+            for pdf in iter_pdf:
+                for rel, st, pod, off, sz, card in pdf.itertuples(index=False):
+                    desc = {
+                        "storageType": st,
+                        "pathOrInlineDv": pod,
+                        "offset": None if pd.isna(off) else int(off),
+                        "sizeInBytes": None if pd.isna(sz) else int(sz),
+                        "cardinality": None if pd.isna(card) else int(card),
+                    }
+                    pos = dv_mod.load_dv_positions(table_path, desc)
+                    for i in range(0, len(pos), 1_000_000):
+                        chunk = pos[i : i + 1_000_000]
+                        yield pd.DataFrame({"_dv_rel": rel, "_dv_pos": chunk})
+
+        pos_df = flat.mapInPandas(expand, "_dv_rel string, _dv_pos long")
+        if total <= DV_BROADCAST_POSITIONS_LIMIT:
+            pos_df = F.broadcast(pos_df)
+        return pos_df
+
+    def _filter_deleted_positions(
+        self,
+        df: DataFrame,
+        path: str,
+        dv_items: "list[tuple[str, dict]] | None" = None,
+        dv_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Drop rows a deletion vector marks deleted: anti-join the scan's
+        ``(_metadata.file_path, _metadata.row_index)`` pair against
+        :meth:`_dv_positions_df`. Applied directly on a file-source scan
+        (the hidden ``_metadata`` struct resolves only there)."""
+        pos_df = self._dv_positions_df(path, dv_items=dv_items, dv_df=dv_df)
+        if pos_df is None:
+            return df
+        probe = df.withColumns(
+            {
+                "_dv_rel": uri_rel_col(F.col("_metadata.file_path"), path),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return probe.join(pos_df, ["_dv_rel", "_dv_pos"], "left_anti").drop(
+            "_dv_rel", "_dv_pos"
+        )
 
     def _column_mapping(self, path: str) -> dict[str, str]:
         """Memoized logical->physical name map (reader-2 NAME-mode column
@@ -937,7 +1136,9 @@ class Engine:
         """
         path = self.resolve(alias)
         l2p_map = self._column_mapping(path)
-        snapshot = deltalog.snapshot_files(self.spark, path).select("path", "stats")
+        snapshot = deltalog.snapshot_files(self.spark, path).select(
+            "path", "stats", "deletionVector"
+        )
         keep_pred: Column = F.lit(True)
         # stats JSON keys are PHYSICAL names in mapped tables
         stat_ranges = {l2p_map.get(c, c): b for c, b in ranges.items()}
@@ -967,19 +1168,28 @@ class Engine:
         # (survivor paths never touch the driver, pruning happens row-wise
         # via the broadcast semi-join on the survivor set).
         limit = self.large_listing_threshold
-        rows = survivors.select("path").limit(limit + 1).collect()
+        rows = survivors.select("path", "deletionVector").limit(limit + 1).collect()
         if len(rows) > limit:
             df = self._read_data_listing_join(path, live=survivors)
         elif not rows:
             df = self._read_data(path).limit(0)
         else:
             keep = [os.path.join(path, r["path"]) for r in rows]
+            dv_items = [
+                (r["path"], r["deletionVector"].asDict())
+                for r in rows
+                if r["deletionVector"] is not None
+                and r["deletionVector"]["storageType"] is not None
+            ]
             reader = self.spark.read.option("basePath", path)
             schema = self._table_schema(path)
             phys_schema, l2p = self._physical_schema(path, schema)
             if phys_schema is not None:
                 reader = reader.schema(phys_schema)
-            df = self._rename_physical(reader.parquet(*keep), schema, l2p)
+            df = reader.parquet(*keep)
+            if dv_items:
+                df = self._filter_deleted_positions(df, path, dv_items=dv_items)
+            df = self._rename_physical(df, schema, l2p)
         pred = self.acl_predicate(alias, user)
         if pred is not None:
             df = df.filter(pred)

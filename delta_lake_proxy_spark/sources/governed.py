@@ -61,9 +61,21 @@ from .. import acl, deltalog
 
 
 class GovernedFilePartition(InputPartition):
-    def __init__(self, full_path: str, partition_values: dict[str, str]):
+    def __init__(
+        self,
+        full_path: str,
+        partition_values: dict[str, str],
+        dv: dict | None = None,
+        table_path: str | None = None,
+    ):
         self.full_path = full_path
         self.partition_values = partition_values
+        # deletionVector descriptor from the add action (reader feature
+        # deletionVectors): the task resolves + decodes the bitmap itself
+        # and skips the deleted row positions — the descriptor, never the
+        # position list, ships in the partition.
+        self.dv = dv
+        self.table_path = table_path
 
 
 class GovernedFilesPartition(InputPartition):
@@ -165,21 +177,43 @@ def _bin_pack_files(
 def _iter_file_batches(
     full_path: str, partition_values: dict[str, str], schema: T.StructType,
     l2p: dict[str, str] | None = None,
+    dv_desc: dict | None = None, table_path: str | None = None,
 ):
     """Executor-side Arrow-batched read of one logged file: streamed
     row-group batches (a task never holds a whole file), partition columns
     materialized from the add action's string values cast to the Spark
-    field's Arrow type."""
+    field's Arrow type. ``dv_desc`` (a deletionVector descriptor) drops the
+    deleted row positions file-locally — exactly Delta's per-task DV
+    application, no shuffle, no driver involvement."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    deleted = None
+    if dv_desc and dv_desc.get("storageType"):
+        from .. import dv as dv_mod
+
+        deleted = dv_mod.load_dv_positions(table_path, dv_desc)
+        if not len(deleted):
+            deleted = None
 
     l2p = l2p or {}
     pf = pq.ParquetFile(full_path)
     file_cols = set(pf.schema_arrow.names)
     phys_of = {f.name: l2p.get(f.name, f.name) for f in schema.fields}
     data_names = [phys_of[f.name] for f in schema.fields if phys_of[f.name] in file_cols]
+    row_offset = 0
     for rb in pf.iter_batches(columns=data_names):
         n = rb.num_rows
+        keep_mask = None
+        if deleted is not None:
+            import numpy as np
+
+            lo = int(np.searchsorted(deleted, row_offset))
+            hi = int(np.searchsorted(deleted, row_offset + n))
+            if hi > lo:
+                keep_mask = np.ones(n, dtype=bool)
+                keep_mask[(deleted[lo:hi] - row_offset).astype(np.int64)] = False
+        row_offset += n
         cols, names = [], []
         for field in schema.fields:
             names.append(field.name)
@@ -200,10 +234,13 @@ def _iter_file_batches(
 
                     arr = pc.cast(arr, pa_type)
                 cols.append(arr)
-        yield pa.RecordBatch.from_arrays(
+        batch = pa.RecordBatch.from_arrays(
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
             names=names,
         )
+        if keep_mask is not None:
+            batch = batch.filter(pa.array(keep_mask))
+        yield batch
 
 
 class GovernedReader(DataSourceReader):
@@ -282,7 +319,12 @@ class GovernedReader(DataSourceReader):
                 continue
             allowed.append(
                 (
-                    GovernedFilePartition(os.path.join(self.path, add["path"]), dict(pv)),
+                    GovernedFilePartition(
+                        os.path.join(self.path, add["path"]),
+                        dict(pv),
+                        dv=add.get("deletionVector"),
+                        table_path=self.path,
+                    ),
                     int(add.get("size") or 0),
                 )
             )
@@ -294,7 +336,9 @@ class GovernedReader(DataSourceReader):
         files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
         for fp in files:
             yield from _iter_file_batches(
-                fp.full_path, fp.partition_values, self._schema, self.l2p
+                fp.full_path, fp.partition_values, self._schema, self.l2p,
+                dv_desc=getattr(fp, "dv", None),
+                table_path=getattr(fp, "table_path", None),
             )
 
 
@@ -730,6 +774,8 @@ class GovernedStreamReader(DataSourceStreamReader):
                 GovernedFilePartition(
                     os.path.join(self.path, add["path"]),
                     dict(add.get("partitionValues") or {}),
+                    dv=add.get("deletionVector"),
+                    table_path=self.path,
                 ),
                 int(add.get("size") or 0),
             )
@@ -743,7 +789,9 @@ class GovernedStreamReader(DataSourceStreamReader):
         files = partition.files if isinstance(partition, GovernedFilesPartition) else [partition]
         for fp in files:
             yield from _iter_file_batches(
-                fp.full_path, fp.partition_values, self._schema, self.l2p
+                fp.full_path, fp.partition_values, self._schema, self.l2p,
+                dv_desc=getattr(fp, "dv", None),
+                table_path=getattr(fp, "table_path", None),
             )
 
     def commit(self, end: dict) -> None:

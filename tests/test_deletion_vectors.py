@@ -1,0 +1,381 @@
+"""Deletion-vector READ support (Delta reader feature ``deletionVectors``).
+
+Round-6 verdict flagged reader-3 tables as the one silent-misread hazard;
+round 7 first made them refuse, and these tests pin the graduation from
+refused to READ-SUPPORTED: a foreign table whose files carry deletion
+vectors (delta-spark DELETE/UPDATE without rewrite) returns exactly the
+live rows through every read path — engine scan (enumerated AND
+listing-join), time travel, data-skipping scan, and the governed Python
+DataSource (batch + stream). The codec follows the public Delta protocol
+spec (PROTOCOL.md "Deletion Vectors") and RoaringFormatSpec; the reference
+proxy inherits identical semantics from ``deltalake::open_table``
+(ref src/main.rs:357).
+
+WRITES to DV tables stay refused (they demand writer 7), file-granularity
+CDF refuses DV windows loudly, and vacuum never reclaims a referenced DV
+file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from delta_lake_proxy_spark import Engine, EngineConfig, deltalog, dv
+from delta_lake_proxy_spark.errors import UnsupportedProtocolError
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _write_parquet(full_path: str, ids: list[int]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array(ids, type=pa.int64())}), full_path)
+    return os.path.getsize(full_path)
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    with open(os.path.join(logd, f"{version:020d}.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _add(rel: str, part: str, size: int, dv_desc: dict | None = None) -> dict:
+    a = {
+        "path": rel,
+        "partitionValues": {"part": part},
+        "size": size,
+        "modificationTime": 1700000000000,
+        "dataChange": True,
+    }
+    if dv_desc is not None:
+        a["deletionVector"] = dv_desc
+    return a
+
+
+def _remove(rel: str, dv_desc: dict | None = None) -> dict:
+    r = {"path": rel, "deletionTimestamp": 1700000000001, "dataChange": True}
+    if dv_desc is not None:
+        r["deletionVector"] = dv_desc
+    return r
+
+
+REL_A = "part=A/part-00000.parquet"
+REL_B = "part=B/part-00000.parquet"
+A_IDS = list(range(10))
+B_IDS = list(range(10, 20))
+
+
+def make_dv_table(root: str) -> str:
+    """delta-spark-shaped history:
+
+    * v0: protocol(3,7 deletionVectors) + metaData + adds of A (ids 0-9,
+      partition A) and B (ids 10-19, partition B)
+    * v1: DELETE -> DV on file A marking positions {1,3,5} ("u" storage:
+      a UUID-named bin file at the table root, descriptor carries the
+      z85-encoded UUID), committed as remove(A) + add(A, dv1)
+    * v2: another DELETE -> DV update marking {1,3,5,7}, committed as
+      remove(A, dv1) + add(A, dv2) with an INLINE ("i") descriptor
+    """
+    size_a = _write_parquet(os.path.join(root, REL_A), A_IDS)
+    size_b = _write_parquet(os.path.join(root, REL_B), B_IDS)
+    _commit(
+        root,
+        0,
+        [
+            {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            {"protocol": PROTOCOL},
+            {
+                "metaData": {
+                    "id": "dv-test",
+                    "format": {"provider": "parquet"},
+                    "schemaString": SCHEMA_STRING,
+                    "partitionColumns": ["part"],
+                    "configuration": {},
+                    "createdTime": 1700000000000,
+                }
+            },
+            {"add": _add(REL_A, "A", size_a)},
+            {"add": _add(REL_B, "B", size_b)},
+        ],
+    )
+    # v1: "u"-storage DV file, exactly as delta-spark lays it out
+    u = _uuid.uuid4()
+    dv_file = os.path.join(root, f"deletion_vector_{u}.bin")
+    desc1 = dv.write_dv_file(dv_file, [[1, 3, 5]])[0]
+    desc1.update({"storageType": "u", "pathOrInlineDv": dv.z85_encode(u.bytes)})
+    _commit(
+        root,
+        1,
+        [
+            {"commitInfo": {"timestamp": 1700000000100, "operation": "DELETE"}},
+            {"remove": _remove(REL_A)},
+            {"add": _add(REL_A, "A", size_a, desc1)},
+        ],
+    )
+    # v2: DV update (remove old identity, add new) with an inline descriptor
+    desc2 = dv.inline_descriptor([1, 3, 5, 7])
+    _commit(
+        root,
+        2,
+        [
+            {"commitInfo": {"timestamp": 1700000000200, "operation": "DELETE"}},
+            {"remove": _remove(REL_A, desc1)},
+            {"add": _add(REL_A, "A", size_a, desc2)},
+        ],
+    )
+    return root
+
+
+@pytest.fixture()
+def dv_table(tmp_path):
+    return make_dv_table(str(tmp_path / "t"))
+
+
+def _engine(spark, path, **kw) -> Engine:
+    return Engine(spark, EngineConfig(table_mapping={"t": path}, **kw))
+
+
+LIVE_IDS = sorted(set(A_IDS) - {1, 3, 5, 7}) + B_IDS
+
+
+# -- codec ------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 33)), min_size=0, max_size=2000
+    )
+)
+def test_codec_roundtrip_property(positions):
+    got = dv.decode_dv_data(dv.encode_dv_data(positions))
+    assert got.tolist() == sorted(set(positions))
+
+
+def test_codec_bitmap_container():
+    """>4096 values in one 16-bit chunk forces the bitmap-container form."""
+    pos = list(range(0, 10000, 2))
+    assert dv.decode_dv_data(dv.encode_dv_data(pos)).tolist() == pos
+
+
+def test_codec_known_bytes():
+    """Hand-computed portable serialization of {7}: pins the byte layout
+    (cookie 12346, one container, key 0, card-1=0, offset 16, value 7)
+    against the public RoaringFormatSpec — a symmetric serializer/parser
+    bug cannot hide behind a round-trip."""
+    import struct
+
+    data = dv.encode_dv_data([7])
+    want = (
+        struct.pack("<iq", dv.DV_MAGIC, 1)
+        + struct.pack("<ii", 12346, 1)  # cookie, size
+        + struct.pack("<HH", 0, 0)  # key, cardinality-1
+        + struct.pack("<i", 16)  # offset of container data
+        + struct.pack("<H", 7)  # array container: the single value
+    )
+    assert data == want
+
+
+def test_codec_run_container_decodes():
+    import struct
+
+    cookie = 12347 | (0 << 16)  # 1 container, with run flag set
+    payload = (
+        struct.pack("<i", cookie)
+        + bytes([0x01])
+        + struct.pack("<HH", 2, 4)  # key=2, card-1=4
+        + struct.pack("<HHH", 1, 100, 4)  # 1 run: 100..104
+    )
+    arr, end = dv._deserialize_roaring32(memoryview(payload), 0)
+    assert arr.tolist() == [(2 << 16) + v for v in range(100, 105)]
+    assert end == len(payload)
+
+
+def test_codec_checksum_detects_corruption(tmp_path):
+    p = str(tmp_path / "deletion_vector_x.bin")
+    desc = dv.write_dv_file(p, [[1, 2, 3]])[0]
+    raw = bytearray(open(p, "rb").read())
+    raw[10] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(dv.DeletionVectorError, match="checksum|magic|cookie"):
+        dv.load_dv_positions(str(tmp_path), desc)
+
+
+# -- replay -----------------------------------------------------------------
+
+
+def test_driver_replay_reconciles_by_dv_identity(dv_table):
+    live = deltalog._live_adds_no_spark(dv_table)
+    assert sorted(live) == [REL_A, REL_B]
+    assert live[REL_A]["deletionVector"]["storageType"] == "i"
+    assert live[REL_A]["deletionVector"]["cardinality"] == 4
+    assert "deletionVector" not in live[REL_B] or live[REL_B].get("deletionVector") is None
+
+
+def test_snapshot_files_reconciles_by_dv_identity(spark, dv_table):
+    rows = {r["path"]: r for r in deltalog.snapshot_files(spark, dv_table).collect()}
+    assert sorted(rows) == [REL_A, REL_B]
+    assert rows[REL_A]["deletionVector"]["storageType"] == "i"
+    assert rows[REL_A]["version"] == 2
+    assert rows[REL_B]["deletionVector"] is None
+
+
+def test_time_travel_replay(spark, dv_table):
+    v1 = {r["path"]: r for r in deltalog.snapshot_files(spark, dv_table, version=1).collect()}
+    assert v1[REL_A]["deletionVector"]["storageType"] == "u"
+    v0 = {r["path"]: r for r in deltalog.snapshot_files(spark, dv_table, version=0).collect()}
+    assert v0[REL_A]["deletionVector"] is None
+
+
+# -- engine read paths ------------------------------------------------------
+
+
+def test_engine_read_filters_deleted_rows(spark, dv_table):
+    eng = _engine(spark, dv_table)
+    got = sorted(r["id"] for r in eng.read_table("t").collect())
+    assert got == LIVE_IDS
+
+
+def test_engine_read_time_travel(spark, dv_table):
+    eng = _engine(spark, dv_table)
+    assert sorted(r["id"] for r in eng.read_table("t", version=1).collect()) == sorted(
+        set(A_IDS) - {1, 3, 5}
+    ) + B_IDS
+    assert sorted(r["id"] for r in eng.read_table("t", version=0).collect()) == A_IDS + B_IDS
+
+
+def test_engine_read_listing_join_path(spark, dv_table):
+    eng = _engine(spark, dv_table)
+    eng.large_listing_threshold = 1  # force the distributed listing-join scan
+    got = sorted(r["id"] for r in eng.read_table("t").collect())
+    assert got == LIVE_IDS
+
+
+def test_engine_read_with_acl(spark, dv_table):
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": dv_table},
+            allowed_partitions={"t": [{"part": "A"}]},
+        ),
+    )
+    got = sorted(r["id"] for r in eng.read_table("t").collect())
+    assert got == sorted(set(A_IDS) - {1, 3, 5, 7})
+
+
+def test_scan_with_skipping_applies_dv(spark, dv_table):
+    eng = _engine(spark, dv_table)
+    got = sorted(
+        r["id"] for r in eng.scan_with_skipping("t", {"id": (0, 9)}).collect()
+    )
+    assert got == sorted(set(A_IDS) - {1, 3, 5, 7})
+
+
+# -- governed DataSource ----------------------------------------------------
+
+
+def test_governed_batch_source(spark, dv_table):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    df = spark.read.format("governed").option("path", dv_table).load()
+    assert sorted(r["id"] for r in df.collect()) == LIVE_IDS
+
+
+def test_governed_stream_bootstrap(spark, dv_table, tmp_path):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("governed")
+        .option("path", dv_table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == LIVE_IDS
+
+
+# -- surrounding guarantees -------------------------------------------------
+
+
+def test_writes_still_refuse(spark, dv_table):
+    eng = _engine(spark, dv_table, read_only=False)
+    with pytest.raises(UnsupportedProtocolError):
+        eng.delete("t", F.col("id") == 0)
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.write_commit(dv_table, adds=[], removes=[{"path": REL_B}])
+
+
+def test_cdf_refuses_dv_window(spark, dv_table):
+    eng = _engine(spark, dv_table)
+    with pytest.raises(UnsupportedProtocolError, match="deletion-vector"):
+        eng.table_changes("t", 0).collect()
+
+
+def test_vacuum_preserves_dv_files(spark, dv_table):
+    eng = _engine(spark, dv_table, read_only=False)
+    bins = [e for e in os.listdir(dv_table) if e.startswith("deletion_vector_")]
+    assert bins, "fixture should have a u-storage DV file"
+    eng.vacuum("t", retention_hours=0)
+    for b in bins:
+        assert os.path.exists(os.path.join(dv_table, b))
+    # and the table still reads correctly after vacuum
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == LIVE_IDS
+
+
+def test_checkpoint_carries_dv(spark, dv_table):
+    deltalog.write_checkpoint(spark, dv_table)
+    # drop the JSON commits the checkpoint superseded: replay must come
+    # from the checkpoint alone and still carry the descriptors
+    logd = os.path.join(dv_table, "_delta_log")
+    for name in list(os.listdir(logd)):
+        if name.endswith(".json") and name[:-5].isdigit():
+            os.remove(os.path.join(logd, name))
+    live = deltalog._live_adds_no_spark(dv_table)
+    assert live[REL_A]["deletionVector"]["cardinality"] == 4
+    eng = _engine(spark, dv_table)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == LIVE_IDS
+
+
+def test_file_listing_shows_dv_files_as_live(spark, dv_table):
+    """The snapshot keys stay the parquet files (DV bins are auxiliary
+    metadata, not table keys) — matching the reference's listing of the
+    delta snapshot's file set."""
+    eng = _engine(spark, dv_table)
+    keys = sorted(r["path"] for r in eng.snapshot_files("t").collect())
+    assert keys == [REL_A, REL_B]

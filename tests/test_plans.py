@@ -50,9 +50,13 @@ def test_join_inner_broadcasts_dims(spark):
 
 def test_cross_join_is_broadcast_sized_only(spark):
     # region x region: broadcast nested loop, never a shuffled cartesian
-    p = plan_of("join_cross", spark)
+    # (join_cross_q left the driver registry in round 7 — dv_read took its
+    # slot; J8 stays driver-certified via catalog_surface's crossJoin)
+    df = queries.join_cross_q(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+    assert df.count() == 25  # 5 regions x 5 regions
 
 
 def test_dedup_and_lsh_have_no_cartesian_and_no_python(spark):

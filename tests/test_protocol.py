@@ -83,6 +83,13 @@ READER3 = {
     "readerFeatures": ["deletionVectors"],
     "writerFeatures": ["deletionVectors"],
 }
+# a reader feature this engine genuinely does not implement: must refuse
+READER3_UNKNOWN = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["v2Checkpoint"],
+    "writerFeatures": ["v2Checkpoint"],
+}
 WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
 WRITER_FEATS = {
     "minReaderVersion": 1,
@@ -92,18 +99,28 @@ WRITER_FEATS = {
 SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-@pytest.fixture(params=["reader2_idmode", "reader3"])
+@pytest.fixture(params=["reader2_idmode", "reader3_unknown"])
 def unreadable_table(request, tmp_path):
     """Still-unreadable protocols: ID-mode column mapping (parquet field-id
     resolution, not implemented — NAME mode is supported, see
-    test_column_mapping.py) and deletion vectors."""
-    proto = READER2 if request.param == "reader2_idmode" else READER3
+    test_column_mapping.py) and reader-3 features beyond the implemented
+    set (deletion vectors are now READ-supported, see
+    test_deletion_vectors.py)."""
+    proto = READER2 if request.param == "reader2_idmode" else READER3_UNKNOWN
     conf = (
         {"delta.columnMapping.mode": "id"}
         if request.param == "reader2_idmode"
         else None
     )
     return make_table(str(tmp_path / "t"), proto, conf)
+
+
+def test_reader3_dv_table_is_readable(spark, tmp_path):
+    """A reader-3 table whose only demanded feature is deletionVectors now
+    opens (and with no DVs present reads all rows unchanged)."""
+    path = make_table(str(tmp_path / "t"), READER3)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}))
+    assert eng.read_table("t").count() == 3
 
 
 def test_protocol_resolver(tmp_path):
@@ -177,7 +194,8 @@ def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
     """An upgrade commit AFTER version 0 wins (newest protocol), and survives
     log cleanup via the checkpoint fallback. A reader-2 table WITHOUT
     column mapping demands nothing beyond reader-1 semantics and stays
-    readable; reader-3 (deletion vectors) refuses."""
+    readable, as does reader-3 with deletionVectors; an unknown reader-3
+    feature refuses."""
     path = make_table(str(tmp_path / "t"), SUPPORTED)
     with open(
         os.path.join(path, "_delta_log", "00000000000000000001.json"),
@@ -193,6 +211,13 @@ def test_protocol_upgrade_detected_after_checkpoint(spark, tmp_path):
         encoding="utf-8",
     ) as f:
         f.write(json.dumps({"protocol": READER3}) + "\n")
+    assert len(deltalog._live_adds_no_spark(path)) == 1  # DV feature: readable
+    with open(
+        os.path.join(path, "_delta_log", "00000000000000000003.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(json.dumps({"protocol": READER3_UNKNOWN}) + "\n")
     with pytest.raises(UnsupportedProtocolError):
         deltalog._live_adds_no_spark(path)
 
@@ -515,9 +540,7 @@ def test_invariants_table_refuses_writes(tmp_path):
         deltalog.write_commit(root, [{"path": "x", "partitionValues": {}, "size": 1}])
 
 
-def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
-    """A protocol-upgrade commit inside an incremental window must fail the
-    stream reader, not be skipped."""
+def _stream_with_upgrade(spark, tmp_path, upgrade_proto: dict):
     from delta_lake_proxy_spark.sources.governed import GovernedStreamReader
     from pyspark.sql import types as T
 
@@ -533,7 +556,7 @@ def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
         "w",
         encoding="utf-8",
     ) as f:
-        f.write(json.dumps({"protocol": READER3}) + "\n")
+        f.write(json.dumps({"protocol": upgrade_proto}) + "\n")
         f.write(
             json.dumps(
                 {
@@ -548,5 +571,19 @@ def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
             )
             + "\n"
         )
+    return reader
+
+
+def test_mid_stream_protocol_upgrade_stops_stream(spark, tmp_path):
+    """An upgrade commit demanding an UNIMPLEMENTED reader capability inside
+    an incremental window must fail the stream reader, not be skipped."""
+    reader = _stream_with_upgrade(spark, tmp_path, READER3_UNKNOWN)
     with pytest.raises(UnsupportedProtocolError):
         reader.partitions({"version": 0}, {"version": 1})
+
+
+def test_mid_stream_dv_upgrade_continues(spark, tmp_path):
+    """An upgrade WITHIN the supported surface (deletionVectors) does not
+    stop the stream — the partitions apply DVs file-locally."""
+    reader = _stream_with_upgrade(spark, tmp_path, READER3)
+    assert len(reader.partitions({"version": 0}, {"version": 1})) == 1
