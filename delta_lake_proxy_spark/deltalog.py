@@ -38,8 +38,9 @@ from .errors import UnsupportedProtocolError
 LOG_DIR = "_delta_log"
 
 # The protocol this engine EMITS: reader 1 / writer 2. What it can HONOR on
-# top: reader 2/3 column mapping in NAME mode (read-only, see
-# column_mapping/check_read_protocol), writer-2 table properties
+# top: reader 2/3 column mapping in NAME and ID modes (read-only, see
+# column_mapping/column_mapping_field_ids/check_read_protocol), reader-3
+# deletion vectors (read-only, see dv.py), writer-2 table properties
 # (delta.appendOnly, invariants-refusal), and writer-3 CHECK constraints
 # through the validating Engine write path. The reference delegates the
 # same gate to ``deltalake::open_table`` (ref src/main.rs:357), which
@@ -768,9 +769,9 @@ def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
 # Reader capabilities beyond version 1 this engine IMPLEMENTS: column
 # mapping in NAME mode (physical parquet names resolved through the
 # schemaString's delta.columnMapping.physicalName metadata — see
-# column_mapping()), and deletion vectors (position filtering through
-# every row-serving read path — see dv.py and the scan paths). ID-mode
-# column mapping (parquet field-id resolution) stays refused.
+# column_mapping()) and ID mode (parquet field-id resolution — see
+# column_mapping_field_ids()), and deletion vectors (position filtering
+# through every row-serving read path — see dv.py and the scan paths).
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 
@@ -795,21 +796,21 @@ def check_read_protocol(table_path: str) -> None:
         or (reader == 3 and features <= SUPPORTED_READER_FEATURES)
     )
     if reader_ok and reader > SUPPORTED_READER_VERSION:
-        # column mapping is only readable in NAME mode (or none)
+        # column mapping readable in NAME mode (physical-name resolution)
+        # and ID mode (parquet field-id resolution)
         mode = str(
             table_configuration_no_spark(table_path).get(
                 "delta.columnMapping.mode", "none"
             )
         ).lower()
-        reader_ok = mode in ("none", "name")
+        reader_ok = mode in ("none", "name", "id")
     if not reader_ok:
         raise UnsupportedProtocolError(
             table_path,
             f"table requires minReaderVersion={reader}"
             + (f" with readerFeatures={sorted(features)}" if features else "")
             + f"; this engine supports reader version {SUPPORTED_READER_VERSION}, "
-            "plus name-mode column mapping and deletion vectors (id-mode "
-            "mapping would be silently mis-read)",
+            "plus column mapping (name and id modes) and deletion vectors",
         )
 
 
@@ -826,9 +827,12 @@ def _type_contains_struct(t: Any) -> bool:
 
 
 def column_mapping(table_path: str) -> dict[str, str]:
-    """Logical -> physical column-name map for NAME-mode column mapping
-    (``delta.columnMapping.mode=name``): each top-level field's
-    ``delta.columnMapping.physicalName`` metadata. Empty when the table has
+    """Logical -> physical column-name map for a column-mapped table
+    (``delta.columnMapping.mode`` name OR id): each top-level field's
+    ``delta.columnMapping.physicalName`` metadata. Physical names govern
+    partition directories, ``partitionValues`` keys, and stats keys in BOTH
+    modes; in id mode the parquet DATA columns additionally resolve by
+    field id (:func:`column_mapping_field_ids`). Empty when the table has
     no mapping. Struct columns (whose nested fields carry their own
     physical names) are not implemented and refuse loudly; arrays/maps of
     primitives are unaffected by mapping and pass."""
@@ -836,10 +840,10 @@ def column_mapping(table_path: str) -> dict[str, str]:
     mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
     if mode in ("", "none"):
         return {}
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise UnsupportedProtocolError(
             table_path,
-            f"columnMapping mode {mode!r} is not supported (name mode only)",
+            f"columnMapping mode {mode!r} is not supported (name or id)",
         )
     meta = table_metadata_no_spark(table_path) or {}
     try:
@@ -859,9 +863,36 @@ def column_mapping(table_path: str) -> dict[str, str]:
             raise UnsupportedProtocolError(
                 table_path,
                 f"column {f.get('name')!r} lacks delta.columnMapping."
-                "physicalName in a name-mapped table — malformed metadata",
+                f"physicalName in a {mode}-mapped table — malformed metadata",
             )
         out[str(f["name"])] = str(phys)
+    return out
+
+
+def column_mapping_field_ids(table_path: str) -> dict[str, int]:
+    """Logical -> parquet field id for ID-mode column mapping
+    (``delta.columnMapping.mode=id``): the ``delta.columnMapping.id`` field
+    metadata, by which parquet data columns MUST be resolved in id mode
+    (the file's column names are not authoritative). Empty for name-mode
+    and unmapped tables."""
+    conf = table_configuration_no_spark(table_path)
+    if str(conf.get("delta.columnMapping.mode", "none")).lower() != "id":
+        return {}
+    meta = table_metadata_no_spark(table_path) or {}
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        fields = []
+    out: dict[str, int] = {}
+    for f in fields:
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise UnsupportedProtocolError(
+                table_path,
+                f"column {f.get('name')!r} lacks delta.columnMapping.id "
+                "in an id-mapped table — malformed metadata",
+            )
+        out[str(f["name"])] = int(fid)
     return out
 
 

@@ -999,17 +999,39 @@ class Engine:
             ("colmap", path), lambda: deltalog.column_mapping(path)
         )
 
+    def _field_ids(self, path: str) -> dict[str, int]:
+        """Memoized logical -> parquet field id map (id-mode mapping only)."""
+        return self._snapshot_cache.get_or_compute(
+            ("colids", path), lambda: deltalog.column_mapping_field_ids(path)
+        )
+
     def _physical_schema(self, path: str, schema):
         """The schema to READ parquet with: physical field names when the
         table is column-mapped (files and partition directories carry
-        physical names), else the logical schema unchanged."""
+        physical names), else the logical schema unchanged. For ID-mode
+        tables each field additionally carries ``parquet.field.id``
+        metadata, which Spark's reader (with
+        ``spark.sql.parquet.fieldId.read.enabled``) resolves against the
+        file's parquet field ids — the id-mode contract: the file's column
+        NAMES are not authoritative, the ids are."""
         from pyspark.sql import types as T
 
         l2p = self._column_mapping(path)
         if not l2p or schema is None:
             return schema, None
+        l2id = self._field_ids(path)
         phys = T.StructType(
-            [T.StructField(l2p.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
+            [
+                T.StructField(
+                    l2p.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    metadata=(
+                        {"parquet.field.id": l2id[f.name]} if f.name in l2id else None
+                    ),
+                )
+                for f in schema.fields
+            ]
         )
         return phys, l2p
 

@@ -23,6 +23,10 @@ ENGINE_SQL_CONFS = {
     # Let the format("governed") Python Data Source receive pushed filters
     # for advisory file-level pruning (sources/governed.py).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # ID-mode column mapping: parquet columns resolve by field id when the
+    # read schema carries parquet.field.id metadata (engine._physical_schema
+    # attaches it). No-op for schemas without ids, so safe globally.
+    "spark.sql.parquet.fieldId.read.enabled": "true",
 }
 
 

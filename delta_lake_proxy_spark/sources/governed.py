@@ -178,13 +178,16 @@ def _iter_file_batches(
     full_path: str, partition_values: dict[str, str], schema: T.StructType,
     l2p: dict[str, str] | None = None,
     dv_desc: dict | None = None, table_path: str | None = None,
+    l2id: dict[str, int] | None = None,
 ):
     """Executor-side Arrow-batched read of one logged file: streamed
     row-group batches (a task never holds a whole file), partition columns
     materialized from the add action's string values cast to the Spark
     field's Arrow type. ``dv_desc`` (a deletionVector descriptor) drops the
     deleted row positions file-locally — exactly Delta's per-task DV
-    application, no shuffle, no driver involvement."""
+    application, no shuffle, no driver involvement. ``l2id`` (id-mode
+    column mapping) resolves data columns by the file's parquet FIELD IDS —
+    the file's column names are not authoritative in id mode."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -200,6 +203,19 @@ def _iter_file_batches(
     pf = pq.ParquetFile(full_path)
     file_cols = set(pf.schema_arrow.names)
     phys_of = {f.name: l2p.get(f.name, f.name) for f in schema.fields}
+    if l2id:
+        # id mode: map each field id the FILE declares to its column name,
+        # then resolve logical fields through their delta.columnMapping.id
+        fid_to_name: dict[int, str] = {}
+        for fld in pf.schema_arrow:
+            md = fld.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            if raw is not None:
+                fid_to_name[int(raw)] = fld.name
+        for f in schema.fields:
+            fid = l2id.get(f.name)
+            if fid is not None and fid in fid_to_name:
+                phys_of[f.name] = fid_to_name[fid]
     data_names = [phys_of[f.name] for f in schema.fields if phys_of[f.name] in file_cols]
     row_offset = 0
     for rb in pf.iter_batches(columns=data_names):
@@ -254,6 +270,7 @@ class GovernedReader(DataSourceReader):
         # NAME-mode column mapping: DNF keys / pushed filters arrive with
         # LOGICAL names; files, partitionValues, and stats carry PHYSICAL
         self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
+        self.l2id: dict[str, int] = deltalog.column_mapping_field_ids(self.path)
         self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
 
     def pushFilters(self, filters: list[Filter]):
@@ -339,6 +356,7 @@ class GovernedReader(DataSourceReader):
                 fp.full_path, fp.partition_values, self._schema, self.l2p,
                 dv_desc=getattr(fp, "dv", None),
                 table_path=getattr(fp, "table_path", None),
+                l2id=self.l2id,
             )
 
 
@@ -457,6 +475,7 @@ class GovernedStreamReader(DataSourceStreamReader):
         self.dnf: acl.PartitionDNF = json.loads(options.get("dnf", "null")) or []
         self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
         self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
+        self.l2id: dict[str, int] = deltalog.column_mapping_field_ids(self.path)
         self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
         mf = _opt(options, "maxFilesPerTrigger")
         mb = _opt(options, "maxBytesPerTrigger")
@@ -792,6 +811,7 @@ class GovernedStreamReader(DataSourceStreamReader):
                 fp.full_path, fp.partition_values, self._schema, self.l2p,
                 dv_desc=getattr(fp, "dv", None),
                 table_path=getattr(fp, "table_path", None),
+                l2id=self.l2id,
             )
 
     def commit(self, end: dict) -> None:

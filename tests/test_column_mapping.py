@@ -1,12 +1,15 @@
-"""Reader-2 column mapping, NAME mode — SUPPORTED, not just refused.
+"""Reader-2 column mapping — NAME and ID modes SUPPORTED, not just refused.
 
 A delta-spark table with ``delta.columnMapping.mode=name`` stores parquet
 columns and partition directories under opaque PHYSICAL names
 (``col-<uuid>``) while the logged schema exposes LOGICAL names via field
-metadata. Every read path here must serve LOGICAL columns with correct
-values: the engine scan (enumerated and listing-join), ACL enforcement at
-row and file level, data skipping, the governed DataSource (batch and
-stream). ID-mode mapping and writes to mapped tables stay refused.
+metadata; ``mode=id`` additionally makes the parquet FIELD IDS (not the
+file's column names) authoritative for data-column resolution. Every read
+path here must serve LOGICAL columns with correct values: the engine scan
+(enumerated and listing-join, Spark's fieldId.read resolution for id
+mode), ACL enforcement at row and file level, data skipping, the governed
+DataSource (batch and stream, pyarrow field-id resolution). Writes to
+mapped tables stay refused.
 """
 
 from __future__ import annotations
@@ -217,19 +220,128 @@ def test_governed_source_batch_and_stream(spark, mapped, tmp_path):
     assert {r["id"] for r in got.collect()} == {1, 2, 3, 4, 5}
 
 
-def test_id_mode_and_writes_still_refused(spark, mapped, tmp_path):
+def test_writes_to_mapped_tables_still_refused(spark, mapped):
     # writes to a mapped table refuse (we'd emit logical-named files)
     eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
     with pytest.raises(UnsupportedProtocolError, match="column-mapped"):
         eng.write_table("t", eng.read_table("t").limit(1), mode="append")
-    # id-mode mapping refuses reads
-    root = str(tmp_path / "idm")
-    make_mapped_table(root)
-    p = os.path.join(root, "_delta_log", "00000000000000000000.json")
-    s = open(p).read().replace('"delta.columnMapping.mode": "name"', '"delta.columnMapping.mode": "id"')
-    open(p, "w").write(s)
-    with pytest.raises(UnsupportedProtocolError):
-        deltalog._live_adds_no_spark(root)
+
+
+# -- ID mode (parquet field-id resolution) ----------------------------------
+#
+# In id mode the file's column NAMES are not authoritative — resolution MUST
+# go through the parquet field ids matching delta.columnMapping.id. The
+# fixture writes files whose column names match NEITHER the logical nor the
+# logged physical names, so any name-based resolution would come back all
+# null; only correct id resolution yields the values.
+
+
+def _write_id_parquet(full_path: str, ids: list[int]) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field("c_one", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("c_two", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    t = pa.table(
+        {
+            "c_one": pa.array(ids, type=pa.int64()),
+            "c_two": pa.array([i * 1.5 for i in ids], type=pa.float64()),
+        },
+        schema=schema,
+    )
+    pq.write_table(t, full_path)
+    return os.path.getsize(full_path)
+
+
+def make_id_mapped_table(root: str) -> str:
+    files = {
+        f"{PHYS_PART}=A/part-00000.parquet": ([1, 2, 3], "A"),
+        f"{PHYS_PART}=B/part-00001.parquet": ([4, 5], "B"),
+    }
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-id-test",
+                "format": {"provider": "parquet"},
+                "schemaString": MAPPED_SCHEMA,
+                "partitionColumns": ["part"],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 1700000000000,
+            }
+        },
+    ]
+    for rel, (ids, part) in files.items():
+        size = _write_id_parquet(os.path.join(root, rel), ids)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {PHYS_PART: part},
+                    "size": size,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+@pytest.fixture()
+def id_mapped(tmp_path):
+    return make_id_mapped_table(str(tmp_path / "idm"))
+
+
+def test_id_mode_resolver(id_mapped):
+    assert deltalog.column_mapping_field_ids(id_mapped) == {
+        "id": 1, "val": 2, "part": 3
+    }
+    # physical names still govern partition dirs / pv keys / stats keys
+    assert deltalog.column_mapping(id_mapped)["part"] == PHYS_PART
+
+
+def test_id_mode_engine_read(spark, id_mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": id_mapped}))
+    df = eng.read_table("t")
+    assert set(df.columns) == {"id", "val", "part"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[4]["val"] == 6.0 and rows[4]["part"] == "B"
+
+
+def test_id_mode_engine_read_with_acl(spark, id_mapped):
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": id_mapped},
+            allowed_partitions={"t": [{"part": "A"}]},
+        ),
+    )
+    assert {r["id"] for r in eng.read_table("t", user="u").collect()} == {1, 2, 3}
+
+
+def test_id_mode_governed_source(spark, id_mapped):
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    df = spark.read.format("governed").option("path", id_mapped).load()
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[2]["val"] == 3.0 and rows[2]["part"] == "A"
 
 
 def test_reader3_columnmapping_feature_allowed(spark, tmp_path):

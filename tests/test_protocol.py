@@ -99,17 +99,16 @@ WRITER_FEATS = {
 SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-@pytest.fixture(params=["reader2_idmode", "reader3_unknown"])
+@pytest.fixture(params=["reader2_unknown_mode", "reader3_unknown"])
 def unreadable_table(request, tmp_path):
-    """Still-unreadable protocols: ID-mode column mapping (parquet field-id
-    resolution, not implemented — NAME mode is supported, see
-    test_column_mapping.py) and reader-3 features beyond the implemented
-    set (deletion vectors are now READ-supported, see
-    test_deletion_vectors.py)."""
-    proto = READER2 if request.param == "reader2_idmode" else READER3_UNKNOWN
+    """Still-unreadable protocols: a columnMapping MODE beyond name/id
+    (both of which are now read-supported — test_column_mapping.py), and
+    reader-3 features beyond the implemented set (deletion vectors are
+    READ-supported too, see test_deletion_vectors.py)."""
+    proto = READER2 if request.param == "reader2_unknown_mode" else READER3_UNKNOWN
     conf = (
-        {"delta.columnMapping.mode": "id"}
-        if request.param == "reader2_idmode"
+        {"delta.columnMapping.mode": "hybrid"}
+        if request.param == "reader2_unknown_mode"
         else None
     )
     return make_table(str(tmp_path / "t"), proto, conf)
