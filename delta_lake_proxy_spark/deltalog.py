@@ -301,6 +301,7 @@ def write_commit(
     txn: dict[str, Any] | None = None,
     configuration: dict[str, str] | None = None,
     enforced_constraints: bool = False,
+    mapped_write: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -319,6 +320,7 @@ def write_commit(
         txn=txn,
         configuration=configuration,
         enforced_constraints=enforced_constraints,
+        mapped_write=mapped_write,
     )
 
 
@@ -333,6 +335,7 @@ def write_commit_streamed(
     txn: dict[str, Any] | None = None,
     configuration: dict[str, str] | None = None,
     enforced_constraints: bool = False,
+    mapped_write: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -345,7 +348,11 @@ def write_commit_streamed(
     # capabilities we lack (constraints, generated columns, row tracking)
     # corrupts it for conforming clients. New tables (no logged protocol yet)
     # pass vacuously and emit our own supported protocol at version 0.
-    check_write_protocol(table_path, enforced_constraints=enforced_constraints)
+    check_write_protocol(
+        table_path,
+        enforced_constraints=enforced_constraints,
+        mapped_write=mapped_write,
+    )
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
     # implement (refuse all writes rather than silently violate), and
@@ -916,43 +923,99 @@ def declared_constraints(table_path: str) -> dict[str, str]:
     }
 
 
-def check_write_protocol(table_path: str, enforced_constraints: bool = False) -> None:
+def _schema_has_generated_columns(table_path: str) -> str | None:
+    """Name of the first column with a ``delta.generationExpression`` (Delta
+    writer protocol 4 generated columns), else None. A writer must compute
+    these expressions for every written row; this engine does not, so
+    tables declaring them refuse writes."""
+    meta = table_metadata_no_spark(table_path)
+    raw = (meta or {}).get("schemaString")
+    if not raw or raw == "{}":
+        return None
+    try:
+        fields = json.loads(raw).get("fields") or []
+    except Exception:
+        return None
+    for f in fields:
+        if "delta.generationExpression" in (f.get("metadata") or {}):
+            return str(f.get("name"))
+    return None
+
+
+def check_write_protocol(
+    table_path: str,
+    enforced_constraints: bool = False,
+    mapped_write: bool = False,
+) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
-    engine lacks: ``minWriterVersion`` > 3, any ``writerFeatures``, or
-    version 3 (CHECK constraints) unless the caller VALIDATED the written
-    rows against the declared constraints (``enforced_constraints=True`` —
-    the Engine write paths do; raw commits cannot prove it and are refused
-    when constraints exist). Committing without honoring generated columns,
-    row tracking, or an unvalidated constraint corrupts the table for every
-    conforming client. A writer must also be able to read the table it
-    rewrites, so the read gate applies too."""
+    engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
+    the written rows against declared CHECK constraints
+    (``enforced_constraints=True`` — the Engine write paths do; raw commits
+    cannot prove it and are refused when constraints exist); and, for
+    ``mapped_write=True`` callers (``Engine.write_table``, which translates
+    columns/partition dirs/stats to PHYSICAL names), writer 4/5 or writer 7
+    with only the ``columnMapping`` feature on NAME-mode tables — provided
+    no generated columns are declared and change-data-feed is off (both
+    demand per-row work this engine does not do). Committing without
+    honoring those corrupts the table for every conforming client. A writer
+    must also be able to read the table it rewrites, so the read gate
+    applies too."""
     check_read_protocol(table_path)
-    if str(
-        table_configuration_no_spark(table_path).get("delta.columnMapping.mode", "none")
-    ).lower() not in ("", "none"):
-        raise UnsupportedProtocolError(
-            table_path,
-            "writing to column-mapped tables is not implemented (reads are; "
-            "a write would emit logical-named files into a physical-named "
-            "table)",
-        )
+    conf = table_configuration_no_spark(table_path)
+    mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
+    if mode not in ("", "none"):
+        if not mapped_write:
+            raise UnsupportedProtocolError(
+                table_path,
+                "this write path does not translate to the table's physical "
+                "column names — only Engine.write_table supports writing to "
+                "column-mapped tables (name mode)",
+            )
+        if mode != "name":
+            raise UnsupportedProtocolError(
+                table_path,
+                f"writing to {mode}-mode mapped tables is not implemented "
+                "(name mode is)",
+            )
+        gen = _schema_has_generated_columns(table_path)
+        if gen is not None:
+            raise UnsupportedProtocolError(
+                table_path,
+                f"column {gen!r} declares delta.generationExpression — this "
+                "engine does not compute generated columns on write",
+            )
+        if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+            raise UnsupportedProtocolError(
+                table_path,
+                "delta.enableChangeDataFeed=true requires writing change "
+                "files this engine does not produce",
+            )
     proto = table_protocol_no_spark(table_path)
     if proto is None:
         return
     writer = int(proto.get("minWriterVersion") or 1)
     features = list(proto.get("writerFeatures") or [])
-    writer_ok = writer <= SUPPORTED_WRITER_VERSION or (
-        writer == 3 and (enforced_constraints or not declared_constraints(table_path))
-    )
+    constraints_ok = enforced_constraints or not declared_constraints(table_path)
+    writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
+    if mapped_write and mode == "name":
+        # column mapping demands writer 5 (or 7 + the feature); the hazards
+        # versions 4/5 add beyond 3 (generated columns, CDF) were refused
+        # above, so these versions are honorable here
+        remaining = [f for f in features if f != "columnMapping"]
+        writer_ok = writer_ok or (
+            constraints_ok
+            and (writer in (4, 5) or (writer == 7 and not remaining))
+        )
+        features = remaining
     if not writer_ok or features:
         raise UnsupportedProtocolError(
             table_path,
             f"table requires minWriterVersion={writer}"
             + (f" with writerFeatures={features}" if features else "")
             + f"; this engine supports writer version {SUPPORTED_WRITER_VERSION} "
-            "(and version 3 only when its CHECK constraints are validated by "
-            "the Engine write path) — committing would corrupt the table for "
-            "conforming clients",
+            "(version 3 with Engine-validated CHECK constraints, and 4/5/7 "
+            "only for Engine.write_table on name-mapped tables) — committing "
+            "would corrupt the table for conforming clients",
         )
 
 

@@ -1344,6 +1344,22 @@ class Engine:
         schema_json = df.schema.json()
         if mode == "append" and existing_meta:
             schema_json = self._evolve_schema(existing_meta.get("schemaString"), df)
+        # NAME-mode column-mapped tables: the logged schemaString (with its
+        # physical names and field ids) stays authoritative — files,
+        # partition directories, partitionValues and stats keys are written
+        # PHYSICAL below. Schema evolution would need fresh physical names
+        # and a maxColumnId bump; refuse rather than guess.
+        l2p = self._column_mapping(path)
+        if l2p:
+            extra = [c for c in df.columns if c not in l2p]
+            if extra:
+                raise UnsupportedProtocolError(
+                    path,
+                    f"columns {extra} are not in the mapped table's schema — "
+                    "schema evolution on column-mapped tables is not "
+                    "implemented (new columns need physical names and ids)",
+                )
+            schema_json = (existing_meta or {}).get("schemaString") or schema_json
         if zorder_by:
             df = self._with_zorder(df, zorder_by, method=zorder_method)
             cols = [F.col("_zorder")]
@@ -1364,13 +1380,20 @@ class Engine:
             ).sortWithinPartitions(*sort_by)
 
         enforced = self._enforce_check_constraints(path, df)
+        # physical translation LAST (constraints and clustering reference
+        # logical names): rename every column and partition directory to the
+        # mapped physical names so the written files are indistinguishable
+        # from a conforming mapped writer's
+        parts_phys = [l2p.get(p, p) for p in parts] if l2p else list(parts)
+        if l2p:
+            df = df.select([F.col(c).alias(l2p[c]) for c in df.columns])
         staging = os.path.join(
             os.path.dirname(path.rstrip("/")) or ".",
             f".stage-{uuid.uuid4().hex}",
         )
         writer = df.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
+        if parts_phys:
+            writer = writer.partitionBy(*parts_phys)
         writer.parquet(staging)
         prev_live: list[str] = (
             deltalog._live_paths_no_spark(path)
@@ -1381,7 +1404,7 @@ class Engine:
             moved = self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
         # Delta semantics: an overwrite TOMBSTONES the previous live files in
         # the log but leaves them on disk — old versions stay time-travel
         # readable until vacuum() reclaims unreferenced files.
@@ -1398,6 +1421,7 @@ class Engine:
             operation=mode.upper(),
             txn=txn,
             enforced_constraints=enforced,
+            mapped_write=bool(l2p),
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval

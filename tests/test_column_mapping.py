@@ -220,11 +220,81 @@ def test_governed_source_batch_and_stream(spark, mapped, tmp_path):
     assert {r["id"] for r in got.collect()} == {1, 2, 3, 4, 5}
 
 
-def test_writes_to_mapped_tables_still_refused(spark, mapped):
-    # writes to a mapped table refuse (we'd emit logical-named files)
+def test_mapped_append_writes_physical_files(spark, mapped):
+    """Engine.write_table on a NAME-mapped table (writer 5): rows arrive
+    with LOGICAL columns, the written file and partition directory carry
+    PHYSICAL names, partitionValues and stats keys are physical, and the
+    logged schemaString (with its mapping metadata) is preserved — the new
+    file is indistinguishable from a conforming mapped writer's."""
     eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
-    with pytest.raises(UnsupportedProtocolError, match="column-mapped"):
-        eng.write_table("t", eng.read_table("t").limit(1), mode="append")
+    new_rows = spark.createDataFrame(
+        [(6, 9.0, "C")], "id long, val double, part string"
+    )
+    v = eng.write_table("t", new_rows, mode="append")
+    assert v == 1
+    eng.invalidate_caches()
+    df = eng.read_table("t")
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]
+    assert rows[6]["val"] == 9.0 and rows[6]["part"] == "C"
+    # on-disk shape: physical partition dir, physical parquet columns
+    live = deltalog._live_adds_no_spark(mapped)
+    new_rel = [p for p in live if p.startswith(f"{PHYS_PART}=C/")]
+    assert len(new_rel) == 1, sorted(live)
+    add = live[new_rel[0]]
+    assert add["partitionValues"] == {PHYS_PART: "C"}
+    assert PHYS_ID in (add.get("stats") or "")  # stats keyed physically
+    import pyarrow.parquet as pq
+
+    file_cols = pq.ParquetFile(os.path.join(mapped, new_rel[0])).schema_arrow.names
+    assert PHYS_ID in file_cols and PHYS_VAL in file_cols
+    assert "id" not in file_cols
+    # the logged schema kept its mapping metadata
+    meta = deltalog.table_metadata_no_spark(mapped)
+    assert "delta.columnMapping.physicalName" in meta["schemaString"]
+
+
+def test_mapped_overwrite_and_acl_on_new_rows(spark, mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
+    repl = spark.createDataFrame(
+        [(10, 1.0, "A"), (11, 2.0, "B")], "id long, val double, part string"
+    )
+    eng.write_table("t", repl, mode="overwrite")
+    eng.invalidate_caches()
+    assert {r["id"] for r in eng.read_table("t").collect()} == {10, 11}
+    gated = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"t": mapped}, allowed_partitions={"t": [{"part": "A"}]}
+        ),
+    )
+    assert {r["id"] for r in gated.read_table("t", user="u").collect()} == {10}
+
+
+def test_mapped_schema_evolution_refused(spark, mapped):
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
+    widened = spark.createDataFrame(
+        [(7, 1.0, "A", "x")], "id long, val double, part string, extra string"
+    )
+    with pytest.raises(UnsupportedProtocolError, match="schema evolution"):
+        eng.write_table("t", widened, mode="append")
+
+
+def test_mapped_raw_commit_and_dml_still_refused(spark, mapped, id_mapped):
+    # raw log-level commits cannot prove physical translation -> refuse
+    with pytest.raises(UnsupportedProtocolError, match="Engine.write_table"):
+        deltalog.write_commit(mapped, adds=[], removes=[{"path": "x"}])
+    # DML rewrites files through a path that does not translate -> refuse
+    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
+    with pytest.raises(UnsupportedProtocolError):
+        eng.delete("t", F.col("id") == 1)
+    # id-mode writes refuse even through Engine.write_table
+    eng_id = Engine(
+        spark, EngineConfig(table_mapping={"t": id_mapped}, read_only=False)
+    )
+    one = spark.createDataFrame([(9, 1.0, "A")], "id long, val double, part string")
+    with pytest.raises(UnsupportedProtocolError, match="id-mode"):
+        eng_id.write_table("t", one, mode="append")
 
 
 # -- ID mode (parquet field-id resolution) ----------------------------------
