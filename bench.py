@@ -66,7 +66,9 @@ def main() -> None:
             spark._jvm.System.gc()
         except Exception:
             pass
-        fn = Q.QUERIES[name]
+        # headline queries are registry entries; a retired-from-registry
+        # query (e.g. multimodal_scan, round 7) stays benchmarked by name
+        fn = Q.QUERIES.get(name) or getattr(Q, name)
         # min-of-3: this VM's load spikes can inflate a single run 2-4x,
         # and the driver records exactly one bench per round; per-run times
         # are published so a reader can see the noise band, not just the min

@@ -1,0 +1,129 @@
+"""Sequence packing: group documents into fixed-token-budget training
+sequences — the standard pre-training batching step (concat-and-pack), run
+at corpus scale.
+
+Two strategies, both fully distributed (documents are first split into
+``num_groups`` independent groups by a DETERMINISTIC modular key, so no
+global coordination exists anywhere):
+
+* :func:`pack_contiguous` — concat-in-order packing: one window cumulative
+  sum per group, bin = tokens-before-this-doc // budget. Pure codegen
+  (no Python), reproducible in ANSI SQL (the driver oracle runs the same
+  window in DuckDB). A pack may overflow by at most one document — the
+  classic concat-then-chunk tradeoff.
+* :func:`pack_first_fit` — first-fit-decreasing inside each group via
+  ``applyInPandas``: strictly respects the budget (oversized documents get
+  singleton packs, flagged), tighter fill than contiguous, Arrow-batched
+  per group. The per-group state is a list of open bins — memory O(bins in
+  one group), never O(corpus).
+
+Scale note: at 100 TB the group count is the parallelism knob — groups are
+independent tasks, the window/pandas state is per-group, and pack ids are
+(group, bin) pairs so no global sequence number is ever assigned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_contiguous(
+    docs: DataFrame,
+    size_col: str = "n_chars",
+    budget: int = 4096,
+    num_groups: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a ``(grp, bin)`` pack by concat-in-order packing
+    within its modular group. Adds ``grp``, ``bin``; one shuffle (the
+    per-group window sort)."""
+    g = (F.col(id_col) % F.lit(num_groups)).cast("long").alias("grp")
+    w = Window.partitionBy("grp").orderBy(F.col(id_col).asc())
+    return (
+        docs.select("*", g)
+        .withColumn("_cum", F.sum(F.col(size_col)).over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("_cum") - F.col(size_col)) / F.lit(float(budget))).cast(
+                "long"
+            ),
+        )
+        .drop("_cum")
+    )
+
+
+def pack_summary(
+    packed: DataFrame, size_col: str = "n_chars", budget: int = 4096
+) -> DataFrame:
+    """Per-pack rollup: document count, token total, fill ratio."""
+    return packed.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("pack_tokens"),
+        F.round(
+            F.sum(size_col).cast("double") / F.lit(float(budget)), 6
+        ).alias("fill"),
+    )
+
+
+def pack_first_fit(
+    docs: DataFrame,
+    size_col: str = "n_chars",
+    budget: int = 4096,
+    num_groups: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-decreasing packing within each modular group: every pack's
+    total is <= budget except singleton packs of oversized documents
+    (``oversize=true``). Output: (id_col, size_col, grp, bin, oversize).
+
+    ``applyInPandas`` per group — the grouped pandas frame holds ONE group,
+    so size each group to executor memory via ``num_groups`` (at corpus
+    scale use e.g. 10k+ groups; packing quality only needs enough docs per
+    group to mix sizes)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {size_col} long, grp long, bin long, oversize boolean"
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        oversize = []
+        for sz in pdf[size_col]:
+            s = int(sz)
+            if s > budget:
+                bins.append(-1)  # closed singleton
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            # first fit: linear probe over open bins (group-sized, tiny)
+            for i, cap in enumerate(bins):
+                if cap >= s:
+                    bins[i] = cap - s
+                    assign.append(i)
+                    break
+            else:
+                bins.append(budget - s)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                size_col: pdf[size_col].astype("int64"),
+                "grp": pdf["grp"].astype("int64"),
+                "bin": pd.Series(assign, dtype="int64"),
+                "oversize": pd.Series(oversize, dtype="bool"),
+            }
+        )
+
+    g = (F.col(id_col) % F.lit(num_groups)).cast("long").alias("grp")
+    return (
+        docs.select(F.col(id_col), F.col(size_col).cast("long"), g)
+        .groupBy("grp")
+        .applyInPandas(ffd, out_schema)
+    )

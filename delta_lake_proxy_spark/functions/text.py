@@ -155,6 +155,102 @@ def fingerprint(
     )
 
 
+# PII patterns: intersection of Java-regex and RE2 syntax (no lookaround,
+# no backrefs) so the DuckDB oracle runs the SAME expressions verbatim.
+# Ordered — redaction applies in this order, and counting happens BEFORE
+# any replacement so overlapping classes count against the original text.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    "ssn": ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    "phone": ("\\+[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection + redaction, wholly JVM-side: one
+    ``regexp_count`` per class against the ORIGINAL text, then a
+    ``regexp_replace`` chain producing ``redacted``. A corpus-scale scrub
+    is therefore a single codegen projection — no shuffle, no Python.
+
+    Patterns are deliberately RE2-compatible so external engines (and the
+    DuckDB oracle) reproduce the exact same matches."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    red = t
+    for name, (pat, repl) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col),
+        *counts.values(),
+        red.alias("redacted"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against ``query_terms`` — the
+    classic relevance score, expressed as three declarative aggregations:
+
+    1. tokenize (lower + word regex, explode) -> per-(doc, term) tf and
+       per-doc length in ONE pass over the tokens;
+    2. document frequency of the QUERY terms only (the token stream is
+       filtered to the broadcast-small query set before the df count, so
+       the shuffle carries query-term rows, not the whole vocabulary);
+    3. score = sum over query terms of idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)),
+       TakeOrdered top-k.
+
+    All JVM-side; the corpus is scanned once. At 100 TB the dominant cost
+    is the tokenize scan — df/avgdl are tiny aggregates."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs_avgdl = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    qterms = [t.lower() for t in query_terms]
+    qtoks = toks.filter(F.col("term").isin(qterms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .withColumn(
+            "idf",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
 def quality_tier(
     score: Column, high: float = 0.55, mid: float = 0.45
 ) -> Column:

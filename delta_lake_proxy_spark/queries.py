@@ -675,38 +675,49 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "auth_semi_join",
+    "auth_join",
     """
-    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    SELECT 'allowed' AS op, l_orderkey, l_linenumber, l_returnflag,
+           CAST(NULL AS BIGINT) AS n_denied
+    FROM lineitem
     WHERE l_returnflag IN (SELECT flag FROM (VALUES ('A'), ('N')) AS allowed(flag))
-    """,
-)
-def auth_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6/J1: requested-rows ∈ allowed set as a left-semi join (the 200 path)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    allowed = local_df(spark, [("A",), ("N",)], "flag: string")
-    return li.join(
-        F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_semi"
-    ).select("l_orderkey", "l_linenumber", "l_returnflag")
-
-
-@register(
-    "auth_anti_join",
-    """
-    SELECT l_returnflag, COUNT(*) AS n_denied FROM lineitem
+    UNION ALL
+    SELECT 'denied', NULL, NULL, l_returnflag, COUNT(*) FROM lineitem
     WHERE l_returnflag NOT IN (SELECT flag FROM (VALUES ('A'), ('N')) AS allowed(flag))
     GROUP BY l_returnflag
     """,
 )
-def auth_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: the 403 complement — rows outside the allowed set."""
+def auth_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J1/J5 in ONE driver row (merged in round 7 to free a slot in the
+    pinned 50-query window): the 200 path — requested-rows ∈ allowed set as
+    a left-SEMI join on the broadcast allowed set, row-level — UNION the
+    403 complement — left-ANTI join, counted per denied partition."""
     li = load_table(spark, sf_dir, "lineitem")
     allowed = local_df(spark, [("A",), ("N",)], "flag: string")
-    return (
+    ln_type = li.schema["l_linenumber"].dataType
+    ok_type = li.schema["l_orderkey"].dataType
+    semi = li.join(
+        F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_semi"
+    ).select(
+        F.lit("allowed").alias("op"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.lit(None).cast("long").alias("n_denied"),
+    )
+    anti = (
         li.join(F.broadcast(allowed), li.l_returnflag == allowed.flag, "left_anti")
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_denied"))
+        .select(
+            F.lit("denied").alias("op"),
+            F.lit(None).cast(ok_type).alias("l_orderkey"),
+            F.lit(None).cast(ln_type).alias("l_linenumber"),
+            "l_returnflag",
+            "n_denied",
+        )
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -2080,35 +2091,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_scan",
-    """
-    WITH docs AS (
-      SELECT doc_id, text,
-             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality
-      FROM documents
-    ),
-    idx AS (
-      SELECT doc_id, modality, text,
-             unnest(generate_series(1, greatest(length(text), 1), 8)) AS i
-      FROM docs
-    ),
-    f0 AS (
-      SELECT doc_id, modality, max(length(text)) AS n_bytes,
-             round(AVG(CAST(ascii(substring(text, CAST(i AS INT), 1)) AS DOUBLE)), 6) AS f0
-      FROM idx GROUP BY doc_id, modality
-    )
-    SELECT modality, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           round(CAST(SUM(CAST(f0 AS DECIMAL(27,9))) AS DOUBLE) / COUNT(f0), 6) AS avg_f0
-    FROM f0 GROUP BY modality
-    """,
-)
 def multimodal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: binary media columns -> Arrow-batched feature extraction -> rollup.
 
-    The corpus is ASCII, so the oracle reproduces the stub decoder's strided
-    byte means (positions 1, 9, 17, ... are feature 0) with character math."""
+    The corpus is ASCII, so the stub decoder's strided byte means
+    (positions 1, 9, 17, ... are feature 0) reproduce with character math.
+    Retired from the pinned 50-query driver window in round 7 (X5 stays
+    certified via ``multimodal_decode``; this rollup is pinned by
+    ``tests/test_llm_ops.py`` and still benchmarked)."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs)
     feats = multimodal.extract_features(media)
@@ -2208,3 +2198,109 @@ def catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minWriterVersion").alias("min_writer_version"),
     )
     return eng.list_catalogs().crossJoin(eng.list_tables()).crossJoin(detail)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + PII scrubbing (round 7 — training-data pipeline depth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sequence_pack",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS grp, n_chars,
+             SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ASC) AS cum
+      FROM documents
+    ),
+    packed AS (
+      SELECT grp, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS bin, n_chars
+      FROM sized
+    )
+    SELECT grp, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS pack_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / 4096.0, 6) AS fill
+    FROM packed GROUP BY grp, bin
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-pack): documents are split into
+    8 deterministic modular groups, packed contiguously against a 4096-char
+    budget with ONE per-group window cumsum (pure codegen, no Python), and
+    rolled up per pack. The oracle replays the identical window in DuckDB.
+    The tighter first-fit-decreasing variant (``functions.packing
+    .pack_first_fit``) strictly respects the budget and is pytest-certified
+    against this one's fill rate."""
+    from .functions import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_summary(
+        packing.pack_contiguous(docs, "n_chars", budget=4096, num_groups=8),
+        "n_chars",
+        budget=4096,
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' call +1 555 0142'"
+)
+
+
+def _pii_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    red = "t"
+    for _name, (pat, repl) in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, (pat, _repl) in PII_PATTERNS.items()
+    )
+    sums = ", ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS n_{name}" for name in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, lang, {_PII_AUG_SQL} AS t FROM documents),
+    c AS (SELECT lang, {counts}, length({red}) AS red_len FROM aug)
+    SELECT lang, {sums}, CAST(SUM(red_len) AS BIGINT) AS redacted_chars
+    FROM c GROUP BY lang
+    """
+
+
+@register("pii_scrub", _pii_oracle)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus (emails, IPv4, SSN-shaped,
+    phone numbers — RE2-compatible patterns shared verbatim with the DuckDB
+    oracle). The corpus is deterministically AUGMENTED with synthetic PII
+    derived from doc_id so every pattern class actually fires; counts are
+    taken against the original text, redaction applies the replace chain,
+    and the rollup is per language. One codegen projection, no shuffle
+    before the tiny rollup."""
+    from .functions import text as text_fns
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" call +1 555 0142"),
+        ).alias("text"),
+    )
+    scrubbed = text_fns.pii_scrub(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return scrubbed.groupBy("lang").agg(
+        *[
+            F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+            for name in text_fns.PII_PATTERNS
+        ],
+        F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
+    )

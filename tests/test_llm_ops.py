@@ -656,3 +656,129 @@ def test_resize_media_nearest_neighbor_exact(spark):
     # resized images still feed the real decoder downstream
     feats = multimodal.extract_features(resized, n_features=4, decode_stub=False)
     assert feats.count() == 9
+
+
+# -- sequence packing (round 7) ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(50, 3000)) for i in range(400)]
+    rows += [(1000 + i, 5000 + i) for i in range(3)]  # oversized outliers
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def test_pack_contiguous_partitions_every_doc_once(sized_docs):
+    from delta_lake_proxy_spark.functions import packing
+
+    packed = packing.pack_contiguous(sized_docs, budget=4096, num_groups=4)
+    assert packed.count() == sized_docs.count()
+    assert packed.select("doc_id").distinct().count() == sized_docs.count()
+    # contiguous invariant: a pack overflows by AT MOST one document — the
+    # tokens BEFORE the last doc in the pack are < budget
+    sums = packing.pack_summary(packed, budget=4096)
+    overfull = sums.filter(F.col("pack_tokens") >= 2 * 4096 + 5000).count()
+    assert overfull == 0
+
+
+def test_pack_first_fit_respects_budget_and_beats_contiguous(sized_docs):
+    from delta_lake_proxy_spark.functions import packing
+
+    ffd = packing.pack_first_fit(sized_docs, budget=4096, num_groups=4)
+    rows = ffd.collect()
+    assert len(rows) == sized_docs.count()
+    # budget strictly respected except oversize singletons
+    by_pack: dict[tuple, list] = {}
+    for r in rows:
+        by_pack.setdefault((r["grp"], r["bin"]), []).append(r)
+    for (g, b), members in by_pack.items():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1  # oversized docs pack alone
+        else:
+            assert sum(m["n_chars"] for m in members) <= 4096
+    # first-fit guarantee: within a group, at most ONE non-oversize pack is
+    # under half full (any two half-empty bins would have been merged)
+    from collections import Counter
+
+    under_half = Counter(
+        g
+        for (g, b), members in by_pack.items()
+        if not any(m["oversize"] for m in members)
+        and sum(m["n_chars"] for m in members) < 4096 / 2
+    )
+    assert all(n <= 1 for n in under_half.values()), under_half
+
+
+def test_pack_first_fit_is_deterministic(sized_docs):
+    from delta_lake_proxy_spark.functions import packing
+
+    a = sorted(map(tuple, packing.pack_first_fit(sized_docs).collect()))
+    b = sorted(map(tuple, packing.pack_first_fit(sized_docs).collect()))
+    assert a == b
+
+
+# -- PII scrubbing (round 7) ------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org or +1 (555) 010-4242 thanks"),
+            (2, "server 192.168.0.17 ssn 123-45-6789 and 10.0.0.1 again"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_ssn"] == 1
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_ssn"] == out[3]["n_phone"] == 0
+    assert "<EMAIL>" in out[1]["redacted"] and "@" not in out[1]["redacted"]
+    assert "<IP>" in out[2]["redacted"] and "192.168.0.17" not in out[2]["redacted"]
+    assert "<SSN>" in out[2]["redacted"]
+    assert out[3]["redacted"] == "nothing sensitive here"
+
+
+# -- BM25 (round 7) ---------------------------------------------------------
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine for lakehouse tables"),
+            (3, "cooking recipes with garlic and onions"),
+            (4, "the engine room of the ship"),
+        ],
+        "doc_id long, text string",
+    )
+    got = text.bm25_topk(docs, ["spark", "engine"], k=3).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] in (1, 2) and set(ids[:2]) == {1, 2}  # both terms beat one
+    assert 3 not in ids  # no query term -> never retrieved
+    assert all(got[i]["bm25"] >= got[i + 1]["bm25"] for i in range(len(got) - 1))
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # "the" appears everywhere -> contributes ~nothing vs a rare term
+    docs = spark.createDataFrame(
+        [(i, "the common filler text") for i in range(1, 9)]
+        + [(9, "the rare gemstone catalog")],
+        "doc_id long, text string",
+    )
+    got = text.bm25_topk(docs, ["rare", "the"], k=2).collect()
+    assert got[0]["doc_id"] == 9
+
+
+# -- multimodal_scan stays pinned after leaving the driver registry ---------
+
+
+def test_multimodal_scan_rollup(spark):
+    from delta_lake_proxy_spark import queries as Q
+
+    out = {r["modality"]: r for r in Q.multimodal_scan(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"image", "audio", "video"}
+    assert all(r["n_docs"] > 0 and r["total_bytes"] > 0 for r in out.values())

@@ -30,8 +30,7 @@ EXPECTED_ORDER = [
     "join_outer",
     "join_range",
     "join_asof",
-    "auth_semi_join",
-    "auth_anti_join",
+    "auth_join",
     "window_funcs",
     "string_funcs",
     "dv_read",
@@ -64,9 +63,10 @@ EXPECTED_ORDER = [
     "dedup_near_simhash",
     "similarity_lsh",
     "similarity_ivf",
-    "multimodal_scan",
     "multimodal_decode",
     "catalog_surface",
+    "sequence_pack",
+    "pii_scrub",
 ]
 
 # SURVEY.md §2 operator ID -> the registered query that certifies it.
@@ -90,13 +90,13 @@ SURVEY_COVERAGE = {
     "P3": "partition_filter_scan",
     "P4": "acl_dnf",
     "P5": "request_identity",
-    "P6": "auth_semi_join",
+    "P6": "auth_join",
     "P7": "filter_project",
-    "J1": "auth_semi_join",
+    "J1": "auth_join",
     "J2": "permission_lookup_join",
     "J3": "join_inner",
     "J4": "join_outer",
-    "J5": "auth_anti_join",
+    "J5": "auth_join",
     "J6": "join_range",
     "J7": "join_asof",
     # J8 cross join: catalog_surface crossJoins catalogs x tables x detail
@@ -151,7 +151,10 @@ FLAGSHIPS = [
     "dedup_near_simhash",
     "similarity_lsh",
     "similarity_ivf",
-    "multimodal_scan",
+    "multimodal_decode",
+    "dv_read",
+    "sequence_pack",
+    "pii_scrub",
     "governed_source_read",
     "governed_write_roundtrip",
     "compact_table",
