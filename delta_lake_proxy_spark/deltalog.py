@@ -302,6 +302,7 @@ def write_commit(
     configuration: dict[str, str] | None = None,
     enforced_constraints: bool = False,
     mapped_write: bool = False,
+    enforced_generated: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -321,6 +322,7 @@ def write_commit(
         configuration=configuration,
         enforced_constraints=enforced_constraints,
         mapped_write=mapped_write,
+        enforced_generated=enforced_generated,
     )
 
 
@@ -336,6 +338,7 @@ def write_commit_streamed(
     configuration: dict[str, str] | None = None,
     enforced_constraints: bool = False,
     mapped_write: bool = False,
+    enforced_generated: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -352,6 +355,7 @@ def write_commit_streamed(
         table_path,
         enforced_constraints=enforced_constraints,
         mapped_write=mapped_write,
+        enforced_generated=enforced_generated,
     )
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
@@ -923,29 +927,39 @@ def declared_constraints(table_path: str) -> dict[str, str]:
     }
 
 
-def _schema_has_generated_columns(table_path: str) -> str | None:
-    """Name of the first column with a ``delta.generationExpression`` (Delta
-    writer protocol 4 generated columns), else None. A writer must compute
-    these expressions for every written row; this engine does not, so
-    tables declaring them refuse writes."""
+def generated_columns(table_path: str) -> dict[str, str]:
+    """``column name -> generation SQL expression`` for every schema field
+    carrying ``delta.generationExpression`` (Delta writer protocol 4). A
+    conforming writer must either compute these for each written row or
+    prove the provided values satisfy them — ``Engine.write_table`` does
+    (``_apply_generated_columns``); commit paths that cannot prove it are
+    refused by :func:`check_write_protocol`."""
     meta = table_metadata_no_spark(table_path)
     raw = (meta or {}).get("schemaString")
     if not raw or raw == "{}":
-        return None
+        return {}
     try:
         fields = json.loads(raw).get("fields") or []
     except Exception:
-        return None
-    for f in fields:
-        if "delta.generationExpression" in (f.get("metadata") or {}):
-            return str(f.get("name"))
-    return None
+        return {}
+    return {
+        str(f["name"]): str((f.get("metadata") or {})["delta.generationExpression"])
+        for f in fields
+        if "delta.generationExpression" in (f.get("metadata") or {})
+    }
+
+
+def _schema_has_generated_columns(table_path: str) -> str | None:
+    """First generated-column name, else None (see :func:`generated_columns`)."""
+    gens = generated_columns(table_path)
+    return next(iter(sorted(gens)), None)
 
 
 def check_write_protocol(
     table_path: str,
     enforced_constraints: bool = False,
     mapped_write: bool = False,
+    enforced_generated: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -978,11 +992,12 @@ def check_write_protocol(
                 "(name mode is)",
             )
         gen = _schema_has_generated_columns(table_path)
-        if gen is not None:
+        if gen is not None and not enforced_generated:
             raise UnsupportedProtocolError(
                 table_path,
                 f"column {gen!r} declares delta.generationExpression — this "
-                "engine does not compute generated columns on write",
+                "write path does not compute generated columns "
+                "(Engine.write_table does)",
             )
         if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
             raise UnsupportedProtocolError(
@@ -996,14 +1011,22 @@ def check_write_protocol(
     writer = int(proto.get("minWriterVersion") or 1)
     features = list(proto.get("writerFeatures") or [])
     constraints_ok = enforced_constraints or not declared_constraints(table_path)
+    generated_ok = enforced_generated or _schema_has_generated_columns(table_path) is None
+    cdf_off = str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
+    if writer == 4 and constraints_ok and generated_ok and cdf_off:
+        # writer 4 adds generated columns + CDF on top of 3: acceptable
+        # when the caller computed/validated the generated values and the
+        # table does not demand change files
+        writer_ok = True
     if mapped_write and mode == "name":
         # column mapping demands writer 5 (or 7 + the feature); the hazards
-        # versions 4/5 add beyond 3 (generated columns, CDF) were refused
-        # above, so these versions are honorable here
+        # versions 4/5 add beyond 3 were refused above (generated columns
+        # unless enforced, CDF always), so these versions are honorable here
         remaining = [f for f in features if f != "columnMapping"]
         writer_ok = writer_ok or (
             constraints_ok
+            and generated_ok
             and (writer in (4, 5) or (writer == 7 and not remaining))
         )
         features = remaining
@@ -1013,8 +1036,9 @@ def check_write_protocol(
             f"table requires minWriterVersion={writer}"
             + (f" with writerFeatures={features}" if features else "")
             + f"; this engine supports writer version {SUPPORTED_WRITER_VERSION} "
-            "(version 3 with Engine-validated CHECK constraints, and 4/5/7 "
-            "only for Engine.write_table on name-mapped tables) — committing "
+            "(version 3 with Engine-validated CHECK constraints, version 4 "
+            "with Engine-computed generated columns and CDF off, and 4/5/7 "
+            "for Engine.write_table on name-mapped tables) — committing "
             "would corrupt the table for conforming clients",
         )
 

@@ -1379,6 +1379,7 @@ class Engine:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*sort_by)
 
+        df, enforced_gen = self._apply_generated_columns(path, df)
         enforced = self._enforce_check_constraints(path, df)
         # physical translation LAST (constraints and clustering reference
         # logical names): rename every column and partition directory to the
@@ -1422,6 +1423,7 @@ class Engine:
             txn=txn,
             enforced_constraints=enforced,
             mapped_write=bool(l2p),
+            enforced_generated=enforced_gen,
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -1432,6 +1434,32 @@ class Engine:
             deltalog.write_checkpoint(self.spark, path)
         self._snapshot_cache.invalidate()  # table state changed
         return version
+
+    def _apply_generated_columns(
+        self, path: str, df: DataFrame
+    ) -> tuple[DataFrame, bool]:
+        """Honor Delta writer-protocol-4 generated columns
+        (``delta.generationExpression`` field metadata): a column the caller
+        did not provide is COMPUTED from its expression (one extra projected
+        column — stays in codegen); a provided column is VALIDATED
+        null-safely against the expression (one ``limit(1)`` probe per
+        generated column, like CHECK constraints) and rejected on the first
+        mismatch — Delta's semantics: the stored value must always equal
+        the expression. Returns (df, proof-for-the-commit-gate)."""
+        gens = deltalog.generated_columns(path)
+        for name, expr in sorted(gens.items()):
+            col = F.expr(expr)
+            if name in df.columns:
+                mismatch = ~F.col(name).eqNullSafe(col)
+                if df.filter(mismatch).limit(1).count() > 0:
+                    raise ValueError(
+                        f"generated column {name!r} was provided with values "
+                        f"that do not satisfy its expression ({expr}) — "
+                        "write rejected (Delta generated-column semantics)"
+                    )
+            else:
+                df = df.withColumn(name, col)
+        return df, bool(gens)
 
     def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
         """Validate ``df`` (the rows about to be written) against the

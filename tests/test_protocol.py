@@ -586,3 +586,105 @@ def test_mid_stream_dv_upgrade_continues(spark, tmp_path):
     stop the stream — the partitions apply DVs file-locally."""
     reader = _stream_with_upgrade(spark, tmp_path, READER3)
     assert len(reader.partitions({"version": 0}, {"version": 1})) == 1
+
+
+# -- writer-4 generated columns HONORED on the Engine write path (round 7) --
+
+GEN_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+            {
+                "name": "twice",
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.generationExpression": "id * 2"},
+            },
+        ],
+    }
+)
+
+
+def _gen_table(tmp_path, extra_conf=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "gen")
+    rel = "part=A/part-00000.parquet"
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "twice": pa.array([2, 4], type=pa.int64()),
+            }
+        ),
+        full,
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {
+            "metaData": {
+                "id": "gen-test",
+                "format": {"provider": "parquet"},
+                "schemaString": GEN_SCHEMA,
+                "partitionColumns": ["part"],
+                "configuration": extra_conf or {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {"part": "A"},
+                "size": os.path.getsize(full),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_generated_column_computed_on_append(spark, tmp_path):
+    path = _gen_table(tmp_path)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    df = spark.createDataFrame([(5, "B")], "id long, part string")  # no 'twice'
+    v = eng.write_table("t", df, mode="append")
+    assert v == 1
+    eng.invalidate_caches()
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert rows[5]["twice"] == 10 and rows[5]["part"] == "B"
+    assert rows[1]["twice"] == 2  # original rows intact
+
+
+def test_generated_column_validated_when_provided(spark, tmp_path):
+    path = _gen_table(tmp_path)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    ok = spark.createDataFrame([(7, "B", 14)], "id long, part string, twice long")
+    eng.write_table("t", ok, mode="append")
+    bad = spark.createDataFrame([(8, "B", 99)], "id long, part string, twice long")
+    with pytest.raises(ValueError, match="generated column"):
+        eng.write_table("t", bad, mode="append")
+
+
+def test_generated_column_raw_commit_refused(tmp_path):
+    path = _gen_table(tmp_path)
+    with pytest.raises(UnsupportedProtocolError, match="generat|minWriterVersion"):
+        deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+
+
+def test_writer4_cdf_enabled_refused(spark, tmp_path):
+    path = _gen_table(tmp_path, extra_conf={"delta.enableChangeDataFeed": "true"})
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    df = spark.createDataFrame([(5, "B")], "id long, part string")
+    with pytest.raises(UnsupportedProtocolError, match="minWriterVersion|[Cc]hange"):
+        eng.write_table("t", df, mode="append")
