@@ -635,14 +635,29 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
-    def restore(self, alias: str, version: int) -> int:
-        """RESTORE the table to an earlier version: commits adds for files
-        live then but not now, and removes for files live now but not then.
-        Purely a log operation — no data is rewritten — so it fails cleanly
-        if the old files were already vacuumed (missing at read time)."""
+    def restore(
+        self,
+        alias: str,
+        version: int | None = None,
+        timestamp_as_of: "int | float | str | None" = None,
+    ) -> int:
+        """RESTORE the table to an earlier version (or, Delta's
+        ``RESTORE ... TO TIMESTAMP AS OF``, the last version committed at or
+        before ``timestamp_as_of``): commits adds for files live then but
+        not now, and removes for files live now but not then. Purely a log
+        operation — no data is rewritten — so it fails cleanly if the old
+        files were already vacuumed (missing at read time)."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        if timestamp_as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or timestamp_as_of, not both")
+            version = deltalog.version_at_timestamp(
+                self.spark, path, _to_epoch_millis(timestamp_as_of)
+            )
+        if version is None:
+            raise ValueError("restore requires a version or timestamp_as_of")
         # Version diff computed DISTRIBUTED (two anti-joins over the log
         # replays); only the commit body streams to the driver, row by row,
         # via toLocalIterator — a 10^7-file restore never materializes
@@ -654,13 +669,18 @@ class Engine:
 
         def add_rows():
             for r in re_adds.toLocalIterator():
-                yield {
+                add = {
                     "path": r["path"],
                     "partitionValues": dict(r["partitionValues"] or {}),
                     "size": r["size"],
                     "modificationTime": r["modificationTime"],
                     "stats": r["stats"],
                 }
+                # carried so a restore never resurrects DV-deleted rows
+                # (DV tables refuse writes today, writer 7 — future-proofing)
+                if r["deletionVector"] is not None:
+                    add["deletionVector"] = r["deletionVector"].asDict()
+                yield add
 
         def remove_rows():
             for r in re_removes.toLocalIterator():

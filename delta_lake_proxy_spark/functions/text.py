@@ -168,12 +168,17 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_scrub(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document PII detection + redaction, wholly JVM-side: one
     ``regexp_count`` per class against the ORIGINAL text, then a
     ``regexp_replace`` chain producing ``redacted``. A corpus-scale scrub
     is therefore a single codegen projection — no shuffle, no Python.
+    ``keep`` passes extra columns through the projection (so downstream
+    rollups need no self-join).
 
     Patterns are deliberately RE2-compatible so external engines (and the
     DuckDB oracle) reproduce the exact same matches."""
@@ -187,6 +192,7 @@ def pii_scrub(
         red = F.regexp_replace(red, pat, repl)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *counts.values(),
         red.alias("redacted"),
     )

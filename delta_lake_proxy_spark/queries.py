@@ -2294,9 +2294,7 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" call +1 555 0142"),
         ).alias("text"),
     )
-    scrubbed = text_fns.pii_scrub(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    scrubbed = text_fns.pii_scrub(docs, keep=("lang",))
     return scrubbed.groupBy("lang").agg(
         *[
             F.sum(f"n_{name}").cast("long").alias(f"n_{name}")

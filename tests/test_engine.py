@@ -514,6 +514,28 @@ def test_restore_to_version(spark, tmp_path, lineitem):
     assert "A" in flags  # deleted partition is back
 
 
+def test_restore_to_timestamp(spark, tmp_path, lineitem):
+    import time as _time
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "rest_ts")
+    write_governed_table(spark, lineitem.limit(20).repartition(1), path, [])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    n0 = eng.read_table("t").count()
+    _time.sleep(1.1)
+    t_after_v0 = _time.time()
+    _time.sleep(1.1)
+    eng.write_table("t", lineitem.limit(5), mode="append")  # v1
+    assert eng.read_table("t").count() == n0 + 5
+    with pytest.raises(ValueError, match="either version or timestamp"):
+        eng.restore("t", version=0, timestamp_as_of=t_after_v0)
+    with pytest.raises(ValueError, match="version or timestamp"):
+        eng.restore("t")
+    eng.restore("t", timestamp_as_of=t_after_v0)  # resolves to v0
+    assert eng.read_table("t").count() == n0
+
+
 def test_raw_path_bypass_is_the_documented_trust_boundary(spark, tmp_path, lineitem):
     """SURVEY §4 design 2 (plan-level ACL injection): the library-level design
     concedes that code holding the physical path AND SparkSession can bypass

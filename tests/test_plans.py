@@ -94,3 +94,28 @@ def test_multimodal_decode_is_arrow_not_row_python(spark):
     p = plan_of("multimodal_decode", spark)
     assert "MapInPandas" in p or "mapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_dv_read_is_broadcast_anti_join_no_row_python(spark):
+    """Deletion-vector filtering: the scan anti-joins a BROADCAST position
+    set (no shuffle of the data scan); the only Python is the Arrow
+    mapInPandas decoding the metadata-sized descriptor set."""
+    p = plan_of("dv_read", spark)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sequence_pack_is_one_window_no_python(spark):
+    """Contiguous packing: exactly one exchange (the per-group window sort),
+    one Window, zero Python — the whole pack assignment stays in codegen."""
+    p = plan_of("sequence_pack", spark)
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert p.count("Exchange") <= 2  # window shuffle + final rollup agg
+
+
+def test_pii_scrub_is_pure_codegen(spark):
+    p = plan_of("pii_scrub", spark)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Join" not in p  # lang rides the projection, no self-join
