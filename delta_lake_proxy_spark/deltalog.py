@@ -125,10 +125,24 @@ METADATA_SCHEMA = T.StructType(
         T.StructField("createdTime", T.LongType()),
     ]
 )
+# Change-data files (Delta CDF, writer protocol 4): rows under
+# ``_change_data/`` with a ``_change_type`` column; when a commit carries
+# cdc actions, CDF readers use THOSE for its row-level changes instead of
+# deriving from add/remove.
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues", PARTITION_VALUES),
+        T.StructField("size", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ]
+)
+
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("add", ADD_SCHEMA),
         T.StructField("remove", REMOVE_SCHEMA),
+        T.StructField("cdc", CDC_SCHEMA),
         T.StructField("metaData", METADATA_SCHEMA),
         T.StructField(
             "protocol",
@@ -303,6 +317,8 @@ def write_commit(
     enforced_constraints: bool = False,
     mapped_write: bool = False,
     enforced_generated: bool = False,
+    cdc_adds: list[dict[str, Any]] | None = None,
+    cdf_handled: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -323,6 +339,8 @@ def write_commit(
         enforced_constraints=enforced_constraints,
         mapped_write=mapped_write,
         enforced_generated=enforced_generated,
+        cdc_adds_fn=(lambda: iter(cdc_adds)) if cdc_adds else None,
+        cdf_handled=cdf_handled,
     )
 
 
@@ -339,6 +357,9 @@ def write_commit_streamed(
     enforced_constraints: bool = False,
     mapped_write: bool = False,
     enforced_generated: bool = False,
+    cdc_adds_fn=None,
+    cdf_handled: bool = False,
+    protocol_action: dict[str, Any] | None = None,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -356,6 +377,7 @@ def write_commit_streamed(
         enforced_constraints=enforced_constraints,
         mapped_write=mapped_write,
         enforced_generated=enforced_generated,
+        cdf_handled=cdf_handled,
     )
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
@@ -384,7 +406,11 @@ def write_commit_streamed(
             json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
             + "\n"
         )
-        if version == 0:
+        if protocol_action is not None:
+            # explicit upgrade (e.g. enabling CDF demands writer 4): conforming
+            # clients must see the capability requirement from this commit on
+            f.write(json.dumps({"protocol": protocol_action}) + "\n")
+        elif version == 0:
             f.write(
                 json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
                 + "\n"
@@ -430,6 +456,9 @@ def write_commit_streamed(
             )
         for add in adds_fn():
             f.write(json.dumps({"add": {"dataChange": True, **add}}) + "\n")
+        for cdc in cdc_adds_fn() if cdc_adds_fn is not None else ():
+            # change files never alter table state: dataChange is false
+            f.write(json.dumps({"cdc": {"dataChange": False, **cdc}}) + "\n")
         return wrote_remove
 
     # Delta's commit protocol: atomically create the NEXT version file,
@@ -960,6 +989,7 @@ def check_write_protocol(
     enforced_constraints: bool = False,
     mapped_write: bool = False,
     enforced_generated: bool = False,
+    cdf_handled: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -999,11 +1029,14 @@ def check_write_protocol(
                 "write path does not compute generated columns "
                 "(Engine.write_table does)",
             )
-        if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        if (
+            str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+            and not cdf_handled
+        ):
             raise UnsupportedProtocolError(
                 table_path,
-                "delta.enableChangeDataFeed=true requires writing change "
-                "files this engine does not produce",
+                "delta.enableChangeDataFeed=true requires change files this "
+                "write path does not produce (the Engine DML/write paths do)",
             )
     proto = table_protocol_no_spark(table_path)
     if proto is None:
@@ -1012,12 +1045,14 @@ def check_write_protocol(
     features = list(proto.get("writerFeatures") or [])
     constraints_ok = enforced_constraints or not declared_constraints(table_path)
     generated_ok = enforced_generated or _schema_has_generated_columns(table_path) is None
-    cdf_off = str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
+    cdf_ok = cdf_handled or (
+        str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
+    )
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
-    if writer == 4 and constraints_ok and generated_ok and cdf_off:
+    if writer == 4 and constraints_ok and generated_ok and cdf_ok:
         # writer 4 adds generated columns + CDF on top of 3: acceptable
-        # when the caller computed/validated the generated values and the
-        # table does not demand change files
+        # when the caller computed/validated the generated values and
+        # either produced the change files or the table does not demand them
         writer_ok = True
     if mapped_write and mode == "name":
         # column mapping demands writer 5 (or 7 + the feature); the hazards
@@ -1027,6 +1062,7 @@ def check_write_protocol(
         writer_ok = writer_ok or (
             constraints_ok
             and generated_ok
+            and cdf_ok
             and (writer in (4, 5) or (writer == 7 and not remaining))
         )
         features = remaining

@@ -421,22 +421,28 @@ class Engine:
     def table_changes(
         self, alias: str, from_version: int, to_version: int | None = None
     ) -> DataFrame:
-        """Incremental change feed between two snapshots (Delta CDF analog,
-        computed from the log at FILE granularity): rows of files added in
-        ``(from_version, to_version]`` carry ``_change_type='insert'`` and
-        ``_commit_version`` of the adding commit; rows of files REMOVED in
-        the window (still on disk until vacuum) carry ``'delete'``. The
-        incremental-processing primitive for a 100 TB corpus: a downstream
-        consumer re-reads only the changed files, never the table.
+        """Incremental change feed between two snapshots (Delta CDF).
 
-        Granularity caveat (documented divergence from Delta's
-        ``_change_data``-file CDF): a copy-on-write DML rewrite surfaces as
-        the WHOLE old file deleted + the whole new file inserted — carried
-        rows appear on both sides and cancel under reconciliation by key.
-        Exact row-level diffs would require change files the writer does not
-        produce. A removed file already reclaimed by vacuum fails the read
-        (time-travel-after-vacuum semantics); both versions must also be
-        within retained log history (:func:`deltalog.assert_version_reproducible`).
+        Per the Delta CDF read protocol, each commit in
+        ``(from_version, to_version]`` contributes:
+
+        - its ``cdc`` CHANGE FILES (``_change_data/``, written by this
+          engine's DML on ``delta.enableChangeDataFeed=true`` tables, or by
+          any conforming writer) — row-exact ``_change_type`` of
+          delete / update_preimage / update_postimage / insert; when a
+          commit carries cdc actions they are AUTHORITATIVE for it;
+        - otherwise the DERIVED changes: rows of ``dataChange=true`` adds
+          as ``'insert'``, rows of ``dataChange=true`` removes (still on
+          disk until vacuum) as ``'delete'``. ``dataChange=false`` commits
+          (compaction, recluster) contribute NOTHING — rewrites never
+          re-feed the table to downstream consumers.
+
+        Every row carries ``_commit_version``. The incremental-processing
+        primitive for a 100 TB corpus: a consumer re-reads only change
+        files and changed data files, never the table. A file already
+        reclaimed by vacuum fails the read (time-travel-after-vacuum
+        semantics); both versions must be within retained log history
+        (:func:`deltalog.assert_version_reproducible`).
         """
         path = self.resolve(alias)
         to_version = (
@@ -449,66 +455,94 @@ class Engine:
             & (F.col("version") <= F.lit(to_version))
         )
         schema = self._table_schema(path)
-
-        def rows_for(action: str, change_type: str) -> DataFrame | None:
-            limit = self.large_listing_threshold
-            files = (
-                log.filter(F.col(action).isNotNull())
-                .select(
-                    F.col(f"{action}.path").alias("path"),
-                    "version",
-                    F.col(f"{action}.deletionVector.storageType").alias("_dv"),
-                )
-                .limit(limit + 1)
-                .collect()
+        limit = self.large_listing_threshold
+        actions = (
+            log.select(
+                "version",
+                F.col("add.path").alias("add_path"),
+                F.col("add.dataChange").alias("add_dc"),
+                F.col("add.deletionVector.storageType").alias("add_dv"),
+                F.col("remove.path").alias("rm_path"),
+                F.col("remove.dataChange").alias("rm_dc"),
+                F.col("remove.deletionVector.storageType").alias("rm_dv"),
+                F.col("cdc.path").alias("cdc_path"),
             )
-            if any(r["_dv"] is not None for r in files):
-                # a DV commit changes row LIVENESS inside an unchanged file —
-                # file-granularity CDF cannot express that (it would emit the
-                # whole file on both sides with the wrong row sets)
-                raise UnsupportedProtocolError(
-                    path,
-                    f"table_changes window ({from_version}, {to_version}] "
-                    "contains deletion-vector commits; file-granularity CDF "
-                    "cannot represent row-level liveness changes",
-                )
-            if len(files) > limit:
-                raise ValueError(
-                    f"change window ({from_version}, {to_version}] of {alias} "
-                    f"touches more than {limit} files — narrow the window "
-                    "(consume changes more frequently)"
-                )
-            if not files:
-                return None
-            reader = self.spark.read.option("basePath", path)
-            if schema is not None:
-                reader = reader.schema(schema)
-            out = None
-            # one read per commit version (paths grouped), so the version
-            # column stays exact; windows span few commits by construction
-            by_version: dict[int, list[str]] = {}
-            for r in files:
-                by_version.setdefault(int(r["version"]), []).append(
-                    os.path.join(path, r["path"])
-                )
-            for v, paths in sorted(by_version.items()):
-                part = reader.parquet(*paths).withColumns(
-                    {
-                        "_change_type": F.lit(change_type),
-                        "_commit_version": F.lit(v).cast("long"),
-                    }
-                )
-                out = part if out is None else out.unionByName(part)
-            return out
+            .filter(
+                F.col("add_path").isNotNull()
+                | F.col("rm_path").isNotNull()
+                | F.col("cdc_path").isNotNull()
+            )
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(actions) > limit:
+            raise ValueError(
+                f"change window ({from_version}, {to_version}] of {alias} "
+                f"touches more than {limit} files — narrow the window "
+                "(consume changes more frequently)"
+            )
+        if any(r["add_dv"] is not None or r["rm_dv"] is not None for r in actions):
+            # a DV commit changes row LIVENESS inside an unchanged file —
+            # without parsing the before/after vectors, neither change files
+            # nor file-granularity derivation can represent it here
+            raise UnsupportedProtocolError(
+                path,
+                f"table_changes window ({from_version}, {to_version}] "
+                "contains deletion-vector commits; row-level liveness "
+                "changes are not derivable at file granularity",
+            )
+        # group driver-side: commits with cdc actions use ONLY those
+        cdc_by_v: dict[int, list[str]] = {}
+        ins_by_v: dict[int, list[str]] = {}
+        del_by_v: dict[int, list[str]] = {}
+        for r in actions:
+            v = int(r["version"])
+            if r["cdc_path"] is not None:
+                cdc_by_v.setdefault(v, []).append(r["cdc_path"])
+            if r["add_path"] is not None and r["add_dc"] is not False:
+                ins_by_v.setdefault(v, []).append(r["add_path"])
+            if r["rm_path"] is not None and r["rm_dc"] is not False:
+                del_by_v.setdefault(v, []).append(r["rm_path"])
 
-        inserts = rows_for("add", "insert")
-        deletes = rows_for("remove", "delete")
-        if inserts is not None and deletes is not None:
-            return inserts.unionByName(deletes)
-        if inserts is not None:
-            return inserts
-        if deletes is not None:
-            return deletes
+        reader = self.spark.read.option("basePath", path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        parts_df: list[DataFrame] = []
+        # one read per (commit, kind), so the version column stays exact;
+        # windows span few commits by construction
+        for v in sorted(set(cdc_by_v) | set(ins_by_v) | set(del_by_v)):
+            if v in cdc_by_v:
+                cdc_reader = self.spark.read.option("basePath", os.path.join(path, "_change_data"))
+                if schema is not None:
+                    from pyspark.sql import types as T
+
+                    cdc_reader = cdc_reader.schema(
+                        T.StructType(
+                            list(schema.fields)
+                            + [T.StructField("_change_type", T.StringType())]
+                        )
+                    )
+                part = cdc_reader.parquet(
+                    *[os.path.join(path, p) for p in cdc_by_v[v]]
+                ).withColumn("_commit_version", F.lit(v).cast("long"))
+                parts_df.append(part)
+                continue
+            for by, ct in ((ins_by_v, "insert"), (del_by_v, "delete")):
+                if v in by:
+                    part = reader.parquet(
+                        *[os.path.join(path, p) for p in by[v]]
+                    ).withColumns(
+                        {
+                            "_change_type": F.lit(ct),
+                            "_commit_version": F.lit(v).cast("long"),
+                        }
+                    )
+                    parts_df.append(part)
+        if parts_df:
+            out = parts_df[0]
+            for part in parts_df[1:]:
+                out = out.unionByName(part)
+            return out
         empty = self._empty_table(path)
         return empty.withColumns(
             {
@@ -591,15 +625,29 @@ class Engine:
         for k in unset or []:
             conf.pop(k, None)
         meta = deltalog.table_metadata_no_spark(path) or {}
-        version = deltalog.write_commit(
+        # enabling CDF demands writer protocol 4 (Delta semantics): upgrade
+        # in the SAME commit so a raw/non-CDF-producing writer refuses from
+        # this version on instead of committing change-less DML
+        protocol_action = None
+        if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+            proto = deltalog.table_protocol_no_spark(path) or {}
+            if int(proto.get("minWriterVersion") or 1) < 4:
+                protocol_action = {
+                    "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+                    "minWriterVersion": 4,
+                }
+        version = deltalog.write_commit_streamed(
             path,
-            [],
-            [],
+            lambda: iter(()),
+            None,
             schema_json=meta.get("schemaString"),
             partition_cols=list(meta.get("partitionColumns") or []),
             operation="SET TBLPROPERTIES",
             configuration=conf,
             enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            protocol_action=protocol_action,
         )
         self._snapshot_cache.invalidate()
         return version
@@ -692,8 +740,10 @@ class Engine:
             remove_rows,
             operation="RESTORE",
             # RESTORE writes no new rows — only re-adds files that were
-            # committed as constraint-valid in the target version
+            # committed as constraint-valid in the target version; its
+            # full-file adds/removes are CDF-derivable
             enforced_constraints=True,
+            cdf_handled=True,
         )
         self._snapshot_cache.invalidate()
         return new_version
@@ -1336,6 +1386,7 @@ class Engine:
         zorder_by: list[str] | None = None,
         zorder_method: str = "linear",
         txn: dict | None = None,
+        data_change: bool = True,
     ) -> int:
         """Governed write: blocked when read-only (ref src/main.rs:941-948);
         otherwise parquet write + Delta log commit. Returns the new version.
@@ -1425,12 +1476,19 @@ class Engine:
             moved = self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+        adds = [
+            {**deltalog.add_action_for(path, rel, parts_phys), "dataChange": data_change}
+            for rel in moved
+        ]
         # Delta semantics: an overwrite TOMBSTONES the previous live files in
         # the log but leaves them on disk — old versions stay time-travel
         # readable until vacuum() reclaims unreferenced files.
+        # ``data_change=False`` (compaction/recluster: same rows, new files)
+        # marks both sides so CDF readers and streams skip the commit.
         removes = (
-            [{"path": p} for p in sorted(prev_live)] if mode == "overwrite" else []
+            [{"path": p, "dataChange": data_change} for p in sorted(prev_live)]
+            if mode == "overwrite"
+            else []
         )
         version = self._commit_moved(
             path,
@@ -1444,6 +1502,10 @@ class Engine:
             enforced_constraints=enforced,
             mapped_write=bool(l2p),
             enforced_generated=enforced_gen,
+            # appends and full-file overwrites are CDF-DERIVABLE commits
+            # (inserts from dataChange adds, deletes from full-file removes)
+            # — no change files needed, per the Delta CDF read protocol
+            cdf_handled=True,
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -1480,6 +1542,52 @@ class Engine:
             else:
                 df = df.withColumn(name, col)
         return df, bool(gens)
+
+    def _cdf_enabled(self, path: str) -> bool:
+        """Whether the table demands change-data files
+        (``delta.enableChangeDataFeed=true``)."""
+        return (
+            str(
+                deltalog.table_configuration_no_spark(path).get(
+                    "delta.enableChangeDataFeed", ""
+                )
+            ).lower()
+            == "true"
+        )
+
+    CDC_DIR = "_change_data"
+
+    def _write_cdc(self, path: str, cdc_df: DataFrame, parts: list[str]) -> list[dict]:
+        """Write change rows (table columns + ``_change_type``) as Delta CDF
+        change files under ``_change_data/`` and return their ``cdc``
+        actions. Partitioned like the table; the files never enter the
+        table state (``dataChange=false``) — only :meth:`table_changes`
+        reads them. Underscore-prefixed, so directory listings and plain
+        readers skip them, exactly like ``_delta_log``."""
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-cdc-{uuid.uuid4().hex}"
+        )
+        writer = cdc_df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, os.path.join(path, self.CDC_DIR))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        out = []
+        for rel in moved:
+            full = os.path.join(path, self.CDC_DIR, rel)
+            out.append(
+                {
+                    "path": f"{self.CDC_DIR}/{rel}",
+                    "partitionValues": deltalog.partition_values_from_path(
+                        rel, list(parts)
+                    ),
+                    "size": os.path.getsize(full),
+                }
+            )
+        return out
 
     def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
         """Validate ``df`` (the rows about to be written) against the
@@ -1609,6 +1717,29 @@ class Engine:
                 rewrite = survivors.unionByName(source)
             else:
                 rewrite = source  # pure insert
+            cdc_actions = None
+            if self._cdf_enabled(path):
+                # Delta CDF for MERGE: replaced target rows as
+                # update_preimage, their source replacements as
+                # update_postimage, unmatched source rows as insert
+                matched_target = (
+                    self._rows_in_files(target, touched_uris, touched_df)
+                    .drop("_file")
+                    .join(keys, on=on, how="left_semi")
+                )
+                tkeys = matched_target.select(*on).dropDuplicates()
+                pre = matched_target.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = source.join(tkeys, on=on, how="left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = source.join(tkeys, on=on, how="left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                cdc_actions = self._write_cdc(
+                    path, pre.unionByName(post).unionByName(ins), parts
+                )
             enforced = self._enforce_check_constraints(path, rewrite)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
@@ -1630,6 +1761,8 @@ class Engine:
                 partition_cols=list(parts),
                 operation="MERGE",
                 enforced_constraints=enforced,
+                cdc_adds=cdc_actions,
+                cdf_handled=True,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -1657,6 +1790,18 @@ class Engine:
                 .filter(~condition)
                 .drop("_file")
             )
+            cdc_actions = None
+            if self._cdf_enabled(path):
+                # Delta CDF: a partial-file DELETE must record the deleted
+                # ROWS as change files (file-granularity derivation would
+                # wrongly re-feed the survivors)
+                deleted = (
+                    self._rows_in_files(target, touched_uris, touched_df)
+                    .filter(condition)
+                    .drop("_file")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdc_actions = self._write_cdc(path, deleted, parts)
             enforced = self._enforce_check_constraints(path, survivors)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
@@ -1678,6 +1823,8 @@ class Engine:
                 partition_cols=list(parts),
                 operation="DELETE",
                 enforced_constraints=enforced,
+                cdc_adds=cdc_actions,
+                cdf_handled=True,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -1724,6 +1871,22 @@ class Engine:
                     for c, expr in assignments.items()
                 }
             ).drop("_file")
+            cdc_actions = None
+            if self._cdf_enabled(path):
+                # Delta CDF: preimage + postimage rows of every matched row
+                matched = (
+                    self._rows_in_files(target, touched_uris, touched_df)
+                    .filter(condition)
+                    .drop("_file")
+                )
+                pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+                post = matched.withColumns(
+                    {
+                        c: expr.cast(dict(target.dtypes)[c])
+                        for c, expr in assignments.items()
+                    }
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
             enforced = self._enforce_check_constraints(path, rewritten)
             staging = os.path.join(
                 os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
@@ -1745,6 +1908,8 @@ class Engine:
                 partition_cols=list(parts),
                 operation="UPDATE",
                 enforced_constraints=enforced,
+                cdc_adds=cdc_actions,
+                cdf_handled=True,
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -1849,7 +2014,14 @@ class Engine:
             df = df.repartition(files_per_partition)
         read_only, self.config.read_only = self.config.read_only, False
         try:
-            return self.write_table(alias, df, mode="overwrite", partition_by=list(parts))
+            # same rows, new files: dataChange=false, so CDF readers and
+            # incremental streams skip the compaction (Delta OPTIMIZE
+            # semantics — without this every compaction would re-feed the
+            # whole table to downstream consumers)
+            return self.write_table(
+                alias, df, mode="overwrite", partition_by=list(parts),
+                data_change=False,
+            )
         finally:
             self.config.read_only = read_only
 
@@ -2093,15 +2265,25 @@ class Engine:
 
         ``removes`` may be a list of remove actions OR a re-callable factory
         of them (broad-predicate DML streams relative paths through
-        ``write_commit_streamed`` instead of holding them on the driver)."""
+        ``write_commit_streamed`` instead of holding them on the driver).
+        ``cdc_adds`` (change-data actions, Delta CDF) are committed with the
+        same atomicity and their files cleaned up on failure too."""
+        cdc_adds = kwargs.pop("cdc_adds", None)
+        cleanup = list(moved) + [c["path"] for c in (cdc_adds or [])]
         try:
             if callable(removes):
                 return deltalog.write_commit_streamed(
-                    path, lambda: iter(adds), removes, **kwargs
+                    path,
+                    lambda: iter(adds),
+                    removes,
+                    cdc_adds_fn=(lambda: iter(cdc_adds)) if cdc_adds else None,
+                    **kwargs,
                 )
-            return deltalog.write_commit(path, adds, removes, **kwargs)
+            return deltalog.write_commit(
+                path, adds, removes, cdc_adds=cdc_adds, **kwargs
+            )
         except BaseException:
-            for rel in moved:
+            for rel in cleanup:
                 try:
                     os.remove(os.path.join(path, rel))
                 except OSError:

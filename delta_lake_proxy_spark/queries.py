@@ -1889,23 +1889,54 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_changes",
     f"""
-    SELECT ct AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
-           l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
-    FROM lineitem CROSS JOIN (SELECT unnest(['insert', 'delete']) AS ct) t
-    GROUP BY 1, 2, 3
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+           COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM base WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'update_preimage', CAST(3 AS BIGINT),
+           COUNT(*), {_sql_dsum('l_quantity')}
+    FROM base WHERE l_returnflag = 'N'
+    UNION ALL
+    SELECT 'update_postimage', CAST(3 AS BIGINT),
+           COUNT(*), {_sql_dsum('l_quantity * 2')}
+    FROM base WHERE l_returnflag = 'N'
     """,
 )
 def table_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9 change data feed (Delta CDF analog, file-granular): the governed
-    fixture's compaction commit (version 1) rewrote every file, so the
-    window (0, 1] yields each row once as 'delete' (the version-0 file set,
-    still on disk until vacuum) and once as 'insert' (the rewritten files) —
-    the oracle reconstructs both sides from the base table. Certifies change
-    typing, commit-version stamping, and that removed-but-unvacuumed files
-    remain readable for incremental consumers."""
-    eng = governed_engine(spark, sf_dir)
-    cdf = eng.table_changes(GOV_ALIAS, from_version=0, to_version=1)
-    return cdf.groupBy("_change_type", "_commit_version", "l_returnflag").agg(
+    """G9 change data feed — REAL Delta CDF (round-7 upgrade from the
+    file-granular analog): a scratch table is created (v0), CDF is enabled
+    (v1 — SET TBLPROPERTIES plus the writer-4 protocol upgrade Delta
+    demands), then a DELETE (v2) and an UPDATE (v3) write row-exact change
+    files under ``_change_data/``. ``table_changes(1, 3)`` serves the
+    deleted rows and the update pre/post images FROM THOSE FILES, stamped
+    with their commit versions; the oracle reconstructs all three change
+    sets from the base table. Compaction and other dataChange=false
+    rewrites contribute nothing (pytest-pinned)."""
+    import tempfile as _tf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .filter(F.col("l_orderkey") % 7 == 0)
+    )
+    scratch = os.path.join(_tf.mkdtemp(prefix="graft_cdf_"), "t")
+    write_governed_table(spark, li.repartition(2), scratch, [])
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"cdf_t": scratch}, read_only=False)
+    )
+    eng.set_table_properties("cdf_t", {"delta.enableChangeDataFeed": "true"})
+    eng.delete("cdf_t", F.col("l_returnflag") == "A")
+    eng.update(
+        "cdf_t",
+        F.col("l_returnflag") == "N",
+        {"l_quantity": F.col("l_quantity") * 2},
+    )
+    cdf = eng.table_changes("cdf_t", from_version=1, to_version=3)
+    return cdf.groupBy("_change_type", "_commit_version").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )

@@ -565,8 +565,12 @@ class GovernedStreamReader(DataSourceStreamReader):
                     continue
                 action = json.loads(line)
                 if "add" in action:
+                    if action["add"].get("dataChange") is False:
+                        continue  # compaction re-add: rows already served
                     state[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
+                    if action["remove"].get("dataChange") is False:
+                        continue  # compaction tombstone: no row change
                     if action["remove"]["path"] in state:
                         del state[action["remove"]["path"]]  # add+remove: never serve
                     elif not self.ignore_changes:
@@ -610,8 +614,12 @@ class GovernedStreamReader(DataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action:
+                        if action["add"].get("dataChange") is False:
+                            continue  # compaction re-add: rows already served
                         state[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
+                        if action["remove"].get("dataChange") is False:
+                            continue  # compaction tombstone: no row change
                         if action["remove"]["path"] in state:
                             state.pop(action["remove"]["path"])
                         elif not self.ignore_changes:
