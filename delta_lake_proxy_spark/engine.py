@@ -345,6 +345,7 @@ class Engine:
         ignore_changes: bool = False,
         starting_version: "int | str | None" = None,
         starting_timestamp: "int | float | str | None" = None,
+        read_change_feed: bool = False,
     ) -> DataFrame:
         """Streaming governed read over the LOG CURSOR (preferred over
         :meth:`read_table_stream` for governed tables): registers the
@@ -392,6 +393,10 @@ class Engine:
             reader = reader.option("startingVersion", str(starting_version))
         if starting_timestamp is not None:
             reader = reader.option("startingTimestamp", str(starting_timestamp))
+        if read_change_feed:
+            # Delta's streaming CDF: rows gain _change_type/_commit_version,
+            # DML commits feed their change files, deletes arrive AS deletes
+            reader = reader.option("readChangeFeed", "true")
         return reader.load()
 
     def governed_batch_filter(self, alias: str, user: str = acl.ANONYMOUS):

@@ -484,6 +484,12 @@ class GovernedStreamReader(DataSourceStreamReader):
         self.ignore_changes = _truthy(
             _opt(options, "ignoreChanges", default=False)
         ) or _truthy(_opt(options, "ignoreDeletes", default=False))
+        # readChangeFeed=true: serve the CHANGE FEED instead of the table —
+        # rows gain _change_type/_commit_version, commits with cdc actions
+        # serve their change files, removes feed their rows as 'delete'
+        # (no ignoreChanges needed: deletes are legitimate feed items), and
+        # the bootstrap snapshot arrives as 'insert' rows.
+        self.read_change_feed = _truthy(_opt(options, "readChangeFeed", default=False))
         sv = _opt(options, "startingVersion")
         st = _opt(options, "startingTimestamp")
         if sv is not None and st is not None:
@@ -510,14 +516,29 @@ class GovernedStreamReader(DataSourceStreamReader):
         out.sort(key=lambda a: a["path"])
         return out
 
+    @staticmethod
+    def _feed_entry(add: dict, change_type: str | None, version: int) -> dict:
+        """Copy of an add action whose partitionValues carry the feed
+        pseudo-columns: the executor read fills schema fields missing from
+        the file from partitionValues, so _change_type (unless the file has
+        it — cdc files do) and _commit_version materialize with zero extra
+        machinery."""
+        pv = dict(add.get("partitionValues") or {})
+        if change_type is not None:
+            pv["_change_type"] = change_type
+        pv["_commit_version"] = str(version)
+        return {**add, "partitionValues": pv}
+
     def _snapshot_list(self, version: int) -> list[dict]:
-        """Bootstrap window: the allowed live snapshot at ``version``."""
+        """Bootstrap window: the allowed live snapshot at ``version`` (as
+        'insert' rows at that version in change-feed mode)."""
         if version not in self._snap_cache:
             deltalog.assert_version_reproducible(self.path, version)
+            adds = deltalog._live_adds_no_spark(self.path, max_version=version).values()
+            if self.read_change_feed:
+                adds = [self._feed_entry(a, "insert", version) for a in adds]
             self._snap_cache = {
-                version: self._allowed(
-                    deltalog._live_adds_no_spark(self.path, max_version=version).values()
-                )
+                version: self._allowed(adds)
             }  # keep exactly one snapshot materialized
         return self._snap_cache[version]
 
@@ -548,9 +569,16 @@ class GovernedStreamReader(DataSourceStreamReader):
         alone. Missing commit JSON (log cleanup), protocol upgrades, and
         incompatible mid-stream schema changes fail loudly; a remove of a
         path NOT added by this same commit is a non-append change and fails
-        unless ignoreDeletes/ignoreChanges."""
+        unless ignoreDeletes/ignoreChanges. In change-feed mode the window
+        is the commit's CHANGE SET instead (see _commit_list_cdf)."""
         if version in self._commit_cache:
             return self._commit_cache[version]
+        if self.read_change_feed:
+            out = self._commit_list_cdf(version)
+            if len(self._commit_cache) >= self._COMMIT_CACHE_MAX:
+                self._commit_cache.pop(next(iter(self._commit_cache)))
+            self._commit_cache[version] = out
+            return out
         p = os.path.join(deltalog.log_path(self.path), f"{version:020d}.json")
         if not os.path.exists(p):
             raise ValueError(
@@ -591,6 +619,65 @@ class GovernedStreamReader(DataSourceStreamReader):
             self._commit_cache.pop(next(iter(self._commit_cache)))
         self._commit_cache[version] = out
         return out
+
+    def _commit_list_cdf(self, version: int) -> list[dict]:
+        """Change-feed window of ONE commit (Delta CDF read protocol): cdc
+        change files when the commit carries them (authoritative — their
+        _change_type column serves as-is), else dataChange adds as 'insert'
+        plus the rows of dataChange removes as 'delete' (the removed files,
+        still on disk until vacuum, with partitionValues/size resolved from
+        the prior snapshot). dataChange=false commits (compaction) yield an
+        EMPTY window."""
+        p = os.path.join(deltalog.log_path(self.path), f"{version:020d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"stream offset predates log retention at {self.path}: commit "
+                f"{version} was cleaned up — restart the stream from a fresh "
+                "checkpoint"
+            )
+        cdc: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action or "remove" in action:
+                    a = action.get("add") or action.get("remove")
+                    if a.get("dataChange") is False:
+                        continue
+                    if (a.get("deletionVector") or {}).get("storageType"):
+                        raise ValueError(
+                            f"commit {version} at {self.path} uses deletion "
+                            "vectors: row-level liveness changes are not "
+                            "derivable as a change feed at file granularity"
+                        )
+                    (adds if "add" in action else removes).append(a)
+                elif "cdc" in action:
+                    cdc.append(action["cdc"])
+                elif "protocol" in action:
+                    deltalog.check_protocol_action(self.path, action["protocol"])
+                elif "metaData" in action:
+                    self._check_schema_change(action["metaData"], version)
+        if cdc:
+            entries = [self._feed_entry(c, None, version) for c in cdc]
+        else:
+            entries = [self._feed_entry(a, "insert", version) for a in adds]
+            if removes:
+                prev = deltalog._live_adds_no_spark(
+                    self.path, max_version=version - 1
+                )
+                for r in removes:
+                    a = prev.get(r["path"])
+                    if a is None:
+                        raise ValueError(
+                            f"commit {version} at {self.path} removes "
+                            f"{r['path']!r}, which is not in the prior "
+                            "snapshot — cannot reconstruct its deleted rows"
+                        )
+                    entries.append(self._feed_entry(a, "delete", version))
+        return self._allowed(entries)
 
     def _adds_in_range(self, start: int, end: int) -> list[dict]:
         """Legacy (un-indexed) window: net-new live adds from commits in
@@ -788,7 +875,7 @@ class GovernedStreamReader(DataSourceStreamReader):
             elif si is not None:
                 L = self._commit_list(sv)
                 adds.extend(L[si:])
-            if si is None and not ssnap and ei is None:
+            if si is None and not ssnap and ei is None and not self.read_change_feed:
                 # pure legacy incremental range: reconciled multi-commit
                 # window (pre-admission-control semantics, same offsets)
                 adds.extend(self._allowed(self._adds_in_range(sv, ev)))
@@ -1053,9 +1140,22 @@ class GovernedDataSource(DataSource):
                 f"no logged schema at {self.options['path']} — the governed "
                 "source serves Delta-logged tables only"
             )
+        if _truthy(_opt(self.options, "readChangeFeed", default=False)):
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
         return schema
 
     def reader(self, schema: T.StructType) -> GovernedReader:
+        if _truthy(_opt(self.options, "readChangeFeed", default=False)):
+            raise ValueError(
+                "readChangeFeed is a streaming option here; for batch change "
+                "reads use Engine.table_changes"
+            )
         return GovernedReader(schema, self.options)
 
     def streamReader(self, schema: T.StructType) -> GovernedStreamReader:

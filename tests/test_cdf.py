@@ -212,3 +212,105 @@ def test_vacuum_reclaims_cdc_files_past_retention(cdf_table):
     assert remaining == []
     # the table itself is intact
     assert eng.read_table("t").count() == 17
+
+
+def test_streaming_change_feed(cdf_table, spark, tmp_path):
+    """readChangeFeed streaming: bootstrap arrives as 'insert' at the
+    starting snapshot version, a DELETE feeds its change-file rows AS
+    deletes (no ignoreChanges needed), compaction feeds nothing, and an
+    append feeds derived inserts — each stamped with its commit version."""
+    eng, path = cdf_table
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("governed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = run_once()  # bootstrap at v1 (create + property commits)
+    assert got.count() == 20
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
+    assert {r["_commit_version"] for r in got.collect()} == {1}
+
+    eng.delete("t", F.col("id") < 3)  # v2: cdc delete rows
+    got = run_once()
+    dels = got.filter(F.col("_change_type") == "delete").collect()
+    assert sorted(r["id"] for r in dels) == [0, 1, 2]
+    assert all(r["_commit_version"] == 2 for r in dels)
+
+    before = run_once().count()
+    eng.compact_table("t", files_per_partition=1)  # v3: dataChange=false
+    assert run_once().count() == before  # nothing fed
+
+    eng.write_table(
+        "t",
+        spark.createDataFrame([(77, 7.0, "A")], "id long, val double, part string"),
+        mode="append",
+    )  # v4
+    got = run_once()
+    ins = got.filter(
+        (F.col("_change_type") == "insert") & (F.col("_commit_version") == 4)
+    ).collect()
+    assert [r["id"] for r in ins] == [77]
+
+
+def test_streaming_change_feed_update_images(cdf_table, spark, tmp_path):
+    eng, path = cdf_table
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("governed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    run_once()  # position at the tip, skip the snapshot
+    eng.update("t", F.col("id") == 4, {"val": F.col("val") + 100})
+    got = run_once()
+    by_type = {r["_change_type"]: r for r in got.collect()}
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"]["val"] == 4.0
+    assert by_type["update_postimage"]["val"] == 104.0
+
+
+def test_batch_reader_rejects_read_change_feed(cdf_table, spark):
+    eng, path = cdf_table
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    with pytest.raises(Exception, match="table_changes"):
+        (
+            spark.read.format("governed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )
