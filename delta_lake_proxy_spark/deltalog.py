@@ -645,6 +645,8 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
 
         v = int(ck["version"])
         for ck_file in checkpoint_data_files(table_path, ck):
+            if "add" not in pq.ParquetFile(ck_file).schema_arrow.names:
+                continue  # v2 main file: state lives in the sidecars
             for a in pq.read_table(ck_file, columns=["add"]).column("add").to_pylist():
                 if a is not None:
                     # pyarrow renders map columns as [(k, v), ...]; JSON-
@@ -810,9 +812,19 @@ def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
 # mapping in NAME mode (physical parquet names resolved through the
 # schemaString's delta.columnMapping.physicalName metadata — see
 # column_mapping()) and ID mode (parquet field-id resolution — see
-# column_mapping_field_ids()), and deletion vectors (position filtering
-# through every row-serving read path — see dv.py and the scan paths).
-SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+# column_mapping_field_ids()), deletion vectors (position filtering
+# through every row-serving read path — see dv.py and the scan paths),
+# and timestampNtz (Spark's TimestampNTZType reads the schemaString's
+# timestamp_ntz fields natively — pinned by tests/test_protocol.py).
+SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+    # v2 checkpoints: checkpoint_data_files resolves the uuid-named main
+    # file plus its sidecar actions, every checkpoint consumer guards for
+    # columns the main file may not carry
+    "v2Checkpoint",
+}
 
 
 def check_read_protocol(table_path: str) -> None:
@@ -1346,18 +1358,41 @@ def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
 
 def checkpoint_data_files(table_path: str, ck: dict[str, Any]) -> list[str]:
     """Physical parquet files of the checkpoint described by ``ck``
-    (a ``_last_checkpoint`` dict): the single classic file, or the
-    ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` multi-part set
-    (Delta protocol)."""
+    (a ``_last_checkpoint`` dict): the single classic file, the
+    ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` multi-part set,
+    or a V2 checkpoint ``{v:020d}.checkpoint.<unique>.parquet`` plus every
+    ``_delta_log/_sidecars/`` file its ``sidecar`` actions reference (the
+    add state lives in the sidecars; reader feature ``v2Checkpoint``)."""
     v = int(ck["version"])
     d = log_path(table_path)
     parts = int(ck.get("parts") or 0)
-    if parts <= 1:
-        return [os.path.join(d, f"{v:020d}.checkpoint.parquet")]
-    return [
-        os.path.join(d, f"{v:020d}.checkpoint.{p:010d}.{parts:010d}.parquet")
-        for p in range(1, parts + 1)
-    ]
+    if parts > 1:
+        return [
+            os.path.join(d, f"{v:020d}.checkpoint.{p:010d}.{parts:010d}.parquet")
+            for p in range(1, parts + 1)
+        ]
+    classic = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    import glob as _glob
+
+    prefix = f"{v:020d}.checkpoint."
+    for main in sorted(_glob.glob(os.path.join(d, prefix + "*.parquet"))):
+        rest = os.path.basename(main)[len(prefix) : -len(".parquet")]
+        if "." in rest:
+            continue  # multi-part naming (two numeric tokens), not v2
+        import pyarrow.parquet as pq
+
+        files = [main]
+        pf = pq.ParquetFile(main)
+        if "sidecar" in pf.schema_arrow.names:
+            for sc in (
+                pq.read_table(main, columns=["sidecar"]).column("sidecar").to_pylist()
+            ):
+                if sc and sc.get("path"):
+                    files.append(os.path.join(d, "_sidecars", sc["path"]))
+        return files
+    return [classic]  # nothing found: let the caller fail with a clear path
 
 
 def last_checkpoint(table_path: str) -> dict[str, Any] | None:
@@ -1387,6 +1422,16 @@ def write_checkpoint(
     version = latest_version(table_path)
     if version < 0:
         raise ValueError(f"no commits to checkpoint at {table_path}")
+    proto = table_protocol_no_spark(table_path) or {}
+    if "v2Checkpoint" in (proto.get("readerFeatures") or []):
+        # the v2Checkpoint feature FORBIDS classic checkpoints (readers of
+        # the table may rely on v2 resolution); reads of existing v2
+        # checkpoints are supported, producing them is not
+        raise UnsupportedProtocolError(
+            table_path,
+            "table demands v2 checkpoints; writing a classic checkpoint "
+            "would violate its v2Checkpoint feature",
+        )
     # Checkpoint-AWARE replay (prior checkpoint + JSON tail): after a
     # cleanup_log, pre-checkpoint JSON commits are gone, so a full-JSON
     # replay would silently rebuild a partial snapshot.

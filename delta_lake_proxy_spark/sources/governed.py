@@ -122,6 +122,8 @@ def _logged_schema(table_path: str) -> T.StructType | None:
         import pyarrow.parquet as pq
 
         for ck_file in deltalog.checkpoint_data_files(table_path, ck):
+            if "metaData" not in pq.ParquetFile(ck_file).schema_arrow.names:
+                continue  # v2 sidecar files carry only add/remove state
             for m in (
                 pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist()
             ):
@@ -928,6 +930,8 @@ def _logged_partition_cols(table_path: str) -> list[str]:
         import pyarrow.parquet as pq
 
         for ck_file in deltalog.checkpoint_data_files(table_path, ck):
+            if "metaData" not in pq.ParquetFile(ck_file).schema_arrow.names:
+                continue  # v2 sidecar files carry only add/remove state
             for m in (
                 pq.read_table(ck_file, columns=["metaData"]).column("metaData").to_pylist()
             ):

@@ -87,8 +87,8 @@ READER3 = {
 READER3_UNKNOWN = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
-    "readerFeatures": ["v2Checkpoint"],
-    "writerFeatures": ["v2Checkpoint"],
+    "readerFeatures": ["variantType"],
+    "writerFeatures": ["variantType"],
 }
 WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
 WRITER_FEATS = {
@@ -682,9 +682,276 @@ def test_generated_column_raw_commit_refused(tmp_path):
         deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
 
 
-def test_writer4_cdf_enabled_refused(spark, tmp_path):
+def test_writer4_cdf_enabled_append_derives_raw_refuses(spark, tmp_path):
+    """Since the round-7 CDF work, an ENGINE append to a CDF-enabled
+    writer-4 table is legitimate (inserts derive from dataChange adds, no
+    change files needed) — and the generated column still computes. A raw
+    log-level commit cannot prove CDF handling and keeps refusing."""
     path = _gen_table(tmp_path, extra_conf={"delta.enableChangeDataFeed": "true"})
     eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
     df = spark.createDataFrame([(5, "B")], "id long, part string")
-    with pytest.raises(UnsupportedProtocolError, match="minWriterVersion|[Cc]hange"):
-        eng.write_table("t", df, mode="append")
+    eng.write_table("t", df, mode="append")
+    feed = eng.table_changes("t", from_version=0).collect()
+    assert [(r["_change_type"], r["id"], r["twice"]) for r in feed] == [
+        ("insert", 5, 10)
+    ]
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+
+
+# -- timestampNtz reader feature (round 7) ----------------------------------
+
+
+def test_timestamp_ntz_table_readable(spark, tmp_path):
+    """Reader-3 feature timestampNtz: schemaString timestamp_ntz fields map
+    to Spark's TimestampNTZType and read natively through the engine and
+    the governed source."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ntz")
+    rel = "part-00000.parquet"
+    os.makedirs(root, exist_ok=True)
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, i) for i in range(3)]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),  # no timezone: NTZ
+            }
+        ),
+        os.path.join(root, rel),
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "ts", "type": "timestamp_ntz", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "ntz-test",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
+    df = eng.read_table("t")
+    assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
+    rows = sorted((r["id"], r["ts"]) for r in df.collect())
+    assert rows[0] == (1, ts[0]) and rows[2][1] == ts[2]
+    # governed source too
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", root).load().collect()
+    assert sorted(r["id"] for r in got) == [1, 2, 3]
+    assert sorted(r["ts"] for r in got)[1] == ts[1]
+    # writes still refuse (writer 7 + unconsumed feature)
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.write_commit(root, adds=[], removes=[{"path": "x"}])
+
+
+# -- v2 checkpoints (round 7): uuid-named main file + sidecars --------------
+
+
+def make_v2_checkpoint_table(root: str) -> str:
+    """A foreign table whose snapshot at v1 is captured by a V2 CHECKPOINT:
+    uuid-named main parquet holding checkpointMetadata/protocol/metaData
+    plus ``sidecar`` actions; the add state lives in two sidecar files
+    under ``_delta_log/_sidecars/``. The pre-checkpoint JSON commits are
+    DELETED, so every read must resolve through the v2 layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rels = {}
+    for i, rel in enumerate(
+        ["part-a.parquet", "part-b.parquet", "part-c.parquet"]
+    ):
+        rels[rel] = _write_parquet(os.path.join(root, rel), [i * 10, i * 10 + 1])
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    logd = os.path.join(root, "_delta_log")
+    sidecars = os.path.join(logd, "_sidecars")
+    os.makedirs(sidecars, exist_ok=True)
+
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
+    def add_rows(names):
+        return pa.array(
+            [
+                {
+                    "path": r,
+                    "partitionValues": [],
+                    "size": rels[r],
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+                for r in names
+            ],
+            type=add_type,
+        )
+
+    pq.write_table(
+        pa.table({"add": add_rows(["part-a.parquet"])}),
+        os.path.join(sidecars, "sc-1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"add": add_rows(["part-b.parquet", "part-c.parquet"])}),
+        os.path.join(sidecars, "sc-2.parquet"),
+    )
+
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    side_type = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64()), ("modificationTime", pa.int64())]
+    )
+    ckmeta_type = pa.struct([("version", pa.int64())])
+    proto_val = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta_val = {
+        "id": "v2-test",
+        "format": {"provider": "parquet"},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": [],
+        "createdTime": 1700000000000,
+    }
+    rows = {
+        "checkpointMetadata": pa.array([{"version": 1}, None, None, None, None], type=ckmeta_type),
+        "protocol": pa.array([None, proto_val, None, None, None], type=proto_type),
+        "metaData": pa.array([None, None, meta_val, None, None], type=meta_type),
+        "sidecar": pa.array(
+            [
+                None,
+                None,
+                None,
+                {"path": "sc-1.parquet", "sizeInBytes": 1, "modificationTime": 1},
+                {"path": "sc-2.parquet", "sizeInBytes": 1, "modificationTime": 1},
+            ],
+            type=side_type,
+        ),
+    }
+    pq.write_table(
+        pa.table(rows),
+        os.path.join(logd, "00000000000000000001.checkpoint.80a083e8.parquet"),
+    )
+    with open(os.path.join(logd, "_last_checkpoint"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"version": 1, "size": 5}))
+    # post-checkpoint JSON commit: one more file (composition check)
+    rel_d = "part-d.parquet"
+    size_d = _write_parquet(os.path.join(root, rel_d), [100])
+    with open(os.path.join(logd, "00000000000000000002.json"), "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel_d,
+                        "partitionValues": {},
+                        "size": size_d,
+                        "modificationTime": 1700000000500,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    return root
+
+
+def test_v2_checkpoint_reads(spark, tmp_path):
+    root = make_v2_checkpoint_table(str(tmp_path / "t"))
+    # driver-side replay resolves main + sidecars
+    live = deltalog._live_adds_no_spark(root)
+    assert sorted(live) == [
+        "part-a.parquet", "part-b.parquet", "part-c.parquet", "part-d.parquet"
+    ]
+    # metadata + protocol resolved from the v2 main file
+    assert deltalog.table_metadata_no_spark(root)["id"] == "v2-test"
+    proto = deltalog.table_protocol_no_spark(root)
+    assert proto["readerFeatures"] == ["v2Checkpoint"]
+    # Spark replay and full engine read
+    snap = {r["path"] for r in deltalog.snapshot_files(spark, root).collect()}
+    assert len(snap) == 4
+    eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == [
+        0, 1, 10, 11, 20, 21, 100
+    ]
+    # governed source too
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", root).load()
+    assert got.count() == 7
+
+
+def test_v2_checkpoint_refuses_classic_checkpoint_write(spark, tmp_path):
+    root = make_v2_checkpoint_table(str(tmp_path / "t"))
+    with pytest.raises(UnsupportedProtocolError, match="v2Checkpoint"):
+        deltalog.write_checkpoint(spark, root)
