@@ -161,6 +161,10 @@ LOG_SCHEMA = T.StructType(
                 [
                     T.StructField("operation", T.StringType()),
                     T.StructField("timestamp", T.LongType()),
+                    # in-commit timestamps (Delta writer feature): when a
+                    # table carries them, THEY are authoritative for
+                    # timestamp-based time travel, not the wall-clock field
+                    T.StructField("inCommitTimestamp", T.LongType()),
                 ]
             ),
         ),
@@ -1289,17 +1293,19 @@ def version_at_timestamp(
     mirroring Delta's out-of-range ``timestampAsOf`` error — resolving it
     silently to "latest" would hide that the table has no state at that
     time yet."""
+    # inCommitTimestamp (Delta ICT feature) is authoritative when present —
+    # monotonic across commits by construction, unlike wall-clock timestamps
+    ts_col = F.coalesce(
+        F.col("commitInfo.inCommitTimestamp"), F.col("commitInfo.timestamp")
+    )
     row = (
         read_log(spark, table_path)
-        .filter(F.col("commitInfo.timestamp").isNotNull())
+        .filter(ts_col.isNotNull())
         .agg(
             F.max(
-                F.when(
-                    F.col("commitInfo.timestamp") <= F.lit(int(ts_millis)),
-                    F.col("version"),
-                )
+                F.when(ts_col <= F.lit(int(ts_millis)), F.col("version"))
             ).alias("v"),
-            F.max("commitInfo.timestamp").alias("max_ts"),
+            F.max(ts_col).alias("max_ts"),
         )
         .collect()[0]
     )

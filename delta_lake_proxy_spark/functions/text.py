@@ -257,6 +257,38 @@ def bm25_topk(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 1024,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping character windows (the RAG /
+    context-window preparation step): one ``posexplode`` over a codegen
+    offset sequence — a map-only pass, no shuffle, no Python. Output:
+    (id, chunk_idx, chunk, chunk_chars); consecutive chunks share
+    ``overlap`` characters, and every character of the source is covered.
+    A corpus-scale chunker is therefore exactly one projection wider than
+    the scan."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("require 0 <= overlap < chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    offsets = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - overlap, F.lit(1)), F.lit(step)
+    )
+    chunk = t.substr(F.col("_off"), F.lit(chunk_chars))
+    return docs.select(
+        F.col(id_col), t, F.posexplode(offsets).alias("chunk_idx", "_off")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_chars"),
+    )
+
+
 def quality_tier(
     score: Column, high: float = 0.55, mid: float = 0.45
 ) -> Column:

@@ -752,7 +752,7 @@ class GovernedStreamReader(DataSourceStreamReader):
                     if '"commitInfo"' not in line[:64]:
                         continue
                     info = json.loads(line).get("commitInfo") or {}
-                    ts = info.get("timestamp")
+                    ts = info.get("inCommitTimestamp", info.get("timestamp"))
                     if ts is not None and int(ts) >= ts_millis:
                         return int(name[:-5])
         return deltalog.latest_version(self.path) + 1

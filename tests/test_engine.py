@@ -1070,3 +1070,37 @@ def test_table_changes_incremental_feed(spark, tmp_path, lineitem):
     deltalog.cleanup_log(path, retention_hours=0.0)
     with _pytest.raises(ValueError, match="no longer reproducible"):
         eng.table_changes("t", 0, 1)
+
+
+def test_timestamp_as_of_honors_in_commit_timestamps(spark, tmp_path, lineitem):
+    """Tables with the inCommitTimestamp writer feature: the ICT field is
+    authoritative for timestampAsOf, not the wall-clock commitInfo
+    timestamp (which may be skewed arbitrarily)."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "ict")
+    write_governed_table(spark, lineitem.limit(10).repartition(1), path, [])
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.write_table("t", lineitem.limit(4), mode="append")  # v1
+    # rewrite commitInfo: wall-clock SKEWED (v1 earlier than v0), ICT sane
+    logd = _os.path.join(path, "_delta_log")
+    for v, (wall, ict) in {0: (5_000_000, 1_000_000), 1: (1_000, 2_000_000)}.items():
+        p = _os.path.join(logd, f"{v:020d}.json")
+        lines = []
+        for line in open(p, encoding="utf-8"):
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = wall
+                a["commitInfo"]["inCommitTimestamp"] = ict
+            lines.append(_json.dumps(a))
+        open(p, "w", encoding="utf-8").write("\n".join(lines) + "\n")
+    eng.invalidate_caches()
+    # by ICT: 1.5M ms resolves to v0 (ICT 1M <= 1.5M < 2M); by the skewed
+    # wall clock it would wrongly resolve to v1
+    assert eng.read_table("t", timestamp_as_of=1500).count() == 10
+    assert eng.read_table("t", timestamp_as_of=2000).count() == 14

@@ -782,3 +782,38 @@ def test_multimodal_scan_rollup(spark):
     out = {r["modality"]: r for r in Q.multimodal_scan(spark, "/root/testdata/sf0.001").collect()}
     assert set(out) == {"image", "audio", "video"}
     assert all(r["n_docs"] > 0 and r["total_bytes"] > 0 for r in out.values())
+
+
+# -- document chunking (round 7) --------------------------------------------
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    import string
+
+    body = (string.ascii_lowercase * 10)[:233]
+    docs = spark.createDataFrame(
+        [(1, body), (2, "tiny")], "doc_id long, text string"
+    )
+    out = text.chunk_documents(docs, chunk_chars=100, overlap=20)
+    chunks = {
+        r["doc_id"]: sorted(
+            ((r2["chunk_idx"], r2["chunk"]) for r2 in out.collect() if r2["doc_id"] == r["doc_id"])
+        )
+        for r in docs.collect()
+    }
+    c1 = [c for _i, c in chunks[1]]
+    # coverage: stitching chunks minus overlaps reconstructs the source
+    rebuilt = c1[0] + "".join(c[20:] for c in c1[1:])
+    assert rebuilt == body
+    # overlap: consecutive chunks share exactly the overlap window
+    for a, b in zip(c1, c1[1:]):
+        assert a[-20:] == b[:20]
+    assert all(len(c) <= 100 for c in c1)
+    # short doc: exactly one whole chunk
+    assert chunks[2] == [(0, "tiny")]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_chars=10, overlap=10)
