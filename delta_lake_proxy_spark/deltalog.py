@@ -828,6 +828,10 @@ SUPPORTED_READER_FEATURES = {
     # file plus its sidecar actions, every checkpoint consumer guards for
     # columns the main file may not carry
     "v2Checkpoint",
+    # Spark 4 reads VARIANT natively on the engine scan path; the governed
+    # pyarrow DataSource cannot represent variant Arrow batches and refuses
+    # such tables with a pointer to Engine.read_table
+    "variantType",
 }
 
 

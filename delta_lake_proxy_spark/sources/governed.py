@@ -134,7 +134,17 @@ def _logged_schema(table_path: str) -> T.StructType | None:
             schema_json = a["metaData"]["schemaString"]
     if not schema_json or schema_json == "{}":
         return None
-    return T.StructType.fromJson(json.loads(schema_json))
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    if "variant" in schema.simpleString():
+        from ..errors import UnsupportedProtocolError
+
+        raise UnsupportedProtocolError(
+            table_path,
+            "the governed DataSource cannot represent VARIANT columns as "
+            "Arrow batches — read this table through Engine.read_table "
+            "(Spark's native scan serves variant)",
+        )
+    return schema
 
 
 def _delta_pv_str(value) -> str | None:
