@@ -832,6 +832,10 @@ SUPPORTED_READER_FEATURES = {
     # pyarrow DataSource cannot represent variant Arrow batches and refuses
     # such tables with a pointer to Engine.read_table
     "variantType",
+    # type widening: the logged (widest) schema is authoritative — Spark's
+    # parquet reader promotes narrow file types natively, the pyarrow
+    # source casts per batch
+    "typeWidening",
 }
 
 

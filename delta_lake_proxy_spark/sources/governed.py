@@ -246,7 +246,22 @@ def _iter_file_batches(
         for field in schema.fields:
             names.append(field.name)
             if phys_of[field.name] in file_cols:
-                cols.append(rb.column(data_names.index(phys_of[field.name])))
+                col = rb.column(data_names.index(phys_of[field.name]))
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                want = to_arrow_type(field.dataType)
+                if col.type != want and (
+                    pa.types.is_integer(col.type)
+                    or pa.types.is_floating(col.type)
+                    or pa.types.is_decimal(col.type)
+                ):
+                    # type widening (Delta reader feature): files written
+                    # before a widen carry the NARROW type; the logged
+                    # schema is authoritative, so promote per batch
+                    import pyarrow.compute as pc
+
+                    col = pc.cast(col, want)
+                cols.append(col)
             else:
                 # partition column: constant from the add action's
                 # partitionValues (string-typed in the log), cast to the

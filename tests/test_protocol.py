@@ -84,11 +84,14 @@ READER3 = {
     "writerFeatures": ["deletionVectors"],
 }
 # a reader feature this engine genuinely does not implement: must refuse
+# catalog-coordinated commits: the filesystem log alone is NOT the source
+# of truth for such tables, so reading one without the catalog would serve
+# a stale or partial snapshot — must refuse.
 READER3_UNKNOWN = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
-    "readerFeatures": ["typeWidening"],
-    "writerFeatures": ["typeWidening"],
+    "readerFeatures": ["catalogManaged"],
+    "writerFeatures": ["catalogManaged"],
 }
 WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
 WRITER_FEATS = {
@@ -1018,3 +1021,94 @@ def test_variant_table_readable_through_engine(spark, tmp_path):
     spark.dataSource.register(GovernedDataSource)
     with pytest.raises(Exception, match="Engine.read_table"):
         spark.read.format("governed").option("path", root).load().collect()
+
+
+# -- typeWidening reader feature (round 7) ----------------------------------
+
+
+def test_type_widened_table_readable(spark, tmp_path):
+    """Files written BEFORE a type widen carry the narrow type; the logged
+    (widest) schema is authoritative. Engine path promotes via Spark's
+    parquet reader, governed source casts per Arrow batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tw")
+    os.makedirs(root, exist_ok=True)
+    # narrow file: int32 id, float32 score
+    rel_n = "part-narrow.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int32()),
+                "score": pa.array([1.5, 2.5], pa.float32()),
+            }
+        ),
+        os.path.join(root, rel_n),
+    )
+    # post-widen file: long id, double score
+    rel_w = "part-wide.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "score": pa.array([3.5], pa.float64()),
+            }
+        ),
+        os.path.join(root, rel_w),
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "score", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "tw-test",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {"delta.enableTypeWidening": "true"},
+                "createdTime": 1700000000000,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        }
+        for rel in (rel_n, rel_w)
+    ]
+    with open(os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
+    df = eng.read_table("t")
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    rows = sorted((r["id"], r["score"]) for r in df.collect())
+    assert rows == [(1, 1.5), (2, 2.5), (3, 3.5)]
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", root).load()
+    assert sorted((r["id"], r["score"]) for r in got.collect()) == rows
