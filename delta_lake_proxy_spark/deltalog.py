@@ -836,6 +836,13 @@ SUPPORTED_READER_FEATURES = {
     # parquet reader promotes narrow file types natively, the pyarrow
     # source casts per batch
     "typeWidening",
+    # vacuumProtocolCheck demands that VACUUM implementations verify the
+    # protocol before reclaiming files: Engine.vacuum resolves the live set
+    # through the protocol-gated replay (an unsupported table fails the
+    # gate before any delete), deletes only data-file parquet (never DV
+    # bins or the log), and cdc files only past retention — the exact
+    # obligations the feature encodes. Reader-side it demands nothing.
+    "vacuumProtocolCheck",
 }
 
 

@@ -152,6 +152,12 @@ DV_BROADCAST_POSITIONS_LIMIT = 5_000_000
 _TOO_MANY_FILES = object()
 
 
+def _is_foreign_path(p: str) -> bool:
+    """An add path that references a file OUTSIDE the table root (absolute
+    path or URI) — how shallow clones reference the source's files."""
+    return p.startswith("/") or "://" in p
+
+
 def _to_epoch_millis(ts: "int | float | str") -> int:
     """Epoch-ms from epoch seconds (int/float) or an ISO-8601 string; naive
     strings are read as UTC (commit timestamps are UTC epoch millis)."""
@@ -753,6 +759,80 @@ class Engine:
         self._snapshot_cache.invalidate()
         return new_version
 
+    def clone_table(
+        self,
+        alias: str,
+        dst_path: str,
+        target_alias: str | None = None,
+        version: int | None = None,
+    ) -> int:
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` analog):
+        commit a NEW table at ``dst_path`` whose add actions reference the
+        source snapshot's data files by ABSOLUTE path — zero bytes copied,
+        O(metadata) cost, the instant-table-copy primitive for experiments
+        over a 100 TB corpus. ``version`` clones a historical snapshot.
+
+        The clone is fully independent afterwards: appends/DML/overwrites
+        commit into ``dst_path`` only (copy-on-write rewrites land under
+        the clone's root; removes tombstone the absolute references), and
+        ``vacuum`` on the clone can never reclaim source files (it only
+        walks the clone's directory). The source table is never modified.
+        Reads of large clones stay on the enumerated-path scan — the
+        listing-join cannot see foreign absolute files and refuses loudly.
+        DV-table clones refuse (descriptors resolve against the source
+        root); ``target_alias`` registers the clone in this engine's
+        mapping."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        src = self.resolve(alias)
+        deltalog.check_read_protocol(src)
+        if self._dv_protocol(src):
+            raise UnsupportedProtocolError(
+                src,
+                "shallow clone of deletion-vector tables is not supported "
+                "(DV descriptors resolve against the source root)",
+            )
+        if self._column_mapping(src):
+            raise UnsupportedProtocolError(
+                src,
+                "shallow clone of column-mapped tables is not supported",
+            )
+        if deltalog.latest_version(dst_path) >= 0:
+            raise ValueError(f"clone destination {dst_path} is already a table")
+        meta = deltalog.table_metadata_no_spark(src) or {}
+        snap = deltalog.snapshot_files(self.spark, src, version=version)
+
+        def adds_fn():
+            # streamed: a 10^7-file clone never materializes driver-side
+            for r in snap.toLocalIterator():
+                p = r["path"]
+                yield {
+                    # absolute reference (clone-of-clone keeps its own)
+                    "path": p if p.startswith("/") or "://" in p else os.path.join(src, p),
+                    "partitionValues": dict(r["partitionValues"] or {}),
+                    "size": r["size"],
+                    "modificationTime": r["modificationTime"],
+                    "stats": r["stats"],
+                }
+
+        os.makedirs(dst_path, exist_ok=True)
+        v = deltalog.write_commit_streamed(
+            dst_path,
+            adds_fn,
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="CLONE",
+            configuration=deltalog.table_configuration_no_spark(src),
+            enforced_constraints=True,  # no rows written; source rows were valid
+            enforced_generated=True,
+            cdf_handled=True,
+        )
+        if target_alias:
+            self.config.table_mapping[target_alias] = dst_path
+        self._snapshot_cache.invalidate()
+        return v
+
     def create_governed_view(
         self, alias: str, user: str = acl.ANONYMOUS, view_name: str | None = None
     ) -> str:
@@ -802,7 +882,7 @@ class Engine:
                 # driver memory AND detects overflow in one job)
                 rows = (
                     deltalog.snapshot_files(self.spark, path, version=version)
-                    .select("path", "deletionVector")
+                    .select("path", "deletionVector", "partitionValues")
                     .limit(limit + 1)
                     .collect()
                 )
@@ -818,11 +898,13 @@ class Engine:
                     if live is _TOO_MANY_FILES
                     else list(self._dv_map(path).items())
                 )
+                pv_of = None  # resolved lazily from the cached live adds
             else:
                 rows = compute_versioned()
                 if rows is _TOO_MANY_FILES:
                     live = _TOO_MANY_FILES
                     dv_items = None
+                    pv_of = None
                 else:
                     live = [os.path.join(path, r["path"]) for r in rows]
                     dv_items = [
@@ -831,12 +913,32 @@ class Engine:
                         if r["deletionVector"] is not None
                         and r["deletionVector"]["storageType"] is not None
                     ]
+                    pv_of = {
+                        r["path"]: dict(r["partitionValues"] or {}) for r in rows
+                    }
             if live is _TOO_MANY_FILES:
                 return self._read_data_listing_join(
                     path, version, keep_file_col=keep_file_col
                 )
             if not live:
                 return self._empty_table(path)
+            root_prefix = path.rstrip("/") + "/"
+            if any(not p.startswith(root_prefix) for p in live):
+                # shallow clone: files live under the SOURCE root, so
+                # basePath partition derivation cannot work — partition
+                # values come from the LOG instead (Delta's own model)
+                if pv_of is None:
+                    adds = self._snapshot_cache.get_or_compute(
+                        ("live_files", path),
+                        lambda: deltalog._live_adds_no_spark(path),
+                    )
+                    pv_of = {
+                        r: dict(a.get("partitionValues") or {})
+                        for r, a in adds.items()
+                    }
+                return self._read_clone_enumerated(
+                    path, pv_of, keep_file_col=keep_file_col
+                )
             reader = self.spark.read.option("basePath", path)
             schema = self._table_schema(path)
             phys_schema, l2p = self._physical_schema(path, schema)
@@ -861,6 +963,61 @@ class Engine:
             return self._rename_physical(df, schema, l2p, keep=["_file"])
         df = self.spark.read.option("basePath", path).parquet(path)
         return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
+
+    def _read_clone_enumerated(
+        self, path: str, pv_of: dict[str, dict], keep_file_col: bool = False
+    ) -> DataFrame:
+        """Scan of a snapshot that references files OUTSIDE the table root
+        (shallow clone): partition values come from the log's
+        ``partitionValues`` — the files are read WITHOUT directory-derived
+        partitions (no common basePath exists) and each file's partition
+        constants attach via a broadcast join of the metadata-sized
+        (file -> partition values) map on ``_metadata.file_path``. Plan
+        size O(1) in the file count; the map is the replay we already
+        hold."""
+        from pyspark.sql import types as T
+
+        schema = self._table_schema(path)
+        if schema is None:
+            raise ValueError(f"cloned table {path} has no logged schema")
+        if self._column_mapping(path):
+            raise UnsupportedProtocolError(
+                path, "reading a shallow clone of a column-mapped table is "
+                "not supported"
+            )
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        parts = list(meta.get("partitionColumns") or [])
+
+        def full_of(rel: str) -> str:
+            return rel if _is_foreign_path(rel) else os.path.join(path, rel)
+
+        files = sorted(full_of(r) for r in pv_of)
+        data_fields = [f for f in schema.fields if f.name not in parts]
+        df = self.spark.read.schema(T.StructType(data_fields)).parquet(*files)
+        if keep_file_col:
+            df = df.withColumn("_file", F.input_file_name())
+        if parts:
+            pv_rows = [
+                tuple([full_of(r)] + [pv.get(c) for c in parts])
+                for r, pv in pv_of.items()
+            ]
+            pv_schema = ", ".join(
+                ["`_pv_file` string"] + [f"`__pv_{c}` string" for c in parts]
+            )
+            pvdf = local_df(self.spark, pv_rows, pv_schema)
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", ""
+                )
+            )
+            df = df.withColumn("_pv_file", decoded).join(
+                F.broadcast(pvdf), "_pv_file"
+            )
+            for c in parts:
+                df = df.withColumn(c, F.col(f"__pv_{c}").cast(schema[c].dataType))
+            df = df.drop("_pv_file", *[f"__pv_{c}" for c in parts])
+        keep = ["_file"] if keep_file_col else []
+        return df.select(*[f.name for f in schema.fields], *keep)
 
     def _read_data_listing_join(
         self,
@@ -899,6 +1056,24 @@ class Engine:
         df = reader.parquet(path)
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
+        # shallow clones reference files by ABSOLUTE path: the directory
+        # listing under this root cannot see them, so the semi-join would
+        # silently DROP their rows — fail loudly instead (one tiny probe
+        # job over the metadata-sized replay)
+        if (
+            live.filter(
+                F.col("path").startswith("/") | F.col("path").contains("://")
+            )
+            .limit(1)
+            .count()
+            > 0
+        ):
+            raise ValueError(
+                f"snapshot of {path} references files by absolute path "
+                "(shallow clone) beyond the enumerable-scan threshold — "
+                "materialize the clone (write_table overwrite from a read) "
+                "or raise large_listing_threshold"
+            )
         dv_filter = self._dv_protocol(path)
         live = live.select(F.col("path").alias("_live_rel"))
         if live.count() <= self.listing_join_broadcast_limit:
@@ -1615,10 +1790,27 @@ class Engine:
         """Decode touched-file URIs to table-relative paths, validated against
         the live snapshot — a path that fails to relativize into the live set
         would emit a remove action that never tombstones anything (silently
-        resurrecting deleted rows), so fail loudly instead."""
-        rels = [uri_to_rel(u, path) for u in touched_uris]
+        resurrecting deleted rows), so fail loudly instead. Shallow-clone
+        snapshots reference foreign files by ABSOLUTE path; those match the
+        live set by their decoded absolute form."""
         live = set(deltalog._live_paths_no_spark(path))
-        bogus = [r for r in rels if r not in live]
+        rels: list[str] = []
+        bogus: list[str] = []
+        for u in touched_uris:
+            r = uri_to_rel(u, path)
+            if r in live:
+                rels.append(r)
+                continue
+            parsed = urllib.parse.urlparse(u)
+            local = (
+                urllib.parse.unquote(parsed.path)
+                if parsed.scheme
+                else urllib.parse.unquote(u)
+            )
+            if local in live:
+                rels.append(local)  # absolute (shallow-clone) reference
+            else:
+                bogus.append(r)
         if bogus:
             raise RuntimeError(
                 f"touched files not in live snapshot of {path}: {bogus[:3]} "

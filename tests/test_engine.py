@@ -1104,3 +1104,79 @@ def test_timestamp_as_of_honors_in_commit_timestamps(spark, tmp_path, lineitem):
     # wall clock it would wrongly resolve to v1
     assert eng.read_table("t", timestamp_as_of=1500).count() == 10
     assert eng.read_table("t", timestamp_as_of=2000).count() == 14
+
+
+def test_shallow_clone(spark, tmp_path, lineitem):
+    """Zero-copy clone: reads equal the source, subsequent DML/appends are
+    fully independent, vacuum on the clone never touches source files."""
+    import os as _os
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_governed_table(
+        spark, lineitem.limit(60).repartition(1), src, ["l_returnflag"]
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"s": src}, read_only=False)
+    )
+    n_src = eng.read_table("s").count()
+    v = eng.clone_table("s", dst, target_alias="c")
+    assert v == 0
+    # no data bytes copied: destination holds only the log
+    assert not [
+        f
+        for _r, _d, files in _os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert eng.read_table("c").count() == n_src
+    # partition pruning still works on the clone (pv copied)
+    flags = {
+        r["l_returnflag"]
+        for r in eng.read_table("c").select("l_returnflag").distinct().collect()
+    }
+    assert flags == {
+        r["l_returnflag"]
+        for r in eng.read_table("s").select("l_returnflag").distinct().collect()
+    }
+    # independent append: clone grows, source untouched
+    eng.write_table("c", lineitem.limit(5), mode="append")
+    assert eng.read_table("c").count() == n_src + 5
+    assert eng.read_table("s").count() == n_src
+    # independent DML: delete on the clone tombstones the absolute
+    # reference, rewrites land under the clone's root, source intact
+    eng.delete("c", F.col("l_returnflag") == "A")
+    assert eng.read_table("c").filter(F.col("l_returnflag") == "A").count() == 0
+    assert eng.read_table("s").filter(F.col("l_returnflag") == "A").count() > 0
+    # vacuum on the clone reclaims nothing foreign; source still reads
+    eng.vacuum("c", retention_hours=0)
+    assert eng.read_table("s").count() == n_src
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already a table"):
+        eng.clone_table("s", dst)
+
+
+def test_shallow_clone_respects_acl_and_refuses_dv(spark, tmp_path, lineitem):
+    from delta_lake_proxy_spark.engine import write_governed_table
+    from delta_lake_proxy_spark.errors import UnsupportedProtocolError
+    from tests.test_deletion_vectors import make_dv_table
+
+    src = str(tmp_path / "src")
+    write_governed_table(spark, lineitem.limit(30).repartition(1), src, ["l_returnflag"])
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"s": src},
+            allowed_partitions={"c": [{"l_returnflag": "N"}]},
+            read_only=False,
+        ),
+    )
+    eng.clone_table("s", str(tmp_path / "dst"), target_alias="c")
+    got = eng.read_table("c", user="u")
+    assert {r["l_returnflag"] for r in got.select("l_returnflag").distinct().collect()} == {"N"}
+    dv_path = make_dv_table(str(tmp_path / "dvt"))
+    eng2 = Engine(spark, EngineConfig(table_mapping={"d": dv_path}, read_only=False))
+    with pytest.raises(UnsupportedProtocolError, match="clone"):
+        eng2.clone_table("d", str(tmp_path / "dvc"))

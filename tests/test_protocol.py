@@ -1112,3 +1112,29 @@ def test_type_widened_table_readable(spark, tmp_path):
     spark.dataSource.register(GovernedDataSource)
     got = spark.read.format("governed").option("path", root).load()
     assert sorted((r["id"], r["score"]) for r in got.collect()) == rows
+
+
+def test_vacuum_protocol_check_feature(spark, tmp_path):
+    """vacuumProtocolCheck: readable, and vacuum runs its reclamation
+    through the protocol-gated replay (refusing outright on tables whose
+    protocol the engine cannot honor, before any delete)."""
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["vacuumProtocolCheck"],
+        "writerFeatures": ["vacuumProtocolCheck"],
+    }
+    path = make_table(str(tmp_path / "t"), proto)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    assert eng.read_table("t").count() == 3
+    # an unreferenced stray file is reclaimed; the live file survives
+    stray = os.path.join(path, "part=A", "stray.parquet")
+    _write_parquet(stray, [9])
+    assert eng.vacuum("t", retention_hours=0) == 1
+    assert not os.path.exists(stray)
+    assert eng.read_table("t").count() == 3
+    # an UNSUPPORTED protocol fails vacuum at the gate, before any delete
+    bad = make_table(str(tmp_path / "bad"), READER3_UNKNOWN)
+    eng2 = Engine(spark, EngineConfig(table_mapping={"t": bad}, read_only=False))
+    with pytest.raises(UnsupportedProtocolError):
+        eng2.vacuum("t", retention_hours=0)
