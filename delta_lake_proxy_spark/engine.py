@@ -430,7 +430,12 @@ class Engine:
         return gate
 
     def table_changes(
-        self, alias: str, from_version: int, to_version: int | None = None
+        self,
+        alias: str,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        from_timestamp: "int | float | str | None" = None,
+        to_timestamp: "int | float | str | None" = None,
     ) -> DataFrame:
         """Incremental change feed between two snapshots (Delta CDF).
 
@@ -454,8 +459,29 @@ class Engine:
         reclaimed by vacuum fails the read (time-travel-after-vacuum
         semantics); both versions must be within retained log history
         (:func:`deltalog.assert_version_reproducible`).
+
+        ``from_timestamp`` / ``to_timestamp`` (epoch seconds or ISO-8601,
+        Delta's timestamp-bounded CDF) resolve to versions via the same
+        rule as ``timestampAsOf`` — in-commit timestamps authoritative
+        when present; pass versions OR timestamps per bound, not both.
         """
         path = self.resolve(alias)
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise ValueError("pass either from_version or from_timestamp")
+            # changes AFTER this instant: the window is exclusive of the
+            # resolved version, which is the last commit at-or-before it
+            from_version = deltalog.version_at_timestamp(
+                self.spark, path, _to_epoch_millis(from_timestamp)
+            )
+        if from_version is None:
+            raise ValueError("table_changes requires from_version or from_timestamp")
+        if to_timestamp is not None:
+            if to_version is not None:
+                raise ValueError("pass either to_version or to_timestamp")
+            to_version = deltalog.version_at_timestamp(
+                self.spark, path, _to_epoch_millis(to_timestamp)
+            )
         to_version = (
             deltalog.latest_version(path) if to_version is None else int(to_version)
         )

@@ -314,3 +314,40 @@ def test_batch_reader_rejects_read_change_feed(cdf_table, spark):
             .load()
             .collect()
         )
+
+
+def test_table_changes_timestamp_bounds(cdf_table, spark):
+    """Timestamp-bounded CDF: bounds resolve through the same rule as
+    timestampAsOf (ICT-aware), exclusive start / inclusive end."""
+    import json as _json
+    import os as _os
+
+    eng, path = cdf_table
+    eng.delete("t", F.col("id") < 2)  # v2
+    eng.delete("t", F.col("id") == 5)  # v3
+    # pin deterministic commit timestamps: v ms = (v+1) * 1_000_000
+    logd = _os.path.join(path, "_delta_log")
+    for name in sorted(_os.listdir(logd)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        v = int(name[:-5])
+        p = _os.path.join(logd, name)
+        lines = []
+        for line in open(p, encoding="utf-8"):
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = (v + 1) * 1_000_000
+            lines.append(_json.dumps(a))
+        open(p, "w", encoding="utf-8").write("\n".join(lines) + "\n")
+    eng.invalidate_caches()
+    # (after v2, up to v3]: only the second delete
+    feed = eng.table_changes("t", from_timestamp=3000, to_timestamp=4000)
+    rows = feed.collect()
+    assert [r["id"] for r in rows] == [5]
+    assert rows[0]["_commit_version"] == 3
+    with pytest.raises(ValueError, match="from_version or from_timestamp"):
+        eng.table_changes("t")
+    with pytest.raises(ValueError, match="either from_version"):
+        eng.table_changes("t", from_version=1, from_timestamp=1000)

@@ -261,3 +261,75 @@ def test_driver_replay_matches_model_random_histories(tmp_path):
             shutil.rmtree(t, ignore_errors=True)
 
     run()
+
+
+def test_dv_replay_matches_model_random_histories(tmp_path):
+    """Property: reconciliation is by (path, deletionVector uniqueId) — for
+    ANY random interleaving of adds/removes carrying DV identities (the
+    delta DV-update shape: remove old identity + add new one, possibly in
+    one commit), the driver replay's live PATH set equals a dict model
+    keyed by the logical-file identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_proxy_spark import deltalog
+
+    paths = [f"p{i}.parquet" for i in range(4)]
+    dv_ids = [None, "dv1", "dv2"]
+
+    def dv_desc(tag):
+        if tag is None:
+            return None
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": tag,
+            "sizeInBytes": 8,
+            "cardinality": 1,
+        }
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(paths), st.sampled_from(dv_ids), st.booleans()
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def run(history):
+        import os
+        import shutil
+        import uuid
+
+        t = str(tmp_path / f"dv{uuid.uuid4().hex[:12]}")
+        os.makedirs(t)
+        try:
+            model: dict[tuple, bool] = {}
+            for i in range(0, len(history), 3):
+                chunk = history[i : i + 3]
+                adds, removes, seen = [], [], set()
+                for p, tag, is_add in chunk:
+                    if (p, tag) in seen:
+                        continue  # one action per identity per commit
+                    seen.add((p, tag))
+                    d = dv_desc(tag)
+                    if is_add:
+                        a = {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0}
+                        if d:
+                            a["deletionVector"] = d
+                        adds.append(a)
+                    else:
+                        r = {"path": p}
+                        if d:
+                            r["deletionVector"] = d
+                        removes.append(r)
+                    model[(p, tag)] = is_add
+                deltalog.write_commit(t, adds, removes)
+            live = set(deltalog._live_adds_no_spark(t))
+            want = {p for (p, _tag), is_add in model.items() if is_add}
+            assert live == want
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    run()
