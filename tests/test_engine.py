@@ -1180,3 +1180,39 @@ def test_shallow_clone_respects_acl_and_refuses_dv(spark, tmp_path, lineitem):
     eng2 = Engine(spark, EngineConfig(table_mapping={"d": dv_path}, read_only=False))
     with pytest.raises(UnsupportedProtocolError, match="clone"):
         eng2.clone_table("d", str(tmp_path / "dvc"))
+
+
+def test_shallow_clone_through_governed_source(spark, tmp_path, lineitem):
+    """The pyarrow governed source always takes partition values from the
+    LOG, so clones read through it naturally — absolute file references and
+    all — including the streaming bootstrap."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_governed_table(
+        spark, lineitem.limit(40).repartition(1), src, ["l_returnflag"]
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"s": src}, read_only=False))
+    eng.clone_table("s", dst)
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", dst).load()
+    want = eng.read_table("s")
+    assert got.count() == want.count()
+    assert {r["l_returnflag"] for r in got.select("l_returnflag").distinct().collect()} == {
+        r["l_returnflag"] for r in want.select("l_returnflag").distinct().collect()
+    }
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("governed")
+        .option("path", dst)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want.count()

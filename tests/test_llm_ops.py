@@ -817,3 +817,68 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.chunk_documents(docs, chunk_chars=10, overlap=10)
+
+
+# -- repetition + contamination quality ops (round 7) -----------------------
+
+
+def test_repetition_stats(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nunique two\nunique three"),
+            (2, "same line\nsame line\nsame line\nother"),
+            (3, "buy now " * 30),  # one bigram dominates
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality.repetition_stats(docs).collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert abs(out[2]["dup_line_frac"] - 2 / 4) < 1e-6  # 2 of 4 lines are repeats
+    assert out[2]["dup_line_char_frac"] > 0.5  # 'same line' x3 dominates chars
+    assert out[3]["top_bigram_frac"] > 0.5  # 'buy now' covers most chars
+    assert out[1]["top_bigram_frac"] < 0.5
+    assert out[4]["dup_line_frac"] == 0.0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_scores(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim leak of a benchmark span
+            (1, "prefix words here the quick brown fox jumps over the lazy dog and more"),
+            # clean document
+            (2, "completely unrelated content about distributed query engines at scale ok"),
+            # too short for any 8-shingle
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contamination"]
+        for r in quality.contamination_scores(train, bench, n=8).collect()
+    }
+    assert out[1] > 0.2  # leaked span detected
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_quality_ops_no_row_python(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "e f\ng h")], "doc_id long, text string"
+    )
+    for df in (
+        quality.repetition_stats(docs),
+        quality.contamination_scores(docs, docs, n=2),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p
