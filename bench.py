@@ -39,6 +39,16 @@ HEADLINE = [
     "array_funcs",
 ]
 
+# Round-7 additions, timed under SPARK_GRAFT_BENCH_EXTENDED=1 (kept out of
+# the headline list so its total stays comparable round-over-round).
+EXTENDED = [
+    "dv_read",
+    "sequence_pack",
+    "pii_scrub",
+    "table_changes",
+    "auth_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,9 +64,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
     import gc
 
+    names = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
+        names += EXTENDED
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in names:
         # isolate queries: drop cached/checkpointed blocks left by earlier
         # operators and collect both runtimes so GC pressure from query N
         # doesn't bill query N+1.
