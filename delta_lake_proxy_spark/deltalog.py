@@ -323,6 +323,7 @@ def write_commit(
     enforced_generated: bool = False,
     cdc_adds: list[dict[str, Any]] | None = None,
     cdf_handled: bool = False,
+    dv_write: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -345,6 +346,7 @@ def write_commit(
         enforced_generated=enforced_generated,
         cdc_adds_fn=(lambda: iter(cdc_adds)) if cdc_adds else None,
         cdf_handled=cdf_handled,
+        dv_write=dv_write,
     )
 
 
@@ -363,6 +365,7 @@ def write_commit_streamed(
     enforced_generated: bool = False,
     cdc_adds_fn=None,
     cdf_handled: bool = False,
+    dv_write: bool = False,
     protocol_action: dict[str, Any] | None = None,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
@@ -382,6 +385,7 @@ def write_commit_streamed(
         mapped_write=mapped_write,
         enforced_generated=enforced_generated,
         cdf_handled=cdf_handled,
+        dv_write=dv_write,
     )
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
@@ -1021,6 +1025,7 @@ def check_write_protocol(
     mapped_write: bool = False,
     enforced_generated: bool = False,
     cdf_handled: bool = False,
+    dv_write: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -1085,6 +1090,14 @@ def check_write_protocol(
         # when the caller computed/validated the generated values and
         # either produced the change files or the table does not demand them
         writer_ok = True
+    if dv_write and constraints_ok and generated_ok and cdf_ok:
+        # the DV-writing DELETE path (Engine.delete) maintains deletion
+        # vectors correctly: consume the feature and accept writer 7 when
+        # nothing else is demanded
+        remaining_dv = [f for f in features if f != "deletionVectors"]
+        if writer == 7 and not remaining_dv:
+            writer_ok = True
+        features = remaining_dv
     if mapped_write and mode == "name":
         # column mapping demands writer 5 (or 7 + the feature); the hazards
         # versions 4/5 add beyond 3 were refused above (generated columns

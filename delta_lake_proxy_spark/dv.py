@@ -26,9 +26,11 @@ Format recap (all public):
   the file lives at ``<table>/<prefix>/deletion_vector_<uuid>.bin``.
 * ``storageType="i"``: ``pathOrInlineDv`` is the Z85-encoded data itself.
 
-The serializer exists for fixtures and round-trip property tests; this
-engine never WRITES deletion vectors into tables (DV maintenance demands
-writer 7, which commits refuse — see deltalog.check_write_protocol).
+The serializer also powers the DV-WRITING DELETE path
+(``Engine.delete`` on ``delta.enableDeletionVectors=true`` tables): each
+executor task serializes the merged position set for its own file via
+:func:`write_uuid_dv_file`. All other commit producers refuse DV tables
+(see deltalog.check_write_protocol).
 """
 
 from __future__ import annotations
@@ -336,3 +338,19 @@ def inline_descriptor(positions) -> dict:
         "sizeInBytes": len(data),
         "cardinality": int(len(np.unique(np.asarray(list(positions), dtype=np.int64)))),
     }
+
+
+def write_uuid_dv_file(table_path: str, positions) -> dict:
+    """Write ONE deletion vector as a fresh ``deletion_vector_<uuid>.bin``
+    at the table root ("u" storage, the delta-spark layout) and return its
+    complete descriptor. Runs EXECUTOR-side in the DV-writing DELETE path —
+    each task serializes the merged position set for its own file, so
+    positions never travel to the driver."""
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    path = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    desc = write_dv_file(path, [positions])[0]
+    desc["storageType"] = "u"
+    desc["pathOrInlineDv"] = z85_encode(u.bytes)
+    return desc

@@ -152,6 +152,11 @@ DV_BROADCAST_POSITIONS_LIMIT = 5_000_000
 _TOO_MANY_FILES = object()
 
 
+class _NeedsEnumeratedScan(Exception):
+    """Internal: a caller requested physical row positions but the snapshot
+    exceeds the enumerable threshold — fall back to copy-on-write."""
+
+
 def _is_foreign_path(p: str) -> bool:
     """An add path that references a file OUTSIDE the table root (absolute
     path or URI) — how shallow clones reference the source's files."""
@@ -518,28 +523,39 @@ class Engine:
                 f"touches more than {limit} files — narrow the window "
                 "(consume changes more frequently)"
             )
-        if any(r["add_dv"] is not None or r["rm_dv"] is not None for r in actions):
-            # a DV commit changes row LIVENESS inside an unchanged file —
-            # without parsing the before/after vectors, neither change files
-            # nor file-granularity derivation can represent it here
-            raise UnsupportedProtocolError(
-                path,
-                f"table_changes window ({from_version}, {to_version}] "
-                "contains deletion-vector commits; row-level liveness "
-                "changes are not derivable at file granularity",
-            )
         # group driver-side: commits with cdc actions use ONLY those
         cdc_by_v: dict[int, list[str]] = {}
         ins_by_v: dict[int, list[str]] = {}
         del_by_v: dict[int, list[str]] = {}
+        dv_versions: set[int] = set()
         for r in actions:
             v = int(r["version"])
+            if r["add_dv"] is not None or r["rm_dv"] is not None:
+                dv_versions.add(v)
             if r["cdc_path"] is not None:
                 cdc_by_v.setdefault(v, []).append(r["cdc_path"])
             if r["add_path"] is not None and r["add_dc"] is not False:
                 ins_by_v.setdefault(v, []).append(r["add_path"])
             if r["rm_path"] is not None and r["rm_dc"] is not False:
                 del_by_v.setdefault(v, []).append(r["rm_path"])
+        underivable = sorted(
+            v for v in dv_versions if v not in cdc_by_v
+        )
+        if underivable:
+            # a DV commit changes row LIVENESS inside an unchanged file —
+            # WITHOUT change files, file-granularity derivation cannot
+            # represent it (a commit that carries cdc actions serves them
+            # instead and needs no derivation)
+            raise UnsupportedProtocolError(
+                path,
+                f"table_changes window ({from_version}, {to_version}] "
+                f"contains deletion-vector commits {underivable} without "
+                "change files; row-level liveness changes are not "
+                "derivable at file granularity",
+            )
+        for v in dv_versions:
+            ins_by_v.pop(v, None)
+            del_by_v.pop(v, None)
 
         reader = self.spark.read.option("basePath", path)
         if schema is not None:
@@ -870,7 +886,11 @@ class Engine:
         return name
 
     def _read_data(
-        self, path: str, version: int | None = None, keep_file_col: bool = False
+        self,
+        path: str,
+        version: int | None = None,
+        keep_file_col: bool = False,
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Log-driven scan: read exactly the LIVE file set from the Delta
         snapshot (tombstoned files may still exist on disk until vacuum —
@@ -943,6 +963,9 @@ class Engine:
                         r["path"]: dict(r["partitionValues"] or {}) for r in rows
                     }
             if live is _TOO_MANY_FILES:
+                if keep_pos:
+                    # physical row positions require the enumerated scan
+                    raise _NeedsEnumeratedScan(path)
                 return self._read_data_listing_join(
                     path, version, keep_file_col=keep_file_col
                 )
@@ -981,12 +1004,17 @@ class Engine:
                 # materialized INSIDE the scan projection — input_file_name
                 # on top of the DV anti-join would be multi-source
                 df = df.withColumn("_file", F.input_file_name())
+            if keep_pos:
+                # physical row index, for the DV-writing DELETE path;
+                # materialized before the DV anti-join so positions stay
+                # file-physical even when earlier deletions are filtered
+                df = df.withColumn("_pos", F.col("_metadata.row_index"))
             if dv_items:
                 # deletion vectors: filter the deleted positions BEFORE the
                 # logical rename (the hidden _metadata struct resolves
                 # against the file-source scan only)
                 df = self._filter_deleted_positions(df, path, dv_items=dv_items)
-            return self._rename_physical(df, schema, l2p, keep=["_file"])
+            return self._rename_physical(df, schema, l2p, keep=["_file", "_pos"])
         df = self.spark.read.option("basePath", path).parquet(path)
         return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
 
@@ -1673,10 +1701,10 @@ class Engine:
         if parts_phys:
             writer = writer.partitionBy(*parts_phys)
         writer.parquet(staging)
-        prev_live: list[str] = (
-            deltalog._live_paths_no_spark(path)
+        prev_adds: dict[str, dict] = (
+            deltalog._live_adds_no_spark(path)
             if deltalog.latest_version(path) >= 0
-            else []
+            else {}
         )
         try:
             moved = self._move_staged(staging, path)
@@ -1691,11 +1719,16 @@ class Engine:
         # readable until vacuum() reclaims unreferenced files.
         # ``data_change=False`` (compaction/recluster: same rows, new files)
         # marks both sides so CDF readers and streams skip the commit.
-        removes = (
-            [{"path": p, "dataChange": data_change} for p in sorted(prev_live)]
-            if mode == "overwrite"
-            else []
-        )
+        removes = []
+        if mode == "overwrite":
+            for p in sorted(prev_adds):
+                rm = {"path": p, "dataChange": data_change}
+                d = prev_adds[p].get("deletionVector")
+                if d and d.get("storageType"):
+                    # DV table: the logical identity being tombstoned is
+                    # (path, dv uniqueId)
+                    rm["deletionVector"] = d
+                removes.append(rm)
         version = self._commit_moved(
             path,
             moved,
@@ -1712,6 +1745,8 @@ class Engine:
             # (inserts from dataChange adds, deletes from full-file removes)
             # — no change files needed, per the Delta CDF read protocol
             cdf_handled=True,
+            # overwrite removes above carry the DV identities they tombstone
+            dv_write=self._dv_protocol(path),
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -1794,6 +1829,192 @@ class Engine:
                 }
             )
         return out
+
+    def _dv_writes_enabled(self, path: str) -> bool:
+        """Whether DELETEs should write deletion vectors instead of
+        rewriting files (``delta.enableDeletionVectors=true``)."""
+        return (
+            str(
+                deltalog.table_configuration_no_spark(path).get(
+                    "delta.enableDeletionVectors", ""
+                )
+            ).lower()
+            == "true"
+        )
+
+    def _dv_removes(self, path: str, removes: list[dict]) -> list[dict]:
+        """Attach each removed file's CURRENT deletionVector descriptor to
+        its remove action: on DV tables the logical-file identity is
+        (path, dv uniqueId) — a bare-path remove would never tombstone a
+        DV'd add, silently resurrecting its rows."""
+        if not self._dv_protocol(path):
+            return removes
+        dv_map = self._dv_map(path)
+        out = []
+        for r in removes:
+            d = dv_map.get(r["path"])
+            out.append({**r, "deletionVector": d} if d else r)
+        return out
+
+    def enable_deletion_vectors(self, alias: str) -> int:
+        """Upgrade a plain table so DELETEs write deletion vectors
+        (``delta.enableDeletionVectors=true`` + the (3,7)
+        deletionVectors protocol, Delta's own enable path). Tables already
+        using column mapping, CHECK constraints, CDF, or generated columns
+        refuse — a writer-7 upgrade must enumerate every legacy capability
+        as a feature, and this engine scopes the upgrade to the plain
+        case."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        if (
+            self._column_mapping(path)
+            or deltalog.declared_constraints(path)
+            or self._cdf_enabled(path)
+            or deltalog.generated_columns(path)
+        ):
+            raise UnsupportedProtocolError(
+                path,
+                "enable_deletion_vectors supports plain tables only (column "
+                "mapping / constraints / CDF / generated columns would need "
+                "their writer features enumerated in the upgrade)",
+            )
+        conf = deltalog.table_configuration_no_spark(path)
+        conf["delta.enableDeletionVectors"] = "true"
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        protocol_action = None
+        if "deletionVectors" not in (proto.get("readerFeatures") or []):
+            protocol_action = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        version = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="SET TBLPROPERTIES",
+            configuration=conf,
+            enforced_constraints=True,
+            enforced_generated=True,
+            cdf_handled=True,
+            protocol_action=protocol_action,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def _delete_with_dvs(self, path: str, condition: Column) -> int | None:
+        """DELETE by WRITING deletion vectors — no data rewrite: each
+        touched file's matching row positions merge with its existing DV
+        and serialize to a fresh ``deletion_vector_<uuid>.bin``
+        EXECUTOR-side (``applyInPandas`` per file: positions never travel
+        to the driver, only the metadata-sized descriptors do). Files whose
+        merged cardinality reaches their ``numRecords`` are fully removed
+        instead (Delta's own escalation). Returns the committed version, or
+        None when the snapshot exceeds the enumerable threshold (caller
+        falls back to copy-on-write)."""
+        import pandas as pd
+
+        try:
+            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+        except _NeedsEnumeratedScan:
+            return None
+        matched = (
+            target.filter(condition)
+            .select(uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos")
+        )
+        dv_map = self._dv_map(path)
+        table_path = path
+        out_schema = (
+            "rel string, storageType string, pathOrInlineDv string, "
+            "offset long, sizeInBytes long, cardinality long"
+        )
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            from delta_lake_proxy_spark import dv as dv_mod
+
+            rel = str(pdf["_rel"].iloc[0])
+            positions = pdf["_pos"].to_numpy(dtype="int64")
+            old = dv_map.get(rel)
+            if old:
+                positions = np.union1d(
+                    positions, dv_mod.load_dv_positions(table_path, old)
+                )
+            desc = dv_mod.write_uuid_dv_file(table_path, positions)
+            return pd.DataFrame(
+                [
+                    {
+                        "rel": rel,
+                        "storageType": desc["storageType"],
+                        "pathOrInlineDv": desc["pathOrInlineDv"],
+                        "offset": desc["offset"],
+                        "sizeInBytes": desc["sizeInBytes"],
+                        "cardinality": desc["cardinality"],
+                    }
+                ]
+            )
+
+        descs = matched.groupBy("_rel").applyInPandas(build, out_schema).collect()
+        if not descs:
+            return deltalog.latest_version(path)  # nothing matched: no-op
+        live = self._snapshot_cache.get_or_compute(
+            ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+        )
+        adds, removes, dv_rels = [], [], []
+        for d in descs:
+            a = live[d["rel"]]
+            old_dv = a.get("deletionVector")
+            desc = {
+                "storageType": d["storageType"],
+                "pathOrInlineDv": d["pathOrInlineDv"],
+                "offset": int(d["offset"]),
+                "sizeInBytes": int(d["sizeInBytes"]),
+                "cardinality": int(d["cardinality"]),
+            }
+            from .dv import dv_file_path as _dv_file_path
+
+            dv_rels.append(os.path.basename(_dv_file_path(path, desc)))
+            rm = {"path": d["rel"], "dataChange": True}
+            if old_dv and old_dv.get("storageType"):
+                rm["deletionVector"] = old_dv
+            removes.append(rm)
+            num_records = None
+            try:
+                num_records = json.loads(a.get("stats") or "{}").get("numRecords")
+            except Exception:
+                pass
+            if num_records is not None and int(d["cardinality"]) >= int(num_records):
+                continue  # every row dead: plain remove, no re-add
+            adds.append(
+                {
+                    "path": d["rel"],
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "stats": a.get("stats"),
+                    "deletionVector": desc,
+                    "dataChange": True,
+                }
+            )
+        version = self._commit_moved(
+            path,
+            dv_rels,  # failed commits clean the freshly written DV files
+            adds,
+            removes,
+            operation="DELETE",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            dv_write=True,
+        )
+        self._snapshot_cache.invalidate()
+        return version
 
     def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
         """Validate ``df`` (the rows about to be written) against the
@@ -1930,6 +2151,15 @@ class Engine:
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.join(keys, on=on, how="left_semi")
         )
+        if not callable(removes):
+            removes = self._dv_removes(path, removes)
+        elif self._dv_protocol(path):
+            raise UnsupportedProtocolError(
+                path,
+                "broad MERGE on a deletion-vector table cannot stream "
+                "identity-correct removes — narrow the key set or compact "
+                "first",
+            )
         try:
             if touched_uris is None or touched_uris:
                 survivors = (
@@ -1986,6 +2216,7 @@ class Engine:
                 enforced_constraints=enforced,
                 cdc_adds=cdc_actions,
                 cdf_handled=True,
+                dv_write=self._dv_protocol(path),
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -2001,12 +2232,29 @@ class Engine:
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
+        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+            # DELETE as a deletion-vector commit — no data rewrite. (With
+            # CDF also enabled the copy-on-write path below runs instead:
+            # it produces the change files; table_changes cannot derive
+            # row-level deletes from a DV commit without them.)
+            v = self._delete_with_dvs(path, condition)
+            if v is not None:
+                return v
         target = self._read_data(path, keep_file_col=True)
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.filter(condition)
         )
         if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing to delete: no-op
+        if not callable(removes):
+            removes = self._dv_removes(path, removes)
+        elif self._dv_protocol(path):
+            raise UnsupportedProtocolError(
+                path,
+                "broad-predicate DELETE on a deletion-vector table cannot "
+                "stream identity-correct removes — narrow the predicate or "
+                "compact first",
+            )
         try:
             survivors = (
                 self._rows_in_files(target, touched_uris, touched_df)
@@ -2048,6 +2296,7 @@ class Engine:
                 enforced_constraints=enforced,
                 cdc_adds=cdc_actions,
                 cdf_handled=True,
+                dv_write=self._dv_protocol(path),
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it
@@ -2085,6 +2334,15 @@ class Engine:
         )
         if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing matches: no-op
+        if not callable(removes):
+            removes = self._dv_removes(path, removes)
+        elif self._dv_protocol(path):
+            raise UnsupportedProtocolError(
+                path,
+                "broad-predicate UPDATE on a deletion-vector table cannot "
+                "stream identity-correct removes — narrow the predicate or "
+                "compact first",
+            )
         try:
             rewritten = self._rows_in_files(target, touched_uris, touched_df).withColumns(
                 {
@@ -2133,6 +2391,7 @@ class Engine:
                 enforced_constraints=enforced,
                 cdc_adds=cdc_actions,
                 cdf_handled=True,
+                dv_write=self._dv_protocol(path),
             )
         finally:
             touched_df.unpersist()  # no-op unless the broad path pinned it

@@ -674,12 +674,6 @@ class GovernedStreamReader(DataSourceStreamReader):
                     a = action.get("add") or action.get("remove")
                     if a.get("dataChange") is False:
                         continue
-                    if (a.get("deletionVector") or {}).get("storageType"):
-                        raise ValueError(
-                            f"commit {version} at {self.path} uses deletion "
-                            "vectors: row-level liveness changes are not "
-                            "derivable as a change feed at file granularity"
-                        )
                     (adds if "add" in action else removes).append(a)
                 elif "cdc" in action:
                     cdc.append(action["cdc"])
@@ -688,8 +682,19 @@ class GovernedStreamReader(DataSourceStreamReader):
                 elif "metaData" in action:
                     self._check_schema_change(action["metaData"], version)
         if cdc:
+            # cdc change files are authoritative for this commit: DV
+            # add/remove actions alongside them need no derivation
             entries = [self._feed_entry(c, None, version) for c in cdc]
         else:
+            if any(
+                (a.get("deletionVector") or {}).get("storageType")
+                for a in adds + removes
+            ):
+                raise ValueError(
+                    f"commit {version} at {self.path} uses deletion vectors "
+                    "without change files: row-level liveness changes are "
+                    "not derivable as a change feed at file granularity"
+                )
             entries = [self._feed_entry(a, "insert", version) for a in adds]
             if removes:
                 prev = deltalog._live_adds_no_spark(

@@ -11,9 +11,11 @@ spec (PROTOCOL.md "Deletion Vectors") and RoaringFormatSpec; the reference
 proxy inherits identical semantics from ``deltalake::open_table``
 (ref src/main.rs:357).
 
-WRITES to DV tables stay refused (they demand writer 7), file-granularity
-CDF refuses DV windows loudly, and vacuum never reclaims a referenced DV
-file.
+Second wave: DELETEs on delta.enableDeletionVectors=true tables WRITE
+vectors (executor-side serialization, no rewrite), Engine DML on DV
+tables rewrites with identity-correct removes, raw commits still refuse,
+CDF refuses DV windows without change files, and vacuum never reclaims a
+referenced DV file.
 """
 
 from __future__ import annotations
@@ -333,10 +335,15 @@ def test_governed_stream_bootstrap(spark, dv_table, tmp_path):
 # -- surrounding guarantees -------------------------------------------------
 
 
-def test_writes_still_refuse(spark, dv_table):
+def test_engine_dml_supported_raw_commits_refused(spark, dv_table):
+    """Second-wave upgrade: Engine DML on foreign DV tables is SUPPORTED —
+    the copy-on-write rewrite tombstones the (path, dv uniqueId) identity
+    and never resurrects DV-deleted rows. Raw log-level commits still
+    refuse (they cannot prove identity-correct removes)."""
     eng = _engine(spark, dv_table, read_only=False)
-    with pytest.raises(UnsupportedProtocolError):
-        eng.delete("t", F.col("id") == 0)
+    eng.delete("t", F.col("id") == 0)
+    got = sorted(r["id"] for r in eng.read_table("t").collect())
+    assert got == sorted(set(LIVE_IDS) - {0})  # 0 gone, DV'd rows stay dead
     with pytest.raises(UnsupportedProtocolError):
         deltalog.write_commit(dv_table, adds=[], removes=[{"path": REL_B}])
 
@@ -418,3 +425,132 @@ def test_dv_snapshot_under_admission_control(spark, dv_table, tmp_path):
         q.awaitTermination(180)
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == LIVE_IDS
+
+
+# -- WRITING deletion vectors (round 7, second wave) ------------------------
+
+
+@pytest.fixture()
+def dv_write_table(spark, tmp_path):
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(i, float(i), "A" if i < 10 else "B") for i in range(20)],
+        "id long, val double, part string",
+    )
+    write_governed_table(spark, df.repartition(1), path, ["part"])  # v0
+    eng = _engine(spark, path, read_only=False)
+    eng.enable_deletion_vectors("t")  # v1: property + (3,7) protocol
+    return eng, path
+
+
+def test_enable_dv_upgrades_protocol(dv_write_table):
+    eng, path = dv_write_table
+    proto = deltalog.table_protocol_no_spark(path)
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    # raw commits refuse (writer 7, no proof of DV maintenance)
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+
+
+def test_dv_delete_writes_vectors_not_files(dv_write_table, spark):
+    eng, path = dv_write_table
+    files_before = {
+        r["path"] for r in deltalog.snapshot_files(spark, path).collect()
+    }
+    v = eng.delete("t", F.col("id").isin(2, 3, 15))  # v2
+    assert v == 2
+    # no data rewrite: the SAME parquet files stay live, now DV'd
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    assert set(snap) == files_before
+    dvd = [r for r in snap.values() if r["deletionVector"] is not None]
+    assert len(dvd) == 2  # one DV per touched partition file
+    assert all(r["deletionVector"]["storageType"] == "u" for r in dvd)
+    assert sum(r["deletionVector"]["cardinality"] for r in dvd) == 3
+    # rows are gone through every read path
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(20)) - {2, 3, 15}
+    )
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", path).load()
+    assert sorted(r["id"] for r in got.collect()) == sorted(set(range(20)) - {2, 3, 15})
+    # time travel to the pre-delete snapshot still serves everything
+    assert eng.read_table("t", version=1).count() == 20
+
+
+def test_dv_delete_merges_with_existing_vector(dv_write_table, spark):
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id") == 2)  # v2: DV {pos of 2}
+    eng.delete("t", F.col("id") == 4)  # v3: merged DV on the same file
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    dvd = [r for r in snap.values() if r["deletionVector"] is not None]
+    assert len(dvd) == 1 and dvd[0]["deletionVector"]["cardinality"] == 2
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(20)) - {2, 4}
+    )
+    # and the intermediate version still reads with only the first delete
+    assert sorted(r["id"] for r in eng.read_table("t", version=2).collect()) == sorted(
+        set(range(20)) - {2}
+    )
+
+
+def test_dv_delete_escalates_to_full_remove(dv_write_table, spark):
+    eng, path = dv_write_table
+    eng.delete("t", F.col("part") == "A")  # every row of the A file dies
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    assert len(snap) == 1  # the A file was fully REMOVED, not DV'd
+    assert all("part=B" in p for p in snap)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == list(range(10, 20))
+
+
+def test_dv_delete_noop(dv_write_table):
+    eng, path = dv_write_table
+    v_before = deltalog.latest_version(path)
+    assert eng.delete("t", F.col("id") == 999) == v_before
+
+
+def test_update_on_dv_table_rewrites_with_identity(dv_write_table, spark):
+    """Copy-on-write UPDATE on a DV'd file must tombstone the
+    (path, dv uniqueId) identity — and the rewritten file carries only
+    live rows (the DV'd ones stay dead)."""
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id") == 2)  # v2: DV on the A file
+    eng.update("t", F.col("id") == 3, {"val": F.lit(99.0)})  # v3: rewrite A
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert 2 not in rows  # DV'd row did not resurrect through the rewrite
+    assert rows[3]["val"] == 99.0
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    assert all(r["deletionVector"] is None for r in snap.values())  # A rewritten clean
+
+
+def test_overwrite_and_compact_tombstone_dv_identities(dv_write_table, spark):
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id") == 2)
+    eng.compact_table("t", files_per_partition=1)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(20)) - {2}
+    )
+    snap = deltalog.snapshot_files(spark, path).collect()
+    assert all(r["deletionVector"] is None for r in snap)  # compaction applied DVs
+
+
+def test_our_dv_tables_interop_with_foreign_reader_model(dv_write_table, spark):
+    """The written descriptors round-trip through the same public-format
+    codec paths a conforming foreign reader would use: resolve the 'u'
+    file, verify CRC, decode positions."""
+    from delta_lake_proxy_spark import dv as dv_mod
+
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id").isin(5, 6))
+    live = deltalog._live_adds_no_spark(path)
+    descs = [
+        a["deletionVector"] for a in live.values() if a.get("deletionVector")
+    ]
+    assert descs
+    for d in descs:
+        pos = dv_mod.load_dv_positions(path, d)
+        assert len(pos) == d["cardinality"]
