@@ -1917,8 +1917,6 @@ class Engine:
         instead (Delta's own escalation). Returns the committed version, or
         None when the snapshot exceeds the enumerable threshold (caller
         falls back to copy-on-write)."""
-        import pandas as pd
-
         try:
             target = self._read_data(path, keep_file_col=True, keep_pos=True)
         except _NeedsEnumeratedScan:
@@ -1927,6 +1925,30 @@ class Engine:
             target.filter(condition)
             .select(uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos")
         )
+        descs, dv_rels = self._dv_mark_positions(path, matched)
+        if not descs:
+            return deltalog.latest_version(path)  # nothing matched: no-op
+        adds, removes = self._dv_actions_for(path, descs)
+        version = self._commit_moved(
+            path,
+            dv_rels,  # failed commits clean the freshly written DV files
+            adds,
+            removes,
+            operation="DELETE",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            dv_write=True,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def _dv_mark_positions(self, path: str, matched_pos: DataFrame):
+        """Shared DV-writing core: (rel, pos) rows -> per-file merged
+        deletion vectors written EXECUTOR-side; returns
+        ``(descriptor rows, dv-file rel names)``."""
+        import pandas as pd
+
         dv_map = self._dv_map(path)
         table_path = path
         out_schema = (
@@ -1960,13 +1982,31 @@ class Engine:
                 ]
             )
 
-        descs = matched.groupBy("_rel").applyInPandas(build, out_schema).collect()
-        if not descs:
-            return deltalog.latest_version(path)  # nothing matched: no-op
+        descs = matched_pos.groupBy("_rel").applyInPandas(build, out_schema).collect()
+        from .dv import dv_file_path as _dv_file_path
+
+        rels = [
+            os.path.basename(
+                _dv_file_path(
+                    path,
+                    {
+                        "storageType": d["storageType"],
+                        "pathOrInlineDv": d["pathOrInlineDv"],
+                    },
+                )
+            )
+            for d in descs
+        ]
+        return descs, rels
+
+    def _dv_actions_for(self, path: str, descs) -> tuple[list[dict], list[dict]]:
+        """Build the (adds, removes) action pair for freshly written DVs:
+        remove the old (path, dv) identity, re-add with the new descriptor;
+        fully-dead files (cardinality == numRecords) get a plain remove."""
         live = self._snapshot_cache.get_or_compute(
             ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
         )
-        adds, removes, dv_rels = [], [], []
+        adds, removes = [], []
         for d in descs:
             a = live[d["rel"]]
             old_dv = a.get("deletionVector")
@@ -1977,9 +2017,6 @@ class Engine:
                 "sizeInBytes": int(d["sizeInBytes"]),
                 "cardinality": int(d["cardinality"]),
             }
-            from .dv import dv_file_path as _dv_file_path
-
-            dv_rels.append(os.path.basename(_dv_file_path(path, desc)))
             rm = {"path": d["rel"], "dataChange": True}
             if old_dv and old_dv.get("storageType"):
                 rm["deletionVector"] = old_dv
@@ -2002,13 +2039,54 @@ class Engine:
                     "dataChange": True,
                 }
             )
+        return adds, removes
+
+    def _update_with_dvs(
+        self, path: str, condition: Column, assignments: dict[str, Column], parts: list[str]
+    ) -> int | None:
+        """UPDATE as Delta's DV shape: deletion-vector the matched positions
+        in place and APPEND a new file carrying the updated rows — touched
+        files are never rewritten, so a point update on a 100 TB table
+        costs O(matched rows), not O(touched files). Returns None past the
+        enumerable threshold (caller falls back to copy-on-write)."""
+        try:
+            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+        except _NeedsEnumeratedScan:
+            return None
+        matched = target.filter(condition)
+        pos = matched.select(
+            uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos"
+        )
+        descs, dv_rels = self._dv_mark_positions(path, pos)
+        if not descs:
+            return deltalog.latest_version(path)  # nothing matched: no-op
+        updated = matched.drop("_file", "_pos").withColumns(
+            {
+                c: expr.cast(dict(target.drop("_file", "_pos").dtypes)[c])
+                for c, expr in assignments.items()
+            }
+        )
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+        )
+        writer = updated.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        dv_adds, removes = self._dv_actions_for(path, descs)
+        new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
         version = self._commit_moved(
             path,
-            dv_rels,  # failed commits clean the freshly written DV files
-            adds,
+            dv_rels + moved,
+            dv_adds + new_adds,
             removes,
-            operation="DELETE",
-            enforced_constraints=True,  # no rows written
+            partition_cols=list(parts),
+            operation="UPDATE",
+            enforced_constraints=self._enforce_check_constraints(path, updated),
             enforced_generated=True,
             cdf_handled=True,
             dv_write=True,
@@ -2329,6 +2407,13 @@ class Engine:
         unknown = sorted(set(assignments) - set(target.columns))
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
+        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+            # UPDATE as Delta's DV shape: mark old positions, append the
+            # updated rows — no touched-file rewrite. (With CDF enabled the
+            # copy-on-write path below produces the change files instead.)
+            v = self._update_with_dvs(path, condition, assignments, list(parts))
+            if v is not None:
+                return v
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.filter(condition)
         )

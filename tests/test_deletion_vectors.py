@@ -513,13 +513,17 @@ def test_dv_delete_noop(dv_write_table):
     assert eng.delete("t", F.col("id") == 999) == v_before
 
 
-def test_update_on_dv_table_rewrites_with_identity(dv_write_table, spark):
-    """Copy-on-write UPDATE on a DV'd file must tombstone the
+def test_merge_on_dv_table_rewrites_with_identity(dv_write_table, spark):
+    """Copy-on-write MERGE on a DV'd file must tombstone the
     (path, dv uniqueId) identity — and the rewritten file carries only
-    live rows (the DV'd ones stay dead)."""
+    live rows (the DV'd ones stay dead). (UPDATE now takes the DV path on
+    these tables — see test_dv_update_marks_and_appends.)"""
     eng, path = dv_write_table
     eng.delete("t", F.col("id") == 2)  # v2: DV on the A file
-    eng.update("t", F.col("id") == 3, {"val": F.lit(99.0)})  # v3: rewrite A
+    src = spark.createDataFrame(
+        [(3, 99.0, "A")], "id long, val double, part string"
+    )
+    eng.merge("t", src, on=["id"])  # v3: copy-on-write rewrite of A
     rows = {r["id"]: r for r in eng.read_table("t").collect()}
     assert 2 not in rows  # DV'd row did not resurrect through the rewrite
     assert rows[3]["val"] == 99.0
@@ -554,3 +558,30 @@ def test_our_dv_tables_interop_with_foreign_reader_model(dv_write_table, spark):
     for d in descs:
         pos = dv_mod.load_dv_positions(path, d)
         assert len(pos) == d["cardinality"]
+
+
+def test_dv_update_marks_and_appends(dv_write_table, spark):
+    """UPDATE on a DV-enabled table: old positions get vectored, the
+    updated rows append as a new file — touched files are not rewritten."""
+    eng, path = dv_write_table
+    files_before = {
+        r["path"] for r in deltalog.snapshot_files(spark, path).collect()
+    }
+    eng.update("t", F.col("id") == 7, {"val": F.col("val") * 100})
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    # the original files all survive (one now DV'd) plus one appended file
+    assert files_before <= set(snap)
+    assert len(snap) == len(files_before) + 1
+    dvd = [r for r in snap.values() if r["deletionVector"] is not None]
+    assert len(dvd) == 1 and dvd[0]["deletionVector"]["cardinality"] == 1
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert len(rows) == 20 and rows[7]["val"] == 700.0
+    # compose: a DV delete after the DV update
+    eng.delete("t", F.col("id") == 7)
+    assert 7 not in {r["id"] for r in eng.read_table("t").collect()}
+
+
+def test_dv_update_partition_column_still_rejected(dv_write_table):
+    eng, path = dv_write_table
+    with pytest.raises(ValueError, match="partition column"):
+        eng.update("t", F.col("id") == 1, {"part": F.lit("C")})
