@@ -2094,6 +2094,55 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def _merge_with_dvs(
+        self, path: str, source: DataFrame, on: list[str], parts: list[str]
+    ) -> int | None:
+        """MERGE as the DV shape: deletion-vector every matched target row
+        in place, append ALL source rows (replacements and inserts) as new
+        files — no touched-file rewrite, cost O(matched + source rows).
+        Returns None past the enumerable threshold (caller falls back to
+        copy-on-write)."""
+        try:
+            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+        except _NeedsEnumeratedScan:
+            return None
+        keys = source.select(*on).dropDuplicates()
+        matched = target.join(keys, on=on, how="left_semi")
+        pos = matched.select(
+            uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos"
+        )
+        descs, dv_rels = self._dv_mark_positions(path, pos)
+        dv_adds, removes = (
+            self._dv_actions_for(path, descs) if descs else ([], [])
+        )
+        enforced = self._enforce_check_constraints(path, source)
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
+        )
+        writer = source.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        try:
+            moved = self._move_staged(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        version = self._commit_moved(
+            path,
+            dv_rels + moved,
+            dv_adds + new_adds,
+            removes,
+            partition_cols=list(parts),
+            operation="MERGE",
+            enforced_constraints=enforced,
+            enforced_generated=True,
+            cdf_handled=True,
+            dv_write=True,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
         """Validate ``df`` (the rows about to be written) against the
         table's declared CHECK constraints (``delta.constraints.<name>``
@@ -2224,6 +2273,11 @@ class Engine:
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
+        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+            # MERGE as the DV shape: mark matched positions, append source
+            v = self._merge_with_dvs(path, source, list(on), list(parts))
+            if v is not None:
+                return v
         keys = source.select(*on).dropDuplicates()
         target = self._read_data(path, keep_file_col=True)
         touched_uris, touched_df, removes = self._dml_touched(

@@ -513,22 +513,20 @@ def test_dv_delete_noop(dv_write_table):
     assert eng.delete("t", F.col("id") == 999) == v_before
 
 
-def test_merge_on_dv_table_rewrites_with_identity(dv_write_table, spark):
-    """Copy-on-write MERGE on a DV'd file must tombstone the
-    (path, dv uniqueId) identity — and the rewritten file carries only
-    live rows (the DV'd ones stay dead). (UPDATE now takes the DV path on
-    these tables — see test_dv_update_marks_and_appends.)"""
-    eng, path = dv_write_table
-    eng.delete("t", F.col("id") == 2)  # v2: DV on the A file
-    src = spark.createDataFrame(
-        [(3, 99.0, "A")], "id long, val double, part string"
-    )
-    eng.merge("t", src, on=["id"])  # v3: copy-on-write rewrite of A
-    rows = {r["id"]: r for r in eng.read_table("t").collect()}
-    assert 2 not in rows  # DV'd row did not resurrect through the rewrite
-    assert rows[3]["val"] == 99.0
-    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
-    assert all(r["deletionVector"] is None for r in snap.values())  # A rewritten clean
+def test_merge_on_foreign_dv_table_rewrites_with_identity(spark, dv_table):
+    """Copy-on-write MERGE on a FOREIGN DV table (DV protocol but no
+    delta.enableDeletionVectors property, so no DV-writing path) must
+    tombstone the (path, dv uniqueId) identity — and the rewritten file
+    carries only live rows (the DV'd ones stay dead)."""
+    eng = _engine(spark, dv_table, read_only=False)
+    src = spark.createDataFrame([(0, "A")], "id long, part string")
+    eng.merge("t", src, on=["id"])  # copy-on-write rewrite of file A
+    got = sorted(r["id"] for r in eng.read_table("t").collect())
+    assert got == LIVE_IDS  # 0 replaced in place; DV'd 1,3,5,7 stay dead
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, dv_table).collect()}
+    rewritten = [p for p in snap if p not in (REL_A, REL_B)]
+    assert rewritten  # A was rewritten into a fresh file
+    assert all(r["deletionVector"] is None for r in snap.values())
 
 
 def test_overwrite_and_compact_tombstone_dv_identities(dv_write_table, spark):
@@ -585,3 +583,24 @@ def test_dv_update_partition_column_still_rejected(dv_write_table):
     eng, path = dv_write_table
     with pytest.raises(ValueError, match="partition column"):
         eng.update("t", F.col("id") == 1, {"part": F.lit("C")})
+
+
+def test_dv_merge_marks_and_appends(dv_write_table, spark):
+    eng, path = dv_write_table
+    files_before = {
+        r["path"] for r in deltalog.snapshot_files(spark, path).collect()
+    }
+    src = spark.createDataFrame(
+        [(3, 300.0, "A"), (50, 1.0, "B")], "id long, val double, part string"
+    )
+    eng.merge("t", src, on=["id"])
+    snap = {r["path"]: r for r in deltalog.snapshot_files(spark, path).collect()}
+    assert files_before <= set(snap)  # originals survive, one now DV'd
+    dvd = [r for r in snap.values() if r["deletionVector"] is not None]
+    assert len(dvd) == 1 and dvd[0]["deletionVector"]["cardinality"] == 1
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert len(rows) == 21 and rows[3]["val"] == 300.0 and rows[50]["val"] == 1.0
+    # pure-insert merge: no DVs written, just an append
+    src2 = spark.createDataFrame([(60, 2.0, "B")], "id long, val double, part string")
+    eng.merge("t", src2, on=["id"])
+    assert eng.read_table("t").count() == 22
