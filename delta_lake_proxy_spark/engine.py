@@ -2719,18 +2719,25 @@ class Engine:
             return 0
         table_root = path
 
+        def _is_reclaimable(name: str) -> bool:
+            # data files, and deletion-vector bins no live descriptor
+            # references (superseded DVs accumulate otherwise)
+            return name.endswith(".parquet") or (
+                name.startswith("deletion_vector_") and name.endswith(".bin")
+            )
+
         def walk_entries(entries):
             import os as _os
 
             for e in entries:
                 full = _os.path.join(table_root, e)
                 if _os.path.isfile(full):
-                    if e.endswith(".parquet"):
+                    if _is_reclaimable(e):
                         yield (e, _os.stat(full).st_mtime)
                     continue
                 for r, _dirs, files in _os.walk(full):
                     for name in files:
-                        if not name.endswith(".parquet"):
+                        if not _is_reclaimable(name):
                             continue
                         fl = _os.path.join(r, name)
                         yield (
@@ -2742,7 +2749,38 @@ class Engine:
             sc.parallelize(tops, min(len(tops), 64)).mapPartitions(walk_entries),
             "path string, mtime double",
         )
-        live = deltalog.snapshot_files(self.spark, path).select("path")
+        snapshot = deltalog.snapshot_files(self.spark, path)
+        live = snapshot.select("path")
+        if self._dv_protocol(path):
+            # referenced DV bins are LIVE: resolve each live descriptor to
+            # its table-relative file name (executor-side, metadata-sized)
+            dv_flat = snapshot.filter(
+                F.col("deletionVector").isNotNull()
+                & F.col("deletionVector.storageType").isin("u", "p")
+            ).select(
+                F.col("deletionVector.storageType").alias("st"),
+                F.col("deletionVector.pathOrInlineDv").alias("pod"),
+            )
+
+            def to_rel(iter_pdf):
+                import os as _os
+
+                import pandas as pd
+
+                from delta_lake_proxy_spark.dv import dv_file_path
+
+                for pdf in iter_pdf:
+                    rels = []
+                    for st, pod in pdf.itertuples(index=False):
+                        full = dv_file_path(
+                            table_root, {"storageType": st, "pathOrInlineDv": pod}
+                        )
+                        rels.append(
+                            _os.path.relpath(full, table_root).replace(_os.sep, "/")
+                        )
+                    yield pd.DataFrame({"path": rels})
+
+            live = live.unionByName(dv_flat.mapInPandas(to_rel, "path string"))
         dead = listing.join(live, "path", "left_anti").filter(
             F.col("mtime") <= F.lit(cutoff)
         )

@@ -354,14 +354,17 @@ def test_cdf_refuses_dv_window(spark, dv_table):
         eng.table_changes("t", 0).collect()
 
 
-def test_vacuum_preserves_dv_files(spark, dv_table):
+def test_vacuum_reclaims_only_unreferenced_dv_files(spark, dv_table):
+    """The fixture's v1 "u"-storage bin was SUPERSEDED by v2's inline
+    descriptor: vacuum reclaims it (like Delta — DV files are data files),
+    and the table still reads exactly right afterwards."""
     eng = _engine(spark, dv_table, read_only=False)
     bins = [e for e in os.listdir(dv_table) if e.startswith("deletion_vector_")]
     assert bins, "fixture should have a u-storage DV file"
     eng.vacuum("t", retention_hours=0)
-    for b in bins:
-        assert os.path.exists(os.path.join(dv_table, b))
-    # and the table still reads correctly after vacuum
+    assert not [
+        e for e in os.listdir(dv_table) if e.startswith("deletion_vector_")
+    ]  # superseded bin reclaimed; the live DV is inline
     assert sorted(r["id"] for r in eng.read_table("t").collect()) == LIVE_IDS
 
 
@@ -604,3 +607,30 @@ def test_dv_merge_marks_and_appends(dv_write_table, spark):
     src2 = spark.createDataFrame([(60, 2.0, "B")], "id long, val double, part string")
     eng.merge("t", src2, on=["id"])
     assert eng.read_table("t").count() == 22
+
+
+def test_vacuum_reclaims_superseded_dv_bins(dv_write_table, spark):
+    """A second DELETE supersedes the first vector; vacuum reclaims the
+    orphaned bin while the live one (and the table) survive."""
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id") == 2)
+    eng.delete("t", F.col("id") == 4)  # supersedes the first A-file DV
+
+    def bins():
+        return sorted(
+            e for e in os.listdir(path) if e.startswith("deletion_vector_")
+        )
+
+    assert len(bins()) == 2
+    n = eng.vacuum("t", retention_hours=0)
+    assert n >= 1  # the superseded bin is gone
+    remaining = bins()
+    assert len(remaining) == 1
+    live = deltalog._live_adds_no_spark(path)
+    descs = [a["deletionVector"] for a in live.values() if a.get("deletionVector")]
+    from delta_lake_proxy_spark.dv import dv_file_path
+
+    assert {os.path.basename(dv_file_path(path, d)) for d in descs} == set(remaining)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(20)) - {2, 4}
+    )
