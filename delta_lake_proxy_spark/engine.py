@@ -1842,6 +1842,18 @@ class Engine:
             == "true"
         )
 
+    def _dv_dml_eligible(self, path: str) -> bool:
+        """DML takes the DV-writing path only when the table asks for it
+        AND nothing demands per-row work the DV commit cannot prove: CDF
+        needs change files (the copy-on-write path produces them), and a
+        foreign table declaring generated columns would get unvalidated
+        appended rows."""
+        return (
+            self._dv_writes_enabled(path)
+            and not self._cdf_enabled(path)
+            and not deltalog.generated_columns(path)
+        )
+
     def _dv_removes(self, path: str, removes: list[dict]) -> list[dict]:
         """Attach each removed file's CURRENT deletionVector descriptor to
         its remove action: on DV tables the logical-file identity is
@@ -1883,8 +1895,19 @@ class Engine:
         conf["delta.enableDeletionVectors"] = "true"
         meta = deltalog.table_metadata_no_spark(path) or {}
         proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
         protocol_action = None
-        if "deletionVectors" not in (proto.get("readerFeatures") or []):
+        if "deletionVectors" not in existing_r:
+            if existing_r or existing_w:
+                # never CLOBBER a feature list this engine didn't write —
+                # dropping a declared feature corrupts the table's contract
+                raise UnsupportedProtocolError(
+                    path,
+                    "table already declares protocol features "
+                    f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                    "its feature lists",
+                )
             protocol_action = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
@@ -2273,7 +2296,7 @@ class Engine:
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
-        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+        if self._dv_dml_eligible(path):
             # MERGE as the DV shape: mark matched positions, append source
             v = self._merge_with_dvs(path, source, list(on), list(parts))
             if v is not None:
@@ -2364,7 +2387,7 @@ class Engine:
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
-        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+        if self._dv_dml_eligible(path):
             # DELETE as a deletion-vector commit — no data rewrite. (With
             # CDF also enabled the copy-on-write path below runs instead:
             # it produces the change files; table_changes cannot derive
@@ -2461,7 +2484,7 @@ class Engine:
         unknown = sorted(set(assignments) - set(target.columns))
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
-        if self._dv_writes_enabled(path) and not self._cdf_enabled(path):
+        if self._dv_dml_eligible(path):
             # UPDATE as Delta's DV shape: mark old positions, append the
             # updated rows — no touched-file rewrite. (With CDF enabled the
             # copy-on-write path below produces the change files instead.)
