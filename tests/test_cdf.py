@@ -351,3 +351,45 @@ def test_table_changes_timestamp_bounds(cdf_table, spark):
         eng.table_changes("t")
     with pytest.raises(ValueError, match="either from_version"):
         eng.table_changes("t", from_version=1, from_timestamp=1000)
+
+
+def test_feed_replay_reconstructs_table(cdf_table, spark):
+    """End-to-end CDF invariant: applying the whole change feed to an
+    empty state — inserts/update_postimages upsert, deletes/preimages
+    retract — reconstructs exactly the live table, across appends, DML,
+    merge, and an interleaved compaction."""
+    eng, path = cdf_table
+    eng.write_table(
+        "t",
+        spark.createDataFrame(
+            [(100, 1.0, "A"), (101, 2.0, "B")], "id long, val double, part string"
+        ),
+        mode="append",
+    )
+    eng.delete("t", F.col("id") < 3)
+    eng.compact_table("t", files_per_partition=1)
+    eng.update("t", F.col("id") == 100, {"val": F.lit(42.0)})
+    eng.merge(
+        "t",
+        spark.createDataFrame(
+            [(101, 9.0, "B"), (200, 3.0, "A")], "id long, val double, part string"
+        ),
+        on=["id"],
+    )
+    feed = eng.table_changes("t", from_version=1).collect()
+    state: dict[int, tuple] = {}
+    # initial snapshot (v0/v1): the 20 fixture rows
+    for i in range(20):
+        state[i] = (float(i), "A" if i % 2 == 0 else "B")
+    retract = ("delete", "update_preimage")
+    for r in sorted(
+        feed, key=lambda r: (r["_commit_version"], r["_change_type"] not in retract)
+    ):
+        if r["_change_type"] in ("delete", "update_preimage"):
+            state.pop(r["id"], None)
+        else:  # insert / update_postimage
+            state[r["id"]] = (r["val"], r["part"])
+    want = {
+        r["id"]: (r["val"], r["part"]) for r in eng.read_table("t").collect()
+    }
+    assert state == want

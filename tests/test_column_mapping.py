@@ -428,3 +428,52 @@ def test_reader3_columnmapping_feature_allowed(spark, tmp_path):
     open(p, "w").write(s)
     eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
     assert eng.read_table("t").count() == 5
+
+
+def test_mapped_table_with_deletion_vectors(spark, tmp_path):
+    """Combination: NAME-mode column mapping + deletion vectors — physical
+    names resolve AND positions filter, through the engine and the
+    governed source."""
+    from delta_lake_proxy_spark import dv as dv_mod
+
+    root = str(tmp_path / "cmdv")
+    make_mapped_table(root)
+    # upgrade protocol to reader 3 with both features; DV the A file ({0})
+    logp = os.path.join(root, "_delta_log", "00000000000000000000.json")
+    s = open(logp).read().replace(
+        '{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}',
+        '{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, '
+        '"readerFeatures": ["columnMapping", "deletionVectors"], '
+        '"writerFeatures": ["columnMapping", "deletionVectors"]}}',
+    )
+    open(logp, "w").write(s)
+    desc = dv_mod.inline_descriptor([0])  # first row of the A file: id=1
+    rel_a = f"{PHYS_PART}=A/part-00000.parquet"
+    actions = [
+        {"commitInfo": {"timestamp": 2, "operation": "DELETE"}},
+        {"remove": {"path": rel_a, "deletionTimestamp": 2, "dataChange": True}},
+        {
+            "add": {
+                "path": rel_a,
+                "partitionValues": {PHYS_PART: "A"},
+                "size": os.path.getsize(os.path.join(root, rel_a)),
+                "modificationTime": 2,
+                "dataChange": True,
+                "deletionVector": desc,
+            }
+        },
+    ]
+    with open(
+        os.path.join(root, "_delta_log", "00000000000000000001.json"), "w"
+    ) as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": root}))
+    got = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert sorted(got) == [2, 3, 4, 5]  # id=1 DV-deleted, logical names served
+    assert got[2]["part"] == "A" and got[4]["part"] == "B"
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    rows = spark.read.format("governed").option("path", root).load().collect()
+    assert sorted(r["id"] for r in rows) == [2, 3, 4, 5]
