@@ -1351,6 +1351,41 @@ def version_at_timestamp(
     return int(row["v"])
 
 
+def version_at_or_after_timestamp(
+    spark: SparkSession, table_path: str, ts_millis: int
+) -> int:
+    """Smallest retained version whose commit timestamp is >= ``ts_millis``
+    — the Delta CDF ``startingTimestamp`` resolution rule (INCLUSIVE of the
+    first commit at-or-after the bound, unlike ``timestampAsOf``'s
+    at-or-before). A timestamp before the first retained commit resolves to
+    that first commit (Delta serves the feed from the start of retained
+    history); a timestamp after the newest commit raises, matching Delta's
+    "greater than latest commit" startingTimestamp error."""
+    ts_col = F.coalesce(
+        F.col("commitInfo.inCommitTimestamp"), F.col("commitInfo.timestamp")
+    )
+    row = (
+        read_log(spark, table_path)
+        .filter(ts_col.isNotNull())
+        .agg(
+            F.min(
+                F.when(ts_col >= F.lit(int(ts_millis)), F.col("version"))
+            ).alias("v"),
+            F.min(F.col("version")).alias("min_v"),
+        )
+        .collect()[0]
+    )
+    if row["v"] is not None:
+        return int(row["v"])
+    if row["min_v"] is not None:
+        raise ValueError(
+            f"timestamp {ts_millis} is after the latest commit of "
+            f"{table_path} — out of range for a change-feed starting "
+            "timestamp (Delta semantics)"
+        )
+    raise ValueError(f"no timestamped commits in the retained log of {table_path}")
+
+
 def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
     """Delta log-retention cleanup: delete JSON commits AT OR BELOW the last
     checkpoint version, plus checkpoint part files of superseded (older)

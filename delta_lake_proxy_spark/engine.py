@@ -474,10 +474,16 @@ class Engine:
         if from_timestamp is not None:
             if from_version is not None:
                 raise ValueError("pass either from_version or from_timestamp")
-            # changes AFTER this instant: the window is exclusive of the
-            # resolved version, which is the last commit at-or-before it
-            from_version = deltalog.version_at_timestamp(
-                self.spark, path, _to_epoch_millis(from_timestamp)
+            # Delta startingTimestamp is INCLUSIVE of the first commit
+            # at-or-after the bound: resolve that commit and step one back
+            # so the exclusive lower bound below includes it. A pre-history
+            # timestamp resolves to the first retained commit (feed from
+            # the start of retained history), not an error.
+            from_version = (
+                deltalog.version_at_or_after_timestamp(
+                    self.spark, path, _to_epoch_millis(from_timestamp)
+                )
+                - 1
             )
         if from_version is None:
             raise ValueError("table_changes requires from_version or from_timestamp")
@@ -673,6 +679,23 @@ class Engine:
                     "validates existing rows first"
                 )
         path = self.resolve(alias)
+        if (
+            str(properties.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+            and not self._dv_protocol(path)
+        ):
+            # the property alone never authorizes DV actions: a (1,2) table
+            # with the property set would accept DV-writing DML whose
+            # descriptors every conforming reader (including this engine's
+            # own _dv_protocol-gated scans) IGNORES — deleted rows would
+            # silently stay visible. The protocol upgrade and the property
+            # must land together.
+            raise UnsupportedProtocolError(
+                path,
+                "delta.enableDeletionVectors requires the deletionVectors "
+                "protocol feature — use enable_deletion_vectors(), which "
+                "upgrades to (3,7)+deletionVectors in the same commit",
+            )
         conf = deltalog.table_configuration_no_spark(path)
         conf.update({str(k): str(v) for k, v in properties.items()})
         for k in unset or []:
@@ -700,6 +723,9 @@ class Engine:
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
             cdf_handled=True,
+            # a metadata-only commit adds/removes no files, so DV identity
+            # maintenance is vacuously satisfied on declared-DV tables
+            dv_write=self._dv_protocol(path),
             protocol_action=protocol_action,
         )
         self._snapshot_cache.invalidate()
@@ -765,8 +791,23 @@ class Engine:
         # either snapshot's file list in driver memory.
         old = deltalog.snapshot_files(self.spark, path, version=version)
         cur = deltalog.snapshot_files(self.spark, path)
-        re_adds = old.join(cur.select("path"), "path", "left_anti")
-        re_removes = cur.select("path").join(old.select("path"), "path", "left_anti")
+        # On DV tables the logical-file identity is (path, dv uniqueId):
+        # diffing on path alone would miss a file whose DV changed between
+        # the two snapshots (live in both → no action → the restore
+        # silently keeps the NEW deletion state). Key the diff on the full
+        # identity so a DV change restores like any other file change.
+        dv_uid = F.concat_ws(
+            "\x00",
+            F.coalesce(F.col("deletionVector.storageType"), F.lit("")),
+            F.coalesce(F.col("deletionVector.pathOrInlineDv"), F.lit("")),
+            F.coalesce(
+                F.col("deletionVector.offset").cast("string"), F.lit("")
+            ),
+        )
+        old = old.withColumn("_ident", F.concat_ws("\x01", F.col("path"), dv_uid))
+        cur = cur.withColumn("_ident", F.concat_ws("\x01", F.col("path"), dv_uid))
+        re_adds = old.join(cur.select("_ident"), "_ident", "left_anti")
+        re_removes = cur.join(old.select("_ident"), "_ident", "left_anti")
 
         def add_rows():
             for r in re_adds.toLocalIterator():
@@ -778,14 +819,22 @@ class Engine:
                     "stats": r["stats"],
                 }
                 # carried so a restore never resurrects DV-deleted rows
-                # (DV tables refuse writes today, writer 7 — future-proofing)
                 if r["deletionVector"] is not None:
                     add["deletionVector"] = r["deletionVector"].asDict()
                 yield add
 
         def remove_rows():
             for r in re_removes.toLocalIterator():
-                yield {"path": r["path"]}
+                # the remove must tombstone the SAME (path, dv uniqueId)
+                # identity the live add declares — a bare-path remove on a
+                # DV table never reconciles, resurrecting deleted rows
+                if r["deletionVector"] is not None:
+                    yield {
+                        "path": r["path"],
+                        "deletionVector": r["deletionVector"].asDict(),
+                    }
+                else:
+                    yield {"path": r["path"]}
 
         new_version = deltalog.write_commit_streamed(
             path,
@@ -796,7 +845,9 @@ class Engine:
             # committed as constraint-valid in the target version; its
             # full-file adds/removes are CDF-derivable
             enforced_constraints=True,
+            enforced_generated=True,
             cdf_handled=True,
+            dv_write=self._dv_protocol(path),
         )
         self._snapshot_cache.invalidate()
         return new_version
@@ -1229,7 +1280,13 @@ class Engine:
                 for rel, d in dv_items
             ]
             flat = self.spark.createDataFrame(rows, self._DV_FLAT_SCHEMA)
-            total = sum(int(r[5] or 0) for r in rows)
+            # null cardinality (malformed descriptor) => assume big, no
+            # broadcast — mirrors the distributed (dv_df) branch below
+            total = (
+                DV_BROADCAST_POSITIONS_LIMIT + 1
+                if any(r[5] is None for r in rows)
+                else sum(int(r[5]) for r in rows)
+            )
         else:
             flat = dv_df.filter(
                 F.col("deletionVector").isNotNull()
@@ -1844,12 +1901,16 @@ class Engine:
 
     def _dv_dml_eligible(self, path: str) -> bool:
         """DML takes the DV-writing path only when the table asks for it
-        AND nothing demands per-row work the DV commit cannot prove: CDF
-        needs change files (the copy-on-write path produces them), and a
-        foreign table declaring generated columns would get unvalidated
-        appended rows."""
+        AND its protocol actually DECLARES the deletionVectors feature
+        (the property alone is not authority to emit DV actions — a
+        conforming reader of a (1,2) table would ignore the descriptors
+        and resurrect the rows) AND nothing demands per-row work the DV
+        commit cannot prove: CDF needs change files (the copy-on-write
+        path produces them), and a foreign table declaring generated
+        columns would get unvalidated appended rows."""
         return (
             self._dv_writes_enabled(path)
+            and self._dv_protocol(path)
             and not self._cdf_enabled(path)
             and not deltalog.generated_columns(path)
         )
@@ -2125,6 +2186,26 @@ class Engine:
         files — no touched-file rewrite, cost O(matched + source rows).
         Returns None past the enumerable threshold (caller falls back to
         copy-on-write)."""
+        # reconcile the source against the LOGGED schema before staging —
+        # the copy-on-write path gets this for free from unionByName's
+        # strictness; the DV path appends the source verbatim, so a source
+        # missing a table column would commit nonconforming files that read
+        # back as nulls. Same contract: extras and missing columns reject,
+        # conforming columns cast to the logged types.
+        schema = self._table_schema(path)
+        if schema is not None:
+            src_cols = set(source.columns)
+            tbl_cols = [f.name for f in schema.fields]
+            missing = [c for c in tbl_cols if c not in src_cols]
+            extra = sorted(src_cols - set(tbl_cols))
+            if missing or extra:
+                raise ValueError(
+                    f"MERGE source schema does not match table {path}: "
+                    f"missing columns {missing}, unexpected columns {extra}"
+                )
+            source = source.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
         try:
             target = self._read_data(path, keep_file_col=True, keep_pos=True)
         except _NeedsEnumeratedScan:

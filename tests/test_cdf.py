@@ -342,11 +342,24 @@ def test_table_changes_timestamp_bounds(cdf_table, spark):
             lines.append(_json.dumps(a))
         open(p, "w", encoding="utf-8").write("\n".join(lines) + "\n")
     eng.invalidate_caches()
-    # (after v2, up to v3]: only the second delete
-    feed = eng.table_changes("t", from_timestamp=3000, to_timestamp=4000)
+    # startingTimestamp is INCLUSIVE of the first commit at-or-after the
+    # bound (Delta CDF): strictly between v2 (3s) and v3 (4s) → v3 only
+    feed = eng.table_changes("t", from_timestamp=3500, to_timestamp=4000)
     rows = feed.collect()
     assert [r["id"] for r in rows] == [5]
     assert rows[0]["_commit_version"] == 3
+    # a commit EXACTLY at from_timestamp is included (round-7 advice: the
+    # at-or-before-exclusive resolution silently dropped it)
+    feed = eng.table_changes("t", from_timestamp=3000, to_timestamp=4000)
+    assert sorted(r["_commit_version"] for r in feed.collect()) == [2, 2, 3]
+    # a pre-history timestamp serves the feed from the start of retained
+    # history instead of raising
+    all_rows = eng.table_changes("t", from_timestamp=10).collect()
+    # v0's create feeds as inserts; v1 (enable CDF) is metadata-only
+    assert {r["_commit_version"] for r in all_rows} == {0, 2, 3}
+    # a starting timestamp after the newest commit is out of range
+    with pytest.raises(ValueError, match="after the latest"):
+        eng.table_changes("t", from_timestamp=10_000)
     with pytest.raises(ValueError, match="from_version or from_timestamp"):
         eng.table_changes("t")
     with pytest.raises(ValueError, match="either from_version"):

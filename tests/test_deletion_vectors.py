@@ -634,3 +634,143 @@ def test_vacuum_reclaims_superseded_dv_bins(dv_write_table, spark):
     assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
         set(range(20)) - {2, 4}
     )
+
+
+# -- round-8 advice pins ----------------------------------------------------
+
+
+def test_dv_property_without_protocol_refused(spark, tmp_path):
+    """set_table_properties must not smuggle delta.enableDeletionVectors
+    onto a (1,2) table: the property alone never authorizes DV actions —
+    a conforming reader ignores descriptors a protocol does not declare,
+    so DV-writing DML would leave 'deleted' rows visible. The upgrade and
+    the property land together via enable_deletion_vectors()."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, "A") for i in range(10)], "id long, part string"
+    )
+    write_governed_table(spark, df.repartition(1), path, ["part"])
+    eng = _engine(spark, path, read_only=False)
+    with pytest.raises(UnsupportedProtocolError, match="enable_deletion_vectors"):
+        eng.set_table_properties("t", {"delta.enableDeletionVectors": "true"})
+    # unrelated properties still set fine
+    eng.set_table_properties("t", {"myapp.owner": "alice"})
+    assert (
+        deltalog.table_configuration_no_spark(path)["myapp.owner"] == "alice"
+    )
+
+
+def test_dv_property_on_declared_protocol_table_ok(dv_write_table):
+    """On a table whose protocol already declares deletionVectors, the
+    property may be toggled via set_table_properties (no upgrade needed)."""
+    eng, path = dv_write_table
+    eng.set_table_properties("t", {"delta.enableDeletionVectors": "true"})
+    conf = deltalog.table_configuration_no_spark(path)
+    assert conf["delta.enableDeletionVectors"] == "true"
+
+
+def test_foreign_property_only_table_takes_copy_on_write(spark, tmp_path):
+    """A foreign (1,2) table that carries delta.enableDeletionVectors=true
+    in its configuration (protocol never upgraded — the exact hazard the
+    round-7 advice flagged) must NOT take the DV-writing DML path: DELETE
+    rewrites copy-on-write, emits zero deletionVector actions, and the
+    rows are actually gone on read."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    path = str(tmp_path / "foreign")
+    df = spark.createDataFrame(
+        [(i, "A") for i in range(10)], "id long, part string"
+    )
+    write_governed_table(spark, df.repartition(1), path, ["part"])
+    meta = deltalog.table_metadata_no_spark(path)
+    # foreign writer sets the property WITHOUT a protocol upgrade
+    deltalog.write_commit(
+        path,
+        [],
+        [],
+        schema_json=meta["schemaString"],
+        partition_cols=["part"],
+        operation="SET TBLPROPERTIES",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    eng = _engine(spark, path, read_only=False)
+    assert not eng._dv_dml_eligible(path)
+    eng.delete("t", F.col("id") < 3)
+    snap = deltalog.snapshot_files(spark, path).collect()
+    assert all(r["deletionVector"] is None for r in snap)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == list(
+        range(3, 10)
+    )
+
+
+def test_dv_merge_schema_mismatch_rejected(dv_write_table, spark):
+    """The DV MERGE path appends the source verbatim, so it must enforce
+    the same schema contract unionByName gives the copy-on-write path:
+    missing or extra source columns reject loudly (no nonconforming
+    files); conforming columns in any order cast to the logged types."""
+    eng, path = dv_write_table
+    missing = spark.createDataFrame([(3, "A")], "id long, part string")
+    with pytest.raises(ValueError, match="missing columns.*val"):
+        eng.merge("t", missing, on=["id"])
+    extra = spark.createDataFrame(
+        [(3, 1.0, "A", "x")], "id long, val double, part string, bonus string"
+    )
+    with pytest.raises(ValueError, match="unexpected columns.*bonus"):
+        eng.merge("t", extra, on=["id"])
+    # reordered + narrower-typed source conforms: cast and merge
+    reordered = spark.createDataFrame(
+        [("A", 3, 300)], "part string, id int, val int"
+    )
+    eng.merge("t", reordered, on=["id"])
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert rows[3]["val"] == 300.0 and len(rows) == 20
+
+
+def test_restore_reverts_dv_delete(dv_write_table, spark):
+    """RESTORE on a DV table: a DV-writing DELETE changes row liveness
+    inside unchanged files, so the restore diff must key on the full
+    (path, dv uniqueId) identity — a path-only diff sees 'live in both'
+    and silently keeps the new deletion state."""
+    eng, path = dv_write_table
+    eng.delete("t", F.col("id").isin(2, 3, 15))  # v2: writes DVs
+    assert eng.read_table("t").count() == 17
+    eng.restore("t", version=1)  # v3: back to all 20 rows
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == list(
+        range(20)
+    )
+    # identity-correct action pair: no live add carries a DV any more,
+    # and the DV'd identities were tombstoned (reconciliation clean)
+    live = deltalog._live_adds_no_spark(path)
+    assert all(
+        not (a.get("deletionVector") or {}).get("storageType")
+        for a in live.values()
+    )
+    # restore BACK to the deleted state works too (re-adds the DV'd pair)
+    eng.restore("t", version=2)
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(20)) - {2, 3, 15}
+    )
+
+
+def test_dv_null_cardinality_never_broadcasts(spark, dv_table):
+    """A descriptor lacking cardinality could represent an unboundedly
+    large position set: the enumerated path must mirror the distributed
+    path and skip the broadcast hint (advice pin)."""
+    eng = _engine(spark, dv_table)
+    items = [
+        (rel, {**d, "cardinality": None})
+        for rel, d in eng._dv_map(dv_table).items()
+    ]
+    assert items, "fixture should carry at least one DV"
+    pos_df = eng._dv_positions_df(dv_table, dv_items=items)
+    plan = pos_df._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in plan.lower()
+    # with known cardinality the same set broadcasts (plan keeps its
+    # no-shuffle scan shape)
+    pos_bc = eng._dv_positions_df(
+        dv_table, dv_items=list(eng._dv_map(dv_table).items())
+    )
+    plan_bc = pos_bc._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan_bc.lower()
