@@ -1078,13 +1078,37 @@ def check_write_protocol(
     if proto is None:
         return
     writer = int(proto.get("minWriterVersion") or 1)
+    features_declared = proto.get("writerFeatures") is not None
     features = list(proto.get("writerFeatures") or [])
+    # Writer features whose obligations EVERY engine write path honors:
+    # v2Checkpoint (write_checkpoint dispatches to the v2 form on such
+    # tables — classic checkpoints are never written into them) and
+    # vacuumProtocolCheck (Engine.vacuum resolves the live set through the
+    # protocol-gated replay and never touches the log or DV bins).
+    # Ordinary commits carry no per-commit obligation for either, so they
+    # never block a write by themselves.
+    features = [
+        f for f in features if f not in ("v2Checkpoint", "vacuumProtocolCheck")
+    ]
     constraints_ok = enforced_constraints or not declared_constraints(table_path)
     generated_ok = enforced_generated or _schema_has_generated_columns(table_path) is None
     cdf_ok = cdf_handled or (
         str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
     )
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
+    if (
+        writer == 7
+        and features_declared
+        and not features
+        and constraints_ok
+        and generated_ok
+        and cdf_ok
+    ):
+        # writer 7 delegates ALL capability demands to writerFeatures; with
+        # every DECLARED feature honored (stripped above) and nothing else
+        # demanded, commits are safe. An ABSENT writerFeatures list on a
+        # writer-7 protocol is malformed (the spec requires it) — refuse.
+        writer_ok = True
     if writer == 4 and constraints_ok and generated_ok and cdf_ok:
         # writer 4 adds generated columns + CDF on top of 3: acceptable
         # when the caller computed/validated the generated values and
@@ -1422,6 +1446,17 @@ def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
         if os.stat(full).st_mtime <= cutoff:
             os.remove(full)
             removed += 1
+    # v2-checkpoint sidecars superseded by a newer checkpoint: reclaim any
+    # _sidecars/ file the CURRENT checkpoint does not reference
+    side_dir = os.path.join(d, "_sidecars")
+    if os.path.isdir(side_dir):
+        for name in sorted(os.listdir(side_dir)):
+            if name in keep or not name.endswith(".parquet"):
+                continue
+            full = os.path.join(side_dir, name)
+            if os.stat(full).st_mtime <= cutoff:
+                os.remove(full)
+                removed += 1
     return removed
 
 
@@ -1494,13 +1529,8 @@ def write_checkpoint(
     proto = table_protocol_no_spark(table_path) or {}
     if "v2Checkpoint" in (proto.get("readerFeatures") or []):
         # the v2Checkpoint feature FORBIDS classic checkpoints (readers of
-        # the table may rely on v2 resolution); reads of existing v2
-        # checkpoints are supported, producing them is not
-        raise UnsupportedProtocolError(
-            table_path,
-            "table demands v2 checkpoints; writing a classic checkpoint "
-            "would violate its v2Checkpoint feature",
-        )
+        # the table may rely on v2 resolution) — write the v2 form instead
+        return write_checkpoint_v2(spark, table_path, max_actions_per_part)
     # Checkpoint-AWARE replay (prior checkpoint + JSON tail): after a
     # cleanup_log, pre-checkpoint JSON commits are gone, so a full-JSON
     # replay would silently rebuild a partial snapshot.
@@ -1634,6 +1664,179 @@ def write_checkpoint(
     _shutil.rmtree(tmp_dir, ignore_errors=True)
     with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
         f.write(json.dumps(ck_meta))
+    return version
+
+
+def write_checkpoint_v2(
+    spark: SparkSession,
+    table_path: str,
+    max_actions_per_part: int = CHECKPOINT_PART_ACTIONS,
+) -> int:
+    """Materialize the snapshot as a V2 CHECKPOINT (Delta reader feature
+    ``v2Checkpoint``): file actions stream to uuid-named SIDECAR parquet
+    files under ``_delta_log/_sidecars/`` (written distributed, one task
+    per sidecar — no single file grows with the table), and a uuid-named
+    main file ``{v:020d}.checkpoint.<uuid>.parquet`` carries only the
+    metadata-sized actions: ``checkpointMetadata``, one ``sidecar``
+    reference per part, the latest ``protocol``/``metaData``, and app
+    ``txn`` watermarks. Complements the round-7 v2 READ support
+    (:func:`checkpoint_data_files` resolves main + sidecars); this is the
+    produce side the round-7 notes listed as the remaining gap.
+    """
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version = latest_version(table_path)
+    if version < 0:
+        raise ValueError(f"no commits to checkpoint at {table_path}")
+    live = snapshot_files(spark, table_path, version=version)
+    adds = live.select(
+        F.struct(
+            F.col("path"),
+            F.col("partitionValues"),
+            F.col("size"),
+            F.col("modificationTime"),
+            F.lit(False).alias("dataChange"),
+            F.col("stats"),
+            F.col("deletionVector"),
+        ).alias("add"),
+        F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
+    )
+    n_actions = live.count()
+    parts = max(1, -(-n_actions // max_actions_per_part))
+    logd = log_path(table_path)
+    side_dir = os.path.join(logd, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    tmp_dir = os.path.join(logd, f"{version:020d}.checkpoint.v2.tmp")
+    (
+        adds.coalesce(1) if parts == 1 else adds.repartition(parts)
+    ).write.mode("overwrite").parquet(tmp_dir)
+    sidecar_actions: list[dict[str, Any]] = []
+    try:
+        for src in sorted(
+            p
+            for p in os.listdir(tmp_dir)
+            if p.endswith(".parquet") and not p.startswith(".")
+        ):
+            name = f"{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(side_dir, name)
+            os.replace(os.path.join(tmp_dir, src), dst)
+            st = os.stat(dst)
+            sidecar_actions.append(
+                {
+                    "path": name,
+                    "sizeInBytes": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                }
+            )
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+    proto = table_protocol_no_spark(table_path) or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    meta = table_metadata_no_spark(table_path)
+    txns = all_txn_versions(table_path)
+    n_rows = 1 + len(sidecar_actions) + 1 + (1 if meta else 0) + len(txns)
+
+    def col(vals, typ):
+        return pa.array(vals, type=typ)
+
+    ckmeta_t = pa.struct([("version", pa.int64())])
+    side_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+
+    def one_hot(idx_vals, typ):
+        vals: list[Any] = [None] * n_rows
+        for i, v in idx_vals:
+            vals[i] = v
+        return col(vals, typ)
+
+    i = 0
+    ck_rows = [(i, {"version": version})]
+    i += 1
+    side_rows = []
+    for sc in sidecar_actions:
+        side_rows.append((i, sc))
+        i += 1
+    proto_rows = [
+        (
+            i,
+            {
+                "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+                "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            },
+        )
+    ]
+    i += 1
+    meta_rows = []
+    if meta:
+        conf = meta.get("configuration") or {}
+        meta_rows.append(
+            (
+                i,
+                {
+                    "id": meta.get("id"),
+                    "format": {"provider": "parquet"},
+                    "schemaString": meta.get("schemaString"),
+                    "partitionColumns": list(meta.get("partitionColumns") or []),
+                    "configuration": list(conf.items())
+                    if isinstance(conf, dict)
+                    else conf,
+                    "createdTime": meta.get("createdTime"),
+                },
+            )
+        )
+        i += 1
+    txn_rows = []
+    for app, v in sorted(txns.items()):
+        txn_rows.append((i, {"appId": app, "version": v}))
+        i += 1
+    table = pa.table(
+        {
+            "checkpointMetadata": one_hot(ck_rows, ckmeta_t),
+            "sidecar": one_hot(side_rows, side_t),
+            "protocol": one_hot(proto_rows, proto_t),
+            "metaData": one_hot(meta_rows, meta_t),
+            "txn": one_hot(txn_rows, txn_t),
+        }
+    )
+    main_name = f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+    tmp_main = os.path.join(logd, f".{main_name}.tmp")
+    pq.write_table(table, tmp_main)
+    os.replace(tmp_main, os.path.join(logd, main_name))
+    with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"version": version, "size": n_actions}))
     return version
 
 

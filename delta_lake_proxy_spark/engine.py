@@ -1991,6 +1991,50 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def enable_v2_checkpoints(self, alias: str) -> int:
+        """Upgrade a plain table to the ``v2Checkpoint`` protocol feature:
+        subsequent :meth:`checkpoint` calls (and auto-checkpoints) write the
+        V2 form — uuid-named main file + ``_sidecars/`` — instead of classic
+        checkpoints, which the feature forbids. Tables already declaring
+        other protocol features refuse (a writer-7 upgrade must enumerate
+        every legacy capability; this engine scopes the upgrade to the
+        plain case, like :meth:`enable_deletion_vectors`)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        if "v2Checkpoint" in existing_r:
+            return deltalog.latest_version(path)  # already enabled
+        if existing_r or existing_w:
+            raise UnsupportedProtocolError(
+                path,
+                "table already declares protocol features "
+                f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                "its feature lists",
+            )
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        version = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="UPGRADE PROTOCOL",
+            enforced_constraints=True,
+            enforced_generated=True,
+            cdf_handled=True,
+            protocol_action={
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            },
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def _delete_with_dvs(self, path: str, condition: Column) -> int | None:
         """DELETE by WRITING deletion vectors — no data rewrite: each
         touched file's matching row positions merge with its existing DV

@@ -954,10 +954,95 @@ def test_v2_checkpoint_reads(spark, tmp_path):
     assert got.count() == 7
 
 
-def test_v2_checkpoint_refuses_classic_checkpoint_write(spark, tmp_path):
+def test_v2_checkpoint_table_checkpoints_in_v2_form(spark, tmp_path):
+    """The v2Checkpoint feature forbids classic checkpoints — round 7
+    refused the write; round 8 produces the V2 FORM instead: a uuid-named
+    main file carrying checkpointMetadata/sidecar/protocol/metaData, file
+    actions in _sidecars/, and reads resolving through the new layout."""
+    import glob as _glob
+
     root = make_v2_checkpoint_table(str(tmp_path / "t"))
-    with pytest.raises(UnsupportedProtocolError, match="v2Checkpoint"):
-        deltalog.write_checkpoint(spark, root)
+    v = deltalog.write_checkpoint(spark, root)
+    assert v == 2
+    logd = os.path.join(root, "_delta_log")
+    assert not os.path.exists(
+        os.path.join(logd, f"{v:020d}.checkpoint.parquet")
+    ), "classic checkpoint must not be written into a v2Checkpoint table"
+    mains = _glob.glob(os.path.join(logd, f"{v:020d}.checkpoint.*.parquet"))
+    assert len(mains) == 1
+    import pyarrow.parquet as pq
+
+    main = pq.read_table(mains[0])
+    cms = [c for c in main.column("checkpointMetadata").to_pylist() if c]
+    assert cms == [{"version": 2}]
+    sidecars = [s for s in main.column("sidecar").to_pylist() if s]
+    assert sidecars and all(
+        os.path.exists(os.path.join(logd, "_sidecars", s["path"]))
+        for s in sidecars
+    )
+    protos = [p for p in main.column("protocol").to_pylist() if p]
+    assert protos[0]["readerFeatures"] == ["v2Checkpoint"]
+    # prune the JSON history: every read path must now resolve through the
+    # NEW v2 checkpoint alone
+    for name in list(os.listdir(logd)):
+        if name.endswith(".json") and name[:-5].isdigit():
+            os.remove(os.path.join(logd, name))
+    assert set(deltalog._live_paths_no_spark(root)) == {
+        "part-a.parquet",
+        "part-b.parquet",
+        "part-c.parquet",
+        "part-d.parquet",
+    }
+    got = {r["path"] for r in deltalog.snapshot_files(spark, root).collect()}
+    assert got == {
+        "part-a.parquet",
+        "part-b.parquet",
+        "part-c.parquet",
+        "part-d.parquet",
+    }
+    assert deltalog.table_metadata_no_spark(root)["id"] == "v2-test"
+
+
+def test_enable_v2_checkpoints_engine_roundtrip(spark, tmp_path):
+    """enable_v2_checkpoints upgrades a plain table; subsequent engine
+    writes pass the gate (the honored v2Checkpoint feature never blocks a
+    commit), checkpoints take the v2 form, and cleanup_log reclaims
+    superseded sidecars but never the referenced ones."""
+    import glob as _glob
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    root = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(i, "A" if i < 5 else "B") for i in range(10)], "id long, part string"
+    )
+    write_governed_table(spark, df.repartition(1), root, ["part"])  # v0
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"t": root}, read_only=False)
+    )
+    eng.enable_v2_checkpoints("t")  # v1
+    proto = deltalog.table_protocol_no_spark(root)
+    assert proto["readerFeatures"] == ["v2Checkpoint"]
+    # writes still pass the gate after the upgrade
+    eng.delete("t", F.col("id") == 3)  # v2
+    deltalog.write_checkpoint(spark, root)
+    logd = os.path.join(root, "_delta_log")
+    assert _glob.glob(os.path.join(logd, "*.checkpoint.*.parquet"))
+    assert not _glob.glob(os.path.join(logd, "*.checkpoint.parquet"))
+    first_sidecars = set(os.listdir(os.path.join(logd, "_sidecars")))
+    eng.delete("t", F.col("id") == 7)  # v3
+    deltalog.write_checkpoint(spark, root)
+    removed = deltalog.cleanup_log(root, retention_hours=0)
+    assert removed >= 1
+    live_sidecars = set(os.listdir(os.path.join(logd, "_sidecars")))
+    assert not (first_sidecars & live_sidecars), "superseded sidecars linger"
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == sorted(
+        set(range(10)) - {3, 7}
+    )
+    # time travel BELOW the pruned history fails loudly, as on classic
+    with pytest.raises(ValueError, match="reproducible"):
+        deltalog.snapshot_files(spark, root, version=0).collect()
 
 
 # -- variantType reader feature (round 7) -----------------------------------
