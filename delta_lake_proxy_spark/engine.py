@@ -116,11 +116,18 @@ def uri_rel_col(col: Column, table_path: str) -> Column:
     decode, strip the table prefix. (``url_decode`` is form-decoding, so a
     literal '+' in a file name — which Hadoop URIs leave unencoded — would
     decode to a space; accepted divergence, parquet writers never emit '+'
-    in part names.)"""
+    in part names.) A file OUTSIDE the table root (a shallow clone's
+    absolute reference) keeps its decoded ABSOLUTE path — exactly how the
+    clone's add actions reference it, so rel-keyed joins (DV anti-join,
+    DML touched-file sets) stay identity-correct on clones."""
     decoded = F.url_decode(
         F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
     )
-    return F.substring(decoded, len(os.path.abspath(table_path)) + 2, 1 << 30)
+    root = os.path.abspath(table_path)
+    return F.when(
+        decoded.startswith(root + "/"),
+        F.substring(decoded, len(root) + 2, 1 << 30),
+    ).otherwise(decoded)
 
 
 # Beyond this many touched files, DML filters use a broadcast semi-join on a
@@ -872,34 +879,27 @@ class Engine:
         walks the clone's directory). The source table is never modified.
         Reads of large clones stay on the enumerated-path scan — the
         listing-join cannot see foreign absolute files and refuses loudly.
-        DV-table clones refuse (descriptors resolve against the source
-        root); ``target_alias`` registers the clone in this engine's
-        mapping."""
+        DV-table clones rewrite each relative ('u') descriptor to its
+        absolute ('p') form so the clone decodes the source's bins in
+        place; column-mapped clones copy the mapped schema, configuration,
+        and protocol, and read under physical names like the source.
+        ``target_alias`` registers the clone in this engine's mapping."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         src = self.resolve(alias)
         deltalog.check_read_protocol(src)
-        if self._dv_protocol(src):
-            raise UnsupportedProtocolError(
-                src,
-                "shallow clone of deletion-vector tables is not supported "
-                "(DV descriptors resolve against the source root)",
-            )
-        if self._column_mapping(src):
-            raise UnsupportedProtocolError(
-                src,
-                "shallow clone of column-mapped tables is not supported",
-            )
         if deltalog.latest_version(dst_path) >= 0:
             raise ValueError(f"clone destination {dst_path} is already a table")
         meta = deltalog.table_metadata_no_spark(src) or {}
+        src_proto = deltalog.table_protocol_no_spark(src)
         snap = deltalog.snapshot_files(self.spark, src, version=version)
+        from delta_lake_proxy_spark import dv as dv_mod
 
         def adds_fn():
             # streamed: a 10^7-file clone never materializes driver-side
             for r in snap.toLocalIterator():
                 p = r["path"]
-                yield {
+                add = {
                     # absolute reference (clone-of-clone keeps its own)
                     "path": p if p.startswith("/") or "://" in p else os.path.join(src, p),
                     "partitionValues": dict(r["partitionValues"] or {}),
@@ -907,8 +907,32 @@ class Engine:
                     "modificationTime": r["modificationTime"],
                     "stats": r["stats"],
                 }
+                if r["deletionVector"] is not None and r["deletionVector"]["storageType"]:
+                    d = r["deletionVector"].asDict()
+                    if d.get("storageType") == "u":
+                        # relative-from-UUID descriptors resolve against the
+                        # SOURCE root — rewrite to the absolute ('p') form so
+                        # the clone (and any conforming reader of it) decodes
+                        # the same bin without copying a byte
+                        d = {
+                            **d,
+                            "storageType": "p",
+                            "pathOrInlineDv": dv_mod.dv_file_path(src, d),
+                        }
+                    add["deletionVector"] = d
+                yield add
 
         os.makedirs(dst_path, exist_ok=True)
+        # the clone re-declares the source's protocol demands (column
+        # mapping / deletion vectors travel with the copied metadata and
+        # descriptors): a (1,2) clone of a reader-3 table would let
+        # conforming clients silently mis-read it
+        protocol_action = None
+        if src_proto is not None and (
+            int(src_proto.get("minReaderVersion") or 1) > 1
+            or int(src_proto.get("minWriterVersion") or 1) > 2
+        ):
+            protocol_action = src_proto
         v = deltalog.write_commit_streamed(
             dst_path,
             adds_fn,
@@ -920,6 +944,7 @@ class Engine:
             enforced_constraints=True,  # no rows written; source rows were valid
             enforced_generated=True,
             cdf_handled=True,
+            protocol_action=protocol_action,
         )
         if target_alias:
             self.config.table_mapping[target_alias] = dst_path
@@ -1037,7 +1062,11 @@ class Engine:
                         for r, a in adds.items()
                     }
                 return self._read_clone_enumerated(
-                    path, pv_of, keep_file_col=keep_file_col
+                    path,
+                    pv_of,
+                    keep_file_col=keep_file_col,
+                    keep_pos=keep_pos,
+                    dv_items=dv_items,
                 )
             reader = self.spark.read.option("basePath", path)
             schema = self._table_schema(path)
@@ -1070,7 +1099,12 @@ class Engine:
         return df.withColumn("_file", F.input_file_name()) if keep_file_col else df
 
     def _read_clone_enumerated(
-        self, path: str, pv_of: dict[str, dict], keep_file_col: bool = False
+        self,
+        path: str,
+        pv_of: dict[str, dict],
+        keep_file_col: bool = False,
+        keep_pos: bool = False,
+        dv_items: "list[tuple[str, dict]] | None" = None,
     ) -> DataFrame:
         """Scan of a snapshot that references files OUTSIDE the table root
         (shallow clone): partition values come from the log's
@@ -1079,17 +1113,16 @@ class Engine:
         constants attach via a broadcast join of the metadata-sized
         (file -> partition values) map on ``_metadata.file_path``. Plan
         size O(1) in the file count; the map is the replay we already
-        hold."""
+        hold. Column-mapped clones read under the PHYSICAL data schema and
+        project back to logical; DV'd files anti-join their deleted
+        positions exactly like the in-root scan (the clone's descriptors
+        reference the source's bins by absolute path)."""
         from pyspark.sql import types as T
 
         schema = self._table_schema(path)
         if schema is None:
             raise ValueError(f"cloned table {path} has no logged schema")
-        if self._column_mapping(path):
-            raise UnsupportedProtocolError(
-                path, "reading a shallow clone of a column-mapped table is "
-                "not supported"
-            )
+        l2p = self._column_mapping(path)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = list(meta.get("partitionColumns") or [])
 
@@ -1098,31 +1131,47 @@ class Engine:
 
         files = sorted(full_of(r) for r in pv_of)
         data_fields = [f for f in schema.fields if f.name not in parts]
-        df = self.spark.read.schema(T.StructType(data_fields)).parquet(*files)
+        read_schema, _ = self._physical_schema(path, T.StructType(data_fields))
+        df = self.spark.read.schema(read_schema).parquet(*files)
         if keep_file_col:
             df = df.withColumn("_file", F.input_file_name())
+        if keep_pos:
+            df = df.withColumn("_pos", F.col("_metadata.row_index"))
+        if parts:
+            # materialized BEFORE the DV anti-join: the hidden _metadata
+            # struct resolves only directly against the file-source scan
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", ""
+                )
+            )
+            df = df.withColumn("_pv_file", decoded)
+        if dv_items:
+            df = self._filter_deleted_positions(df, path, dv_items=dv_items)
         if parts:
             pv_rows = [
-                tuple([full_of(r)] + [pv.get(c) for c in parts])
+                tuple(
+                    [full_of(r)]
+                    + [pv.get(l2p.get(c, c) if l2p else c) for c in parts]
+                )
                 for r, pv in pv_of.items()
             ]
             pv_schema = ", ".join(
                 ["`_pv_file` string"] + [f"`__pv_{c}` string" for c in parts]
             )
             pvdf = local_df(self.spark, pv_rows, pv_schema)
-            decoded = F.url_decode(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", ""
-                )
-            )
-            df = df.withColumn("_pv_file", decoded).join(
-                F.broadcast(pvdf), "_pv_file"
-            )
+            df = df.join(F.broadcast(pvdf), "_pv_file")
             for c in parts:
                 df = df.withColumn(c, F.col(f"__pv_{c}").cast(schema[c].dataType))
             df = df.drop("_pv_file", *[f"__pv_{c}" for c in parts])
-        keep = ["_file"] if keep_file_col else []
-        return df.select(*[f.name for f in schema.fields], *keep)
+        keep = [c for c in ("_file", "_pos") if (keep_file_col and c == "_file") or (keep_pos and c == "_pos")]
+        out_cols = [
+            F.col(f.name)
+            if f.name in parts or not l2p
+            else F.col(l2p.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*out_cols, *[F.col(c) for c in keep])
 
     def _read_data_listing_join(
         self,
@@ -1913,7 +1962,31 @@ class Engine:
             and self._dv_protocol(path)
             and not self._cdf_enabled(path)
             and not deltalog.generated_columns(path)
+            # shallow clones reference foreign files: the DV-marking group
+            # key and new-bin placement assume in-root files, so clone DML
+            # takes the copy-on-write path (which handles absolute refs and
+            # carries DV identity on removes)
+            and not self._has_foreign_adds(path)
         )
+
+    def _has_foreign_adds(self, path: str) -> bool:
+        """Whether the live snapshot references any file OUTSIDE the table
+        root (shallow clone). Memoized off the shared driver replay; an
+        over-threshold snapshot answers False — the broad DML paths refuse
+        foreign references on their own (:meth:`_read_data_listing_join`)."""
+
+        def compute():
+            if (
+                deltalog.estimate_snapshot_actions(path)
+                > self.large_listing_threshold
+            ):
+                return False
+            live = self._snapshot_cache.get_or_compute(
+                ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+            )
+            return any(_is_foreign_path(r) for r in live)
+
+        return self._snapshot_cache.get_or_compute(("foreign", path), compute)
 
     def _dv_removes(self, path: str, removes: list[dict]) -> list[dict]:
         """Attach each removed file's CURRENT deletionVector descriptor to

@@ -477,3 +477,73 @@ def test_mapped_table_with_deletion_vectors(spark, tmp_path):
     spark.dataSource.register(GovernedDataSource)
     rows = spark.read.format("governed").option("path", root).load().collect()
     assert sorted(r["id"] for r in rows) == [2, 3, 4, 5]
+
+
+def test_mapped_table_shallow_clone(spark, mapped, tmp_path):
+    """Round 8: shallow clones of NAME-mapped tables graduated from refused
+    to supported — the clone copies the mapped schemaString, configuration,
+    and protocol; reads resolve physical data columns and physical
+    partitionValues keys exactly like the source, with partition values
+    taken from the LOG (no physical partition dirs exist under the
+    clone)."""
+    dst = str(tmp_path / "cmc")
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"t": mapped, "c": dst}, read_only=False),
+    )
+    eng.clone_table("t", dst)
+    proto = deltalog.table_protocol_no_spark(dst)
+    assert int(proto["minReaderVersion"]) == 2  # demands travel with the clone
+    assert (
+        deltalog.table_configuration_no_spark(dst)["delta.columnMapping.mode"]
+        == "name"
+    )
+    df = eng.read_table("c")
+    assert set(df.columns) == {"id", "val", "part"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[4]["val"] == 6.0 and rows[4]["part"] == "B"
+    # ACL DNF on logical names still applies on the clone
+    eng2 = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"c": dst},
+            allowed_partitions={"c": [{"part": "A"}]},
+        ),
+    )
+    assert sorted(r["id"] for r in eng2.read_table("c", user="u").collect()) == [1, 2, 3]
+    # DML on mapped tables (clone or not) stays refused — the DML paths do
+    # not translate rewrites to physical names
+    with pytest.raises(UnsupportedProtocolError):
+        eng.delete("c", F.col("id") == 1)
+    # translating appends land in the CLONE only; the source is untouched
+    extra = spark.createDataFrame([(9, 9.0, "B")], "id long, val double, part string")
+    eng.write_table("c", extra, mode="append")
+    assert sorted(r["id"] for r in eng.read_table("c").collect()) == [1, 2, 3, 4, 5, 9]
+    assert sorted(r["id"] for r in eng.read_table("t").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_mapped_and_dv_clones_through_governed_source(spark, mapped, tmp_path):
+    """The pyarrow governed source serves clones of mapped and DV tables:
+    physical-name resolution comes from the clone's copied log, absolute
+    file references resolve as-is, and 'p'-form DV descriptors decode the
+    source's bins file-locally."""
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+    from tests.test_deletion_vectors import LIVE_IDS, make_dv_table
+
+    dv_src = make_dv_table(str(tmp_path / "dvsrc"))
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"m": mapped, "d": dv_src}, read_only=False
+        ),
+    )
+    mc, dc = str(tmp_path / "mc"), str(tmp_path / "dc")
+    eng.clone_table("m", mc)
+    eng.clone_table("d", dc)
+    spark.dataSource.register(GovernedDataSource)
+    got = spark.read.format("governed").option("path", mc).load()
+    assert set(got.columns) == {"id", "val", "part"}
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 4, 5]
+    got2 = spark.read.format("governed").option("path", dc).load()
+    assert sorted(r["id"] for r in got2.collect()) == LIVE_IDS

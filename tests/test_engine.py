@@ -1158,10 +1158,14 @@ def test_shallow_clone(spark, tmp_path, lineitem):
         eng.clone_table("s", dst)
 
 
-def test_shallow_clone_respects_acl_and_refuses_dv(spark, tmp_path, lineitem):
+def test_shallow_clone_respects_acl_and_clones_dv(spark, tmp_path, lineitem):
+    """Round 8: DV-table clones graduated from refused to supported — the
+    clone rewrites relative DV descriptors to absolute ('p') form and
+    serves exactly the source's live rows, re-declaring the reader-3
+    protocol so conforming clients cannot mis-read it."""
+    from delta_lake_proxy_spark import deltalog
     from delta_lake_proxy_spark.engine import write_governed_table
-    from delta_lake_proxy_spark.errors import UnsupportedProtocolError
-    from tests.test_deletion_vectors import make_dv_table
+    from tests.test_deletion_vectors import LIVE_IDS, make_dv_table
 
     src = str(tmp_path / "src")
     write_governed_table(spark, lineitem.limit(30).repartition(1), src, ["l_returnflag"])
@@ -1177,9 +1181,32 @@ def test_shallow_clone_respects_acl_and_refuses_dv(spark, tmp_path, lineitem):
     got = eng.read_table("c", user="u")
     assert {r["l_returnflag"] for r in got.select("l_returnflag").distinct().collect()} == {"N"}
     dv_path = make_dv_table(str(tmp_path / "dvt"))
-    eng2 = Engine(spark, EngineConfig(table_mapping={"d": dv_path}, read_only=False))
-    with pytest.raises(UnsupportedProtocolError, match="clone"):
-        eng2.clone_table("d", str(tmp_path / "dvc"))
+    dvc = str(tmp_path / "dvc")
+    eng2 = Engine(
+        spark,
+        EngineConfig(table_mapping={"d": dv_path, "dc": dvc}, read_only=False),
+    )
+    eng2.clone_table("d", dvc)
+    # the clone re-declares the source's protocol demands
+    proto = deltalog.table_protocol_no_spark(dvc)
+    assert "deletionVectors" in proto["readerFeatures"]
+    # descriptors rewrote to absolute form; rows match the source exactly
+    live = deltalog._live_adds_no_spark(dvc)
+    descs = [
+        a["deletionVector"]
+        for a in live.values()
+        if (a.get("deletionVector") or {}).get("storageType")
+    ]
+    assert descs and all(d["storageType"] in ("p", "i") for d in descs)
+    assert sorted(r["id"] for r in eng2.read_table("dc").collect()) == LIVE_IDS
+    # DML on the DV clone takes copy-on-write (identity-correct): the
+    # deleted row is gone, DV-deleted rows stay gone, source is untouched
+    victim = LIVE_IDS[0]
+    eng2.delete("dc", F.col("id") == victim)
+    assert sorted(r["id"] for r in eng2.read_table("dc").collect()) == sorted(
+        set(LIVE_IDS) - {victim}
+    )
+    assert sorted(r["id"] for r in eng2.read_table("d").collect()) == LIVE_IDS
 
 
 def test_shallow_clone_through_governed_source(spark, tmp_path, lineitem):
