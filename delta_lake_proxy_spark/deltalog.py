@@ -179,6 +179,21 @@ LOG_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # Domain metadata (Delta writer feature domainMetadata): named
+        # per-domain configuration (liquid clustering's delta.clustering
+        # domain lives here). Latest action per domain wins; removed=true
+        # tombstones it. Writers that do not understand a domain must
+        # PRESERVE it — concretely, checkpoints must carry the live set.
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -1082,19 +1097,46 @@ def check_write_protocol(
     features = list(proto.get("writerFeatures") or [])
     # Writer features whose obligations EVERY engine write path honors:
     # v2Checkpoint (write_checkpoint dispatches to the v2 form on such
-    # tables — classic checkpoints are never written into them) and
+    # tables — classic checkpoints are never written into them),
     # vacuumProtocolCheck (Engine.vacuum resolves the live set through the
-    # protocol-gated replay and never touches the log or DV bins).
-    # Ordinary commits carry no per-commit obligation for either, so they
-    # never block a write by themselves.
+    # protocol-gated replay and never touches the log or DV bins),
+    # domainMetadata + clusteredTable (live_domain_metadata replays the
+    # domains and BOTH checkpoint writers carry them, so routine
+    # maintenance never strips a foreign table's domains; physical
+    # clustering itself is best-effort per the spec), and appendOnly
+    # (check_append_only runs on every commit below). Ordinary commits
+    # carry no further per-commit obligation for any of these.
     features = [
-        f for f in features if f not in ("v2Checkpoint", "vacuumProtocolCheck")
+        f
+        for f in features
+        if f
+        not in (
+            "v2Checkpoint",
+            "vacuumProtocolCheck",
+            "domainMetadata",
+            "clusteredTable",
+            "appendOnly",
+        )
     ]
     constraints_ok = enforced_constraints or not declared_constraints(table_path)
     generated_ok = enforced_generated or _schema_has_generated_columns(table_path) is None
     cdf_ok = cdf_handled or (
         str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
     )
+    # Legacy-capability features a writer-7 protocol enumerates explicitly:
+    # honored exactly when the corresponding legacy check passes (the same
+    # conditions that admit writer versions 3/4). invariants: the commit
+    # body rejects every write when a column actually declares one
+    # (_schema_has_invariants refusal), so the feature is vacuously
+    # honored when none do.
+    if constraints_ok:
+        features = [f for f in features if f != "checkConstraints"]
+    if generated_ok:
+        features = [f for f in features if f != "generatedColumns"]
+    if cdf_ok:
+        features = [f for f in features if f != "changeDataFeed"]
+    if _schema_has_invariants(table_path) is None:
+        features = [f for f in features if f != "invariants"]
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
     if (
         writer == 7
@@ -1283,6 +1325,60 @@ CHECKPOINT_PART_ACTIONS = 1_000_000
 
 def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
+
+
+def live_domain_metadata(table_path: str) -> dict[str, dict]:
+    """Live ``domainMetadata`` actions, ``domain -> action`` (Delta writer
+    feature ``domainMetadata``; liquid clustering's ``delta.clustering``
+    domain lives here). CHECKPOINT-FIRST like every replay: the
+    checkpoint's carried rows seed the map, JSON commits after it apply on
+    top; ``removed=true`` tombstones a domain. Writers that do not
+    understand a domain must PRESERVE it — this resolver feeds the
+    checkpoint writers so routine maintenance never strips a foreign
+    table's domains."""
+    out: dict[str, dict] = {}
+
+    def apply(dm: dict | None):
+        if not dm or dm.get("domain") is None:
+            return
+        if dm.get("removed"):
+            out.pop(dm["domain"], None)
+        else:
+            out[dm["domain"]] = {
+                "domain": dm["domain"],
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+
+    min_version = -1
+    ck = last_checkpoint(table_path)
+    if ck is not None:
+        import pyarrow.parquet as pq
+
+        for ck_file in checkpoint_data_files(table_path, ck):
+            pf = pq.ParquetFile(ck_file)
+            if "domainMetadata" not in pf.schema_arrow.names:
+                continue
+            for dm in (
+                pq.read_table(ck_file, columns=["domainMetadata"])
+                .column("domainMetadata")
+                .to_pylist()
+            ):
+                apply(dm)
+        min_version = int(ck["version"])
+    d = log_path(table_path)
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if not (name.endswith(".json") and name[:-5].isdigit()):
+                continue
+            if int(name[:-5]) <= min_version:
+                continue
+            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    if '"domainMetadata"' not in line[:64]:
+                        continue
+                    apply(json.loads(line).get("domainMetadata"))
+    return out
 
 
 def all_txn_versions(table_path: str) -> dict[str, int]:
@@ -1637,6 +1733,32 @@ def write_checkpoint(
             ),
         )
         all_actions = all_actions.unionByName(txn_df)
+    # domain metadata (clusteredTable et al.) checkpoints alongside the file
+    # set: a checkpoint that dropped it would strip a foreign table's
+    # domains the moment log cleanup prunes the JSON history
+    domains = live_domain_metadata(table_path)
+    if domains:
+        dm_t = LOG_SCHEMA["domainMetadata"].dataType
+        all_actions = all_actions.withColumn(
+            "domainMetadata", F.lit(None).cast(dm_t)
+        ).unionByName(
+            spark.createDataFrame(
+                [
+                    (None, None, None, None, None, dm)
+                    for dm in sorted(domains.values(), key=lambda d: d["domain"])
+                ],
+                T.StructType(
+                    [
+                        T.StructField("add", ADD_SCHEMA),
+                        T.StructField("remove", REMOVE_SCHEMA),
+                        T.StructField("metaData", METADATA_SCHEMA),
+                        T.StructField("protocol", proto_t),
+                        T.StructField("txn", txn_t),
+                        T.StructField("domainMetadata", dm_t),
+                    ]
+                ),
+            )
+        )
     tmp_dir = os.path.join(
         log_path(table_path), f"{version:020d}.checkpoint.parquet.tmp"
     )
@@ -1741,7 +1863,15 @@ def write_checkpoint_v2(
     }
     meta = table_metadata_no_spark(table_path)
     txns = all_txn_versions(table_path)
-    n_rows = 1 + len(sidecar_actions) + 1 + (1 if meta else 0) + len(txns)
+    domains = live_domain_metadata(table_path)
+    n_rows = (
+        1
+        + len(sidecar_actions)
+        + 1
+        + (1 if meta else 0)
+        + len(txns)
+        + len(domains)
+    )
 
     def col(vals, typ):
         return pa.array(vals, type=typ)
@@ -1822,15 +1952,27 @@ def write_checkpoint_v2(
     for app, v in sorted(txns.items()):
         txn_rows.append((i, {"appId": app, "version": v}))
         i += 1
-    table = pa.table(
-        {
-            "checkpointMetadata": one_hot(ck_rows, ckmeta_t),
-            "sidecar": one_hot(side_rows, side_t),
-            "protocol": one_hot(proto_rows, proto_t),
-            "metaData": one_hot(meta_rows, meta_t),
-            "txn": one_hot(txn_rows, txn_t),
-        }
+    dm_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
     )
+    dm_rows = []
+    for dm in sorted(domains.values(), key=lambda d: d["domain"]):
+        dm_rows.append((i, dm))
+        i += 1
+    cols = {
+        "checkpointMetadata": one_hot(ck_rows, ckmeta_t),
+        "sidecar": one_hot(side_rows, side_t),
+        "protocol": one_hot(proto_rows, proto_t),
+        "metaData": one_hot(meta_rows, meta_t),
+        "txn": one_hot(txn_rows, txn_t),
+    }
+    if dm_rows:
+        cols["domainMetadata"] = one_hot(dm_rows, dm_t)
+    table = pa.table(cols)
     main_name = f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
     tmp_main = os.path.join(logd, f".{main_name}.tmp")
     pq.write_table(table, tmp_main)

@@ -97,7 +97,7 @@ WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
 WRITER_FEATS = {
     "minReaderVersion": 1,
     "minWriterVersion": 7,
-    "writerFeatures": ["checkConstraints"],
+    "writerFeatures": ["rowTracking"],
 }
 SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -171,9 +171,35 @@ def test_unwritable_commit_refused(tmp_path):
 
 
 def test_writer_features_refused(tmp_path):
+    """A genuinely unimplemented writer feature (rowTracking: every commit
+    would have to assign fresh baseRowIds) refuses raw commits. The
+    feature-form of the LEGACY capabilities behaves like their version
+    forms: checkConstraints with a declared constraint refuses raw commits
+    (cannot prove validation) but is vacuous when none is declared."""
     path = make_table(str(tmp_path / "t"), WRITER_FEATS)
-    with pytest.raises(UnsupportedProtocolError, match="checkConstraints"):
+    with pytest.raises(UnsupportedProtocolError, match="rowTracking"):
         deltalog.write_commit(path, adds=[], removes=[{"path": "x"}])
+    cc = make_table(
+        str(tmp_path / "cc"),
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["checkConstraints"],
+        },
+        {"delta.constraints.pos": "id > 0"},
+    )
+    with pytest.raises(UnsupportedProtocolError):
+        deltalog.write_commit(cc, adds=[], removes=[{"path": "x"}])
+    # without a declared constraint the feature is vacuously honored
+    vac = make_table(
+        str(tmp_path / "vac"),
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["checkConstraints"],
+        },
+    )
+    deltalog.write_commit(vac, adds=[], removes=[])
 
 
 def test_unwritable_engine_dml(spark, tmp_path):
@@ -1223,3 +1249,114 @@ def test_vacuum_protocol_check_feature(spark, tmp_path):
     eng2 = Engine(spark, EngineConfig(table_mapping={"t": bad}, read_only=False))
     with pytest.raises(UnsupportedProtocolError):
         eng2.vacuum("t", retention_hours=0)
+
+
+# -- domain metadata / clustered tables (round 8) ---------------------------
+
+
+def make_clustered_table(root: str) -> str:
+    """A foreign liquid-clustered table: writer-7 clusteredTable +
+    domainMetadata features, clustering columns in the delta.clustering
+    domain."""
+    rel = "part-00000.parquet"
+    size = _write_parquet(os.path.join(root, rel), [1, 2, 3])
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["clusteredTable", "domainMetadata"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "cl-test",
+                "format": {"provider": "parquet"},
+                "schemaString": SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps({"clusteringColumns": [["id"]]}),
+                "removed": False,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "app.scratch",
+                "configuration": "{}",
+                "removed": False,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": size,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8"
+    ) as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_clustered_table_reads_writes_and_preserves_domains(spark, tmp_path):
+    """clusteredTable + domainMetadata writer features: reads work, engine
+    appends pass the gate, a domain removal tombstones, and CHECKPOINTS
+    carry the live domains — log cleanup must never strip a foreign
+    table's clustering metadata."""
+    root = make_clustered_table(str(tmp_path / "cl"))
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"t": root}, read_only=False)
+    )
+    assert eng.read_table("t").count() == 3
+    doms = deltalog.live_domain_metadata(root)
+    assert set(doms) == {"delta.clustering", "app.scratch"}
+    # a write into the clustered table passes (feature honored, not refused)
+    df = spark.createDataFrame([(9, "B")], "id long, part string")
+    eng.write_table("t", df, mode="append")
+    assert eng.read_table("t").count() == 4
+    # a removal (foreign writer) tombstones the domain
+    v = deltalog.latest_version(root) + 1
+    with open(
+        os.path.join(root, "_delta_log", f"{v:020d}.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write(
+            json.dumps(
+                {"commitInfo": {"operation": "REMOVE DOMAIN", "timestamp": 1700000001000}}
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "app.scratch",
+                        "configuration": None,
+                        "removed": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert set(deltalog.live_domain_metadata(root)) == {"delta.clustering"}
+    # checkpoint + cleanup: the domain survives in the checkpoint alone
+    deltalog.write_checkpoint(spark, root)
+    deltalog.cleanup_log(root, retention_hours=0)
+    doms = deltalog.live_domain_metadata(root)
+    assert set(doms) == {"delta.clustering"}
+    assert "clusteringColumns" in doms["delta.clustering"]["configuration"]
+    assert eng.read_table("t").count() == 4
