@@ -21,7 +21,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import acl
+from . import acl, deltalog
 from .config import EngineConfig
 from .engine import Engine, write_governed_table
 from .errors import ReadOnlyError
@@ -966,15 +966,26 @@ def dv_fixture(spark: SparkSession, sf_dir: str) -> str:
 )
 def dv_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader-3 deletion-vector read (protocol surface graduated in round 7
-    from refused to supported): the engine scan anti-joins the deleted
-    positions decoded from the table's inline DV, and the DuckDB oracle
-    reconstructs the surviving rows by PREDICATE (doc_id % 7 <> 0) — the
-    two agree only if the position bitmap, the (path, dv-uid) log
-    reconciliation, and the row-index anti-join are all exact."""
+    from refused to supported), served through a round-8 SHALLOW CLONE of
+    the DV table: the clone commit copies the descriptors and re-declares
+    the reader-3 protocol, the clone scan reads the SOURCE's files by
+    absolute reference and anti-joins the deleted positions decoded from
+    the carried DV, and the DuckDB oracle reconstructs the surviving rows
+    by PREDICATE (doc_id % 7 <> 0) — the two agree only if the position
+    bitmap, the (path, dv-uid) log reconciliation, the clone's descriptor
+    carry, and the row-index anti-join are all exact."""
     path = dv_fixture(spark, sf_dir)
-    eng = Engine(spark, EngineConfig(table_mapping={DV_ALIAS: path}))
+    clone = path.rstrip("/") + "-clone"
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={DV_ALIAS: path, "dv_clone": clone}, read_only=False
+        ),
+    )
+    if deltalog.latest_version(clone) < 0:
+        eng.clone_table(DV_ALIAS, clone)
     return (
-        eng.read_table(DV_ALIAS)
+        eng.read_table("dv_clone")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
