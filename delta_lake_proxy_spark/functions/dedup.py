@@ -560,3 +560,124 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (transitive-closure dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair relation —
+    ``(id, component)`` where ``component`` is the smallest id reachable
+    through any chain of pairs.
+
+    The greedy lowest-id survivor rule used by the one-pass dedup operators
+    drops any doc that pairs with a smaller id; on a chain A~B, B~C it
+    keeps A (correct) but ALSO drops C only if (B, C) was emitted — with
+    pairs (1,3) and (2,3) it keeps BOTH 1 and 2 even though they are
+    transitively near-dups through 3. Transitive-closure-correct
+    clustering needs components, and components need iteration.
+
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SOCC'14 — public
+    algorithm, re-expressed as DataFrame ops). Each round is one
+    ``groupBy(min)`` + join per star; the edge set converges to the star
+    graph ``node -> component-min`` in O(log n) rounds (vs O(diameter) for
+    naive label propagation — the difference between 20 and 10^6 rounds on
+    a pathological chain at corpus scale). Each round ``localCheckpoint``s
+    the (candidate-pair-sized, not corpus-sized) edge set: iterative plans
+    MUST truncate lineage or the optimizer re-derives the whole chain every
+    round.
+
+    Raises after ``max_iterations`` without convergence (never silently
+    returns partial components).
+    """
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        mins = s.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.withColumn("_m", F.least(F.col("_mn"), F.col("u")))
+        return (
+            s.join(mins.select("u", "_m"), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        s = sym(e).filter(F.col("v") < F.col("u"))
+        mins = s.groupBy("u").agg(F.min("v").alias("_mn"))
+        moved = (
+            s.join(mins, "u")
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        )
+        root = mins.select(F.col("u"), F.col("_mn").alias("v"))
+        return (
+            moved.union(root)
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # converged when the edge set is exactly unchanged (set equality via
+        # two anti-joins over the candidate-pair-sized relations)
+        same = (
+            nxt.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(nxt).limit(1).count() == 0
+        )
+        prev = edges
+        edges = nxt
+        prev.unpersist()
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations"
+        )
+    # at the fixpoint the edge set IS node -> component-min (v < u always);
+    # every component min labels itself
+    comps = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+    )
+    return comps.union(roots).dropDuplicates(["id"])
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Transitive-closure-correct near-dup SURVIVORS: keep exactly one doc
+    (the smallest id) per connected component of the pair graph, plus every
+    unpaired doc. The exact-clustering counterpart of the one-pass greedy
+    rule — same inputs, stronger guarantee, O(log n) extra rounds over the
+    pair relation only (the corpus is scanned once, never iterated)."""
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    dropped = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -882,3 +882,80 @@ def test_quality_ops_no_row_python(spark):
     ):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+# -- connected components (round 8: transitive-closure dedup) ----------------
+
+
+def _uf_components(n_ids, edges):
+    """Pure-Python union-find oracle: id -> min id of its component."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_connected_components_beats_greedy_on_shared_neighbor(spark):
+    """Pairs (1,3) and (2,3): greedy keeps BOTH 1 and 2 (neither appears as
+    a higher id against the other); components correctly collapse all
+    three into component 1."""
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    comps = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1}
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_by_components(docs, pairs).collect()
+    )
+    assert kept == [1, 4]  # one survivor per component + the unpaired doc
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 6-node chain collapses to one component in O(log n) rounds; nodes
+    never mentioned in pairs are untouched survivors."""
+    chain = [(i, i + 1) for i in range(10, 15)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    comps = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {i: 10 for i in range(10, 16)}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check on deterministic pseudo-random graphs: the DataFrame
+    components equal a pure-Python union-find on the same edges."""
+    import random
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n = 40
+        ids = list(range(n))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+                )
+                if a != b
+            }
+        )
+        want = _uf_components(ids, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        touched = {i for e in edges for i in e}
+        assert got == {i: want[i] for i in touched}, f"trial {trial}"
