@@ -382,6 +382,7 @@ def write_commit_streamed(
     cdf_handled: bool = False,
     dv_write: bool = False,
     protocol_action: dict[str, Any] | None = None,
+    domain_actions: "list[dict[str, Any]] | None" = None,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -461,6 +462,11 @@ def write_commit_streamed(
                 )
                 + "\n"
             )
+        for dm in domain_actions or ():
+            # domainMetadata carried explicitly (CLONE copies the source's
+            # live domains so e.g. delta.clustering survives the clone —
+            # upstream CLONE semantics; the preserve-domains obligation)
+            f.write(json.dumps({"domainMetadata": dm}) + "\n")
         wrote_remove = False
         for rm in removes_fn() if removes_fn is not None else ():
             if append_only:

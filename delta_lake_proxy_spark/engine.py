@@ -170,6 +170,55 @@ def _is_foreign_path(p: str) -> bool:
     return p.startswith("/") or "://" in p
 
 
+def _safe_castable(src, dst) -> bool:
+    """Whether casting ``src`` -> ``dst`` is LOSSLESS and always valid —
+    the union-style up-cast contract (numeric widening, null promotion,
+    date->timestamp, recursive containers). A plain ``Column.cast`` would
+    also accept lossy/invalid pairs (string->long yields NULL at runtime);
+    DML schema reconciliation must reject those instead of committing
+    null-filled rows."""
+    from pyspark.sql import types as T
+
+    if src == dst:
+        return True
+    if isinstance(src, T.NullType):
+        return True
+    rank = {
+        T.ByteType: 1,
+        T.ShortType: 2,
+        T.IntegerType: 3,
+        T.LongType: 4,
+        T.FloatType: 5,
+        T.DoubleType: 6,
+    }
+    sr, dr = rank.get(type(src)), rank.get(type(dst))
+    if sr is not None and dr is not None:
+        return sr <= dr
+    if isinstance(dst, T.DecimalType):
+        if isinstance(src, T.DecimalType):
+            return (
+                dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale
+            )
+        digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
+        need = digits.get(type(src))
+        return need is not None and dst.precision - dst.scale >= need
+    if isinstance(src, T.DateType) and isinstance(dst, T.TimestampType):
+        return True
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _safe_castable(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        return _safe_castable(src.keyType, dst.keyType) and _safe_castable(
+            src.valueType, dst.valueType
+        )
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        sf = {f.name: f.dataType for f in src.fields}
+        return set(sf) == {f.name for f in dst.fields} and all(
+            _safe_castable(sf[f.name], f.dataType) for f in dst.fields
+        )
+    return False
+
+
 def _to_epoch_millis(ts: "int | float | str") -> int:
     """Epoch-ms from epoch seconds (int/float) or an ISO-8601 string; naive
     strings are read as UTC (commit timestamps are UTC epoch millis)."""
@@ -933,6 +982,11 @@ class Engine:
             or int(src_proto.get("minWriterVersion") or 1) > 2
         ):
             protocol_action = src_proto
+        # the clone carries the source's LIVE domainMetadata (upstream CLONE
+        # semantics): declaring clusteredTable without the delta.clustering
+        # domain would violate the preserve-domains obligation this engine
+        # enforces for its own checkpoints
+        domains = deltalog.live_domain_metadata(src)
         v = deltalog.write_commit_streamed(
             dst_path,
             adds_fn,
@@ -945,6 +999,9 @@ class Engine:
             enforced_generated=True,
             cdf_handled=True,
             protocol_action=protocol_action,
+            domain_actions=[
+                domains[d] for d in sorted(domains)
+            ] or None,
         )
         if target_alias:
             self.config.table_mapping[target_alias] = dst_path
@@ -2319,6 +2376,21 @@ class Engine:
                 raise ValueError(
                     f"MERGE source schema does not match table {path}: "
                     f"missing columns {missing}, unexpected columns {extra}"
+                )
+            # reject lossy/invalid coercions BEFORE casting: Column.cast
+            # would silently null out e.g. a string source for a long table
+            # column — strictly weaker than the copy-on-write unionByName
+            # contract this path mirrors
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            bad = [
+                (f.name, str(src_types[f.name]), str(f.dataType))
+                for f in schema.fields
+                if not _safe_castable(src_types[f.name], f.dataType)
+            ]
+            if bad:
+                raise ValueError(
+                    f"MERGE source schema does not match table {path}: "
+                    f"incompatible column types (source -> table) {bad}"
                 )
             source = source.select(
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]

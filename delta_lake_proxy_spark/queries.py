@@ -877,6 +877,11 @@ def dv_fixture(spark: SparkSession, sf_dir: str) -> str:
         marker = os.path.join(base, f".{DV_ALIAS}_ready")
         if not os.path.exists(marker):
             _sh.rmtree(path, ignore_errors=True)
+            # the dv_read clone holds ABSOLUTE references into this fixture:
+            # a rebuild (regenerated sf dir, cleared marker) would leave the
+            # clone pointing at deleted/changed source files — its lifetime
+            # is tied to the fixture's, so it rebuilds with it
+            _sh.rmtree(path.rstrip("/") + "-clone", ignore_errors=True)
             docs = (
                 load_table(spark, sf_dir, "documents")
                 .select("doc_id", "lang", "n_chars")
@@ -982,6 +987,15 @@ def dv_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_mapping={DV_ALIAS: path, "dv_clone": clone}, read_only=False
         ),
     )
+    if deltalog.latest_version(clone) >= 0:
+        # staleness guard: a clone whose absolute references no longer exist
+        # (fixture rebuilt out from under it) is discarded and re-cloned
+        refs = deltalog._live_adds_no_spark(clone)
+        if any(r.startswith("/") and not os.path.exists(r) for r in refs):
+            import shutil as _sh
+
+            _sh.rmtree(clone, ignore_errors=True)
+            eng.invalidate_caches()
     if deltalog.latest_version(clone) < 0:
         eng.clone_table(DV_ALIAS, clone)
     return (

@@ -728,6 +728,26 @@ def test_dv_merge_schema_mismatch_rejected(dv_write_table, spark):
     assert rows[3]["val"] == 300.0 and len(rows) == 20
 
 
+def test_dv_merge_incompatible_types_rejected(dv_write_table, spark):
+    """Advice pin (round 9): the DV MERGE reconciliation must reject
+    lossy/invalid coercions instead of letting Column.cast silently null
+    them — a string source for a double table column, or a double source
+    for a long key, must fail loudly, not commit null-filled rows."""
+    eng, path = dv_write_table
+    stringy = spark.createDataFrame(
+        [(3, "not-a-number", "A")], "id long, val string, part string"
+    )
+    with pytest.raises(ValueError, match="incompatible column types"):
+        eng.merge("t", stringy, on=["id"])
+    narrowing = spark.createDataFrame(
+        [(3.5, 1.0, "A")], "id double, val double, part string"
+    )
+    with pytest.raises(ValueError, match="incompatible column types"):
+        eng.merge("t", narrowing, on=["id"])
+    # nothing committed: the table still reads all 20 original rows
+    assert eng.read_table("t").count() == 20
+
+
 def test_restore_reverts_dv_delete(dv_write_table, spark):
     """RESTORE on a DV table: a DV-writing DELETE changes row liveness
     inside unchanged files, so the restore diff must key on the full

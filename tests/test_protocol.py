@@ -1313,6 +1313,26 @@ def make_clustered_table(root: str) -> str:
     return root
 
 
+def test_clone_carries_live_domains(spark, tmp_path):
+    """Advice pin (round 9): a shallow clone of a liquid-clustered table
+    must carry the source's LIVE domainMetadata — re-declaring the
+    clusteredTable writer feature with no delta.clustering domain would
+    violate the preserve-domains obligation and upstream CLONE semantics."""
+    root = make_clustered_table(str(tmp_path / "cl"))
+    dst = str(tmp_path / "cl-clone")
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"t": root, "c": dst}, read_only=False),
+    )
+    eng.clone_table("t", dst)
+    doms = deltalog.live_domain_metadata(dst)
+    assert set(doms) == {"delta.clustering", "app.scratch"}
+    assert "clusteringColumns" in doms["delta.clustering"]["configuration"]
+    proto = deltalog.table_protocol_no_spark(dst)
+    assert "domainMetadata" in (proto.get("writerFeatures") or [])
+    assert eng.read_table("c").count() == 3
+
+
 def test_clustered_table_reads_writes_and_preserves_domains(spark, tmp_path):
     """clusteredTable + domainMetadata writer features: reads work, engine
     appends pass the gate, a domain removal tombstones, and CHECKPOINTS
