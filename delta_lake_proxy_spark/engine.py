@@ -1268,9 +1268,11 @@ class Engine:
         if live is None:
             live = deltalog.snapshot_files(self.spark, path, version=version)
         # shallow clones reference files by ABSOLUTE path: the directory
-        # listing under this root cannot see them, so the semi-join would
-        # silently DROP their rows — fail loudly instead (one tiny probe
-        # job over the metadata-sized replay)
+        # listing under THIS root cannot see them, so the semi-join would
+        # silently DROP their rows — switch to the foreign-aware variant,
+        # which scans every referenced parent directory and joins on the
+        # clone's own reference form (one tiny probe job over the
+        # metadata-sized replay decides)
         if (
             live.filter(
                 F.col("path").startswith("/") | F.col("path").contains("://")
@@ -1279,11 +1281,8 @@ class Engine:
             .count()
             > 0
         ):
-            raise ValueError(
-                f"snapshot of {path} references files by absolute path "
-                "(shallow clone) beyond the enumerable-scan threshold — "
-                "materialize the clone (write_table overwrite from a read) "
-                "or raise large_listing_threshold"
+            return self._read_clone_listing_join(
+                path, version, live=live, keep_file_col=keep_file_col
             )
         dv_filter = self._dv_protocol(path)
         live = live.select(F.col("path").alias("_live_rel"))
@@ -1320,6 +1319,132 @@ class Engine:
         out = out.drop("_scan_rel")
         out = self._rename_physical(out, schema, l2p, keep=["_file"])
         return out if keep_file_col else out.drop("_file")
+
+    def _read_clone_listing_join(
+        self,
+        path: str,
+        version: int | None = None,
+        live: DataFrame | None = None,
+        keep_file_col: bool = False,
+    ) -> DataFrame:
+        """Million-file scan of a snapshot that references files OUTSIDE the
+        table root (over-threshold SHALLOW CLONE): no N-path reader list, no
+        driver-side file enumeration — zero-copy clones read at any size,
+        matching the size-independence of ``deltalake::open_table``
+        (ref src/main.rs:357).
+
+        Shape: one metadata-scale job groups the snapshot's references by
+        PARENT DIRECTORY (bounded by the partition-directory count, orders
+        of magnitude below the file count); Spark's distributed listing
+        scans those directories under the logged physical DATA schema (no
+        common basePath exists across source roots, so partition values
+        come from the LOG, not the directory layout); each row's
+        canonicalized file key — relative for in-root files, absolute for
+        foreign ones, exactly the form the clone's add actions use
+        (:func:`uri_rel_col`) — inner-joins the snapshot's metadata row,
+        which simultaneously (a) drops rows of dead/unreferenced files in
+        the same directories and (b) attaches the log's partition values.
+        Broadcast below ``listing_join_broadcast_limit`` live files, else a
+        shuffle-hash join keeps driver memory O(1). DV'd files anti-join
+        their decoded positions on the same key form afterwards.
+
+        ``live`` narrows to a survivor subset (data-skipping); membership is
+        re-joined against the full snapshot to recover partition values.
+        """
+        from pyspark.sql import types as T
+
+        snap = deltalog.snapshot_files(self.spark, path, version=version)
+        if live is not None:
+            snap = snap.join(
+                live.select("path").dropDuplicates(), "path", "left_semi"
+            )
+        schema = self._table_schema(path)
+        if schema is None:
+            raise ValueError(f"table {path} has no logged schema")
+        l2p = self._column_mapping(path)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        parts = list(meta.get("partitionColumns") or [])
+        root_prefix = path.rstrip("/") + "/"
+        full = F.when(
+            F.col("path").startswith("/") | F.col("path").contains("://"),
+            F.col("path"),
+        ).otherwise(F.concat(F.lit(root_prefix), F.col("path")))
+        # one job: the distinct parent-directory set AND the live-file count
+        # (for the join-strategy choice). Directory count is bounded by the
+        # partition layout; refuse loudly past the threshold rather than
+        # materialize an unbounded list on the driver.
+        limit = self.large_listing_threshold
+        dir_rows = (
+            snap.groupBy(F.regexp_replace(full, "/[^/]*$", "").alias("_dir"))
+            .count()
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(dir_rows) > limit:
+            raise ValueError(
+                f"snapshot of {path} spans more than {limit} distinct "
+                "parent directories — raise large_listing_threshold"
+            )
+        if not dir_rows:
+            return (
+                self._empty_table(path)
+                if not keep_file_col
+                else self._empty_table(path).withColumn("_file", F.lit(None).cast("string"))
+            )
+        dirs = sorted(r["_dir"] for r in dir_rows)
+        n_files = sum(r["count"] for r in dir_rows)
+        data_fields = [f for f in schema.fields if f.name not in parts]
+        read_schema, _ = self._physical_schema(path, T.StructType(data_fields))
+        scan = self.spark.read.schema(read_schema).parquet(*dirs)
+        scan = scan.withColumn("_file", F.input_file_name()).withColumn(
+            "_scan_key", uri_rel_col(F.col("_file"), path)
+        )
+        dv_filter = self._dv_protocol(path)
+        if dv_filter:
+            # materialized inside the scan projection (hidden _metadata
+            # resolves only against the file source)
+            scan = scan.withColumn("_dv_pos", F.col("_metadata.row_index"))
+        pv_cols = [
+            F.col("partitionValues")
+            .getItem(l2p.get(c, c) if l2p else c)
+            .alias(f"__pv_{c}")
+            for c in parts
+        ]
+        live_meta = snap.select(F.col("path").alias("_live_key"), *pv_cols)
+        if n_files <= self.listing_join_broadcast_limit:
+            live_meta = F.broadcast(live_meta)
+        else:
+            live_meta = live_meta.hint("shuffle_hash")
+        # inner join = liveness semi-join + partition-value attach in one
+        # shot (snapshot paths are unique, so no row duplication)
+        out = scan.join(
+            live_meta, F.col("_scan_key") == F.col("_live_key"), "inner"
+        )
+        if dv_filter:
+            pos_df = self._dv_positions_df(
+                path,
+                dv_df=deltalog.snapshot_files(self.spark, path, version=version),
+            )
+            if pos_df is not None:
+                out = out.join(
+                    pos_df,
+                    (out["_scan_key"] == pos_df["_dv_rel"])
+                    & (out["_dv_pos"] == pos_df["_dv_pos"]),
+                    "left_anti",
+                )
+            out = out.drop("_dv_pos")
+        for c in parts:
+            out = out.withColumn(c, F.col(f"__pv_{c}").cast(schema[c].dataType))
+        out = out.drop("_scan_key", "_live_key", *[f"__pv_{c}" for c in parts])
+        out_cols = [
+            F.col(f.name)
+            if f.name in parts or not l2p
+            else F.col(l2p.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        return out.select(
+            *out_cols, *([F.col("_file")] if keep_file_col else [])
+        )
 
     def _dv_protocol(self, path: str) -> bool:
         """Whether the table's protocol declares the ``deletionVectors``
