@@ -102,6 +102,12 @@ ADD_SCHEMA = T.StructType(
         # {"numRecords": n, "minValues": {col: v}, "maxValues": {col: v}}
         T.StructField("stats", T.StringType()),
         T.StructField("deletionVector", DV_SCHEMA),
+        # Row tracking (Delta writer feature rowTracking): fresh row ids
+        # derive as baseRowId + physical row index; the commit version rows
+        # default to. Carried on BOTH add and remove (the re-add of a DV'd
+        # or restored file must keep its identity) and through checkpoints.
+        T.StructField("baseRowId", T.LongType()),
+        T.StructField("defaultRowCommitVersion", T.LongType()),
     ]
 )
 REMOVE_SCHEMA = T.StructType(
@@ -110,6 +116,8 @@ REMOVE_SCHEMA = T.StructType(
         T.StructField("deletionTimestamp", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("deletionVector", DV_SCHEMA),
+        T.StructField("baseRowId", T.LongType()),
+        T.StructField("defaultRowCommitVersion", T.LongType()),
     ]
 )
 METADATA_SCHEMA = T.StructType(
@@ -339,6 +347,7 @@ def write_commit(
     cdc_adds: list[dict[str, Any]] | None = None,
     cdf_handled: bool = False,
     dv_write: bool = False,
+    row_tracking_assign: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -362,6 +371,7 @@ def write_commit(
         cdc_adds_fn=(lambda: iter(cdc_adds)) if cdc_adds else None,
         cdf_handled=cdf_handled,
         dv_write=dv_write,
+        row_tracking_assign=row_tracking_assign,
     )
 
 
@@ -383,6 +393,7 @@ def write_commit_streamed(
     dv_write: bool = False,
     protocol_action: dict[str, Any] | None = None,
     domain_actions: "list[dict[str, Any]] | None" = None,
+    row_tracking_assign: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -402,7 +413,13 @@ def write_commit_streamed(
         enforced_generated=enforced_generated,
         cdf_handled=cdf_handled,
         dv_write=dv_write,
+        row_tracking_handled=row_tracking_assign,
     )
+    # rowTracking obligation: every commit adding files assigns fresh
+    # baseRowIds above the high-water mark and advances it (enabled or
+    # not — the spec's 'supported' contract). Pre-assigned ids (restore
+    # re-adds, clone carries) pass through untouched.
+    rt_active = row_tracking_assign and row_tracking_maintainable(table_path)
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
     # column invariants require per-row enforcement this engine does not
     # implement (refuse all writes rather than silently violate), and
@@ -483,8 +500,58 @@ def write_commit_streamed(
                 )
                 + "\n"
             )
+        # high-water mark re-read per ATTEMPT: a losing race retries at the
+        # next version with the winner's advanced mark already visible
+        hwm = row_id_high_water_mark(table_path) if rt_active else -1
+        new_hwm = hwm
         for add in adds_fn():
-            f.write(json.dumps({"add": {"dataChange": True, **add}}) + "\n")
+            a = {"dataChange": True, **add}
+            if rt_active:
+                if a.get("baseRowId") is None:
+                    n_records = None
+                    if a.get("stats"):
+                        try:
+                            n_records = json.loads(a["stats"]).get("numRecords")
+                        except (ValueError, TypeError):
+                            n_records = None
+                    if n_records is None:
+                        raise UnsupportedProtocolError(
+                            table_path,
+                            "rowTracking requires numRecords stats on every "
+                            "added file to assign fresh baseRowIds",
+                        )
+                    a["baseRowId"] = new_hwm + 1
+                    a["defaultRowCommitVersion"] = version
+                    new_hwm += int(n_records)
+                else:
+                    # carried identity (restore/clone): never regress the mark
+                    carried_n = 0
+                    if a.get("stats"):
+                        try:
+                            carried_n = int(
+                                json.loads(a["stats"]).get("numRecords") or 0
+                            )
+                        except (ValueError, TypeError):
+                            carried_n = 0
+                    new_hwm = max(
+                        new_hwm, int(a["baseRowId"]) + max(carried_n - 1, 0)
+                    )
+            f.write(json.dumps({"add": a}) + "\n")
+        if rt_active and new_hwm != hwm:
+            f.write(
+                json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": ROW_TRACKING_DOMAIN,
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": new_hwm}
+                            ),
+                            "removed": False,
+                        }
+                    }
+                )
+                + "\n"
+            )
         for cdc in cdc_adds_fn() if cdc_adds_fn is not None else ():
             # change files never alter table state: dataChange is false
             f.write(json.dumps({"cdc": {"dataChange": False, **cdc}}) + "\n")
@@ -1047,6 +1114,7 @@ def check_write_protocol(
     enforced_generated: bool = False,
     cdf_handled: bool = False,
     dv_write: bool = False,
+    row_tracking_handled: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -1182,6 +1250,23 @@ def check_write_protocol(
             and (writer in (4, 5) or (writer == 7 and not remaining))
         )
         features = remaining
+    if (
+        row_tracking_handled
+        and constraints_ok
+        and generated_ok
+        and cdf_ok
+        and "domainMetadata" in set(proto.get("writerFeatures") or [])
+    ):
+        # the caller (write_commit_streamed with row_tracking_assign, fed by
+        # the Engine write paths) assigns fresh baseRowIds from numRecords
+        # stats, stamps defaultRowCommitVersion, and maintains the
+        # delta.rowTracking rowIdHighWaterMark domain — the feature's
+        # per-commit obligations. Raw commits cannot prove it and refuse;
+        # so do rowTracking protocols lacking domainMetadata (the mark's
+        # domain could not be legally written).
+        features = [f for f in features if f != "rowTracking"]
+        if writer == 7 and not features:
+            writer_ok = True
     if not writer_ok or features:
         raise UnsupportedProtocolError(
             table_path,
@@ -1385,6 +1470,53 @@ def live_domain_metadata(table_path: str) -> dict[str, dict]:
                         continue
                     apply(json.loads(line).get("domainMetadata"))
     return out
+
+
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def has_row_tracking(table_path: str) -> bool:
+    """Whether the table's protocol declares the ``rowTracking`` writer
+    feature (fresh row ids must be assigned on every commit that adds
+    files, enabled or not — the spec's 'supported' obligation)."""
+    proto = table_protocol_no_spark(table_path) or {}
+    return "rowTracking" in (proto.get("writerFeatures") or [])
+
+
+def row_tracking_maintainable(table_path: str) -> bool:
+    """Engine writes can maintain rowTracking only when the table ALSO
+    declares ``domainMetadata`` (the high-water mark lives in the
+    ``delta.rowTracking`` domain; emitting a domain action into a table
+    that does not declare the feature would violate its protocol). A
+    rowTracking-only protocol is malformed per the spec's dependency —
+    refuse writes rather than guess."""
+    proto = table_protocol_no_spark(table_path) or {}
+    feats = set(proto.get("writerFeatures") or [])
+    return "rowTracking" in feats and "domainMetadata" in feats
+
+
+def row_tracking_enabled(table_path: str) -> bool:
+    """``delta.enableRowTracking=true``: row ids are part of the table's
+    contract and must be PRESERVED by operations that do not logically
+    change rows (compaction, and the rewritten survivors of DML)."""
+    conf = table_configuration_no_spark(table_path)
+    return str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+
+
+def row_id_high_water_mark(table_path: str) -> int:
+    """Current ``rowIdHighWaterMark`` from the ``delta.rowTracking`` domain
+    (-1 when never assigned) — the source for fresh baseRowId ranges."""
+    dm = live_domain_metadata(table_path).get(ROW_TRACKING_DOMAIN)
+    if not dm:
+        return -1
+    try:
+        return int(
+            json.loads(dm.get("configuration") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        )
+    except (ValueError, TypeError):
+        return -1
 
 
 def all_txn_versions(table_path: str) -> dict[str, int]:
@@ -1650,6 +1782,9 @@ def write_checkpoint(
             # carried for foreign DV tables: a checkpoint that dropped the
             # descriptor would resurrect the deleted rows
             F.col("deletionVector"),
+            # row-tracking identity survives checkpointing too
+            F.col("baseRowId"),
+            F.col("defaultRowCommitVersion"),
         ).alias("add"),
         F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
         F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
@@ -1829,6 +1964,8 @@ def write_checkpoint_v2(
             F.lit(False).alias("dataChange"),
             F.col("stats"),
             F.col("deletionVector"),
+            F.col("baseRowId"),
+            F.col("defaultRowCommitVersion"),
         ).alias("add"),
         F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
     )
@@ -2103,6 +2240,8 @@ def snapshot_files(
         F.col("add.partitionValues").alias("partitionValues"),
         F.col("add.stats").alias("stats"),
         F.col("add.deletionVector").alias("deletionVector"),
+        F.col("add.baseRowId").alias("baseRowId"),
+        F.col("add.defaultRowCommitVersion").alias("defaultRowCommitVersion"),
         F.col("version"),
         F.lit(True).alias("is_add"),
     )
@@ -2113,6 +2252,8 @@ def snapshot_files(
         F.lit(None).cast(PARTITION_VALUES).alias("partitionValues"),
         F.lit(None).cast("string").alias("stats"),
         F.col("remove.deletionVector").alias("deletionVector"),
+        F.lit(None).cast("long").alias("baseRowId"),
+        F.lit(None).cast("long").alias("defaultRowCommitVersion"),
         F.col("version"),
         F.lit(False).alias("is_add"),
     )

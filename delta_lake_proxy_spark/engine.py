@@ -339,8 +339,16 @@ class Engine:
         strict: bool = False,
         version: int | None = None,
         timestamp_as_of: "int | float | str | None" = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Catalog lookup -> ACL resolution -> predicate-injected Delta scan.
+
+        ``with_row_ids=True`` (rowTracking tables) appends ``_row_id`` and
+        ``_row_commit_version``: fresh row ids derived per the Delta spec as
+        the add's ``baseRowId`` + the row's physical index, and the add's
+        ``defaultRowCommitVersion`` — the log-derived form (materialized
+        row-id columns inside files are not read). Requires the enumerable
+        scan (physical positions), like the DV-writing DML paths.
 
         The returned DataFrame's scan carries the compiled DNF filter, so
         partition pruning selects exactly the files the reference's
@@ -367,10 +375,51 @@ class Engine:
             version = deltalog.version_at_timestamp(
                 self.spark, path, _to_epoch_millis(timestamp_as_of)
             )
-        df = self._read_data(path, version=version)
+        if with_row_ids:
+            df = self._with_row_ids(path, version=version)
+        else:
+            df = self._read_data(path, version=version)
         if pred is None:
             return df  # no ACL configured => allow everything (src/main.rs:576)
         return df.filter(pred)
+
+    def _with_row_ids(self, path: str, version: int | None = None) -> DataFrame:
+        """Scan with materialized ``_row_id`` / ``_row_commit_version``
+        (Delta rowTracking, fresh-id form): keep the raw file URI and
+        physical row index through the scan (the same plumbing the
+        DV-writing DML uses), then broadcast-join the metadata-sized
+        (path -> baseRowId, defaultRowCommitVersion) map from the snapshot
+        replay. Files without a baseRowId yield null ids (spec: row ids
+        unavailable for them)."""
+        if not deltalog.has_row_tracking(path):
+            raise UnsupportedProtocolError(
+                path,
+                "with_row_ids requires the rowTracking writer feature on "
+                "the table's protocol",
+            )
+        try:
+            df = self._read_data(
+                path, version=version, keep_file_col=True, keep_pos=True
+            )
+        except _NeedsEnumeratedScan:
+            raise ValueError(
+                f"with_row_ids on {path} requires physical row positions, "
+                "which need the enumerable scan — raise "
+                "large_listing_threshold"
+            ) from None
+        rt = deltalog.snapshot_files(self.spark, path, version=version).select(
+            F.col("path").alias("_rt_key"),
+            F.col("baseRowId").alias("_rt_base"),
+            F.col("defaultRowCommitVersion").alias("_rt_dcv"),
+        )
+        out = df.withColumn("_rt_key", uri_rel_col(F.col("_file"), path)).join(
+            F.broadcast(rt), "_rt_key", "left"
+        )
+        return (
+            out.withColumn("_row_id", F.col("_rt_base") + F.col("_pos"))
+            .withColumn("_row_commit_version", F.col("_rt_dcv"))
+            .drop("_rt_key", "_rt_base", "_rt_dcv", "_file", "_pos")
+        )
 
     def read_table_stream(self, alias: str, user: str = acl.ANONYMOUS) -> DataFrame:
         """Streaming governed read over a DIRECTORY file-stream source.
@@ -783,6 +832,7 @@ class Engine:
             # maintenance is vacuously satisfied on declared-DV tables
             dv_write=self._dv_protocol(path),
             protocol_action=protocol_action,
+            row_tracking_assign=True,
         )
         self._snapshot_cache.invalidate()
         return version
@@ -814,6 +864,7 @@ class Engine:
             operation="ADD CONSTRAINT",
             configuration=conf,
             enforced_constraints=True,
+            row_tracking_assign=True,
         )
         self._snapshot_cache.invalidate()
         return version
@@ -877,6 +928,11 @@ class Engine:
                 # carried so a restore never resurrects DV-deleted rows
                 if r["deletionVector"] is not None:
                     add["deletionVector"] = r["deletionVector"].asDict()
+                # row-tracking identity restores with the file
+                if r["baseRowId"] is not None:
+                    add["baseRowId"] = r["baseRowId"]
+                if r["defaultRowCommitVersion"] is not None:
+                    add["defaultRowCommitVersion"] = r["defaultRowCommitVersion"]
                 yield add
 
         def remove_rows():
@@ -904,6 +960,7 @@ class Engine:
             enforced_generated=True,
             cdf_handled=True,
             dv_write=self._dv_protocol(path),
+            row_tracking_assign=True,
         )
         self._snapshot_cache.invalidate()
         return new_version
@@ -956,6 +1013,12 @@ class Engine:
                     "modificationTime": r["modificationTime"],
                     "stats": r["stats"],
                 }
+                # row-tracking identity travels with the clone (the carried
+                # delta.rowTracking domain keeps the high-water mark too)
+                if r["baseRowId"] is not None:
+                    add["baseRowId"] = r["baseRowId"]
+                if r["defaultRowCommitVersion"] is not None:
+                    add["defaultRowCommitVersion"] = r["defaultRowCommitVersion"]
                 if r["deletionVector"] is not None and r["deletionVector"]["storageType"]:
                     d = r["deletionVector"].asDict()
                     if d.get("storageType") == "u":
@@ -2178,10 +2241,22 @@ class Engine:
         if not self._dv_protocol(path):
             return removes
         dv_map = self._dv_map(path)
+        live = self._snapshot_cache.get_or_compute(
+            ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
+        )
         out = []
         for r in removes:
             d = dv_map.get(r["path"])
-            out.append({**r, "deletionVector": d} if d else r)
+            enriched = {**r, "deletionVector": d} if d else dict(r)
+            # row-tracking identity carried on the tombstone too (spec shape)
+            a = live.get(r["path"]) or {}
+            if a.get("baseRowId") is not None:
+                enriched.setdefault("baseRowId", a["baseRowId"])
+                if a.get("defaultRowCommitVersion") is not None:
+                    enriched.setdefault(
+                        "defaultRowCommitVersion", a["defaultRowCommitVersion"]
+                    )
+            out.append(enriched)
         return out
 
     def enable_deletion_vectors(self, alias: str) -> int:
@@ -2411,17 +2486,23 @@ class Engine:
                 pass
             if num_records is not None and int(d["cardinality"]) >= int(num_records):
                 continue  # every row dead: plain remove, no re-add
-            adds.append(
-                {
-                    "path": d["rel"],
-                    "partitionValues": dict(a.get("partitionValues") or {}),
-                    "size": a.get("size"),
-                    "modificationTime": a.get("modificationTime"),
-                    "stats": a.get("stats"),
-                    "deletionVector": desc,
-                    "dataChange": True,
-                }
-            )
+            re_add = {
+                "path": d["rel"],
+                "partitionValues": dict(a.get("partitionValues") or {}),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "stats": a.get("stats"),
+                "deletionVector": desc,
+                "dataChange": True,
+            }
+            # the file is unchanged, so its row-tracking identity is too:
+            # surviving rows keep baseRowId + physical index (preservation
+            # through DV DML, like the DV identity itself)
+            if a.get("baseRowId") is not None:
+                re_add["baseRowId"] = a["baseRowId"]
+            if a.get("defaultRowCommitVersion") is not None:
+                re_add["defaultRowCommitVersion"] = a["defaultRowCommitVersion"]
+            adds.append(re_add)
         return adds, removes
 
     def _update_with_dvs(
@@ -2676,6 +2757,25 @@ class Engine:
         files_df = local_df(self.spark, [(u,) for u in touched_uris], "_file string")
         return target.join(F.broadcast(files_df), on="_file", how="left_semi")
 
+    def _require_row_id_stability(self, path: str, op: str) -> None:
+        """``delta.enableRowTracking=true`` promises STABLE row ids across
+        operations that do not logically change rows — rewriting surviving
+        rows into new files breaks that promise unless the writer
+        materializes row-id columns, which this engine does not. Refuse
+        loudly instead of silently renumbering (DV-shaped DELETE, appends,
+        overwrites, restore and clone all remain allowed: they never
+        renumber surviving rows)."""
+        if deltalog.has_row_tracking(path) and deltalog.row_tracking_enabled(
+            path
+        ):
+            raise UnsupportedProtocolError(
+                path,
+                f"{op} on a delta.enableRowTracking=true table would "
+                "renumber preserved row ids (this engine does not write "
+                "materialized row-id columns) — disable row tracking or "
+                "use a conforming writer for this operation",
+            )
+
     def merge(self, alias: str, source: DataFrame, on: list[str]) -> int:
         """Upsert (MERGE): matched target rows are replaced by their source
         rows, unmatched source rows are inserted, untouched rows are kept.
@@ -2689,6 +2789,9 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        # replaced rows are LOGICAL updates: preservation would demand
+        # materialized ids even on the DV shape
+        self._require_row_id_stability(path, "MERGE")
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         if self._dv_dml_eligible(path):
@@ -2790,6 +2893,9 @@ class Engine:
             v = self._delete_with_dvs(path, condition)
             if v is not None:
                 return v
+        # the DV shape above preserves row ids (files untouched); the
+        # copy-on-write fallback rewrites survivors and cannot
+        self._require_row_id_stability(path, "copy-on-write DELETE")
         target = self._read_data(path, keep_file_col=True)
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.filter(condition)
@@ -2870,6 +2976,9 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        # updated rows are logical updates: their ids must survive, which
+        # needs materialized row-id columns even on the DV shape
+        self._require_row_id_stability(path, "UPDATE")
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         bad = sorted(set(assignments) & set(parts))
@@ -3021,6 +3130,10 @@ class Engine:
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
+        # OPTIMIZE does not logically change rows, so row ids MUST be
+        # preserved — impossible through bin-packing without materialized
+        # row-id columns
+        self._require_row_id_stability(path, "compaction (OPTIMIZE)")
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         df = self._read_data(path)
@@ -3346,6 +3459,10 @@ class Engine:
         ``cdc_adds`` (change-data actions, Delta CDF) are committed with the
         same atomicity and their files cleaned up on failure too."""
         cdc_adds = kwargs.pop("cdc_adds", None)
+        # every Engine-authored commit maintains the rowTracking obligations
+        # (fresh baseRowIds from stats, high-water-mark domain) — raw
+        # deltalog.write_commit callers still refuse on such tables
+        kwargs.setdefault("row_tracking_assign", True)
         cleanup = list(moved) + [c["path"] for c in (cdc_adds or [])]
         try:
             if callable(removes):
