@@ -940,13 +940,17 @@ class Engine:
                 # the remove must tombstone the SAME (path, dv uniqueId)
                 # identity the live add declares — a bare-path remove on a
                 # DV table never reconciles, resurrecting deleted rows
+                rm = {"path": r["path"]}
                 if r["deletionVector"] is not None:
-                    yield {
-                        "path": r["path"],
-                        "deletionVector": r["deletionVector"].asDict(),
-                    }
-                else:
-                    yield {"path": r["path"]}
+                    rm["deletionVector"] = r["deletionVector"].asDict()
+                # row-tracking identity carried on the tombstone (spec shape)
+                if r["baseRowId"] is not None:
+                    rm["baseRowId"] = r["baseRowId"]
+                    if r["defaultRowCommitVersion"] is not None:
+                        rm["defaultRowCommitVersion"] = r[
+                            "defaultRowCommitVersion"
+                        ]
+                yield rm
 
         new_version = deltalog.write_commit_streamed(
             path,
@@ -2079,6 +2083,14 @@ class Engine:
                     # DV table: the logical identity being tombstoned is
                     # (path, dv uniqueId)
                     rm["deletionVector"] = d
+                # rowTracking: identity carried on the tombstone too (spec
+                # shape — removes preserve baseRowId/defaultRowCommitVersion)
+                if prev_adds[p].get("baseRowId") is not None:
+                    rm["baseRowId"] = prev_adds[p]["baseRowId"]
+                    if prev_adds[p].get("defaultRowCommitVersion") is not None:
+                        rm["defaultRowCommitVersion"] = prev_adds[p][
+                            "defaultRowCommitVersion"
+                        ]
                 removes.append(rm)
         version = self._commit_moved(
             path,
@@ -2234,13 +2246,25 @@ class Engine:
         return self._snapshot_cache.get_or_compute(("foreign", path), compute)
 
     def _dv_removes(self, path: str, removes: list[dict]) -> list[dict]:
-        """Attach each removed file's CURRENT deletionVector descriptor to
-        its remove action: on DV tables the logical-file identity is
-        (path, dv uniqueId) — a bare-path remove would never tombstone a
-        DV'd add, silently resurrecting its rows."""
-        if not self._dv_protocol(path):
+        """Attach each removed file's CURRENT logical identity to its
+        remove action. Two independent carries, each gated on ITS OWN
+        protocol feature:
+
+        - deletionVector descriptor (DV protocol): the logical-file
+          identity is (path, dv uniqueId) — a bare-path remove would never
+          tombstone a DV'd add, silently resurrecting its rows;
+        - baseRowId / defaultRowCommitVersion (rowTracking protocol): the
+          spec carries row-id identity on BOTH add and remove, so the
+          tombstone preserves it even on tables without DVs.
+
+        Every remove-producing path routes through this (DML via the
+        copy-on-write removes, overwrite/compaction via
+        :meth:`write_table`, RESTORE inline)."""
+        has_rt = deltalog.has_row_tracking(path)
+        has_dv = self._dv_protocol(path)
+        if not (has_rt or has_dv):
             return removes
-        dv_map = self._dv_map(path)
+        dv_map = self._dv_map(path) if has_dv else {}
         live = self._snapshot_cache.get_or_compute(
             ("live_files", path), lambda: deltalog._live_adds_no_spark(path)
         )
@@ -2248,14 +2272,15 @@ class Engine:
         for r in removes:
             d = dv_map.get(r["path"])
             enriched = {**r, "deletionVector": d} if d else dict(r)
-            # row-tracking identity carried on the tombstone too (spec shape)
-            a = live.get(r["path"]) or {}
-            if a.get("baseRowId") is not None:
-                enriched.setdefault("baseRowId", a["baseRowId"])
-                if a.get("defaultRowCommitVersion") is not None:
-                    enriched.setdefault(
-                        "defaultRowCommitVersion", a["defaultRowCommitVersion"]
-                    )
+            if has_rt:
+                a = live.get(r["path"]) or {}
+                if a.get("baseRowId") is not None:
+                    enriched.setdefault("baseRowId", a["baseRowId"])
+                    if a.get("defaultRowCommitVersion") is not None:
+                        enriched.setdefault(
+                            "defaultRowCommitVersion",
+                            a["defaultRowCommitVersion"],
+                        )
             out.append(enriched)
         return out
 
@@ -2361,6 +2386,108 @@ class Engine:
                 "readerFeatures": ["v2Checkpoint"],
                 "writerFeatures": ["v2Checkpoint"],
             },
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def enable_row_tracking(self, alias: str, enabled: bool = True) -> int:
+        """Upgrade a plain table to the ``rowTracking`` writer feature and
+        BACKFILL row ids — Delta's own three-step enablement flow
+        (ALTER TABLE SET TBLPROPERTIES delta.enableRowTracking=true):
+
+        1. protocol upgrade to (1,7) + ``rowTracking`` + ``domainMetadata``
+           (the high-water mark lives in the ``delta.rowTracking`` domain,
+           so the spec makes domainMetadata a hard dependency);
+        2. a backfill commit re-adding every live file with ``dataChange=
+           false`` so :func:`deltalog.write_commit_streamed` assigns each a
+           fresh ``baseRowId`` range from its ``numRecords`` stats and
+           writes the ``rowIdHighWaterMark`` domain;
+        3. (``enabled=True``) ``delta.enableRowTracking=true`` on the same
+           backfill commit — from then on row ids are part of the table's
+           read contract and the DML stability guard
+           (:meth:`_require_row_id_stability`) refuses operations that
+           would renumber surviving rows.
+
+        Requires ``numRecords`` stats on every live file (engine-written
+        tables always have them); refuses otherwise rather than logging a
+        table whose ids cannot be derived. Tables already declaring other
+        protocol features refuse, like :meth:`enable_deletion_vectors`.
+        Subsequent :meth:`read_table` calls accept ``with_row_ids=True``.
+        """
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        if "rowTracking" not in existing_w:
+            if existing_r or existing_w:
+                # never CLOBBER a feature list this engine didn't write
+                raise UnsupportedProtocolError(
+                    path,
+                    "table already declares protocol features "
+                    f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                    "its feature lists",
+                )
+            deltalog.write_commit_streamed(
+                path,
+                lambda: iter(()),
+                None,
+                schema_json=meta.get("schemaString"),
+                partition_cols=list(meta.get("partitionColumns") or []),
+                operation="UPGRADE PROTOCOL",
+                enforced_constraints=True,
+                enforced_generated=True,
+                cdf_handled=True,
+                protocol_action={
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["rowTracking", "domainMetadata"],
+                },
+            )
+        # Backfill: re-add each live file WITHOUT a baseRowId so the commit
+        # assigns fresh ids above the (empty) high-water mark; files that
+        # already carry one (re-running enablement) pass through untouched.
+        live = deltalog._live_adds_no_spark(path)
+        conf = deltalog.table_configuration_no_spark(path)
+        if enabled:
+            conf["delta.enableRowTracking"] = "true"
+
+        def backfill():
+            for p in sorted(live):
+                a = live[p]
+                add = {
+                    "path": p,
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "stats": a.get("stats"),
+                    "dataChange": False,  # same rows, new metadata only
+                }
+                if a.get("baseRowId") is not None:
+                    add["baseRowId"] = a["baseRowId"]
+                    if a.get("defaultRowCommitVersion") is not None:
+                        add["defaultRowCommitVersion"] = a[
+                            "defaultRowCommitVersion"
+                        ]
+                if a.get("deletionVector"):
+                    add["deletionVector"] = a["deletionVector"]
+                yield add
+
+        version = deltalog.write_commit_streamed(
+            path,
+            backfill,
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="ROW TRACKING BACKFILL",
+            configuration=conf,
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            dv_write=self._dv_protocol(path),
+            row_tracking_assign=True,
         )
         self._snapshot_cache.invalidate()
         return version

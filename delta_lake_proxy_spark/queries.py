@@ -2007,10 +2007,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_near_minhash",
-    f"""
-    WITH corpus AS ({_DUP_UNION_SQL}),
+# Exact all-pairs word-shingle Jaccard in SQL — the oracle's pair relation
+# for BOTH dedup_near_minhash (pairs + scores) and dedup_components
+# (transitive closure over the same pairs).
+_JACCARD_PAIR_CTES = f"""corpus AS ({_DUP_UNION_SQL}),
     norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
              FROM corpus),
     words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -2025,10 +2025,21 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.6
+    ),
+    jpairs AS (
+      SELECT id_a, id_b,
+             round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.6
+    )"""
+
+
+@register(
+    "dedup_near_minhash",
+    f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2040,6 +2051,40 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — verified at sf0.001 and sf0.01."""
     corpus = _docs_with_dups(spark, sf_dir)
     return dedup.minhash_near_duplicates(corpus, threshold=0.6)
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jpairs
+      UNION SELECT id_b AS u, id_a AS v FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    )
+    SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 transitive-closure dedup clustering: connected components over
+    the verified MinHash near-dup pair graph — ``(id, component)`` with
+    ``component`` = the smallest id reachable through any chain of pairs
+    (the survivor each clustered doc deduplicates to).
+
+    Spark side: alternating large-star/small-star contraction
+    (O(log n) rounds over the PAIR relation only — the corpus is never
+    iterated; see ``functions/dedup.py:connected_components``). Oracle:
+    DuckDB recursive-CTE transitive closure over the same exact-Jaccard
+    pair relation — hash equality certifies the contraction reaches the
+    true closure, not just a fixpoint."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(corpus, threshold=0.6)
+    return dedup.connected_components(pairs)
 
 
 @register(

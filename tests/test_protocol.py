@@ -171,10 +171,12 @@ def test_unwritable_commit_refused(tmp_path):
 
 
 def test_writer_features_refused(tmp_path):
-    """A genuinely unimplemented writer feature (rowTracking: every commit
-    would have to assign fresh baseRowIds) refuses raw commits. The
-    feature-form of the LEGACY capabilities behaves like their version
-    forms: checkConstraints with a declared constraint refuses raw commits
+    """rowTracking refuses RAW commits: ``deltalog.write_commit`` without
+    ``row_tracking_assign`` cannot prove the fresh-baseRowId obligation
+    (the Engine write paths pass it and ARE allowed —
+    tests/test_row_tracking.py pins the positive path). The feature-form
+    of the LEGACY capabilities behaves like their version forms:
+    checkConstraints with a declared constraint refuses raw commits
     (cannot prove validation) but is vacuous when none is declared."""
     path = make_table(str(tmp_path / "t"), WRITER_FEATS)
     with pytest.raises(UnsupportedProtocolError, match="rowTracking"):
