@@ -39,15 +39,43 @@ HEADLINE = [
     "array_funcs",
 ]
 
+# Protocol-path queries (rounds 7-9 machinery: DV decode + shallow-clone
+# read, CDF, log replay/history, checkpoint-seeded snapshot replay) — timed
+# on EVERY run (round-10, r9 advice: protocol regressions were invisible)
+# but reported under separate keys so the headline total stays comparable
+# round-over-round.
+PROTOCOL = [
+    "dv_read",
+    "table_changes",
+    "table_history",
+    "read_delta_log",
+    "checkpoint_replay",
+]
+
 # Round-7 additions, timed under SPARK_GRAFT_BENCH_EXTENDED=1 (kept out of
 # the headline list so its total stays comparable round-over-round).
 EXTENDED = [
-    "dv_read",
     "sequence_pack",
     "pii_scrub",
-    "table_changes",
     "auth_join",
 ]
+
+
+def checkpoint_replay(spark, sf_dir):
+    """Snapshot replay seeded from a CHECKPOINT: checkpoint the governed
+    fixture once (idempotent per version), then replay its live file set —
+    times the checkpoint-parquet + JSON-tail reconstruction path."""
+    from delta_lake_proxy_spark import deltalog
+
+    path = Q.governed_fixture(spark, sf_dir)
+    v = deltalog.latest_version(path)
+    import glob
+
+    if not glob.glob(os.path.join(path, "_delta_log", f"{v:020d}.checkpoint*")):
+        deltalog.write_checkpoint(spark, path)
+    return deltalog.snapshot_files(spark, path).select(
+        "path", "size", "partitionValues"
+    )
 
 
 def main() -> None:
@@ -64,7 +92,7 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
     import gc
 
-    names = list(HEADLINE)
+    names = list(HEADLINE) + list(PROTOCOL)
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
         names += EXTENDED
     timings: dict[str, float] = {}
@@ -80,8 +108,9 @@ def main() -> None:
         except Exception:
             pass
         # headline queries are registry entries; a retired-from-registry
-        # query (e.g. multimodal_scan, round 7) stays benchmarked by name
-        fn = Q.QUERIES.get(name) or getattr(Q, name)
+        # query (e.g. multimodal_scan, round 7) stays benchmarked by name;
+        # bench-local micro-benches (checkpoint_replay) resolve last
+        fn = Q.QUERIES.get(name) or getattr(Q, name, None) or globals()[name]
         # min-of-3: this VM's load spikes can inflate a single run 2-4x,
         # and the driver records exactly one bench per round; per-run times
         # are published so a reader can see the noise band, not just the min
@@ -96,6 +125,8 @@ def main() -> None:
         timings[name] = min(rs)
         runs[name] = rs
         print(f"# {name}: min {timings[name]:.2f}s of {rs}", file=sys.stderr)
+    proto = {k: timings.pop(k) for k in PROTOCOL if k in timings}
+    proto_runs = {k: runs.pop(k) for k in PROTOCOL if k in runs}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -105,6 +136,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "protocol_queries": proto,
+                "protocol_runs": proto_runs,
+                "protocol_total": round(sum(proto.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -171,12 +171,19 @@ def _is_foreign_path(p: str) -> bool:
 
 
 def _safe_castable(src, dst) -> bool:
-    """Whether casting ``src`` -> ``dst`` is LOSSLESS and always valid —
-    the union-style up-cast contract (numeric widening, null promotion,
-    date->timestamp, recursive containers). A plain ``Column.cast`` would
-    also accept lossy/invalid pairs (string->long yields NULL at runtime);
-    DML schema reconciliation must reject those instead of committing
-    null-filled rows."""
+    """Whether casting ``src`` -> ``dst`` is an always-valid UP-CAST —
+    Spark's ``Cast.canUpCast`` contract (numeric widening along the
+    numeric-precedence order, null promotion, date->timestamp, recursive
+    containers). A plain ``Column.cast`` would also accept invalid pairs
+    (string->long yields NULL at runtime); DML schema reconciliation must
+    reject those instead of committing null-filled rows.
+
+    NOTE: this mirrors Spark's precedence rule, NOT strict losslessness —
+    integral->Float/Double is accepted (as Spark's canUpCast and
+    unionByName accept it) even though e.g. ``9007199254740993L`` rounds
+    when stored as double. Rejecting it here would refuse MERGE sources
+    Spark itself considers up-castable; callers needing bit-exactness
+    must match integral widths explicitly."""
     from pyspark.sql import types as T
 
     if src == dst:
@@ -812,11 +819,18 @@ class Engine:
         protocol_action = None
         if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
             proto = deltalog.table_protocol_no_spark(path) or {}
-            if int(proto.get("minWriterVersion") or 1) < 4:
+            writer = int(proto.get("minWriterVersion") or 1)
+            wfeats = list(proto.get("writerFeatures") or [])
+            if writer < 4:
                 protocol_action = {
                     "minReaderVersion": int(proto.get("minReaderVersion") or 1),
                     "minWriterVersion": 4,
                 }
+            elif writer == 7 and "changeDataFeed" not in wfeats:
+                # writer 7 delegates all demands to writerFeatures: the CDF
+                # demand must be APPENDED there (an append never drops a
+                # declared capability, so the no-clobber rule is preserved)
+                protocol_action = {**proto, "writerFeatures": wfeats + ["changeDataFeed"]}
         version = deltalog.write_commit_streamed(
             path,
             lambda: iter(()),
@@ -1417,6 +1431,18 @@ class Engine:
 
         ``live`` narrows to a survivor subset (data-skipping); membership is
         re-joined against the full snapshot to recover partition values.
+
+        CAVEAT (documented failure mode): the directory scan reads EVERY
+        parquet file in the referenced parent directories under the logged
+        schema and relies on the inner join to drop unreferenced rows. A
+        dead/unrelated file in those source directories with a physically
+        INCOMPATIBLE column type (e.g. left over from a type-changing
+        rewrite) fails the whole scan even though its rows would be joined
+        away — Spark's parquet reader type-checks per file, before any
+        join. The enumerated-path scan (below the threshold) is immune;
+        vacuum'ing the source directories removes the offending files. An
+        explicit per-file read list would avoid this but reintroduces the
+        O(file-count) driver materialization this path exists to avoid.
         """
         from pyspark.sql import types as T
 
@@ -2211,13 +2237,15 @@ class Engine:
         (the property alone is not authority to emit DV actions — a
         conforming reader of a (1,2) table would ignore the descriptors
         and resurrect the rows) AND nothing demands per-row work the DV
-        commit cannot prove: CDF needs change files (the copy-on-write
-        path produces them), and a foreign table declaring generated
-        columns would get unvalidated appended rows."""
+        commit cannot prove: a foreign table declaring generated columns
+        would get unvalidated appended rows. CDF tables ARE eligible —
+        the DV paths write row-exact change files from the marked
+        positions (the same ``_write_cdc`` machinery as copy-on-write),
+        so CDF no longer forces a full file rewrite just to feed the
+        change stream."""
         return (
             self._dv_writes_enabled(path)
             and self._dv_protocol(path)
-            and not self._cdf_enabled(path)
             and not deltalog.generated_columns(path)
             # shallow clones reference foreign files: the DV-marking group
             # key and new-bin placement assume in-root files, so clone DML
@@ -2285,27 +2313,28 @@ class Engine:
         return out
 
     def enable_deletion_vectors(self, alias: str) -> int:
-        """Upgrade a plain table so DELETEs write deletion vectors
-        (``delta.enableDeletionVectors=true`` + the (3,7)
-        deletionVectors protocol, Delta's own enable path). Tables already
-        using column mapping, CHECK constraints, CDF, or generated columns
-        refuse — a writer-7 upgrade must enumerate every legacy capability
-        as a feature, and this engine scopes the upgrade to the plain
-        case."""
+        """Upgrade a plain (or CDF-enabled) table so DELETEs write deletion
+        vectors (``delta.enableDeletionVectors=true`` + the (3,7)
+        deletionVectors protocol, Delta's own enable path). A CDF table's
+        upgrade enumerates ``changeDataFeed`` in the writer features (the
+        writer-7 form of its existing writer-4 demand; the DV DML paths
+        write row-exact change files). Tables already using column
+        mapping, CHECK constraints, or generated columns refuse — a
+        writer-7 upgrade must enumerate every legacy capability as a
+        feature, and this engine scopes the upgrade to these cases."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
         if (
             self._column_mapping(path)
             or deltalog.declared_constraints(path)
-            or self._cdf_enabled(path)
             or deltalog.generated_columns(path)
         ):
             raise UnsupportedProtocolError(
                 path,
-                "enable_deletion_vectors supports plain tables only (column "
-                "mapping / constraints / CDF / generated columns would need "
-                "their writer features enumerated in the upgrade)",
+                "enable_deletion_vectors supports plain or CDF tables only "
+                "(column mapping / constraints / generated columns would "
+                "need their writer features enumerated in the upgrade)",
             )
         conf = deltalog.table_configuration_no_spark(path)
         conf["delta.enableDeletionVectors"] = "true"
@@ -2324,11 +2353,17 @@ class Engine:
                     f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                     "its feature lists",
                 )
+            wfeats = ["deletionVectors"]
+            if self._cdf_enabled(path):
+                # the table's existing writer-4 CDF demand must survive the
+                # writer-7 upgrade as its feature form — dropping it would
+                # let conforming writers commit change-less DML
+                wfeats.append("changeDataFeed")
             protocol_action = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "writerFeatures": wfeats,
             }
         version = deltalog.write_commit_streamed(
             path,
@@ -2501,18 +2536,31 @@ class Engine:
         merged cardinality reaches their ``numRecords`` are fully removed
         instead (Delta's own escalation). Returns the committed version, or
         None when the snapshot exceeds the enumerable threshold (caller
-        falls back to copy-on-write)."""
+        falls back to copy-on-write). On CDF tables the marked rows are
+        ALSO written as ``delete`` change files — exactly the rows whose
+        liveness the DVs flip, so the change stream stays row-exact
+        without any data-file rewrite."""
         try:
             target = self._read_data(path, keep_file_col=True, keep_pos=True)
         except _NeedsEnumeratedScan:
             return None
-        matched = (
-            target.filter(condition)
-            .select(uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos")
+        matched_rows = target.filter(condition)
+        matched = matched_rows.select(
+            uri_rel_col(F.col("_file"), path).alias("_rel"), "_pos"
         )
         descs, dv_rels = self._dv_mark_positions(path, matched)
         if not descs:
             return deltalog.latest_version(path)  # nothing matched: no-op
+        cdc_actions = None
+        if self._cdf_enabled(path):
+            meta = deltalog.table_metadata_no_spark(path) or {}
+            cdc_actions = self._write_cdc(
+                path,
+                matched_rows.drop("_file", "_pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                list(meta.get("partitionColumns") or []),
+            )
         adds, removes = self._dv_actions_for(path, descs)
         version = self._commit_moved(
             path,
@@ -2522,6 +2570,7 @@ class Engine:
             operation="DELETE",
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
         )
@@ -2668,6 +2717,15 @@ class Engine:
             moved = self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        cdc_actions = None
+        if self._cdf_enabled(path):
+            # row-exact CDF from the DV shape: the marked rows are the
+            # preimages, the appended rows their postimages
+            pre = matched.drop("_file", "_pos").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updated.withColumn("_change_type", F.lit("update_postimage"))
+            cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
         dv_adds, removes = self._dv_actions_for(path, descs)
         new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
         version = self._commit_moved(
@@ -2679,6 +2737,7 @@ class Engine:
             operation="UPDATE",
             enforced_constraints=self._enforce_check_constraints(path, updated),
             enforced_generated=True,
+            cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
         )
@@ -2753,6 +2812,24 @@ class Engine:
             moved = self._move_staged(staging, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        cdc_actions = None
+        if self._cdf_enabled(path):
+            # same change taxonomy as the copy-on-write MERGE: DV'd target
+            # rows as update_preimage, their source replacements as
+            # update_postimage, unmatched source rows as insert
+            tkeys = matched.select(*on).dropDuplicates()
+            pre = matched.drop("_file", "_pos").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = source.join(tkeys, on=on, how="left_semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = source.join(tkeys, on=on, how="left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_actions = self._write_cdc(
+                path, pre.unionByName(post).unionByName(ins), parts
+            )
         new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
         version = self._commit_moved(
             path,
@@ -2763,6 +2840,7 @@ class Engine:
             operation="MERGE",
             enforced_constraints=enforced,
             enforced_generated=True,
+            cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
         )
@@ -3238,11 +3316,33 @@ class Engine:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+    def _clustering_columns(self, path: str) -> list[str]:
+        """Clustering columns from the table's ``delta.clustering`` domain
+        (liquid clustering, clusteredTable feature) — ``[]`` when absent or
+        malformed. Nested column paths join with '.'; only top-level
+        columns are usable by this engine's recluster (dotted paths are
+        dropped by the caller's ``in df.columns`` filter)."""
+        dm = deltalog.live_domain_metadata(path).get("delta.clustering")
+        if not dm:
+            return []
+        try:
+            cols = json.loads(dm.get("configuration") or "{}").get(
+                "clusteringColumns"
+            )
+            return [".".join(p) for p in cols or []]
+        except (ValueError, TypeError, AttributeError):
+            return []
+
     def compact_table(
         self,
         alias: str,
         files_per_partition: int = 1,
         target_file_bytes: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_method: str = "linear",
     ) -> int:
         """Small-file compaction (G9): rewrite each partition into
         ``files_per_partition`` files and commit removes+adds. The Spark-only
@@ -3253,7 +3353,18 @@ class Engine:
         metadata-sized read) picks its own file count, so a 100 GB partition
         and a 100 MB partition both land near the target size instead of
         sharing one global file count. Rows spread across a partition's bins
-        by row hash; each (partition, bin) pair becomes ~one output file."""
+        by row hash; each (partition, bin) pair becomes ~one output file.
+
+        ``sort_by`` / ``zorder_by`` recluster during the rewrite (OPTIMIZE
+        ZORDER BY): rows are range-partitioned/Z-ordered instead of
+        hash-binned, so footer-stats skipping works on the clustered
+        columns afterwards. When NEITHER is passed and the table carries a
+        ``delta.clustering`` domain (liquid clustering — preserved through
+        clone/checkpoint by this engine), its clustering columns are used
+        AUTOMATICALLY: a clustered table compacts clustered, per the
+        clusteredTable feature's best-effort obligation. Z-order needs
+        numeric columns; a non-numeric or single-column clustering key
+        falls back to hierarchical range-sort on the same columns."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         path = self.resolve(alias)
@@ -3264,6 +3375,35 @@ class Engine:
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         df = self._read_data(path)
+        if sort_by is None and zorder_by is None:
+            cluster_cols = self._clustering_columns(path)
+            cluster_cols = [c for c in cluster_cols if c in df.columns]
+            if cluster_cols:
+                types = dict(df.dtypes)
+                if len(cluster_cols) > 1 and all(
+                    types[c].startswith(self.NUMERIC_TYPES) for c in cluster_cols
+                ):
+                    zorder_by = cluster_cols
+                else:
+                    sort_by = cluster_cols
+        if sort_by or zorder_by:
+            # recluster: the clustered write path IS the compaction (range
+            # split sizes files; no hash-binning on top of it)
+            read_only, self.config.read_only = self.config.read_only, False
+            try:
+                return self.write_table(
+                    alias,
+                    df,
+                    mode="overwrite",
+                    partition_by=list(parts),
+                    sort_by=sort_by,
+                    zorder_by=zorder_by,
+                    zorder_method=zorder_method,
+                    sort_files=files_per_partition if parts == [] else None,
+                    data_change=False,
+                )
+            finally:
+                self.config.read_only = read_only
         if target_file_bytes is not None:
             import math
 

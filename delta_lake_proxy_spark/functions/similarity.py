@@ -230,13 +230,47 @@ def ivf_topk(
     sort); each Lloyd step is one scan with MAP-SIDE partial aggregation of
     per-(centroid, dimension) sums (the shuffle carries only
     num_centroids x dim x partitions rows — the standard distributed
-    k-means pass); the final probe reads ~n_probe/num_centroids of the
-    corpus. Refinement makes the approximation contract real instead of
-    sample-coincidental: recall@k is pytest-bounded (test_llm_ops).
+    k-means pass); the final probe SCORES only the probed lists, but this
+    ad-hoc form still SCANS the whole corpus to evaluate the assignment
+    argmax per row. For repeated queries, :func:`ivf_build` materializes
+    the assignment once into a ``_cid``-partitioned index so
+    :func:`ivf_probe` reads ~n_probe/num_centroids of the FILES too
+    (partition pruning) — an index that rescans the corpus per query is
+    not an index. Refinement makes the approximation contract real instead
+    of sample-coincidental: recall@k is pytest-bounded (test_llm_ops).
     """
-    # Deterministic hash-ordered sample: the num_centroids rows with the
-    # smallest id-hashes (executed as TakeOrdered — per-partition top-k, no
-    # full sort — so it holds at corpus scale).
+    cents = _ivf_centroids(
+        embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+    )
+    probe = sorted(
+        cents,
+        key=lambda c: (
+            -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
+            c[0],
+        ),
+    )[: max(1, n_probe)]
+    probe_cids = [cid for cid, _ in probe]
+    q = _lit_vec(query_vec)
+    hits = embeddings.filter(
+        _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
+    )
+    scored = hits.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _ivf_centroids(
+    embeddings: DataFrame,
+    num_centroids: int,
+    lloyd_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: hash-ordered seed sample (TakeOrdered —
+    per-partition top-k, no full sort) refined by ``lloyd_iters``
+    distributed Lloyd steps (map-side partial agg of per-(centroid, dim)
+    sums; the shuffle carries num_centroids x dim x partitions rows)."""
     seed_rows = (
         embeddings.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)), F.col("_cid"))
@@ -272,6 +306,72 @@ def ivf_topk(
             )  # empty cluster: keep the seed centroid
             for cid, cv in cents
         ]
+    return cents
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    index_path: str,
+    num_centroids: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize an IVF index: assign every vector to its nearest
+    centroid ONCE and write the corpus ``_cid``-PARTITIONED to
+    ``index_path`` (one directory per inverted list), with the centroid
+    table stored alongside as ``_ivf_centroids.json``. Returns the
+    centroids.
+
+    This is the scale path the ad-hoc :func:`ivf_topk` is not: a probe
+    against the index (:func:`ivf_probe`) pushes ``_cid IN (...)`` into
+    the scan, so partition pruning reads only the ~n_probe/num_centroids
+    of the FILES holding the probed lists — per-query IO proportional to
+    the probe, not the corpus. Build cost is one assignment scan plus the
+    partitioned write (each row moves once; the partitionBy shuffle is the
+    index construction)."""
+    import json as _json
+    import os as _os
+
+    cents = _ivf_centroids(
+        embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = embeddings.withColumn(
+        "_cid", _assign_centroid(F.col(vec_col), cents)
+    )
+    # repartition by _cid before partitionBy: each inverted list lands as
+    # contiguous files instead of one small file per (task, cid) pair
+    assigned.repartition(F.col("_cid")).write.mode("overwrite").partitionBy(
+        "_cid"
+    ).parquet(index_path)
+    with open(
+        _os.path.join(index_path, "_ivf_centroids.json"), "w", encoding="utf-8"
+    ) as f:
+        _json.dump({"centroids": cents, "id_col": id_col, "vec_col": vec_col}, f)
+    return cents
+
+
+def ivf_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a materialized IVF index (:func:`ivf_build`): rank
+    centroids driver-side (metadata-sized), then scan ONLY the probed
+    ``_cid=`` partitions — the ``isin`` filter on the partition column
+    prunes every other directory at planning time (visible as
+    ``PartitionFilters`` in the explain; pinned in test_plans)."""
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(index_path, "_ivf_centroids.json"), encoding="utf-8"
+    ) as f:
+        meta = _json.load(f)
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
     probe = sorted(
         cents,
         key=lambda c: (
@@ -281,9 +381,7 @@ def ivf_topk(
     )[: max(1, n_probe)]
     probe_cids = [cid for cid, _ in probe]
     q = _lit_vec(query_vec)
-    hits = embeddings.filter(
-        _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
-    )
+    hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
     scored = hits.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )

@@ -2180,15 +2180,30 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ivf", lambda: ORACLES["similarity_topk"])
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF probed top-k, run at full probe (n_probe == num_centroids).
+    """X3 IVF probed top-k against the MATERIALIZED index (round-10: the
+    scale path), run at full probe (n_probe == num_centroids).
 
-    Full probe makes IVF provably equal to the exact brute-force top-k —
-    the invariant that pins the assignment/probe/rerank machinery under the
-    driver's hash gate. The approximate trade (n_probe < num_centroids,
-    scan fraction ~n_probe/num_centroids) is exercised in pytest."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, _query_vector(spark, sf_dir), k=10, num_centroids=8, n_probe=8
+    ``ivf_build`` assigns every vector once and writes the corpus
+    ``_cid``-partitioned; ``ivf_probe`` pushes ``_cid IN (...)`` into the
+    scan so partition pruning bounds per-query IO by the probe, not the
+    corpus (the ad-hoc ``ivf_topk`` form re-evaluates the assignment
+    argmax over every row per query — fine once, not as an index). Full
+    probe makes IVF provably equal to the exact brute-force top-k — the
+    invariant that pins the build/assignment/probe/rerank machinery under
+    the driver's hash gate. The approximate trade (n_probe <
+    num_centroids, pruned-partition IO) is exercised in pytest
+    (test_ivf_build_probe_prunes_partitions)."""
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fixtures",
+        os.path.basename(os.path.abspath(sf_dir)),
+        "ivf_index",
+    )
+    if not os.path.exists(os.path.join(idx, "_ivf_centroids.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.ivf_build(emb, idx, num_centroids=8, lloyd_iters=1)
+    return similarity.ivf_probe(
+        spark, idx, _query_vector(spark, sf_dir), k=10, n_probe=8
     )
 
 

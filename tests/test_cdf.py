@@ -406,3 +406,110 @@ def test_feed_replay_reconstructs_table(cdf_table, spark):
         r["id"]: (r["val"], r["part"]) for r in eng.read_table("t").collect()
     }
     assert state == want
+
+
+# ---------------------------------------------------------------------------
+# DV-writing DML on CDF tables (round-10: CDF no longer forces copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dv_cdf_table(spark, tmp_path):
+    """A CDF table upgraded to deletion vectors: the writer-7 protocol
+    enumerates BOTH features, and DML takes the DV shape while still
+    writing row-exact change files."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), "A" if i % 2 == 0 else "B") for i in range(20)],
+        "id long, val double, part string",
+    )
+    write_governed_table(spark, df.repartition(2), path, ["part"])  # v0
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    eng.set_table_properties("t", {"delta.enableChangeDataFeed": "true"})  # v1
+    eng.enable_deletion_vectors("t")  # v2: (3,7)+deletionVectors+changeDataFeed
+    return eng, path
+
+
+def test_dv_cdf_upgrade_enumerates_both_features(dv_cdf_table):
+    eng, path = dv_cdf_table
+    proto = deltalog.table_protocol_no_spark(path)
+    assert set(proto["writerFeatures"]) == {"deletionVectors", "changeDataFeed"}
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    assert eng._dv_dml_eligible(path)
+
+
+def test_dv_delete_writes_change_files(dv_cdf_table):
+    eng, path = dv_cdf_table
+    files_before = set(deltalog._live_paths_no_spark(path))
+    eng.delete("t", F.col("id") < 5)  # v3: DV shape
+    # the DV shape rewrote NO data files (same physical set, new DVs)
+    assert set(deltalog._live_paths_no_spark(path)) == files_before
+    assert any(
+        (a.get("deletionVector") or {}).get("storageType")
+        for a in deltalog._live_adds_no_spark(path).values()
+    )
+    rows = eng.table_changes("t", from_version=2, to_version=3).collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r["part"] == ("A" if r["id"] % 2 == 0 else "B") for r in rows)
+    assert eng.read_table("t").count() == 15
+
+
+def test_dv_update_writes_pre_and_post_images(dv_cdf_table):
+    eng, path = dv_cdf_table
+    files_before = set(deltalog._live_paths_no_spark(path))
+    eng.update("t", F.col("id") == 6, {"val": F.col("val") * 10})  # v3
+    # DV shape: old files survive (DV'd), one appended file carries the row
+    assert files_before <= set(deltalog._live_paths_no_spark(path))
+    rows = eng.table_changes("t", from_version=2, to_version=3).collect()
+    by_type = {r["_change_type"]: r for r in rows}
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"]["val"] == 6.0
+    assert by_type["update_postimage"]["val"] == 60.0
+    assert eng.read_table("t").filter(F.col("id") == 6).collect()[0]["val"] == 60.0
+
+
+def test_dv_merge_feed_types(dv_cdf_table, spark):
+    eng, path = dv_cdf_table
+    src = spark.createDataFrame(
+        [(3, 99.0, "B"), (100, 1.0, "A")], "id long, val double, part string"
+    )
+    eng.merge("t", src, on=["id"])  # v3: DV shape (mark matched, append all)
+    rows = eng.table_changes("t", from_version=2, to_version=3).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert [r["id"] for r in by_type["insert"]] == [100]
+    assert [r["id"] for r in by_type["update_preimage"]] == [3]
+    assert by_type["update_preimage"][0]["val"] == 3.0
+    assert [r["id"] for r in by_type["update_postimage"]] == [3]
+    assert by_type["update_postimage"][0]["val"] == 99.0
+    assert eng.read_table("t").count() == 21
+
+
+def test_dv_cdf_feed_replay_reconstructs_table(dv_cdf_table, spark):
+    """Replaying the full change feed (insert - delete + postimages) must
+    reconstruct the DV table exactly — the invariant that certifies the
+    DV-shaped change files are row-exact."""
+    eng, path = dv_cdf_table
+    eng.delete("t", F.col("id") % 7 == 1)  # v3
+    eng.update("t", F.col("id") == 4, {"val": F.lit(400.0)})  # v4
+    src = spark.createDataFrame(
+        [(2, -2.0, "A"), (200, 0.5, "A")], "id long, val double, part string"
+    )
+    eng.merge("t", src, on=["id"])  # v5
+    feed = eng.table_changes("t", from_version=2).collect()
+    state: dict[int, tuple] = {
+        r["id"]: (r["val"], r["part"]) for r in eng.read_table("t", version=2).collect()
+    }
+    # removals apply before additions within each commit
+    for r in sorted(feed, key=lambda r: (r["_commit_version"],
+                                         r["_change_type"] in ("update_postimage", "insert"))):
+        if r["_change_type"] in ("delete", "update_preimage"):
+            state.pop(r["id"], None)
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["id"]] = (r["val"], r["part"])
+    actual = {
+        r["id"]: (r["val"], r["part"]) for r in eng.read_table("t").collect()
+    }
+    assert state == actual

@@ -1342,3 +1342,45 @@ def test_shallow_clone_through_governed_source(spark, tmp_path, lineitem):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_clone_maintenance_leaves_source_byte_identical(spark, tmp_path, lineitem):
+    """Round-10 pin (r9 advice): vacuum, compaction, checkpoint and log
+    cleanup of a SHALLOW CLONE must leave the source directory tree
+    byte-identical — maintenance walks only the clone's root, never the
+    foreign files the clone references."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    def tree_digest(root):
+        out = {}
+        for d, _dirs, files in _os.walk(root):
+            for f in files:
+                p = _os.path.join(d, f)
+                with open(p, "rb") as fh:
+                    out[_os.path.relpath(p, root)] = _hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_governed_table(
+        spark, lineitem.limit(60).repartition(2), src, ["l_returnflag"]
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"s": src}, read_only=False))
+    eng.clone_table("s", dst, target_alias="c")
+    before = tree_digest(src)
+    # clone-side maintenance, the full G9 surface
+    eng.delete("c", F.col("l_quantity") < 10)       # tombstones foreign refs
+    eng.compact_table("c", files_per_partition=1)   # rewrites under clone root
+    eng.vacuum("c", retention_hours=0)              # reclaims clone-local only
+    from delta_lake_proxy_spark import deltalog as _dl
+
+    _dl.write_checkpoint(spark, dst)
+    _dl.cleanup_log(dst, retention_hours=0)
+    assert tree_digest(src) == before
+    # and the source still reads in full
+    assert eng.read_table("s").count() == 60

@@ -1382,3 +1382,36 @@ def test_clustered_table_reads_writes_and_preserves_domains(spark, tmp_path):
     assert set(doms) == {"delta.clustering"}
     assert "clusteringColumns" in doms["delta.clustering"]["configuration"]
     assert eng.read_table("t").count() == 4
+
+
+def test_compaction_honors_clustering_domain(spark, tmp_path):
+    """A clusteredTable with a preserved delta.clustering domain compacts
+    CLUSTERED by default (round-10): OPTIMIZE without explicit sort/zorder
+    args range-sorts on the domain's clustering columns, so per-file
+    min/max ranges on those columns are near-disjoint afterwards — the
+    clusteredTable feature's best-effort physical obligation."""
+    root = make_clustered_table(str(tmp_path / "cl"))
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"t": root}, read_only=False)
+    )
+    # interleaved appends: every file spans nearly the whole id range
+    for lo in (100, 101, 102):
+        df = spark.createDataFrame(
+            [(i, "B") for i in range(lo, 1000, 7)], "id long, part string"
+        )
+        eng.write_table("t", df.coalesce(1), mode="append")
+    n_before = eng.read_table("t").count()
+    eng.compact_table("t", files_per_partition=3)
+    assert eng.read_table("t").count() == n_before
+    # domain survived the rewrite
+    doms = deltalog.live_domain_metadata(root)
+    assert "delta.clustering" in doms
+    # per-file id ranges are disjoint (true clustering, not hash binning)
+    spans = []
+    for a in deltalog._live_adds_no_spark(root).values():
+        st = json.loads(a["stats"])
+        spans.append((st["minValues"]["id"], st["maxValues"]["id"]))
+    assert len(spans) == 3
+    spans.sort()
+    for i in range(1, len(spans)):
+        assert spans[i][0] > spans[i - 1][1], f"overlapping file ranges: {spans}"
