@@ -49,7 +49,6 @@ EXPECTED_ORDER = [
     "ngram_jaccard",
     "similarity_topk",
     "partition_filter_scan",
-    "data_skipping_scan",
     "read_delta_log",
     "file_surface",
     "governed_source_read",
@@ -60,6 +59,7 @@ EXPECTED_ORDER = [
     "table_changes",
     "pipeline_clean_corpus",
     "dedup_near_minhash",
+    "dedup_components",
     "dedup_near_simhash",
     "similarity_lsh",
     "similarity_ivf",
@@ -139,7 +139,7 @@ SURVEY_COVERAGE = {
     "G7": "metrics_tumbling_window",
     "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history
     "X1": "dedup_exact",
-    "X2": "dedup_near_minhash",
+    "X2": "dedup_near_minhash",  # + dedup_components (transitive closure)
     "X3": "similarity_topk",
     "X4": "text_stats",
     "X5": "multimodal_decode",
@@ -148,6 +148,7 @@ SURVEY_COVERAGE = {
 FLAGSHIPS = [
     "governed_read",
     "dedup_near_minhash",
+    "dedup_components",
     "dedup_near_simhash",
     "similarity_lsh",
     "similarity_ivf",
