@@ -2425,6 +2425,79 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def enable_clustering(self, alias: str, columns: list[str]) -> int:
+        """Declare LIQUID CLUSTERING on a plain table (Delta ``ALTER TABLE
+        ... CLUSTER BY`` analog): upgrade to (1,7) + ``clusteredTable`` +
+        ``domainMetadata`` and write the ``delta.clustering`` domain with
+        the given clustering columns. From then on :meth:`compact_table`
+        reclusters on these columns BY DEFAULT (the feature's best-effort
+        physical obligation), and the domain survives checkpoints, log
+        cleanup, and clones (this engine's preserve-domains machinery).
+        Physical clustering is not retroactive — run :meth:`compact_table`
+        to recluster existing files. Columns must exist in the logged
+        schema; partition columns refuse (a partition column is already
+        physically clustered by the directory layout, and Delta forbids
+        overlap)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        schema = self._table_schema(path)
+        known = {f.name for f in schema.fields} if schema is not None else set()
+        missing = [c for c in columns if c not in known]
+        if not columns or missing:
+            raise ValueError(
+                f"clustering columns {missing or columns} not in table schema"
+            )
+        overlap = [c for c in columns if c in (meta.get("partitionColumns") or [])]
+        if overlap:
+            raise ValueError(
+                f"clustering columns {overlap} are partition columns — Delta "
+                "forbids clustering on partition columns"
+            )
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        protocol_action = None
+        if "clusteredTable" not in existing_w:
+            if existing_r or existing_w:
+                raise UnsupportedProtocolError(
+                    path,
+                    "table already declares protocol features "
+                    f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                    "its feature lists",
+                )
+            protocol_action = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["clusteredTable", "domainMetadata"],
+            }
+        version = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="CLUSTER BY",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            dv_write=self._dv_protocol(path),
+            protocol_action=protocol_action,
+            domain_actions=[
+                {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in columns]}
+                    ),
+                    "removed": False,
+                }
+            ],
+            row_tracking_assign=True,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def enable_row_tracking(self, alias: str, enabled: bool = True) -> int:
         """Upgrade a plain table to the ``rowTracking`` writer feature and
         BACKFILL row ids — Delta's own three-step enablement flow

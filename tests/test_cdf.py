@@ -513,3 +513,49 @@ def test_dv_cdf_feed_replay_reconstructs_table(dv_cdf_table, spark):
         r["id"]: (r["val"], r["part"]) for r in eng.read_table("t").collect()
     }
     assert state == actual
+
+
+def test_streaming_change_feed_over_dv_commits(dv_cdf_table, spark, tmp_path):
+    """readChangeFeed streaming over DV-shaped DML (round-10): a DV DELETE
+    commit serves its cdc change files as authoritative (previously any DV
+    commit in the window refused as non-derivable), and the untouched data
+    files are never re-fed."""
+    eng, path = dv_cdf_table
+    from delta_lake_proxy_spark.sources.governed import GovernedDataSource
+
+    spark.dataSource.register(GovernedDataSource)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("governed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = run_once()  # bootstrap
+    n_boot = got.count()
+    assert n_boot == 20
+    eng.delete("t", F.col("id") < 4)  # DV shape + cdc files
+    got = run_once()
+    dels = got.filter(F.col("_change_type") == "delete").collect()
+    assert sorted(r["id"] for r in dels) == [0, 1, 2, 3]
+    # exactly the 4 change rows arrived — no file re-feed alongside them
+    assert got.count() == n_boot + 4
+    eng.update("t", F.col("id") == 8, {"val": F.lit(80.0)})  # DV shape
+    got = run_once()
+    ups = {
+        r["_change_type"]: r["val"]
+        for r in got.filter(F.col("id") == 8).collect()
+        if r["_change_type"].startswith("update")
+    }
+    assert ups == {"update_preimage": 8.0, "update_postimage": 80.0}

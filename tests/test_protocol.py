@@ -1415,3 +1415,49 @@ def test_compaction_honors_clustering_domain(spark, tmp_path):
     spans.sort()
     for i in range(1, len(spans)):
         assert spans[i][0] > spans[i - 1][1], f"overlapping file ranges: {spans}"
+
+
+def test_enable_clustering_then_compact(spark, tmp_path):
+    """Engine-side CLUSTER BY (round-10): enable_clustering declares the
+    clusteredTable feature + delta.clustering domain on a plain table;
+    compact_table then reclusters on the declared columns by default, and
+    the domain survives checkpoint + log cleanup."""
+    path = str(tmp_path / "t")
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}, read_only=False))
+    df = spark.range(0, 600).select(
+        (F.col("id") * 37 % 600).alias("k"), F.col("id").alias("v")
+    )
+    for i in range(3):  # interleaved appends: every file spans ~all of k
+        eng.write_table("t", df.filter(F.col("v") % 3 == i).coalesce(1))
+    eng.enable_clustering("t", ["k"])
+    proto = deltalog.table_protocol_no_spark(path)
+    assert set(proto["writerFeatures"]) == {"clusteredTable", "domainMetadata"}
+    doms = deltalog.live_domain_metadata(path)
+    assert json.loads(doms["delta.clustering"]["configuration"]) == {
+        "clusteringColumns": [["k"]]
+    }
+    eng.compact_table("t", files_per_partition=3)
+    spans = []
+    for a in deltalog._live_adds_no_spark(path).values():
+        st = json.loads(a["stats"])
+        spans.append((st["minValues"]["k"], st["maxValues"]["k"]))
+    assert len(spans) == 3
+    spans.sort()
+    for i in range(1, len(spans)):
+        assert spans[i][0] > spans[i - 1][1], f"overlapping file ranges: {spans}"
+    # domain survives checkpoint-seeded replay
+    deltalog.write_checkpoint(spark, path)
+    deltalog.cleanup_log(path, retention_hours=0)
+    assert "delta.clustering" in deltalog.live_domain_metadata(path)
+    # validation: unknown / partition columns refuse
+    with pytest.raises(ValueError, match="not in table schema"):
+        eng.enable_clustering("t", ["nope"])
+    p2 = str(tmp_path / "p")
+    eng2 = Engine(spark, EngineConfig(table_mapping={"p": p2}, read_only=False))
+    eng2.write_table(
+        "p",
+        spark.range(4).select(F.col("id"), (F.col("id") % 2).alias("part")),
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        eng2.enable_clustering("p", ["part"])

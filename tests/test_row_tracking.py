@@ -252,3 +252,102 @@ def test_enable_refuses_featured_tables(spark, tmp_path):
     eng.enable_deletion_vectors("t")
     with pytest.raises(UnsupportedProtocolError, match="refusing to rewrite"):
         eng.enable_row_tracking("t")
+
+
+def test_with_row_ids_on_foreign_writer_table(spark, tmp_path):
+    """Interop: a rowTracking table authored by a CONFORMING FOREIGN
+    writer (hand-written log: explicit baseRowId/defaultRowCommitVersion
+    adds + rowIdHighWaterMark domain, ids NOT starting at 0 and NOT in
+    file order) reads back exactly baseRowId + physical index — the
+    broadcast (path -> identity) map must come from the log, not from any
+    assumption about this engine's own assignment order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ft")
+    os.makedirs(root, exist_ok=True)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    files = {"f1.parquet": [10, 11, 12], "f2.parquet": [20, 21]}
+    sizes = {}
+    for name, ids in files.items():
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64())}),
+            os.path.join(root, name),
+        )
+        sizes[name] = os.path.getsize(os.path.join(root, name))
+    # foreign assignment: f2's range (100..101) sits BELOW f1's (500..502)
+    base = {"f1.parquet": 500, "f2.parquet": 100}
+    dcv = {"f1.parquet": 7, "f2.parquet": 3}
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "ft-test",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 502}),
+                "removed": False,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": sizes[name],
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": len(ids)}),
+                "baseRowId": base[name],
+                "defaultRowCommitVersion": dcv[name],
+            }
+        }
+        for name, ids in sorted(files.items())
+    ]
+    with open(
+        os.path.join(logd, "00000000000000000000.json"), "w", encoding="utf-8"
+    ) as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    eng = mk_engine(spark, root)
+    got = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in eng.read_table("t", with_row_ids=True).collect()
+    }
+    assert got == {
+        10: (500, 7), 11: (501, 7), 12: (502, 7),
+        20: (100, 3), 21: (101, 3),
+    }
+    # and an engine append continues above the FOREIGN high-water mark
+    eng.write_table("t", spark.range(900, 902).select(F.col("id")).coalesce(1))
+    new = {
+        r["id"]: r["_row_id"]
+        for r in eng.read_table("t", with_row_ids=True).collect()
+        if r["id"] >= 900
+    }
+    assert sorted(new.values()) == [503, 504]
+    assert deltalog.row_id_high_water_mark(root) == 504
