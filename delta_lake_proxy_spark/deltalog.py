@@ -421,17 +421,20 @@ def write_commit_streamed(
     # re-adds, clone carries) pass through untouched.
     rt_active = row_tracking_assign and row_tracking_maintainable(table_path)
     # Writer-2 TABLE PROPERTIES we must HONOR, not just version-gate:
-    # column invariants require per-row enforcement this engine does not
-    # implement (refuse all writes rather than silently violate), and
-    # delta.appendOnly forbids remove-carrying commits (checked as removes
-    # stream, below).
+    # column invariants require per-row enforcement — the Engine write
+    # paths validate written rows against them (the same
+    # ``enforced_constraints`` proof that covers writer-3 CHECK
+    # constraints, since both are row predicates checked at the same call
+    # sites); raw commits cannot prove it and refuse. delta.appendOnly
+    # forbids remove-carrying commits (checked as removes stream, below).
     inv_col = _schema_has_invariants(table_path)
-    if inv_col is not None:
+    if inv_col is not None and not enforced_constraints:
         raise UnsupportedProtocolError(
             table_path,
-            f"column {inv_col!r} declares delta.invariants — this engine "
-            "does not enforce row invariants, so writing could violate the "
-            "table's constraint contract",
+            f"column {inv_col!r} declares delta.invariants — this write "
+            "path does not enforce row invariants (the Engine write paths "
+            "do), so committing could violate the table's constraint "
+            "contract",
         )
     append_only = check_append_only(table_path)
     if configuration is None:
@@ -1079,6 +1082,43 @@ def declared_constraints(table_path: str) -> dict[str, str]:
     }
 
 
+def declared_invariants(table_path: str) -> dict[str, str]:
+    """Column invariants (Delta writer protocol 2): ``column name -> SQL
+    expression`` for every TOP-LEVEL schema field whose metadata carries
+    ``delta.invariants``. The protocol serializes the value as a JSON
+    wrapper ``{"expression": {"expression": "<sql>"}}``; a bare SQL string
+    is accepted too (older writers emitted it). Writers must abort a commit
+    when an invariant expression evaluates to false for any written row —
+    ``Engine._enforce_check_constraints`` does; raw commits cannot prove it
+    and are refused by :func:`write_commit_streamed` when any are declared."""
+    meta = table_metadata_no_spark(table_path)
+    raw = (meta or {}).get("schemaString")
+    if not raw or raw == "{}":
+        return {}
+    try:
+        fields = json.loads(raw).get("fields") or []
+    except Exception:
+        return {}
+    out: dict[str, str] = {}
+    for f in fields:
+        v = (f.get("metadata") or {}).get("delta.invariants")
+        if v is None:
+            continue
+        sql = str(v)
+        try:
+            parsed = json.loads(v)
+            if isinstance(parsed, dict):
+                inner = parsed.get("expression")
+                if isinstance(inner, dict) and "expression" in inner:
+                    sql = str(inner["expression"])
+                elif isinstance(inner, str):
+                    sql = inner
+        except (TypeError, ValueError):
+            pass  # bare SQL string form
+        out[str(f["name"])] = sql
+    return out
+
+
 def generated_columns(table_path: str) -> dict[str, str]:
     """``column name -> generation SQL expression`` for every schema field
     carrying ``delta.generationExpression`` (Delta writer protocol 4). A
@@ -1199,17 +1239,18 @@ def check_write_protocol(
     )
     # Legacy-capability features a writer-7 protocol enumerates explicitly:
     # honored exactly when the corresponding legacy check passes (the same
-    # conditions that admit writer versions 3/4). invariants: the commit
-    # body rejects every write when a column actually declares one
-    # (_schema_has_invariants refusal), so the feature is vacuously
-    # honored when none do.
+    # conditions that admit writer versions 3/4). invariants: honored when
+    # the caller validated the written rows (the Engine paths enforce
+    # declared invariants alongside CHECK constraints under the same
+    # ``enforced_constraints`` proof) or when no column declares one; raw
+    # commits into a declaring table are rejected by the commit body.
     if constraints_ok:
         features = [f for f in features if f != "checkConstraints"]
     if generated_ok:
         features = [f for f in features if f != "generatedColumns"]
     if cdf_ok:
         features = [f for f in features if f != "changeDataFeed"]
-    if _schema_has_invariants(table_path) is None:
+    if enforced_constraints or _schema_has_invariants(table_path) is None:
         features = [f for f in features if f != "invariants"]
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
     if (
@@ -1318,9 +1359,10 @@ def table_configuration_no_spark(table_path: str) -> dict[str, str]:
 def _schema_has_invariants(table_path: str) -> str | None:
     """Name of the first column carrying a ``delta.invariants`` constraint
     in the table's current schema, else None. Writer protocol 2 REQUIRES
-    enforcing invariants on every written row; this engine does not
-    implement that enforcement, so tables that declare them must refuse
-    writes rather than silently violate the constraint contract."""
+    enforcing invariants on every written row; the Engine write paths do
+    (``_enforce_check_constraints`` validates them with CHECK constraints),
+    while write paths that cannot prove enforcement refuse rather than
+    silently violate the constraint contract."""
     meta = table_metadata_no_spark(table_path)
     raw = (meta or {}).get("schemaString")
     if not raw or raw == "{}":

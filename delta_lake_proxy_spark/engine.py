@@ -2923,17 +2923,31 @@ class Engine:
     def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
         """Validate ``df`` (the rows about to be written) against the
         table's declared CHECK constraints (``delta.constraints.<name>``
-        properties, Delta writer protocol 3). SQL CHECK semantics: a row
-        violates only when the expression evaluates to FALSE (null passes).
-        One ``limit(1)`` probe job per constraint, run only when any are
-        declared. Returns True — the ``enforced_constraints`` proof the
-        commit gate requires for writer-3 tables."""
+        properties, Delta writer protocol 3) AND column invariants
+        (``delta.invariants`` field metadata, writer protocol 2). SQL CHECK
+        semantics for both: a row violates only when the expression
+        evaluates to FALSE (null passes — the protocol aborts "when the
+        expression evaluates to false"). An invariant on a column absent
+        from ``df`` is vacuously satisfied (the written files carry only
+        nulls for it). One ``limit(1)`` probe job per predicate, run only
+        when any are declared. Returns True — the ``enforced_constraints``
+        proof the commit gate requires for writer-2/3 tables."""
         for name, sql in sorted(deltalog.declared_constraints(path).items()):
             violating = ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
             if df.filter(violating).limit(1).count() > 0:
                 raise ValueError(
                     f"CHECK constraint {name!r} ({sql}) violated by written "
                     f"row(s) — write rejected (Delta constraint semantics)"
+                )
+        for col, sql in sorted(deltalog.declared_invariants(path).items()):
+            if col not in df.columns:
+                continue
+            violating = ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True))
+            if df.filter(violating).limit(1).count() > 0:
+                raise ValueError(
+                    f"column invariant on {col!r} ({sql}) violated by "
+                    f"written row(s) — write rejected (Delta writer "
+                    f"protocol 2 invariant semantics)"
                 )
         return True
 
@@ -3164,10 +3178,9 @@ class Engine:
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         if self._dv_dml_eligible(path):
-            # DELETE as a deletion-vector commit — no data rewrite. (With
-            # CDF also enabled the copy-on-write path below runs instead:
-            # it produces the change files; table_changes cannot derive
-            # row-level deletes from a DV commit without them.)
+            # DELETE as a deletion-vector commit — no data rewrite. (CDF
+            # tables included since round 10: the DV path writes the
+            # marked rows as 'delete' change files itself.)
             v = self._delete_with_dvs(path, condition)
             if v is not None:
                 return v
@@ -3268,8 +3281,8 @@ class Engine:
             raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
         if self._dv_dml_eligible(path):
             # UPDATE as Delta's DV shape: mark old positions, append the
-            # updated rows — no touched-file rewrite. (With CDF enabled the
-            # copy-on-write path below produces the change files instead.)
+            # updated rows — no touched-file rewrite. (CDF tables included
+            # since round 10: the DV path writes pre/post change files.)
             v = self._update_with_dvs(path, condition, assignments, list(parts))
             if v is not None:
                 return v

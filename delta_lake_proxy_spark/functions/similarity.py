@@ -362,7 +362,8 @@ def ivf_probe(
     centroids driver-side (metadata-sized), then scan ONLY the probed
     ``_cid=`` partitions — the ``isin`` filter on the partition column
     prunes every other directory at planning time (visible as
-    ``PartitionFilters`` in the explain; pinned in test_plans)."""
+    ``PartitionFilters`` in the explain; pinned in
+    test_llm_ops.test_ivf_build_probe_prunes_partitions)."""
     import json as _json
     import os as _os
 

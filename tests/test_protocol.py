@@ -507,9 +507,10 @@ def test_retention_properties_govern_maintenance(spark, tmp_path):
 
 def test_invariants_table_refuses_writes(tmp_path):
     """Writer protocol 2 requires ENFORCING column invariants on every
-    written row; this engine does not implement that, so a table declaring
-    delta.invariants must refuse writes instead of silently violating the
-    constraint."""
+    written row. The Engine write paths do (round 10 — tests/
+    test_invariants.py); RAW commit paths cannot prove per-row validation,
+    so a table declaring delta.invariants must refuse them instead of
+    silently violating the constraint."""
     import json as _json
 
     schema = _json.dumps(
