@@ -394,6 +394,7 @@ def write_commit_streamed(
     protocol_action: dict[str, Any] | None = None,
     domain_actions: "list[dict[str, Any]] | None" = None,
     row_tracking_assign: bool = False,
+    configuration_fn=None,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -401,6 +402,13 @@ def write_commit_streamed(
     DataFrame's ``toLocalIterator`` composes directly — a 10^7-file RESTORE
     never materializes its file lists driver-side). Factories are called
     once per commit attempt; a retried blind append re-invokes them.
+
+    ``configuration_fn(version, ict) -> dict`` computes the committed
+    configuration FROM the attempt's version and candidate
+    inCommitTimestamp (mutually exclusive with ``configuration``) —
+    required by properties that must name their own enabling commit,
+    e.g. ``delta.inCommitTimestampEnablementVersion/-Timestamp``, which a
+    CAS retry would otherwise leave stale.
     """
     # Gate BEFORE any attempt: committing into a table that demands writer
     # capabilities we lack (constraints, generated columns, row tracking)
@@ -437,7 +445,7 @@ def write_commit_streamed(
             "contract",
         )
     append_only = check_append_only(table_path)
-    if configuration is None:
+    if configuration is None and configuration_fn is None:
         # re-emitting metaData without the table's properties would STRIP
         # them (delta.appendOnly would silently turn off) — carry forward
         configuration = table_configuration_no_spark(table_path)
@@ -446,10 +454,20 @@ def write_commit_streamed(
 
     def stream_body(version: int, f) -> bool:
         """Write the commit body; returns whether any remove was emitted."""
-        f.write(
-            json.dumps({"commitInfo": {"operation": operation, "timestamp": now_ms}})
-            + "\n"
+        # inCommitTimestamp candidate for THIS attempt: strictly above the
+        # predecessor's (a CAS retry has a new predecessor, so recompute).
+        ict = max(now_ms, _commit_ict(table_path, version - 1) + 1)
+        conf_v = (
+            configuration_fn(version, ict) if configuration_fn is not None else configuration
         )
+        ci: dict[str, Any] = {"operation": operation, "timestamp": now_ms}
+        if str((conf_v or {}).get("delta.enableInCommitTimestamps", "")).lower() == "true":
+            # inCommitTimestamp writer feature: the commit's authoritative
+            # timestamp lives IN the commit (file mtimes drift when logs are
+            # copied), must be strictly greater than the previous commit's,
+            # and commitInfo must be the FIRST action (it is — this write).
+            ci["inCommitTimestamp"] = ict
+        f.write(json.dumps({"commitInfo": ci}) + "\n")
         if protocol_action is not None:
             # explicit upgrade (e.g. enabling CDF demands writer 4): conforming
             # clients must see the capability requirement from this commit on
@@ -468,7 +486,7 @@ def write_commit_streamed(
                             "format": {"provider": "parquet"},
                             "schemaString": schema_json or "{}",
                             "partitionColumns": partition_cols or [],
-                            "configuration": configuration or {},
+                            "configuration": conf_v or {},
                             "createdTime": now_ms,
                         }
                     }
@@ -596,7 +614,10 @@ def write_commit_streamed(
             ):
                 raise ConcurrentWriteError(table_path, version)
             if not has_removes and _winners_changed_rules(
-                table_path, version, new_latest, configuration
+                table_path,
+                version,
+                new_latest,
+                configuration_fn(version, 0) if configuration_fn is not None else configuration,
             ):
                 # a winner changed the table's configuration or protocol
                 # between our gate checks and the commit (e.g. a concurrent
@@ -606,6 +627,31 @@ def write_commit_streamed(
                 raise ConcurrentWriteError(table_path, version)
             version = new_latest + 1
     raise ConcurrentWriteError(table_path, version)
+
+
+def _commit_ict(table_path: str, version: int) -> int:
+    """The inCommitTimestamp of commit ``version`` — the monotonicity floor
+    for the NEXT commit's ICT. Falls back to the commit's wall-clock
+    ``commitInfo.timestamp`` when the commit predates enablement, and to 0
+    when there is no such commit or it was cleaned up (enablement happened
+    at-or-after the last checkpoint, so a cleaned predecessor is from
+    before enablement and its wall clock already lost to ``max(now, ...)``
+    in any realistic clock)."""
+    if version < 0:
+        return 0
+    p = os.path.join(log_path(table_path), f"{version:020d}.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            ci = a.get("commitInfo")
+            if ci is not None:
+                v = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                return int(v) if v is not None else 0
+    return 0
 
 
 def _winners_changed_rules(
@@ -1217,9 +1263,14 @@ def check_write_protocol(
     # domainMetadata + clusteredTable (live_domain_metadata replays the
     # domains and BOTH checkpoint writers carry them, so routine
     # maintenance never strips a foreign table's domains; physical
-    # clustering itself is best-effort per the spec), and appendOnly
-    # (check_append_only runs on every commit below). Ordinary commits
-    # carry no further per-commit obligation for any of these.
+    # clustering itself is best-effort per the spec), appendOnly
+    # (check_append_only runs on every commit below), and
+    # inCommitTimestamp (EVERY commit path funnels through
+    # write_commit_streamed's stream_body, which emits a strictly
+    # monotonic commitInfo.inCommitTimestamp as the FIRST action whenever
+    # delta.enableInCommitTimestamps is set — the feature's whole
+    # per-commit obligation). Ordinary commits carry no further
+    # per-commit obligation for any of these.
     features = [
         f
         for f in features
@@ -1230,6 +1281,7 @@ def check_write_protocol(
             "domainMetadata",
             "clusteredTable",
             "appendOnly",
+            "inCommitTimestamp",
         )
     ]
     constraints_ok = enforced_constraints or not declared_constraints(table_path)

@@ -730,7 +730,16 @@ class Engine:
             log.groupBy("version")
             .agg(
                 F.max("commitInfo.operation").alias("operation"),
-                F.timestamp_millis(F.max("commitInfo.timestamp")).alias("timestamp"),
+                # inCommitTimestamp is the authoritative commit time when the
+                # table has the ICT feature (wall-clock drifts on log copies)
+                F.timestamp_millis(
+                    F.max(
+                        F.coalesce(
+                            F.col("commitInfo.inCommitTimestamp"),
+                            F.col("commitInfo.timestamp"),
+                        )
+                    )
+                ).alias("timestamp"),
                 F.count(F.col("add")).alias("n_added"),
                 F.count(F.col("remove")).alias("n_removed"),
             )
@@ -2421,6 +2430,68 @@ class Engine:
                 "readerFeatures": ["v2Checkpoint"],
                 "writerFeatures": ["v2Checkpoint"],
             },
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
+    def enable_in_commit_timestamps(self, alias: str) -> int:
+        """Upgrade a table to In-Commit Timestamps (Delta ``inCommitTimestamp``
+        writer feature): from the enabling commit on, every commit carries a
+        strictly monotonic ``commitInfo.inCommitTimestamp`` as its FIRST
+        action — the table's authoritative commit time, immune to the
+        file-mtime drift that breaks timestamp time-travel when logs are
+        copied between stores. The enabling commit names ITSELF in
+        ``delta.inCommitTimestampEnablementVersion/-Timestamp`` (the spec's
+        post-creation enablement contract), computed per commit ATTEMPT so a
+        CAS retry cannot leave them stale. ``timestamp_as_of`` time-travel,
+        CDF ``startingTimestamp``, and ``table_history`` already prefer ICT
+        over wall-clock when present. Tables already declaring other
+        protocol features refuse (a writer-7 upgrade must enumerate every
+        legacy capability; scoped like :meth:`enable_v2_checkpoints`)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true":
+            return deltalog.latest_version(path)  # already enabled
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        protocol_action = None
+        if "inCommitTimestamp" not in existing_w:
+            if existing_r or existing_w:
+                raise UnsupportedProtocolError(
+                    path,
+                    "table already declares protocol features "
+                    f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                    "its feature lists",
+                )
+            protocol_action = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["inCommitTimestamp"],
+            }
+        meta = deltalog.table_metadata_no_spark(path) or {}
+
+        def conf_fn(version: int, ict: int) -> dict:
+            c = dict(conf)
+            c["delta.enableInCommitTimestamps"] = "true"
+            c["delta.inCommitTimestampEnablementVersion"] = str(version)
+            c["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+            return c
+
+        version = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="UPGRADE PROTOCOL",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            cdf_handled=True,
+            protocol_action=protocol_action,
+            configuration_fn=conf_fn,
         )
         self._snapshot_cache.invalidate()
         return version
