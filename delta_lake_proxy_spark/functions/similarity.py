@@ -192,6 +192,136 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+# num_centroids x dim above which the IVF machinery abandons the
+# literal-expression argmax (codegen tree grows per centroid) and the
+# driver-side Lloyd collect for the Arrow path: broadcast centroid matrix +
+# mapInPandas argmax, distributed per-(centroid, dim) means, centroids
+# written INTO the index as a parquet table. 4096 keeps the default
+# 16 x 64 configuration on the exactly-SQL-reproducible small path.
+ARROW_CENTROID_CELLS = 4096
+
+
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, peeked through Arrow (one-row limit job —
+    never a Row collect)."""
+    tbl = embeddings.select(F.size(F.col(vec_col)).alias("_d")).limit(1).toArrow()
+    if tbl.num_rows == 0:
+        return 0
+    return int(tbl.column("_d")[0].as_py())
+
+
+def _cents_arrow(df: DataFrame, cid_col: str, vec_col: str):
+    """(ids, matrix) from a (cid, vector) DataFrame via the Arrow transport
+    — a flat float64 buffer reshape, not num_centroids x dim Row objects.
+    Ids come back sorted ascending so a first-occurrence argmax ties toward
+    the smallest cid, matching the literal-expression path's tie-break."""
+    import numpy as np
+
+    tbl = df.select(
+        F.col(cid_col).cast("long").alias("_cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cvec"),
+    ).toArrow()
+    ids = np.asarray(tbl.column("_cid").combine_chunks(), dtype=np.int64)
+    lists = tbl.column("_cvec").combine_chunks()
+    flat = np.asarray(lists.flatten(), dtype=np.float64)
+    mat = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 0)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def assign_centroids_arrow(
+    df: DataFrame, cent_ids, cent_mat, vec_col: str, out_col: str = "_cid"
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE centroid sets: the centroid
+    matrix ships once per executor as a broadcast variable and each Arrow
+    batch is scored with one float64 matmul + argmax (``mapInPandas``) —
+    constant plan size in num_centroids, unlike the literal ``array_max``
+    expression. ``cent_ids`` must be sorted ascending (argmax's
+    first-occurrence rule then ties toward the smallest cid, same as the
+    codegen path)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def score(batches):
+        import numpy as np
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            vecs = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            pdf[out_col] = ids[np.argmax(vecs @ mat.T, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
+def _lloyd_means_df(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """One distributed Lloyd step over an assigned corpus: per-(centroid,
+    dimension) means via posexplode + hash agg (map-side partial combine —
+    the shuffle carries num_centroids x dim x partitions rows), re-assembled
+    into per-centroid vectors JVM-side. Nothing reaches the driver."""
+    per_dim = (
+        assigned.select(
+            F.col("_cid"), F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+        )
+        .groupBy("_cid", "_pos")
+        .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+    )
+    return per_dim.groupBy("_cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_m")))),
+            lambda s: s["_m"],
+        ).alias("_cvec")
+    )
+
+
+def _ivf_centroids_np(
+    embeddings: DataFrame,
+    num_centroids: int,
+    lloyd_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Arrow-path IVF centroids (``(ids, matrix)`` numpy pair): the same
+    deterministic hash-ordered seed sample as :func:`_ivf_centroids`, but
+    every Lloyd step keeps the per-(centroid, dim) means DISTRIBUTED
+    (:func:`_lloyd_means_df`) and the only driver transit is the centroid
+    table itself through Arrow — the minimum needed to broadcast it for the
+    next assignment. No ``collect()`` of sums, no literal expressions."""
+    import numpy as np
+
+    seeds = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("_cid"), F.col(vec_col).alias("_cvec")
+        )
+        .orderBy(F.pmod(F.xxhash64(F.col("_cid")), F.lit(10**6)), F.col("_cid"))
+        .limit(num_centroids)
+    )
+    ids, mat = _cents_arrow(seeds, "_cid", "_cvec")
+    for _ in range(max(0, lloyd_iters)):
+        assigned = assign_centroids_arrow(
+            embeddings.select(F.col(vec_col)), ids, mat, vec_col
+        )
+        new_ids, new_mat = _cents_arrow(_lloyd_means_df(assigned, vec_col), "_cid", "_cvec")
+        pos = {int(c): i for i, c in enumerate(new_ids)}
+        # empty cluster: keep the previous centroid (same rule as the small path)
+        mat = np.vstack(
+            [
+                new_mat[pos[int(c)]] if int(c) in pos else mat[i]
+                for i, c in enumerate(ids)
+            ]
+        )
+    return ids, mat
+
+
 def _assign_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id for a vector column against LITERAL centroids —
     pure codegen, shuffle-free: an array of (score, -cid) structs reduced by
@@ -329,26 +459,71 @@ def ivf_build(
     of the FILES holding the probed lists — per-query IO proportional to
     the probe, not the corpus. Build cost is one assignment scan plus the
     partitioned write (each row moves once; the partitionBy shuffle is the
-    index construction)."""
+    index construction).
+
+    Past ``ARROW_CENTROID_CELLS`` (num_centroids x dim) the build switches
+    from the literal-expression argmax + driver Lloyd collect to the Arrow
+    path: broadcast centroid matrix + ``mapInPandas`` argmax
+    (:func:`assign_centroids_arrow`), fully distributed Lloyd means
+    (:func:`_lloyd_means_df`), and the centroid table written INTO the
+    index as parquet (``_ivf_centroids/``) instead of inlined JSON — the
+    manifest then carries only a pointer. Return value is the small path's
+    ``list[(cid, list[float])]`` or the Arrow path's ``(ids, matrix)``
+    numpy pair."""
     import json as _json
     import os as _os
 
-    cents = _ivf_centroids(
+    dim = _vec_dim(embeddings, vec_col)
+    if num_centroids * dim <= ARROW_CENTROID_CELLS:
+        cents = _ivf_centroids(
+            embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = embeddings.withColumn(
+            "_cid", _assign_centroid(F.col(vec_col), cents)
+        )
+        # repartition by _cid before partitionBy: each inverted list lands as
+        # contiguous files instead of one small file per (task, cid) pair
+        assigned.repartition(F.col("_cid")).write.mode("overwrite").partitionBy(
+            "_cid"
+        ).parquet(index_path)
+        with open(
+            _os.path.join(index_path, "_ivf_centroids.json"), "w", encoding="utf-8"
+        ) as f:
+            _json.dump({"centroids": cents, "id_col": id_col, "vec_col": vec_col}, f)
+        return cents
+
+    ids, mat = _ivf_centroids_np(
         embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = embeddings.withColumn(
-        "_cid", _assign_centroid(F.col(vec_col), cents)
-    )
-    # repartition by _cid before partitionBy: each inverted list lands as
-    # contiguous files instead of one small file per (task, cid) pair
+    assigned = assign_centroids_arrow(embeddings, ids, mat, vec_col)
     assigned.repartition(F.col("_cid")).write.mode("overwrite").partitionBy(
         "_cid"
     ).parquet(index_path)
+    # centroids INTO the index: a parquet table next to the inverted lists
+    # (the leading underscore keeps it out of the corpus scan's file
+    # listing), never a driver-side JSON of num_centroids x dim floats
+    spark = embeddings.sparkSession
+    import pandas as _pd
+
+    cent_pdf = _pd.DataFrame(
+        {"cid": ids.tolist(), "cvec": [row.tolist() for row in mat]}
+    )
+    spark.createDataFrame(cent_pdf, schema="cid long, cvec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_os.path.join(index_path, "_ivf_centroids"))
     with open(
         _os.path.join(index_path, "_ivf_centroids.json"), "w", encoding="utf-8"
     ) as f:
-        _json.dump({"centroids": cents, "id_col": id_col, "vec_col": vec_col}, f)
-    return cents
+        _json.dump(
+            {
+                "format": "parquet",
+                "path": "_ivf_centroids",
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+    return ids, mat
 
 
 def ivf_probe(
@@ -371,16 +546,30 @@ def ivf_probe(
         _os.path.join(index_path, "_ivf_centroids.json"), encoding="utf-8"
     ) as f:
         meta = _json.load(f)
-    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    probe = sorted(
-        cents,
-        key=lambda c: (
-            -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
-            c[0],
-        ),
-    )[: max(1, n_probe)]
-    probe_cids = [cid for cid, _ in probe]
+    if meta.get("format") == "parquet":
+        # Arrow-path index: centroid table lives inside the index; rank
+        # driver-side with one matmul over the Arrow-fetched matrix
+        import numpy as np
+
+        ids, mat = _cents_arrow(
+            spark.read.parquet(_os.path.join(index_path, meta["path"])),
+            "cid",
+            "cvec",
+        )
+        scores = mat @ np.asarray(query_vec, dtype=np.float64)
+        order = np.lexsort((ids, -scores))  # score desc, cid asc on ties
+        probe_cids = [int(c) for c in ids[order[: max(1, n_probe)]]]
+    else:
+        cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+        probe = sorted(
+            cents,
+            key=lambda c: (
+                -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
+                c[0],
+            ),
+        )[: max(1, n_probe)]
+        probe_cids = [cid for cid, _ in probe]
     q = _lit_vec(query_vec)
     hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
     scored = hits.select(

@@ -1012,3 +1012,62 @@ def test_ivf_build_probe_prunes_partitions(spark, tmp_path):
     # and the planner proves it: PartitionFilters carries the _cid predicate
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cid" in plan
+
+
+def test_ivf_build_arrow_scale_past_toy_k(spark, tmp_path, monkeypatch):
+    """Verdict r10 #1 (the last 100 TB scale-killer): past
+    ARROW_CENTROID_CELLS the build must abandon the literal-expression
+    argmax and the driver-side Lloyd collect. At 256 centroids x 256 dims:
+    assignment is a broadcast centroid matrix + Arrow-batched matmul argmax
+    (mapInPandas), the Lloyd per-(centroid, dim) means stay distributed,
+    the centroids land INSIDE the index as a parquet table — and the whole
+    build completes with DataFrame.collect() forbidden (the only driver
+    transit is the centroid table itself, through Arrow). Probe then meets
+    the same recall bound as the small path."""
+    import json
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, num_cents, per_cluster = 256, 256, 12
+    assert num_cents * dim > similarity.ARROW_CENTROID_CELLS
+    centers = rng.normal(size=(num_cents, dim))
+    rows, vid = [], 0
+    for c in range(num_cents):
+        for _ in range(per_cluster):
+            rows.append(
+                (vid, (centers[c] + rng.normal(scale=0.05, size=dim)).tolist())
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (centers[37] + rng.normal(scale=0.03, size=dim)).tolist()
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+
+    idx = str(tmp_path / "ivf_big")
+    from pyspark.sql import DataFrame as _DF
+
+    def no_collect(self, *a, **k):
+        raise AssertionError(
+            "Arrow-path ivf_build must never collect() rows to the driver"
+        )
+
+    monkeypatch.setattr(_DF, "collect", no_collect)
+    try:
+        ids, mat = similarity.ivf_build(emb, idx, num_centroids=num_cents, lloyd_iters=1)
+    finally:
+        monkeypatch.undo()
+    assert len(ids) == num_cents and mat.shape == (num_cents, dim)
+
+    # centroids live in the index as parquet; the manifest is a pointer
+    meta = json.load(open(os.path.join(idx, "_ivf_centroids.json")))
+    assert meta["format"] == "parquet"
+    assert spark.read.parquet(os.path.join(idx, meta["path"])).count() == num_cents
+
+    # half-scan probe (the existing sf0.01 contract) meets the recall bound
+    got_df = similarity.ivf_probe(spark, idx, q, k=10, n_probe=num_cents // 2)
+    got = {r["vec_id"] for r in got_df.collect()}
+    assert len(got & exact) / 10 >= 0.9
+    # and it is still the pruned index scan, not a corpus rescan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cid" in plan
