@@ -1108,6 +1108,110 @@ class Engine:
         self.read_table(alias, user=user).createOrReplaceTempView(name)
         return name
 
+    # -- governed ANN index (X3 scale path, governed form) -------------------
+
+    def build_ivf_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        num_centroids: int = 16,
+        lloyd_iters: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> str:
+        """Materialize the IVF index of a governed embeddings table as a
+        GOVERNED Delta table: the corpus is read through :meth:`read_table`
+        (the index holds only what the building ``user`` may see), written
+        ``_cid``-partitioned via :meth:`write_table` (Delta-logged, so the
+        index gets history/time-travel/vacuum like any engine table), and
+        registered in the catalog under ``index_alias`` (default
+        ``<alias>__ivf``). The source linkage is recorded as the
+        ``graft.ivf.source`` table property so :meth:`ivf_probe` carries the
+        SOURCE table's ACL to every probe — the engine's flagship contract
+        (G1) extended to derived data, which the raw
+        ``similarity.ivf_probe`` path deliberately does not give you.
+
+        All source columns travel into the index, so a source partition
+        ACL compiles into a plain row predicate on the index. Returns the
+        registered index alias. Centroids are stored with the index in
+        manifest form (``similarity.write_centroid_manifest``); past
+        ``similarity.ARROW_CENTROID_CELLS`` the whole build runs on the
+        Arrow path (broadcast + ``mapInPandas`` argmax, distributed Lloyd
+        means)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        from .functions import similarity as _sim
+
+        src_df = self.read_table(alias, user=user)
+        dim = _sim._vec_dim(src_df, vec_col)
+        idx_alias = index_alias or f"{alias}__ivf"
+        cents: object
+        if num_centroids * dim <= _sim.ARROW_CENTROID_CELLS:
+            cents = _sim._ivf_centroids(
+                src_df, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+            )
+            assigned = src_df.withColumn(
+                "_cid", _sim._assign_centroid(F.col(vec_col), cents)
+            )
+        else:
+            ids, mat = _sim._ivf_centroids_np(
+                src_df, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+            )
+            cents = (ids, mat)
+            assigned = _sim.assign_centroids_arrow(src_df, ids, mat, vec_col)
+        self.config.table_mapping[idx_alias] = index_path
+        self.write_table(
+            idx_alias,
+            assigned.repartition(F.col("_cid")),
+            mode="overwrite",
+            partition_by=["_cid"],
+        )
+        _sim.write_centroid_manifest(self.spark, index_path, cents, id_col, vec_col)
+        self.set_table_properties(
+            idx_alias,
+            {
+                "graft.ivf.source": alias,
+                "graft.ivf.idCol": id_col,
+                "graft.ivf.vecCol": vec_col,
+            },
+        )
+        return idx_alias
+
+    def ivf_probe(
+        self,
+        index_alias: str,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        user: str = acl.ANONYMOUS,
+    ) -> DataFrame:
+        """Governed top-k probe of an index built by :meth:`build_ivf_index`:
+        centroid ranking is driver-side metadata, the inverted-list scan is
+        a :meth:`read_table` of the index (partition-pruned by the
+        ``_cid IN (...)`` predicate — the probed lists are the only files
+        read), and the SOURCE table's resolved ACL DNF for ``user`` is
+        injected as a row predicate — a user who may see only some
+        partitions of the embeddings table gets only those rows back from
+        the index derived from it."""
+        path = self.resolve(index_alias)
+        from .functions import similarity as _sim
+
+        probe_cids, id_col, vec_col = _sim.probe_centroids(
+            self.spark, path, query_vec, n_probe
+        )
+        df = self.read_table(index_alias, user=user)
+        src_alias = deltalog.table_configuration_no_spark(path).get(
+            "graft.ivf.source"
+        )
+        if src_alias:
+            pred = self.acl_predicate(src_alias, user)
+            if pred is not None:
+                df = df.filter(pred)
+        hits = df.filter(F.col("_cid").isin(probe_cids))
+        return _sim.probe_index_df(hits, query_vec, k, id_col, vec_col)
+
     def _read_data(
         self,
         path: str,
@@ -3669,7 +3773,31 @@ class Engine:
         # accumulator carrying back only the count. At 10^7 files the driver
         # does O(top-level dirs) work.
         sc = self.spark.sparkContext
-        tops = sorted(e for e in os.listdir(path) if e != deltalog.LOG_DIR)
+        # Delta VACUUM's hidden-path rule: names starting with '_' or '.'
+        # are protected (e.g. the IVF centroid sidecar a governed index
+        # stores beside its inverted lists) UNLESS they are partition
+        # directories (`<col>=...` — physical names on mapped tables) or
+        # CDC directories (`_change_data`, reclaimable past retention like
+        # any unreferenced file, upstream semantics).
+        meta_v = deltalog.table_metadata_no_spark(path) or {}
+        l2p_v = self._column_mapping(path) or {}
+        part_prefixes = tuple(
+            f"{l2p_v.get(c, c)}=" for c in (meta_v.get("partitionColumns") or [])
+        )
+
+        def _hidden(name: str) -> bool:
+            return (
+                (name.startswith("_") or name.startswith("."))
+                and not any(name.startswith(p) for p in part_prefixes)
+                and not name.startswith("_change_data")
+                and not name.startswith("_cdc")
+            )
+
+        tops = sorted(
+            e
+            for e in os.listdir(path)
+            if e != deltalog.LOG_DIR and not _hidden(e)
+        )
         if not tops:
             return 0
         table_root = path
@@ -3691,6 +3819,7 @@ class Engine:
                         yield (e, _os.stat(full).st_mtime)
                     continue
                 for r, _dirs, files in _os.walk(full):
+                    _dirs[:] = [d for d in _dirs if not _hidden(d)]
                     for name in files:
                         if not _is_reclaimable(name):
                             continue

@@ -470,9 +470,6 @@ def ivf_build(
     manifest then carries only a pointer. Return value is the small path's
     ``list[(cid, list[float])]`` or the Arrow path's ``(ids, matrix)``
     numpy pair."""
-    import json as _json
-    import os as _os
-
     dim = _vec_dim(embeddings, vec_col)
     if num_centroids * dim <= ARROW_CENTROID_CELLS:
         cents = _ivf_centroids(
@@ -486,10 +483,7 @@ def ivf_build(
         assigned.repartition(F.col("_cid")).write.mode("overwrite").partitionBy(
             "_cid"
         ).parquet(index_path)
-        with open(
-            _os.path.join(index_path, "_ivf_centroids.json"), "w", encoding="utf-8"
-        ) as f:
-            _json.dump({"centroids": cents, "id_col": id_col, "vec_col": vec_col}, f)
+        write_centroid_manifest(embeddings.sparkSession, index_path, cents, id_col, vec_col)
         return cents
 
     ids, mat = _ivf_centroids_np(
@@ -499,12 +493,33 @@ def ivf_build(
     assigned.repartition(F.col("_cid")).write.mode("overwrite").partitionBy(
         "_cid"
     ).parquet(index_path)
-    # centroids INTO the index: a parquet table next to the inverted lists
-    # (the leading underscore keeps it out of the corpus scan's file
-    # listing), never a driver-side JSON of num_centroids x dim floats
-    spark = embeddings.sparkSession
+    write_centroid_manifest(
+        embeddings.sparkSession, index_path, (ids, mat), id_col, vec_col
+    )
+    return ids, mat
+
+
+def write_centroid_manifest(
+    spark, index_path: str, cents, id_col: str, vec_col: str
+) -> None:
+    """Store the centroid table with the index. Small path (a
+    ``list[(cid, vector)]``): inline JSON. Arrow path (an ``(ids, matrix)``
+    numpy pair): a parquet table INSIDE the index directory — the leading
+    underscore keeps ``_ivf_centroids/`` out of the corpus scan's file
+    listing — plus a pointer manifest; num_centroids x dim floats never
+    round-trip through driver JSON."""
+    import json as _json
+    import os as _os
+
+    if isinstance(cents, list):
+        with open(
+            _os.path.join(index_path, "_ivf_centroids.json"), "w", encoding="utf-8"
+        ) as f:
+            _json.dump({"centroids": cents, "id_col": id_col, "vec_col": vec_col}, f)
+        return
     import pandas as _pd
 
+    ids, mat = cents
     cent_pdf = _pd.DataFrame(
         {"cid": ids.tolist(), "cvec": [row.tolist() for row in mat]}
     )
@@ -523,22 +538,15 @@ def ivf_build(
             },
             f,
         )
-    return ids, mat
 
 
-def ivf_probe(
-    spark,
-    index_path: str,
-    query_vec: list[float],
-    k: int = 10,
-    n_probe: int = 4,
-) -> DataFrame:
-    """Top-k against a materialized IVF index (:func:`ivf_build`): rank
-    centroids driver-side (metadata-sized), then scan ONLY the probed
-    ``_cid=`` partitions — the ``isin`` filter on the partition column
-    prunes every other directory at planning time (visible as
-    ``PartitionFilters`` in the explain; pinned in
-    test_llm_ops.test_ivf_build_probe_prunes_partitions)."""
+def probe_centroids(
+    spark, index_path: str, query_vec: list[float], n_probe: int
+) -> tuple[list[int], str, str]:
+    """Rank an index's centroids against a query (driver-side,
+    metadata-sized) and return ``(probe_cids, id_col, vec_col)``. Reads
+    either manifest form: inline-JSON centroids (small path) or the
+    in-index parquet centroid table (Arrow path, one numpy matmul)."""
     import json as _json
     import os as _os
 
@@ -548,8 +556,6 @@ def ivf_probe(
         meta = _json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if meta.get("format") == "parquet":
-        # Arrow-path index: centroid table lives inside the index; rank
-        # driver-side with one matmul over the Arrow-fetched matrix
         import numpy as np
 
         ids, mat = _cents_arrow(
@@ -570,9 +576,41 @@ def ivf_probe(
             ),
         )[: max(1, n_probe)]
         probe_cids = [cid for cid, _ in probe]
+    return probe_cids, id_col, vec_col
+
+
+def probe_index_df(
+    hits: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Score + top-k over an already-pruned inverted-list scan (shared by
+    the raw :func:`ivf_probe` and the governed ``Engine.ivf_probe``)."""
     q = _lit_vec(query_vec)
-    hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
     scored = hits.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a materialized IVF index (:func:`ivf_build`): rank
+    centroids driver-side (metadata-sized), then scan ONLY the probed
+    ``_cid=`` partitions — the ``isin`` filter on the partition column
+    prunes every other directory at planning time (visible as
+    ``PartitionFilters`` in the explain; pinned in
+    test_llm_ops.test_ivf_build_probe_prunes_partitions).
+
+    This reads the index as RAW parquet — no ACLs. For an index derived
+    from a governed table, build with ``Engine.build_ivf_index`` and probe
+    with ``Engine.ivf_probe``, which carries the SOURCE table's ACL to the
+    probe (derived data stays governed)."""
+    probe_cids, id_col, vec_col = probe_centroids(
+        spark, index_path, query_vec, n_probe
+    )
+    hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
+    return probe_index_df(hits, query_vec, k, id_col, vec_col)

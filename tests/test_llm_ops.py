@@ -1071,3 +1071,99 @@ def test_ivf_build_arrow_scale_past_toy_k(spark, tmp_path, monkeypatch):
     # and it is still the pruned index scan, not a corpus rescan
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cid" in plan
+
+
+def _ivf_gov_fixture(spark, tmp_path):
+    """Partitioned embeddings table (grp a/b point along +x / +y) plus an
+    engine granting user 'u' only grp=a."""
+    import json as _json
+    import random
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, "a", [1.0 + rng.gauss(0, 0.05), rng.gauss(0, 0.05)]))
+    for i in range(40, 80):
+        rows.append((i, "b", [rng.gauss(0, 0.05), 1.0 + rng.gauss(0, 0.05)]))
+    src = str(tmp_path / "emb")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "vec_id long, grp string, embedding array<double>"),
+        src,
+        ["grp"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "emb", _json.dumps({"grp": "a"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"emb": src}, read_only=False),
+        permissions_df=perms,
+    )
+    return eng
+
+
+def test_governed_ivf_index_carries_source_acl(spark, tmp_path):
+    """Verdict r10 #2: derived data stays governed. build_ivf_index writes
+    the index as a Delta table registered in the catalog with a
+    graft.ivf.source property; Engine.ivf_probe injects the SOURCE table's
+    resolved ACL DNF for the probing user — a user with a partition ACL on
+    the embeddings table gets only permitted rows from the index derived
+    from it, while the probe still plans the pruned _cid scan."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "emb_ivf")
+    idx_alias = eng.build_ivf_index("emb", idx_path, num_centroids=4, lloyd_iters=1)
+    assert idx_alias == "emb__ivf"
+    assert eng.resolve(idx_alias) == idx_path
+    # the linkage is a table property on the governed index table
+    from delta_lake_proxy_spark import deltalog
+
+    assert deltalog.table_configuration_no_spark(idx_path)["graft.ivf.source"] == "emb"
+
+    # a query along +y: unrestricted probe finds grp=b vectors...
+    q = [0.0, 1.0]
+    full = eng.ivf_probe(idx_alias, q, k=5, n_probe=4)
+    assert {r["vec_id"] for r in full.collect()} <= set(range(40, 80))
+    # ...but user 'u' (grp=a only) NEVER sees grp=b rows, even for a +y
+    # query — the source ACL carried to the derived index
+    gated = eng.ivf_probe(idx_alias, q, k=5, n_probe=4, user="u")
+    got = {r["vec_id"] for r in gated.collect()}
+    assert got and got <= set(range(40))
+    # and the probe is still the pruned index scan, not a corpus rescan
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cid" in plan
+
+
+def test_governed_ivf_index_survives_vacuum(spark, tmp_path):
+    """The centroid sidecar lives INSIDE the index table directory; vacuum
+    must honor Delta's hidden-path rule (skip '_'/'.' names that are not
+    partition or CDC directories) so maintenance never eats the index's
+    centroids — while tombstoned data files inside _cid= partition
+    directories are still reclaimed."""
+    import os
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "emb_ivf")
+    idx_alias = eng.build_ivf_index("emb", idx_path, num_centroids=4, lloyd_iters=1)
+    # plant a parquet centroid table (the Arrow-path layout) to prove the
+    # hidden-dir protection, alongside the small path's JSON manifest
+    cdir = os.path.join(idx_path, "_ivf_centroids")
+    spark.createDataFrame([(0, [1.0, 0.0])], "cid long, cvec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(cdir)
+    before = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    assert before
+    # rewrite the index (tombstones every previous data file), then vacuum
+    eng.write_table(idx_alias, eng.read_table(idx_alias), mode="overwrite")
+    deleted = eng.vacuum(idx_alias, retention_hours=0)
+    assert deleted > 0  # the tombstoned _cid= files went
+    assert os.path.exists(os.path.join(idx_path, "_ivf_centroids.json"))
+    after = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    assert after == before  # the sidecar did not
+    # the index still probes correctly after maintenance
+    out = eng.ivf_probe(idx_alias, [1.0, 0.0], k=3, n_probe=4).collect()
+    assert len(out) == 3
