@@ -348,6 +348,8 @@ def write_commit(
     cdf_handled: bool = False,
     dv_write: bool = False,
     row_tracking_assign: bool = False,
+    identity_handled: bool = False,
+    defaults_handled: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -372,6 +374,8 @@ def write_commit(
         cdf_handled=cdf_handled,
         dv_write=dv_write,
         row_tracking_assign=row_tracking_assign,
+        identity_handled=identity_handled,
+        defaults_handled=defaults_handled,
     )
 
 
@@ -395,6 +399,8 @@ def write_commit_streamed(
     domain_actions: "list[dict[str, Any]] | None" = None,
     row_tracking_assign: bool = False,
     configuration_fn=None,
+    identity_handled: bool = False,
+    defaults_handled: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -422,6 +428,8 @@ def write_commit_streamed(
         cdf_handled=cdf_handled,
         dv_write=dv_write,
         row_tracking_handled=row_tracking_assign,
+        identity_handled=identity_handled,
+        defaults_handled=defaults_handled,
     )
     # rowTracking obligation: every commit adding files assigns fresh
     # baseRowIds above the high-water mark and advances it (enabled or
@@ -1193,6 +1201,115 @@ def _schema_has_generated_columns(table_path: str) -> str | None:
     return next(iter(sorted(gens)), None)
 
 
+def _schema_fields(table_path: str) -> list[dict]:
+    meta = table_metadata_no_spark(table_path)
+    raw = (meta or {}).get("schemaString")
+    if not raw or raw == "{}":
+        return []
+    try:
+        return json.loads(raw).get("fields") or []
+    except Exception:
+        return []
+
+
+def identity_columns(table_path: str) -> dict[str, dict]:
+    """``column name -> {start, step, highWaterMark, allowExplicitInsert}``
+    for every schema field carrying identity metadata (Delta identity
+    columns: writer version 6 / writer feature ``identityColumns``; spec
+    keys ``delta.identity.start/step/highWaterMark/allowExplicitInsert``).
+    ``highWaterMark`` is None until the first value is generated. A
+    conforming writer must GENERATE values beyond the mark for rows that
+    omit the column, advance the mark in the same commit, and refuse
+    explicit values unless ``allowExplicitInsert`` (GENERATED BY DEFAULT)
+    — ``Engine.write_table`` does; raw commits are refused by
+    :func:`check_write_protocol`."""
+    out: dict[str, dict] = {}
+    for f in _schema_fields(table_path):
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        hwm = md.get("delta.identity.highWaterMark")
+        allow = md.get("delta.identity.allowExplicitInsert", False)
+        out[str(f["name"])] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": int(md.get("delta.identity.step", 1)),
+            "highWaterMark": int(hwm) if hwm is not None else None,
+            "allowExplicitInsert": (
+                allow if isinstance(allow, bool) else str(allow).lower() == "true"
+            ),
+        }
+    return out
+
+
+def column_defaults(table_path: str) -> dict[str, str]:
+    """``column name -> default SQL expression`` for every schema field
+    carrying a ``CURRENT_DEFAULT`` metadata key (Delta default columns:
+    writer feature ``allowColumnDefaults``). A conforming writer applies
+    the default to rows that omit the column on INSERT —
+    ``Engine.write_table`` does; raw commits into declaring tables are
+    refused by :func:`check_write_protocol`."""
+    out: dict[str, str] = {}
+    for f in _schema_fields(table_path):
+        md = f.get("metadata") or {}
+        if "CURRENT_DEFAULT" in md:
+            out[str(f["name"])] = str(md["CURRENT_DEFAULT"])
+    return out
+
+
+def advance_identity_hwm(
+    table_path: str,
+    schema_json: str | None,
+    adds: list[dict],
+    l2p: dict[str, str] | None = None,
+) -> tuple[str | None, bool]:
+    """Compute the post-commit ``delta.identity.highWaterMark`` for each
+    identity column from the adds' footer STATS (max for ascending step,
+    min for descending — the values were just written, so stats are the
+    free source of truth) and return ``(updated schema_json, changed)``.
+    An add whose stats omit the column cannot prove the mark — refuse
+    rather than under-advance (a stale mark would let a later generation
+    collide with committed values)."""
+    idents = identity_columns(table_path)
+    if not idents or not adds:
+        return schema_json, False
+    raw = schema_json or (table_metadata_no_spark(table_path) or {}).get("schemaString")
+    if not raw:
+        return schema_json, False
+    schema = json.loads(raw)
+    changed = False
+    for name, spec in idents.items():
+        phys = (l2p or {}).get(name, name)
+        step = spec["step"]
+        extreme: int | None = None
+        for a in adds:
+            st = a.get("stats")
+            stats = json.loads(st) if isinstance(st, str) else (st or {})
+            if int(stats.get("numRecords") or 0) == 0:
+                continue
+            side = stats.get("maxValues" if step > 0 else "minValues") or {}
+            if phys not in side:
+                raise UnsupportedProtocolError(
+                    table_path,
+                    f"cannot maintain delta.identity.highWaterMark for "
+                    f"{name!r}: written file {a.get('path')} has no footer "
+                    "stats for the column",
+                )
+            v = int(side[phys])
+            extreme = v if extreme is None else (max(extreme, v) if step > 0 else min(extreme, v))
+        if extreme is None:
+            continue
+        hwm = spec["highWaterMark"]
+        beyond = hwm is None or (extreme > hwm if step > 0 else extreme < hwm)
+        if beyond:
+            for f in schema.get("fields") or []:
+                if f.get("name") == name:
+                    md = dict(f.get("metadata") or {})
+                    md["delta.identity.highWaterMark"] = extreme
+                    f["metadata"] = md
+                    changed = True
+    return (json.dumps(schema) if changed else schema_json), changed
+
+
 def check_write_protocol(
     table_path: str,
     enforced_constraints: bool = False,
@@ -1201,6 +1318,8 @@ def check_write_protocol(
     cdf_handled: bool = False,
     dv_write: bool = False,
     row_tracking_handled: bool = False,
+    identity_handled: bool = False,
+    defaults_handled: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -1289,6 +1408,16 @@ def check_write_protocol(
     cdf_ok = cdf_handled or (
         str(conf.get("delta.enableChangeDataFeed", "")).lower() != "true"
     )
+    # identity columns: honored when the caller generates values beyond the
+    # high water mark for omitted columns, advances the mark in the same
+    # commit, and polices allowExplicitInsert (the Engine write paths do,
+    # via _apply_identity_columns + _commit_moved's stats-derived mark
+    # advance); vacuously honored when no field declares identity metadata.
+    identity_ok = identity_handled or not identity_columns(table_path)
+    # default columns: honored when the caller applies CURRENT_DEFAULT
+    # expressions to omitted columns on insert (Engine.write_table does);
+    # vacuous without declared defaults.
+    defaults_ok = defaults_handled or not column_defaults(table_path)
     # Legacy-capability features a writer-7 protocol enumerates explicitly:
     # honored exactly when the corresponding legacy check passes (the same
     # conditions that admit writer versions 3/4). invariants: honored when
@@ -1302,6 +1431,10 @@ def check_write_protocol(
         features = [f for f in features if f != "generatedColumns"]
     if cdf_ok:
         features = [f for f in features if f != "changeDataFeed"]
+    if identity_ok:
+        features = [f for f in features if f != "identityColumns"]
+    if defaults_ok:
+        features = [f for f in features if f != "allowColumnDefaults"]
     if enforced_constraints or _schema_has_invariants(table_path) is None:
         features = [f for f in features if f != "invariants"]
     writer_ok = writer <= SUPPORTED_WRITER_VERSION or (writer == 3 and constraints_ok)
@@ -1323,6 +1456,19 @@ def check_write_protocol(
         # when the caller computed/validated the generated values and
         # either produced the change files or the table does not demand them
         writer_ok = True
+    if (
+        writer == 6
+        and constraints_ok
+        and generated_ok
+        and cdf_ok
+        and identity_ok
+        and mode in ("", "none")
+    ):
+        # writer 6 (legacy identity columns) on an UNMAPPED table: the only
+        # demand beyond 4 that bites here is identity maintenance — version
+        # 5's column mapping demands nothing when the mode is none. Mapped
+        # writer-6 tables go through the mapped_write branch below.
+        writer_ok = True
     if dv_write and constraints_ok and generated_ok and cdf_ok:
         # the DV-writing DELETE path (Engine.delete) maintains deletion
         # vectors correctly: consume the feature and accept writer 7 when
@@ -1340,7 +1486,11 @@ def check_write_protocol(
             constraints_ok
             and generated_ok
             and cdf_ok
-            and (writer in (4, 5) or (writer == 7 and not remaining))
+            and (
+                writer in (4, 5)
+                or (writer == 6 and identity_ok)
+                or (writer == 7 and not remaining)
+            )
         )
         features = remaining
     if (
@@ -1367,8 +1517,9 @@ def check_write_protocol(
             + (f" with writerFeatures={features}" if features else "")
             + f"; this engine supports writer version {SUPPORTED_WRITER_VERSION} "
             "(version 3 with Engine-validated CHECK constraints, version 4 "
-            "with Engine-computed generated columns and CDF off, and 4/5/7 "
-            "for Engine.write_table on name-mapped tables) — committing "
+            "with Engine-computed generated columns and CDF off, version 6 "
+            "with Engine-maintained identity columns, and 4/5/6/7 for "
+            "Engine.write_table on name-mapped tables) — committing "
             "would corrupt the table for conforming clients",
         )
 

@@ -850,6 +850,8 @@ class Engine:
             configuration=conf,
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             # a metadata-only commit adds/removes no files, so DV identity
             # maintenance is vacuously satisfied on declared-DV tables
@@ -985,6 +987,8 @@ class Engine:
             # full-file adds/removes are CDF-derivable
             enforced_constraints=True,
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             dv_write=self._dv_protocol(path),
             row_tracking_assign=True,
@@ -1087,6 +1091,8 @@ class Engine:
             configuration=deltalog.table_configuration_no_spark(src),
             enforced_constraints=True,  # no rows written; source rows were valid
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             protocol_action=protocol_action,
             domain_actions=[
@@ -2178,6 +2184,8 @@ class Engine:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*sort_by)
 
+        df = self._apply_column_defaults(path, df)
+        df, identity_pin = self._apply_identity_columns(path, df)
         df, enforced_gen = self._apply_generated_columns(path, df)
         enforced = self._enforce_check_constraints(path, df)
         # physical translation LAST (constraints and clustering reference
@@ -2195,6 +2203,8 @@ class Engine:
         if parts_phys:
             writer = writer.partitionBy(*parts_phys)
         writer.parquet(staging)
+        if identity_pin is not None:
+            identity_pin.unpersist()  # the pinned batch is on disk now
         prev_adds: dict[str, dict] = (
             deltalog._live_adds_no_spark(path)
             if deltalog.latest_version(path) >= 0
@@ -2285,6 +2295,116 @@ class Engine:
             else:
                 df = df.withColumn(name, col)
         return df, bool(gens)
+
+    def _apply_column_defaults(self, path: str, df: DataFrame) -> DataFrame:
+        """Honor Delta default columns (``CURRENT_DEFAULT`` field metadata,
+        writer feature ``allowColumnDefaults``): a column the caller omitted
+        is filled with its default expression, cast to the declared type —
+        one projected codegen column, like generated columns. Provided
+        columns pass through untouched (defaults apply only to omission)."""
+        defaults = deltalog.column_defaults(path)
+        if not defaults:
+            return df
+        from pyspark.sql import types as T
+
+        fields = {
+            f["name"]: f
+            for f in json.loads(
+                (deltalog.table_metadata_no_spark(path) or {}).get("schemaString")
+                or "{}"
+            ).get("fields", [])
+        }
+        for name, expr in sorted(defaults.items()):
+            if name in df.columns:
+                continue
+            col = F.expr(expr)
+            fld = fields.get(name)
+            if fld is not None:
+                col = col.cast(
+                    T.StructType.fromJson({"type": "struct", "fields": [fld]})[
+                        name
+                    ].dataType
+                )
+            df = df.withColumn(name, col)
+        return df
+
+    def _apply_identity_columns(
+        self, path: str, df: DataFrame
+    ) -> "tuple[DataFrame, DataFrame | None]":
+        """Honor Delta identity columns (writer version 6 / feature
+        ``identityColumns``) on insert-producing writes. An OMITTED identity
+        column gets DENSE generated values on the ``start + k*step``
+        lattice strictly beyond the logged high water mark: the batch is
+        pinned (``persist``) so its partitioning is stable, per-partition
+        row counts (one small job over the BATCH, never the table) become
+        per-partition offsets, and an Arrow ``mapInPandas`` pass assigns
+        ``base + step * (offset + row_index)`` — consecutive values, no
+        window, no single-partition shuffle, and none of the 2^33-per-
+        partition value gaps a ``monotonically_increasing_id`` lattice
+        would burn. A PROVIDED column is an explicit insert: allowed only
+        for GENERATED BY DEFAULT columns (``allowExplicitInsert``). The
+        high water mark itself advances in the commit from the written
+        files' footer stats (``deltalog.advance_identity_hwm`` in
+        ``_commit_moved``). Returns ``(df, pinned-batch-or-None)`` — the
+        caller unpersists the pin once the batch is written."""
+        idents = deltalog.identity_columns(path)
+        gen_specs: list[tuple[str, int, int]] = []
+        for name, spec in sorted(idents.items()):
+            if name in df.columns:
+                if not spec["allowExplicitInsert"]:
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS IDENTITY "
+                        "(delta.identity.allowExplicitInsert=false) — "
+                        "explicit values are rejected; omit the column and "
+                        "the engine generates them"
+                    )
+                continue
+            start, step, hwm = spec["start"], spec["step"], spec["highWaterMark"]
+            k0 = 0 if hwm is None else (hwm - start) // step + 1
+            gen_specs.append((name, start + k0 * step, step))
+        if not gen_specs:
+            return df, None
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        pinned = df.persist()
+        counts = {
+            int(r["_pid"]): int(r["_n"])
+            for r in pinned.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()  # one row per partition of the batch — metadata-sized
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        with_pid = pinned.withColumn("_pid", F.spark_partition_id())
+        out_schema = StructType(
+            list(pinned.schema.fields)
+            + [StructField(n, LongType(), False) for n, _, _ in gen_specs]
+        )
+
+        def assign(batches):
+            import numpy as np
+
+            seen = 0  # mapInPandas iterates ONE partition: a running row index
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    pdf = pdf.drop(columns=["_pid"])
+                    for name, base, step in gen_specs:
+                        pdf[name] = np.array([], dtype=np.int64)
+                    yield pdf
+                    continue
+                off = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+                pdf = pdf.drop(columns=["_pid"])
+                idx = off + seen + np.arange(n, dtype=np.int64)
+                for name, base, step in gen_specs:
+                    pdf[name] = base + step * idx
+                seen += n
+                yield pdf
+
+        return with_pid.mapInPandas(assign, out_schema), pinned
 
     def _cdf_enabled(self, path: str) -> bool:
         """Whether the table demands change-data files
@@ -2488,6 +2608,8 @@ class Engine:
             configuration=conf,
             enforced_constraints=True,
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             protocol_action=protocol_action,
         )
@@ -2527,6 +2649,8 @@ class Engine:
             operation="UPGRADE PROTOCOL",
             enforced_constraints=True,
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             protocol_action={
                 "minReaderVersion": 3,
@@ -2593,6 +2717,8 @@ class Engine:
             operation="UPGRADE PROTOCOL",
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             protocol_action=protocol_action,
             configuration_fn=conf_fn,
@@ -2656,6 +2782,8 @@ class Engine:
             operation="CLUSTER BY",
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             dv_write=self._dv_protocol(path),
             protocol_action=protocol_action,
@@ -2722,6 +2850,8 @@ class Engine:
                 operation="UPGRADE PROTOCOL",
                 enforced_constraints=True,
                 enforced_generated=True,
+                identity_handled=True,
+                defaults_handled=True,
                 cdf_handled=True,
                 protocol_action={
                     "minReaderVersion": 1,
@@ -2768,6 +2898,8 @@ class Engine:
             configuration=conf,
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdf_handled=True,
             dv_write=self._dv_protocol(path),
             row_tracking_assign=True,
@@ -2818,6 +2950,8 @@ class Engine:
             operation="DELETE",
             enforced_constraints=True,  # no rows written
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
@@ -2985,6 +3119,8 @@ class Engine:
             operation="UPDATE",
             enforced_constraints=self._enforce_check_constraints(path, updated),
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
@@ -3088,6 +3224,8 @@ class Engine:
             operation="MERGE",
             enforced_constraints=enforced,
             enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
             cdc_adds=cdc_actions,
             cdf_handled=True,
             dv_write=True,
@@ -3259,6 +3397,19 @@ class Engine:
         # replaced rows are LOGICAL updates: preservation would demand
         # materialized ids even on the DV shape
         self._require_row_id_stability(path, "MERGE")
+        # MERGE replaces matched rows with SOURCE rows and inserts the rest,
+        # so the source must carry every column — including identity
+        # columns, making every merged value an EXPLICIT insert: legal only
+        # for GENERATED BY DEFAULT identity (the mark still advances from
+        # the written stats in _commit_moved)
+        for _icol, _ispec in sorted(deltalog.identity_columns(path).items()):
+            if not _ispec["allowExplicitInsert"]:
+                raise ValueError(
+                    f"column {_icol!r} is GENERATED ALWAYS AS IDENTITY — "
+                    "MERGE would write explicit values for it; use "
+                    "write_table append (which generates values) or declare "
+                    "the column GENERATED BY DEFAULT"
+                )
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
         if self._dv_dml_eligible(path):
@@ -3450,6 +3601,16 @@ class Engine:
         bad = sorted(set(assignments) & set(parts))
         if bad:
             raise ValueError(f"cannot UPDATE partition column(s) {bad}; use merge()")
+        idents = deltalog.identity_columns(path)
+        bad_id = sorted(
+            c for c in set(assignments) & set(idents)
+            if not idents[c]["allowExplicitInsert"]
+        )
+        if bad_id:
+            raise ValueError(
+                f"cannot UPDATE GENERATED ALWAYS AS IDENTITY column(s) "
+                f"{bad_id} — identity values are engine-generated"
+            )
         target = self._read_data(path, keep_file_col=True)
         unknown = sorted(set(assignments) - set(target.columns))
         if unknown:
@@ -4016,6 +4177,22 @@ class Engine:
         # (fresh baseRowIds from stats, high-water-mark domain) — raw
         # deltalog.write_commit callers still refuse on such tables
         kwargs.setdefault("row_tracking_assign", True)
+        # ... and the identity/default obligations: insert-producing paths
+        # generate omitted identity values and apply CURRENT_DEFAULTs
+        # (write_table), explicit identity values are policed at the DML
+        # entry points, and the high water mark advances HERE from the
+        # written files' footer stats — every Engine commit, one code path.
+        kwargs.setdefault("identity_handled", True)
+        kwargs.setdefault("defaults_handled", True)
+        if deltalog.identity_columns(path):
+            sj, hwm_changed = deltalog.advance_identity_hwm(
+                path,
+                kwargs.get("schema_json"),
+                adds,
+                l2p=self._column_mapping(path),
+            )
+            if hwm_changed:
+                kwargs["schema_json"] = sj
         cleanup = list(moved) + [c["path"] for c in (cdc_adds or [])]
         try:
             if callable(removes):

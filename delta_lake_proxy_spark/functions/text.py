@@ -90,15 +90,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language identification; argmax with fixed priority order
-    on ties (en > de > fr > es > zh) so the result is total-order deterministic.
-
-    The prediction is a CASE chain — the first language (in priority order)
-    whose score is >= every later language's and > every earlier language's —
-    which an oracle replicates verbatim in SQL.
-    """
-    scores = lang_scores(F.col(text_col))
+def lang_pred_col(text: Column) -> Column:
+    """The language prediction as a single Column expression — the CASE
+    chain :func:`lang_id` selects with: the first language (in priority
+    order) whose stopword score is >= every later language's and > every
+    earlier language's. Composable into any per-row projection (e.g. the
+    one-scan ``text_stats`` driver row) and replicated verbatim in SQL by
+    oracles."""
+    scores = lang_scores(text)
     pred: Column = F.lit(None).cast("string")
     for lang in reversed(LANG_PRIORITY):
         cond: Column | None = None
@@ -113,9 +112,17 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             )
             cond = ge if cond is None else (cond & ge)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language identification; argmax with fixed priority order
+    on ties (en > de > fr > es > zh) so the result is total-order deterministic
+    (:func:`lang_pred_col` holds the CASE chain)."""
+    scores = lang_scores(F.col(text_col))
     return docs.select(
         F.col(id_col),
-        pred.alias("pred_lang"),
+        lang_pred_col(F.col(text_col)).alias("pred_lang"),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_PRIORITY],
     )
 

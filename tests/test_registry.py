@@ -34,6 +34,7 @@ EXPECTED_ORDER = [
     "window_funcs",
     "string_funcs",
     "dv_read",
+    "row_ids_read",
     "set_ops",
     "json_props",
     "array_funcs",
@@ -45,7 +46,6 @@ EXPECTED_ORDER = [
     "text_stats",
     "corpus_sample_stratified",
     "training_mix",
-    "lang_id",
     "ngram_jaccard",
     "similarity_topk",
     "partition_filter_scan",
@@ -137,7 +137,7 @@ SURVEY_COVERAGE = {
     "G3": "permission_lookup_join",
     "G4": "request_identity",
     "G7": "metrics_tumbling_window",
-    "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history
+    "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history, row_ids_read (rowTracking)
     "X1": "dedup_exact",
     "X2": "dedup_near_minhash",  # + dedup_components (transitive closure)
     "X3": "similarity_topk",
