@@ -368,22 +368,39 @@ def ivf_topk(
     (partition pruning) — an index that rescans the corpus per query is
     not an index. Refinement makes the approximation contract real instead
     of sample-coincidental: recall@k is pytest-bounded (test_llm_ops).
+
+    Past ``ARROW_CENTROID_CELLS`` the centroid machinery switches to the
+    Arrow path like :func:`ivf_build` (broadcast matrix + ``mapInPandas``
+    argmax, distributed Lloyd means).
     """
-    cents = _ivf_centroids(
-        embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
-    )
-    probe = sorted(
-        cents,
-        key=lambda c: (
-            -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
-            c[0],
-        ),
-    )[: max(1, n_probe)]
-    probe_cids = [cid for cid, _ in probe]
+    dim = _vec_dim(embeddings, vec_col)
+    if num_centroids * dim > ARROW_CENTROID_CELLS:
+        import numpy as np
+
+        ids, mat = _ivf_centroids_np(
+            embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+        )
+        scores = mat @ np.asarray(query_vec, dtype=np.float64)
+        order = np.lexsort((ids, -scores))
+        probe_set = {int(c) for c in ids[order[: max(1, n_probe)]]}
+        assigned = assign_centroids_arrow(embeddings, ids, mat, vec_col)
+        hits = assigned.filter(F.col("_cid").isin(sorted(probe_set)))
+    else:
+        cents = _ivf_centroids(
+            embeddings, num_centroids, lloyd_iters, id_col=id_col, vec_col=vec_col
+        )
+        probe = sorted(
+            cents,
+            key=lambda c: (
+                -sum(float(a) * float(b) for a, b in zip(query_vec, c[1])),
+                c[0],
+            ),
+        )[: max(1, n_probe)]
+        probe_cids = [cid for cid, _ in probe]
+        hits = embeddings.filter(
+            _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
+        )
     q = _lit_vec(query_vec)
-    hits = embeddings.filter(
-        _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
-    )
     scored = hits.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )

@@ -1167,3 +1167,33 @@ def test_governed_ivf_index_survives_vacuum(spark, tmp_path):
     # the index still probes correctly after maintenance
     out = eng.ivf_probe(idx_alias, [1.0, 0.0], k=3, n_probe=4).collect()
     assert len(out) == 3
+
+
+def test_ivf_topk_arrow_dispatch(spark):
+    """The ad-hoc ivf_topk also rides the Arrow centroid path past the
+    threshold: 64 centroids x 128 dims (> 4096 cells) with a recall bound
+    on a clustered corpus, DataFrame.collect forbidden during the
+    centroid/assignment machinery (only the final top-k collects)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim, num_cents = 128, 64
+    assert num_cents * dim > similarity.ARROW_CENTROID_CELLS
+    centers = rng.normal(size=(num_cents, dim))
+    rows, vid = [], 0
+    for c in range(num_cents):
+        for _ in range(12):
+            rows.append(
+                (vid, (centers[c] + rng.normal(scale=0.05, size=dim)).tolist())
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (centers[9] + rng.normal(scale=0.03, size=dim)).tolist()
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, num_centroids=num_cents, n_probe=num_cents // 2
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.9
