@@ -992,6 +992,14 @@ SUPPORTED_READER_FEATURES = {
     # bins or the log), and cdc files only past retention — the exact
     # obligations the feature encodes. Reader-side it demands nothing.
     "vacuumProtocolCheck",
+    # checkpointProtection (Delta RFC checkpoint-protection): history at
+    # versions below delta.requireCheckpointProtectionBeforeVersion may not
+    # be partially cleaned — its checkpoints are not recreatable (e.g. a
+    # dropped feature's traces, ICT backfill). Reader-side it demands
+    # nothing; the writer obligation lives entirely in metadata cleanup,
+    # which cleanup_log honors (refuse any cleanup whose boundary is below
+    # the protected version; a boundary at/above it truncates in one run).
+    "checkpointProtection",
 }
 
 
@@ -1388,8 +1396,12 @@ def check_write_protocol(
     # write_commit_streamed's stream_body, which emits a strictly
     # monotonic commitInfo.inCommitTimestamp as the FIRST action whenever
     # delta.enableInCommitTimestamps is set — the feature's whole
-    # per-commit obligation). Ordinary commits carry no further
-    # per-commit obligation for any of these.
+    # per-commit obligation), and checkpointProtection (its only
+    # obligation binds METADATA CLEANUP, not commits — cleanup_log refuses
+    # to truncate below delta.requireCheckpointProtectionBeforeVersion,
+    # and write_checkpoint only ever checkpoints HEAD, never a protected
+    # historical version). Ordinary commits carry no further per-commit
+    # obligation for any of these.
     features = [
         f
         for f in features
@@ -1401,6 +1413,7 @@ def check_write_protocol(
             "clusteredTable",
             "appendOnly",
             "inCommitTimestamp",
+            "checkpointProtection",
         )
     ]
     constraints_ok = enforced_constraints or not declared_constraints(table_path)
@@ -1904,6 +1917,18 @@ def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
     if ck is None:
         return 0
     v = int(ck["version"])
+    # checkpointProtection writer obligation: versions below
+    # delta.requireCheckpointProtectionBeforeVersion hold checkpoints that
+    # cannot be recreated from the remaining history (dropped-feature
+    # traces, ICT backfill), so a PARTIAL cleanup below that version is
+    # forbidden — either truncate to a boundary at/above it in one run
+    # (normal path: everything below the retained checkpoint goes at once)
+    # or delete nothing.
+    protect = table_configuration_no_spark(table_path).get(
+        "delta.requireCheckpointProtectionBeforeVersion"
+    )
+    if protect is not None and v < int(protect):
+        return 0
     keep = set(os.path.basename(p) for p in checkpoint_data_files(table_path, ck))
     cutoff = time.time() - retention_hours * 3600.0
     d = log_path(table_path)

@@ -2662,6 +2662,78 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
+    def enable_checkpoint_protection(
+        self, alias: str, before_version: int | None = None
+    ) -> int:
+        """Upgrade a table to the ``checkpointProtection`` reader-writer
+        feature (Delta RFC checkpoint-protection): checkpoints at versions
+        below ``delta.requireCheckpointProtectionBeforeVersion`` are
+        declared non-recreatable, so metadata cleanup must truncate to a
+        boundary at/above that version in ONE run or delete nothing —
+        :meth:`cleanup_log` honors exactly that (the refusal is pinned by
+        ``tests/test_checkpoint_protection.py``). ``before_version``
+        defaults to the enabling commit's own version (everything strictly
+        below the upgrade is protected); Delta writes this feature from its
+        DROP FEATURE flow with the drop version — a foreign table arriving
+        with the feature is served identically. Tables already declaring
+        other protocol features refuse (scoped like
+        :meth:`enable_v2_checkpoints`)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        if "checkpointProtection" in existing_r:
+            return deltalog.latest_version(path)  # already enabled
+        if existing_r or existing_w:
+            raise UnsupportedProtocolError(
+                path,
+                "table already declares protocol features "
+                f"{sorted(existing_r | existing_w)}; refusing to rewrite "
+                "its feature lists",
+            )
+        enabling = deltalog.latest_version(path) + 1
+        if before_version is None:
+            before_version = enabling
+        if not (0 <= int(before_version) <= enabling):
+            raise ValueError(
+                f"before_version={before_version} outside the table's "
+                f"history [0, {enabling}]"
+            )
+        conf = deltalog.table_configuration_no_spark(path)
+        meta = deltalog.table_metadata_no_spark(path) or {}
+
+        def conf_fn(version: int, ict: int) -> dict:
+            c = dict(conf)
+            c["delta.requireCheckpointProtectionBeforeVersion"] = str(
+                int(before_version)
+            )
+            return c
+
+        version = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="UPGRADE PROTOCOL",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
+            cdf_handled=True,
+            protocol_action={
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["checkpointProtection"],
+                "writerFeatures": ["checkpointProtection"],
+            },
+            configuration_fn=conf_fn,
+        )
+        self._snapshot_cache.invalidate()
+        return version
+
     def enable_in_commit_timestamps(self, alias: str) -> int:
         """Upgrade a table to In-Commit Timestamps (Delta ``inCommitTimestamp``
         writer feature): from the enabling commit on, every commit carries a
