@@ -350,6 +350,7 @@ def write_commit(
     row_tracking_assign: bool = False,
     identity_handled: bool = False,
     defaults_handled: bool = False,
+    iceberg_handled: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -376,6 +377,7 @@ def write_commit(
         row_tracking_assign=row_tracking_assign,
         identity_handled=identity_handled,
         defaults_handled=defaults_handled,
+        iceberg_handled=iceberg_handled,
     )
 
 
@@ -401,6 +403,7 @@ def write_commit_streamed(
     configuration_fn=None,
     identity_handled: bool = False,
     defaults_handled: bool = False,
+    iceberg_handled: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -430,6 +433,7 @@ def write_commit_streamed(
         row_tracking_handled=row_tracking_assign,
         identity_handled=identity_handled,
         defaults_handled=defaults_handled,
+        iceberg_handled=iceberg_handled,
     )
     # rowTracking obligation: every commit adding files assigns fresh
     # baseRowIds above the high-water mark and advances it (enabled or
@@ -1124,6 +1128,27 @@ def column_mapping_field_ids(table_path: str) -> dict[str, int]:
     return out
 
 
+def column_field_ids_any_mode(table_path: str) -> dict[str, int]:
+    """Logical -> ``delta.columnMapping.id`` for ANY mapped table (name or
+    id mode — the spec assigns ids in both). Read-side resolution only
+    needs them in id mode (:func:`column_mapping_field_ids`); the
+    icebergCompat WRITE path needs them in name mode too, because Iceberg
+    resolves parquet columns by field id regardless of the Delta mapping
+    mode. Columns without an id are simply absent (caller decides whether
+    that refuses)."""
+    meta = table_metadata_no_spark(table_path) or {}
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        fields = []
+    out: dict[str, int] = {}
+    for f in fields:
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            out[str(f["name"])] = int(fid)
+    return out
+
+
 def translate_dnf(dnf, l2p: dict[str, str]):
     """Rewrite a DNF's LOGICAL column keys to PHYSICAL names for evaluation
     against ``add.partitionValues`` (which the protocol keys physically in
@@ -1264,6 +1289,26 @@ def column_defaults(table_path: str) -> dict[str, str]:
     return out
 
 
+def iceberg_compat_version(table_path: str) -> int | None:
+    """The ACTIVE Iceberg-compatibility level (2, 1, or None): the
+    ``icebergCompatV1/V2`` writer features bite only while the matching
+    ``delta.enableIcebergCompatV1/V2`` property is true (the spec's
+    activation contract — a listed-but-disabled feature demands nothing).
+    When active, every NEW data file must be Iceberg-readable: parquet
+    field ids in the footers, int64 timestamps (never INT96), partition
+    values materialized in the files, deletion vectors inactive, and
+    column mapping on. ``Engine.write_table`` honors these (see
+    ``_prepare_iceberg_write``); raw commits cannot prove it and are
+    refused — reference tables with UniForm arrive through the same
+    ``deltalake`` machinery (ref ``src/main.rs:357``)."""
+    conf = table_configuration_no_spark(table_path)
+    if str(conf.get("delta.enableIcebergCompatV2", "")).lower() == "true":
+        return 2
+    if str(conf.get("delta.enableIcebergCompatV1", "")).lower() == "true":
+        return 1
+    return None
+
+
 def advance_identity_hwm(
     table_path: str,
     schema_json: str | None,
@@ -1328,6 +1373,7 @@ def check_write_protocol(
     row_tracking_handled: bool = False,
     identity_handled: bool = False,
     defaults_handled: bool = False,
+    iceberg_handled: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -1431,6 +1477,16 @@ def check_write_protocol(
     # expressions to omitted columns on insert (Engine.write_table does);
     # vacuous without declared defaults.
     defaults_ok = defaults_handled or not column_defaults(table_path)
+    # icebergCompatV1/V2: honored when the caller wrote Iceberg-readable
+    # data files (field ids, int64 timestamps, materialized partition
+    # values, no DVs — Engine.write_table's _prepare_iceberg_write);
+    # vacuous while the delta.enableIcebergCompatVn property is off (the
+    # spec's activation contract). Raw commits into an ACTIVE table refuse.
+    iceberg_ok = iceberg_handled or iceberg_compat_version(table_path) is None
+    if iceberg_ok:
+        features = [
+            f for f in features if f not in ("icebergCompatV1", "icebergCompatV2")
+        ]
     # Legacy-capability features a writer-7 protocol enumerates explicitly:
     # honored exactly when the corresponding legacy check passes (the same
     # conditions that admit writer versions 3/4). invariants: honored when

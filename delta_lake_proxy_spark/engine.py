@@ -2195,14 +2195,20 @@ class Engine:
         parts_phys = [l2p.get(p, p) for p in parts] if l2p else list(parts)
         if l2p:
             df = df.select([F.col(c).alias(l2p[c]) for c in df.columns])
+        ic_version = deltalog.iceberg_compat_version(path)
+        dir_parts = parts_phys
+        if ic_version:
+            df, dir_parts = self._prepare_iceberg_write(path, df, parts_phys)
         staging = os.path.join(
             os.path.dirname(path.rstrip("/")) or ".",
             f".stage-{uuid.uuid4().hex}",
         )
         writer = df.write.mode("overwrite")
-        if parts_phys:
-            writer = writer.partitionBy(*parts_phys)
+        if dir_parts:
+            writer = writer.partitionBy(*dir_parts)
         writer.parquet(staging)
+        if ic_version and dir_parts != parts_phys:
+            self._rename_iceberg_dirs(staging)
         if identity_pin is not None:
             identity_pin.unpersist()  # the pinned batch is on disk now
         prev_adds: dict[str, dict] = (
@@ -2259,6 +2265,7 @@ class Engine:
             cdf_handled=True,
             # overwrite removes above carry the DV identities they tombstone
             dv_write=self._dv_protocol(path),
+            iceberg_handled=bool(ic_version),
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -2269,6 +2276,85 @@ class Engine:
             deltalog.write_checkpoint(self.spark, path)
         self._snapshot_cache.invalidate()  # table state changed
         return version
+
+    # dir-alias prefix for Iceberg-compat staging writes: partitionBy drops
+    # its columns from file CONTENT, but icebergCompat requires partition
+    # values materialized IN the data files — so the write partitions on a
+    # prefixed COPY and the staging dirs are renamed back afterwards.
+    _ICEBERG_DIR_PREFIX = "__icdir__"
+
+    def _prepare_iceberg_write(
+        self, path: str, df: DataFrame, parts_phys: list[str]
+    ) -> tuple[DataFrame, list[str]]:
+        """Make the staged files Iceberg-readable (``icebergCompatV1/V2``
+        writer features, active via ``delta.enableIcebergCompatVn``):
+
+        - refuse when the table breaks the feature's own preconditions
+          (column mapping off, or deletion vectors enabled — Iceberg cannot
+          see DV-masked deletes);
+        - stamp every column with its ``parquet.field.id`` from the mapped
+          schema's ``delta.columnMapping.id`` (Iceberg resolves columns by
+          field id, never by name);
+        - duplicate partition columns under :attr:`_ICEBERG_DIR_PREFIX` so
+          the values land in the file content as well as the directory
+          name (Iceberg readers take them from the files);
+        - int64 timestamps come from the session conf
+          ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``
+          (session.ENGINE_SQL_CONFS), re-asserted here for driver-supplied
+          sessions.
+
+        ``df`` arrives already renamed to PHYSICAL columns. Returns the
+        prepared frame and the directory-partition column list."""
+        l2p = self._column_mapping(path)
+        if not l2p:
+            raise UnsupportedProtocolError(
+                path,
+                "delta.enableIcebergCompat is set but column mapping is off "
+                "— the feature requires mapped (field-id-bearing) schemas",
+            )
+        conf = deltalog.table_configuration_no_spark(path)
+        if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
+            raise UnsupportedProtocolError(
+                path,
+                "delta.enableIcebergCompat forbids active deletion vectors "
+                "(Iceberg readers cannot apply them); disable DVs first",
+            )
+        try:
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:
+            pass
+        l2id = deltalog.column_field_ids_any_mode(path)
+        phys2id = {l2p[k]: v for k, v in l2id.items() if k in l2p}
+        missing = [c for c in df.columns if c not in phys2id]
+        if missing:
+            raise UnsupportedProtocolError(
+                path,
+                f"columns {missing} carry no delta.columnMapping.id — "
+                "cannot write Iceberg-compatible field ids",
+            )
+        df = df.select(
+            [
+                F.col(c).alias(c, metadata={"parquet.field.id": phys2id[c]})
+                for c in df.columns
+            ]
+        )
+        dir_parts = [self._ICEBERG_DIR_PREFIX + p for p in parts_phys]
+        for p, d in zip(parts_phys, dir_parts):
+            df = df.withColumn(d, F.col(p))
+        return df, dir_parts
+
+    def _rename_iceberg_dirs(self, staging: str) -> None:
+        """Strip :attr:`_ICEBERG_DIR_PREFIX` from staged Hive partition
+        directories so the moved files keep the table's real
+        ``<physical>=<value>`` layout (and partitionValues keys)."""
+        for root, dirs, _ in os.walk(staging):
+            for i, d in enumerate(dirs):
+                if d.startswith(self._ICEBERG_DIR_PREFIX):
+                    nd = d[len(self._ICEBERG_DIR_PREFIX) :]
+                    os.rename(os.path.join(root, d), os.path.join(root, nd))
+                    dirs[i] = nd
 
     def _apply_generated_columns(
         self, path: str, df: DataFrame
@@ -2733,6 +2819,100 @@ class Engine:
         )
         self._snapshot_cache.invalidate()
         return version
+
+    def enable_iceberg_compat(self, alias: str, version: int = 2) -> int:
+        """Declare Iceberg compatibility (Delta UniForm's
+        ``icebergCompatV1/V2`` writer feature + the activating
+        ``delta.enableIcebergCompatVn`` property) on a column-mapped table:
+        every subsequent :meth:`write_table` stages Iceberg-readable files —
+        parquet field ids from the mapped schema, int64 timestamps,
+        partition values materialized in file content
+        (:meth:`_prepare_iceberg_write`); raw commits refuse. The table
+        must already be mapped (the feature's own precondition — this
+        engine creates unmapped tables, so the API targets foreign mapped
+        tables, the UniForm shape) and must not use deletion vectors or
+        declare other writer features/legacy capabilities (a writer-7
+        upgrade must enumerate them all; scoped like the other enables)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        if version not in (1, 2):
+            raise ValueError(f"icebergCompat version must be 1 or 2, got {version}")
+        path = self.resolve(alias)
+        feature = f"icebergCompatV{version}"
+        prop = f"delta.enableIcebergCompatV{version}"
+        conf = deltalog.table_configuration_no_spark(path)
+        if str(conf.get(prop, "")).lower() == "true":
+            return deltalog.latest_version(path)  # already enabled
+        if not self._column_mapping(path):
+            raise UnsupportedProtocolError(
+                path,
+                "icebergCompat requires column mapping (field-id-bearing "
+                "schemas); this table is unmapped",
+            )
+        if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
+            raise UnsupportedProtocolError(
+                path,
+                "icebergCompat forbids active deletion vectors (Iceberg "
+                "readers cannot apply them)",
+            )
+        if (
+            deltalog.declared_constraints(path)
+            or deltalog.generated_columns(path)
+            or deltalog.identity_columns(path)
+            or deltalog.column_defaults(path)
+            or self._cdf_enabled(path)
+        ):
+            raise UnsupportedProtocolError(
+                path,
+                "enable_iceberg_compat supports plain mapped tables only "
+                "(constraints / generated / identity / default columns / "
+                "CDF would need their writer features enumerated)",
+            )
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        existing_r = set(proto.get("readerFeatures") or [])
+        existing_w = set(proto.get("writerFeatures") or [])
+        if existing_w - {"columnMapping"} or existing_r - {"columnMapping"}:
+            raise UnsupportedProtocolError(
+                path,
+                "table already declares protocol features "
+                f"{sorted((existing_r | existing_w) - {'columnMapping'})}; "
+                "refusing to rewrite its feature lists",
+            )
+        wfeats = sorted(existing_w | {"columnMapping", feature})
+        protocol_action = {
+            "minReaderVersion": int(proto.get("minReaderVersion") or 2),
+            "minWriterVersion": 7,
+            "writerFeatures": wfeats,
+        }
+        if existing_r or int(proto.get("minReaderVersion") or 1) >= 3:
+            protocol_action["readerFeatures"] = sorted(
+                existing_r | {"columnMapping"}
+            )
+        meta = deltalog.table_metadata_no_spark(path) or {}
+        new_conf = dict(conf)
+        new_conf[prop] = "true"
+        version_out = deltalog.write_commit_streamed(
+            path,
+            lambda: iter(()),
+            None,
+            schema_json=meta.get("schemaString"),
+            partition_cols=list(meta.get("partitionColumns") or []),
+            operation="UPGRADE PROTOCOL",
+            enforced_constraints=True,  # no rows written
+            enforced_generated=True,
+            identity_handled=True,
+            defaults_handled=True,
+            cdf_handled=True,
+            # metadata-only commit: no files staged, so the mapped-table
+            # translation obligation is vacuous — and the commit itself
+            # proves the iceberg obligation the same way (no new files)
+            mapped_write=True,
+            iceberg_handled=True,
+            protocol_action=protocol_action,
+            configuration=new_conf,
+        )
+        self._snapshot_cache.invalidate()
+        return version_out
 
     def enable_in_commit_timestamps(self, alias: str) -> int:
         """Upgrade a table to In-Commit Timestamps (Delta ``inCommitTimestamp``

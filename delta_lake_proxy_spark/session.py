@@ -27,6 +27,14 @@ ENGINE_SQL_CONFS = {
     # read schema carries parquet.field.id metadata (engine._physical_schema
     # attaches it). No-op for schemas without ids, so safe globally.
     "spark.sql.parquet.fieldId.read.enabled": "true",
+    # Written schemas that carry parquet.field.id metadata (icebergCompat
+    # staging writes) must land in the file footers. Spark's default since
+    # 3.3, pinned because icebergCompat correctness depends on it.
+    "spark.sql.parquet.fieldId.write.enabled": "true",
+    # int64 micros, never INT96 (Spark's legacy default): required by
+    # icebergCompatV1/V2 (Iceberg cannot read INT96) and strictly better
+    # for every other reader (predicate pushdown works on int64).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
