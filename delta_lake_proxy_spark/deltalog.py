@@ -351,6 +351,7 @@ def write_commit(
     identity_handled: bool = False,
     defaults_handled: bool = False,
     iceberg_handled: bool = False,
+    collations_handled: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -378,6 +379,7 @@ def write_commit(
         identity_handled=identity_handled,
         defaults_handled=defaults_handled,
         iceberg_handled=iceberg_handled,
+        collations_handled=collations_handled,
     )
 
 
@@ -404,6 +406,7 @@ def write_commit_streamed(
     identity_handled: bool = False,
     defaults_handled: bool = False,
     iceberg_handled: bool = False,
+    collations_handled: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -434,6 +437,7 @@ def write_commit_streamed(
         identity_handled=identity_handled,
         defaults_handled=defaults_handled,
         iceberg_handled=iceberg_handled,
+        collations_handled=collations_handled,
     )
     # rowTracking obligation: every commit adding files assigns fresh
     # baseRowIds above the high-water mark and advances it (enabled or
@@ -485,10 +489,17 @@ def write_commit_streamed(
             # clients must see the capability requirement from this commit on
             f.write(json.dumps({"protocol": protocol_action}) + "\n")
         elif version == 0:
-            f.write(
-                json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-                + "\n"
-            )
+            proto0: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if schema_json and "__COLLATIONS" in schema_json:
+                # a table CREATED with collated string columns must declare
+                # the feature before using it (spec contract) — writer 7 +
+                # collations; reader stays 1 (binary layout unchanged)
+                proto0 = {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["collations"],
+                }
+            f.write(json.dumps({"protocol": proto0}) + "\n")
         if version == 0 or schema_json is not None:
             f.write(
                 json.dumps(
@@ -996,6 +1007,13 @@ SUPPORTED_READER_FEATURES = {
     # bins or the log), and cdc files only past retention — the exact
     # obligations the feature encodes. Reader-side it demands nothing.
     "vacuumProtocolCheck",
+    # collations is spec'd as a WRITER feature (binary string layout is
+    # unchanged, so old readers stay correct) — accepted here defensively
+    # for tables that list it reader-side anyway. Reads go further than
+    # the minimum: Engine.read_table re-types declared columns to Spark's
+    # native collated StringType, so downstream comparisons/sorts honor
+    # the declared collation.
+    "collations",
     # checkpointProtection (Delta RFC checkpoint-protection): history at
     # versions below delta.requireCheckpointProtectionBeforeVersion may not
     # be partially cleaned — its checkpoints are not recreatable (e.g. a
@@ -1289,6 +1307,32 @@ def column_defaults(table_path: str) -> dict[str, str]:
     return out
 
 
+def collated_columns(table_path: str) -> dict[str, str]:
+    """``column name -> collation id`` (e.g. ``UNICODE_CI``) for every
+    top-level string field the logged schema declares with a non-default
+    collation (Delta ``collations`` writer feature; schemaString carries
+    the spec's ``__COLLATIONS`` field-metadata form, which Spark 4 parses
+    natively into collated ``StringType``). Binary layout is unchanged —
+    the feature changes COMPARISON semantics, which
+    ``Engine._apply_collations`` restores on reads and before write-time
+    constraint/generated-column evaluation."""
+    meta = table_metadata_no_spark(table_path) or {}
+    raw = meta.get("schemaString")
+    if not raw or "__COLLATIONS" not in raw:
+        return {}
+    try:
+        st = T.StructType.fromJson(json.loads(raw))
+    except Exception:
+        return {}
+    out: dict[str, str] = {}
+    for f in st.fields:
+        dt = f.dataType
+        coll = getattr(dt, "collation", None)
+        if isinstance(dt, T.StringType) and coll and coll != "UTF8_BINARY":
+            out[f.name] = str(coll)
+    return out
+
+
 def iceberg_compat_version(table_path: str) -> int | None:
     """The ACTIVE Iceberg-compatibility level (2, 1, or None): the
     ``icebergCompatV1/V2`` writer features bite only while the matching
@@ -1374,6 +1418,7 @@ def check_write_protocol(
     identity_handled: bool = False,
     defaults_handled: bool = False,
     iceberg_handled: bool = False,
+    collations_handled: bool = False,
 ) -> None:
     """Refuse to COMMIT into a table demanding writer capabilities this
     engine lacks. Accepted: writer <= 2; writer 3 when the caller VALIDATED
@@ -1487,6 +1532,15 @@ def check_write_protocol(
         features = [
             f for f in features if f not in ("icebergCompatV1", "icebergCompatV2")
         ]
+    # collations: binary layout is unchanged, so the writer obligation is
+    # (a) preserve the __COLLATIONS schema metadata and (b) evaluate any
+    # string-comparing write-time expressions (CHECK constraints,
+    # generated columns) under the declared collation — Engine.write_table
+    # does both (the logged schema stays authoritative and
+    # _apply_collations retypes columns before evaluation); vacuous when
+    # no field declares one. Raw commits into declaring tables refuse.
+    if collations_handled or not collated_columns(table_path):
+        features = [f for f in features if f != "collations"]
     # Legacy-capability features a writer-7 protocol enumerates explicitly:
     # honored exactly when the corresponding legacy check passes (the same
     # conditions that admit writer versions 3/4). invariants: honored when

@@ -386,9 +386,12 @@ class Engine:
             df = self._with_row_ids(path, version=version)
         else:
             df = self._read_data(path, version=version)
-        if pred is None:
-            return df  # no ACL configured => allow everything (src/main.rs:576)
-        return df.filter(pred)
+        if pred is not None:
+            # ACL BEFORE collation re-typing: partition-value comparison is
+            # byte-exact directory matching, never collation-aware
+            df = df.filter(pred)
+        # no ACL configured => allow everything (src/main.rs:576)
+        return self._apply_collations(path, df)
 
     def _with_row_ids(self, path: str, version: int | None = None) -> DataFrame:
         """Scan with materialized ``_row_id`` / ``_row_commit_version``
@@ -2149,6 +2152,22 @@ class Engine:
         schema_json = df.schema.json()
         if mode == "append" and existing_meta:
             schema_json = self._evolve_schema(existing_meta.get("schemaString"), df)
+        if (
+            existing_meta is not None
+            and "__COLLATIONS" in schema_json
+            and "__COLLATIONS" not in (existing_meta.get("schemaString") or "")
+        ):
+            # INTRODUCING collated columns demands the `collations` writer
+            # feature be declared first (spec contract); auto-declaring on
+            # an existing table would need a writer-7 upgrade enumerating
+            # its legacy capabilities — refuse rather than guess. New
+            # tables declare it at version 0 automatically.
+            raise UnsupportedProtocolError(
+                path,
+                "adding collated string columns to an existing table "
+                "requires the `collations` writer feature; create the "
+                "table with the collated schema instead",
+            )
         # NAME-mode column-mapped tables: the logged schemaString (with its
         # physical names and field ids) stays authoritative — files,
         # partition directories, partitionValues and stats keys are written
@@ -2184,6 +2203,10 @@ class Engine:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*sort_by)
 
+        # collation re-typing BEFORE constraint/generated evaluation: a
+        # CHECK constraint or generation expression comparing a collated
+        # column must run under the declared collation, not binary
+        df = self._apply_collations(path, df)
         df = self._apply_column_defaults(path, df)
         df, identity_pin = self._apply_identity_columns(path, df)
         df, enforced_gen = self._apply_generated_columns(path, df)
@@ -2266,6 +2289,9 @@ class Engine:
             # overwrite removes above carry the DV identities they tombstone
             dv_write=self._dv_protocol(path),
             iceberg_handled=bool(ic_version),
+            # schema stays authoritative (collation metadata preserved) and
+            # write-time expressions ran on collation-typed columns above
+            collations_handled=True,
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -2276,6 +2302,29 @@ class Engine:
             deltalog.write_checkpoint(self.spark, path)
         self._snapshot_cache.invalidate()  # table state changed
         return version
+
+    def _collations(self, path: str) -> dict[str, str]:
+        """Memoized ``column -> collation id`` from the logged schema
+        (Delta ``collations`` writer feature); empty for ordinary tables."""
+        return self._snapshot_cache.get_or_compute(
+            ("collations", path), lambda: deltalog.collated_columns(path)
+        )
+
+    def _apply_collations(self, path: str, df: DataFrame) -> DataFrame:
+        """Re-type declared collated string columns to Spark's native
+        collated ``StringType`` (``F.collate``) so comparisons, sorts, and
+        groupings downstream honor the logged collation — the whole point
+        of the ``collations`` feature (byte layout is identical, only
+        comparison semantics change). Pure codegen, no shuffle, identity
+        for tables without collations (the overwhelmingly common case:
+        one memoized dict probe)."""
+        colls = self._collations(path)
+        todo = {c: v for c, v in colls.items() if c in df.columns}
+        if not todo:
+            return df
+        return df.withColumns(
+            {c: F.collate(F.col(c), v) for c, v in todo.items()}
+        )
 
     # dir-alias prefix for Iceberg-compat staging writes: partitionBy drops
     # its columns from file CONTENT, but icebergCompat requires partition
@@ -4404,6 +4453,13 @@ class Engine:
             if prev is None:
                 merged.append(f)
             elif prev.dataType != f.dataType:
+                # string-vs-collated-string is NOT a conflict: byte layout
+                # is identical and the TABLE's collation stays authoritative
+                # (plain incoming strings are re-typed by _apply_collations)
+                if isinstance(prev.dataType, T.StringType) and isinstance(
+                    f.dataType, T.StringType
+                ):
+                    continue
                 raise ValueError(
                     f"schema conflict on column '{f.name}': "
                     f"{prev.dataType.simpleString()} vs {f.dataType.simpleString()}"
