@@ -489,16 +489,20 @@ def write_commit_streamed(
             # clients must see the capability requirement from this commit on
             f.write(json.dumps({"protocol": protocol_action}) + "\n")
         elif version == 0:
+            # a table CREATED with feature-demanding types must declare
+            # them before use (spec contract): timestamp_ntz / variant are
+            # reader+writer features; collations is writer-only (binary
+            # layout unchanged, old readers stay correct)
+            r_feats, w_feats = schema_protocol_demands(schema_json)
             proto0: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-            if schema_json and "__COLLATIONS" in schema_json:
-                # a table CREATED with collated string columns must declare
-                # the feature before using it (spec contract) — writer 7 +
-                # collations; reader stays 1 (binary layout unchanged)
+            if w_feats:
                 proto0 = {
-                    "minReaderVersion": 1,
+                    "minReaderVersion": 3 if r_feats else 1,
                     "minWriterVersion": 7,
-                    "writerFeatures": ["collations"],
+                    "writerFeatures": sorted(w_feats),
                 }
+                if r_feats:
+                    proto0["readerFeatures"] = sorted(r_feats)
             f.write(json.dumps({"protocol": proto0}) + "\n")
         if version == 0 or schema_json is not None:
             f.write(
@@ -1307,6 +1311,44 @@ def column_defaults(table_path: str) -> dict[str, str]:
     return out
 
 
+def schema_protocol_demands(schema_json: str | None) -> tuple[set, set]:
+    """(reader features, writer features) a schema's TYPES demand
+    (Delta spec: a table may only use ``timestamp_ntz`` / ``variant`` /
+    collated strings when the matching protocol feature is declared).
+    Walks the parsed type tree, so nested occurrences count and a column
+    merely NAMED "variant" does not."""
+    r_feats: set = set()
+    w_feats: set = set()
+    if not schema_json:
+        return r_feats, w_feats
+    try:
+        st = T.StructType.fromJson(json.loads(schema_json))
+    except Exception:
+        return r_feats, w_feats
+
+    def walk(dt) -> None:
+        if isinstance(dt, T.TimestampNTZType):
+            r_feats.add("timestampNtz")
+            w_feats.add("timestampNtz")
+        elif isinstance(dt, getattr(T, "VariantType", ())):
+            r_feats.add("variantType")
+            w_feats.add("variantType")
+        elif isinstance(dt, T.StringType):
+            if getattr(dt, "collation", "UTF8_BINARY") != "UTF8_BINARY":
+                w_feats.add("collations")
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(st)
+    return r_feats, w_feats
+
+
 def collated_columns(table_path: str) -> dict[str, str]:
     """``column name -> collation id`` (e.g. ``UNICODE_CI``) for every
     top-level string field the logged schema declares with a non-default
@@ -1441,7 +1483,8 @@ def check_write_protocol(
             raise UnsupportedProtocolError(
                 table_path,
                 "this write path does not translate to the table's physical "
-                "column names — only Engine.write_table supports writing to "
+                "column names — only the Engine write paths (write_table and "
+                "DML, which stage through the physical translation) support "
                 "column-mapped tables (name mode)",
             )
         if mode != "name":
@@ -1487,12 +1530,20 @@ def check_write_protocol(
     # write_commit_streamed's stream_body, which emits a strictly
     # monotonic commitInfo.inCommitTimestamp as the FIRST action whenever
     # delta.enableInCommitTimestamps is set — the feature's whole
-    # per-commit obligation), and checkpointProtection (its only
+    # per-commit obligation), checkpointProtection (its only
     # obligation binds METADATA CLEANUP, not commits — cleanup_log refuses
     # to truncate below delta.requireCheckpointProtectionBeforeVersion,
     # and write_checkpoint only ever checkpoints HEAD, never a protected
-    # historical version). Ordinary commits carry no further per-commit
-    # obligation for any of these.
+    # historical version), and the TYPE features timestampNtz / variantType
+    # / typeWidening: their writer obligation is producing files that
+    # encode the type per spec, which Spark's parquet writer does natively
+    # on every engine staging write (TIMESTAMP_NTZ as int64
+    # isAdjustedToUTC=false, VARIANT per the parquet variant encoding,
+    # widened columns at the logged widest type with
+    # delta.typeChanges field metadata preserved by schema passthrough;
+    # this engine performs no type-CHANGE operations, the only place
+    # typeWidening demands more). Ordinary commits carry no further
+    # per-commit obligation for any of these.
     features = [
         f
         for f in features
@@ -1505,6 +1556,9 @@ def check_write_protocol(
             "appendOnly",
             "inCommitTimestamp",
             "checkpointProtection",
+            "timestampNtz",
+            "variantType",
+            "typeWidening",
         )
     ]
     constraints_ok = enforced_constraints or not declared_constraints(table_path)

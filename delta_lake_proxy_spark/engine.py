@@ -678,33 +678,42 @@ class Engine:
             ins_by_v.pop(v, None)
             del_by_v.pop(v, None)
 
+        # mapped tables: data and change files carry PHYSICAL column names
+        # (this engine's DML stages them that way too) — read physical,
+        # serve logical
+        phys_schema, l2p = self._physical_schema(path, schema)
         reader = self.spark.read.option("basePath", path)
-        if schema is not None:
-            reader = reader.schema(schema)
+        if phys_schema is not None:
+            reader = reader.schema(phys_schema)
         parts_df: list[DataFrame] = []
         # one read per (commit, kind), so the version column stays exact;
         # windows span few commits by construction
         for v in sorted(set(cdc_by_v) | set(ins_by_v) | set(del_by_v)):
             if v in cdc_by_v:
                 cdc_reader = self.spark.read.option("basePath", os.path.join(path, "_change_data"))
-                if schema is not None:
+                if phys_schema is not None:
                     from pyspark.sql import types as T
 
                     cdc_reader = cdc_reader.schema(
                         T.StructType(
-                            list(schema.fields)
+                            list(phys_schema.fields)
                             + [T.StructField("_change_type", T.StringType())]
                         )
                     )
                 part = cdc_reader.parquet(
                     *[os.path.join(path, p) for p in cdc_by_v[v]]
+                )
+                part = self._rename_physical(
+                    part, schema, l2p, keep=["_change_type"]
                 ).withColumn("_commit_version", F.lit(v).cast("long"))
                 parts_df.append(part)
                 continue
             for by, ct in ((ins_by_v, "insert"), (del_by_v, "delete")):
                 if v in by:
-                    part = reader.parquet(
-                        *[os.path.join(path, p) for p in by[v]]
+                    part = self._rename_physical(
+                        reader.parquet(*[os.path.join(path, p) for p in by[v]]),
+                        schema,
+                        l2p,
                     ).withColumns(
                         {
                             "_change_type": F.lit(ct),
@@ -2215,34 +2224,14 @@ class Engine:
         # logical names): rename every column and partition directory to the
         # mapped physical names so the written files are indistinguishable
         # from a conforming mapped writer's
-        parts_phys = [l2p.get(p, p) for p in parts] if l2p else list(parts)
-        if l2p:
-            df = df.select([F.col(c).alias(l2p[c]) for c in df.columns])
-        ic_version = deltalog.iceberg_compat_version(path)
-        dir_parts = parts_phys
-        if ic_version:
-            df, dir_parts = self._prepare_iceberg_write(path, df, parts_phys)
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".",
-            f".stage-{uuid.uuid4().hex}",
-        )
-        writer = df.write.mode("overwrite")
-        if dir_parts:
-            writer = writer.partitionBy(*dir_parts)
-        writer.parquet(staging)
-        if ic_version and dir_parts != parts_phys:
-            self._rename_iceberg_dirs(staging)
-        if identity_pin is not None:
-            identity_pin.unpersist()  # the pinned batch is on disk now
         prev_adds: dict[str, dict] = (
             deltalog._live_adds_no_spark(path)
             if deltalog.latest_version(path) >= 0
             else {}
         )
-        try:
-            moved = self._move_staged(staging, path)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        moved, parts_phys = self._stage_physical(path, df, list(parts))
+        if identity_pin is not None:
+            identity_pin.unpersist()  # the pinned batch is on disk now
         adds = [
             {**deltalog.add_action_for(path, rel, parts_phys), "dataChange": data_change}
             for rel in moved
@@ -2288,10 +2277,6 @@ class Engine:
             cdf_handled=True,
             # overwrite removes above carry the DV identities they tombstone
             dv_write=self._dv_protocol(path),
-            iceberg_handled=bool(ic_version),
-            # schema stays authoritative (collation metadata preserved) and
-            # write-time expressions ran on collation-typed columns above
-            collations_handled=True,
         )
         # table property overrides the engine default (delta.checkpointInterval)
         interval = self.config.checkpoint_interval
@@ -2393,6 +2378,57 @@ class Engine:
         for p, d in zip(parts_phys, dir_parts):
             df = df.withColumn(d, F.col(p))
         return df, dir_parts
+
+    def _stage_physical(
+        self,
+        path: str,
+        df: DataFrame,
+        parts: list[str],
+        dest: str | None = None,
+        apply_iceberg: bool = True,
+    ) -> tuple[list[str], list[str]]:
+        """Stage ``df`` (LOGICAL columns) as data files in the table's
+        PHYSICAL layout and move them into ``dest`` (default: the table
+        root): mapped tables get their columns and partition directories
+        renamed to ``delta.columnMapping.physicalName``s, Iceberg-compat
+        tables get field-id footers / materialized partition values
+        (:meth:`_prepare_iceberg_write`). The single staging path every
+        file-producing write shares — write_table, copy-on-write DML, the
+        DV DML shapes, and CDC change files — so the mapped/iceberg
+        obligations hold on each. Returns
+        ``(moved relative paths, physical partition columns)``."""
+        l2p = self._column_mapping(path)
+        parts_phys = [l2p.get(p, p) for p in parts] if l2p else list(parts)
+        if l2p:
+            # columns outside the mapped schema cannot be translated —
+            # `_change_type` (CDC files, spec-named as-is) passes through
+            df = df.select(
+                [
+                    F.col(c).alias(l2p[c]) if c in l2p else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        # CDC change files opt out (`apply_iceberg=False`): Iceberg clients
+        # never read Delta CDF, and `_change_type` has no field id
+        ic = deltalog.iceberg_compat_version(path) if apply_iceberg else None
+        dir_parts = parts_phys
+        if ic:
+            df, dir_parts = self._prepare_iceberg_write(path, df, parts_phys)
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            f".stage-{uuid.uuid4().hex}",
+        )
+        writer = df.write.mode("overwrite")
+        if dir_parts:
+            writer = writer.partitionBy(*dir_parts)
+        writer.parquet(staging)
+        if ic and dir_parts != parts_phys:
+            self._rename_iceberg_dirs(staging)
+        try:
+            moved = self._move_staged(staging, dest or path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return moved, parts_phys
 
     def _rename_iceberg_dirs(self, staging: str) -> None:
         """Strip :attr:`_ICEBERG_DIR_PREFIX` from staged Hive partition
@@ -2562,17 +2598,13 @@ class Engine:
         table state (``dataChange=false``) — only :meth:`table_changes`
         reads them. Underscore-prefixed, so directory listings and plain
         readers skip them, exactly like ``_delta_log``."""
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-cdc-{uuid.uuid4().hex}"
+        moved, parts_phys = self._stage_physical(
+            path,
+            cdc_df,
+            list(parts),
+            dest=os.path.join(path, self.CDC_DIR),
+            apply_iceberg=False,
         )
-        writer = cdc_df.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
-        try:
-            moved = self._move_staged(staging, os.path.join(path, self.CDC_DIR))
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
         out = []
         for rel in moved:
             full = os.path.join(path, self.CDC_DIR, rel)
@@ -2580,7 +2612,7 @@ class Engine:
                 {
                     "path": f"{self.CDC_DIR}/{rel}",
                     "partitionValues": deltalog.partition_values_from_path(
-                        rel, list(parts)
+                        rel, parts_phys
                     ),
                     "size": os.path.getsize(full),
                 }
@@ -3222,7 +3254,9 @@ class Engine:
         liveness the DVs flip, so the change stream stays row-exact
         without any data-file rewrite."""
         try:
-            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+            target = self._apply_collations(
+                path, self._read_data(path, keep_file_col=True, keep_pos=True)
+            )
         except _NeedsEnumeratedScan:
             return None
         matched_rows = target.filter(condition)
@@ -3373,7 +3407,9 @@ class Engine:
         costs O(matched rows), not O(touched files). Returns None past the
         enumerable threshold (caller falls back to copy-on-write)."""
         try:
-            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+            target = self._apply_collations(
+                path, self._read_data(path, keep_file_col=True, keep_pos=True)
+            )
         except _NeedsEnumeratedScan:
             return None
         matched = target.filter(condition)
@@ -3389,17 +3425,7 @@ class Engine:
                 for c, expr in assignments.items()
             }
         )
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-        )
-        writer = updated.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
-        try:
-            moved = self._move_staged(staging, path)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        moved, parts_phys = self._stage_physical(path, updated, list(parts))
         cdc_actions = None
         if self._cdf_enabled(path):
             # row-exact CDF from the DV shape: the marked rows are the
@@ -3410,7 +3436,7 @@ class Engine:
             post = updated.withColumn("_change_type", F.lit("update_postimage"))
             cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
         dv_adds, removes = self._dv_actions_for(path, descs)
-        new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        new_adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
         version = self._commit_moved(
             path,
             dv_rels + moved,
@@ -3473,7 +3499,9 @@ class Engine:
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]
             )
         try:
-            target = self._read_data(path, keep_file_col=True, keep_pos=True)
+            target = self._apply_collations(
+                path, self._read_data(path, keep_file_col=True, keep_pos=True)
+            )
         except _NeedsEnumeratedScan:
             return None
         keys = source.select(*on).dropDuplicates()
@@ -3486,17 +3514,7 @@ class Engine:
             self._dv_actions_for(path, descs) if descs else ([], [])
         )
         enforced = self._enforce_check_constraints(path, source)
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-        )
-        writer = source.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
-        try:
-            moved = self._move_staged(staging, path)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        moved, parts_phys = self._stage_physical(path, source, list(parts))
         cdc_actions = None
         if self._cdf_enabled(path):
             # same change taxonomy as the copy-on-write MERGE: DV'd target
@@ -3515,7 +3533,7 @@ class Engine:
             cdc_actions = self._write_cdc(
                 path, pre.unionByName(post).unionByName(ins), parts
             )
-        new_adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+        new_adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
         version = self._commit_moved(
             path,
             dv_rels + moved,
@@ -3719,7 +3737,7 @@ class Engine:
             if v is not None:
                 return v
         keys = source.select(*on).dropDuplicates()
-        target = self._read_data(path, keep_file_col=True)
+        target = self._apply_collations(path, self._read_data(path, keep_file_col=True))
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.join(keys, on=on, how="left_semi")
         )
@@ -3766,18 +3784,8 @@ class Engine:
                     path, pre.unionByName(post).unionByName(ins), parts
                 )
             enforced = self._enforce_check_constraints(path, rewrite)
-            staging = os.path.join(
-                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-            )
-            writer = rewrite.write.mode("overwrite")
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(staging)
-            try:
-                moved = self._move_staged(staging, path)
-            finally:
-                shutil.rmtree(staging, ignore_errors=True)
-            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            moved, parts_phys = self._stage_physical(path, rewrite, list(parts))
+            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
             version = self._commit_moved(
                 path,
                 moved,
@@ -3814,7 +3822,9 @@ class Engine:
         # the DV shape above preserves row ids (files untouched); the
         # copy-on-write fallback rewrites survivors and cannot
         self._require_row_id_stability(path, "copy-on-write DELETE")
-        target = self._read_data(path, keep_file_col=True)
+        # collated columns re-typed so the DELETE condition compares under
+        # the declared collation, exactly like read_table
+        target = self._apply_collations(path, self._read_data(path, keep_file_col=True))
         touched_uris, touched_df, removes = self._dml_touched(
             path, target.filter(condition)
         )
@@ -3848,18 +3858,8 @@ class Engine:
                 )
                 cdc_actions = self._write_cdc(path, deleted, parts)
             enforced = self._enforce_check_constraints(path, survivors)
-            staging = os.path.join(
-                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-            )
-            writer = survivors.write.mode("overwrite")
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(staging)
-            try:
-                moved = self._move_staged(staging, path)
-            finally:
-                shutil.rmtree(staging, ignore_errors=True)
-            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            moved, parts_phys = self._stage_physical(path, survivors, list(parts))
+            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
             version = self._commit_moved(
                 path,
                 moved,
@@ -3912,7 +3912,7 @@ class Engine:
                 f"cannot UPDATE GENERATED ALWAYS AS IDENTITY column(s) "
                 f"{bad_id} — identity values are engine-generated"
             )
-        target = self._read_data(path, keep_file_col=True)
+        target = self._apply_collations(path, self._read_data(path, keep_file_col=True))
         unknown = sorted(set(assignments) - set(target.columns))
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s) {unknown}")
@@ -3963,18 +3963,8 @@ class Engine:
                 ).withColumn("_change_type", F.lit("update_postimage"))
                 cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
             enforced = self._enforce_check_constraints(path, rewritten)
-            staging = os.path.join(
-                os.path.dirname(path.rstrip("/")) or ".", f".stage-{uuid.uuid4().hex}"
-            )
-            writer = rewritten.write.mode("overwrite")
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(staging)
-            try:
-                moved = self._move_staged(staging, path)
-            finally:
-                shutil.rmtree(staging, ignore_errors=True)
-            adds = [deltalog.add_action_for(path, rel, list(parts)) for rel in moved]
+            moved, parts_phys = self._stage_physical(path, rewritten, list(parts))
+            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
             version = self._commit_moved(
                 path,
                 moved,
@@ -4492,6 +4482,14 @@ class Engine:
         # written files' footer stats — every Engine commit, one code path.
         kwargs.setdefault("identity_handled", True)
         kwargs.setdefault("defaults_handled", True)
+        # every file-producing Engine path stages through _stage_physical,
+        # which performs the mapped physical translation and the
+        # icebergCompat file obligations — so Engine commits prove both
+        # (raw deltalog.write_commit callers still refuse on such tables);
+        # the logged schema likewise stays authoritative for collations
+        kwargs.setdefault("mapped_write", bool(self._column_mapping(path)))
+        kwargs.setdefault("iceberg_handled", True)
+        kwargs.setdefault("collations_handled", True)
         if deltalog.identity_columns(path):
             sj, hwm_changed = deltalog.advance_identity_hwm(
                 path,

@@ -186,6 +186,19 @@ def test_foreign_collated_table_reads_and_writes(spark, tmp_path):
         deltalog.write_commit(root, adds=[], removes=[])
 
 
+def test_dml_condition_under_collation(spark, tmp_path):
+    """DELETE/UPDATE conditions compare under the declared collation,
+    exactly like read_table: deleting 'red' under UNICODE_CI removes
+    'Red'."""
+    root = _foreign_collated(str(tmp_path / "dml"))
+    eng = _engine(spark, root)
+    eng.delete("t", F.col("color") == F.lit("red"))  # matches 'Red' (CI)
+    left = [r["color"] for r in eng.read_table("t", user="admin").collect()]
+    assert left == ["BLUE"]
+    eng.update("t", F.col("color") == F.lit("blue"), {"id": F.lit(42)})
+    assert eng.read_table("t", user="admin").collect()[0]["id"] == 42
+
+
 def test_constraint_evaluated_under_collation(spark, tmp_path):
     """A CHECK constraint comparing a collated column must run under the
     declared collation: `color IN ('red','blue')` with UNICODE_CI accepts

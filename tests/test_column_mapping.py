@@ -280,14 +280,11 @@ def test_mapped_schema_evolution_refused(spark, mapped):
         eng.write_table("t", widened, mode="append")
 
 
-def test_mapped_raw_commit_and_dml_still_refused(spark, mapped, id_mapped):
+def test_mapped_raw_commit_and_id_mode_still_refused(spark, mapped, id_mapped):
     # raw log-level commits cannot prove physical translation -> refuse
-    with pytest.raises(UnsupportedProtocolError, match="Engine.write_table"):
+    # (Engine DML translates since round 11 — pinned in test_mapped_dml.py)
+    with pytest.raises(UnsupportedProtocolError, match="write path does not translate"):
         deltalog.write_commit(mapped, adds=[], removes=[{"path": "x"}])
-    # DML rewrites files through a path that does not translate -> refuse
-    eng = Engine(spark, EngineConfig(table_mapping={"t": mapped}, read_only=False))
-    with pytest.raises(UnsupportedProtocolError):
-        eng.delete("t", F.col("id") == 1)
     # id-mode writes refuse even through Engine.write_table
     eng_id = Engine(
         spark, EngineConfig(table_mapping={"t": id_mapped}, read_only=False)
@@ -512,14 +509,15 @@ def test_mapped_table_shallow_clone(spark, mapped, tmp_path):
         ),
     )
     assert sorted(r["id"] for r in eng2.read_table("c", user="u").collect()) == [1, 2, 3]
-    # DML on mapped tables (clone or not) stays refused — the DML paths do
-    # not translate rewrites to physical names
-    with pytest.raises(UnsupportedProtocolError):
-        eng.delete("c", F.col("id") == 1)
+    # DML on mapped tables translates since round 11 — on a clone the
+    # rewrite lands in the CLONE (physical layout), the source untouched
+    assert eng.delete("c", F.col("id") == 1) > 0
+    assert sorted(r["id"] for r in eng.read_table("c").collect()) == [2, 3, 4, 5]
+    assert eng.read_table("t").count() == 5  # source unaffected
     # translating appends land in the CLONE only; the source is untouched
     extra = spark.createDataFrame([(9, 9.0, "B")], "id long, val double, part string")
     eng.write_table("c", extra, mode="append")
-    assert sorted(r["id"] for r in eng.read_table("c").collect()) == [1, 2, 3, 4, 5, 9]
+    assert sorted(r["id"] for r in eng.read_table("c").collect()) == [2, 3, 4, 5, 9]
     assert sorted(r["id"] for r in eng.read_table("t").collect()) == [1, 2, 3, 4, 5]
 
 

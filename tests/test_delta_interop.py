@@ -399,8 +399,13 @@ def test_our_log_matches_protocol_shapes(spark, tmp_path, lineitem):
                 assert isinstance(body["id"], str)
             elif kind == "protocol":
                 seen_protocol = True
-                assert body["minReaderVersion"] == 1
-                assert body["minWriterVersion"] == 2
+                # lineitem's l_shipdate is TIMESTAMP_NTZ: creation declares
+                # the timestampNtz feature (round 11 — the spec requires
+                # the feature before the type may be used)
+                assert body["minReaderVersion"] == 3
+                assert body["minWriterVersion"] == 7
+                assert body["readerFeatures"] == ["timestampNtz"]
+                assert body["writerFeatures"] == ["timestampNtz"]
             elif kind == "commitInfo":
                 assert isinstance(body["timestamp"], int)
                 assert isinstance(body["operation"], str)

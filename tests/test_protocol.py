@@ -367,7 +367,10 @@ def test_describe_and_property_management(spark, tmp_path, lineitem):
     assert d["format"] == "parquet" and d["location"] == path
     assert d["partitionColumns"] == ["l_returnflag"]
     assert d["numFiles"] >= 1 and d["sizeInBytes"] > 0
-    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
+    # lineitem's l_shipdate is TIMESTAMP_NTZ, so creation DECLARES the
+    # timestampNtz feature (spec: types may only be used under a declared
+    # feature — round 11; previously the fixture was silently (1,2))
+    assert d["minReaderVersion"] == 3 and d["minWriterVersion"] == 7
 
     eng.set_table_properties("t", {"delta.appendOnly": "false", "team": "data"})
     assert deltalog.table_configuration_no_spark(path)["team"] == "data"
@@ -811,9 +814,10 @@ def test_timestamp_ntz_table_readable(spark, tmp_path):
     got = spark.read.format("governed").option("path", root).load().collect()
     assert sorted(r["id"] for r in got) == [1, 2, 3]
     assert sorted(r["ts"] for r in got)[1] == ts[1]
-    # writes still refuse (writer 7 + unconsumed feature)
-    with pytest.raises(UnsupportedProtocolError):
-        deltalog.write_commit(root, adds=[], removes=[{"path": "x"}])
+    # writes land (round 11: timestampNtz's writer obligation is native
+    # type support, which every engine write path has — the feature is
+    # stripped at the gate like appendOnly)
+    assert deltalog.write_commit(root, adds=[], removes=[{"path": "x"}]) == 1
 
 
 # -- v2 checkpoints (round 7): uuid-named main file + sidecars --------------
