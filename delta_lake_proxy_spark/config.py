@@ -34,6 +34,12 @@ class EngineConfig:
     acl_cache_ttl_s: float = 120.0
     # Delta-style checkpoint cadence for engine writes (0 disables).
     checkpoint_interval: int = 10
+    # Log-compaction cadence (Delta spec "Log Compaction Files", 0 = off):
+    # every N commits NOT already covered by a fresh checkpoint, write
+    # ``<x>.<y>.compacted.json`` so replays read one file per N-commit run.
+    # Useful when the checkpoint interval is long relative to commit rate
+    # (high-frequency streaming appends).
+    log_compaction_interval: int = 0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "EngineConfig":
@@ -58,6 +64,9 @@ class EngineConfig:
             acl_cache_ttl_s=float(pick("aclCacheTtlS", "acl_cache_ttl_s", default=120.0)),
             checkpoint_interval=int(
                 pick("checkpointInterval", "checkpoint_interval", default=10)
+            ),
+            log_compaction_interval=int(
+                pick("logCompactionInterval", "log_compaction_interval", default=0)
             ),
         )
 

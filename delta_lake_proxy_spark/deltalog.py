@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -234,6 +235,13 @@ def latest_version(table_path: str) -> int:
             best = max(best, int(name[:-5]))
         elif ".checkpoint." in name and name.endswith(".parquet") and name[:20].isdigit():
             best = max(best, int(name[:20]))
+        else:
+            # a log-compaction file pins its range END the same way a
+            # checkpoint pins its version: the commits it aggregates may
+            # already be retired
+            m = _COMPACTED_RE.match(name)
+            if m is not None:
+                best = max(best, int(m.group(2)))
     ck = last_checkpoint(table_path)
     if ck is not None:
         best = max(best, int(ck["version"]))
@@ -252,10 +260,63 @@ def _relative_data_files(table_path: str) -> list[str]:
     return sorted(out)
 
 
-def collect_file_stats(full_path: str) -> str | None:
+# Delta's default for delta.dataSkippingNumIndexedCols: stats cover the
+# first 32 schema columns unless the table overrides it. On a 1000-column
+# table, unbounded per-file min/max would grow every add action (and with
+# it checkpoint size and replay cost) ~30x past what Delta itself writes.
+DEFAULT_NUM_INDEXED_COLS = 32
+
+# collect stats for every footer column (no table context / no limit)
+_STATS_ALL: set[str] | None = None
+
+
+def stats_columns(table_path: str) -> set[str] | None:
+    """PHYSICAL column names whose footer min/max belong in add-action
+    ``stats``, per the Delta data-skipping properties:
+    ``delta.dataSkippingStatsColumns`` (explicit logical-name list, wins)
+    else the first ``delta.dataSkippingNumIndexedCols`` schema columns
+    (Delta default 32; ``-1`` = no limit -> None). Logical names translate
+    through the column mapping because stats keys — like partitionValues
+    keys — are physical in mapped tables. ``numRecords`` is always kept;
+    this bounds only the min/max payload, which is what grows with schema
+    width."""
+    conf = table_configuration_no_spark(table_path)
+    try:
+        l2p = column_mapping(table_path)
+    except UnsupportedProtocolError:
+        l2p = {}
+    explicit = conf.get("delta.dataSkippingStatsColumns")
+    if explicit:
+        names = [c.strip().strip("`") for c in str(explicit).split(",") if c.strip()]
+        return {l2p.get(c, c) for c in names}
+    n_raw = str(conf.get("delta.dataSkippingNumIndexedCols", DEFAULT_NUM_INDEXED_COLS))
+    try:
+        n = int(n_raw)
+    except ValueError:
+        n = DEFAULT_NUM_INDEXED_COLS
+    if n < 0:
+        return _STATS_ALL
+    meta = table_metadata_no_spark(table_path)
+    if meta is None or not meta.get("schemaString"):
+        return _STATS_ALL  # pre-metadata commit: nothing to rank columns by
+    try:
+        fields = [
+            str(f["name"])
+            for f in json.loads(meta["schemaString"]).get("fields") or []
+        ]
+    except Exception:
+        return _STATS_ALL
+    return {l2p.get(c, c) for c in fields[:n]}
+
+
+def collect_file_stats(
+    full_path: str, stats_cols: set[str] | None = _STATS_ALL
+) -> str | None:
     """Per-file column stats from the parquet footer (metadata-only read):
     the Delta ``stats`` JSON — numRecords + min/maxValues for primitive
-    columns. Returns None when pyarrow or footer stats are unavailable."""
+    columns. ``stats_cols`` (from :func:`stats_columns`) bounds the min/max
+    payload to the table's indexed columns; None = all footer columns.
+    Returns None when pyarrow or footer stats are unavailable."""
     try:
         import pyarrow.parquet as pq
     except Exception:
@@ -292,6 +353,8 @@ def collect_file_stats(full_path: str) -> str | None:
             name = col.path_in_schema
             if "." in name:
                 continue
+            if stats_cols is not None and name not in stats_cols:
+                continue
             try:
                 lo, hi = jsonable(st.min), jsonable(st.max)
             except Exception:
@@ -305,17 +368,30 @@ def collect_file_stats(full_path: str) -> str | None:
     )
 
 
-def add_action_for(table_path: str, rel: str, partition_cols: list[str]) -> dict[str, Any]:
+_STATS_AUTO = "auto"
+
+
+def add_action_for(
+    table_path: str,
+    rel: str,
+    partition_cols: list[str],
+    stats_cols: set[str] | None | str = _STATS_AUTO,
+) -> dict[str, Any]:
     """Build a full ``add`` action (size, mtime, partitionValues, stats) for
-    an on-disk data file."""
+    an on-disk data file. ``stats_cols`` bounds the stats payload to the
+    table's indexed columns (:func:`stats_columns`) — callers committing
+    many files compute it ONCE and pass it in (the default resolves it per
+    call: one driver-side log replay per file)."""
     full = os.path.join(table_path, rel)
     st = os.stat(full)
+    if stats_cols == _STATS_AUTO:
+        stats_cols = stats_columns(table_path)
     return {
         "path": rel,
         "partitionValues": partition_values_from_path(rel, partition_cols),
         "size": st.st_size,
         "modificationTime": int(st.st_mtime * 1000),
-        "stats": collect_file_stats(full),
+        "stats": collect_file_stats(full, stats_cols),
     }
 
 
@@ -763,6 +839,18 @@ def commit_dir_state(
     tracked: set[str] = set()
     if latest_version(table_path) >= 0:
         tracked = set(_live_paths_no_spark(table_path))
+        stats_cols = stats_columns(table_path)
+    else:
+        # creating commit: the schema being logged ranks the columns for
+        # the default first-N stats bound
+        try:
+            fields = [
+                str(f["name"])
+                for f in json.loads(schema_json or "{}").get("fields") or []
+            ]
+            stats_cols = set(fields[:DEFAULT_NUM_INDEXED_COLS]) if fields else None
+        except Exception:
+            stats_cols = None
     adds = []
     for rel in sorted(on_disk - tracked):
         full = os.path.join(table_path, rel)
@@ -773,7 +861,7 @@ def commit_dir_state(
                 "partitionValues": partition_values_from_path(rel, partition_cols),
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
-                "stats": collect_file_stats(full),
+                "stats": collect_file_stats(full, stats_cols),
             }
         )
     removes = [{"path": rel} for rel in sorted(tracked - on_disk)]
@@ -829,27 +917,20 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
                         a["partitionValues"] = dict(pv)
                     state[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
         min_version = v
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            v_name = int(name[:-5])
-            if v_name <= min_version:
-                continue
-            if max_version is not None and v_name > max_version:
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "add" in action:
-                        a = action["add"]
-                        state[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
-                    elif "remove" in action:
-                        r = action["remove"]
-                        state[(r["path"], dv_unique_id(r.get("deletionVector")))] = None
+    # segments substitute spec'd log-compaction files for long JSON tails —
+    # same reconciled state, O(1) files for a compacted range
+    for _s, _e, fp in log_segments(table_path, min_version, max_version):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    state[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
+                elif "remove" in action:
+                    r = action["remove"]
+                    state[(r["path"], dv_unique_id(r.get("deletionVector")))] = None
     # one live add per path in any valid table (an add with a new DV always
     # tombstones the old identity); later-keyed duplicates win determinally
     return {p: a for (p, _uid), a in state.items() if a is not None}
@@ -858,6 +939,188 @@ def _live_adds_no_spark(table_path: str, max_version: int | None = None) -> dict
 def _live_paths_no_spark(table_path: str) -> list[str]:
     """Driver-side replay for the writer path (the log is metadata-sized)."""
     return list(_live_adds_no_spark(table_path))
+
+
+# Delta log-compaction files (protocol spec "Log Compaction Files"):
+# ``<x>.<y>.compacted.json`` aggregates the reconciled actions of commits
+# x..y so a replay reads ONE file instead of y-x+1 — the spec's remedy for
+# long JSON tails between checkpoints (high-commit-rate streaming tables).
+# The reference reads these through the ``deltalake`` kernel (ref
+# ``src/main.rs:357``); writers (Databricks et al.) emit them routinely.
+_COMPACTED_RE = re.compile(r"^(\d+)\.(\d+)\.compacted\.json$")
+
+
+def log_segments(
+    table_path: str, min_version: int = -1, max_version: int | None = None
+) -> list[tuple[int, int, str]]:
+    """Ordered log files whose actions replay versions strictly after
+    ``min_version`` through ``max_version`` (``None`` = tip), as
+    ``(start, end, absolute_path)`` — single commits have start == end.
+
+    Spec'd log-compaction files are substituted greedily (longest range
+    first) wherever one starts exactly at the next needed version and ends
+    within bounds: the reconciled state is identical, the file count is not.
+    A compaction overlapping the already-replayed prefix (start <=
+    ``min_version``, e.g. one reaching below the seeding checkpoint) is
+    never used — its "latest metaData/protocol in range" could be STALER
+    than the checkpoint's. Compactions crossing ``max_version`` are skipped
+    for the same reason in the other direction (their aggregate includes
+    actions past the bound). Missing versions are skipped exactly as the
+    old sorted-listing replay did (valid logs have no holes)."""
+    d = log_path(table_path)
+    if not os.path.isdir(d):
+        return []
+    commits: dict[int, str] = {}
+    compactions: dict[int, list[tuple[int, str]]] = {}
+    for name in os.listdir(d):
+        if name.endswith(".json") and name[:-5].isdigit():
+            commits[int(name[:-5])] = name
+        else:
+            m = _COMPACTED_RE.match(name)
+            if m is not None:
+                x, y = int(m.group(1)), int(m.group(2))
+                if y > x:
+                    compactions.setdefault(x, []).append((y, name))
+    if not commits and not compactions:
+        return []
+    tip = max(
+        list(commits)
+        + [y for lst in compactions.values() for (y, _n) in lst]
+    )
+    if max_version is not None:
+        tip = min(tip, int(max_version))
+    out: list[tuple[int, int, str]] = []
+    v = min_version + 1
+    while v <= tip:
+        best = max(
+            ((y, n) for (y, n) in compactions.get(v, []) if y <= tip),
+            default=None,
+        )
+        if best is not None:
+            out.append((v, best[0], os.path.join(d, best[1])))
+            v = best[0] + 1
+        else:
+            if v in commits:
+                out.append((v, v, os.path.join(d, commits[v])))
+            v += 1
+    return out
+
+
+# Top-level action keys a commit may legally carry (Delta protocol spec).
+# A compaction must reproduce the range's reconciled state EXACTLY, so an
+# unrecognized action kind (some future protocol addition) refuses rather
+# than being silently dropped from the compacted file.
+_KNOWN_ACTION_KEYS = {
+    "protocol",
+    "metaData",
+    "add",
+    "remove",
+    "txn",
+    "domainMetadata",
+    "commitInfo",
+    "cdc",
+    "checkpointMetadata",
+    "sidecar",
+}
+
+
+def write_log_compaction(table_path: str, start: int, end: int) -> str:
+    """Write ``<start>.<end>.compacted.json`` (Delta spec "Log Compaction
+    Files"): the checkpoint-rule reconciliation of commits start..end —
+    latest ``protocol``/``metaData`` in range, latest ``txn`` per appId,
+    latest ``domainMetadata`` per domain (``removed`` tombstones KEPT, so a
+    domain dropped inside the range stays dropped when the compaction
+    replays over a pre-range state), and per logical file
+    ``(path, deletionVector uniqueId)`` the latest add/remove — removes
+    kept as tombstones, exactly as a checkpoint would. ``commitInfo`` and
+    ``cdc`` are replay-irrelevant and dropped (CDF/history readers read the
+    still-present individual commits; compaction never deletes anything).
+
+    The original commits are untouched — readers that predate compaction
+    remain correct, and per-version consumers (CDF, time travel inside the
+    range, ``version_at_timestamp``) keep their granularity until log
+    cleanup retires commits below a checkpoint. Returns the relative file
+    name. Atomic via temp-file + rename, like every log write here."""
+    check_read_protocol(table_path)
+    from .dv import dv_unique_id
+
+    start, end = int(start), int(end)
+    if not (0 <= start < end):
+        raise ValueError(
+            f"invalid log-compaction range [{start}, {end}] — need 0 <= start < end"
+        )
+    d = log_path(table_path)
+    files = []
+    for v in range(start, end + 1):
+        fp = os.path.join(d, f"{v:020d}.json")
+        if not os.path.isfile(fp):
+            raise ValueError(
+                f"cannot compact [{start}, {end}] of {table_path}: commit {v} "
+                "is not retained"
+            )
+        files.append(fp)
+    proto: dict | None = None
+    meta: dict | None = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    state: dict[tuple[str, str], tuple[str, dict]] = {}
+    for fp in files:
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                unknown = set(action) - _KNOWN_ACTION_KEYS
+                if unknown:
+                    raise UnsupportedProtocolError(
+                        table_path,
+                        f"commit carries unrecognized action(s) {sorted(unknown)} — "
+                        "compacting would drop state a future reader needs",
+                    )
+                if action.get("protocol") is not None:
+                    proto = action["protocol"]
+                elif action.get("metaData") is not None:
+                    meta = action["metaData"]
+                elif action.get("txn") is not None:
+                    t = action["txn"]
+                    if t.get("appId") is not None:
+                        txns[str(t["appId"])] = t
+                elif action.get("domainMetadata") is not None:
+                    dm = action["domainMetadata"]
+                    if dm.get("domain") is not None:
+                        domains[str(dm["domain"])] = dm
+                elif action.get("add") is not None:
+                    a = action["add"]
+                    state[(a["path"], dv_unique_id(a.get("deletionVector")))] = (
+                        "add",
+                        a,
+                    )
+                elif action.get("remove") is not None:
+                    r = action["remove"]
+                    state[(r["path"], dv_unique_id(r.get("deletionVector")))] = (
+                        "remove",
+                        r,
+                    )
+                # commitInfo / cdc / (checkpointMetadata, sidecar — never in
+                # commits) carry no snapshot state: dropped
+    lines: list[str] = []
+    if proto is not None:
+        lines.append(json.dumps({"protocol": proto}))
+    if meta is not None:
+        lines.append(json.dumps({"metaData": meta}))
+    for app in sorted(txns):
+        lines.append(json.dumps({"txn": txns[app]}))
+    for dom in sorted(domains):
+        lines.append(json.dumps({"domainMetadata": domains[dom]}))
+    for key in sorted(state):
+        kind, a = state[key]
+        lines.append(json.dumps({kind: a}))
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}-{name}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(d, name))
+    return name
 
 
 # Deliberately LOW bytes-per-action divisor: real add actions serialize to
@@ -906,21 +1169,17 @@ def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
     files carry resolve via :func:`column_mapping`."""
     check_read_protocol(table_path)
     meta = None
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    # cheap prefix probe before json.loads: action objects are
-                    # single-key, so a metaData action names its key in the
-                    # first bytes of the line — add/remove lines never parse
-                    if '"metaData"' not in line[:64]:
-                        continue
-                    m = json.loads(line).get("metaData")
-                    if m is not None:
-                        meta = m
+    for _s, _e, fp in log_segments(table_path):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                # cheap prefix probe before json.loads: action objects are
+                # single-key, so a metaData action names its key in the
+                # first bytes of the line — add/remove lines never parse
+                if '"metaData"' not in line[:64]:
+                    continue
+                m = json.loads(line).get("metaData")
+                if m is not None:
+                    meta = m
     if meta is None:
         ck = last_checkpoint(table_path)
         if ck is None:
@@ -950,20 +1209,16 @@ def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
     log exists but records no protocol (raw fixture logs) — callers treat
     that as the minimum (reader 1 / writer 1), like Delta's own default."""
     proto = None
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    # action objects are single-key: a protocol action names
-                    # its key in the first bytes of the line (cheap probe)
-                    if '"protocol"' not in line[:64]:
-                        continue
-                    p = json.loads(line).get("protocol")
-                    if p is not None:
-                        proto = p
+    for _s, _e, fp in log_segments(table_path):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                # action objects are single-key: a protocol action names
+                # its key in the first bytes of the line (cheap probe)
+                if '"protocol"' not in line[:64]:
+                    continue
+                p = json.loads(line).get("protocol")
+                if p is not None:
+                    proto = p
     if proto is None:
         ck = last_checkpoint(table_path)
         if ck is None:
@@ -1037,8 +1292,11 @@ def check_read_protocol(table_path: str) -> None:
     ``src/main.rs:357``). Absent protocol (raw fixture logs) = reader 1.
 
     Honored beyond version 1: reader 2 / the ``columnMapping`` reader
-    feature, in NAME mode only (the read paths translate physical column
-    names — :func:`column_mapping`); ID mode and any other feature refuse."""
+    feature in NAME mode (physical-name translation —
+    :func:`column_mapping`) and ID mode (parquet field-id resolution —
+    :func:`column_mapping_field_ids`), both including nested struct fields
+    (:func:`physical_data_type`), plus the reader-3 features in
+    ``SUPPORTED_READER_FEATURES``; anything else refuses."""
     proto = table_protocol_no_spark(table_path)
     if proto is None:
         return
@@ -1080,6 +1338,90 @@ def _type_contains_struct(t: Any) -> bool:
     return False
 
 
+def dtype_contains_struct(dt: Any) -> bool:
+    """Spark-type twin of :func:`_type_contains_struct` (which walks schema
+    JSON): does this DataType contain a StructType at any depth?"""
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return dtype_contains_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return dtype_contains_struct(dt.keyType) or dtype_contains_struct(dt.valueType)
+    return False
+
+
+def physical_data_type(
+    dt: Any, table_path: str = "", field_ids: bool = False
+) -> Any:
+    """Rename every NESTED struct field of ``dt`` (a logical Spark DataType
+    whose StructFields carry Delta column-mapping metadata, e.g. from
+    ``StructType.fromJson(schemaString)``) to its
+    ``delta.columnMapping.physicalName`` — mapped tables store data under
+    physical names at EVERY nesting level (Delta spec, column mapping).
+    The result reads the physical parquet; renaming BACK to logical is a
+    positional struct cast (field order is preserved, only names change).
+    With ``field_ids`` each nested field also carries ``parquet.field.id``
+    from its ``delta.columnMapping.id`` so Spark's reader resolves nested
+    columns by id (ID-mode contract). Refuses on a nested field lacking a
+    physical name — malformed metadata, same rule as the top level."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            phys = md.get("delta.columnMapping.physicalName")
+            if not phys:
+                raise UnsupportedProtocolError(
+                    table_path,
+                    f"nested field {f.name!r} lacks delta.columnMapping."
+                    "physicalName in a mapped table — malformed metadata",
+                )
+            new_md = None
+            if field_ids:
+                fid = md.get("delta.columnMapping.id")
+                if fid is None:
+                    raise UnsupportedProtocolError(
+                        table_path,
+                        f"nested field {f.name!r} lacks delta.columnMapping.id "
+                        "in an id-mapped table — malformed metadata",
+                    )
+                new_md = {"parquet.field.id": int(fid)}
+            fields.append(
+                T.StructField(
+                    str(phys),
+                    physical_data_type(f.dataType, table_path, field_ids),
+                    f.nullable,
+                    metadata=new_md,
+                )
+            )
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            physical_data_type(dt.elementType, table_path, field_ids),
+            dt.containsNull,
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            physical_data_type(dt.keyType, table_path, field_ids),
+            physical_data_type(dt.valueType, table_path, field_ids),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def mapping_has_struct(table_path: str) -> bool:
+    """True when a MAPPED table's schema contains struct columns (nested
+    physical names): the Spark scan paths handle these; the pyarrow
+    DataSource does not and refuses with a pointer to Engine.read_table."""
+    if not column_mapping(table_path):
+        return False
+    meta = table_metadata_no_spark(table_path) or {}
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        return False
+    return any(_type_contains_struct(f.get("type")) for f in fields)
+
+
 def column_mapping(table_path: str) -> dict[str, str]:
     """Logical -> physical column-name map for a column-mapped table
     (``delta.columnMapping.mode`` name OR id): each top-level field's
@@ -1087,9 +1429,11 @@ def column_mapping(table_path: str) -> dict[str, str]:
     partition directories, ``partitionValues`` keys, and stats keys in BOTH
     modes; in id mode the parquet DATA columns additionally resolve by
     field id (:func:`column_mapping_field_ids`). Empty when the table has
-    no mapping. Struct columns (whose nested fields carry their own
-    physical names) are not implemented and refuse loudly; arrays/maps of
-    primitives are unaffected by mapping and pass."""
+    no mapping. Struct columns map their NESTED fields too — the Spark
+    scan paths rebuild the nested physical type via
+    :func:`physical_data_type` and rename back with a positional struct
+    cast; the pyarrow DataSource refuses such tables with a pointer to
+    ``Engine.read_table``."""
     conf = table_configuration_no_spark(table_path)
     mode = str(conf.get("delta.columnMapping.mode", "none")).lower()
     if mode in ("", "none"):
@@ -1106,12 +1450,6 @@ def column_mapping(table_path: str) -> dict[str, str]:
         fields = []
     out: dict[str, str] = {}
     for f in fields:
-        if _type_contains_struct(f.get("type")):
-            raise UnsupportedProtocolError(
-                table_path,
-                f"column mapping over struct column {f.get('name')!r} is "
-                "not implemented (nested physical names)",
-            )
         phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
         if not phys:
             raise UnsupportedProtocolError(
@@ -1705,18 +2043,14 @@ def table_configuration_no_spark(table_path: str) -> dict[str, str]:
     """Latest ``metaData.configuration`` map, driver-side (table properties
     like ``delta.appendOnly``); empty when absent."""
     conf: dict[str, str] | None = None
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    if '"metaData"' not in line[:64]:
-                        continue
-                    m = json.loads(line).get("metaData")
-                    if m is not None:
-                        conf = dict(m.get("configuration") or {})
+    for _s, _e, fp in log_segments(table_path):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if '"metaData"' not in line[:64]:
+                    continue
+                m = json.loads(line).get("metaData")
+                if m is not None:
+                    conf = dict(m.get("configuration") or {})
     if conf is None:
         # metaData commit cleaned up: the checkpoint carries it forward
         ck = last_checkpoint(table_path)
@@ -1879,18 +2213,12 @@ def live_domain_metadata(table_path: str) -> dict[str, dict]:
             ):
                 apply(dm)
         min_version = int(ck["version"])
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            if int(name[:-5]) <= min_version:
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    if '"domainMetadata"' not in line[:64]:
-                        continue
-                    apply(json.loads(line).get("domainMetadata"))
+    for _s, _e, fp in log_segments(table_path, min_version):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if '"domainMetadata"' not in line[:64]:
+                    continue
+                apply(json.loads(line).get("domainMetadata"))
     return out
 
 
@@ -1963,21 +2291,15 @@ def all_txn_versions(table_path: str) -> dict[str, int]:
                     app = t["appId"]
                     out[app] = max(out.get(app, -1), int(t.get("version", -1)))
         min_version = int(ck["version"])
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in sorted(os.listdir(d)):
-            if not (name.endswith(".json") and name[:-5].isdigit()):
-                continue
-            if int(name[:-5]) <= min_version:
-                continue
-            with open(os.path.join(d, name), "r", encoding="utf-8") as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    t = json.loads(line).get("txn")
-                    if t and t.get("appId") is not None:
-                        app = t["appId"]
-                        out[app] = max(out.get(app, -1), int(t.get("version", -1)))
+    for _s, _e, fp in log_segments(table_path, min_version):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                t = json.loads(line).get("txn")
+                if t and t.get("appId") is not None:
+                    app = t["appId"]
+                    out[app] = max(out.get(app, -1), int(t.get("version", -1)))
     return out
 
 
@@ -2108,7 +2430,11 @@ def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
             and name[:20].isdigit()
             and int(name[:20]) < v
         )
-        if not (is_old_commit or is_old_ckpt):
+        # log-compaction files aggregate commits; once the checkpoint covers
+        # their whole range they are as dead as the commits themselves
+        m_comp = _COMPACTED_RE.match(name)
+        is_old_compaction = m_comp is not None and int(m_comp.group(2)) <= v
+        if not (is_old_commit or is_old_ckpt or is_old_compaction):
             continue
         full = os.path.join(d, name)
         if os.stat(full).st_mtime <= cutoff:
@@ -2598,6 +2924,35 @@ def read_log(
     return df.withColumn("version", version)
 
 
+def _read_log_segments(
+    spark: SparkSession,
+    table_path: str,
+    min_version: int = -1,
+    max_version: int | None = None,
+) -> DataFrame:
+    """Distributed read of :func:`log_segments` — like :func:`read_log` but
+    with spec'd log-compaction files substituted where they shorten the
+    tail. Actions from a compacted file carry ``version`` = the range END:
+    reconciliation within the range already happened when the compaction
+    was written (one action per logical file), so only cross-file ordering
+    matters — and end < every later commit > every earlier one."""
+    sources = [p for (_s, _e, p) in log_segments(table_path, min_version, max_version)]
+    if not sources:
+        return (
+            spark.createDataFrame([], LOG_SCHEMA)
+            .withColumn("version", F.lit(None).cast("long"))
+        )
+    df = spark.read.schema(LOG_SCHEMA).json(sources)
+    compact_end = F.regexp_extract(
+        F.col("_metadata.file_path"), r"\d+\.(\d+)\.compacted\.json$", 1
+    )
+    single = F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+    version = (
+        F.when(compact_end != F.lit(""), compact_end).otherwise(single).cast("long")
+    )
+    return df.withColumn("version", version)
+
+
 def assert_version_reproducible(table_path: str, version: int) -> None:
     """Fail LOUDLY when a requested version cannot be reconstructed from the
     retained log — without this, time travel below a cleaned-up checkpoint
@@ -2613,12 +2968,13 @@ def assert_version_reproducible(table_path: str, version: int) -> None:
         )
     ck = last_checkpoint(table_path)
     base = int(ck["version"]) if ck is not None and int(ck["version"]) <= version else -1
-    d = log_path(table_path)
-    have = {
-        int(name[:-5])
-        for name in (os.listdir(d) if os.path.isdir(d) else [])
-        if name.endswith(".json") and name[:-5].isdigit()
-    }
+    # a version is reproducible when the retained segments — individual
+    # commits plus log-compaction files usable within (base, version] —
+    # cover every version in between; a version strictly INSIDE a compacted
+    # range is not derivable from the compaction (only its endpoint is)
+    have: set[int] = set()
+    for s, e, _fp in log_segments(table_path, base, version):
+        have.update(range(s, e + 1))
     missing = [v for v in range(base + 1, version + 1) if v not in have]
     if missing:
         raise ValueError(
@@ -2659,12 +3015,14 @@ def snapshot_files(
             .select(F.col("add"), F.lit(None).cast(REMOVE_SCHEMA).alias("remove"))
             .withColumn("version", F.lit(ck_version).cast("long"))
         )
-        tail = read_log(spark, table_path, min_version=ck_version).select(
-            "add", "remove", "version"
-        )
+        tail = _read_log_segments(
+            spark, table_path, min_version=ck_version, max_version=version
+        ).select("add", "remove", "version")
         log = base.unionByName(tail)
     else:
-        log = read_log(spark, table_path).select("add", "remove", "version")
+        log = _read_log_segments(spark, table_path, max_version=version).select(
+            "add", "remove", "version"
+        )
     if version is not None:
         log = log.filter(F.col("version") <= F.lit(int(version)))
     adds = log.filter(F.col("add").isNotNull()).select(

@@ -1840,7 +1840,11 @@ class Engine:
             [
                 T.StructField(
                     l2p.get(f.name, f.name),
-                    f.dataType,
+                    # nested struct fields carry their own physical names
+                    # (and, in id mode, their own field ids)
+                    deltalog.physical_data_type(
+                        f.dataType, path, field_ids=bool(l2id)
+                    ),
                     f.nullable,
                     metadata=(
                         {"parquet.field.id": l2id[f.name]} if f.name in l2id else None
@@ -1854,10 +1858,17 @@ class Engine:
     @staticmethod
     def _rename_physical(df: DataFrame, schema, l2p: dict[str, str] | None, keep: list[str] = ()) -> DataFrame:
         """Project physical columns back to their LOGICAL names (plus any
-        pass-through columns like ``_file``)."""
+        pass-through columns like ``_file``). Struct-bearing columns rename
+        their nested fields with a positional cast to the logical type —
+        same field order, only names change, stays in codegen."""
         if not l2p:
             return df
-        cols = [F.col(l2p.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+        cols = []
+        for f in schema.fields:
+            c = F.col(l2p.get(f.name, f.name))
+            if deltalog.dtype_contains_struct(f.dataType):
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
         cols += [F.col(c) for c in keep if c in df.columns]
         return df.select(*cols)
 
@@ -2232,8 +2243,12 @@ class Engine:
         moved, parts_phys = self._stage_physical(path, df, list(parts))
         if identity_pin is not None:
             identity_pin.unpersist()  # the pinned batch is on disk now
+        _scols = deltalog.stats_columns(path)
         adds = [
-            {**deltalog.add_action_for(path, rel, parts_phys), "dataChange": data_change}
+            {
+                **deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols),
+                "dataChange": data_change,
+            }
             for rel in moved
         ]
         # Delta semantics: an overwrite TOMBSTONES the previous live files in
@@ -2285,6 +2300,17 @@ class Engine:
             interval = int(prop)
         if interval > 0 and version > 0 and version % interval == 0:
             deltalog.write_checkpoint(self.spark, path)
+        lc = self.config.log_compaction_interval
+        if lc > 1 and version > 0 and version % lc == 0:
+            # compact the last lc commits unless a checkpoint already covers
+            # them (a fresh checkpoint at this version makes the run dead)
+            ck = deltalog.last_checkpoint(path)
+            start = max(
+                (int(ck["version"]) + 1) if ck is not None else 0,
+                version - lc + 1,
+            )
+            if start < version:
+                deltalog.write_log_compaction(path, start, version)
         self._snapshot_cache.invalidate()  # table state changed
         return version
 
@@ -2359,6 +2385,13 @@ class Engine:
             )
         except Exception:
             pass
+        if deltalog.mapping_has_struct(path):
+            raise UnsupportedProtocolError(
+                path,
+                "icebergCompat on a schema with struct columns needs NESTED "
+                "parquet field-id stamping, which this writer does not do — "
+                "flatten the schema or disable delta.enableIcebergCompat",
+            )
         l2id = deltalog.column_field_ids_any_mode(path)
         phys2id = {l2p[k]: v for k, v in l2id.items() if k in l2p}
         missing = [c for c in df.columns if c not in phys2id]
@@ -2401,13 +2434,22 @@ class Engine:
         parts_phys = [l2p.get(p, p) for p in parts] if l2p else list(parts)
         if l2p:
             # columns outside the mapped schema cannot be translated —
-            # `_change_type` (CDC files, spec-named as-is) passes through
-            df = df.select(
-                [
-                    F.col(c).alias(l2p[c]) if c in l2p else F.col(c)
-                    for c in df.columns
-                ]
-            )
+            # `_change_type` (CDC files, spec-named as-is) passes through;
+            # struct-bearing columns rename their NESTED fields too
+            # (positional cast to the physical type)
+            schema = self._table_schema(path)
+            by_name = {f.name: f for f in schema.fields} if schema is not None else {}
+            sel = []
+            for c in df.columns:
+                if c not in l2p:
+                    sel.append(F.col(c))
+                    continue
+                col = F.col(c)
+                f = by_name.get(c)
+                if f is not None and deltalog.dtype_contains_struct(f.dataType):
+                    col = col.cast(deltalog.physical_data_type(f.dataType, path))
+                sel.append(col.alias(l2p[c]))
+            df = df.select(sel)
         # CDC change files opt out (`apply_iceberg=False`): Iceberg clients
         # never read Delta CDF, and `_change_type` has no field id
         ic = deltalog.iceberg_compat_version(path) if apply_iceberg else None
@@ -3436,7 +3478,11 @@ class Engine:
             post = updated.withColumn("_change_type", F.lit("update_postimage"))
             cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
         dv_adds, removes = self._dv_actions_for(path, descs)
-        new_adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+        _scols = deltalog.stats_columns(path)
+        new_adds = [
+            deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols)
+            for rel in moved
+        ]
         version = self._commit_moved(
             path,
             dv_rels + moved,
@@ -3533,7 +3579,11 @@ class Engine:
             cdc_actions = self._write_cdc(
                 path, pre.unionByName(post).unionByName(ins), parts
             )
-        new_adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+        _scols = deltalog.stats_columns(path)
+        new_adds = [
+            deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols)
+            for rel in moved
+        ]
         version = self._commit_moved(
             path,
             dv_rels + moved,
@@ -3785,7 +3835,11 @@ class Engine:
                 )
             enforced = self._enforce_check_constraints(path, rewrite)
             moved, parts_phys = self._stage_physical(path, rewrite, list(parts))
-            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+            _scols = deltalog.stats_columns(path)
+            adds = [
+                deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols)
+                for rel in moved
+            ]
             version = self._commit_moved(
                 path,
                 moved,
@@ -3859,7 +3913,11 @@ class Engine:
                 cdc_actions = self._write_cdc(path, deleted, parts)
             enforced = self._enforce_check_constraints(path, survivors)
             moved, parts_phys = self._stage_physical(path, survivors, list(parts))
-            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+            _scols = deltalog.stats_columns(path)
+            adds = [
+                deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols)
+                for rel in moved
+            ]
             version = self._commit_moved(
                 path,
                 moved,
@@ -3964,7 +4022,11 @@ class Engine:
                 cdc_actions = self._write_cdc(path, pre.unionByName(post), parts)
             enforced = self._enforce_check_constraints(path, rewritten)
             moved, parts_phys = self._stage_physical(path, rewritten, list(parts))
-            adds = [deltalog.add_action_for(path, rel, parts_phys) for rel in moved]
+            _scols = deltalog.stats_columns(path)
+            adds = [
+                deltalog.add_action_for(path, rel, parts_phys, stats_cols=_scols)
+                for rel in moved
+            ]
             version = self._commit_moved(
                 path,
                 moved,
@@ -4366,6 +4428,33 @@ class Engine:
             self._snapshot_cache.invalidate()
         return removed
 
+    def compact_log(
+        self, alias: str, start: int | None = None, end: int | None = None
+    ) -> str | None:
+        """G9 maintenance: write a Delta log-compaction file
+        ``<start>.<end>.compacted.json`` (protocol spec "Log Compaction
+        Files") reconciling the commit range so replays read one file
+        instead of end-start+1 — the spec's remedy for long JSON tails
+        between checkpoints. Defaults: the whole retained tail after the
+        last checkpoint. Individual commits are untouched (CDF, history,
+        and time travel keep per-version granularity until ``cleanup_log``
+        retires them). Returns the file name, or None when the defaulted
+        range holds fewer than two commits. The reference reads these
+        through the ``deltalake`` kernel (ref ``src/main.rs:357``)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        path = self.resolve(alias)
+        if end is None:
+            end = deltalog.latest_version(path)
+        if start is None:
+            ck = deltalog.last_checkpoint(path)
+            start = int(ck["version"]) + 1 if ck is not None else 0
+        if start >= end:
+            return None
+        name = deltalog.write_log_compaction(path, start, end)
+        self._snapshot_cache.invalidate()
+        return name
+
     def _with_zorder(
         self, df: DataFrame, cols: list[str], bits: int = 16, method: str = "linear"
     ) -> DataFrame:
@@ -4442,7 +4531,12 @@ class Engine:
             prev = by_name.get(f.name)
             if prev is None:
                 merged.append(f)
-            elif prev.dataType != f.dataType:
+            elif prev.dataType.simpleString() != f.dataType.simpleString():
+                # simpleString compares STRUCTURE (names + types at every
+                # depth) but not nested-field metadata — a mapped table's
+                # logged schema carries delta.columnMapping.* on nested
+                # fields that an incoming frame never has; that is not a
+                # conflict (the logged schema stays authoritative)
                 # string-vs-collated-string is NOT a conflict: byte layout
                 # is identical and the TABLE's collation stays authoritative
                 # (plain incoming strings are re-typed by _apply_collations)

@@ -298,6 +298,15 @@ class GovernedReader(DataSourceReader):
         # LOGICAL names; files, partitionValues, and stats carry PHYSICAL
         self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
         self.l2id: dict[str, int] = deltalog.column_mapping_field_ids(self.path)
+        if self.l2p and deltalog.mapping_has_struct(self.path):
+            from ..errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                self.path,
+                "nested (struct) column mapping is handled by the Engine "
+                "scan paths, not this pyarrow DataSource — use "
+                "Engine.read_table",
+            )
         self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
 
     def pushFilters(self, filters: list[Filter]):
@@ -503,6 +512,15 @@ class GovernedStreamReader(DataSourceStreamReader):
         self.target_task_bytes = int(options.get("target_task_bytes", 128 << 20))
         self.l2p: dict[str, str] = deltalog.column_mapping(self.path)
         self.l2id: dict[str, int] = deltalog.column_mapping_field_ids(self.path)
+        if self.l2p and deltalog.mapping_has_struct(self.path):
+            from ..errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                self.path,
+                "nested (struct) column mapping is handled by the Engine "
+                "scan paths, not this pyarrow DataSource — use "
+                "Engine.read_table",
+            )
         self.dnf = deltalog.translate_dnf(self.dnf, self.l2p)
         mf = _opt(options, "maxFilesPerTrigger")
         mb = _opt(options, "maxBytesPerTrigger")
@@ -1025,6 +1043,32 @@ class GovernedWriter(DataSourceArrowWriter):
             )
         self.partition_cols = _logged_partition_cols(self.table_path)
         self.overwrite = overwrite
+        # Log-compaction cadence (Delta spec "Log Compaction Files"): a
+        # streaming sink commits once per micro-batch, so its JSON tail is
+        # the spec's motivating case — every N commits, reconcile the run
+        # into one <x>.<y>.compacted.json so replays stop re-reading the
+        # tail file-by-file. Pure-Python (deltalog.write_log_compaction),
+        # so it runs fine inside the DataSource's driver-side commit where
+        # no SparkSession is reachable for a checkpoint.
+        lci = options.get("logCompactionInterval") or options.get(
+            "logcompactioninterval"
+        )
+        self.log_compaction_interval = int(lci) if lci is not None else 0
+
+    def _maybe_compact_log(self, version: int) -> None:
+        lc = self.log_compaction_interval
+        if lc <= 1 or version <= 0 or version % lc != 0:
+            return
+        ck = deltalog.last_checkpoint(self.table_path)
+        start = max(
+            (int(ck["version"]) + 1) if ck is not None else 0, version - lc + 1
+        )
+        if start >= version:
+            return
+        try:
+            deltalog.write_log_compaction(self.table_path, start, version)
+        except Exception:
+            pass  # compaction is advisory; never fail a committed batch
 
     # Bound on concurrently-open ParquetWriters per task: a high-cardinality
     # partition column must not exhaust file descriptors/memory. Past the
@@ -1092,8 +1136,11 @@ class GovernedWriter(DataSourceArrowWriter):
 
     def commit(self, messages, txn: dict | None = None) -> None:
         rels = self._all_rels(messages)
+        _scols = deltalog.stats_columns(self.table_path)
         adds = [
-            deltalog.add_action_for(self.table_path, rel, self.partition_cols)
+            deltalog.add_action_for(
+                self.table_path, rel, self.partition_cols, stats_cols=_scols
+            )
             for rel in rels
         ]
         removes = []
@@ -1101,7 +1148,7 @@ class GovernedWriter(DataSourceArrowWriter):
             live = deltalog._live_adds_no_spark(self.table_path)
             removes = [{"path": p} for p in sorted(set(live) - set(rels))]
         try:
-            deltalog.write_commit(
+            version = deltalog.write_commit(
                 self.table_path,
                 adds,
                 removes,
@@ -1112,6 +1159,7 @@ class GovernedWriter(DataSourceArrowWriter):
         except BaseException:
             self.abort(messages)
             raise
+        self._maybe_compact_log(version)
 
     def abort(self, messages) -> None:
         for rel in self._all_rels(messages):
