@@ -664,6 +664,137 @@ def connected_components(
     return comps.union(roots).dropDuplicates(["id"])
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    keep: str = "centroid_far",
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication" —
+    public method, re-expressed as DataFrame ops): k-means-cluster the
+    embeddings, find within-cluster pairs above the cosine ``threshold``,
+    and keep ONE representative per connected dup group. Unlike the
+    LSH-bucketed :func:`embedding_near_duplicates` (sign buckets, greedy
+    keep-lowest-id), clustering concentrates paraphrase-level semantic
+    duplicates — the redundancy the paper shows LSH buckets split apart —
+    and the keep rule follows the paper: ``centroid_far`` retains the
+    group member LEAST similar to its cluster centroid (the "edge"
+    example, most informative for training; ties break toward the smaller
+    id), ``min_id`` retains the smallest id.
+
+    Scale shape: candidate pairs are per-cluster only (corpus/num_clusters
+    per cluster, further bounded by ``max_cluster_size`` salting —
+    ``salt_oversized_buckets``'s documented recall trade); the dup groups
+    iterate via :func:`connected_components` over the PAIR relation, never
+    the corpus; the centroid machinery reuses the IVF path (literal
+    codegen argmax below ``ARROW_CENTROID_CELLS``, broadcast matrix +
+    Arrow matmul above — no per-row Python on the small path, constant
+    plan size on the large one). Returns the surviving rows unchanged.
+    """
+    import math
+
+    from .similarity import (
+        ARROW_CENTROID_CELLS,
+        _ivf_centroids,
+        _ivf_centroids_np,
+        _lit_vec,
+        _vec_dim,
+        assign_centroids_arrow,
+        cosine,
+        dot,
+        norm,
+    )
+
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"keep must be 'centroid_far' or 'min_id', got {keep!r}")
+    dim = _vec_dim(embeddings, vec_col)
+    if num_clusters * dim <= ARROW_CENTROID_CELLS:
+        cents = _ivf_centroids(
+            embeddings, num_clusters, lloyd_iters, id_col=id_col, vec_col=vec_col
+        )
+        # unit-norm centroids: the argmax then picks by COSINE (the paper
+        # clusters normalized embeddings), and the winning score / |v| is
+        # the vector-to-centroid cosine the keep rule ranks by
+        unit = [
+            (cid, [x / n for x in cv] if (n := math.sqrt(sum(x * x for x in cv))) else cv)
+            for cid, cv in cents
+        ]
+        scored = F.array(
+            *[
+                F.named_struct(
+                    F.lit("s"), F.col("_dot_" + str(cid)),
+                    F.lit("negc"), F.lit(-int(cid)).cast("long"),
+                )
+                for cid, _cv in unit
+            ]
+        )
+        assigned = embeddings.withColumns(
+            {"_dot_" + str(cid): dot(F.col(vec_col), _lit_vec(cv)) for cid, cv in unit}
+        )
+        best = F.array_max(scored)
+        assigned = assigned.withColumns(
+            {
+                "_cid": -best["negc"],
+                "_csim": best["s"] / norm(F.col(vec_col)),
+            }
+        ).drop(*["_dot_" + str(cid) for cid, _cv in unit])
+    else:
+        import numpy as np
+
+        ids, mat = _ivf_centroids_np(
+            embeddings, num_clusters, lloyd_iters, id_col=id_col, vec_col=vec_col
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        assigned = assign_centroids_arrow(
+            embeddings, ids, mat / norms[:, None], vec_col, score_col="_cs"
+        )
+        assigned = assigned.withColumn(
+            "_csim", F.col("_cs") / norm(F.col(vec_col))
+        ).drop("_cs")
+    proj = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        "_cid",
+        "_csim",
+    )
+    proj, join_keys = salt_oversized_buckets(
+        proj, ["_cid"], F.xxhash64(F.col("_id")), max_cluster_size
+    )
+    pairs = (
+        proj.alias("a")
+        .join(proj.alias("b"), on=join_keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._vec"), F.col("b._vec")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    comps = connected_components(pairs)
+    ranked = comps.join(
+        assigned.select(F.col(id_col).alias("id"), "_csim"), on="id"
+    )
+    order = (
+        [F.col("_csim").asc(), F.col("id").asc()]
+        if keep == "centroid_far"
+        else [F.col("id").asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    dropped = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return embeddings.join(dropped, on=id_col, how="left_anti")
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

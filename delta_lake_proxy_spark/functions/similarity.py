@@ -230,7 +230,12 @@ def _cents_arrow(df: DataFrame, cid_col: str, vec_col: str):
 
 
 def assign_centroids_arrow(
-    df: DataFrame, cent_ids, cent_mat, vec_col: str, out_col: str = "_cid"
+    df: DataFrame,
+    cent_ids,
+    cent_mat,
+    vec_col: str,
+    out_col: str = "_cid",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment for LARGE centroid sets: the centroid
     matrix ships once per executor as a broadcast variable and each Arrow
@@ -238,12 +243,16 @@ def assign_centroids_arrow(
     constant plan size in num_centroids, unlike the literal ``array_max``
     expression. ``cent_ids`` must be sorted ascending (argmax's
     first-occurrence rule then ties toward the smallest cid, same as the
-    codegen path)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    codegen path). ``score_col`` additionally emits the winning dot product
+    (``semantic_dedup``'s keep-rule needs vector-to-centroid similarity)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
-    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    out_fields = list(df.schema.fields) + [StructField(out_col, LongType())]
+    if score_col:
+        out_fields.append(StructField(score_col, DoubleType()))
+    out_schema = StructType(out_fields)
 
     def score(batches):
         import numpy as np
@@ -252,12 +261,18 @@ def assign_centroids_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 pdf[out_col] = np.array([], dtype=np.int64)
+                if score_col:
+                    pdf[score_col] = np.array([], dtype=np.float64)
                 yield pdf
                 continue
             vecs = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            pdf[out_col] = ids[np.argmax(vecs @ mat.T, axis=1)]
+            scores = vecs @ mat.T
+            idx = np.argmax(scores, axis=1)
+            pdf[out_col] = ids[idx]
+            if score_col:
+                pdf[score_col] = scores[np.arange(len(idx)), idx]
             yield pdf
 
     return df.mapInPandas(score, out_schema)

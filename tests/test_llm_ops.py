@@ -1197,3 +1197,84 @@ def test_ivf_topk_arrow_dispatch(spark):
         ).collect()
     }
     assert len(got & exact) / 10 >= 0.9
+
+
+def test_semantic_dedup_groups_and_keep_rules(spark):
+    """SemDeDup: within-cluster cosine groups collapse transitively to one
+    representative; keep='centroid_far' retains the member least similar
+    to its cluster centroid, keep='min_id' the smallest id."""
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = [
+        # dup chain near angle 0.30: 1~2, 2~4 transitively one group
+        (1, unit(0.300)),
+        (2, unit(0.304)),
+        (4, unit(0.308)),
+        # distinct direction, its own cluster region
+        (3, unit(2.0)),
+        (5, unit(-2.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(
+        df, num_clusters=3, threshold=0.999, lloyd_iters=1, keep="min_id"
+    )
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert 3 in got and 5 in got
+    assert len([g for g in got if g in (1, 2, 4)]) == 1  # one rep per group
+    assert got == sorted(got)
+    # min_id keeps 1 from the {1,2,4} group
+    assert 1 in got
+    # centroid_far keeps the member farthest from the cluster centroid:
+    # the centroid sits at the group's Lloyd mean (~0.304), so an endpoint
+    # of the angle chain survives, never the middle (2)
+    out2 = dedup.semantic_dedup(
+        df, num_clusters=3, threshold=0.999, lloyd_iters=1, keep="centroid_far"
+    )
+    got2 = sorted(r["vec_id"] for r in out2.collect())
+    assert len(got2) == 3 and 2 not in got2
+    # impossible threshold: everything survives
+    assert (
+        dedup.semantic_dedup(df, num_clusters=3, threshold=1.1).count() == 5
+    )
+
+
+def test_semantic_dedup_arrow_path_no_driver_collect_of_sums(spark, monkeypatch):
+    """Past ARROW_CENTROID_CELLS the centroid machinery must take the
+    broadcast-matrix + Arrow path (constant plan size, distributed Lloyd
+    means) — pinned by failing the literal-expression helpers."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 80))
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((2 * i, [float(x) for x in v]))
+        dup = v + 0.0005 * rng.normal(size=80)
+        dup = dup / np.linalg.norm(dup)
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def boom(*a, **k):
+        raise AssertionError("literal-expression path used past the threshold")
+
+    monkeypatch.setattr(S, "_ivf_centroids", boom)
+    monkeypatch.setattr(S, "_assign_centroid", boom)
+    # 52 clusters x 80 dims = 4160 > ARROW_CENTROID_CELLS (4096)
+    out = dedup.semantic_dedup(
+        df, num_clusters=52, threshold=0.999, lloyd_iters=1, keep="min_id"
+    )
+    survivors = sorted(r["vec_id"] for r in out.collect())
+    # every (2i, 2i+1) pair is a planted near-dup: one survives whenever
+    # both land in the same cluster (near-identical vectors share an
+    # argmax except within an ~0.0005 tie band); no pair of DISTINCT base
+    # vectors collapses (random gaussians, cosine ~ 0)
+    assert 100 <= len(survivors) <= 110  # >= 90 planted pairs collapsed
+    # never over-deletes: every planted pair keeps at least one member
+    bases = {v // 2 for v in survivors}
+    assert bases == set(range(100))
