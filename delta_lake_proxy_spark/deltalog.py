@@ -1144,18 +1144,10 @@ def estimate_snapshot_actions(table_path: str) -> int:
         for f in checkpoint_data_files(table_path, ck):
             total += pq.ParquetFile(f).metadata.num_rows
         min_version = int(ck["version"])
-    d = log_path(table_path)
-    if os.path.isdir(d):
-        for name in os.listdir(d):
-            if (
-                name.endswith(".json")
-                and name[:-5].isdigit()
-                and int(name[:-5]) > min_version
-            ):
-                total += max(
-                    1,
-                    os.path.getsize(os.path.join(d, name)) // _BYTES_PER_ACTION_ESTIMATE,
-                )
+    # size the files a replay would actually read: a compacted tail counts
+    # its (reconciled, much smaller) compaction files, not the raw commits
+    for _s, _e, fp in log_segments(table_path, min_version):
+        total += max(1, os.path.getsize(fp) // _BYTES_PER_ACTION_ESTIMATE)
     return total
 
 
@@ -2275,7 +2267,16 @@ def all_txn_versions(table_path: str) -> dict[str, int]:
     JSON commits after it apply on top. Delta checkpoints txn actions for
     exactly this reason: app watermarks must outlive log-retention cleanup,
     or a restarted streaming sink whose micro-batch replays would
-    double-append (exactly-once broken by routine maintenance)."""
+    double-append (exactly-once broken by routine maintenance).
+
+    "Latest" is LAST-WINS in commit order (the Delta action-reconciliation
+    rule: the latest txn action of an appId replaces all earlier ones) —
+    NOT max(version): a writer that legitimately restarts its version
+    sequence must see its restart stick. For the monotonic batch ids real
+    streaming sinks use, the two agree. (This deviation was caught by the
+    log-compaction property test — the compactor keeps the spec's
+    last-wins action and the old max() disagreed on non-monotonic
+    histories.)"""
     out: dict[str, int] = {}
     min_version = -1
     ck = last_checkpoint(table_path)
@@ -2288,8 +2289,7 @@ def all_txn_versions(table_path: str) -> dict[str, int]:
                 continue  # pre-txn-era checkpoint: JSON tail is authoritative
             for t in pq.read_table(ck_file, columns=["txn"]).column("txn").to_pylist():
                 if t is not None and t.get("appId") is not None:
-                    app = t["appId"]
-                    out[app] = max(out.get(app, -1), int(t.get("version", -1)))
+                    out[t["appId"]] = int(t.get("version", -1))
         min_version = int(ck["version"])
     for _s, _e, fp in log_segments(table_path, min_version):
         with open(fp, "r", encoding="utf-8") as f:
@@ -2298,15 +2298,15 @@ def all_txn_versions(table_path: str) -> dict[str, int]:
                     continue
                 t = json.loads(line).get("txn")
                 if t and t.get("appId") is not None:
-                    app = t["appId"]
-                    out[app] = max(out.get(app, -1), int(t.get("version", -1)))
+                    out[t["appId"]] = int(t.get("version", -1))
     return out
 
 
 def last_txn_version(table_path: str, app_id: str) -> int:
-    """Highest ``txn.version`` committed by ``app_id``, or -1 — read
-    checkpoint-first via :func:`all_txn_versions`, so the streaming sink's
-    idempotence watermark survives ``cleanup_log`` (Delta txn semantics)."""
+    """``app_id``'s latest committed ``txn.version`` (last-wins, Delta
+    action reconciliation), or -1 — read checkpoint-first via
+    :func:`all_txn_versions`, so the streaming sink's idempotence watermark
+    survives ``cleanup_log`` (Delta txn semantics)."""
     return all_txn_versions(table_path).get(app_id, -1)
 
 

@@ -333,3 +333,77 @@ def test_dv_replay_matches_model_random_histories(tmp_path):
             shutil.rmtree(t, ignore_errors=True)
 
     run()
+
+
+def test_log_compaction_replay_matches_model_random_histories(tmp_path):
+    """Property: for ANY random add/remove/txn history, compacting ANY
+    valid commit range — and then even deleting the range's individual
+    commits — leaves every driver-side resolver (live adds, protocol,
+    configuration, txn watermarks) byte-identical to the uncompacted
+    replay. Pure file IO, no SparkSession."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_proxy_spark import deltalog
+
+    paths = [f"p{i}.parquet" for i in range(5)]
+    apps = ["app-a", "app-b"]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        history=st.lists(
+            st.tuples(
+                st.sampled_from(paths),
+                st.booleans(),  # is_add
+                st.sampled_from([None] + apps),  # txn app on this commit
+                st.integers(min_value=0, max_value=9),  # txn version
+            ),
+            min_size=4,
+            max_size=20,
+        ),
+        cut=st.tuples(
+            st.integers(min_value=0, max_value=6), st.integers(min_value=1, max_value=6)
+        ),
+    )
+    def run(history, cut):
+        import os
+        import shutil
+        import uuid
+
+        t = str(tmp_path / f"c{uuid.uuid4().hex[:12]}")
+        os.makedirs(t)
+        try:
+            for p, is_add, app, tv in history:
+                add = [
+                    {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0}
+                ]
+                deltalog.write_commit(
+                    t,
+                    add if is_add else [],
+                    [] if is_add else [{"path": p}],
+                    txn={"appId": app, "version": tv} if app else None,
+                )
+            latest = deltalog.latest_version(t)
+            want_live = deltalog._live_adds_no_spark(t)
+            want_proto = deltalog.table_protocol_no_spark(t)
+            want_conf = deltalog.table_configuration_no_spark(t)
+            want_txn = deltalog.all_txn_versions(t)
+            start = min(cut[0], latest - 1)
+            end = min(start + cut[1], latest)
+            if start < end:
+                deltalog.write_log_compaction(t, start, end)
+                # resolvers agree with commits present...
+                assert deltalog._live_adds_no_spark(t) == want_live
+                assert deltalog.all_txn_versions(t) == want_txn
+                # ...and after the compacted commits retire
+                for v in range(start, end + 1):
+                    os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+                assert deltalog._live_adds_no_spark(t) == want_live
+                assert deltalog.table_protocol_no_spark(t) == want_proto
+                assert deltalog.table_configuration_no_spark(t) == want_conf
+                assert deltalog.all_txn_versions(t) == want_txn
+                assert deltalog.latest_version(t) == latest
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    run()
