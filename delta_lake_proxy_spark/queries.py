@@ -106,7 +106,15 @@ def _gov_replay_sql(body: str) -> Callable[[], str]:
 
 
 def dsum(col: Column, scale: int = 4) -> Column:
-    """Exact decimal-accumulated sum of a double column, returned as double."""
+    """Exact decimal-accumulated sum of a double column, returned as double.
+
+    Pick ``scale`` so the decimal rounding boundary (0.5 * 10^-scale) sits
+    FAR above the input's double binary noise: a product of ~1e5-magnitude
+    doubles carries ~1e-6 absolute noise, so scale 8 (half-gap 1e-8) lets
+    Spark's and DuckDB's double->decimal conversions round a few
+    knife-edge rows to different sides — visible as ~1e-7-level sum drift
+    at sf0.1 (caught by the sf0.1 oracle sweep, round 11). Scale 4 keeps
+    the gap (5e-5) two orders above the noise on every driver query."""
     return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
 
 
@@ -196,7 +204,7 @@ def governed_engine(
 Q1_AGGS = lambda: [  # noqa: E731 - shared TPC-H-Q1-style aggregate list
     dsum(F.col("l_quantity")).alias("sum_qty"),
     dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-    dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))), 8).alias("sum_disc_price"),
+    dsum((F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
     davg(F.col("l_quantity")).alias("avg_qty"),
     davg(F.col("l_discount"), 8).alias("avg_disc"),
     F.count(F.lit(1)).alias("count_order"),
@@ -205,7 +213,7 @@ Q1_AGGS = lambda: [  # noqa: E731 - shared TPC-H-Q1-style aggregate list
 _Q1_SQL_AGGS = f"""
   {_sql_dsum('l_quantity')} AS sum_qty,
   {_sql_dsum('l_extendedprice')} AS sum_base_price,
-  {_sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS sum_disc_price,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
   {_sql_davg('l_quantity')} AS avg_qty,
   {_sql_davg('l_discount', 8)} AS avg_disc,
   COUNT(*) AS count_order
@@ -540,7 +548,7 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_inner",
     f"""
-    SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS revenue,
+    SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -568,7 +576,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -2457,12 +2465,27 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _catalog_surface_oracle() -> str:
     path = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
+    # the protocol is DERIVED, not hardcoded: since round 11 a created
+    # table's version-0 protocol declares whatever its schema's types
+    # demand (lineitem's TIMESTAMP_NTZ column -> reader 3 / writer 7 with
+    # timestampNtz), so the oracle replays the latest protocol action from
+    # the raw log exactly like a conforming client
+    glob = os.path.join(path, "_delta_log", "*.json")
+    proto = (
+        f"SELECT protocol FROM read_json_auto('{glob}', filename=true, "
+        "format='newline_delimited') WHERE protocol IS NOT NULL "
+        "ORDER BY CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) "
+        "DESC LIMIT 1"
+    )
     body = (
         f"SELECT 'datalake' AS catalog_name, '{GOV_ALIAS}' AS table_name, "
         f"'{path}' AS location, 'parquet' AS format, "
         "CAST(COUNT(*) AS BIGINT) AS num_files, "
         "CAST(SUM(size) AS BIGINT) AS size_in_bytes, "
-        "1 AS min_reader_version, 2 AS min_writer_version "
+        f"(SELECT CAST(protocol.minReaderVersion AS INT) FROM ({proto})) "
+        "AS min_reader_version, "
+        f"(SELECT CAST(protocol.minWriterVersion AS INT) FROM ({proto})) "
+        "AS min_writer_version "
         "FROM live"
     )
     return _gov_replay_sql(body)()

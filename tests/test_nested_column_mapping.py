@@ -314,3 +314,97 @@ def test_malformed_nested_metadata_refuses(spark, tmp_path):
     eng = mk_engine(spark, path)
     with pytest.raises(UnsupportedProtocolError, match="physicalName"):
         eng.read_table("t").collect()
+
+
+def test_struct_in_struct_roundtrip(spark, tmp_path):
+    """Two levels of struct nesting: physical names must apply at EVERY
+    depth on write and rename back on read (the positional cast recurses
+    with the type tree)."""
+    import pyarrow.parquet as pq
+
+    deep_schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "c-1",
+                },
+            },
+            {
+                "name": "outer",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": {
+                                "type": "struct",
+                                "fields": [
+                                    {
+                                        "name": "leaf",
+                                        "type": "string",
+                                        "nullable": True,
+                                        "metadata": {
+                                            "delta.columnMapping.id": 4,
+                                            "delta.columnMapping.physicalName": "c-4",
+                                        },
+                                    }
+                                ],
+                            },
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName": "c-3",
+                            },
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "c-2",
+                },
+            },
+        ],
+    }
+    path = str(tmp_path / "deep")
+    logd = os.path.join(path, "_delta_log")
+    os.makedirs(logd)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "deep-cm",
+                "format": {"provider": "parquet"},
+                "schemaString": json.dumps(deep_schema),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "4",
+                },
+                "createdTime": 1700000000000,
+            }
+        },
+    ]
+    with open(os.path.join(logd, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    eng = mk_engine(spark, path)
+    src = spark.createDataFrame(
+        [(1, ((("x",),))), (2, ((("y",),)))],
+        "id long, outer struct<inner:struct<leaf:string>>",
+    )
+    eng.write_table("t", src, mode="append")
+    rel = next(iter(deltalog._live_adds_no_spark(path)))
+    sch = pq.ParquetFile(os.path.join(path, rel)).schema_arrow
+    assert sch.names == ["c-1", "c-2"]
+    inner = sch.field("c-2").type
+    assert [f.name for f in inner] == ["c-3"]
+    assert [f.name for f in inner.field("c-3").type] == ["c-4"]
+    rows = {r["id"]: r for r in eng.read_table("t").collect()}
+    assert rows[1]["outer"]["inner"]["leaf"] == "x"
+    assert rows[2]["outer"]["inner"]["leaf"] == "y"
