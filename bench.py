@@ -52,12 +52,14 @@ PROTOCOL = [
     "checkpoint_replay",
 ]
 
-# Round-7 additions, timed under SPARK_GRAFT_BENCH_EXTENDED=1 (kept out of
+# Round-7/11 additions, timed under SPARK_GRAFT_BENCH_EXTENDED=1 (kept out of
 # the headline list so its total stays comparable round-over-round).
 EXTENDED = [
     "sequence_pack",
     "pii_scrub",
     "auth_join",
+    "dedup_substring",
+    "lm_perplexity",
 ]
 
 

@@ -20,6 +20,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_proxy_spark.functions.text import WORD_RE
+
 # Persisted bucketed projections from salt_oversized_buckets, retired FIFO so
 # long-lived sessions running many dedup/LSH calls never accumulate cached
 # blocks without bound. persist() (unlike localCheckpoint) keeps lineage, so
@@ -812,3 +814,90 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring detection (the ExactSubstr operator of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every run of >= ``k`` word tokens whose text occurs
+    ``min_occurrences``+ times anywhere in the corpus (across or within
+    documents), merge overlapping/adjacent occurrences per document, and
+    report per-document duplicated-span coverage.
+
+    Spark-first re-expression of the paper's suffix array: a duplicated run
+    of length L >= k is exactly the union of its L-k+1 duplicated k-grams,
+    so hashed k-gram occurrence counting marks the same token positions the
+    suffix array does (runs shorter than k are below the threshold by
+    definition — that IS the paper's threshold semantics). Gram equality is
+    by xxhash64 of the space-joined tokens (injective join, tokens contain
+    no spaces); a 64-bit collision is the only approximation.
+
+    Plan shape at 100 TB:
+    - shingling is a map-only ``transform``+``posexplode`` (a k-fold
+      amplification of token references, no shuffle, no Python);
+    - occurrence counting groups on the 8-byte gram hash with map-side
+      partial aggregation, so a white-hot gram pre-combines per task;
+    - only duplicated hashes join back to the occurrence stream (AQE turns
+      this into a broadcast join when the dup set is small, and its skew
+      split covers a pathological single gram);
+    - span merging is one per-document window over the hit positions
+      (gaps-and-islands; equal-length intervals sorted by start need only
+      ``lag``), then two hash aggregations.
+
+    Output: one row per document — ``(id, n_tokens, n_dup_spans,
+    dup_span_tokens)`` with zeros for clean documents. Removal is the
+    caller's policy choice (drop docs above a coverage ratio, or slice the
+    spans out with ``substr``); the stats are the expensive part.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0).alias("_t"),
+    )
+    n = F.size("_t")
+    offs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = toks.select(F.col(id_col), F.explode(offs).alias("pos"), "_t").select(
+        F.col(id_col),
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), F.col("pos"), k))).alias("_gh"),
+    )
+    dup = (
+        occ.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("_gh")
+    )
+    hits = occ.join(dup, "_gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "_brk",
+        # intervals all span [pos, pos+k-1] and arrive start-sorted, so a new
+        # island begins exactly when this start clears the previous end + 1
+        # (merging both overlap and adjacency); lag=NULL on the first row
+        # compares NULL -> otherwise(0) -> island 0
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "_g",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = isl.groupBy(id_col, "_g").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + (k - 1)).alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_span_tokens"),
+    )
+    base = toks.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_span_tokens", F.lit(0)).cast("long").alias("dup_span_tokens"),
+    )

@@ -322,3 +322,71 @@ def stratified_keep(
         cond = (tier == t) & (F.pmod(doc_id, F.lit(mod)) == 0)
         kept = cond if kept is None else (kept | cond)
     return kept if kept is not None else F.lit(True)
+
+
+def unigram_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-based quality scoring (the perplexity filter of CCNet, Wenzek et
+    al. 2020) with the language model trained on the corpus itself: an
+    add-one-smoothed unigram model ``p(t) = (c_t + 1) / (N + V)``, scoring
+    each document by per-token negative log-likelihood and perplexity.
+    High-perplexity documents are boilerplate/garbage candidates; the filter
+    policy (threshold or head/middle/tail buckets as in CCNet) belongs to
+    the caller.
+
+    Determinism contract (external oracles hash the values): each term's
+    log-prob is rounded to 9 dp and accumulated as DECIMAL(21,9) — decimal
+    sums are exact and order-independent, so any ANSI engine reproduces the
+    per-document sums bit-for-bit; floats only enter at the final
+    divide/round.
+
+    Plan shape at 100 TB: one tokenize scan -> per-(doc, term) tf (one
+    shuffle with map-side partial agg) -> vocab counts roll up FROM tf
+    (second shuffle, vocab-sized not corpus-sized) -> tf joins the vocab
+    log-probs (AQE broadcasts the vocab side when it fits) -> per-doc agg.
+    Pure column expressions throughout — no Python, no driver state.
+
+    Documents with zero word tokens have no likelihood and are omitted
+    (exactly the rows a GROUP BY over their empty token stream omits).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(21,9)")
+        .alias("logp"),
+    )
+    doc = (
+        tf.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            # decimal(10,0) * decimal(21,9) -> decimal(32,9): exact, and the
+            # running sum stays inside Spark's 38-digit ceiling
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("logp")).alias("_s"),
+        )
+    )
+    nll = F.round((-F.col("_s")).cast("double") / F.col("n_tokens"), 6)
+    return doc.select(
+        F.col(id_col),
+        "n_tokens",
+        nll.alias("unigram_nll"),
+        F.round(F.exp(nll), 3).alias("unigram_ppl"),
+    )

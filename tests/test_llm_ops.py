@@ -1278,3 +1278,129 @@ def test_semantic_dedup_arrow_path_no_driver_collect_of_sums(spark, monkeypatch)
     # never over-deletes: every planted pair keeps at least one member
     bases = {v // 2 for v in survivors}
     assert bases == set(range(100))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-substring spans (ExactSubstr) + unigram LM perplexity (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _tok(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Cross-doc shared run, within-doc repeat, adjacency merge, clean doc —
+    each against hand-computed span math at k=8."""
+    shared = _tok("sx", 10)  # 10-token run shared by docs 1 and 2
+    srun = _tok("s", 8)
+    trun = _tok("t", 8)
+    rows = [
+        (1, _tok("d1w", 10) + " " + shared + " " + _tok("d1z", 5)),  # span @11..20
+        (2, _tok("d2w", 4) + " " + shared),  # span @5..14
+        (3, _tok("y", 8) + " z9 " + _tok("y", 8)),  # within-doc repeat: 2 spans
+        (4, _tok("clean", 20)),  # no dup spans
+        (5, srun + " " + trun),  # s-run + t-run adjacent -> ONE merged span
+        (6, srun + " q0 " + trun),  # separated -> two spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_span_tokens"])
+        for r in dedup.duplicate_span_stats(docs, k=8).collect()
+    }
+    assert out[1] == (25, 1, 10)
+    assert out[2] == (14, 1, 10)
+    assert out[3] == (17, 2, 16)
+    assert out[4] == (20, 0, 0)
+    assert out[5] == (16, 1, 16)  # pos 9 == prev end + 1 -> adjacency merges
+    assert out[6] == (17, 2, 16)
+
+
+def test_duplicate_span_stats_short_docs_and_threshold(spark):
+    """Docs shorter than k emit no grams (zeros, not errors), and a shared
+    run of k-1 tokens is below the threshold by definition."""
+    seven = _tok("sh", 7)
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, seven + " " + _tok("a", 6)),
+            (3, seven + " " + _tok("b", 6)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_span_tokens"])
+        for r in dedup.duplicate_span_stats(docs, k=8).collect()
+    }
+    assert out[1] == (2, 0, 0)
+    assert out[2] == (13, 0, 0)  # the 7-token shared prefix is sub-threshold
+    assert out[3] == (13, 0, 0)
+
+
+def test_unigram_nll_matches_hand_model(spark):
+    """Add-one-smoothed unigram NLL against the closed-form model."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "...")],  # doc 3: zero word tokens
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_nll(docs).collect()}
+    # counts: a=2 b=2 c=1 -> N=5 V=3
+    lp = {
+        "a": round(math.log(3 / 8), 9),
+        "b": round(math.log(3 / 8), 9),
+        "c": round(math.log(2 / 8), 9),
+    }
+    exp1 = round(-(2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round(-(lp["b"] + lp["c"]) / 2, 6)
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["unigram_nll"] - exp1) < 1e-9
+    assert out[2]["n_tokens"] == 2 and abs(out[2]["unigram_nll"] - exp2) < 1e-9
+    assert abs(out[1]["unigram_ppl"] - round(math.exp(exp1), 3)) < 1e-9
+    assert 3 not in out  # token-less docs have no likelihood
+    # the duplicated-token doc is MORE likely (lower nll) than the rarer-token doc
+    assert out[1]["unigram_nll"] < out[2]["unigram_nll"]
+
+
+def test_new_llm_ops_no_row_python(spark):
+    """Both round-11 ops must stay pure codegen — no BatchEvalPython."""
+    docs = spark.createDataFrame([(1, "a b c d e f g h a b")], "doc_id long, text string")
+    for df in (dedup.duplicate_span_stats(docs), text.unigram_nll(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retired_queries_match_oracle(spark):
+    """agg_events and corpus_sample_stratified left the pinned driver window
+    in round 11 (slots for lm_perplexity / dedup_substring); this test IS
+    their oracle gate now — same DuckDB compare the driver runs."""
+    import duckdb
+
+    from delta_lake_proxy_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v
+                for v in (r[i] for i in order)
+            )
+            for r in rows
+        )
+
+    for fn, sql in (
+        (Q.agg_events, Q.AGG_EVENTS_SQL),
+        (Q.corpus_sample_stratified, Q.CORPUS_SAMPLE_SQL),
+    ):
+        sdf = fn(spark, SF_DIR)
+        got = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        rel = con.execute(sql)
+        want = norm(rel.fetchall(), [d[0] for d in rel.description])
+        assert got == want, fn.__name__

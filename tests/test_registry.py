@@ -39,13 +39,13 @@ EXPECTED_ORDER = [
     "json_props",
     "array_funcs",
     "metrics_tumbling_window",
-    "agg_events",
     "late_data_watermark",
     "window_session",
     "dedup_exact",
     "text_stats",
-    "corpus_sample_stratified",
     "training_mix",
+    "dedup_substring",
+    "lm_perplexity",
     "ngram_jaccard",
     "similarity_topk",
     "partition_filter_scan",
@@ -104,8 +104,12 @@ SURVEY_COVERAGE = {
     # still pinned by test_plans.test_cross_join_is_broadcast_sized_only)
     "J8": "catalog_surface",
     "A1": "agg_group",
-    "A2": "agg_events",
-    "A3": "agg_events",
+    # A2/A3: agg_events retired from the pinned window in round 11 for
+    # lm_perplexity — the same exact-distinct + decimal-average shape stays
+    # driver-green in metrics_tumbling_window; agg_events itself stays
+    # oracle-pinned by test_llm_ops.test_retired_queries_match_oracle
+    "A2": "metrics_tumbling_window",
+    "A3": "metrics_tumbling_window",
     "A4": "acl_dnf",
     "A5": "file_surface",
     "A6": "agg_rollup_cube",
@@ -139,9 +143,9 @@ SURVEY_COVERAGE = {
     "G7": "metrics_tumbling_window",
     "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history, row_ids_read (rowTracking)
     "X1": "dedup_exact",
-    "X2": "dedup_near_minhash",  # + dedup_components (transitive closure)
+    "X2": "dedup_near_minhash",  # + dedup_components, dedup_substring (ExactSubstr)
     "X3": "similarity_topk",
-    "X4": "text_stats",
+    "X4": "text_stats",  # + lm_perplexity (CCNet-style LM filter)
     "X5": "multimodal_decode",
 }
 
@@ -162,8 +166,9 @@ FLAGSHIPS = [
     "merge_upsert",
     "table_history",
     "pipeline_clean_corpus",
-    "corpus_sample_stratified",
-    "training_mix",
+    "training_mix",  # carries the folded corpus_sample_stratified strata
+    "dedup_substring",
+    "lm_perplexity",
 ]
 
 
