@@ -246,8 +246,8 @@ def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
     shingle_words: int = 3,
     threshold: float = 0.6,
     max_bucket_size: int | None = 10_000,
@@ -259,11 +259,20 @@ def minhash_near_duplicates(
     pairs -> re-attach shingle sets -> exact Jaccard. Output: (id_a, id_b,
     jaccard) with id_a < id_b and jaccard >= threshold.
 
+    Calibration: detection probability per pair is 1-(1-j^r)^b with r =
+    num_hashes/bands, an S-curve centered at (1/b)^(1/r) — that center must
+    sit BELOW the verification ``threshold`` or the banding systematically
+    drops true pairs the contract promises. The defaults (b=16, r=4, center
+    0.5 against threshold 0.6) put detection at >=89% at the threshold and
+    ~1 - 1e-5 by j=0.85. The original b=4/r=8 default centered at 0.84 —
+    ABOVE the threshold — and an sf0.1 oracle sweep (round 11) caught it
+    missing real pairs at jaccard 0.89-0.95; when changing either knob,
+    re-check center < threshold.
+
     Scale notes: the banded join shuffles only (band, bucket, id) triples —
     the heavy shingle arrays never enter the candidate shuffle and are only
-    joined back for the (much smaller) verified candidate set. With r =
-    num_hashes/bands rows per band, the candidate probability is ~j^r per
-    band — default r=8 keeps low-similarity pairs out of verification.
+    joined back for the (much smaller) verified candidate set. r=4 keeps
+    low-similarity pairs out of verification (j=0.3 -> ~12% candidate rate).
     Buckets larger than ``max_bucket_size`` are salted into sub-buckets
     (per-band salt — see :func:`salt_oversized_buckets` for the recall
     trade); ``None`` disables the cap.

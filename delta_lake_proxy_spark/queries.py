@@ -2349,7 +2349,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: ALL-pairs exact word-shingle Jaccard >= threshold in SQL. The
     LSH result is by construction a subset (banding only prunes candidates;
     verification is exact), so hash equality certifies recall 1.0 on this
-    corpus — verified at sf0.001 and sf0.01."""
+    corpus — verified at sf0.001, sf0.01 AND sf0.1 (the sf0.1 sweep caught
+    the old b=4/r=8 banding missing pairs at jaccard 0.89-0.95; the default
+    is now calibrated with its S-curve center below the threshold — see
+    minhash_near_duplicates)."""
     corpus = _docs_with_dups(spark, sf_dir)
     return dedup.minhash_near_duplicates(corpus, threshold=0.6)
 

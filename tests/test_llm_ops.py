@@ -31,11 +31,11 @@ def test_exact_dedup_survivor_and_count(corpus):
 
 
 def test_minhash_finds_near_dups(corpus):
-    # bands=16 (r=2) lowers the LSH detection threshold to ~(1/16)^(1/2)=0.25
+    # bands=32 (r=2) lowers the LSH detection threshold to ~(1/32)^(1/2)=0.18
     # so the one-word-changed pair (jaccard ~0.5) is recalled.
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in dedup.minhash_near_duplicates(corpus, bands=16, threshold=0.3).collect()
+        for r in dedup.minhash_near_duplicates(corpus, bands=32, threshold=0.3).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
     assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
@@ -54,14 +54,18 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
         "doc_id long, text string",
     )
     full = n * (n - 1) // 2
+    # bands=4 pinned: each doc gets 4 salt draws, so pair coverage stays well
+    # below quadratic (the r11 default of 16 bands draws 16 salts and covers
+    # ~80% of pairs on this corpus — still join-bounded, but the distinct-pair
+    # count no longer demonstrates the cap)
     capped = dedup.minhash_near_duplicates(
-        docs, threshold=0.9, max_bucket_size=12
+        docs, num_hashes=32, bands=4, threshold=0.9, max_bucket_size=12
     ).collect()
     assert 0 < len(capped) < full // 2  # bounded, not quadratic
     assert all(r["jaccard"] == 1.0 for r in capped)
     # uncapped control: the same corpus explodes to the full quadratic set
     uncapped = dedup.minhash_near_duplicates(
-        docs, threshold=0.9, max_bucket_size=None
+        docs, num_hashes=32, bands=4, threshold=0.9, max_bucket_size=None
     ).count()
     assert uncapped == full
 
@@ -1404,3 +1408,24 @@ def test_retired_queries_match_oracle(spark):
         rel = con.execute(sql)
         want = norm(rel.fetchall(), [d[0] for d in rel.description])
         assert got == want, fn.__name__
+
+
+def test_minhash_default_calibration_recalls_borderline_pairs(spark):
+    """Regression for the round-11 sf0.1 sweep finding: the old b=4/r=8
+    default centered the LSH S-curve at 0.84 — above the 0.6 verification
+    threshold — and dropped real pairs at jaccard 0.89-0.95. The defaults
+    must recall pairs across that band (deterministic for fixed texts)."""
+    base = [f"tok{i}" for i in range(1, 31)]
+    rows = [(1, " ".join(base))]
+    # variants changing the last 1/2/3 tokens -> word-shingle jaccard ~0.93/0.87/0.81
+    for n_changed, vid in ((1, 2), (2, 3), (3, 4)):
+        var = base[:-n_changed] + [f"alt{vid}x{j}" for j in range(n_changed)]
+        rows.append((vid, " ".join(var)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    for vid in (2, 3, 4):
+        assert (1, vid) in pairs, f"calibrated defaults must recall pair (1, {vid})"
+    assert 0.75 < pairs[(1, 4)] < pairs[(1, 3)] < pairs[(1, 2)] < 1.0

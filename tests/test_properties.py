@@ -407,3 +407,54 @@ def test_log_compaction_replay_matches_model_random_histories(tmp_path):
             shutil.rmtree(t, ignore_errors=True)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-substring spans vs a direct Python model (round 11)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 3
+# two-letter alphabet so random docs collide on k-grams constantly —
+# exercising within-doc repeats, cross-doc repeats, overlap and adjacency
+_span_doc = st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=24)
+_span_corpus = st.lists(_span_doc, min_size=1, max_size=6)
+
+
+def _span_model(corpus: list[list[str]], k: int) -> dict[int, tuple[int, int, int]]:
+    """Brute-force ExactSubstr model: count every k-gram occurrence, mark hit
+    positions, merge overlapping/adjacent intervals."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for ts in corpus:
+        for i in range(len(ts) - k + 1):
+            grams[tuple(ts[i : i + k])] += 1
+    out = {}
+    for d, ts in enumerate(corpus):
+        hits = [
+            i for i in range(len(ts) - k + 1) if grams[tuple(ts[i : i + k])] >= 2
+        ]
+        spans: list[list[int]] = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = i + k - 1
+            else:
+                spans.append([i, i + k - 1])
+        out[d] = (len(ts), len(spans), sum(e - s + 1 for s, e in spans))
+    return out
+
+
+@given(corpus=_span_corpus)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_span_stats_matches_model(spark, corpus):
+    from delta_lake_proxy_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_span_tokens"])
+        for r in dedup.duplicate_span_stats(docs, k=_SPAN_K).collect()
+    }
+    assert got == _span_model(corpus, _SPAN_K)
