@@ -428,6 +428,7 @@ def write_commit(
     defaults_handled: bool = False,
     iceberg_handled: bool = False,
     collations_handled: bool = False,
+    crc_fresh_adds: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -456,6 +457,7 @@ def write_commit(
         defaults_handled=defaults_handled,
         iceberg_handled=iceberg_handled,
         collations_handled=collations_handled,
+        crc_fresh_adds=crc_fresh_adds,
     )
 
 
@@ -483,6 +485,7 @@ def write_commit_streamed(
     defaults_handled: bool = False,
     iceberg_handled: bool = False,
     collations_handled: bool = False,
+    crc_fresh_adds: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -543,9 +546,32 @@ def write_commit_streamed(
         configuration = table_configuration_no_spark(table_path)
     os.makedirs(log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
+    # per-attempt commit tally feeding the (optional, best-effort) version
+    # checksum — reset each attempt, consumed only by the winning one
+    tally: dict[str, Any] = {}
 
     def stream_body(version: int, f) -> bool:
         """Write the commit body; returns whether any remove was emitted."""
+        nonlocal tally
+        tally = {
+            "protocol": None,
+            "metadata": None,
+            "txn": None,
+            "domains": [],
+            "add_count": 0,
+            "add_bytes": 0,
+            "add_paths": [],
+            "adds_capped": False,
+            "remove_count": 0,
+            "remove_bytes": 0,
+            "remove_paths": [],
+            "removes_capped": False,
+            # caller certifies no add path is live at version-1 (fresh
+            # uuid-named files, restore re-adds of tombstoned paths) — lets
+            # the checksum stay pure arithmetic on hot append paths
+            "fresh_adds": crc_fresh_adds,
+            "ict": None,
+        }
         # inCommitTimestamp candidate for THIS attempt: strictly above the
         # predecessor's (a CAS retry has a new predecessor, so recompute).
         ict = max(now_ms, _commit_ict(table_path, version - 1) + 1)
@@ -559,11 +585,13 @@ def write_commit_streamed(
             # copied), must be strictly greater than the previous commit's,
             # and commitInfo must be the FIRST action (it is — this write).
             ci["inCommitTimestamp"] = ict
+            tally["ict"] = ict
         f.write(json.dumps({"commitInfo": ci}) + "\n")
         if protocol_action is not None:
             # explicit upgrade (e.g. enabling CDF demands writer 4): conforming
             # clients must see the capability requirement from this commit on
             f.write(json.dumps({"protocol": protocol_action}) + "\n")
+            tally["protocol"] = protocol_action
         elif version == 0:
             # a table CREATED with feature-demanding types must declare
             # them before use (spec contract): timestamp_ntz / variant are
@@ -580,22 +608,18 @@ def write_commit_streamed(
                 if r_feats:
                     proto0["readerFeatures"] = sorted(r_feats)
             f.write(json.dumps({"protocol": proto0}) + "\n")
+            tally["protocol"] = proto0
         if version == 0 or schema_json is not None:
-            f.write(
-                json.dumps(
-                    {
-                        "metaData": {
-                            "id": str(uuid.uuid4()),
-                            "format": {"provider": "parquet"},
-                            "schemaString": schema_json or "{}",
-                            "partitionColumns": partition_cols or [],
-                            "configuration": conf_v or {},
-                            "createdTime": now_ms,
-                        }
-                    }
-                )
-                + "\n"
-            )
+            md = {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet"},
+                "schemaString": schema_json or "{}",
+                "partitionColumns": partition_cols or [],
+                "configuration": conf_v or {},
+                "createdTime": now_ms,
+            }
+            f.write(json.dumps({"metaData": md}) + "\n")
+            tally["metadata"] = md
         if txn is not None:
             f.write(
                 json.dumps(
@@ -603,11 +627,13 @@ def write_commit_streamed(
                 )
                 + "\n"
             )
+            tally["txn"] = txn
         for dm in domain_actions or ():
             # domainMetadata carried explicitly (CLONE copies the source's
             # live domains so e.g. delta.clustering survives the clone —
             # upstream CLONE semantics; the preserve-domains obligation)
             f.write(json.dumps({"domainMetadata": dm}) + "\n")
+            tally["domains"].append(dm)
         wrote_remove = False
         for rm in removes_fn() if removes_fn is not None else ():
             if append_only:
@@ -624,6 +650,15 @@ def write_commit_streamed(
                 )
                 + "\n"
             )
+            tally["remove_count"] += 1
+            if len(tally["remove_paths"]) < _CRC_REMOVE_PATH_CAP:
+                tally["remove_paths"].append(rm["path"])
+            else:
+                tally["removes_capped"] = True
+            if rm.get("size") is None:
+                tally["remove_bytes"] = None  # resolve via pre-commit snapshot
+            elif tally["remove_bytes"] is not None:
+                tally["remove_bytes"] += int(rm["size"])
         # high-water mark re-read per ATTEMPT: a losing race retries at the
         # next version with the winner's advanced mark already visible
         hwm = row_id_high_water_mark(table_path) if rt_active else -1
@@ -661,21 +696,23 @@ def write_commit_streamed(
                         new_hwm, int(a["baseRowId"]) + max(carried_n - 1, 0)
                     )
             f.write(json.dumps({"add": a}) + "\n")
+            tally["add_count"] += 1
+            if len(tally["add_paths"]) < _CRC_REMOVE_PATH_CAP:
+                tally["add_paths"].append((a["path"], a.get("size")))
+            else:
+                tally["adds_capped"] = True
+            if a.get("size") is None:
+                tally["add_bytes"] = None
+            elif tally["add_bytes"] is not None:
+                tally["add_bytes"] += int(a["size"])
         if rt_active and new_hwm != hwm:
-            f.write(
-                json.dumps(
-                    {
-                        "domainMetadata": {
-                            "domain": ROW_TRACKING_DOMAIN,
-                            "configuration": json.dumps(
-                                {"rowIdHighWaterMark": new_hwm}
-                            ),
-                            "removed": False,
-                        }
-                    }
-                )
-                + "\n"
-            )
+            hwm_dm = {
+                "domain": ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": new_hwm}),
+                "removed": False,
+            }
+            f.write(json.dumps({"domainMetadata": hwm_dm}) + "\n")
+            tally["domains"].append(hwm_dm)
         for cdc in cdc_adds_fn() if cdc_adds_fn is not None else ():
             # change files never alter table state: dataChange is false
             f.write(json.dumps({"cdc": {"dataChange": False, **cdc}}) + "\n")
@@ -708,6 +745,12 @@ def write_commit_streamed(
         try:
             os.link(tmp, target)
             os.unlink(tmp)
+            try:
+                # version checksum: optional per the protocol — a failure to
+                # maintain it must never fail (or roll back) the commit
+                _write_version_checksum_after_commit(table_path, version, tally)
+            except Exception:
+                pass
             return version
         except FileExistsError:
             os.unlink(tmp)
@@ -836,9 +879,11 @@ def commit_dir_state(
     ``remove`` actions (this is how overwrite commits get their tombstones).
     """
     on_disk = set(_relative_data_files(table_path))
+    tracked_adds: dict[str, dict] = {}
     tracked: set[str] = set()
     if latest_version(table_path) >= 0:
-        tracked = set(_live_paths_no_spark(table_path))
+        tracked_adds = _live_adds_no_spark(table_path)
+        tracked = set(tracked_adds)
         stats_cols = stats_columns(table_path)
     else:
         # creating commit: the schema being logged ranks the columns for
@@ -864,7 +909,12 @@ def commit_dir_state(
                 "stats": collect_file_stats(full, stats_cols),
             }
         )
-    removes = [{"path": rel} for rel in sorted(tracked - on_disk)]
+    # tombstones carry the tombstoned file's size (spec-allowed; lets the
+    # version checksum maintain tableSizeBytes without a snapshot lookup)
+    removes = [
+        {"path": rel, **({"size": tracked_adds[rel]["size"]} if tracked_adds.get(rel, {}).get("size") is not None else {})}
+        for rel in sorted(tracked - on_disk)
+    ]
     return write_commit(
         table_path,
         adds,
@@ -872,6 +922,8 @@ def commit_dir_state(
         schema_json=schema_json,
         partition_cols=partition_cols,
         operation=operation,
+        # adds are on_disk - tracked by construction: never live before
+        crc_fresh_adds=True,
     )
 
 
@@ -1151,15 +1203,28 @@ def estimate_snapshot_actions(table_path: str) -> int:
     return total
 
 
-def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
-    """Driver-side :func:`table_metadata` (no Spark job): JSON commits first
-    (newest metaData wins), checkpoint fallback after log cleanup. The
+def table_metadata_no_spark(
+    table_path: str, use_checksum: bool = True
+) -> dict[str, Any] | None:
+    """Driver-side :func:`table_metadata` (no Spark job): a tip version
+    checksum serves it from ONE file when present; otherwise JSON commits
+    (newest metaData wins) with checkpoint fallback after log cleanup. The
     per-request read path resolves its schema this way — one request must
-    not cost a Spark job for metadata the reference serves from its cache.
-    Protocol-gated (check_read_protocol). In NAME-mode column-mapped tables
-    the schemaString's field names are LOGICAL; the physical names the data
-    files carry resolve via :func:`column_mapping`."""
+    not cost a Spark job (or a log-tail replay) for metadata the reference
+    serves from its cache. Protocol-gated (check_read_protocol). In
+    NAME-mode column-mapped tables the schemaString's field names are
+    LOGICAL; the physical names the data files carry resolve via
+    :func:`column_mapping`."""
     check_read_protocol(table_path)
+    if use_checksum:
+        crc = _tip_checksum(table_path)
+        if crc is not None and crc["metadata"].get("schemaString"):
+            m = crc["metadata"]
+            return {
+                "schemaString": m.get("schemaString"),
+                "partitionColumns": list(m.get("partitionColumns") or []),
+                "id": m.get("id"),
+            }
     meta = None
     for _s, _e, fp in log_segments(table_path):
         with open(fp, "r", encoding="utf-8") as f:
@@ -1194,12 +1259,19 @@ def table_metadata_no_spark(table_path: str) -> dict[str, Any] | None:
     }
 
 
-def table_protocol_no_spark(table_path: str) -> dict[str, Any] | None:
-    """Latest ``protocol`` action, driver-side (no Spark job): JSON commits
-    first (protocol upgrades are strictly newer commits), checkpoint fallback
+def table_protocol_no_spark(
+    table_path: str, use_checksum: bool = True
+) -> dict[str, Any] | None:
+    """Latest ``protocol`` action, driver-side (no Spark job): a tip version
+    checksum serves it from ONE file when present; otherwise JSON commits
+    (protocol upgrades are strictly newer commits) with checkpoint fallback
     after log cleanup pruned the commit that carried it. ``None`` when the
     log exists but records no protocol (raw fixture logs) — callers treat
     that as the minimum (reader 1 / writer 1), like Delta's own default."""
+    if use_checksum:
+        crc = _tip_checksum(table_path)
+        if crc is not None and crc["protocol"].get("minReaderVersion") is not None:
+            return crc["protocol"]
     proto = None
     for _s, _e, fp in log_segments(table_path):
         with open(fp, "r", encoding="utf-8") as f:
@@ -2031,9 +2103,16 @@ def check_write_protocol(
         )
 
 
-def table_configuration_no_spark(table_path: str) -> dict[str, str]:
+def table_configuration_no_spark(
+    table_path: str, use_checksum: bool = True
+) -> dict[str, str]:
     """Latest ``metaData.configuration`` map, driver-side (table properties
-    like ``delta.appendOnly``); empty when absent."""
+    like ``delta.appendOnly``); empty when absent. Served from the tip
+    version checksum when one exists (O(1), no log-tail replay)."""
+    if use_checksum:
+        crc = _tip_checksum(table_path)
+        if crc is not None and crc["metadata"].get("schemaString"):
+            return dict(crc["metadata"].get("configuration") or {})
     conf: dict[str, str] | None = None
     for _s, _e, fp in log_segments(table_path):
         with open(fp, "r", encoding="utf-8") as f:
@@ -2166,15 +2245,31 @@ def _last_checkpoint_file(table_path: str) -> str:
     return os.path.join(log_path(table_path), "_last_checkpoint")
 
 
-def live_domain_metadata(table_path: str) -> dict[str, dict]:
+def live_domain_metadata(
+    table_path: str, use_checksum: bool = True
+) -> dict[str, dict]:
     """Live ``domainMetadata`` actions, ``domain -> action`` (Delta writer
     feature ``domainMetadata``; liquid clustering's ``delta.clustering``
-    domain lives here). CHECKPOINT-FIRST like every replay: the
-    checkpoint's carried rows seed the map, JSON commits after it apply on
-    top; ``removed=true`` tombstones a domain. Writers that do not
-    understand a domain must PRESERVE it — this resolver feeds the
-    checkpoint writers so routine maintenance never strips a foreign
-    table's domains."""
+    domain lives here). A tip version checksum CARRYING the optional
+    ``domainMetadata`` list serves the live set from one file (a crc
+    without the key proves nothing — fall through to replay). Otherwise
+    CHECKPOINT-FIRST like every replay: the checkpoint's carried rows seed
+    the map, JSON commits after it apply on top; ``removed=true``
+    tombstones a domain. Writers that do not understand a domain must
+    PRESERVE it — this resolver feeds the checkpoint writers so routine
+    maintenance never strips a foreign table's domains."""
+    if use_checksum:
+        crc = _tip_checksum(table_path)
+        if crc is not None and "domainMetadata" in crc:
+            return {
+                str(dm["domain"]): {
+                    "domain": str(dm["domain"]),
+                    "configuration": dm.get("configuration"),
+                    "removed": False,
+                }
+                for dm in crc["domainMetadata"] or []
+                if dm and dm.get("domain") is not None and not dm.get("removed")
+            }
     out: dict[str, dict] = {}
 
     def apply(dm: dict | None):
@@ -2261,7 +2356,7 @@ def row_id_high_water_mark(table_path: str) -> int:
         return -1
 
 
-def all_txn_versions(table_path: str) -> dict[str, int]:
+def all_txn_versions(table_path: str, use_checksum: bool = True) -> dict[str, int]:
     """Latest ``txn.version`` per appId — CHECKPOINT-FIRST, like snapshot
     replay: the checkpoint's carried ``txn`` rows seed the map, then only
     JSON commits after it apply on top. Delta checkpoints txn actions for
@@ -2276,7 +2371,18 @@ def all_txn_versions(table_path: str) -> dict[str, int]:
     streaming sinks use, the two agree. (This deviation was caught by the
     log-compaction property test — the compactor keeps the spec's
     last-wins action and the old max() disagreed on non-monotonic
-    histories.)"""
+    histories.)
+
+    A tip version checksum CARRYING the optional ``setTransactions`` list
+    serves the map from one file (absent key = unknown, fall through)."""
+    if use_checksum:
+        crc = _tip_checksum(table_path)
+        if crc is not None and "setTransactions" in crc:
+            return {
+                str(t["appId"]): int(t.get("version", -1))
+                for t in crc["setTransactions"] or []
+                if t and t.get("appId") is not None
+            }
     out: dict[str, int] = {}
     min_version = -1
     ck = last_checkpoint(table_path)
@@ -2308,6 +2414,377 @@ def last_txn_version(table_path: str, app_id: str) -> int:
     :func:`all_txn_versions`, so the streaming sink's idempotence watermark
     survives ``cleanup_log`` (Delta txn semantics)."""
     return all_txn_versions(table_path).get(app_id, -1)
+
+
+# ---------------------------------------------------------------------------
+# Version checksum files (<version>.crc) — the Delta implementations'
+# per-commit snapshot summary (delta-io/delta VersionChecksum; the reference
+# consumes them through the deltalake kernel, src/main.rs:357). One JSON
+# object per committed version: tableSizeBytes / numFiles plus the
+# reconciled protocol / metaData / setTransactions / domainMetadata. Two
+# jobs here:
+#   1. O(1) snapshot-state reads — when a crc exists AT the log tip, the
+#      driver-side resolvers (protocol / metadata / configuration / txns /
+#      domains) serve from ONE small file instead of replaying the JSON
+#      tail. At 100 TB the log tail between checkpoints is thousands of
+#      commits; per-request metadata resolution must not scale with it.
+#   2. interop — foreign engines (delta-spark) write and validate these;
+#      ours maintains them incrementally on every commit so a conforming
+#      client's validation passes on engine-written tables.
+# The file is OPTIONAL everywhere: a missing/stale/foreign-shaped crc falls
+# back to replay, a commit never fails because its crc could not be written,
+# and only a crc whose version equals the CURRENT tip is ever trusted.
+# ---------------------------------------------------------------------------
+
+# remove tombstones of a streamed mega-commit are not buffered past this
+# many paths just to maintain the (optional) checksum — the chain pauses
+# and write_version_checksum() backfills later
+_CRC_REMOVE_PATH_CAP = 100_000
+
+
+def _crc_file(table_path: str, version: int) -> str:
+    return os.path.join(log_path(table_path), f"{version:020d}.crc")
+
+
+def read_version_checksum(table_path: str, version: int) -> dict[str, Any] | None:
+    """Parsed ``<version>.crc``, or None when absent / unparseable / missing
+    the required fields (tableSizeBytes, numFiles, metadata, protocol —
+    non-optional in the delta-spark shape). Extra foreign fields
+    (histogramOpt, txnId, allFiles, ...) pass through untouched."""
+    p = _crc_file(table_path, version)
+    try:
+        with open(p, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(data, dict):
+        return None
+    for req in ("tableSizeBytes", "numFiles", "metadata", "protocol"):
+        if data.get(req) is None:
+            return None
+    return data
+
+
+# bound at module load: the staleness guard must see the REAL tip even
+# under test instrumentation that patches deltalog.latest_version to
+# simulate a stale read in the commit CAS loop — the resolvers' guard is
+# not the subject of those races
+_latest_version_unpatched = latest_version
+
+
+def _tip_checksum(table_path: str) -> dict[str, Any] | None:
+    """The crc of the CURRENT tip version, else None. Staleness guard: a
+    crc below the tip describes an older snapshot (e.g. a foreign writer
+    committed without writing one) and must never short-circuit a
+    resolver."""
+    v = _latest_version_unpatched(table_path)
+    if v < 0:
+        return None
+    return read_version_checksum(table_path, v)
+
+
+def _write_crc_atomic(table_path: str, version: int, crc: dict[str, Any]) -> None:
+    target = _crc_file(table_path, version)
+    tmp = target + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(crc, f)
+    os.replace(tmp, target)
+
+
+def _apply_domain(live: dict[str, dict], dm: dict | None) -> None:
+    """The live-domain reconciliation rule — MUST mirror
+    :func:`live_domain_metadata`: latest action per domain wins,
+    ``removed=true`` tombstones it out of the live set."""
+    if not dm or dm.get("domain") is None:
+        return
+    if dm.get("removed"):
+        live.pop(dm["domain"], None)
+    else:
+        live[dm["domain"]] = {
+            "domain": dm["domain"],
+            "configuration": dm.get("configuration"),
+            "removed": False,
+        }
+
+
+def _write_version_checksum_after_commit(
+    table_path: str, version: int, t: dict[str, Any]
+) -> None:
+    """Maintain the crc chain incrementally from the predecessor's crc plus
+    THIS commit's tally — O(commit), never O(table):
+
+    - numFiles / tableSizeBytes: += adds, -= tombstoned files. Tombstone
+      sizes come from the remove actions when present, else from one
+      driver-side lookup against the pre-commit snapshot (the same
+      metadata-sized replay every DML path already performs).
+    - protocol / metaData: last-wins — exact even for raw commits.
+    - setTransactions / domainMetadata: the checkpoint reconciliation rules
+      (last txn per appId, live domains).
+
+    Any gap (no predecessor crc, an unresolvable tombstone, a capped
+    streamed remove set) SKIPS writing — a later
+    :func:`write_version_checksum` backfill restarts the chain. The file is
+    optional; this function must never make a commit fail."""
+    if version == 0:
+        prev: dict[str, Any] = {
+            "tableSizeBytes": 0,
+            "numFiles": 0,
+            "metadata": None,
+            "protocol": None,
+            "setTransactions": [],
+            "domainMetadata": [],
+        }
+    else:
+        maybe = read_version_checksum(table_path, version - 1)
+        if maybe is None:
+            return
+        prev = maybe
+    metadata = t.get("metadata") or prev.get("metadata")
+    protocol = t.get("protocol") or prev.get("protocol")
+    if metadata is None or protocol is None:
+        return
+    # numFiles / tableSizeBytes: pure arithmetic when the caller certified
+    # fresh add paths and every tombstone carries its size; otherwise (raw
+    # commits, rowTracking backfill re-adds, sizeless tombstones) simulate
+    # this commit against the pre-commit snapshot — exact for any action mix
+    needs_snapshot = (
+        (t["remove_count"] > 0 and t.get("remove_bytes") is None)
+        or (t["add_count"] > 0 and not t.get("fresh_adds"))
+    )
+    if t.get("add_bytes") is None:
+        return  # an add action without size: cannot maintain tableSizeBytes
+    if needs_snapshot:
+        if t.get("removes_capped") or t.get("adds_capped"):
+            return  # over-cap streamed action set: backfill later instead
+        live_prev = _live_adds_no_spark(table_path, max_version=version - 1)
+        state = {p: a.get("size") for p, a in live_prev.items()}
+        for p in t.get("remove_paths") or []:
+            state.pop(p, None)
+        for p, s in t.get("add_paths") or []:
+            state[p] = s
+        if any(s is None for s in state.values()):
+            return
+        num_files = len(state)
+        size_bytes = sum(int(s) for s in state.values())
+    else:
+        if t.get("remove_bytes") is None:
+            return
+        num_files = int(prev["numFiles"]) + int(t["add_count"]) - int(t["remove_count"])
+        size_bytes = (
+            int(prev["tableSizeBytes"]) + int(t["add_bytes"]) - int(t["remove_bytes"])
+        )
+    if num_files < 0 or size_bytes < 0:
+        return
+    crc: dict[str, Any] = {
+        "tableSizeBytes": size_bytes,
+        "numFiles": num_files,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": metadata,
+        "protocol": protocol,
+    }
+    # the optional maps are maintained only while the predecessor carried
+    # them (a foreign crc may omit them — claiming "empty" would be wrong)
+    if version == 0 or "setTransactions" in prev:
+        txns = {
+            str(x["appId"]): x
+            for x in (prev.get("setTransactions") or [])
+            if x and x.get("appId") is not None
+        }
+        if t.get("txn") is not None:
+            a = t["txn"]
+            txns[str(a["appId"])] = {
+                "appId": str(a["appId"]),
+                "version": int(a["version"]),
+            }
+        crc["setTransactions"] = [txns[k] for k in sorted(txns)]
+    if version == 0 or "domainMetadata" in prev:
+        live: dict[str, dict] = {}
+        for dm in prev.get("domainMetadata") or []:
+            _apply_domain(live, dm)
+        for dm in t.get("domains") or []:
+            _apply_domain(live, dm)
+        crc["domainMetadata"] = [live[k] for k in sorted(live)]
+    if t.get("ict") is not None:
+        crc["inCommitTimestampOpt"] = int(t["ict"])
+    _write_crc_atomic(table_path, version, crc)
+
+
+def write_version_checksum(table_path: str, version: int | None = None) -> dict[str, Any]:
+    """Full-recompute crc for ``version`` (default: the tip) — the backfill /
+    self-heal path when the incremental chain has a gap (foreign table, a
+    skipped streamed commit, a crashed writer). Replays the snapshot
+    DRIVER-side through the same resolvers the engine serves metadata from
+    (bypassing any existing crc), so use it where a driver replay is already
+    acceptable — e.g. right after a checkpoint, which walked the same state.
+    Returns the written crc dict."""
+    v = latest_version(table_path) if version is None else int(version)
+    if v < 0:
+        raise ValueError(f"{table_path} has no committed versions")
+    if version is not None and v != latest_version(table_path):
+        # historical crc: compute against the bounded replay; protocol /
+        # metadata / txns / domains resolvers are tip-only, so bound them
+        # by replaying raw segments here instead
+        raise ValueError(
+            "write_version_checksum backfills the TIP version only "
+            f"(requested {v}, tip {latest_version(table_path)})"
+        )
+    live = _live_adds_no_spark(table_path)
+    sizes = [a.get("size") for a in live.values()]
+    if any(s is None for s in sizes):
+        raise ValueError(
+            f"{table_path} has live add actions without size — cannot checksum"
+        )
+    crc = _compose_checksum(table_path, v, len(live), int(sum(sizes)))
+    _write_crc_atomic(table_path, v, crc)
+    return crc
+
+
+def _compose_checksum(
+    table_path: str, version: int, num_files: int, size_bytes: int
+) -> dict[str, Any]:
+    """A full crc dict from the replay resolvers (crc fast paths bypassed)
+    plus externally-computed file counters — shared by the driver-side
+    backfill and the checkpoint writers' distributed self-heal."""
+    metadata = _raw_metadata_replay(table_path)
+    protocol = table_protocol_no_spark(table_path, use_checksum=False)
+    if metadata is None or protocol is None:
+        raise ValueError(
+            f"{table_path} resolves no metaData/protocol — cannot checksum"
+        )
+    txns = all_txn_versions(table_path, use_checksum=False)
+    domains = live_domain_metadata(table_path, use_checksum=False)
+    crc: dict[str, Any] = {
+        "tableSizeBytes": int(size_bytes),
+        "numFiles": int(num_files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": metadata,
+        "protocol": protocol,
+        "setTransactions": [
+            {"appId": app, "version": int(ver)} for app, ver in sorted(txns.items())
+        ],
+        "domainMetadata": [domains[k] for k in sorted(domains)],
+    }
+    ict = _commit_ict(table_path, version)
+    if ict and _ict_enabled_conf(dict(metadata.get("configuration") or {})):
+        crc["inCommitTimestampOpt"] = int(ict)
+    return crc
+
+
+def _heal_checksum_from_live(table_path: str, version: int, live_df) -> None:
+    """Checkpoint-time self-heal: when the tip crc is missing (foreign
+    commits, a paused chain), recompute numFiles/tableSizeBytes with ONE
+    aggregate over the already-materialized live-file DataFrame (distributed
+    — no driver replay) and restart the chain. Best-effort like every crc
+    write."""
+    try:
+        if read_version_checksum(table_path, version) is not None:
+            return
+        row = live_df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("b")
+        ).collect()[0]
+        n = int(row["n"])
+        b = row["b"]
+        if n > 0 and b is None:
+            return  # live adds without sizes: cannot checksum
+        crc = _compose_checksum(table_path, version, n, int(b or 0))
+        _write_crc_atomic(table_path, version, crc)
+    except Exception:
+        pass
+
+
+def _ict_enabled_conf(conf: dict) -> bool:
+    return str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true"
+
+
+def _drop_none_keys(v):
+    """Checkpoint-replayed actions carry explicit None keys (parquet struct
+    columns) where commit-JSON actions omit them — semantically identical;
+    normalize before comparing."""
+    if isinstance(v, dict):
+        return {k: _drop_none_keys(x) for k, x in v.items() if x is not None}
+    return v
+
+
+def validate_version_checksum(table_path: str) -> dict[str, Any]:
+    """Verify the tip crc against a full replay (the deep check conforming
+    clients run under checksum validation). Returns ``{"version", "ok",
+    "mismatches"}``; a missing tip crc raises. Replay-side values bypass
+    every crc fast path."""
+    v = latest_version(table_path)
+    crc = read_version_checksum(table_path, v)
+    if crc is None:
+        raise ValueError(f"{table_path} has no checksum at tip version {v}")
+    live = _live_adds_no_spark(table_path)
+    mismatches: dict[str, tuple] = {}
+    sizes = sum(int(a.get("size") or 0) for a in live.values())
+    if int(crc["numFiles"]) != len(live):
+        mismatches["numFiles"] = (int(crc["numFiles"]), len(live))
+    if int(crc["tableSizeBytes"]) != sizes:
+        mismatches["tableSizeBytes"] = (int(crc["tableSizeBytes"]), sizes)
+    proto = table_protocol_no_spark(table_path, use_checksum=False)
+    if _drop_none_keys(crc.get("protocol")) != _drop_none_keys(proto):
+        mismatches["protocol"] = (crc.get("protocol"), proto)
+    meta = _raw_metadata_replay(table_path)
+    if (crc.get("metadata") or {}).get("schemaString") != (meta or {}).get(
+        "schemaString"
+    ):
+        mismatches["metadata.schemaString"] = (
+            (crc.get("metadata") or {}).get("schemaString"),
+            (meta or {}).get("schemaString"),
+        )
+    if "setTransactions" in crc:
+        want = all_txn_versions(table_path, use_checksum=False)
+        got = {
+            str(x["appId"]): int(x["version"]) for x in crc["setTransactions"] or []
+        }
+        if got != want:
+            mismatches["setTransactions"] = (got, want)
+    if "domainMetadata" in crc:
+        wantd = live_domain_metadata(table_path, use_checksum=False)
+        gotd = {str(x["domain"]): x for x in crc["domainMetadata"] or []}
+        if gotd != wantd:
+            mismatches["domainMetadata"] = (gotd, wantd)
+    return {"version": v, "ok": not mismatches, "mismatches": mismatches}
+
+
+def _raw_metadata_replay(table_path: str) -> dict[str, Any] | None:
+    """Latest FULL metaData action from the log/checkpoint (the crc stores
+    the whole action, not the projected view table_metadata_no_spark
+    serves)."""
+    meta = None
+    for _s, _e, fp in log_segments(table_path):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if '"metaData"' not in line[:64]:
+                    continue
+                m = json.loads(line).get("metaData")
+                if m is not None:
+                    meta = m
+    if meta is None:
+        ck = last_checkpoint(table_path)
+        if ck is not None:
+            import pyarrow.parquet as pq
+
+            for ck_file in checkpoint_data_files(table_path, ck):
+                pf = pq.ParquetFile(ck_file)
+                if "metaData" not in pf.schema_arrow.names:
+                    continue
+                for m in (
+                    pq.read_table(ck_file, columns=["metaData"])
+                    .column("metaData")
+                    .to_pylist()
+                ):
+                    if m is not None and m.get("schemaString"):
+                        cfg = m.get("configuration")
+                        if cfg is not None and not isinstance(cfg, dict):
+                            m["configuration"] = dict(cfg)
+                        pc = m.get("partitionColumns")
+                        if pc is not None and not isinstance(pc, list):
+                            m["partitionColumns"] = list(pc)
+                        meta = m
+    return meta
 
 
 def version_at_timestamp(
@@ -2434,7 +2911,12 @@ def cleanup_log(table_path: str, retention_hours: float = 0.0) -> int:
         # their whole range they are as dead as the commits themselves
         m_comp = _COMPACTED_RE.match(name)
         is_old_compaction = m_comp is not None and int(m_comp.group(2)) <= v
-        if not (is_old_commit or is_old_ckpt or is_old_compaction):
+        # version checksums below the retained checkpoint describe retired
+        # snapshots; the one AT v stays (it still serves the tip fast path)
+        is_old_crc = (
+            name.endswith(".crc") and name[:-4].isdigit() and int(name[:-4]) < v
+        )
+        if not (is_old_commit or is_old_ckpt or is_old_compaction or is_old_crc):
             continue
         full = os.path.join(d, name)
         if os.stat(full).st_mtime <= cutoff:
@@ -2687,6 +3169,9 @@ def write_checkpoint(
     _shutil.rmtree(tmp_dir, ignore_errors=True)
     with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
         f.write(json.dumps(ck_meta))
+    # routine maintenance restarts a paused checksum chain for free: the
+    # live set is already materialized, the counters are one aggregate
+    _heal_checksum_from_live(table_path, version, live)
     return version
 
 
@@ -2882,6 +3367,7 @@ def write_checkpoint_v2(
     os.replace(tmp_main, os.path.join(logd, main_name))
     with open(_last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
         f.write(json.dumps({"version": version, "size": n_actions}))
+    _heal_checksum_from_live(table_path, version, live)
     return version
 
 

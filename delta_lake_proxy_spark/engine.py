@@ -4407,6 +4407,24 @@ class Engine:
         self._snapshot_cache.invalidate()
         return deleted
 
+    def write_version_checksum(self, alias: str) -> dict:
+        """G9 maintenance: backfill/refresh the tip version checksum
+        (``<version>.crc``) from a full snapshot replay — heals a chain gap
+        (foreign table without checksums, a capped streamed commit) so the
+        per-commit incremental maintenance resumes and the O(1) resolver
+        fast path re-engages. Engine commits maintain the chain
+        automatically; this is the explicit repair point."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        return deltalog.write_version_checksum(self.resolve(alias))
+
+    def validate_checksum(self, alias: str) -> dict:
+        """Verify the tip version checksum against a full replay (the deep
+        check conforming clients run): numFiles, tableSizeBytes, protocol,
+        metaData, setTransactions, domainMetadata. Returns ``{"version",
+        "ok", "mismatches"}``."""
+        return deltalog.validate_version_checksum(self.resolve(alias))
+
     def cleanup_log(self, alias: str, retention_hours: float | None = None) -> int:
         """G9 maintenance: Delta log-retention cleanup — drop JSON commits
         already captured by the last checkpoint (and superseded checkpoint
@@ -4576,6 +4594,11 @@ class Engine:
         # written files' footer stats — every Engine commit, one code path.
         kwargs.setdefault("identity_handled", True)
         kwargs.setdefault("defaults_handled", True)
+        # staged files are freshly uuid-named (never live at the previous
+        # version), so the version checksum stays pure arithmetic on the hot
+        # append path; DV re-adds of live paths are covered regardless — the
+        # sizeless tombstones they ride with force the exact simulation
+        kwargs.setdefault("crc_fresh_adds", True)
         # every file-producing Engine path stages through _stage_physical,
         # which performs the mapped physical translation and the
         # icebergCompat file obligations — so Engine commits prove both

@@ -1155,6 +1155,9 @@ class GovernedWriter(DataSourceArrowWriter):
                 partition_cols=self.partition_cols,
                 operation="WRITE",
                 txn=txn,
+                # sink batches write fresh uuid-named files: the version
+                # checksum stays arithmetic on the streaming hot path
+                crc_fresh_adds=True,
             )
         except BaseException:
             self.abort(messages)

@@ -114,7 +114,8 @@ def test_cleanup_truncates_once_boundary_reaches_protection(spark, tmp_path):
     deltalog.write_checkpoint(spark, path)  # boundary checkpoint at v2 >= 2
     removed = deltalog.cleanup_log(path, retention_hours=0.0)
     # one-run truncation: commits 0..2 and the superseded v1 checkpoint
-    assert removed == 4
+    # commits 0..2, the superseded v1 checkpoint, and the v0/v1 crcs
+    assert removed == 6
     names = _log_files(path)
     assert f"{v:020d}.checkpoint.parquet" in names
     assert not any(n.endswith(".json") and n[:-5].isdigit() for n in names)

@@ -22,7 +22,10 @@ def test_commit_versioning(tmp_path):
     v1 = deltalog.write_commit(t, [{"path": "b.parquet", "partitionValues": {}, "size": 2, "modificationTime": 0}])
     assert (v0, v1) == (0, 1)
     assert deltalog.latest_version(t) == 1
-    assert sorted(os.listdir(deltalog.log_path(t)))[0] == "00000000000000000000.json"
+    names = os.listdir(deltalog.log_path(t))
+    assert "00000000000000000000.json" in names
+    # every engine commit also maintains its version checksum (round 11)
+    assert "00000000000000000001.crc" in names
 
 
 def test_replay_add_remove(spark, tmp_path):
@@ -346,7 +349,9 @@ def test_cleanup_log_retention(spark, tmp_path, lineitem):
     assert eng.cleanup_log("t", retention_hours=1.0) == 0
     removed = eng.cleanup_log("t", retention_hours=0.0)
     # v0..v2 commits + the superseded v1 checkpoint file
-    assert removed == 4
+    # v0..v2 commits + the superseded v1 checkpoint + the v0/v1 crcs
+    # (the v2 crc stays: it still serves the tip fast path)
+    assert removed == 6
     logd = deltalog.log_path(path)
     names = sorted(os.listdir(logd))
     assert f"{3:020d}.json" in names
@@ -405,7 +410,7 @@ def test_cleanup_at_tip_then_write_not_lost(spark, tmp_path):
     v = deltalog.write_checkpoint(spark, t)
     assert v == 2
     removed = deltalog.cleanup_log(t, retention_hours=0.0)
-    assert removed == 3  # all JSON commits are checkpoint-covered
+    assert removed == 5  # all JSON commits + the v0/v1 crcs (tip crc stays)
     # latest_version must see the checkpoint, not report -1
     assert deltalog.latest_version(t) == 2
     nv = deltalog.write_commit(
