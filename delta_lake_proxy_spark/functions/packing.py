@@ -127,3 +127,59 @@ def pack_first_fit(
         .groupBy("grp")
         .applyInPandas(ffd, out_schema)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    ``xxhash64(id, seed) mod buckets``, split by cumulative weight ranges.
+    Hash-based (never ``rand()``): the same document lands in the same
+    split on any cluster, any partitioning, any rerun — the property that
+    keeps eval sets uncontaminated across pipeline re-executions. Changing
+    ``seed`` re-draws the assignment; adding documents never moves existing
+    ones. A map-side projection: no shuffle, no state, any scale."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        bound = int(round(acc * buckets))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-accumulation safety: the last range absorbs any rounding gap
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for a training epoch: shard
+    = ``xxhash64(id, epoch) mod n_shards``, order within a shard by a
+    second independent hash. The composition is the distributed analog of
+    a seeded ``shuffle()``: every epoch re-draws both placement and order,
+    identical on any cluster size or partitioning (no ``rand()``, no
+    global sort). ONE shuffle (repartition on the shard id) + a
+    sort-within-partitions; writing with ``partitionBy('shard')`` (or one
+    file per partition) yields reproducible training shards at any corpus
+    size."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(epoch))), F.lit(n_shards))
+    order = F.xxhash64(F.col(id_col), F.lit(int(epoch)), F.lit("order"))
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("shuffle_order", order)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_order")
+    )

@@ -390,3 +390,84 @@ def unigram_nll(
         nll.alias("unigram_nll"),
         F.round(F.exp(nll), 3).alias("unigram_ppl"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    unigram form: score every RAW document by how target-like it is under
+    bag-of-words models of the target vs the raw corpus —
+    ``log w(x) = sum_t tf_t * (log p_target(t) - log p_raw(t))`` with
+    add-one smoothing on both models. ``is_target`` marks the target rows
+    (the high-quality seed set); every row is scored, so the caller can
+    resample the raw pool by weight (the paper uses Gumbel top-k; with a
+    deterministic key, ``F.rand(seed)`` or a hash works distributed).
+
+    Determinism contract matches :func:`unigram_nll`: per-term log-ratios
+    round to 9 dp and accumulate as DECIMAL(21,9) — exact order-independent
+    sums; floats only at the final divide/round.
+
+    Plan shape at 100 TB: one tokenize scan -> per-(doc, term) tf -> the
+    two vocab models roll up FROM tf in ONE aggregation (conditional sums,
+    vocab-sized) -> tf joins the per-term log-ratio (AQE broadcasts when it
+    fits) -> per-doc agg. Pure column expressions; the corpus is read once.
+
+    Output: ``(id, n_tokens, log_weight, avg_log_weight)`` — log_weight is
+    the document's total log importance ratio, avg the per-token form
+    (length-normalized, the usual ranking key). Token-less docs are
+    omitted (no likelihood under either model).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.cast("boolean").alias("_tgt"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "_tgt", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # both unigram models from ONE vocab-sized aggregation
+    vocab = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+        F.sum("tf").alias("cr"),  # raw model = the whole corpus
+    )
+    tot = vocab.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("ct") + F.lit(1)).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + F.lit(1)).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(21,9)")
+        .alias("logr"),
+    )
+    doc = (
+        tf.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("logr")).alias("_s"),
+        )
+    )
+    return doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("_s").cast("double"), 6).alias("log_weight"),
+        F.round(F.col("_s").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_log_weight"
+        ),
+    )

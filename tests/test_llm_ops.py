@@ -1429,3 +1429,85 @@ def test_minhash_default_calibration_recalls_borderline_pairs(spark):
     for vid in (2, 3, 4):
         assert (1, vid) in pairs, f"calibrated defaults must recall pair (1, {vid})"
     assert 0.75 < pairs[(1, 4)] < pairs[(1, 3)] < pairs[(1, 2)] < 1.0
+
+
+def test_dsir_importance_weights_rank_target_like_docs(spark):
+    """DSIR (unigram): docs sharing the target seed's vocabulary must score
+    above docs made of off-target terms, and the log-weights must match the
+    closed-form model."""
+    import math
+
+    rows = [
+        (1, "science method research data", True),   # target seed
+        (2, "research data from the method", False),  # target-like raw doc
+        (3, "celebrity gossip scandal drama", False),  # off-target raw doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in text.dsir_importance_weights(docs, F.col("tgt")).collect()
+    }
+    assert out[2]["avg_log_weight"] > out[3]["avg_log_weight"]
+    # closed-form check for doc 3 (all four terms off-target, tf=1 each):
+    # counts: target nt=4, raw nr=13, vocab v=10; off-target term: ct=0, cr=1
+    lr = round(math.log(1 / (4 + 10)) - math.log(2 / (13 + 10)), 9)
+    assert abs(out[3]["log_weight"] - round(4 * lr, 6)) < 1e-9
+    assert out[3]["n_tokens"] == 4
+    # a target doc scores itself (it is part of both models) and ranks high
+    assert out[1]["avg_log_weight"] > out[3]["avg_log_weight"]
+
+
+def test_dsir_no_row_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", True), (2, "b c", False)], "doc_id long, text string, tgt boolean"
+    )
+    plan = (
+        text.dsir_importance_weights(docs, F.col("tgt"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assign_split_deterministic_and_sized(spark):
+    """Hash-split: stable across reruns, disjoint-and-total, fractions near
+    the requested weights, and new docs never move old ones."""
+    from delta_lake_proxy_spark.functions import packing
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in packing.assign_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in packing.assign_split(docs).collect()}
+    assert a == b  # deterministic
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.96 < frac["train"] < 0.995 and frac["val"] > 0 and frac["test"] > 0
+    # growing the corpus never reassigns existing docs
+    grown = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    g = {r["doc_id"]: r["split"] for r in packing.assign_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # a different seed is a different draw
+    c = {r["doc_id"]: r["split"] for r in packing.assign_split(docs, seed="v2").collect()}
+    assert c != a
+
+
+def test_epoch_shuffle_shards_reproducible_and_epoch_varying(spark):
+    from delta_lake_proxy_spark.functions import packing
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+
+    def run(epoch, parts):
+        out = packing.epoch_shuffle_shards(
+            docs.repartition(parts), n_shards=4, epoch=epoch
+        )
+        rows = out.select("doc_id", "shard", "shuffle_order").collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append((r["shuffle_order"], r["doc_id"]))
+        return {s: [d for _o, d in sorted(v)] for s, v in by_shard.items()}
+
+    e0a, e0b = run(0, 3), run(0, 17)  # input partitioning must not matter
+    assert e0a == e0b
+    assert sorted(x for v in e0a.values() for x in v) == list(range(500))
+    e1 = run(1, 3)
+    assert e1 != e0a  # a new epoch re-draws placement/order

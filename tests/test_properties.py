@@ -458,3 +458,78 @@ def test_duplicate_span_stats_matches_model(spark, corpus):
         for r in dedup.duplicate_span_stats(docs, k=_SPAN_K).collect()
     }
     assert got == _span_model(corpus, _SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Version checksum chain vs a direct model over random histories (round 11)
+# ---------------------------------------------------------------------------
+
+_crc_op = st.one_of(
+    st.tuples(st.just("add_fresh"), st.integers(1, 999)),
+    st.tuples(st.just("readd_live"), st.integers(1, 999)),  # same path, new size
+    st.tuples(st.just("remove_live"), st.integers(0, 0)),
+    st.tuples(st.just("remove_ghost"), st.integers(0, 0)),
+    st.tuples(st.just("txn"), st.integers(0, 50)),
+    st.tuples(st.just("domain_set"), st.integers(0, 3)),
+    st.tuples(st.just("domain_drop"), st.integers(0, 3)),
+)
+
+
+@given(ops=st.lists(_crc_op, min_size=1, max_size=12))
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_version_checksum_chain_matches_model_random_histories(tmp_path, ops):
+    """For ANY raw commit history (fresh adds, same-path re-adds, live and
+    ghost tombstones, txns, domain set/drop), every committed version must
+    carry a crc whose deep validation against the replay passes — the
+    incremental maintenance must never drift from the truth, no matter the
+    action mix."""
+    import itertools
+    import os
+
+    from delta_lake_proxy_spark import deltalog
+
+    t = str(tmp_path / f"t{next(_crc_case_counter)}")
+    os.makedirs(t)
+    deltalog.write_commit(
+        t,
+        [{"path": "seed.parquet", "partitionValues": {}, "size": 7, "modificationTime": 0}],
+        schema_json='{"type":"struct","fields":[]}',
+    )
+    fresh = itertools.count()
+    for kind, arg in ops:
+        live = sorted(deltalog._live_adds_no_spark(t))
+        adds, removes, txn, domains = [], [], None, None
+        if kind == "add_fresh":
+            adds = [{"path": f"f{next(fresh)}.parquet", "partitionValues": {}, "size": arg, "modificationTime": 0}]
+        elif kind == "readd_live" and live:
+            adds = [{"path": live[0], "partitionValues": {}, "size": arg, "modificationTime": 0}]
+        elif kind == "remove_live" and live:
+            removes = [{"path": live[-1]}]
+        elif kind == "remove_ghost":
+            removes = [{"path": "ghost.parquet"}]
+        elif kind == "txn":
+            txn = {"appId": f"app{arg % 3}", "version": arg}
+        elif kind == "domain_set":
+            domains = [{"domain": f"d{arg}", "configuration": str(arg), "removed": False}]
+        elif kind == "domain_drop":
+            domains = [{"domain": f"d{arg}", "removed": True}]
+        else:
+            continue  # re-add/remove on an empty table: no-op case
+        deltalog.write_commit_streamed(
+            t,
+            lambda adds=adds: iter(adds),
+            (lambda removes=removes: iter(removes)) if removes else None,
+            txn=txn,
+            domain_actions=domains,
+        )
+        v = deltalog.latest_version(t)
+        assert deltalog.read_version_checksum(t, v) is not None, (kind, v)
+        rep = deltalog.validate_version_checksum(t)
+        assert rep["ok"], (kind, rep)
+
+
+_crc_case_counter = __import__("itertools").count()
