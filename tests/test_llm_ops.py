@@ -1511,3 +1511,99 @@ def test_epoch_shuffle_shards_reproducible_and_epoch_varying(spark):
     assert sorted(x for v in e0a.values() for x in v) == list(range(500))
     e1 = run(1, 3)
     assert e1 != e0a  # a new epoch re-draws placement/order
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs, num_merges, min_pair_count=2):
+    """Classic single-machine Sennrich trainer — the model the distributed
+    one must reproduce (ties: lexicographically smallest pair)."""
+    from delta_lake_proxy_spark.functions.bpe import END
+
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        nv = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + f
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_reference_model(spark):
+    from collections import Counter
+
+    from delta_lake_proxy_spark.functions import bpe
+
+    rows = [
+        (1, "low low low low low lower lower newest newest"),
+        (2, "newest newest newest newest widest widest widest"),
+        (3, "low lower lowest newest widest wide new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    freqs = Counter(w for _i, t in rows for w in t.split())
+    want = _ref_bpe(freqs, num_merges=12)
+    got = bpe.bpe_train(docs, num_merges=12, checkpoint_every=3)
+    assert got == want and len(got) > 5
+
+
+def test_bpe_encode_roundtrip_and_rank_priority(spark):
+    from delta_lake_proxy_spark.functions import bpe
+
+    train = spark.createDataFrame(
+        [(1, "banana bandana banana banana bandana band an a")],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(train, num_merges=10, min_pair_count=2)
+    out = {r["doc_id"]: r for r in bpe.bpe_encode(train, merges).collect()}
+    toks = out[1]["tokens"]
+    # lossless: concatenating tokens reproduces every word + end marker
+    want = "".join(w + bpe.END for w in "banana bandana banana banana bandana band an a".split())
+    assert "".join(toks) == want
+    assert out[1]["n_tokens"] == len(toks) > 0
+    # encoding the training corpus reproduces the trainer's final symbols:
+    # frequent words collapse far below their character length
+    assert sum(1 for t in toks if t == "banana" + bpe.END) == 3 or any(
+        len(t) >= 4 for t in toks
+    )
+    # unseen-but-related text encodes with the same merges, no crash
+    probe = spark.createDataFrame([(2, "bananas and bands")], "doc_id long, text string")
+    enc = bpe.bpe_encode(probe, merges).collect()[0]
+    assert enc["n_tokens"] == len(enc["tokens"]) > 0
+
+
+def test_bpe_no_row_python(spark):
+    """Arrow-batched only: mapInPandas stages are fine, row-Python is not."""
+    from delta_lake_proxy_spark.functions import bpe
+
+    docs = spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string")
+    plan = (
+        bpe.bpe_encode(docs, [("a", "a")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan
