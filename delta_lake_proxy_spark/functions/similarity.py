@@ -646,3 +646,127 @@ def ivf_probe(
     )
     hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
     return probe_index_df(hits, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search". The corpus compresses to m small codes per
+# vector (m * log2(k) bits instead of dim * 32), and a query scores the
+# whole corpus through an m x k lookup table (ADC — asymmetric distance
+# computation) instead of dim-length dot products.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train a PQ codebook: split each vector into ``m`` contiguous
+    subvectors and k-means each subspace independently (reusing the IVF
+    Lloyd machinery on the sliced column). Returns
+    ``codebook[subspace][code] -> subvector centroid`` with ``k`` codes per
+    subspace.
+
+    Training scans the corpus once per (subspace, Lloyd step) — m * (1 +
+    iters) passes over the VECTOR column only; training is a one-off index
+    build, and m is small (4-16). Codes are deterministic: the Lloyd seeds
+    are hash-ordered, like IVF."""
+    dim = _vec_dim(embeddings, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    codebook: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        cents = _ivf_centroids(sliced, k, lloyd_iters, id_col=id_col, vec_col=vec_col)
+        codebook.append([cv for _cid, cv in cents])
+    return codebook
+
+
+def _nearest_code(vec: Column, cents: list[list[float]]) -> Column:
+    """argmin_{code} squared-L2(vec, cents[code]) — codegen-only: an array
+    of (dist, code) structs reduced by array_min (struct compare orders by
+    dist, ties toward the smaller code)."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"), _sq_l2(vec, _lit_vec(cv)),
+                F.lit("c"), F.lit(int(code)).cast("int"),
+            )
+            for code, cv in enumerate(cents)
+        ]
+    )
+    return F.array_min(scored)["c"]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to PQ codes: ``(id, codes array<int>)`` with one
+    nearest-centroid code per subspace — a single map-only codegen pass (the
+    codebook inlines as literals; m*k is small by construction). At 100 TB
+    the encoded corpus is ~dim*32 / (m*log2 k) times smaller than the raw
+    vectors — the representation that makes exhaustive ADC scans cheap."""
+    m = len(codebook)
+    dim = _vec_dim(embeddings, vec_col)
+    sub = dim // m
+    codes = F.array(
+        *[
+            _nearest_code(F.slice(F.col(vec_col), j * sub + 1, sub), codebook[j])
+            for j in range(m)
+        ]
+    )
+    return embeddings.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: the query precomputes one m x k table of
+    squared-L2 distances to every subspace centroid (driver-side — m*k
+    floats, inlined as a literal), and each corpus row's approximate
+    distance is m table lookups + a sum. Pure codegen over the (tiny) code
+    column, finishing in a TakeOrdered — no shuffle, no Python, and the
+    scan reads codes instead of vectors. Output:
+    ``(id, pq_distance)`` ascending (approximate squared L2)."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    tables = [
+        [
+            float(sum((query_vec[j * sub + i] - c[i]) ** 2 for i in range(sub)))
+            for c in codebook[j]
+        ]
+        for j in range(m)
+    ]
+    lit_tables = F.array(*[F.array(*[F.lit(d) for d in row]) for row in tables])
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(lit_tables, j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(F.col(id_col), F.round(dist, 6).alias("pq_distance"))
+        .orderBy(F.col("pq_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
