@@ -711,6 +711,20 @@ def _nearest_code(vec: Column, cents: list[list[float]]) -> Column:
     return F.array_min(scored)["c"]
 
 
+def pq_codes_col(codebook: list[list[list[float]]], vec_col: str = "embedding") -> Column:
+    """The PQ code array as a composable Column (one nearest-centroid code
+    per subspace) — used by :func:`pq_encode` and ridden into the IVF index
+    by :func:`ivf_pq_build`."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    return F.array(
+        *[
+            _nearest_code(F.slice(F.col(vec_col), j * sub + 1, sub), codebook[j])
+            for j in range(m)
+        ]
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebook: list[list[list[float]]],
@@ -722,16 +736,9 @@ def pq_encode(
     codebook inlines as literals; m*k is small by construction). At 100 TB
     the encoded corpus is ~dim*32 / (m*log2 k) times smaller than the raw
     vectors — the representation that makes exhaustive ADC scans cheap."""
-    m = len(codebook)
-    dim = _vec_dim(embeddings, vec_col)
-    sub = dim // m
-    codes = F.array(
-        *[
-            _nearest_code(F.slice(F.col(vec_col), j * sub + 1, sub), codebook[j])
-            for j in range(m)
-        ]
+    return embeddings.select(
+        F.col(id_col), pq_codes_col(codebook, vec_col).alias("codes")
     )
-    return embeddings.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_search(
@@ -748,6 +755,20 @@ def pq_search(
     column, finishing in a TakeOrdered — no shuffle, no Python, and the
     scan reads codes instead of vectors. Output:
     ``(id, pq_distance)`` ascending (approximate squared L2)."""
+    dist = adc_distance_col(codebook, query_vec, "codes")
+    return (
+        codes_df.select(F.col(id_col), F.round(dist, 6).alias("pq_distance"))
+        .orderBy(F.col("pq_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def adc_distance_col(
+    codebook: list[list[list[float]]], query_vec: list[float], codes_col: str
+) -> Column:
+    """The ADC approximate squared-L2 distance as a composable Column: the
+    query's m x k subspace-distance table inlines as literals; each row
+    costs m ``element_at`` lookups + a sum."""
     m = len(codebook)
     sub = len(codebook[0][0])
     tables = [
@@ -762,11 +783,78 @@ def pq_search(
     for j in range(m):
         term = F.element_at(
             F.element_at(lit_tables, j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
+            F.element_at(F.col(codes_col), j + 1) + 1,
         )
         dist = term if dist is None else dist + term
-    return (
-        codes_df.select(F.col(id_col), F.round(dist, 6).alias("pq_distance"))
-        .orderBy(F.col("pq_distance").asc(), F.col(id_col).asc())
-        .limit(k)
+    return dist
+
+
+def ivf_pq_build(
+    embeddings: DataFrame,
+    index_path: str,
+    num_centroids: int = 16,
+    m: int = 4,
+    pq_k: int = 16,
+    lloyd_iters: int = 1,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """IVFPQ (the composition serious ANN systems run): train a PQ codebook,
+    ride the per-vector codes INTO the IVF index as an extra column, and
+    write the codebook next to the centroid manifest. A probe then prunes
+    partitions like plain IVF but scores the survivors through the ADC
+    lookup table — per-query work is (probed fraction of the corpus) x
+    (m lookups per row), and the expensive exact distance touches only the
+    shortlist (:func:`ivf_pq_probe`). Returns the codebook."""
+    import json as _json
+    import os as _os
+
+    codebook = pq_train(
+        embeddings, m=m, k=pq_k, lloyd_iters=pq_iters, id_col=id_col, vec_col=vec_col
     )
+    with_codes = embeddings.withColumn("pq_codes", pq_codes_col(codebook, vec_col))
+    ivf_build(
+        with_codes,
+        index_path,
+        num_centroids=num_centroids,
+        lloyd_iters=lloyd_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    with open(_os.path.join(index_path, "_pq_codebook.json"), "w", encoding="utf-8") as f:
+        _json.dump({"m": m, "k": pq_k, "codebook": codebook}, f)
+    return codebook
+
+
+def ivf_pq_probe(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Top-k against an IVFPQ index: centroid ranking prunes to the probed
+    ``_cid=`` partitions (PartitionFilters, exactly like :func:`ivf_probe`),
+    the ADC lookup table shortlists within them (TakeOrdered over m
+    ``element_at`` lookups per row — the vector column is carried but not
+    computed on), and ONLY the ``shortlist`` survivors pay the exact cosine
+    re-rank. Output matches :func:`ivf_probe`: ``(id, score)`` descending."""
+    import json as _json
+    import os as _os
+
+    probe_cids, id_col, vec_col = probe_centroids(
+        spark, index_path, query_vec, n_probe
+    )
+    with open(_os.path.join(index_path, "_pq_codebook.json"), encoding="utf-8") as f:
+        meta = _json.load(f)
+    codebook = meta["codebook"]
+    hits = spark.read.parquet(index_path).filter(F.col("_cid").isin(probe_cids))
+    adc = adc_distance_col(codebook, query_vec, "pq_codes")
+    short = (
+        hits.select(F.col(id_col), F.col(vec_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(max(int(shortlist), k))
+    )
+    return probe_index_df(short, query_vec, k, id_col, vec_col)

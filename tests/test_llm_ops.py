@@ -1675,3 +1675,45 @@ def test_pq_codes_compress_and_stay_codegen(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = similarity.pq_search(codes, codebook, rows[0][1], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_ivf_pq_build_probe(spark, tmp_path):
+    """IVFPQ: partition pruning like plain IVF + ADC shortlist + exact
+    re-rank. With a full probe and a corpus-sized shortlist the result is
+    EXACTLY the brute-force cosine top-k; with a tight probe/shortlist the
+    query's cluster still dominates."""
+    import numpy as np
+
+    rows = _clustered_vectors(n_clusters=6, per=20, dim=8, spread=0.2)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_build(
+        emb, idx, num_centroids=6, m=4, pq_k=16, lloyd_iters=1, pq_iters=1
+    )
+    q = rows[5][1]
+    # full probe + corpus-wide shortlist == exact cosine top-k
+    full = similarity.ivf_pq_probe(spark, idx, q, k=10, n_probe=6, shortlist=1000)
+    exact = similarity.cosine_topk(emb, q, k=10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in exact.collect()]
+    # tight probe: the query's own cluster (ids < 20) dominates
+    tight = similarity.ivf_pq_probe(spark, idx, q, k=10, n_probe=2, shortlist=40)
+    got = [r["vec_id"] for r in tight.collect()]
+    assert len(got) == 10 and sum(1 for i in got if i < 20) >= 8
+    # the probe prunes partitions: only the probed _cid dirs are read
+    pruned = similarity.ivf_pq_probe(spark, idx, q, k=5, n_probe=2, shortlist=20)
+    files = [
+        r[0]
+        for r in spark.read.parquet(idx)
+        .filter(F.col("_cid").isin(
+            similarity.probe_centroids(spark, idx, q, 2)[0]
+        ))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    all_files = [
+        r[0]
+        for r in spark.read.parquet(idx).select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(files) < len(all_files)
+    assert pruned.count() == 5
