@@ -1138,6 +1138,9 @@ class Engine:
         lloyd_iters: int = 1,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        pq_m: int | None = None,
+        pq_k: int = 16,
+        pq_iters: int = 2,
     ) -> str:
         """Materialize the IVF index of a governed embeddings table as a
         GOVERNED Delta table: the corpus is read through :meth:`read_table`
@@ -1157,7 +1160,13 @@ class Engine:
         manifest form (``similarity.write_centroid_manifest``); past
         ``similarity.ARROW_CENTROID_CELLS`` the whole build runs on the
         Arrow path (broadcast + ``mapInPandas`` argmax, distributed Lloyd
-        means)."""
+        means).
+
+        ``pq_m`` upgrades the index to governed IVFPQ: a product-quantization
+        codebook (``pq_m`` subspaces x ``pq_k`` codes) is trained on the
+        governed corpus and per-vector codes ride into the index, so
+        :meth:`ivf_probe` can ADC-shortlist within the probed lists before
+        the exact re-rank (pass ``shortlist=``)."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
         from .functions import similarity as _sim
@@ -1179,6 +1188,15 @@ class Engine:
             )
             cents = (ids, mat)
             assigned = _sim.assign_centroids_arrow(src_df, ids, mat, vec_col)
+        codebook = None
+        if pq_m:
+            codebook = _sim.pq_train(
+                src_df, m=pq_m, k=pq_k, lloyd_iters=pq_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            assigned = assigned.withColumn(
+                "pq_codes", _sim.pq_codes_col(codebook, vec_col)
+            )
         self.config.table_mapping[idx_alias] = index_path
         self.write_table(
             idx_alias,
@@ -1187,6 +1205,11 @@ class Engine:
             partition_by=["_cid"],
         )
         _sim.write_centroid_manifest(self.spark, index_path, cents, id_col, vec_col)
+        if codebook is not None:
+            with open(
+                os.path.join(index_path, "_pq_codebook.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump({"m": pq_m, "k": pq_k, "codebook": codebook}, f)
         self.set_table_properties(
             idx_alias,
             {
@@ -1204,6 +1227,7 @@ class Engine:
         k: int = 10,
         n_probe: int = 4,
         user: str = acl.ANONYMOUS,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Governed top-k probe of an index built by :meth:`build_ivf_index`:
         centroid ranking is driver-side metadata, the inverted-list scan is
@@ -1212,7 +1236,13 @@ class Engine:
         read), and the SOURCE table's resolved ACL DNF for ``user`` is
         injected as a row predicate — a user who may see only some
         partitions of the embeddings table gets only those rows back from
-        the index derived from it."""
+        the index derived from it.
+
+        On an IVFPQ index (built with ``pq_m``), ``shortlist`` inserts the
+        ADC stage: the probed rows rank by the PQ lookup table first (m
+        ``element_at`` per row) and only the shortlist pays exact cosine —
+        governance is unchanged because the ACL predicate is applied BEFORE
+        the shortlist (forbidden rows never enter it)."""
         path = self.resolve(index_alias)
         from .functions import similarity as _sim
 
@@ -1228,6 +1258,21 @@ class Engine:
             if pred is not None:
                 df = df.filter(pred)
         hits = df.filter(F.col("_cid").isin(probe_cids))
+        if shortlist is not None:
+            cb_path = os.path.join(path, "_pq_codebook.json")
+            if not os.path.exists(cb_path):
+                raise ValueError(
+                    f"index {index_alias!r} carries no PQ codebook — build "
+                    "with build_ivf_index(..., pq_m=...) to use a shortlist"
+                )
+            with open(cb_path, encoding="utf-8") as f:
+                codebook = json.load(f)["codebook"]
+            adc = _sim.adc_distance_col(codebook, query_vec, "pq_codes")
+            hits = (
+                hits.select(F.col(id_col), F.col(vec_col), adc.alias("_adc"))
+                .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+                .limit(max(int(shortlist), k))
+            )
         return _sim.probe_index_df(hits, query_vec, k, id_col, vec_col)
 
     def _read_data(

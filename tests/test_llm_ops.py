@@ -1717,3 +1717,35 @@ def test_ivf_pq_build_probe(spark, tmp_path):
     ]
     assert len(files) < len(all_files)
     assert pruned.count() == 5
+
+
+def test_governed_ivfpq_shortlist_stays_governed(spark, tmp_path):
+    """build_ivf_index(pq_m=...) rides PQ codes into the governed index;
+    ivf_probe(shortlist=...) ADC-shortlists AFTER the ACL predicate, so a
+    partition-restricted user never sees forbidden rows — and with a full
+    probe + corpus shortlist the result equals the exact governed probe."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "emb_ivfpq")
+    idx_alias = eng.build_ivf_index(
+        "emb", idx_path, index_alias="emb__ivfpq",
+        num_centroids=4, lloyd_iters=1, pq_m=2, pq_k=8, pq_iters=1,
+    )
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(idx_path, "_pq_codebook.json"))
+    q = [0.0, 1.0]
+    # full probe + wide shortlist == the exact governed probe
+    pq_full = eng.ivf_probe(idx_alias, q, k=5, n_probe=4, shortlist=1000)
+    exact = eng.ivf_probe(idx_alias, q, k=5, n_probe=4)
+    assert [tuple(r) for r in pq_full.collect()] == [tuple(r) for r in exact.collect()]
+    # ACL carries through the ADC shortlist: user 'u' (grp=a) never sees b
+    gated = eng.ivf_probe(idx_alias, q, k=5, n_probe=4, user="u", shortlist=20)
+    got = {r["vec_id"] for r in gated.collect()}
+    assert got and got <= set(range(40))
+    # a shortlist on a plain (no-codebook) index refuses loudly
+    plain_alias = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_plain"), index_alias="emb__plain",
+        num_centroids=4, lloyd_iters=1,
+    )
+    with pytest.raises(ValueError, match="PQ codebook"):
+        eng.ivf_probe(plain_alias, q, k=5, shortlist=10)
