@@ -2484,30 +2484,38 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ivf", lambda: ORACLES["similarity_topk"])
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF probed top-k against the MATERIALIZED index (round-10: the
-    scale path), run at full probe (n_probe == num_centroids).
+    """X3 IVFPQ probed top-k against the MATERIALIZED index (round-10 IVF,
+    upgraded to the full IVFPQ composition in round 11), run at full probe
+    (n_probe == num_centroids) with a corpus-wide ADC shortlist.
 
-    ``ivf_build`` assigns every vector once and writes the corpus
-    ``_cid``-partitioned; ``ivf_probe`` pushes ``_cid IN (...)`` into the
-    scan so partition pruning bounds per-query IO by the probe, not the
-    corpus (the ad-hoc ``ivf_topk`` form re-evaluates the assignment
-    argmax over every row per query — fine once, not as an index). Full
-    probe makes IVF provably equal to the exact brute-force top-k — the
-    invariant that pins the build/assignment/probe/rerank machinery under
-    the driver's hash gate. The approximate trade (n_probe <
-    num_centroids, pruned-partition IO) is exercised in pytest
-    (test_ivf_build_probe_prunes_partitions)."""
+    ``ivf_pq_build`` trains the PQ codebook, assigns every vector once,
+    and writes the corpus ``_cid``-partitioned with its codes;
+    ``ivf_pq_probe`` pushes ``_cid IN (...)`` into the scan (partition
+    pruning bounds per-query IO by the probe), ranks the survivors by the
+    ADC lookup table, and exact-reranks the shortlist. At full probe +
+    corpus-wide shortlist the whole pipeline is provably equal to the
+    exact brute-force top-k — the invariant that pins the codebook /
+    encoding / assignment / probe / ADC / rerank machinery under the
+    driver's hash gate. The approximate trades (n_probe < num_centroids,
+    tight shortlists) are exercised in pytest
+    (test_ivf_build_probe_prunes_partitions, test_ivf_pq_build_probe)."""
     idx = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_fixtures",
         os.path.basename(os.path.abspath(sf_dir)),
-        "ivf_index",
+        "ivfpq_index",
     )
-    if not os.path.exists(os.path.join(idx, "_ivf_centroids.json")):
+    if not os.path.exists(os.path.join(idx, "_pq_codebook.json")):
         emb = load_table(spark, sf_dir, "embeddings")
-        similarity.ivf_build(emb, idx, num_centroids=8, lloyd_iters=1)
-    return similarity.ivf_probe(
-        spark, idx, _query_vector(spark, sf_dir), k=10, n_probe=8
+        similarity.ivf_pq_build(
+            emb, idx, num_centroids=8, m=4, pq_k=16, lloyd_iters=1, pq_iters=1
+        )
+    # shortlist must COVER the corpus for the exactness invariant, but stay
+    # bounded: TakeOrdered sizes its priority queue by the limit, so an
+    # astronomically large shortlist is a driver OOM, not a no-op
+    return similarity.ivf_pq_probe(
+        spark, idx, _query_vector(spark, sf_dir), k=10, n_probe=8,
+        shortlist=1_000_000,
     )
 
 
