@@ -60,6 +60,8 @@ EXTENDED = [
     "auth_join",
     "dedup_substring",
     "lm_perplexity",
+    "dsir_weights",
+    "bpe_pipeline",
 ]
 
 

@@ -2745,3 +2745,29 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.length("redacted")).cast("long").alias("redacted_chars"),
     )
+
+
+def bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 distributed BPE: train a small merge table on the corpus (ONE
+    corpus scan + vocab-sized merge rounds) and encode every document with
+    it. Unregistered (the iterative trainer has no single-SQL oracle; the
+    merge list is pinned EQUAL to a from-scratch Sennrich reference in
+    test_llm_ops); benchmarked under SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=12, checkpoint_every=4)
+    return bpe.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 DSIR importance weights with the high-quality tier as the target
+    seed (the standard bootstrap when no external target corpus exists).
+    Unregistered companion of lm_perplexity; benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED, model pinned in test_llm_ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs).select("doc_id", "quality_score")
+    joined = docs.join(stats, "doc_id").withColumn(
+        "_tgt", F.col("quality_score") >= 0.55
+    )
+    return text.dsir_importance_weights(joined, F.col("_tgt"))
