@@ -359,6 +359,11 @@ def unigram_nll(
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the vocab model and the per-doc scoring join; without a
+    # materialization point Catalyst re-derives each branch from the source
+    # (three corpus scans at 100 TB). Lazy localCheckpoint: one scan fills
+    # it on first action, both branches reuse, ContextCleaner reclaims it.
+    tf = tf.localCheckpoint(eager=False)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
@@ -429,6 +434,9 @@ def dsir_importance_weights(
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "_tgt", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # shared by the model aggregation and the scoring join — one scan, not
+    # three (see unigram_nll)
+    tf = tf.localCheckpoint(eager=False)
     # both unigram models from ONE vocab-sized aggregation
     vocab = tf.groupBy("term").agg(
         F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
