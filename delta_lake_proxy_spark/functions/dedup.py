@@ -910,3 +910,108 @@ def duplicate_span_stats(
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce("dup_span_tokens", F.lit(0)).cast("long").alias("dup_span_tokens"),
     )
+
+
+def minhash_signature_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The persistable MinHash index of a corpus: one row per (doc, band)
+    with the band bucket hash AND the full signature —
+    ``(id, band, bucket, sig array<long>)``. Built once per corpus (one
+    scan), then incremental batches join it by (band, bucket)
+    (:func:`minhash_near_duplicates_incremental`) without ever touching
+    the indexed TEXT again. Write it as a table partitioned/bucketed by
+    ``band`` for co-located incremental joins."""
+    rows_per_band = num_hashes // bands
+    p = F.lit(_MERSENNE_31).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_words).alias("_shingles"),
+    )
+    exploded = base.select("_id", F.explode("_shingles").alias("_sh")).select(
+        "_id",
+        F.pmod(F.xxhash64("_sh"), p).alias("_h1"),
+        F.pmod(F.xxhash64("_sh", F.lit("mh-salt")), p).alias("_h2"),
+    )
+    sig_df = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), p)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return sig_df.select(
+        F.col("_id").alias(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+        sig.alias("sig"),
+    )
+
+
+def minhash_near_duplicates_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an ALREADY-INDEXED corpus
+    (the daily-ingest shape): the batch's banded signatures join the
+    signature index on (band, bucket) — the corpus is touched only through
+    its index, never rescanned — and candidates are scored by the MinHash
+    jaccard ESTIMATE (fraction of agreeing signature positions; std
+    ~sqrt(j(1-j)/num_hashes), ±0.06 at 64 hashes). Exact verification is
+    impossible without the indexed text by design — the index is
+    signature-only so it stays ~100 bytes/doc at any corpus size; callers
+    needing exactness re-read just the candidate pairs' documents.
+
+    Output: ``(new_id, indexed_id, est_jaccard)``. The index build
+    parameters (num_hashes/bands/shingle_words) must match."""
+    new_idx = minhash_signature_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_words
+    ).select(
+        F.col(id_col).alias("new_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("_sig_new"),
+    )
+    old = index.select(
+        F.col(id_col).alias("indexed_id"), "band", "bucket", F.col("sig").alias("_sig_old")
+    )
+    cand = (
+        new_idx.join(old, ["band", "bucket"])
+        .select("new_id", "indexed_id", "_sig_new", "_sig_old")
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sig_new"),
+            F.col("_sig_old"),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(agree.cast("double") / F.lit(num_hashes), 6)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "indexed_id", "est_jaccard")
+    )

@@ -1749,3 +1749,48 @@ def test_governed_ivfpq_shortlist_stays_governed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="PQ codebook"):
         eng.ivf_probe(plain_alias, q, k=5, shortlist=10)
+
+
+def test_minhash_incremental_against_signature_index(spark):
+    """Daily-ingest near-dup: a new batch joins the persisted signature
+    index (corpus text never rescanned — the function only receives the
+    index), finds its near-dups in the corpus, skips fresh content."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark query engines"),
+            (3, "training data pipelines deduplicate documents at corpus scale"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_signature_index(corpus)
+    new = spark.createDataFrame(
+        [
+            (100, "THE QUICK   brown fox jumps over the lazy dog again and again"),  # = 1
+            (101, "training data pipelines deduplicate documents at corpus scale"),  # = 3
+            (102, "entirely novel text never indexed before anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["new_id"], r["indexed_id"]): r["est_jaccard"]
+        for r in dedup.minhash_near_duplicates_incremental(new, index).collect()
+    }
+    assert pairs[(100, 1)] == 1.0  # normalized-equal: all signatures agree
+    assert pairs[(101, 3)] == 1.0
+    assert not any(n == 102 for n, _ in pairs)
+    # estimator sanity on a partial overlap (jaccard ~0.5): index with
+    # finer banding (r=2, S-curve center 0.18) so the moderate pair is
+    # reliably bucketed, then the ESTIMATE lands between the bounds
+    fine_index = dedup.minhash_signature_index(corpus, bands=32)
+    part = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy cat again and again")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["indexed_id"]): r["est_jaccard"]
+        for r in dedup.minhash_near_duplicates_incremental(
+            part, fine_index, bands=32, threshold=0.2
+        ).collect()
+    }
+    assert (200, 1) in got and 0.2 <= got[(200, 1)] < 1.0
