@@ -72,3 +72,78 @@ def monitor_spikes(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+class TransformWithStateUnavailable(RuntimeError):
+    """transformWithStateInPandas needs the RocksDB state store AND
+    google.protobuf (the Python<->JVM state-server protocol is protobuf-
+    framed); without protobuf the Spark streaming runner crashes with an
+    opaque STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — refuse early
+    with the actionable story instead."""
+
+
+def _require_tws() -> None:
+    import importlib.util
+
+    try:
+        missing = importlib.util.find_spec("google.protobuf") is None
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        missing = True
+    if missing:
+        raise TransformWithStateUnavailable(
+            "transformWithStateInPandas requires the google.protobuf package "
+            "(Spark's Python state-server protocol); it is not installed in "
+            "this environment. Use running_totals (applyInPandasWithState) — "
+            "same semantics, no protobuf dependency."
+        )
+
+
+def running_totals_tws(events, id_col: str = "user_id", value_col: str = "value"):
+    """Per-key running totals on the Spark 4 ``transformWithStateInPandas``
+    API (StatefulProcessor + typed ValueState): emits
+    ``(key, total_events, sum_value, batches_seen)`` every micro-batch,
+    state persists across batches via the RocksDB store. The modern
+    replacement for applyInPandasWithState — typed state handles, multiple
+    named states, timers — gated here on the protobuf dependency the
+    environment may lack (:class:`TransformWithStateUnavailable`); the
+    session must set ``spark.sql.streaming.stateStore.providerClass`` to
+    the RocksDB provider."""
+    _require_tws()
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("tot", "cnt long, s double, b long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            prev = self.state.get()
+            cnt, tot, b = (prev[0], prev[1], prev[2]) if prev else (0, 0.0, 0)
+            self.state.update((cnt + n, tot + s, b + 1))
+            yield pd.DataFrame(
+                {
+                    id_col: [key[0]],
+                    "total_events": [cnt + n],
+                    "sum_value": [tot + s],
+                    "batches_seen": [b + 1],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy(id_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=(
+            f"{id_col} long, total_events long, sum_value double, batches_seen long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

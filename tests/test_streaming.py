@@ -227,3 +227,28 @@ def test_event_ts_encoding_invariance(spark, tmp_path):
     b = queries.late_data_watermark(spark, str(d_ns)).orderBy("window_start").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 40  # 90s spacing -> every event in its own 60s window
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """The Spark 4 transformWithStateInPandas operator refuses EARLY with
+    the actionable dependency story when google.protobuf is absent (this
+    container), instead of crashing the streaming Python runner mid-query.
+    On a protobuf-equipped cluster the same code runs (semantics mirrored
+    by the applyInPandasWithState spike monitor's test)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from delta_lake_proxy_spark.streaming import stateful
+
+    events = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    try:
+        missing = importlib.util.find_spec("google.protobuf") is None
+    except ModuleNotFoundError:
+        missing = True
+    if missing:
+        with _pytest.raises(stateful.TransformWithStateUnavailable, match="protobuf"):
+            stateful.running_totals_tws(events)
+    else:  # pragma: no cover - exercised only on protobuf-equipped clusters
+        df = stateful.running_totals_tws(events)
+        assert set(df.columns) == {"user_id", "total_events", "sum_value", "batches_seen"}
