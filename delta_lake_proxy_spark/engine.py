@@ -761,26 +761,33 @@ class Engine:
     def describe_table(self, alias: str) -> DataFrame:
         """DESCRIBE DETAIL analog (DeltaTable.detail): one row of table
         metadata — format, id, location, partition columns, live file count
-        and bytes (from the snapshot replay, metadata-sized), table
-        properties, and protocol versions."""
+        and bytes, table properties, and protocol versions. File counters
+        come from the tip VERSION CHECKSUM when one exists (O(1), zero
+        Spark jobs — the whole DESCRIBE becomes a driver-side read);
+        otherwise from the snapshot-replay aggregate."""
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         proto = deltalog.table_protocol_no_spark(path) or {}
-        agg = (
-            deltalog.snapshot_files(self.spark, path)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("size"), F.lit(0)).alias("b"),
+        crc = deltalog._tip_checksum(path)
+        if crc is not None:
+            n, b = int(crc["numFiles"]), int(crc["tableSizeBytes"])
+        else:
+            agg = (
+                deltalog.snapshot_files(self.spark, path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("size"), F.lit(0)).alias("b"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
+            n, b = int(agg["n"]), int(agg["b"])
         row = (
             "parquet",
             meta.get("id"),
             path,
             list(meta.get("partitionColumns") or []),
-            int(agg["n"]),
-            int(agg["b"]),
+            n,
+            b,
             deltalog.table_configuration_no_spark(path),
             int(proto.get("minReaderVersion") or 1),
             int(proto.get("minWriterVersion") or 1),
