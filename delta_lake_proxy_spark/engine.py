@@ -1201,9 +1201,7 @@ class Engine:
                 src_df, m=pq_m, k=pq_k, lloyd_iters=pq_iters,
                 id_col=id_col, vec_col=vec_col,
             )
-            assigned = assigned.withColumn(
-                "pq_codes", _sim.pq_codes_col(codebook, vec_col)
-            )
+            assigned = _sim.with_pq_codes(assigned, codebook, vec_col, "pq_codes")
         self.config.table_mapping[idx_alias] = index_path
         self.write_table(
             idx_alias,

@@ -679,7 +679,14 @@ def pq_train(
     Training scans the corpus once per (subspace, Lloyd step) — m * (1 +
     iters) passes over the VECTOR column only; training is a one-off index
     build, and m is small (4-16). Codes are deterministic: the Lloyd seeds
-    are hash-ordered, like IVF."""
+    are hash-ordered, like IVF.
+
+    Past ``ARROW_CENTROID_CELLS`` (k x subspace-dim cells — production PQ is
+    k=256 codes, the canonical Jegou setting) each subspace trains on the
+    Arrow path like IVF (:func:`_ivf_centroids_np`: broadcast matrix +
+    ``mapInPandas`` argmax assignment, distributed Lloyd means) — no literal
+    expressions, no driver-side Lloyd collect. The finished codebook is
+    m*k*sub floats on the driver either way (it IS the index metadata)."""
     dim = _vec_dim(embeddings, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -690,8 +697,16 @@ def pq_train(
             F.col(id_col),
             F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
         )
-        cents = _ivf_centroids(sliced, k, lloyd_iters, id_col=id_col, vec_col=vec_col)
-        codebook.append([cv for _cid, cv in cents])
+        if k * sub > ARROW_CENTROID_CELLS:
+            _ids, mat = _ivf_centroids_np(
+                sliced, k, lloyd_iters, id_col=id_col, vec_col=vec_col
+            )
+            codebook.append([[float(x) for x in row] for row in mat])
+        else:
+            cents = _ivf_centroids(
+                sliced, k, lloyd_iters, id_col=id_col, vec_col=vec_col
+            )
+            codebook.append([cv for _cid, cv in cents])
     return codebook
 
 
@@ -713,8 +728,10 @@ def _nearest_code(vec: Column, cents: list[list[float]]) -> Column:
 
 def pq_codes_col(codebook: list[list[list[float]]], vec_col: str = "embedding") -> Column:
     """The PQ code array as a composable Column (one nearest-centroid code
-    per subspace) — used by :func:`pq_encode` and ridden into the IVF index
-    by :func:`ivf_pq_build`."""
+    per subspace) — used by :func:`with_pq_codes` on the small (literal,
+    SQL-reproducible) path. The expression inlines k*dim literal floats, so
+    callers must route through :func:`with_pq_codes`, which switches to the
+    broadcast-codebook Arrow encode past ``ARROW_CENTROID_CELLS``."""
     m = len(codebook)
     sub = len(codebook[0][0])
     return F.array(
@@ -725,6 +742,72 @@ def pq_codes_col(codebook: list[list[list[float]]], vec_col: str = "embedding") 
     )
 
 
+def _codebook_cells(codebook: list[list[list[float]]]) -> int:
+    """Total literal floats an inline encode expression would carry:
+    m * k * sub == k * dim."""
+    return len(codebook) * len(codebook[0]) * len(codebook[0][0])
+
+
+def pq_codes_arrow(
+    df: DataFrame, codebook: list[list[list[float]]], vec_col: str, out_col: str
+) -> DataFrame:
+    """PQ encode for LARGE codebooks: the (m, k, sub) codebook ships once
+    per executor as a broadcast variable and each Arrow batch computes the
+    per-subspace argmin with one float64 matmul per subspace (the
+    ``|x-c|^2 = |x|^2 - 2x.c + |c|^2`` identity — the |x|^2 term is
+    row-constant and dropped) — constant plan size in k, unlike the
+    literal ``array_min`` expression tree. ``np.argmin``'s first-occurrence
+    rule ties toward the smaller code, same as the codegen path."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        cb = bc.value
+        m, _k, sub = cb.shape
+        cnorm = (cb * cb).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                codes[:, j] = np.argmin(cnorm[j] - 2.0 * (x @ cb[j].T), axis=1)
+            pdf[out_col] = [row for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the PQ code column, picking the encode strategy by codebook
+    size: below ``ARROW_CENTROID_CELLS`` total cells the codebook inlines
+    as a pure-codegen literal expression (SQL-reproducible, zero Python);
+    past it — production PQ, e.g. k=256 on 768-dim — the literal tree
+    would carry ~k*dim literals, so the encode switches to the broadcast
+    codebook + ``mapInPandas`` argmin (:func:`pq_codes_arrow`)."""
+    if _codebook_cells(codebook) <= ARROW_CENTROID_CELLS:
+        return df.withColumn(out_col, pq_codes_col(codebook, vec_col))
+    return pq_codes_arrow(df, codebook, vec_col, out_col)
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebook: list[list[list[float]]],
@@ -732,13 +815,14 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Compress the corpus to PQ codes: ``(id, codes array<int>)`` with one
-    nearest-centroid code per subspace — a single map-only codegen pass (the
-    codebook inlines as literals; m*k is small by construction). At 100 TB
-    the encoded corpus is ~dim*32 / (m*log2 k) times smaller than the raw
-    vectors — the representation that makes exhaustive ADC scans cheap."""
-    return embeddings.select(
-        F.col(id_col), pq_codes_col(codebook, vec_col).alias("codes")
-    )
+    nearest-centroid code per subspace — a single map-only pass (literal
+    codegen below ``ARROW_CENTROID_CELLS``, broadcast-codebook Arrow argmin
+    past it; see :func:`with_pq_codes`). At 100 TB the encoded corpus is
+    ~dim*32 / (m*log2 k) times smaller than the raw vectors — the
+    representation that makes exhaustive ADC scans cheap."""
+    return with_pq_codes(
+        embeddings.select(F.col(id_col), F.col(vec_col)), codebook, vec_col, "codes"
+    ).select(F.col(id_col), F.col("codes"))
 
 
 def pq_search(
@@ -813,7 +897,7 @@ def ivf_pq_build(
     codebook = pq_train(
         embeddings, m=m, k=pq_k, lloyd_iters=pq_iters, id_col=id_col, vec_col=vec_col
     )
-    with_codes = embeddings.withColumn("pq_codes", pq_codes_col(codebook, vec_col))
+    with_codes = with_pq_codes(embeddings, codebook, vec_col, "pq_codes")
     ivf_build(
         with_codes,
         index_path,
