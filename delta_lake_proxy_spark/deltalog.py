@@ -429,6 +429,7 @@ def write_commit(
     iceberg_handled: bool = False,
     collations_handled: bool = False,
     crc_fresh_adds: bool = False,
+    crc_live_removes: bool = False,
 ) -> int:
     """Append one commit; returns the committed version.
 
@@ -458,6 +459,7 @@ def write_commit(
         iceberg_handled=iceberg_handled,
         collations_handled=collations_handled,
         crc_fresh_adds=crc_fresh_adds,
+        crc_live_removes=crc_live_removes,
     )
 
 
@@ -486,6 +488,7 @@ def write_commit_streamed(
     iceberg_handled: bool = False,
     collations_handled: bool = False,
     crc_fresh_adds: bool = False,
+    crc_live_removes: bool = False,
 ) -> int:
     """:func:`write_commit` for action sets too large to hold in driver
     memory: ``adds_fn`` / ``removes_fn`` are RE-CALLABLE factories returning
@@ -570,6 +573,11 @@ def write_commit_streamed(
             # uuid-named files, restore re-adds of tombstoned paths) — lets
             # the checksum stay pure arithmetic on hot append paths
             "fresh_adds": crc_fresh_adds,
+            # caller certifies every remove tombstones a CURRENTLY-LIVE
+            # path (all Engine DML does) — without it a sized remove of an
+            # already-dead path would double-decrement the arithmetic
+            # checksum, so uncertified removes take the exact simulation
+            "live_removes": crc_live_removes,
             "ict": None,
         }
         # inCommitTimestamp candidate for THIS attempt: strictly above the
@@ -1116,6 +1124,7 @@ def write_log_compaction(table_path: str, start: int, end: int) -> str:
     txns: dict[str, dict] = {}
     domains: dict[str, dict] = {}
     state: dict[tuple[str, str], tuple[str, dict]] = {}
+    last_ci: dict | None = None
     for fp in files:
         with open(fp, "r", encoding="utf-8") as f:
             for line in f:
@@ -1153,9 +1162,27 @@ def write_log_compaction(table_path: str, start: int, end: int) -> str:
                         "remove",
                         r,
                     )
-                # commitInfo / cdc / (checkpointMetadata, sidecar — never in
-                # commits) carry no snapshot state: dropped
+                elif action.get("commitInfo") is not None:
+                    # files iterate in version order: this ends up the
+                    # RANGE'S LAST commitInfo (kept only under ICT, below)
+                    last_ci = action["commitInfo"]
+                # cdc / (checkpointMetadata, sidecar — never in commits)
+                # carry no snapshot state: dropped
     lines: list[str] = []
+    # commitInfo is replay-irrelevant EXCEPT under In-Commit Timestamps:
+    # the compaction stands in for commit `end` when a reader replays the
+    # compacted tail, so the range's last commitInfo (whose
+    # inCommitTimestamp is the authoritative time of `end`) must survive —
+    # a foreign reader resolving timestamps from the compaction would
+    # otherwise find none. Internal paths are unaffected
+    # (version_at_timestamp reads raw commits). Emitted FIRST, the
+    # position the spec fixes for commitInfo under ICT.
+    conf = dict((meta or {}).get("configuration") or {}) or (
+        table_configuration_no_spark(table_path)
+    )
+    ict_on = str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true"
+    if ict_on and last_ci is not None:
+        lines.append(json.dumps({"commitInfo": last_ci}))
     if proto is not None:
         lines.append(json.dumps({"protocol": proto}))
     if meta is not None:
@@ -2548,7 +2575,10 @@ def _write_version_checksum_after_commit(
     # commits, rowTracking backfill re-adds, sizeless tombstones) simulate
     # this commit against the pre-commit snapshot — exact for any action mix
     needs_snapshot = (
-        (t["remove_count"] > 0 and t.get("remove_bytes") is None)
+        (
+            t["remove_count"] > 0
+            and (t.get("remove_bytes") is None or not t.get("live_removes"))
+        )
         or (t["add_count"] > 0 and not t.get("fresh_adds"))
     )
     if t.get("add_bytes") is None:

@@ -2804,6 +2804,52 @@ class Engine:
             out.append(enriched)
         return out
 
+    def _refuse_legacy_writer_capabilities(
+        self, path: str, api: str, enumerated: tuple[str, ...] = ()
+    ) -> None:
+        """Guard shared by the ``enable_*`` protocol upgrades: a writer-7
+        upgrade must ENUMERATE every capability the existing protocol
+        implies, or those declarations are silently dropped for conforming
+        foreign writers. A legacy table at minWriterVersion 2-6 (no feature
+        lists) implies appendOnly/invariants (2), checkConstraints (3),
+        changeDataFeed + generatedColumns (4), columnMapping (5),
+        identityColumns (6) — each binding only while actually DECLARED on
+        the table, so only the ACTIVE ones matter. Callers that carry a
+        capability into the new feature list pass it via ``enumerated``
+        (enable_deletion_vectors does for changeDataFeed); anything active
+        and not enumerated refuses (the explicit feature-list guard alone
+        let writer-3-6 tables through — ADVICE r11 #1)."""
+        proto = deltalog.table_protocol_no_spark(path) or {}
+        writer = int(proto.get("minWriterVersion") or 1)
+        if writer >= 7:
+            return  # explicit lists — the no-clobber guard owns this case
+        active: set[str] = set()
+        if writer >= 2:
+            if deltalog.check_append_only(path):
+                active.add("appendOnly")
+            if deltalog._schema_has_invariants(path) is not None:
+                active.add("invariants")
+        if writer >= 3 and deltalog.declared_constraints(path):
+            active.add("checkConstraints")
+        if writer >= 4:
+            if self._cdf_enabled(path):
+                active.add("changeDataFeed")
+            if deltalog.generated_columns(path):
+                active.add("generatedColumns")
+        if writer >= 5 and self._column_mapping(path):
+            active.add("columnMapping")
+        if writer >= 6 and deltalog.identity_columns(path):
+            active.add("identityColumns")
+        dropped = sorted(active - set(enumerated))
+        if dropped:
+            raise UnsupportedProtocolError(
+                path,
+                f"table's legacy minWriterVersion={writer} carries ACTIVE "
+                f"capability declarations {dropped} that the writer-7 {api} "
+                "upgrade would silently drop from the protocol; refusing to "
+                "rewrite it",
+            )
+
     def enable_deletion_vectors(self, alias: str) -> int:
         """Upgrade a plain (or CDF-enabled) table so DELETEs write deletion
         vectors (``delta.enableDeletionVectors=true`` + the (3,7)
@@ -2845,6 +2891,9 @@ class Engine:
                     f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                     "its feature lists",
                 )
+            self._refuse_legacy_writer_capabilities(
+                path, "enable_deletion_vectors", enumerated=("changeDataFeed",)
+            )
             wfeats = ["deletionVectors"]
             if self._cdf_enabled(path):
                 # the table's existing writer-4 CDF demand must survive the
@@ -2898,6 +2947,7 @@ class Engine:
                 f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                 "its feature lists",
             )
+        self._refuse_legacy_writer_capabilities(path, "enable_v2_checkpoints")
         meta = deltalog.table_metadata_no_spark(path) or {}
         version = deltalog.write_commit_streamed(
             path,
@@ -2952,6 +3002,9 @@ class Engine:
                 f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                 "its feature lists",
             )
+        self._refuse_legacy_writer_capabilities(
+            path, "enable_checkpoint_protection"
+        )
         enabling = deltalog.latest_version(path) + 1
         if before_version is None:
             before_version = enabling
@@ -3119,6 +3172,9 @@ class Engine:
                     f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                     "its feature lists",
                 )
+            self._refuse_legacy_writer_capabilities(
+                path, "enable_in_commit_timestamps"
+            )
             protocol_action = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
@@ -3193,6 +3249,7 @@ class Engine:
                     f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                     "its feature lists",
                 )
+            self._refuse_legacy_writer_capabilities(path, "enable_clustering")
             protocol_action = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
@@ -3266,6 +3323,7 @@ class Engine:
                     f"{sorted(existing_r | existing_w)}; refusing to rewrite "
                     "its feature lists",
                 )
+            self._refuse_legacy_writer_capabilities(path, "enable_row_tracking")
             deltalog.write_commit_streamed(
                 path,
                 lambda: iter(()),
@@ -3680,6 +3738,21 @@ class Engine:
                     f"column invariant on {col!r} ({sql}) violated by "
                     f"written row(s) — write rejected (Delta writer "
                     f"protocol 2 invariant semantics)"
+                )
+        # top-level nullable=false is a NOT NULL invariant (PROTOCOL.md
+        # "Column Invariants"): enforced by VALUE, which is why
+        # _evolve_schema accepts a nullable-typed frame into a non-null
+        # column — the nulls, not the schema, are the violation. One
+        # limit(1) probe per declared non-null column actually present.
+        schema = self._table_schema(path)
+        for f in schema.fields if schema is not None else []:
+            if f.nullable or f.name not in df.columns:
+                continue
+            if df.filter(F.col(f.name).isNull()).limit(1).count() > 0:
+                raise ValueError(
+                    f"column {f.name!r} is declared NOT NULL in the table "
+                    "schema but the written rows carry nulls — write "
+                    "rejected (Delta column invariant semantics)"
                 )
         return True
 
@@ -4584,10 +4657,47 @@ class Engine:
         return df.withColumn("_zorder", z)
 
     @staticmethod
+    def _type_conflict(logged, incoming) -> bool:
+        """Append-compatibility check between a logged column type and an
+        incoming frame's (ADVICE r11 #4 — simpleString dropped nested
+        nullability, letting nulls land in columns the schema promises
+        non-null). Field METADATA is never compared (a mapped table's
+        logged schema carries delta.columnMapping.* an incoming frame
+        lacks — not a conflict; the logged schema stays authoritative),
+        string collations are never a conflict (byte layout identical,
+        table authoritative), and nullability is ASYMMETRIC: a nullable
+        incoming field into a non-nullable logged field conflicts, the
+        reverse (stricter data into a laxer column) is always safe."""
+        from pyspark.sql import types as T
+
+        if isinstance(logged, T.StringType) and isinstance(incoming, T.StringType):
+            return False
+        if isinstance(logged, T.StructType) and isinstance(incoming, T.StructType):
+            if [x.name for x in logged.fields] != [x.name for x in incoming.fields]:
+                return True
+            return any(
+                (nf.nullable and not lf.nullable)
+                or Engine._type_conflict(lf.dataType, nf.dataType)
+                for lf, nf in zip(logged.fields, incoming.fields)
+            )
+        if isinstance(logged, T.ArrayType) and isinstance(incoming, T.ArrayType):
+            if incoming.containsNull and not logged.containsNull:
+                return True
+            return Engine._type_conflict(logged.elementType, incoming.elementType)
+        if isinstance(logged, T.MapType) and isinstance(incoming, T.MapType):
+            if incoming.valueContainsNull and not logged.valueContainsNull:
+                return True
+            return Engine._type_conflict(
+                logged.keyType, incoming.keyType
+            ) or Engine._type_conflict(logged.valueType, incoming.valueType)
+        # atomic / mismatched kinds: metadata-free structural compare
+        return logged.simpleString() != incoming.simpleString()
+
+    @staticmethod
     def _evolve_schema(existing_json: str | None, df: DataFrame) -> str:
         """Append-time schema evolution (Delta mergeSchema semantics): the
         table schema becomes existing ∪ new columns; a column present in both
-        with a different type is a conflict and raises."""
+        with an incompatible type (:meth:`_type_conflict`) raises."""
         from pyspark.sql import types as T
 
         if not existing_json or existing_json == "{}":
@@ -4599,22 +4709,16 @@ class Engine:
             prev = by_name.get(f.name)
             if prev is None:
                 merged.append(f)
-            elif prev.dataType.simpleString() != f.dataType.simpleString():
-                # simpleString compares STRUCTURE (names + types at every
-                # depth) but not nested-field metadata — a mapped table's
-                # logged schema carries delta.columnMapping.* on nested
-                # fields that an incoming frame never has; that is not a
-                # conflict (the logged schema stays authoritative)
-                # string-vs-collated-string is NOT a conflict: byte layout
-                # is identical and the TABLE's collation stays authoritative
-                # (plain incoming strings are re-typed by _apply_collations)
-                if isinstance(prev.dataType, T.StringType) and isinstance(
-                    f.dataType, T.StringType
-                ):
-                    continue
+            elif Engine._type_conflict(prev.dataType, f.dataType):
+                # top-level nullability is deliberately NOT compared: the
+                # write path enforces non-null by VALUE (invariant
+                # semantics), so a nullable frame carrying no nulls appends
+                # fine — but nested non-null declarations have no value
+                # enforcement here, so they conflict (see _type_conflict)
                 raise ValueError(
                     f"schema conflict on column '{f.name}': "
                     f"{prev.dataType.simpleString()} vs {f.dataType.simpleString()}"
+                    " (nested types and nested nullability must match)"
                 )
         return T.StructType(merged).json()
 
@@ -4649,6 +4753,10 @@ class Engine:
         # append path; DV re-adds of live paths are covered regardless — the
         # sizeless tombstones they ride with force the exact simulation
         kwargs.setdefault("crc_fresh_adds", True)
+        # ... and every Engine remove tombstones a live file by construction
+        # (DML/compact/restore/overwrite all derive removes from the live
+        # snapshot), so the checksum's remove arithmetic is safe too
+        kwargs.setdefault("crc_live_removes", True)
         # every file-producing Engine path stages through _stage_physical,
         # which performs the mapped physical translation and the
         # icebergCompat file obligations — so Engine commits prove both

@@ -203,3 +203,123 @@ def test_foreign_writer_fixture(spark, tmp_path):
     before = _log_files(root)
     assert deltalog.cleanup_log(root, retention_hours=0.0) == 0
     assert _log_files(root) == before
+
+
+def _legacy_table(tmp_path, name: str, protocol: dict, configuration: dict) -> str:
+    """Hand-written foreign table with a LEGACY protocol (no feature
+    lists) — the shape ADVICE r11 #1 flagged: minWriterVersion 3-6 implies
+    capabilities an enable_* upgrade must not silently drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / name)
+    os.makedirs(root, exist_ok=True)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], type=pa.int64())}),
+        os.path.join(root, "f1.parquet"),
+    )
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": f"legacy-{name}",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": configuration,
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": "f1.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, "f1.parquet")),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 2}),
+            }
+        },
+    ]
+    with open(os.path.join(logd, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return root
+
+
+def test_enable_refuses_legacy_writer_versions(spark, tmp_path):
+    """ADVICE r11 #1: a legacy minWriterVersion 3-6 table has NO explicit
+    feature lists, so it passed the explicit-list guard — and the (3,7)
+    upgrade listing only checkpointProtection would drop its implied
+    capability declarations (checkConstraints at 3, changeDataFeed at 4).
+    Every protocol-rewriting enable_* now refuses such tables."""
+    # writer 3 (CHECK constraints implied)
+    p3 = _legacy_table(
+        tmp_path, "w3",
+        {"minReaderVersion": 1, "minWriterVersion": 3},
+        {"delta.constraints.pos": "id > 0"},
+    )
+    eng3 = _engine(spark, p3)
+    with pytest.raises(
+        UnsupportedProtocolError, match="minWriterVersion=3.*checkConstraints"
+    ):
+        eng3.enable_checkpoint_protection("t")
+    # writer 4 (CDF + generated columns implied) — another enable_*
+    p4 = _legacy_table(
+        tmp_path, "w4",
+        {"minReaderVersion": 1, "minWriterVersion": 4},
+        {"delta.enableChangeDataFeed": "true"},
+    )
+    eng4 = _engine(spark, p4)
+    with pytest.raises(
+        UnsupportedProtocolError, match="minWriterVersion=4.*changeDataFeed"
+    ):
+        eng4.enable_in_commit_timestamps("t")
+    with pytest.raises(
+        UnsupportedProtocolError, match="minWriterVersion=4.*changeDataFeed"
+    ):
+        eng4.enable_v2_checkpoints("t")
+    # an INACTIVE implied capability drops nothing: a bare writer-4 table
+    # (CDF off, no generated columns) upgrades fine
+    p4b = _legacy_table(
+        tmp_path, "w4bare",
+        {"minReaderVersion": 1, "minWriterVersion": 4},
+        {},
+    )
+    assert _engine(spark, p4b).enable_in_commit_timestamps("t") == 1
+
+
+def test_enable_refuses_active_writer2_capability(spark, tmp_path):
+    """A writer-2 table with delta.appendOnly=true: the upgrade would stop
+    conforming writer-7 clients from enforcing append-only (the feature is
+    not in writerFeatures), so it refuses; without the active capability
+    the same table upgrades fine."""
+    pa_ = _legacy_table(
+        tmp_path, "w2ao",
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {"delta.appendOnly": "true"},
+    )
+    eng = _engine(spark, pa_)
+    with pytest.raises(UnsupportedProtocolError, match="appendOnly"):
+        eng.enable_checkpoint_protection("t")
+    plain = _legacy_table(
+        tmp_path, "w2plain",
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {},
+    )
+    eng2 = _engine(spark, plain)
+    v = eng2.enable_checkpoint_protection("t")
+    assert deltalog.table_protocol_no_spark(plain)["writerFeatures"] == [
+        "checkpointProtection"
+    ]
+    assert v == 1

@@ -182,3 +182,126 @@ def test_declared_invariants_parses_both_forms(tmp_path):
     p2 = make_invariant_table(str(tmp_path / "b"), WRITER2, invariant="id > 0")
     assert deltalog.declared_invariants(p1) == {"id": "id > 0"}
     assert deltalog.declared_invariants(p2) == {"id": "id > 0"}
+
+
+# ---------------------------------------------------------------------------
+# NOT NULL (nullable=false) — the schema-declared invariant (ADVICE r11 #4)
+# ---------------------------------------------------------------------------
+
+
+def _notnull_table(root: str) -> str:
+    """Foreign table whose ``id`` column is declared nullable=false and
+    whose ``s`` struct column declares a NON-NULLABLE nested field ``a``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "a",
+                                "type": "long",
+                                "nullable": False,
+                                "metadata": {},
+                            }
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+    )
+    rel = "part-00000.parquet"
+    full = os.path.join(root, rel)
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "s": pa.array([{"a": 1}, {"a": 2}]),
+            }
+        ),
+        full,
+    )
+    logd = os.path.join(root, "_delta_log")
+    os.makedirs(logd, exist_ok=True)
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": WRITER2},
+        {
+            "metaData": {
+                "id": "notnull",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 2}),
+            }
+        },
+    ]
+    with open(os.path.join(logd, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_nested_nullability_conflicts_at_schema_level(spark, tmp_path):
+    """ADVICE r11 #4: an incoming frame whose NESTED struct field is
+    nullable where the logged schema declares it non-nullable must raise a
+    schema conflict (nested fields get no value enforcement) — while a
+    column-mapping-style metadata difference or the safe direction
+    (stricter incoming nullability) stays accepted."""
+    path = _notnull_table(str(tmp_path / "nn"))
+    eng = _engine(spark, path)
+    # nullable nested 'a' into non-nullable logged 'a': refuse
+    bad = spark.createDataFrame(
+        [Row(id=5, s=Row(a=None))], "id long, s struct<a: long>"
+    )
+    assert bad.schema["s"].dataType["a"].nullable
+    with pytest.raises(ValueError, match="schema conflict on column 's'"):
+        eng.write_table("t", bad, mode="append")
+    # stricter incoming (non-nullable nested) into the same table: fine
+    good = spark.createDataFrame([(6, (7,))], "id long, s struct<a: long>").select(
+        F.col("id"), F.struct(F.lit(8).cast("long").alias("a")).alias("s")
+    )
+    assert not good.schema["s"].dataType["a"].nullable
+    eng.write_table("t", good, mode="append")
+    got = sorted(r["id"] for r in eng.read_table("t", user="admin").collect())
+    assert got == [1, 2, 6]
+
+
+def test_top_level_not_null_enforced_by_value(spark, tmp_path):
+    """Top-level nullable=false is the protocol's NOT NULL invariant:
+    enforced by VALUE (a nullable-typed frame with no nulls appends fine;
+    actual nulls refuse), which is why _evolve_schema accepts the frame."""
+    path = _notnull_table(str(tmp_path / "nn2"))
+    eng = _engine(spark, path)
+    ok = spark.createDataFrame([Row(id=9, s=Row(a=1))], "id long, s struct<a: long>")
+    ok = ok.select(F.col("id"), F.struct(F.lit(1).cast("long").alias("a")).alias("s"))
+    eng.write_table("t", ok, mode="append")  # nullable id type, no null values
+    bad = spark.createDataFrame(
+        [Row(id=None, s=Row(a=1))], "id long, s struct<a: long>"
+    ).select(F.col("id"), F.struct(F.lit(1).cast("long").alias("a")).alias("s"))
+    with pytest.raises(ValueError, match="NOT NULL"):
+        eng.write_table("t", bad, mode="append")
+    assert sorted(
+        r["id"] for r in eng.read_table("t", user="admin").collect()
+    ) == [1, 2, 9]

@@ -347,3 +347,42 @@ def test_governed_sink_auto_compaction(spark, tmp_path, gov_table, lineitem):
     state = deltalog._live_adds_no_spark(path)
     delete_commits(path, range(v0 + 1, v0 + 5))
     assert deltalog._live_adds_no_spark(path) == state
+
+
+def test_compaction_preserves_last_commit_info_under_ict(spark, tmp_path, lineitem):
+    """ADVICE r11 #2: with In-Commit Timestamps enabled, the compaction
+    stands in for commit `end` during replay, so the range's LAST
+    commitInfo (whose inCommitTimestamp is the authoritative time of
+    `end`) must survive into the compacted file — first line, the spec's
+    fixed position. Without ICT, commitInfo stays dropped."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "lc_ict")
+    write_governed_table(
+        spark, spark.createDataFrame([Row(id=1), Row(id=2)]), path, []
+    )
+    eng = mk_engine(spark, path, checkpoint_interval=0)
+    eng.enable_in_commit_timestamps("t")  # v1
+    eng.write_table("t", spark.createDataFrame([Row(id=3)]), mode="append")  # v2
+    eng.write_table("t", spark.createDataFrame([Row(id=4)]), mode="append")  # v3
+    # the authoritative ICT of v3, straight from its raw commit
+    with open(os.path.join(path, "_delta_log", f"{3:020d}.json")) as f:
+        ict3 = json.loads(f.readline())["commitInfo"]["inCommitTimestamp"]
+    name = eng.compact_log("t", 1, 3)
+    with open(os.path.join(path, "_delta_log", name)) as f:
+        first = json.loads(f.readline())
+    assert "commitInfo" in first
+    assert first["commitInfo"]["inCommitTimestamp"] == ict3
+    # replay through the compaction still serves the same rows
+    before = sorted(r["id"] for r in eng.read_table("t").collect())
+    delete_commits(path, [1, 2, 3])
+    eng._snapshot_cache.invalidate()
+    got = sorted(r["id"] for r in mk_engine(spark, path).read_table("t").collect())
+    assert got == before
+
+    # non-ICT table: commitInfo stays replay-irrelevant and dropped
+    path2, eng2 = build_table(spark, tmp_path, lineitem, name="lc_noict")
+    name2 = eng2.compact_log("t", 1, 4)
+    with open(os.path.join(path2, "_delta_log", name2)) as f:
+        kinds = {next(iter(json.loads(l))) for l in f if l.strip()}
+    assert "commitInfo" not in kinds

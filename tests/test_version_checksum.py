@@ -189,6 +189,29 @@ def test_raw_remove_of_non_live_path_stays_exact(spark, tmp_path):
     assert after["tableSizeBytes"] == before["tableSizeBytes"]
 
 
+def test_raw_sized_remove_of_tombstoned_path_stays_exact(spark, tmp_path):
+    """ADVICE r11 #3: a raw commit carrying a SIZED remove of an
+    already-tombstoned path (a legal reconciliation no-op) must not
+    double-decrement numFiles/tableSizeBytes — uncertified removes route
+    through the snapshot simulation (only Engine commits, whose removes
+    are live by construction, certify crc_live_removes and keep the pure
+    arithmetic)."""
+    path = str(tmp_path / "t")
+    eng = mk_engine(spark, path)
+    eng.write_table("t", src_df(spark), mode="overwrite")
+    live0 = deltalog._live_adds_no_spark(path)
+    dead_path, dead_add = next(iter(sorted(live0.items())))
+    eng.write_table("t", src_df(spark, 10, base=100), mode="overwrite")  # tombstones live0
+    before = deltalog.read_version_checksum(path, deltalog.latest_version(path))
+    deltalog.write_commit(
+        path, [], [{"path": dead_path, "size": dead_add.get("size")}]
+    )
+    rep = assert_valid(path)
+    after = deltalog.read_version_checksum(path, rep["version"])
+    assert after["numFiles"] == before["numFiles"]
+    assert after["tableSizeBytes"] == before["tableSizeBytes"]
+
+
 def test_chain_gap_pauses_and_backfill_heals(spark, tmp_path):
     """A foreign commit without a crc breaks the chain — subsequent engine
     commits must NOT write checksums derived from a missing predecessor —
