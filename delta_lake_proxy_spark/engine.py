@@ -1178,6 +1178,9 @@ class Engine:
             raise ReadOnlyError(alias)
         from .functions import similarity as _sim
 
+        # the source version this build captures — recorded on the index so
+        # refresh_ivf_index can assign only commits PAST it
+        src_version = deltalog.latest_version(self.resolve(alias))
         src_df = self.read_table(alias, user=user)
         dim = _sim._vec_dim(src_df, vec_col)
         idx_alias = index_alias or f"{alias}__ivf"
@@ -1221,9 +1224,120 @@ class Engine:
                 "graft.ivf.source": alias,
                 "graft.ivf.idCol": id_col,
                 "graft.ivf.vecCol": vec_col,
+                "graft.ivf.indexedVersion": str(src_version),
             },
         )
         return idx_alias
+
+    def refresh_ivf_index(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> int:
+        """Incrementally refresh an index built by :meth:`build_ivf_index`:
+        read ONLY the source commits past ``graft.ivf.indexedVersion``
+        (their net added files, scanned by explicit enumeration — the
+        indexed corpus is never rescanned), assign the new vectors to the
+        EXISTING centroids (no retrain — standard IVF maintenance; the
+        centroid manifest is untouched), append them into the ``_cid``
+        partitions (Delta-logged like any engine write), and advance the
+        indexed version. On an IVFPQ index the stored codebook encodes the
+        new vectors' codes too. At 100 TB with daily ingest this is the
+        difference between an index that is refreshed in O(new data) and
+        one that is either stale or rebuilt from scratch — the same
+        incremental shape ``minhash_near_duplicates_incremental`` gives
+        near-dup. (The reference's analog freshness surface is its
+        snapshot cache serving fresh file sets per commit,
+        src/main.rs:344-367.)
+
+        Non-append source changes refuse: a remove (DELETE/UPDATE/MERGE
+        rewrite) or a DV-carrying add means indexed vectors would need
+        retraction from the inverted lists — rebuild instead. ``user``
+        should match the building user; the probe additionally injects
+        the source ACL at query time regardless. Returns the newly
+        indexed source version."""
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        from .functions import similarity as _sim
+
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        src_alias = conf.get("graft.ivf.source")
+        if not src_alias:
+            raise ValueError(
+                f"{index_alias!r} is not an IVF index built by build_ivf_index"
+            )
+        iv = conf.get("graft.ivf.indexedVersion")
+        if iv is None:
+            raise ValueError(
+                f"index {index_alias!r} predates indexed-version tracking — "
+                "rebuild once with build_ivf_index to enable refresh"
+            )
+        indexed = int(iv)
+        src_path = self.resolve(src_alias)
+        cur = deltalog.latest_version(src_path)
+        if cur <= indexed:
+            return indexed  # already fresh — zero scans
+        pv_of: dict[str, dict] = {}
+        for v in range(indexed + 1, cur + 1):
+            p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
+            if not os.path.isfile(p):
+                raise ValueError(
+                    f"source commit {v} is no longer retained (log cleanup) "
+                    "— rebuild the index with build_ivf_index"
+                )
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if action.get("add") is not None:
+                        a = action["add"]
+                        if a.get("dataChange") is False:
+                            continue  # compaction re-add: already indexed
+                        if a.get("deletionVector"):
+                            raise ValueError(
+                                f"source commit {v} adds a deletion-vector "
+                                "file — non-append change; refresh cannot "
+                                "retract indexed vectors, rebuild with "
+                                "build_ivf_index"
+                            )
+                        pv_of[a["path"]] = dict(a.get("partitionValues") or {})
+                    elif action.get("remove") is not None:
+                        r = action["remove"]
+                        if r.get("dataChange") is False:
+                            continue  # compaction tombstone: no row change
+                        if r["path"] in pv_of:
+                            del pv_of[r["path"]]  # add+remove inside window
+                        else:
+                            raise ValueError(
+                                f"source commit {v} removes {r['path']!r} — "
+                                "non-append change; refresh cannot retract "
+                                "indexed vectors, rebuild with build_ivf_index"
+                            )
+        if pv_of:
+            cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
+            new_rows = self._read_clone_enumerated(src_path, pv_of)
+            pred = self.acl_predicate(src_alias, user)
+            if pred is not None:
+                new_rows = new_rows.filter(pred)
+            if isinstance(cents, list):
+                assigned = new_rows.withColumn(
+                    "_cid", _sim._assign_centroid(F.col(vec_col), cents)
+                )
+            else:
+                ids, mat = cents
+                assigned = _sim.assign_centroids_arrow(new_rows, ids, mat, vec_col)
+            cb_path = os.path.join(path, "_pq_codebook.json")
+            if os.path.exists(cb_path):
+                with open(cb_path, encoding="utf-8") as f:
+                    codebook = json.load(f)["codebook"]
+                assigned = _sim.with_pq_codes(assigned, codebook, vec_col, "pq_codes")
+            self.write_table(
+                index_alias, assigned.repartition(F.col("_cid")), mode="append"
+            )
+        self.set_table_properties(
+            index_alias, {"graft.ivf.indexedVersion": str(cur)}
+        )
+        return cur
 
     def ivf_probe(
         self,

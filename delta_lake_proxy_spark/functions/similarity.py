@@ -572,13 +572,12 @@ def write_centroid_manifest(
         )
 
 
-def probe_centroids(
-    spark, index_path: str, query_vec: list[float], n_probe: int
-) -> tuple[list[int], str, str]:
-    """Rank an index's centroids against a query (driver-side,
-    metadata-sized) and return ``(probe_cids, id_col, vec_col)``. Reads
-    either manifest form: inline-JSON centroids (small path) or the
-    in-index parquet centroid table (Arrow path, one numpy matmul)."""
+def load_centroids(spark, index_path: str):
+    """The index's centroid table plus its column names: ``(cents, id_col,
+    vec_col)`` where ``cents`` is the small path's ``list[(cid, vector)]``
+    or the Arrow path's ``(ids, matrix)`` numpy pair — the same shapes
+    :func:`ivf_build` returns, so assignment code handles both uniformly
+    (incremental refresh re-assigns NEW vectors against these)."""
     import json as _json
     import os as _os
 
@@ -588,18 +587,32 @@ def probe_centroids(
         meta = _json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if meta.get("format") == "parquet":
-        import numpy as np
-
-        ids, mat = _cents_arrow(
+        cents = _cents_arrow(
             spark.read.parquet(_os.path.join(index_path, meta["path"])),
             "cid",
             "cvec",
         )
+    else:
+        cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    return cents, id_col, vec_col
+
+
+def probe_centroids(
+    spark, index_path: str, query_vec: list[float], n_probe: int
+) -> tuple[list[int], str, str]:
+    """Rank an index's centroids against a query (driver-side,
+    metadata-sized) and return ``(probe_cids, id_col, vec_col)``. Reads
+    either manifest form: inline-JSON centroids (small path) or the
+    in-index parquet centroid table (Arrow path, one numpy matmul)."""
+    cents, id_col, vec_col = load_centroids(spark, index_path)
+    if isinstance(cents, tuple):
+        import numpy as np
+
+        ids, mat = cents
         scores = mat @ np.asarray(query_vec, dtype=np.float64)
         order = np.lexsort((ids, -scores))  # score desc, cid asc on ties
         probe_cids = [int(c) for c in ids[order[: max(1, n_probe)]]]
     else:
-        cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
         probe = sorted(
             cents,
             key=lambda c: (
