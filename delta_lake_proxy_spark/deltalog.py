@@ -1084,6 +1084,47 @@ _KNOWN_ACTION_KEYS = {
 }
 
 
+def configuration_at(table_path: str, version: int) -> dict[str, str]:
+    """Table configuration as of ``version``: the latest metaData action at
+    or below it (JSON commits / compactions bounded by ``max_version``,
+    checkpoint fallback when the tail below was cleaned). Driver-side, no
+    Spark job — the compaction writer resolves the RANGE-END configuration
+    with this, because the tip's may differ (a property toggled after the
+    range must not change how the range compacts)."""
+    meta = None
+    for _s, _e, fp in log_segments(table_path, max_version=version):
+        with open(fp, "r", encoding="utf-8") as f:
+            for line in f:
+                if '"metaData"' not in line[:64]:
+                    continue
+                m = json.loads(line).get("metaData")
+                if m is not None:
+                    meta = m
+    if meta is None:
+        ck = last_checkpoint(table_path)
+        if ck is not None and int(ck["version"]) <= version:
+            import pyarrow.parquet as pq
+
+            for ck_file in checkpoint_data_files(table_path, ck):
+                pf = pq.ParquetFile(ck_file)
+                if "metaData" not in pf.schema_arrow.names:
+                    continue
+                col = pq.read_table(ck_file, columns=["metaData"]).column("metaData")
+                for m in col.to_pylist():
+                    if m is not None and m.get("schemaString"):
+                        meta = m
+        elif ck is not None:
+            # the pre-`version` metaData was cleaned and the only
+            # checkpoint sits ABOVE the requested version: the exact
+            # historical configuration is unrecoverable — serve the tip's
+            # as best effort rather than claiming "no configuration"
+            return table_configuration_no_spark(table_path)
+    return {
+        str(k): str(v)
+        for k, v in ((meta or {}).get("configuration") or {}).items()
+    }
+
+
 def write_log_compaction(table_path: str, start: int, end: int) -> str:
     """Write ``<start>.<end>.compacted.json`` (Delta spec "Log Compaction
     Files"): the checkpoint-rule reconciliation of commits start..end —
@@ -1177,8 +1218,12 @@ def write_log_compaction(table_path: str, start: int, end: int) -> str:
     # otherwise find none. Internal paths are unaffected
     # (version_at_timestamp reads raw commits). Emitted FIRST, the
     # position the spec fixes for commitInfo under ICT.
-    conf = dict((meta or {}).get("configuration") or {}) or (
-        table_configuration_no_spark(table_path)
+    # resolved AS OF `end`, not the tip: ICT toggled after the range must
+    # not change how the range compacts (and vice versa)
+    conf = (
+        dict(meta.get("configuration") or {})
+        if meta is not None
+        else configuration_at(table_path, end)
     )
     ict_on = str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true"
     if ict_on and last_ci is not None:

@@ -239,6 +239,11 @@ def _to_epoch_millis(ts: "int | float | str") -> int:
     return int(parsed.timestamp() * 1000)
 
 
+# txn appId stamped on IVF-refresh append commits: makes the refresh
+# idempotent across a crash between its two commits (append + property)
+_IVF_REFRESH_APP = "graft.ivf.refresh"
+
+
 class Engine:
     """Governed Delta lakehouse engine over a table-alias catalog."""
 
@@ -1179,9 +1184,12 @@ class Engine:
         from .functions import similarity as _sim
 
         # the source version this build captures — recorded on the index so
-        # refresh_ivf_index can assign only commits PAST it
+        # refresh_ivf_index can assign only commits PAST it. The read is
+        # PINNED to that version: an unpinned read would lazily resolve the
+        # tip, so a concurrent source commit landing mid-build would be
+        # indexed now AND re-indexed by the next refresh (review r12 #2)
         src_version = deltalog.latest_version(self.resolve(alias))
-        src_df = self.read_table(alias, user=user)
+        src_df = self.read_table(alias, user=user, version=src_version)
         dim = _sim._vec_dim(src_df, vec_col)
         idx_alias = index_alias or f"{alias}__ivf"
         cents: object
@@ -1272,10 +1280,21 @@ class Engine:
                 "rebuild once with build_ivf_index to enable refresh"
             )
         indexed = int(iv)
+        # the txn watermark rides the APPEND commit itself, so a refresh
+        # that crashed between its append and its property update is not
+        # replayed: the watermark already covers the window, and only the
+        # property catch-up below remains (review r12 #5)
+        txn_mark = deltalog.all_txn_versions(path).get(_IVF_REFRESH_APP, -1)
+        indexed = max(indexed, int(txn_mark))
         src_path = self.resolve(src_alias)
         cur = deltalog.latest_version(src_path)
         if cur <= indexed:
-            return indexed  # already fresh — zero scans
+            if int(iv) < indexed:
+                # catch up the property a crashed refresh left stale
+                self.set_table_properties(
+                    index_alias, {"graft.ivf.indexedVersion": str(indexed)}
+                )
+            return indexed  # already fresh — zero data scans
         pv_of: dict[str, dict] = {}
         for v in range(indexed + 1, cur + 1):
             p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
@@ -1332,7 +1351,10 @@ class Engine:
                     codebook = json.load(f)["codebook"]
                 assigned = _sim.with_pq_codes(assigned, codebook, vec_col, "pq_codes")
             self.write_table(
-                index_alias, assigned.repartition(F.col("_cid")), mode="append"
+                index_alias,
+                assigned.repartition(F.col("_cid")),
+                mode="append",
+                txn={"appId": _IVF_REFRESH_APP, "version": cur},
             )
         self.set_table_properties(
             index_alias, {"graft.ivf.indexedVersion": str(cur)}
@@ -3857,11 +3879,22 @@ class Engine:
         # "Column Invariants"): enforced by VALUE, which is why
         # _evolve_schema accepts a nullable-typed frame into a non-null
         # column — the nulls, not the schema, are the violation. One
-        # limit(1) probe per declared non-null column actually present.
+        # limit(1) probe per declared non-null column. A non-null column
+        # ABSENT from the frame refuses outright: every row would read
+        # back NULL for it (write_table applies defaults/identity/
+        # generated fills BEFORE this check, so anything still missing
+        # here is genuinely unfillable; review r12 #1).
         schema = self._table_schema(path)
         for f in schema.fields if schema is not None else []:
-            if f.nullable or f.name not in df.columns:
+            if f.nullable:
                 continue
+            if f.name not in df.columns:
+                raise ValueError(
+                    f"column {f.name!r} is declared NOT NULL in the table "
+                    "schema but is absent from the written frame — every "
+                    "row would read back NULL; write rejected (Delta "
+                    "column invariant semantics)"
+                )
             if df.filter(F.col(f.name).isNull()).limit(1).count() > 0:
                 raise ValueError(
                     f"column {f.name!r} is declared NOT NULL in the table "

@@ -205,9 +205,17 @@ def _batch_interference(
     per_ctx = left.union(right).groupBy("a", "b", "side", "ctx").agg(
         F.sum("freq").alias("cnt")
     )
-    created_rows = per_ctx.groupBy("a", "b").agg(F.max("cnt").alias("bound"))
+    created_rows = per_ctx.groupBy("a", "b").agg(
+        F.lit("C").alias("kind"),
+        F.lit(None).cast("string").alias("qa"),
+        F.lit(None).cast("string").alias("qb"),
+        F.max("cnt").alias("val"),
+    )
     # destruction entries: an L-triple (ctx, a, b) destroys skipped
-    # (ctx, a); an R-triple (a, b, ctx) destroys skipped (b, ctx)
+    # (ctx, a); an R-triple (a, b, ctx) destroys skipped (b, ctx) — keyed
+    # by BOTH the skipped pair and its DESTROYER (a, b), because phase 3
+    # may trim the destroyer out of the batch and its destruction must
+    # then not be credited (a trimmed merge never runs)
     skip_keys = [r["a"] + sep + r["b"] for r in skipped]
     destroyed_rows = per_ctx.filter(
         (
@@ -219,18 +227,22 @@ def _batch_interference(
             & F.concat(F.col("b"), F.lit(sep), F.col("ctx")).isin(skip_keys)
         )
     ).select(
+        F.col("a"),
+        F.col("b"),
+        F.lit("D").alias("kind"),
         F.when(F.col("side") == "L", F.col("ctx")).otherwise(F.col("b")).alias("qa"),
         F.when(F.col("side") == "L", F.col("a")).otherwise(F.col("ctx")).alias("qb"),
-        F.col("cnt"),
-    ).groupBy("qa", "qb").agg(F.max("cnt").alias("d"))
+        F.col("cnt").alias("val"),
+    ).groupBy("a", "b", "kind", "qa", "qb").agg(F.max("val").alias("val"))
+    # both bound families in ONE job (the union shares the per_ctx subtree,
+    # which Spark computes once per collect; a single collect = one pass)
     if skipped:
-        got_created, got_destroyed = (
-            created_rows.collect(),
-            destroyed_rows.collect(),
-        )
+        got = created_rows.unionByName(destroyed_rows).collect()
     else:
-        got_created, got_destroyed = created_rows.collect(), []
-    bounds = {(r["a"], r["b"]): int(r["bound"]) for r in got_created}
+        got = created_rows.collect()
+    got_created = [r for r in got if r["kind"] == "C"]
+    got_destroyed = [r for r in got if r["kind"] == "D"]
+    bounds = {(r["a"], r["b"]): int(r["val"]) for r in got_created}
     # collision boost: existing pairs already involving a merged string can
     # be BOOSTED by created adjacencies — fold their max count into every
     # created bound (conservative; usually zero)
@@ -244,7 +256,9 @@ def _batch_interference(
     created = {
         (r["a"], r["b"]): bounds.get((r["a"], r["b"]), 0) + boost for r in accepted
     }
-    destroyed = {(r["qa"], r["qb"]): int(r["d"]) for r in got_destroyed}
+    destroyed = {
+        ((r["qa"], r["qb"]), (r["a"], r["b"])): int(r["val"]) for r in got_destroyed
+    }
     return created, destroyed
 
 
@@ -258,15 +272,24 @@ def _trim_batch(entries: list, created: dict, destroyed: dict) -> list:
     holds a count that the sequential trainer would have picked first
     (strict >, so ties can never lex-steal a turn)."""
     final: list = []
+    kept: list[tuple[str, str]] = []
     C = -1
     T = -1
     for kind, row in entries:
         if kind == "skip":
-            T = max(T, row["n"] - destroyed.get((row["a"], row["b"]), 0))
+            q = (row["a"], row["b"])
+            # destruction credited ONLY from destroyers already KEPT —
+            # a merge this trim drops never runs, so its destruction of q
+            # must not deflate q's residual (review r12 #3); the lower
+            # bound across several kept destroyers is the max of their
+            # per-mechanism counts (mechanisms can hit the same site)
+            d = max((destroyed.get((q, p), 0) for p in kept), default=0)
+            T = max(T, row["n"] - d)
             continue
         if final and not (row["n"] > C and row["n"] > T):
             break
         final.append(row)
+        kept.append((row["a"], row["b"]))
         C = max(C, created.get((row["a"], row["b"]), 0))
     return final
 
@@ -288,13 +311,14 @@ def bpe_train(
 
     ``batch_merges > 1`` applies up to that many merges per round while
     staying EXACTLY equal to the one-merge-per-round trainer (pinned by
-    test): each round takes the maximal prefix of the sorted pair list
-    whose members share no symbols (:func:`_select_batch`), then trims it
-    so every batched pair's count strictly exceeds the upper bound on any
-    pair the earlier batched merges could create or boost
-    (:func:`_created_pair_bounds`) — the condition under which the
-    sequential trainer would have picked the same pairs in the same
-    order. This attacks the driver-cadence cost the r11 verdict flagged
+    test): each round partitions the sorted pair list into chain-free
+    accepted pairs and skipped conflicts (:func:`_scan_candidates`), then
+    trims the batch so every member's count strictly exceeds both the
+    created-pair upper bound of the merges kept before it and every
+    earlier skipped pair's destruction-adjusted residual
+    (:func:`_batch_interference` / :func:`_trim_batch`) — the condition
+    under which the sequential trainer provably picks the same pairs in
+    the same order. This attacks the driver-cadence cost the r11 verdict flagged
     (2 jobs x vocab-size merges): rounds shrink by the average accepted
     batch size at ~2 extra (word-table-sized, not corpus-sized) jobs per
     round. ``_stats``, when given, records ``rounds`` for observability."""

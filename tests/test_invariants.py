@@ -305,3 +305,20 @@ def test_top_level_not_null_enforced_by_value(spark, tmp_path):
     assert sorted(
         r["id"] for r in eng.read_table("t", user="admin").collect()
     ) == [1, 2, 9]
+
+
+def test_top_level_not_null_absent_column_refuses(spark, tmp_path):
+    """Review r12 #1: a frame OMITTING a declared NOT NULL column must
+    refuse — every row would read back NULL for it (fill paths for
+    defaults/identity/generated run before the check, so anything still
+    missing is genuinely unfillable)."""
+    path = _notnull_table(str(tmp_path / "nn3"))
+    eng = _engine(spark, path)
+    missing_id = spark.range(1).select(
+        F.struct(F.lit(1).cast("long").alias("a")).alias("s")
+    )
+    with pytest.raises(ValueError, match="absent from the written frame"):
+        eng.write_table("t", missing_id, mode="append")
+    assert sorted(
+        r["id"] for r in eng.read_table("t", user="admin").collect()
+    ) == [1, 2]

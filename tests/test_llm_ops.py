@@ -2102,3 +2102,60 @@ def test_bpe_batched_random_small_alphabet_stress(spark):
         loc = bpe.bpe_train_collected(docs, num_merges=12)
         assert bat == seq, f"batched diverged at seed {seed}"
         assert loc == seq, f"collected diverged at seed {seed}"
+
+
+def test_refresh_ivf_index_crash_between_commits_is_idempotent(spark, tmp_path):
+    """Review r12 #5: the refresh's append and its indexedVersion property
+    update are separate commits; a crash between them must not double-index
+    the window on retry. The append carries a txn watermark, so the retry
+    sees the window already covered, skips the data scan, and only catches
+    the property up."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "emb_ivf_crash")
+    idx = eng.build_ivf_index(
+        "emb", idx_path, index_alias="emb__ivf_crash", num_centroids=4, lloyd_iters=1
+    )
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(300, "a", [1.0, 0.03])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    # crash simulation: property update fails AFTER the append committed
+    orig = Engine.set_table_properties
+
+    def boom(self, alias, properties, unset=None):
+        raise RuntimeError("simulated crash before property update")
+
+    Engine.set_table_properties = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.refresh_ivf_index(idx)
+    finally:
+        Engine.set_table_properties = orig
+    # the append landed, the property did not
+    n_after_crash = eng.read_table(idx, user="admin").filter(
+        F.col("vec_id") == 300
+    ).count()
+    assert n_after_crash == 1
+    stale = int(
+        deltalog.table_configuration_no_spark(idx_path)["graft.ivf.indexedVersion"]
+    )
+    src_v = deltalog.latest_version(eng.resolve("emb"))
+    assert stale < src_v
+
+    # retry: no re-append (still exactly one row 300), property caught up
+    got_v = eng.refresh_ivf_index(idx)
+    assert got_v == src_v
+    assert (
+        eng.read_table(idx, user="admin").filter(F.col("vec_id") == 300).count() == 1
+    )
+    assert (
+        deltalog.table_configuration_no_spark(idx_path)["graft.ivf.indexedVersion"]
+        == str(src_v)
+    )

@@ -386,3 +386,36 @@ def test_compaction_preserves_last_commit_info_under_ict(spark, tmp_path, lineit
     with open(os.path.join(path2, "_delta_log", name2)) as f:
         kinds = {next(iter(json.loads(l))) for l in f if l.strip()}
     assert "commitInfo" not in kinds
+
+
+def test_compaction_ict_resolved_as_of_range_end(spark, tmp_path):
+    """Review r12 #4: the ICT decision must use the configuration AS OF
+    the range end, not the tip — disabling ICT after the range must not
+    drop the range's authoritative commitInfo from the compaction."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "lc_ict_off")
+    write_governed_table(spark, spark.createDataFrame([Row(id=1)]), path, [])
+    eng = mk_engine(spark, path, checkpoint_interval=0)
+    eng.enable_in_commit_timestamps("t")  # v1 (metaData carries ICT on)
+    eng.write_table("t", spark.createDataFrame([Row(id=2)]), mode="append")  # v2
+    eng.write_table("t", spark.createDataFrame([Row(id=3)]), mode="append")  # v3
+    # tip flips the property OFF after the range
+    eng.set_table_properties("t", {}, unset=["delta.enableInCommitTimestamps"])  # v4
+    assert (
+        deltalog.table_configuration_no_spark(path).get(
+            "delta.enableInCommitTimestamps"
+        )
+        is None
+    )
+    # range [2,3] carries no metaData; resolution must find v1's config
+    assert (
+        deltalog.configuration_at(path, 3).get("delta.enableInCommitTimestamps")
+        == "true"
+    )
+    with open(os.path.join(path, "_delta_log", f"{3:020d}.json")) as f:
+        ict3 = json.loads(f.readline())["commitInfo"]["inCommitTimestamp"]
+    name = eng.compact_log("t", 2, 3)
+    with open(os.path.join(path, "_delta_log", name)) as f:
+        first = json.loads(f.readline())
+    assert first.get("commitInfo", {}).get("inCommitTimestamp") == ict3
