@@ -2159,3 +2159,29 @@ def test_refresh_ivf_index_crash_between_commits_is_idempotent(spark, tmp_path):
         deltalog.table_configuration_no_spark(idx_path)["graft.ivf.indexedVersion"]
         == str(src_v)
     )
+
+
+def test_probe_centroid_cache_zero_jobs_and_invalidation(spark, tmp_path, monkeypatch):
+    """Repeated probes of one index must not re-read the centroid table:
+    on Arrow-path indexes that read is a Spark job PER QUERY — the stamped
+    driver cache serves it after the first load (zero new jobs, pinned via
+    statusTracker), and a rebuild invalidates by mtime/size stamp."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf_cached")
+    # shrink the threshold so this tiny index takes the parquet-manifest
+    # (Arrow) path whose centroid load costs a Spark job
+    monkeypatch.setattr(similarity, "ARROW_CENTROID_CELLS", 8)
+    similarity.ivf_build(emb, idx, num_centroids=4, lloyd_iters=0)
+    q = [1.0, 0.0, 0.0, 0.0]
+    first = similarity.probe_centroids(spark, idx, q, 2)
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    again = similarity.probe_centroids(spark, idx, q, 2)
+    after = set(st.getJobIdsForGroup(None) or [])
+    assert after == before, "cached centroid ranking must submit no Spark jobs"
+    assert again == first
+    # rebuild with different centroids -> stamp changes -> cache refreshes
+    similarity.ivf_build(emb, idx, num_centroids=8, lloyd_iters=0)
+    probe_cids, _id, _vec = similarity.probe_centroids(spark, idx, q, 8)
+    assert len(probe_cids) == 8
