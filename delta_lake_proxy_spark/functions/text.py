@@ -479,3 +479,55 @@ def dsir_importance_weights(
             "avg_log_weight"
         ),
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3 appendix-C / Dodge et al.
+    procedure): find training documents sharing any word ``n``-gram with
+    an evaluation set, so eval leakage can be dropped before training.
+    n=13 is the published default — long enough that shared n-grams are
+    near-certain copies, short enough to survive light edits.
+
+    Output: ``(train_id, eval_id, shared_ngrams)`` for pairs sharing at
+    least ``min_shared`` distinct n-grams — the caller drops/flags the
+    ``train_id`` side (an anti-join on the output is the drop step).
+
+    At 100 TB: the train side is one map-only shingle explode to 8-byte
+    xxhash64 gram keys (the text never shuffles), the eval side is tiny by
+    construction (benchmarks are MBs), so AQE broadcasts it and the join
+    filters map-side — the shuffle carries only matched (train_id,
+    eval_id, gram) triples, which decontamination makes rare. Documents
+    shorter than ``n`` words cannot carry a full n-gram and are excluded
+    on both sides (the standard rule; ``word_shingles`` would otherwise
+    emit a short tail shingle and manufacture spurious matches)."""
+    from .dedup import normalized_text, word_shingles
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        words = F.split(normalized_text(F.col(text_col)), " ")
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                word_shingles(F.col(text_col), n).alias("_sh"),
+                F.size(words).alias("_nw"),
+            )
+            .filter(F.col("_nw") >= n)
+            .select(out_id, F.explode("_sh").alias("_g"))
+            .select(out_id, F.xxhash64("_g").alias("_gh"))
+            .dropDuplicates([out_id, "_gh"])
+        )
+
+    t = grams(train, "train_id")
+    e = grams(eval_docs, "eval_id")
+    return (
+        t.join(F.broadcast(e), "_gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

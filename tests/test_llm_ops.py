@@ -2185,3 +2185,45 @@ def test_probe_centroid_cache_zero_jobs_and_invalidation(spark, tmp_path, monkey
     similarity.ivf_build(emb, idx, num_centroids=8, lloyd_iters=0)
     probe_cids, _id, _vec = similarity.probe_centroids(spark, idx, q, 8)
     assert len(probe_cids) == 8
+
+
+def test_ngram_contamination_matches_bruteforce(spark):
+    """Decontamination: output equals a brute-force python n-gram overlap
+    on the same normalized tokenization; short docs are excluded; the plan
+    stays JVM-side with the eval side broadcast."""
+    import re
+
+    train_rows = [
+        (1, "The quick brown fox jumps over the lazy dog while the cat watches quietly nearby today"),
+        (2, "completely unrelated training text about distributed query engines and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog while the cat watches quietly nearby today extra tail"),
+        (4, "too short to carry a thirteen gram"),
+    ]
+    eval_rows = [
+        (100, "Benchmark question: the quick brown fox jumps over the lazy dog while the cat watches quietly nearby today."),
+        (101, "another clean benchmark prompt with no overlap at all in any of its words whatsoever thanks"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    out = text.ngram_contamination(train, ev, n=13)
+    got = {(r["train_id"], r["eval_id"]): r["shared_ngrams"] for r in out.collect()}
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    def grams(s, n=13):
+        t = toks(s)
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    want = {}
+    for ti, tt in train_rows:
+        for ei, et in eval_rows:
+            shared = len(grams(tt) & grams(et))
+            if shared:
+                want[(ti, ei)] = shared
+    assert set(got) == set(want)
+    # doc 4 (< 13 words) never appears even though its words occur in eval
+    assert not any(t == 4 for t, _e in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan
