@@ -183,3 +183,59 @@ def epoch_shuffle_shards(
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "shuffle_order")
     )
+
+
+def sample_to_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic DOMAIN-MIX resampling (the Pile / Llama data-mixing
+    step): downsample each domain so the output's proportions match the
+    target ``weights`` at the LARGEST total achievable without
+    replacement — the binding domain (largest weight-to-count ratio) keeps
+    everything, every other domain keeps ``weight_d * T / count_d`` where
+    ``T = min_d count_d / norm_weight_d``. Domains absent from ``weights``
+    are dropped.
+
+    The keep decision is a hash coin (``xxhash64(id, seed) mod buckets``),
+    never ``rand()``: the same document survives on any cluster geometry,
+    any rerun — the same reproducibility contract as :func:`assign_split`.
+    One domain-sized aggregation (driver collect of per-domain counts) +
+    one map-side filter; no shuffle of the data itself.
+
+    Output: the sampled rows plus ``_keep_rate`` (the domain's rate, for
+    loss reweighting or audit). Appending data and rerunning changes the
+    rates (counts moved) but never un-deterministically: equal inputs give
+    equal outputs."""
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {str(k): float(v) / total_w for k, v in weights.items() if v > 0}
+    counts = {
+        r["_d"]: int(r["_n"])
+        for r in df.groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+        if r["_d"] in norm
+    }
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise ValueError(f"domains {missing} have no rows in the corpus")
+    t_max = min(counts[d] / w for d, w in norm.items())
+    rates = {d: min(1.0, norm[d] * t_max / counts[d]) for d in norm}
+    coin = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
+    rate_expr = None
+    for d in sorted(rates):
+        cond = F.col(domain_col) == F.lit(d)
+        rate_expr = (
+            F.when(cond, F.lit(rates[d]))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(rates[d]))
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    out = df.withColumn("_keep_rate", rate_expr)
+    return out.filter(coin < (F.col("_keep_rate") * F.lit(float(buckets))))

@@ -107,7 +107,9 @@ def contamination_scores(
     the corpus and BROADCASTS; the train side is one explode + distinct +
     semi-probe + per-doc aggregation — the corpus is scanned once, the
     shuffle carries (doc, hash) pairs. Documents shorter than ``n`` words
-    score 0 (no shingles to leak)."""
+    score 0 (no shingles to leak). Companion to
+    ``text.ngram_contamination``, which attributes the overlap to
+    specific eval documents as (train_id, eval_id, shared_ngrams) pairs."""
 
     def shingle_hashes(df: DataFrame, keep_id: bool):
         words = df.select(

@@ -498,6 +498,10 @@ def ngram_contamination(
     Output: ``(train_id, eval_id, shared_ngrams)`` for pairs sharing at
     least ``min_shared`` distinct n-grams — the caller drops/flags the
     ``train_id`` side (an anti-join on the output is the drop step).
+    Companion to ``quality.contamination_scores``, which returns the
+    per-train-doc leaked-shingle FRACTION without attribution; this one
+    says WHICH eval documents leaked (the view needed to retire
+    compromised benchmark items, not just drop training docs).
 
     At 100 TB: the train side is one map-only shingle explode to 8-byte
     xxhash64 gram keys (the text never shuffles), the eval side is tiny by

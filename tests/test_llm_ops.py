@@ -2227,3 +2227,40 @@ def test_ngram_contamination_matches_bruteforce(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_sample_to_mix_proportions_and_determinism(spark):
+    """Domain-mix resampling: output proportions approximate the target,
+    the binding domain keeps everything, excluded domains drop, and the
+    hash coin makes the survivor set identical across repartitionings."""
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, ["web", "code", "wiki"][0 if i % 10 < 7 else (1 if i % 10 < 9 else 2)])
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # corpus: web 70%, code 20%, wiki 10%; target 50/25/25 -> wiki binds
+    out = packing.sample_to_mix(
+        df, {"web": 0.5, "code": 0.25, "wiki": 0.25}, seed="t1"
+    )
+    got = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_wiki = 300
+    assert got["wiki"] == n_wiki  # binding domain keeps everything
+    # others approximate weight_d * T (T = 1200) within hash-coin noise
+    assert abs(got["web"] - 600) / 600 < 0.15
+    assert abs(got["code"] - 300) / 300 < 0.2
+    # determinism across partitionings: identical survivor ids
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in packing.sample_to_mix(
+            df.repartition(17), {"web": 0.5, "code": 0.25, "wiki": 0.25}, seed="t1"
+        ).collect()
+    }
+    assert ids1 == ids2
+    # a domain missing from weights is dropped
+    out2 = packing.sample_to_mix(df, {"web": 1.0}, seed="t1")
+    assert out2.filter(F.col("domain") != "web").count() == 0
+    # unknown target domain refuses loudly
+    with pytest.raises(ValueError, match="no rows"):
+        packing.sample_to_mix(df, {"books": 1.0})
