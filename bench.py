@@ -62,6 +62,8 @@ EXTENDED = [
     "lm_perplexity",
     "dsir_weights",
     "bpe_pipeline",
+    "decontamination",
+    "mix_sample",
 ]
 
 

@@ -2771,3 +2771,36 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tgt", F.col("quality_score") >= 0.55
     )
     return text.dsir_importance_weights(joined, F.col("_tgt"))
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 benchmark decontamination: treat every ~97th document as a held-
+    out eval set and find training documents sharing a 13-gram with it
+    (text.ngram_contamination — corpus-side map-only gram hashing,
+    broadcast eval side). Unregistered (pair output is brute-force-oracled
+    in test_llm_ops); benchmarked under SPARK_GRAFT_BENCH_EXTENDED."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return text.ngram_contamination(train, ev, n=13)
+
+
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 domain-mix resampling: derive a 3-way pseudo-domain from the
+    hash of doc_id and resample to a 50/30/20 target with the stable hash
+    coin (packing.sample_to_mix). Unregistered (proportions/determinism
+    pinned in test_llm_ops); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import packing
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_dom",
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("wiki")),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    out = packing.sample_to_mix(
+        docs, {"web": 0.5, "code": 0.3, "wiki": 0.2}, domain_col="_dom"
+    )
+    return out.groupBy("_dom").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
