@@ -1069,3 +1069,67 @@ def minhash_verify_candidates(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "indexed_id", "jaccard")
     )
+
+
+def dedupe_repeated_lines(
+    docs: DataFrame,
+    min_count: int = 2,
+    min_line_chars: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020 applied the
+    rule to three-sentence spans; line granularity is the common web-text
+    variant): a line occurring at least ``min_count`` times corpus-wide is
+    kept only at its FIRST occurrence (smallest ``(doc_id, position)``) and
+    removed everywhere else — boilerplate (navigation, cookie banners,
+    license footers) collapses to one copy. Lines shorter than
+    ``min_line_chars`` are exempt (short lines repeat legitimately).
+
+    Deliberately AGGREGATION-shaped, not window-shaped: a boilerplate line
+    repeated 10^8 times would make a window partition one task's problem,
+    while ``groupBy(line_hash).agg(count, min(struct(id, pos)))`` partial-
+    combines map-side (the hot key arrives at the reducer as one row per
+    upstream partition) and the join back is a per-row probe AQE can
+    skew-split. The line text itself never shuffles — only its 8-byte
+    hash. Documents rebuild order-preserved via sort-by-position
+    reassembly. Output: ``(id, text, n_removed_lines)``.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    eligible = F.length(F.col("_line")) >= min_line_chars
+    marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
+    firsts = (
+        marked.filter(F.col("_lh").isNotNull())
+        .groupBy("_lh")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_count)  # unique lines never join back
+    )
+    kept = marked.join(firsts, "_lh", "left").filter(
+        F.col("_n").isNull()  # short or corpus-unique line
+        | (F.struct(F.col("_id"), F.col("_pos")) == F.col("_first"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        rebuilt.join(totals, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col(text_col),
+            (F.col("_tot") - F.col("_kept")).cast("long").alias("n_removed_lines"),
+        )
+    )

@@ -2264,3 +2264,39 @@ def test_sample_to_mix_proportions_and_determinism(spark):
     # unknown target domain refuses loudly
     with pytest.raises(ValueError, match="no rows"):
         packing.sample_to_mix(df, {"books": 1.0})
+
+
+def test_dedupe_repeated_lines_matches_bruteforce(spark):
+    """Global line dedup: equals a brute-force first-occurrence pass, keeps
+    line order inside documents, exempts short lines, and stays JVM-side."""
+    rows = [
+        (1, "unique opening line of doc one\nSUBSCRIBE TO OUR NEWSLETTER TODAY\nbody text of the first document"),
+        (2, "SUBSCRIBE TO OUR NEWSLETTER TODAY\nanother document body follows here\nok"),
+        (3, "third document starts here\nSUBSCRIBE TO OUR NEWSLETTER TODAY\nok\nmore third-document content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in dedup.dedupe_repeated_lines(docs, min_count=2).collect()
+    }
+    # brute force: first occurrence of each long line (by doc, pos) survives
+    seen: dict = {}
+    want = {}
+    for i, t in rows:
+        kept = []
+        removed = 0
+        for p, ln in enumerate(t.split("\n")):
+            if len(ln) >= 10:
+                seen.setdefault(ln, []).append((i, p))
+        for p, ln in enumerate(t.split("\n")):
+            occ = seen.get(ln) if len(ln) >= 10 else None
+            if occ is not None and len(occ) >= 2 and occ[0] != (i, p):
+                removed += 1
+            else:
+                kept.append(ln)
+        want[i] = ("\n".join(kept), removed)
+    assert out == want
+    # "ok" (short) repeats in docs 2 and 3 and survives both
+    assert "ok" in out[2][0] and "ok" in out[3][0]
+    plan = dedup.dedupe_repeated_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
