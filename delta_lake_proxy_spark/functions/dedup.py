@@ -1110,26 +1110,38 @@ def dedupe_repeated_lines(
         )
         .filter(F.col("_n") >= min_count)  # unique lines never join back
     )
-    kept = marked.join(firsts, "_lh", "left").filter(
-        F.col("_n").isNull()  # short or corpus-unique line
-        | (F.struct(F.col("_id"), F.col("_pos")) == F.col("_first"))
+    keep = F.col("_n").isNull() | (  # short or corpus-unique line
+        F.struct(F.col("_id"), F.col("_pos")) == F.col("_first")
     )
-    rebuilt = kept.groupBy("_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
-                lambda s: s["_line"],
-            ),
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("_kept"),
-    )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_tot"))
-    return (
-        rebuilt.join(totals, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col(text_col),
-            (F.col("_tot") - F.col("_kept")).cast("long").alias("n_removed_lines"),
+    # ONE group over the (single) corpus explode carries the kept lines and
+    # the removal count together — a filter + second explode for totals
+    # would double the heaviest stage AND drop documents whose every line
+    # was removed (a doc must survive as empty text, not vanish:
+    # line-removal op, not doc-removal)
+    rebuilt = (
+        marked.join(firsts, "_lh", "left")
+        .withColumn("_keep", keep)
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_lines"),
         )
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
     )

@@ -211,6 +211,9 @@ def sample_to_mix(
     loss reweighting or audit). Appending data and rerunning changes the
     rates (counts moved) but never un-deterministically: equal inputs give
     equal outputs."""
+    neg = sorted(str(k) for k, v in weights.items() if float(v) < 0)
+    if neg:
+        raise ValueError(f"negative weight for domains {neg}")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -582,11 +582,15 @@ _CENTROID_CACHE_MAX = 8
 
 
 def _centroid_stamp(index_path: str) -> tuple:
+    import hashlib as _hashlib
     import os as _os
 
     parts = []
-    st = _os.stat(_os.path.join(index_path, "_ivf_centroids.json"))
-    parts.append(("json", st.st_mtime_ns, st.st_size))
+    # the manifest is hashed by CONTENT (small, driver-local): an mtime+size
+    # stamp could miss a same-tick, same-length rewrite on the inline-JSON
+    # path, serving a rebuilt index stale centroids
+    with open(_os.path.join(index_path, "_ivf_centroids.json"), "rb") as f:
+        parts.append(("json", _hashlib.sha256(f.read()).hexdigest()))
     d = _os.path.join(index_path, "_ivf_centroids")
     if _os.path.isdir(d):
         for n in sorted(_os.listdir(d)):

@@ -509,20 +509,28 @@ def ngram_contamination(
     filters map-side — the shuffle carries only matched (train_id,
     eval_id, gram) triples, which decontamination makes rare. Documents
     shorter than ``n`` words cannot carry a full n-gram and are excluded
-    on both sides (the standard rule; ``word_shingles`` would otherwise
-    emit a short tail shingle and manufacture spurious matches)."""
-    from .dedup import normalized_text, word_shingles
+    on both sides (the standard rule — a short tail shingle would
+    manufacture spurious matches). Tokenization is ``WORD_RE`` —
+    IDENTICAL to ``quality.contamination_scores`` — so a punctuation
+    difference between train and eval never splits a gram the fraction
+    score would have matched."""
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        words = F.split(normalized_text(F.col(text_col)), " ")
+        words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
         return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                word_shingles(F.col(text_col), n).alias("_sh"),
-                F.size(words).alias("_nw"),
+            df.select(F.col(id_col).alias(out_id), words.alias("_w"))
+            .filter(F.size("_w") >= n)
+            .select(
+                out_id,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_w"), i, F.lit(n))
+                        ),
+                    )
+                ).alias("_g"),
             )
-            .filter(F.col("_nw") >= n)
-            .select(out_id, F.explode("_sh").alias("_g"))
             .select(out_id, F.xxhash64("_g").alias("_gh"))
             .dropDuplicates([out_id, "_gh"])
         )

@@ -2221,7 +2221,7 @@ def test_ngram_contamination_matches_bruteforce(spark):
             shared = len(grams(tt) & grams(et))
             if shared:
                 want[(ti, ei)] = shared
-    assert set(got) == set(want)
+    assert got == want  # pair set AND shared counts (same tokenization)
     # doc 4 (< 13 words) never appears even though its words occur in eval
     assert not any(t == 4 for t, _e in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -2300,3 +2300,31 @@ def test_dedupe_repeated_lines_matches_bruteforce(spark):
     assert "ok" in out[2][0] and "ok" in out[3][0]
     plan = dedup.dedupe_repeated_lines(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedupe_repeated_lines_keeps_fully_removed_doc_as_empty(spark):
+    """Review r12b #1: a document whose EVERY line is a removed duplicate
+    must survive with empty text and full accounting — line removal never
+    silently deletes document ids."""
+    docs = spark.createDataFrame(
+        [
+            (1, "SUBSCRIBE TO OUR NEWSLETTER TODAY\nreal content of document one"),
+            (2, "SUBSCRIBE TO OUR NEWSLETTER TODAY"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in dedup.dedupe_repeated_lines(docs, min_count=2).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == ("SUBSCRIBE TO OUR NEWSLETTER TODAY\nreal content of document one", 0)
+    assert out[2] == ("", 1)
+
+
+def test_sample_to_mix_rejects_negative_weight(spark):
+    from delta_lake_proxy_spark.functions import packing
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, domain string")
+    with pytest.raises(ValueError, match="negative weight"):
+        packing.sample_to_mix(df, {"web": 0.5, "code": -0.3})
