@@ -1092,8 +1092,12 @@ def dedupe_repeated_lines(
     combines map-side (the hot key arrives at the reducer as one row per
     upstream partition) and the join back is a per-row probe AQE can
     skew-split. The line text itself never shuffles — only its 8-byte
-    hash. Documents rebuild order-preserved via sort-by-position
-    reassembly. Output: ``(id, text, n_removed_lines)``.
+    hash. The exploded line relation feeds BOTH the count aggregate and
+    the join probe, so it is materialized once (eager persist, released
+    FIFO via the salt-cache machinery — Spark would otherwise re-explode
+    the corpus per branch; plan-pinned to a single Generate). Documents
+    rebuild order-preserved via sort-by-position reassembly. Output:
+    ``(id, text, n_removed_lines)``.
     """
     lines = docs.select(
         F.col(id_col).alias("_id"),
@@ -1101,6 +1105,10 @@ def dedupe_repeated_lines(
     )
     eligible = F.length(F.col("_line")) >= min_line_chars
     marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
+    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    marked.count()  # materialize before the plan forks into two branches
+    _SALT_CACHE.append(marked)
+    release_salt_caches(keep=_SALT_CACHE_MAX)
     firsts = (
         marked.filter(F.col("_lh").isNotNull())
         .groupBy("_lh")

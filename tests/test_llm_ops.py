@@ -2328,3 +2328,36 @@ def test_sample_to_mix_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1, "web")], "doc_id long, domain string")
     with pytest.raises(ValueError, match="negative weight"):
         packing.sample_to_mix(df, {"web": 0.5, "code": -0.3})
+
+
+def test_mix_sample_filter_is_map_side(spark):
+    """The sampling itself is a projection + filter — no shuffle beyond
+    the one domain-count aggregation (which collects driver-side before
+    the plan is built), so the output plan carries no Exchange."""
+    from delta_lake_proxy_spark.functions import packing
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "code") for i in range(100)],
+        "doc_id long, domain string",
+    )
+    out = packing.sample_to_mix(df, {"web": 0.5, "code": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedupe_repeated_lines_single_corpus_explode(spark):
+    """Review r12b #4 pinned: the corpus line explode runs ONCE — the
+    relation is materialized before the plan forks, so BOTH the count
+    aggregate and the join probe read the cache (two InMemoryTableScans;
+    the Generate strings in the plan are the cached relation's embedded
+    build description, not executed nodes)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaa\nbbbbbbbbbbbb"), (2, "aaaaaaaaaaaa")],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.dedupe_repeated_lines(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2, plan
