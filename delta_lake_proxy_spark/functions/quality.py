@@ -8,7 +8,10 @@ metric is reproducible in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import WORD_RE
@@ -153,4 +156,180 @@ def contamination_scores(
                 6,
             ).alias("contamination"),
         )
+    )
+
+
+# The eight "required" stop words of the published Gopher quality rules
+# (Rae et al. 2021, appendix A1.1): a document must contain at least two.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# Line-start characters treated as bullets and line-end ellipsis forms.
+_BULLET_PREFIXES = ["•", "‣", "▪", "◦", "-", "*"]
+_ELLIPSIS_SUFFIXES = ["...", "…"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, appendix A1.1;
+    the same rule set RefinedWeb and Dolma reuse), one row per document
+    with each raw metric, a boolean per rule, and the conjunction
+    ``gopher_pass``. Defaults are the published thresholds.
+
+    Rules, on whitespace-delimited words:
+      1. ``min_words <= n_words <= max_words``;
+      2. ``min_mean_word_len <= mean_word_len <= max_mean_word_len``;
+      3. symbol-to-word ratio (``#`` or ellipsis occurrences / words)
+         ``<= max_symbol_word_ratio``;
+      4. fraction of non-empty lines starting with a bullet character
+         ``<= max_bullet_line_frac``;
+      5. fraction of non-empty lines ending with an ellipsis
+         ``<= max_ellipsis_line_frac``;
+      6. fraction of words containing an alphabetic character
+         ``>= min_alpha_word_frac``;
+      7. at least ``min_stopword_hits`` distinct words from
+         :data:`GOPHER_STOPWORDS` occur.
+
+    Single-projection pure codegen (split + ``filter``/``aggregate`` over
+    the word and line arrays — no explode, no shuffle, no Python), so the
+    filter runs map-side at corpus scale and composes with
+    :func:`repetition_stats` (the Gopher repetition-rule family) by a
+    per-document join. Empty documents fail rules 1, 2, 6 and 7.
+
+    Reference analog: the proxy exposes no curation ops; charter X4 depth
+    (training-data pipeline quality filtering).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, "\\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    words_f = n_words.cast("double")
+    mean_word_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(words_f, F.lit(1.0))
+    n_symbols = F.regexp_count(t, F.lit("#")) + sum(
+        (F.regexp_count(t, F.lit("\\u2026" if s == "…" else "\\.\\.\\."))
+         for s in _ELLIPSIS_SUFFIXES),
+        F.lit(0),
+    )
+    symbol_word_ratio = n_symbols.cast("double") / F.greatest(words_f, F.lit(1.0))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda l: F.length(l) > 0
+    )
+    n_lines = F.size(lines)
+    lines_f = n_lines.cast("double")
+
+    def _frac(pred) -> Column:
+        return F.size(F.filter(lines, pred)).cast("double") / F.greatest(
+            lines_f, F.lit(1.0)
+        )
+
+    bullet_line_frac = _frac(
+        lambda l: reduce(or_, (l.startswith(p) for p in _BULLET_PREFIXES))
+    )
+    ellipsis_line_frac = _frac(
+        lambda l: reduce(or_, (l.endswith(s) for s in _ELLIPSIS_SUFFIXES))
+    )
+    alpha_word_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("double") / F.greatest(words_f, F.lit(1.0))
+    lowered = F.lower(t)
+    stopword_hits = sum(
+        (
+            F.when(lowered.rlike("\\b" + w + "\\b"), 1).otherwise(0)
+            for w in GOPHER_STOPWORDS[1:]
+        ),
+        F.when(lowered.rlike("\\b" + GOPHER_STOPWORDS[0] + "\\b"), 1).otherwise(0),
+    )
+
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "symbol_word_ratio": F.round(symbol_word_ratio, 6),
+        "bullet_line_frac": F.round(bullet_line_frac, 6),
+        "ellipsis_line_frac": F.round(ellipsis_line_frac, 6),
+        "alpha_word_frac": F.round(alpha_word_frac, 6),
+        "stopword_hits": stopword_hits,
+    }
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "pass_symbol_ratio": symbol_word_ratio <= max_symbol_word_ratio,
+        "pass_bullet_lines": bullet_line_frac <= max_bullet_line_frac,
+        "pass_ellipsis_lines": ellipsis_line_frac <= max_ellipsis_line_frac,
+        "pass_alpha_words": alpha_word_frac >= min_alpha_word_frac,
+        "pass_stopwords": stopword_hits >= min_stopword_hits,
+    }
+    gopher_pass: Column = F.lit(True)
+    for c in flags.values():
+        gopher_pass = gopher_pass & c
+    return docs.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in metrics.items()],
+        *[v.alias(k) for k, v in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def top_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: the ``k`` most frequent word
+    ``n``-grams that occur in at least ``min_docs`` distinct documents,
+    with total occurrence and document-frequency counts. The triage
+    companion to :func:`~delta_lake_proxy_spark.functions.dedup.
+    dedupe_repeated_lines` — run this to SEE the templating/boilerplate a
+    corpus carries before deciding what to strip.
+
+    Shape at scale: one explode of word n-grams, then a partial-combined
+    two-level aggregation — per-(ngram, doc) first (so a million repeats
+    inside one spam document combine map-side and count once toward
+    ``n_docs``), then per-ngram — followed by a TakeOrdered top-k. No
+    window over a global ordering, no Python; hot n-grams are exactly the
+    partial-aggregation-friendly case. Ordering ties break on the n-gram
+    string so the result is deterministic.
+    """
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+    t = F.col(text_col)
+    words = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
+    )
+    grams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+                ),
+            ).otherwise(F.array())
+        ).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", id_col).agg(F.count(F.lit(1)).alias("_n"))
+    per_gram = per_doc.groupBy("ngram").agg(
+        F.sum("_n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_gram.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
     )

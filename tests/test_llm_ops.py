@@ -2361,3 +2361,151 @@ def test_dedupe_repeated_lines_single_corpus_explode(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+# -- Gopher quality rules + boilerplate n-gram mining (round 12) -------------
+
+
+def _gopher_oracle(text):
+    """Pure-Python replica of gopher_quality_flags' metrics."""
+    import re
+
+    from delta_lake_proxy_spark.functions.quality import (
+        GOPHER_STOPWORDS,
+        _BULLET_PREFIXES,
+        _ELLIPSIS_SUFFIXES,
+    )
+
+    words = [w for w in re.split(r"\s+", text) if w]
+    n_words = len(words)
+    mean_wl = sum(len(w) for w in words) / max(n_words, 1)
+    n_sym = text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…")
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    nl = max(len(lines), 1)
+    bullet = sum(1 for l in lines if any(l.startswith(p) for p in _BULLET_PREFIXES)) / nl
+    ellip = sum(1 for l in lines if any(l.endswith(s) for s in _ELLIPSIS_SUFFIXES)) / nl
+    alpha = sum(1 for w in words if re.search("[a-zA-Z]", w)) / max(n_words, 1)
+    low = text.lower()
+    stops = sum(1 for w in GOPHER_STOPWORDS if re.search(r"\b" + w + r"\b", low))
+    return {
+        "n_words": n_words,
+        "mean_word_len": round(mean_wl, 6),
+        "symbol_word_ratio": round(n_sym / max(n_words, 1), 6),
+        "bullet_line_frac": round(bullet, 6),
+        "ellipsis_line_frac": round(ellip, 6),
+        "alpha_word_frac": round(alpha, 6),
+        "stopword_hits": stops,
+    }
+
+
+_GOPHER_DOCS = [
+    (1, "The data and the model have to be of good size, so that scaling "
+        "works out well with careful methods applied across many documents "
+        "during training runs that persist for weeks at a stretch today. "
+        "The pipeline must be able to feed it without stalls and that takes "
+        "real engineering of the storage layer with attention to detail."),
+    (2, "too short to pass the word count"),
+    (3, "• bullet one\n• bullet two\n- bullet three\n* bullet four"),
+    (4, "teaser line one...\nteaser two…\nteaser three...\nplain"),
+    (5, "#### ## # hash heavy # text # with # many # symbols # here #"),
+    (6, "12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 10 20 30 40 50"),
+    (7, ""),
+    (8, "supercalifragilisticexpialidocious " * 60),
+]
+
+
+def test_gopher_quality_flags_match_python_oracle(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_GOPHER_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in quality.gopher_quality_flags(docs).collect()}
+    for doc_id, txt in _GOPHER_DOCS:
+        want = _gopher_oracle(txt)
+        got = out[doc_id]
+        for key, val in want.items():
+            assert got[key] == pytest.approx(val, abs=1e-6), (doc_id, key, got[key], val)
+    # rule outcomes on the handcrafted cases
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["pass_word_count"] is False
+    assert out[3]["pass_bullet_lines"] is False  # 4/4 bullet lines > 0.9
+    assert out[4]["pass_ellipsis_lines"] is False  # 3/4 lines end with ellipsis
+    assert out[5]["pass_symbol_ratio"] is False
+    assert out[6]["pass_alpha_words"] is False and out[6]["pass_stopwords"] is False
+    assert out[7]["gopher_pass"] is False  # empty: rules 1, 2, 6, 7 all fail
+    assert out[8]["pass_mean_word_len"] is False  # 34-char words
+    assert out[8]["pass_word_count"] is True
+
+
+def test_gopher_quality_flags_on_fixture_docs(spark):
+    """The real documents table: every metric equals the Python oracle."""
+    from delta_lake_proxy_spark.functions import quality
+    from delta_lake_proxy_spark.io import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {r["doc_id"]: r.asDict() for r in quality.gopher_quality_flags(docs).collect()}
+    assert set(out) == set(rows)
+    for doc_id, txt in rows.items():
+        want = _gopher_oracle(txt)
+        for key, val in want.items():
+            assert out[doc_id][key] == pytest.approx(val, abs=1e-6), (doc_id, key)
+
+
+def test_gopher_quality_flags_single_stage_no_python(spark):
+    """One map-side projection: no Python eval, no shuffle in the plan."""
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_GOPHER_DOCS, "doc_id long, text string")
+    p = quality.gopher_quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Exchange" not in p
+
+
+def test_top_repeated_ngrams_matches_python_oracle(spark):
+    import re
+    from collections import Counter
+
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to subscribe now for more click here to subscribe"),
+            (2, "click here to subscribe today"),
+            (3, "entirely different text about spark plans and shuffles"),
+            (4, "spark plans and shuffles matter; spark plans and shuffles"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    n = 3
+    occ: Counter = Counter()
+    doc_freq: Counter = Counter()
+    for _, txt in docs.collect():
+        ws = re.findall("[a-z0-9]+", txt.lower())
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        occ.update(grams)
+        doc_freq.update(set(grams))
+    want = sorted(
+        ((g, c, doc_freq[g]) for g, c in occ.items() if doc_freq[g] >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = [
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in quality.top_repeated_ngrams(docs, n=n, k=5).collect()
+    ]
+    assert got == want
+    assert got[0][0] in ("click here to", "here to subscribe", "spark plans and")
+
+
+def test_top_repeated_ngrams_rejects_bad_params(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        quality.top_repeated_ngrams(docs, n=0)
+    with pytest.raises(ValueError):
+        quality.top_repeated_ngrams(docs, k=0)
