@@ -333,3 +333,211 @@ def top_repeated_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+# Published Gopher repetition-rule thresholds (Rae et al. 2021, A1.1):
+# max fraction of characters in the TOP n-gram, n = 2..4, and in ALL
+# duplicated n-grams, n = 5..10.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_ngram_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The n-gram half of the Gopher repetition rules, one row per doc:
+
+    - ``top_{n}gram_frac`` for each ``n`` in ``top_ns``: fraction of
+      word-characters covered by occurrences of the single most frequent
+      word ``n``-gram — count x the gram's word-chars over total
+      word-chars, count ties broken toward the longer gram (the
+      :func:`repetition_stats` ``top_bigram_frac`` convention, so the
+      scalar is deterministic);
+    - ``dup_{n}gram_frac`` for each ``n`` in ``dup_ns``: fraction of
+      word-characters inside ANY occurrence of a duplicated ``n``-gram
+      (one occurring >1 time in the doc), overlap counted ONCE — the
+      union of covered word positions, the paper's "without double
+      counting" clause.
+
+    Word-characters (the concatenated ``WORD_RE`` word lengths) are the
+    denominator, so separators/punctuation never dilute the signal and
+    the metric is exactly reproducible.
+
+    Shape at scale: ONE posexplode of words into (doc, pos, len), one
+    n-gram explode per requested n over the same relation (union, not
+    per-n scans), per-(doc, n, gram) counts with map-side partial
+    combine, and the dup-coverage union computed as a distinct on
+    (doc, n, pos) — interval merging without a skew-prone per-doc
+    window. Everything is hash aggregation + joins on (doc, pos);
+    no Python.
+
+    Documents with fewer than ``n`` words score 0 for that ``n``.
+    Companion to :func:`repetition_stats` (lines/top-bigram) and
+    :func:`gopher_quality_flags`; :func:`gopher_repetition_flags`
+    applies the published thresholds to both.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns:
+        raise ValueError("at least one n required")
+    if any(n < 1 for n in ns):
+        raise ValueError(f"n must be >= 1, got {ns}")
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col), F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w")
+    )
+    words = base.select(
+        F.col(id_col),
+        F.expr("posexplode(_w)").alias("pos", "word"),
+    ).select(F.col(id_col), "pos", F.length("word").alias("wlen"))
+    totals = words.groupBy(id_col).agg(F.sum("wlen").alias("_tot"))
+    # one unified (doc, n, start, gram) relation across every requested n
+    def _gram_fn(n: int):
+        # factory so the PySpark 1-arg lambda closes over n (a 2-arg lambda
+        # would be called as (element, index) and shadow it)
+        return lambda i: F.struct(
+            i.alias("start"),
+            F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)).alias("gram"),
+        )
+
+    gram_rels = []
+    for n in ns:
+        gram_rels.append(
+            base.select(
+                F.col(id_col),
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.when(
+                        F.size("_w") >= n,
+                        F.transform(F.sequence(F.lit(0), F.size("_w") - n), _gram_fn(n)),
+                    ).otherwise(F.array())
+                ).alias("g"),
+            ).select(F.col(id_col), "n", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+        )
+    grams = gram_rels[0]
+    for r in gram_rels[1:]:
+        grams = grams.unionByName(r)
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    out = docs.select(F.col(id_col)).join(totals, id_col, "left")
+    if top_ns:
+        # the most frequent gram, count ties toward the longer one; its
+        # word-chars = gram length minus the n-1 joining spaces
+        pick = F.struct(
+            F.col("cnt"), (F.length("gram") - (F.col("n") - 1)).alias("wc")
+        )
+        top = (
+            counts.filter(F.col("n").isin(*[int(x) for x in top_ns]))
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.max(F.when(F.col("n") == n, pick)).alias(f"_m{n}")
+                    for n in top_ns
+                ]
+            )
+            .select(
+                F.col(id_col),
+                *[
+                    (F.col(f"_m{n}.cnt") * F.col(f"_m{n}.wc")).alias(f"_top{n}")
+                    for n in top_ns
+                ],
+            )
+        )
+        out = out.join(top, id_col, "left")
+    if dup_ns:
+        dup_pos = (
+            grams.join(
+                counts.filter(
+                    (F.col("cnt") > 1) & F.col("n").isin(*[int(x) for x in dup_ns])
+                ),
+                [id_col, "n", "gram"],
+            )
+            .select(
+                F.col(id_col),
+                "n",
+                F.explode(
+                    F.sequence(F.col("start"), F.col("start") + F.col("n") - 1)
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        dup_cov = (
+            dup_pos.join(words, [id_col, "pos"])
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.sum(F.when(F.col("n") == n, F.col("wlen"))).alias(f"_dup{n}")
+                    for n in dup_ns
+                ]
+            )
+        )
+        out = out.join(dup_cov, id_col, "left")
+    safe_tot = F.greatest(F.col("_tot"), F.lit(1)).cast("double")
+    return out.select(
+        F.col(id_col),
+        *[
+            F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double") / safe_tot, 6).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double") / safe_tot, 6).alias(
+                f"dup_{n}gram_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full Gopher repetition-rule verdict per document: the line
+    metrics of :func:`repetition_stats` plus the n-gram metrics of
+    :func:`repetition_ngram_stats`, each compared against the published
+    thresholds (defaults: dup-line 0.30, dup-line-chars 0.20,
+    :data:`GOPHER_TOP_NGRAM_MAX`, :data:`GOPHER_DUP_NGRAM_MAX`), with
+    the conjunction ``repetition_pass``. One per-document join between
+    the two metric relations; compose with :func:`gopher_quality_flags`
+    for the complete published filter."""
+    top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    line = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    ngram = repetition_ngram_stats(
+        docs,
+        top_ns=tuple(sorted(top_ngram_max)),
+        dup_ns=tuple(sorted(dup_ngram_max)),
+        text_col=text_col,
+        id_col=id_col,
+    )
+    joined = line.join(ngram, id_col)
+    flags = {
+        "pass_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "pass_dup_line_chars": F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+        **{
+            f"pass_top_{n}gram": F.col(f"top_{n}gram_frac") <= thr
+            for n, thr in sorted(top_ngram_max.items())
+        },
+        **{
+            f"pass_dup_{n}gram": F.col(f"dup_{n}gram_frac") <= thr
+            for n, thr in sorted(dup_ngram_max.items())
+        },
+    }
+    rep_pass: Column = F.lit(True)
+    for c in flags.values():
+        rep_pass = rep_pass & c
+    return joined.select(
+        F.col(id_col),
+        *[c for c in joined.columns if c != id_col],
+        *[v.alias(k) for k, v in flags.items()],
+        rep_pass.alias("repetition_pass"),
+    )

@@ -2509,3 +2509,134 @@ def test_top_repeated_ngrams_rejects_bad_params(spark):
         quality.top_repeated_ngrams(docs, n=0)
     with pytest.raises(ValueError):
         quality.top_repeated_ngrams(docs, k=0)
+
+
+def _rep_ngram_oracle(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Pure-Python replica of repetition_ngram_stats."""
+    import re
+    from collections import Counter
+
+    ws = re.findall("[a-z0-9]+", text.lower())
+    tot = max(sum(len(w) for w in ws), 1)
+    out = {}
+    for n in top_ns:
+        grams = Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        if not grams:
+            out[f"top_{n}gram_frac"] = 0.0
+            continue
+        cnt, wc = max((c, sum(len(w) for w in g)) for g, c in grams.items())
+        out[f"top_{n}gram_frac"] = round(cnt * wc / tot, 6)
+    for n in dup_ns:
+        grams = Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        covered = set()
+        for i in range(len(ws) - n + 1):
+            if grams[tuple(ws[i : i + n])] > 1:
+                covered.update(range(i, i + n))
+        out[f"dup_{n}gram_frac"] = round(
+            sum(len(ws[p]) for p in covered) / tot, 6
+        )
+    return out
+
+
+_REP_DOCS = [
+    (1, "spam spam spam spam spam spam eggs and spam"),
+    (2, " ".join(f"w{i:02d}x{i * 7 % 53:02d}" for i in range(60))),  # all-unique words
+    (3, ("alpha beta gamma delta epsilon zeta " * 3) + "omega closes this out"),
+    (4, "x y x y x y x y x y x y"),
+    (5, ""),
+    (6, "one two three four"),  # shorter than every dup_n
+]
+
+
+def test_repetition_ngram_stats_match_python_oracle(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_ngram_stats(docs).collect()
+    }
+    for doc_id, txt in _REP_DOCS:
+        want = _rep_ngram_oracle(txt)
+        for key, val in want.items():
+            assert out[doc_id][key] == pytest.approx(val, abs=1e-6), (
+                doc_id,
+                key,
+                out[doc_id][key],
+                val,
+            )
+    # the 6x-repeated 6-word run must dominate doc 3's dup-6-gram coverage
+    assert out[3]["dup_6gram_frac"] > 0.7
+    assert out[2]["dup_5gram_frac"] == 0.0 and out[2]["top_2gram_frac"] < 0.4
+    assert out[4]["dup_10gram_frac"] > 0.9  # overlapping dups counted once
+
+
+def test_repetition_ngram_stats_on_fixture_docs(spark):
+    from delta_lake_proxy_spark.functions import quality
+    from delta_lake_proxy_spark.io import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_ngram_stats(docs).collect()
+    }
+    assert set(out) == set(rows)
+    for doc_id, txt in rows.items():
+        want = _rep_ngram_oracle(txt)
+        for key, val in want.items():
+            assert out[doc_id][key] == pytest.approx(val, abs=1e-6), (doc_id, key)
+
+
+def test_repetition_ngram_stats_rejects_bad_params(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        quality.repetition_ngram_stats(docs, top_ns=(), dup_ns=())
+    with pytest.raises(ValueError):
+        quality.repetition_ngram_stats(docs, top_ns=(0,))
+
+
+def test_gopher_repetition_flags_thresholds(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality.gopher_repetition_flags(docs).collect()
+    }
+    # every metric column and every flag is present
+    for n in (2, 3, 4):
+        assert f"top_{n}gram_frac" in out[1] and f"pass_top_{n}gram" in out[1]
+    for n in (5, 6, 7, 8, 9, 10):
+        assert f"dup_{n}gram_frac" in out[1] and f"pass_dup_{n}gram" in out[1]
+    assert "dup_line_frac" in out[1] and "pass_dup_lines" in out[1]
+    # clean doc passes everything; heavy repeaters fail
+    assert out[2]["repetition_pass"] is True
+    assert out[1]["repetition_pass"] is False  # 'spam spam' top-2gram >> 0.20
+    assert out[4]["repetition_pass"] is False  # dup n-grams near 1.0
+    assert out[5]["repetition_pass"] is True  # empty doc: all fractions 0
+    # flags agree with the published thresholds applied to the metrics
+    for doc_id, row in out.items():
+        for n, thr in quality.GOPHER_TOP_NGRAM_MAX.items():
+            assert row[f"pass_top_{n}gram"] == (row[f"top_{n}gram_frac"] <= thr)
+        for n, thr in quality.GOPHER_DUP_NGRAM_MAX.items():
+            assert row[f"pass_dup_{n}gram"] == (row[f"dup_{n}gram_frac"] <= thr)
+
+
+def test_repetition_ngram_stats_no_python(spark):
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    p = (
+        quality.repetition_ngram_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
