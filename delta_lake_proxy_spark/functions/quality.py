@@ -11,6 +11,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import or_
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,15 +61,7 @@ def repetition_stats(
     bigrams = words.select(
         F.col(id_col),
         F.col("_n_chars"),
-        F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - 2),
-                    lambda i: F.concat_ws(" ", F.element_at("_w", i + 1), F.element_at("_w", i + 2)),
-                ),
-            ).otherwise(F.array())
-        ).alias("bg"),
+        F.explode(_word_ngrams(F.col("_w"), 2)).alias("bg"),
     )
     top_bigram = (
         bigrams.groupBy(id_col, "_n_chars", "bg")
@@ -122,18 +115,7 @@ def contamination_scores(
         sh = words.select(
             *([F.col(id_col)] if keep_id else []),
             F.explode(
-                F.when(
-                    F.size("_w") >= n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("_w") - n),
-                        lambda i: F.xxhash64(
-                            F.concat_ws(
-                                " ",
-                                F.slice(F.col("_w"), i + 1, n),
-                            )
-                        ),
-                    ),
-                ).otherwise(F.array())
+                _word_ngrams(F.col("_w"), n, mapper=lambda g, i: F.xxhash64(g))
             ).alias("h"),
         )
         return sh.dropDuplicates(([id_col] if keep_id else []) + ["h"])
@@ -165,6 +147,12 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 # Line-start characters treated as bullets and line-end ellipsis forms.
 _BULLET_PREFIXES = ["•", "‣", "▪", "◦", "-", "*"]
 _ELLIPSIS_SUFFIXES = ["...", "…"]
+# Unicode-aware whitespace (Java (?U) flag): NBSP and friends delimit words
+# and trim lines, matching Python's default-unicode \s / str.strip used by
+# the test oracles. Plain \s in Java is ASCII-only and would glue
+# NBSP-joined words together on real web text.
+_UWS_SPLIT = "(?U)\\s+"
+_UWS_TRIM = "(?U)(^\\s+|\\s+$)"
 
 
 def gopher_quality_flags(
@@ -186,51 +174,74 @@ def gopher_quality_flags(
     with each raw metric, a boolean per rule, and the conjunction
     ``gopher_pass``. Defaults are the published thresholds.
 
-    Rules, on whitespace-delimited words:
+    Rules, on Unicode-whitespace-delimited words:
       1. ``min_words <= n_words <= max_words``;
       2. ``min_mean_word_len <= mean_word_len <= max_mean_word_len``;
-      3. symbol-to-word ratio (``#`` or ellipsis occurrences / words)
-         ``<= max_symbol_word_ratio``;
+      3. hash-to-word ratio AND ellipsis-to-word ratio each
+         ``<= max_symbol_word_ratio`` (the paper applies the threshold to
+         either symbol separately, not to their sum);
       4. fraction of non-empty lines starting with a bullet character
          ``<= max_bullet_line_frac``;
       5. fraction of non-empty lines ending with an ellipsis
          ``<= max_ellipsis_line_frac``;
       6. fraction of words containing an alphabetic character
          ``>= min_alpha_word_frac``;
-      7. at least ``min_stopword_hits`` distinct words from
-         :data:`GOPHER_STOPWORDS` occur.
+      7. at least ``min_stopword_hits`` DISTINCT words from
+         :data:`GOPHER_STOPWORDS` occur — the paper's "contain at least
+         two of the following English words" read as word types; note
+         DataTrove/Dolma count total occurrences instead, so a doc
+         repeating only "the" passes there but fails here.
 
-    Single-projection pure codegen (split + ``filter``/``aggregate`` over
-    the word and line arrays — no explode, no shuffle, no Python), so the
-    filter runs map-side at corpus scale and composes with
-    :func:`repetition_stats` (the Gopher repetition-rule family) by a
-    per-document join. Empty documents fail rules 1, 2, 6 and 7.
+    Flags compare the ROUNDED (6-decimal) reported metrics, so a user
+    recomputing ``metric <= threshold`` from the output always agrees
+    with the flag. Lines are trimmed of Unicode whitespace (CRLF corpora:
+    the trailing ``\r`` would otherwise hide every ellipsis ending).
+
+    Single-projection pure codegen (split + array ``filter``/``aggregate``
+    — no explode, no shuffle, no Python), so the filter runs map-side at
+    corpus scale and composes with :func:`gopher_repetition_flags` (the
+    repetition half of the published rules) by a per-document join.
+    Empty documents fail rules 1, 2, 6 and 7.
 
     Reference analog: the proxy exposes no curation ops; charter X4 depth
     (training-data pipeline quality filtering).
     """
+    if not 0 <= min_stopword_hits <= len(GOPHER_STOPWORDS):
+        raise ValueError(
+            f"min_stopword_hits must be in [0, {len(GOPHER_STOPWORDS)}] "
+            f"(distinct required words), got {min_stopword_hits}"
+        )
     t = F.col(text_col)
-    words = F.filter(F.split(t, "\\s+"), lambda w: F.length(w) > 0)
+    words = F.filter(F.split(t, _UWS_SPLIT), lambda w: F.length(w) > 0)
     n_words = F.size(words)
     words_f = n_words.cast("double")
-    mean_word_len = F.aggregate(
-        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(words_f, F.lit(1.0))
-    n_symbols = F.regexp_count(t, F.lit("#")) + sum(
+    mean_word_len = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+        / F.greatest(words_f, F.lit(1.0)),
+        6,
+    )
+    n_ellipsis = sum(
         (F.regexp_count(t, F.lit("\\u2026" if s == "…" else "\\.\\.\\."))
-         for s in _ELLIPSIS_SUFFIXES),
-        F.lit(0),
+         for s in _ELLIPSIS_SUFFIXES[1:]),
+        F.regexp_count(t, F.lit("\\.\\.\\.")),
     )
-    symbol_word_ratio = n_symbols.cast("double") / F.greatest(words_f, F.lit(1.0))
+    hash_word_ratio = F.round(
+        F.regexp_count(t, F.lit("#")).cast("double") / F.greatest(words_f, F.lit(1.0)), 6
+    )
+    ellipsis_word_ratio = F.round(
+        n_ellipsis.cast("double") / F.greatest(words_f, F.lit(1.0)), 6
+    )
     lines = F.filter(
-        F.transform(F.split(t, "\n"), F.trim), lambda l: F.length(l) > 0
+        F.transform(F.split(t, "\n"), lambda l: F.regexp_replace(l, _UWS_TRIM, "")),
+        lambda l: F.length(l) > 0,
     )
-    n_lines = F.size(lines)
-    lines_f = n_lines.cast("double")
+    lines_f = F.size(lines).cast("double")
 
     def _frac(pred) -> Column:
-        return F.size(F.filter(lines, pred)).cast("double") / F.greatest(
-            lines_f, F.lit(1.0)
+        return F.round(
+            F.size(F.filter(lines, pred)).cast("double")
+            / F.greatest(lines_f, F.lit(1.0)),
+            6,
         )
 
     bullet_line_frac = _frac(
@@ -239,9 +250,11 @@ def gopher_quality_flags(
     ellipsis_line_frac = _frac(
         lambda l: reduce(or_, (l.endswith(s) for s in _ELLIPSIS_SUFFIXES))
     )
-    alpha_word_frac = F.size(
-        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
-    ).cast("double") / F.greatest(words_f, F.lit(1.0))
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(words_f, F.lit(1.0)),
+        6,
+    )
     lowered = F.lower(t)
     stopword_hits = sum(
         (
@@ -253,18 +266,21 @@ def gopher_quality_flags(
 
     metrics = {
         "n_words": n_words,
-        "mean_word_len": F.round(mean_word_len, 6),
-        "symbol_word_ratio": F.round(symbol_word_ratio, 6),
-        "bullet_line_frac": F.round(bullet_line_frac, 6),
-        "ellipsis_line_frac": F.round(ellipsis_line_frac, 6),
-        "alpha_word_frac": F.round(alpha_word_frac, 6),
+        "mean_word_len": mean_word_len,
+        "hash_word_ratio": hash_word_ratio,
+        "ellipsis_word_ratio": ellipsis_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
         "stopword_hits": stopword_hits,
     }
+    # flags read the rounded metrics above, never a second unrounded copy
     flags = {
         "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
         "pass_mean_word_len": (mean_word_len >= min_mean_word_len)
         & (mean_word_len <= max_mean_word_len),
-        "pass_symbol_ratio": symbol_word_ratio <= max_symbol_word_ratio,
+        "pass_symbol_ratio": (hash_word_ratio <= max_symbol_word_ratio)
+        & (ellipsis_word_ratio <= max_symbol_word_ratio),
         "pass_bullet_lines": bullet_line_frac <= max_bullet_line_frac,
         "pass_ellipsis_lines": ellipsis_line_frac <= max_ellipsis_line_frac,
         "pass_alpha_words": alpha_word_frac >= min_alpha_word_frac,
@@ -281,58 +297,25 @@ def gopher_quality_flags(
     )
 
 
-def top_repeated_ngrams(
-    docs: DataFrame,
-    n: int = 3,
-    k: int = 20,
-    min_docs: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Corpus-wide boilerplate mining: the ``k`` most frequent word
-    ``n``-grams that occur in at least ``min_docs`` distinct documents,
-    with total occurrence and document-frequency counts. The triage
-    companion to :func:`~delta_lake_proxy_spark.functions.dedup.
-    dedupe_repeated_lines` — run this to SEE the templating/boilerplate a
-    corpus carries before deciding what to strip.
+def _word_ngrams(words: Column, n: int, mapper=None) -> Column:
+    """Array of word ``n``-grams over an already-tokenized word array:
+    ``transform(sequence(0, size-n), i -> mapper(space-joined gram, i))``,
+    empty when the doc has fewer than ``n`` words. The ONE shared
+    construction for every n-gram consumer in this module (and the model
+    for ``text.ngram_contamination``'s hashed variant) so the
+    empty-array guard and slice arithmetic can never drift apart.
+    ``mapper(gram, i)`` defaults to the gram string itself; it is called
+    by this function (arity is ours, not PySpark's lambda-parameter
+    sniffing)."""
 
-    Shape at scale: one explode of word n-grams, then a partial-combined
-    two-level aggregation — per-(ngram, doc) first (so a million repeats
-    inside one spam document combine map-side and count once toward
-    ``n_docs``), then per-ngram — followed by a TakeOrdered top-k. No
-    window over a global ordering, no Python; hot n-grams are exactly the
-    partial-aggregation-friendly case. Ordering ties break on the n-gram
-    string so the result is deterministic.
-    """
-    if n < 1 or k < 1:
-        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
-    t = F.col(text_col)
-    words = docs.select(
-        F.col(id_col),
-        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
-    )
-    grams = words.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_w") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
-                ),
-            ).otherwise(F.array())
-        ).alias("ngram"),
-    )
-    per_doc = grams.groupBy("ngram", id_col).agg(F.count(F.lit(1)).alias("_n"))
-    per_gram = per_doc.groupBy("ngram").agg(
-        F.sum("_n").alias("n_occurrences"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    return (
-        per_gram.filter(F.col("n_docs") >= min_docs)
-        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
-        .limit(k)
-    )
+    def gram(i: Column) -> Column:
+        g = F.concat_ws(" ", F.slice(words, i + 1, n))
+        return mapper(g, i) if mapper is not None else g
+
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n), gram),
+    ).otherwise(F.array())
 
 
 # Published Gopher repetition-rule thresholds (Rae et al. 2021, A1.1):
@@ -367,61 +350,62 @@ def repetition_ngram_stats(
     denominator, so separators/punctuation never dilute the signal and
     the metric is exactly reproducible.
 
-    Shape at scale: ONE posexplode of words into (doc, pos, len), one
-    n-gram explode per requested n over the same relation (union, not
-    per-n scans), per-(doc, n, gram) counts with map-side partial
-    combine, and the dup-coverage union computed as a distinct on
-    (doc, n, pos) — interval merging without a skew-prone per-doc
-    window. Everything is hash aggregation + joins on (doc, pos);
-    no Python.
+    Shape at scale: the corpus is scanned and TOKENIZED exactly once —
+    the word-array projection is materialized (eager persist, retired
+    FIFO through the dedup salt-cache machinery) and every n-gram size
+    is built in one flattened ``transform`` over it, exploded once into
+    a unified (doc, n, start, gram) relation. Counting is a partial-
+    combined hash aggregation on (doc, n, gram); the dup-coverage union
+    is a distinct on (doc, n, pos) — interval merging without a
+    skew-prone per-doc window. No Python anywhere.
 
     Documents with fewer than ``n`` words score 0 for that ``n``.
-    Companion to :func:`repetition_stats` (lines/top-bigram) and
-    :func:`gopher_quality_flags`; :func:`gopher_repetition_flags`
-    applies the published thresholds to both.
+    Companion to :func:`repetition_stats` (lines/top-bigram);
+    :func:`gopher_repetition_flags` applies the published thresholds to
+    both.
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns:
         raise ValueError("at least one n required")
     if any(n < 1 for n in ns):
         raise ValueError(f"n must be >= 1, got {ns}")
+    from .dedup import _SALT_CACHE, _SALT_CACHE_MAX, release_salt_caches
+
     t = F.col(text_col)
     base = docs.select(
         F.col(id_col), F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()  # materialize: several branches below re-read the words
+    _SALT_CACHE.append(base)
+    release_salt_caches(keep=_SALT_CACHE_MAX)
     words = base.select(
         F.col(id_col),
         F.expr("posexplode(_w)").alias("pos", "word"),
     ).select(F.col(id_col), "pos", F.length("word").alias("wlen"))
     totals = words.groupBy(id_col).agg(F.sum("wlen").alias("_tot"))
-    # one unified (doc, n, start, gram) relation across every requested n
-    def _gram_fn(n: int):
-        # factory so the PySpark 1-arg lambda closes over n (a 2-arg lambda
-        # would be called as (element, index) and shadow it)
-        return lambda i: F.struct(
-            i.alias("start"),
-            F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)).alias("gram"),
+
+    def _tagged(n: int) -> Column:
+        return _word_ngrams(
+            F.col("_w"),
+            n,
+            mapper=lambda g, i, n=n: F.struct(
+                F.lit(n).alias("n"), i.alias("start"), g.alias("gram")
+            ),
         )
 
-    gram_rels = []
-    for n in ns:
-        gram_rels.append(
-            base.select(
-                F.col(id_col),
-                F.lit(n).alias("n"),
-                F.explode(
-                    F.when(
-                        F.size("_w") >= n,
-                        F.transform(F.sequence(F.lit(0), F.size("_w") - n), _gram_fn(n)),
-                    ).otherwise(F.array())
-                ).alias("g"),
-            ).select(F.col(id_col), "n", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
-        )
-    grams = gram_rels[0]
-    for r in gram_rels[1:]:
-        grams = grams.unionByName(r)
+    # every n in ONE projection + ONE explode over the cached words
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[_tagged(n) for n in ns]))).alias("g"),
+    ).select(
+        F.col(id_col),
+        F.col("g.n").alias("n"),
+        F.col("g.start").alias("start"),
+        F.col("g.gram").alias("gram"),
+    )
     counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    out = docs.select(F.col(id_col)).join(totals, id_col, "left")
+    # id list from the cached projection too — zero raw-source rescans
+    out = base.select(F.col(id_col)).join(totals, id_col, "left")
     if top_ns:
         # the most frequent gram, count ties toward the longer one; its
         # word-chars = gram length minus the n-1 joining spaces
@@ -506,9 +490,11 @@ def gopher_repetition_flags(
     :func:`repetition_ngram_stats`, each compared against the published
     thresholds (defaults: dup-line 0.30, dup-line-chars 0.20,
     :data:`GOPHER_TOP_NGRAM_MAX`, :data:`GOPHER_DUP_NGRAM_MAX`), with
-    the conjunction ``repetition_pass``. One per-document join between
-    the two metric relations; compose with :func:`gopher_quality_flags`
-    for the complete published filter."""
+    the conjunction ``repetition_pass``. Flags compare the ROUNDED
+    reported metrics (both stat relations round to 6 decimals), the
+    same convention as :func:`gopher_quality_flags`. One per-document
+    join between the two metric relations; compose with
+    :func:`gopher_quality_flags` for the complete published filter."""
     top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
     dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
     line = repetition_stats(docs, text_col=text_col, id_col=id_col)
@@ -540,4 +526,51 @@ def gopher_repetition_flags(
         *[c for c in joined.columns if c != id_col],
         *[v.alias(k) for k, v in flags.items()],
         rep_pass.alias("repetition_pass"),
+    )
+
+
+def top_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: the ``k`` most frequent word
+    ``n``-grams that occur in at least ``min_docs`` distinct documents,
+    with total occurrence and document-frequency counts. The triage
+    companion to :func:`~delta_lake_proxy_spark.functions.dedup.
+    dedupe_repeated_lines` — run this to SEE the templating/boilerplate a
+    corpus carries before deciding what to strip.
+
+    Shape at scale: one explode of word n-grams, then a partial-combined
+    two-level aggregation — per-(ngram, doc) first (so a million repeats
+    inside one spam document combine map-side and count once toward
+    ``n_docs``), then per-ngram — followed by a TakeOrdered top-k. No
+    window over a global ordering, no Python; hot n-grams are exactly the
+    partial-aggregation-friendly case (the long tail of unique grams
+    shuffles once, the classic word-count shape). Ordering ties break on
+    the n-gram string so the result is deterministic.
+    """
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+    t = F.col(text_col)
+    words = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
+    )
+    grams = words.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col("_w"), n)).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", id_col).agg(F.count(F.lit(1)).alias("_n"))
+    per_gram = per_doc.groupBy("ngram").agg(
+        F.sum("_n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_gram.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
     )

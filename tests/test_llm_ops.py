@@ -2379,7 +2379,8 @@ def _gopher_oracle(text):
     words = [w for w in re.split(r"\s+", text) if w]
     n_words = len(words)
     mean_wl = sum(len(w) for w in words) / max(n_words, 1)
-    n_sym = text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…")
+    n_hash = text.count("#")
+    n_ellipsis = len(re.findall(r"\.\.\.", text)) + text.count("…")
     lines = [l.strip() for l in text.split("\n") if l.strip()]
     nl = max(len(lines), 1)
     bullet = sum(1 for l in lines if any(l.startswith(p) for p in _BULLET_PREFIXES)) / nl
@@ -2390,7 +2391,8 @@ def _gopher_oracle(text):
     return {
         "n_words": n_words,
         "mean_word_len": round(mean_wl, 6),
-        "symbol_word_ratio": round(n_sym / max(n_words, 1), 6),
+        "hash_word_ratio": round(n_hash / max(n_words, 1), 6),
+        "ellipsis_word_ratio": round(n_ellipsis / max(n_words, 1), 6),
         "bullet_line_frac": round(bullet, 6),
         "ellipsis_line_frac": round(ellip, 6),
         "alpha_word_frac": round(alpha, 6),
@@ -2411,6 +2413,10 @@ _GOPHER_DOCS = [
     (6, "12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 10 20 30 40 50"),
     (7, ""),
     (8, "supercalifragilisticexpialidocious " * 60),
+    # CRLF endings: the \r must not hide the trailing ellipsis or bullet
+    (9, "teaser one...\r\nteaser two...\r\n• bullet\r\nplain line\r\n"),
+    # NBSP is a word delimiter (unicode whitespace), not a word character
+    (10, "hello world plus the regular split and more after that"),
 ]
 
 
@@ -2434,6 +2440,9 @@ def test_gopher_quality_flags_match_python_oracle(spark):
     assert out[7]["gopher_pass"] is False  # empty: rules 1, 2, 6, 7 all fail
     assert out[8]["pass_mean_word_len"] is False  # 34-char words
     assert out[8]["pass_word_count"] is True
+    assert out[9]["ellipsis_line_frac"] == pytest.approx(0.5)  # CRLF trimmed
+    assert out[9]["bullet_line_frac"] == pytest.approx(0.25)
+    assert out[10]["n_words"] == 10  # NBSP split hello/world apart (else 9)
 
 
 def test_gopher_quality_flags_on_fixture_docs(spark):
@@ -2640,3 +2649,23 @@ def test_repetition_ngram_stats_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_repetition_ngram_stats_single_tokenization(spark):
+    """The corpus is tokenized once: every branch reads the persisted word
+    projection (InMemoryTableScan), and no branch rescans the raw source —
+    the one Scan outside cached lineage would be a docs re-read."""
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    p = (
+        quality.repetition_ngram_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_imts = p.count("InMemoryTableScan")
+    assert n_imts >= 4  # words x2 (totals, dup join), grams x2, id list
+    # each InMemoryTableScan reprints its cached lineage (one tokenization
+    # per print); any EXTRA occurrence would be a live re-tokenization
+    assert p.count("regexp_extract_all") == n_imts
