@@ -192,31 +192,47 @@ def sample_to_mix(
     id_col: str = "doc_id",
     seed: str = "mix-v1",
     buckets: int = 1_000_000,
+    total: int | None = None,
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Deterministic DOMAIN-MIX resampling (the Pile / Llama data-mixing
-    step): downsample each domain so the output's proportions match the
-    target ``weights`` at the LARGEST total achievable without
+    step): sample each domain so the output's proportions match the
+    target ``weights``.
+
+    ``total=None`` (default): the LARGEST total achievable without
     replacement — the binding domain (largest weight-to-count ratio) keeps
     everything, every other domain keeps ``weight_d * T / count_d`` where
     ``T = min_d count_d / norm_weight_d``. Domains absent from ``weights``
     are dropped.
 
-    The keep decision is a hash coin (``xxhash64(id, seed) mod buckets``),
-    never ``rand()``: the same document survives on any cluster geometry,
-    any rerun — the same reproducibility contract as :func:`assign_split`.
-    One domain-sized aggregation (driver collect of per-domain counts) +
-    one map-side filter; no shuffle of the data itself.
+    ``total=N``: target ~``N`` output docs split by the weights. A domain
+    whose share exceeds its size needs UPSAMPLING (the Llama/Pile recipe
+    repeats small high-quality domains for multiple epochs); that refuses
+    unless ``allow_upsample=True``, in which case each of its documents
+    is emitted ``floor(rate)`` times plus one more on a fractional hash
+    coin, with ``_copy`` (0-based repeat index) distinguishing the
+    copies — downstream epoch shuffling spreads them apart.
+
+    Every keep/repeat decision is a hash coin (``xxhash64(id, seed) mod
+    buckets``), never ``rand()``: the same document survives (with the
+    same copy count) on any cluster geometry, any rerun — the same
+    reproducibility contract as :func:`assign_split`. One domain-sized
+    aggregation (driver collect of per-domain counts) + one map-side
+    filter (plus a map-side explode when upsampling); no shuffle of the
+    data itself.
 
     Output: the sampled rows plus ``_keep_rate`` (the domain's rate, for
-    loss reweighting or audit). Appending data and rerunning changes the
-    rates (counts moved) but never un-deterministically: equal inputs give
-    equal outputs."""
+    loss reweighting or audit) and, when ``allow_upsample``, ``_copy``.
+    Appending data and rerunning changes the rates (counts moved) but
+    never un-deterministically: equal inputs give equal outputs."""
     neg = sorted(str(k) for k, v in weights.items() if float(v) < 0)
     if neg:
         raise ValueError(f"negative weight for domains {neg}")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
+    if total is not None and total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
     norm = {str(k): float(v) / total_w for k, v in weights.items() if v > 0}
     counts = {
         r["_d"]: int(r["_n"])
@@ -228,8 +244,20 @@ def sample_to_mix(
     missing = sorted(set(norm) - set(counts))
     if missing:
         raise ValueError(f"domains {missing} have no rows in the corpus")
-    t_max = min(counts[d] / w for d, w in norm.items())
-    rates = {d: min(1.0, norm[d] * t_max / counts[d]) for d in norm}
+    t = (
+        float(total)
+        if total is not None
+        else min(counts[d] / w for d, w in norm.items())
+    )
+    rates = {d: norm[d] * t / counts[d] for d in norm}
+    if not allow_upsample:
+        over = sorted(d for d, r in rates.items() if r > 1.0 + 1e-12)
+        if total is not None and over:
+            raise ValueError(
+                f"total={total} needs upsampling for domains {over} "
+                f"(rate > 1); pass allow_upsample=True to repeat documents"
+            )
+        rates = {d: min(1.0, r) for d, r in rates.items()}
     coin = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
     rate_expr = None
     for d in sorted(rates):
@@ -241,4 +269,16 @@ def sample_to_mix(
         )
     rate_expr = rate_expr.otherwise(F.lit(0.0))
     out = df.withColumn("_keep_rate", rate_expr)
-    return out.filter(coin < (F.col("_keep_rate") * F.lit(float(buckets))))
+    if not allow_upsample:
+        return out.filter(coin < (F.col("_keep_rate") * F.lit(float(buckets))))
+    # copies = floor(rate) + 1 on the fractional coin; rate <= 1 reduces to
+    # the plain keep/drop coin (floor 0, frac = rate)
+    fl = F.floor(F.col("_keep_rate")).cast("int")
+    frac = F.col("_keep_rate") - fl
+    n_copies = fl + F.when(coin < (frac * F.lit(float(buckets))), 1).otherwise(0)
+    return (
+        out.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("_copy", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

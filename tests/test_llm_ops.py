@@ -2669,3 +2669,56 @@ def test_repetition_ngram_stats_single_tokenization(spark):
     # each InMemoryTableScan reprints its cached lineage (one tokenization
     # per print); any EXTRA occurrence would be a live re-tokenization
     assert p.count("regexp_extract_all") == n_imts
+
+
+def test_sample_to_mix_upsample(spark):
+    """total=N with allow_upsample repeats small domains deterministically:
+    exact copy counts at integral rates, fractional rates on the hash coin,
+    copy indexes contiguous from 0, survivors stable across partitionings."""
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, "web" if i < 2000 else "wiki") for i in range(2100)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # target 50/50 at total=400: web rate 200/2000=0.1, wiki rate 200/100=2.0
+    out = packing.sample_to_mix(
+        df, {"web": 0.5, "wiki": 0.5}, total=400, allow_upsample=True, seed="up1"
+    )
+    rowsout = out.collect()
+    wiki = [r for r in rowsout if r["domain"] == "wiki"]
+    web = [r for r in rowsout if r["domain"] == "web"]
+    # rate exactly 2.0: every wiki doc appears exactly twice, copies 0 and 1
+    assert len(wiki) == 200
+    per_doc = {}
+    for r in wiki:
+        per_doc.setdefault(r["doc_id"], []).append(r["_copy"])
+    assert all(sorted(v) == [0, 1] for v in per_doc.values())
+    assert abs(len(web) - 200) / 200 < 0.25  # fractional-rate noise
+    assert all(r["_copy"] == 0 for r in web)
+    # determinism incl. copy indexes across a different partitioning
+    again = {
+        (r["doc_id"], r["_copy"])
+        for r in packing.sample_to_mix(
+            df.repartition(13),
+            {"web": 0.5, "wiki": 0.5},
+            total=400,
+            allow_upsample=True,
+            seed="up1",
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["_copy"]) for r in rowsout}
+
+
+def test_sample_to_mix_total_refuses_upsampling_by_default(spark):
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, "web" if i < 200 else "wiki") for i in range(210)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    with pytest.raises(ValueError, match="allow_upsample"):
+        packing.sample_to_mix(df, {"web": 0.5, "wiki": 0.5}, total=100)
+    with pytest.raises(ValueError, match="positive"):
+        packing.sample_to_mix(df, {"web": 1.0}, total=0)
+    # a feasible total without upsampling still works and downsamples
+    out = packing.sample_to_mix(df, {"web": 1.0}, total=100, seed="dn1")
+    n = out.count()
+    assert abs(n - 100) / 100 < 0.3
+    assert "_copy" not in out.columns  # schema unchanged on the plain path
