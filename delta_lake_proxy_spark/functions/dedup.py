@@ -1077,6 +1077,7 @@ def dedupe_repeated_lines(
     min_line_chars: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    separator: str = "\n",
 ) -> DataFrame:
     """C4-style GLOBAL line deduplication (Raffel et al. 2020 applied the
     rule to three-sentence spans; line granularity is the common web-text
@@ -1085,6 +1086,10 @@ def dedupe_repeated_lines(
     removed everywhere else — boilerplate (navigation, cookie banners,
     license footers) collapses to one copy. Lines shorter than
     ``min_line_chars`` are exempt (short lines repeat legitimately).
+
+    ``separator`` picks the dedup unit (treated literally, regex-quoted):
+    the default ``"\\n"`` is line granularity; ``"\\n\\n"`` dedups whole
+    paragraphs. Documents rebuild joined by the same separator.
 
     Deliberately AGGREGATION-shaped, not window-shaped: a boilerplate line
     repeated 10^8 times would make a window partition one task's problem,
@@ -1101,7 +1106,9 @@ def dedupe_repeated_lines(
     """
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + separator + "\\E")
+        ).alias("_pos", "_line"),
     )
     eligible = F.length(F.col("_line")) >= min_line_chars
     marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
@@ -1132,7 +1139,7 @@ def dedupe_repeated_lines(
         .groupBy("_id")
         .agg(
             F.concat_ws(
-                "\n",
+                separator,
                 F.transform(
                     F.array_sort(
                         F.collect_list(

@@ -2722,3 +2722,29 @@ def test_sample_to_mix_total_refuses_upsampling_by_default(spark):
     n = out.count()
     assert abs(n - 100) / 100 < 0.3
     assert "_copy" not in out.columns  # schema unchanged on the plain path
+
+
+def test_dedupe_repeated_lines_paragraph_unit(spark):
+    """separator='\\n\\n' dedups whole paragraphs: a repeated paragraph
+    collapses to its first occurrence while its individual lines (which
+    also repeat) stay intact inside the kept copy."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    para = "cookie banner first line\nsecond banner line here"
+    rows = [
+        (1, f"unique opening paragraph one\n\n{para}\n\nclosing paragraph A"),
+        (2, f"{para}\n\nanother unique paragraph body"),
+        (3, f"third doc starts uniquely\n\n{para}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedupe_repeated_lines(docs, separator="\n\n").collect()
+    }
+    # first occurrence (doc 1) keeps the paragraph with its inner newline
+    assert para in out[1]["text"] and out[1]["n_removed_lines"] == 0
+    assert para not in out[2]["text"] and out[2]["n_removed_lines"] == 1
+    assert para not in out[3]["text"] and out[3]["n_removed_lines"] == 1
+    # other paragraphs survive, joined by the same separator
+    assert out[2]["text"] == "another unique paragraph body"
+    assert out[1]["text"].count("\n\n") == 2
