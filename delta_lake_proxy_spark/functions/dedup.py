@@ -812,15 +812,41 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Transitive-closure-correct near-dup SURVIVORS: keep exactly one doc
-    (the smallest id) per connected component of the pair graph, plus every
-    unpaired doc. The exact-clustering counterpart of the one-pass greedy
-    rule — same inputs, stronger guarantee, O(log n) extra rounds over the
-    pair relation only (the corpus is scanned once, never iterated)."""
+    per connected component of the pair graph, plus every unpaired doc.
+    The exact-clustering counterpart of the one-pass greedy rule — same
+    inputs, stronger guarantee, O(log n) extra rounds over the pair
+    relation only (the corpus is scanned once, never iterated).
+
+    Default survivor: the smallest id. With ``score_col``, the
+    HIGHEST-scoring member survives (smallest id on ties) — real
+    pipelines keep the best-quality copy of a duplicate cluster, not an
+    arbitrary one. Score resolution adds two aggregations over the
+    component relation (component-sized, not corpus-sized): max score per
+    component, then min id among the maxima — aggregation-only, type-
+    generic in the id, no window."""
     comps = connected_components(pairs, id_a=id_a, id_b=id_b)
-    dropped = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if score_col is None:
+        dropped = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(dropped, on=id_col, how="left_anti")
+    scored = comps.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+    )
+    best = scored.groupBy("component").agg(F.max("_s").alias("_smax"))
+    winners = (
+        scored.join(best, "component")
+        .filter(F.col("_s") == F.col("_smax"))
+        .groupBy("component")
+        .agg(F.min("id").alias("_winner"))
+    )
+    dropped = (
+        comps.join(winners, "component")
+        .filter(F.col("id") != F.col("_winner"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(dropped, on=id_col, how="left_anti")
 

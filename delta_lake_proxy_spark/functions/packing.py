@@ -282,3 +282,77 @@ def sample_to_mix(
         .withColumn("_copy", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Best-documents-first corpus selection under a token budget: keep the
+    highest-``score_col`` documents whose ``token_col`` values sum to
+    ~``budget_tokens`` (the "train on the best N tokens" step after
+    quality scoring).
+
+    NO global sort: scores are binned into ``buckets`` fixed-width bins
+    between the corpus min/max (one aggregate), per-bin token sums are
+    collected driver-side (``buckets`` rows — metadata-sized), and the
+    driver walks bins best-first to find the cutoff. Every document
+    strictly above the cutoff bin is kept; the boundary bin is thinned to
+    the remaining budget by the deterministic hash coin of
+    :func:`sample_to_mix` (documents survive independently of cluster
+    geometry or rerun). Two corpus passes, both map-side + one small
+    aggregation; accuracy of the budget is ± the boundary bin's
+    coin noise and within-bin token skew, both shrinking with
+    ``buckets``.
+
+    ``budget_tokens`` >= the corpus total keeps everything. Output: the
+    selected rows, unmodified.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    lo_hi = df.agg(
+        F.min(score_col).alias("_lo"),
+        F.max(score_col).alias("_hi"),
+        F.sum(token_col).alias("_tot"),
+    ).collect()[0]
+    if lo_hi["_tot"] is None:
+        return df  # empty corpus
+    if int(lo_hi["_tot"]) <= budget_tokens:
+        return df
+    lo, hi = float(lo_hi["_lo"]), float(lo_hi["_hi"])
+    width = (hi - lo) or 1.0
+    bin_expr = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width) * F.lit(buckets)).cast(
+            "int"
+        ),
+    )
+    per_bin = {
+        int(r["_b"]): int(r["_t"])
+        for r in df.groupBy(bin_expr.alias("_b"))
+        .agg(F.sum(token_col).alias("_t"))
+        .collect()
+    }
+    remaining = budget_tokens
+    cutoff = None
+    rate = 0.0
+    for b in sorted(per_bin, reverse=True):  # best-scoring bins first
+        if per_bin[b] <= remaining:
+            remaining -= per_bin[b]
+            continue
+        cutoff, rate = b, remaining / per_bin[b]
+        break
+    if cutoff is None:
+        return df  # float rounding: everything fits after all
+    coin = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.filter(
+        (bin_expr > cutoff)
+        | ((bin_expr == cutoff) & (coin < F.lit(rate * 1_000_000)))
+    )

@@ -2748,3 +2748,66 @@ def test_dedupe_repeated_lines_paragraph_unit(spark):
     # other paragraphs survive, joined by the same separator
     assert out[2]["text"] == "another unique paragraph body"
     assert out[1]["text"].count("\n\n") == 2
+
+
+def test_dedup_by_components_score_survivor(spark):
+    """score_col keeps the best-quality member of each dup cluster (min id
+    on ties) instead of the smallest id; default behavior unchanged."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    # components: {1,2,3} (scores .2/.9/.9 -> winner 2 on tie), {4,5}
+    # (winner 4), {6} unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    best = {
+        r["doc_id"]
+        for r in dedup.dedup_by_components(
+            docs, pairs, score_col="quality"
+        ).collect()
+    }
+    assert best == {2, 4, 6}
+    # default stays min-id
+    minid = {r["doc_id"] for r in dedup.dedup_by_components(docs, pairs).collect()}
+    assert minid == {1, 4, 6}
+
+
+def test_select_by_token_budget(spark):
+    """Budgeted best-first selection: everything above the cutoff kept,
+    nothing below, total near the budget, deterministic across
+    partitionings; over-budget corpus returns unchanged."""
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, (i % 100) / 100.0, 100) for i in range(5000)]  # 500k tokens
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double, n_tokens long")
+    out = packing.select_by_token_budget(df, budget_tokens=100_000)
+    got = out.collect()
+    total = sum(r["n_tokens"] for r in got)
+    assert abs(total - 100_000) / 100_000 < 0.1  # boundary-bin coin noise
+    scores = sorted(r["quality_score"] for r in got)
+    # the kept set is top-score-first: every score above the boundary
+    # present in full, none below it
+    kept_per_score = {}
+    for r in got:
+        kept_per_score[r["quality_score"]] = kept_per_score.get(r["quality_score"], 0) + 1
+    full = {s: c for s, c in kept_per_score.items() if c == 50}  # 50 docs/score
+    boundary = min(full) if full else None
+    assert boundary is not None and boundary >= 0.8  # ~top 20% of 500k
+    assert all(s >= min(scores) for s in kept_per_score)
+    assert not [s for s in kept_per_score if s < boundary - 0.011]  # <= one bin below
+    # determinism across partitionings
+    ids2 = {
+        r["doc_id"]
+        for r in packing.select_by_token_budget(
+            df.repartition(17), budget_tokens=100_000
+        ).collect()
+    }
+    assert ids2 == {r["doc_id"] for r in got}
+    # budget >= corpus total: unchanged
+    assert packing.select_by_token_budget(df, budget_tokens=10_000_000).count() == 5000
+    with pytest.raises(ValueError):
+        packing.select_by_token_budget(df, budget_tokens=0)
