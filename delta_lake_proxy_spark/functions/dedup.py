@@ -839,7 +839,10 @@ def dedup_by_components(
     best = scored.groupBy("component").agg(F.max("_s").alias("_smax"))
     winners = (
         scored.join(best, "component")
-        .filter(F.col("_s") == F.col("_smax"))
+        # null-safe: a NULL score ranks worst (max ignores nulls), and an
+        # all-null component still resolves — <=> matches every member,
+        # min id wins — instead of silently keeping the whole cluster
+        .filter(F.col("_s").eqNullSafe(F.col("_smax")))
         .groupBy("component")
         .agg(F.min("id").alias("_winner"))
     )
@@ -1130,6 +1133,13 @@ def dedupe_repeated_lines(
     rebuild order-preserved via sort-by-position reassembly. Output:
     ``(id, text, n_removed_lines)``.
     """
+    if not separator or "\\E" in separator:
+        # \Q...\E quoting cannot represent these; refuse rather than let
+        # the remainder be read as raw regex (or split per character)
+        raise ValueError(
+            f"separator must be non-empty and must not contain "
+            f"backslash-E, got {separator!r}"
+        )
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(

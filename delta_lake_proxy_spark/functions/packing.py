@@ -249,14 +249,19 @@ def sample_to_mix(
         if total is not None
         else min(counts[d] / w for d, w in norm.items())
     )
-    rates = {d: norm[d] * t / counts[d] for d in norm}
-    if not allow_upsample:
-        over = sorted(d for d, r in rates.items() if r > 1.0 + 1e-12)
+    # round away one-ulp float noise so an intended-integral rate (say
+    # 2.0000000000000004) gives EXACTLY floor(rate) copies, never a
+    # spurious extra on coin==0
+    rates = {d: round(norm[d] * t / counts[d], 12) for d in norm}
+    if total is None or not allow_upsample:
+        over = sorted(d for d, r in rates.items() if r > 1.0)
         if total is not None and over:
             raise ValueError(
                 f"total={total} needs upsampling for domains {over} "
                 f"(rate > 1); pass allow_upsample=True to repeat documents"
             )
+        # total=None never needs upsampling (t_max is the no-replacement
+        # optimum); the clamp only shaves float noise on the binding domain
         rates = {d: min(1.0, r) for d, r in rates.items()}
     coin = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
     rate_expr = None
@@ -310,22 +315,33 @@ def select_by_token_budget(
     coin noise and within-bin token skew, both shrinking with
     ``buckets``.
 
-    ``budget_tokens`` >= the corpus total keeps everything. Output: the
-    selected rows, unmodified.
+    Documents with a NULL score carry no quality evidence and are never
+    selected; a NaN score refuses loudly (it would poison the histogram
+    width). ``budget_tokens`` >= the scored total keeps every scored row.
+    Output: the selected rows, unmodified.
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    lo_hi = df.agg(
+    # NULL scores carry no quality evidence and are NEVER selected (a null
+    # would otherwise float to the top bin via least()'s null skipping);
+    # NaN would poison the histogram width, so it refuses loudly.
+    scored = df.filter(F.col(score_col).isNotNull())
+    lo_hi = scored.agg(
         F.min(score_col).alias("_lo"),
         F.max(score_col).alias("_hi"),
         F.sum(token_col).alias("_tot"),
+        F.sum(
+            F.when(F.isnan(F.col(score_col).cast("double")), 1).otherwise(0)
+        ).alias("_nan"),
     ).collect()[0]
     if lo_hi["_tot"] is None:
-        return df  # empty corpus
+        return scored  # no scored rows
+    if int(lo_hi["_nan"] or 0) > 0:
+        raise ValueError(f"{score_col} contains NaN values")
     if int(lo_hi["_tot"]) <= budget_tokens:
-        return df
+        return scored
     lo, hi = float(lo_hi["_lo"]), float(lo_hi["_hi"])
     width = (hi - lo) or 1.0
     bin_expr = F.least(
@@ -336,7 +352,7 @@ def select_by_token_budget(
     )
     per_bin = {
         int(r["_b"]): int(r["_t"])
-        for r in df.groupBy(bin_expr.alias("_b"))
+        for r in scored.groupBy(bin_expr.alias("_b"))
         .agg(F.sum(token_col).alias("_t"))
         .collect()
     }
@@ -350,9 +366,9 @@ def select_by_token_budget(
         cutoff, rate = b, remaining / per_bin[b]
         break
     if cutoff is None:
-        return df  # float rounding: everything fits after all
+        return scored  # float rounding: everything fits after all
     coin = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
-    return df.filter(
+    return scored.filter(
         (bin_expr > cutoff)
         | ((bin_expr == cutoff) & (coin < F.lit(rate * 1_000_000)))
     )

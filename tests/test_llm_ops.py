@@ -2788,17 +2788,15 @@ def test_select_by_token_budget(spark):
     got = out.collect()
     total = sum(r["n_tokens"] for r in got)
     assert abs(total - 100_000) / 100_000 < 0.1  # boundary-bin coin noise
-    scores = sorted(r["quality_score"] for r in got)
     # the kept set is top-score-first: every score above the boundary
-    # present in full, none below it
+    # present in full, nothing below one bin under it
     kept_per_score = {}
     for r in got:
         kept_per_score[r["quality_score"]] = kept_per_score.get(r["quality_score"], 0) + 1
     full = {s: c for s, c in kept_per_score.items() if c == 50}  # 50 docs/score
     boundary = min(full) if full else None
     assert boundary is not None and boundary >= 0.8  # ~top 20% of 500k
-    assert all(s >= min(scores) for s in kept_per_score)
-    assert not [s for s in kept_per_score if s < boundary - 0.011]  # <= one bin below
+    assert min(kept_per_score) >= boundary - 0.011  # <= one bin below
     # determinism across partitionings
     ids2 = {
         r["doc_id"]
@@ -2811,3 +2809,74 @@ def test_select_by_token_budget(spark):
     assert packing.select_by_token_budget(df, budget_tokens=10_000_000).count() == 5000
     with pytest.raises(ValueError):
         packing.select_by_token_budget(df, budget_tokens=0)
+
+
+def test_select_by_token_budget_null_and_nan_scores(spark):
+    """NULL scores are never selected (they'd otherwise float to the top
+    bin via least()'s null skipping); NaN refuses loudly."""
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, (i % 100) / 100.0, 100) for i in range(1000)]
+    rows += [(10_000 + i, None, 100) for i in range(200)]  # unscored docs
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_tokens long"
+    )
+    out = packing.select_by_token_budget(df, budget_tokens=20_000).collect()
+    assert all(r["quality_score"] is not None for r in out)
+    assert min(r["quality_score"] for r in out) >= 0.7  # still top-first
+    nan_df = spark.createDataFrame(
+        [(1, float("nan"), 100), (2, 0.5, 100)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        packing.select_by_token_budget(nan_df, budget_tokens=100)
+
+
+def test_dedup_by_components_null_scores(spark):
+    """An all-null-score cluster still resolves (min id wins) instead of
+    silently keeping every duplicate; a null member never beats a scored
+    one."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, 0.4), (4, None)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    best = {
+        r["doc_id"]
+        for r in dedup.dedup_by_components(docs, pairs, score_col="quality").collect()
+    }
+    assert best == {1, 3}
+
+
+def test_dedupe_repeated_lines_rejects_bad_separator(spark):
+    from delta_lake_proxy_spark.functions import dedup
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="separator"):
+        dedup.dedupe_repeated_lines(docs, separator="")
+    with pytest.raises(ValueError, match="separator"):
+        dedup.dedupe_repeated_lines(docs, separator="a\\Eb")
+
+
+def test_sample_to_mix_integral_rate_float_noise(spark):
+    """A rate that is integral only up to float noise (0.1 * 3000 / 300)
+    emits EXACTLY floor(rate) copies — no spurious extra on coin 0 — and
+    allow_upsample with total=None clamps the binding domain at 1.0."""
+    from delta_lake_proxy_spark.functions import packing
+
+    rows = [(i, "a" if i < 300 else "b") for i in range(3300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # rate_a = 0.1 * 3000 / 300 -> 1.0000000000000002 before rounding
+    out = packing.sample_to_mix(
+        df, {"a": 0.1, "b": 0.9}, total=3000, allow_upsample=True, seed="fn1"
+    ).collect()
+    a_rows = [r for r in out if r["domain"] == "a"]
+    assert len(a_rows) == 300  # exactly one copy each
+    assert all(r["_copy"] == 0 for r in a_rows)
+    # binding domain at total=None stays exactly at keep-everything
+    out2 = packing.sample_to_mix(
+        df, {"a": 1.0}, allow_upsample=True, seed="fn1"
+    ).collect()
+    assert len(out2) == 300 and all(r["_copy"] == 0 for r in out2)
