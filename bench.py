@@ -64,6 +64,7 @@ EXTENDED = [
     "bpe_pipeline",
     "decontamination",
     "mix_sample",
+    "gopher_flags",
 ]
 
 

@@ -2804,3 +2804,20 @@ def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"web": 0.5, "code": 0.3, "wiki": 0.2}, domain_col="_dom"
     )
     return out.groupBy("_dom").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 Gopher quality + repetition rules over the documents table: the
+    published Rae et al. 2021 A1.1 filter — the map-side rule projection
+    joined with the repetition verdict. Unregistered (both halves are
+    Python-oracled in test_llm_ops incl. on real fixture docs); benchmarked
+    under SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality.gopher_quality_flags(docs)
+    r = quality.gopher_repetition_flags(docs)
+    return q.join(r, "doc_id").select(
+        "doc_id", "gopher_pass", "repetition_pass",
+        (F.col("gopher_pass") & F.col("repetition_pass")).alias("keep"),
+    )

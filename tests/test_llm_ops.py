@@ -2880,3 +2880,88 @@ def test_sample_to_mix_integral_rate_float_noise(spark):
         df, {"a": 1.0}, allow_upsample=True, seed="fn1"
     ).collect()
     assert len(out2) == 300 and all(r["_copy"] == 0 for r in out2)
+
+
+def test_end_to_end_curation_recipe(spark):
+    """The full curation chain every stage of which this engine ships,
+    composed end-to-end on the real fixture corpus: quality rules ->
+    repetition rules -> global line dedup -> exact dedup -> MinHash
+    near-dup clusters with keep-best survivors -> eval decontamination ->
+    token-budget selection -> train/val/test split -> epoch shards ->
+    sequence packing. Pins that the stages COMPOSE (schemas line up, no
+    stage starves the next) — each stage's own semantics are pinned by
+    its dedicated tests."""
+    from delta_lake_proxy_spark.functions import dedup, packing, quality, text
+    from delta_lake_proxy_spark.io import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+    )
+    n0 = docs.count()
+
+    # 1-2. quality + repetition rules (lenient thresholds: the synthetic
+    # fixture docs are short), keep survivors
+    q = quality.gopher_quality_flags(docs, min_words=5, min_stopword_hits=0)
+    r = quality.gopher_repetition_flags(docs)
+    keep_ids = (
+        q.filter("pass_alpha_words AND pass_word_count")
+        .join(r.filter("repetition_pass"), "doc_id")
+        .select("doc_id")
+    )
+    stage2 = docs.join(keep_ids, "doc_id", "left_semi")
+    n2 = stage2.count()
+    assert 0 < n2 <= n0
+
+    # 3. global line dedup rewrites text in place
+    stage3 = dedup.dedupe_repeated_lines(stage2, min_line_chars=20)
+    assert stage3.columns == ["doc_id", "text", "n_removed_lines"]
+    assert stage3.count() == n2  # line removal never drops documents
+
+    # 4. exact dedup on normalized text
+    stage4 = dedup.exact_dedup(stage3.select("doc_id", "text"))
+    n4 = stage4.count()
+    assert 0 < n4 <= n2
+
+    # 5. near-dup clusters, keep the LONGEST member of each cluster
+    pairs = dedup.minhash_near_duplicates(stage4, threshold=0.8)
+    scored = stage4.withColumn("len_score", F.length("text").cast("double"))
+    stage5 = dedup.dedup_by_components(
+        scored, pairs, score_col="len_score"
+    ).select("doc_id", "text")
+    n5 = stage5.count()
+    assert 0 < n5 <= n4
+
+    # 6. decontaminate against a pseudo-eval slice of itself
+    ev = stage5.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    train = stage5.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    contaminated = (
+        quality.contamination_scores(train, ev, n=13)
+        .filter(F.col("contamination") > 0.8)
+        .select("doc_id")
+    )
+    stage6 = train.join(contaminated, "doc_id", "left_anti")
+    n6 = stage6.count()
+    assert 0 < n6 <= n5
+
+    # 7. token budget: keep the best half by quality score
+    stats = text.text_stats(stage6)
+    budget = int(
+        stats.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] * 0.5
+    )
+    chosen = packing.select_by_token_budget(
+        stats.select("doc_id", "quality_score", "n_tokens"), budget
+    )
+    n7 = chosen.count()
+    assert 0 < n7 < n6
+
+    # 8-10. split, shard, pack
+    final = stage6.join(chosen.select("doc_id", "n_tokens"), "doc_id")
+    split = packing.assign_split(final)
+    assert split.filter("split = 'train'").count() > 0
+    sharded = packing.epoch_shuffle_shards(split.filter("split = 'train'"), 4)
+    assert sharded.select("shard").distinct().count() <= 4
+    packed = packing.pack_contiguous(sharded, size_col="n_tokens", budget=2048)
+    summary = packing.pack_summary(packed, size_col="n_tokens", budget=2048).collect()
+    assert len(summary) > 0
+    assert all(row["pack_tokens"] > 0 for row in summary)
