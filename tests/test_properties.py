@@ -10,6 +10,7 @@ the reference's algorithms.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -533,3 +534,48 @@ def test_version_checksum_chain_matches_model_random_histories(tmp_path, ops):
 
 
 _crc_case_counter = __import__("itertools").count()
+
+
+# -- Gopher quality/repetition metrics vs the pure-Python oracle (round 12) --
+
+_gq_word = st.text(alphabet="abcXY01#.", min_size=0, max_size=8)
+_gq_sep = st.sampled_from(
+    [" ", "\n", "\r\n", "\t", " ", "\n\n", " • ", "... ", "…\n"]
+)
+_gq_text = st.lists(st.tuples(_gq_word, _gq_sep), max_size=40).map(
+    lambda ps: "".join(w + s for w, s in ps)
+)
+
+
+@given(text=_gq_text)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_quality_flags_property(spark, text):
+    """Every reported metric equals the Python oracle on arbitrary
+    whitespace/bullet/ellipsis/NBSP-laced text."""
+    from tests.test_llm_ops import _gopher_oracle
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = quality.gopher_quality_flags(docs).collect()[0].asDict()
+    want = _gopher_oracle(text)
+    for key, val in want.items():
+        assert got[key] == pytest.approx(val, abs=1e-6), (key, got[key], val, text)
+
+
+@given(text=_gq_text)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_ngram_stats_property(spark, text):
+    """Top/dup n-gram coverage equals the Python oracle (incl. the
+    overlap-counted-once union) on arbitrary generated text."""
+    from tests.test_llm_ops import _rep_ngram_oracle
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = (
+        quality.repetition_ngram_stats(docs, top_ns=(2, 3), dup_ns=(2, 4))
+        .collect()[0]
+        .asDict()
+    )
+    want = _rep_ngram_oracle(text, top_ns=(2, 3), dup_ns=(2, 4))
+    for key, val in want.items():
+        assert got[key] == pytest.approx(val, abs=1e-6), (key, got[key], val, text)
