@@ -833,8 +833,13 @@ def dedup_by_components(
             F.col("id").alias(id_col)
         )
         return df.join(dropped, on=id_col, how="left_anti")
+    # NaN would sort ABOVE every real score (Spark orders NaN largest) and
+    # eqNullSafe(NaN, NaN) is true — a garbage 0/0 score would win the
+    # cluster. Normalize NaN to null so both rank worst.
+    s = F.col(score_col)
+    s = F.when(~F.isnan(s.cast("double")), s)
     scored = comps.join(
-        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+        df.select(F.col(id_col).alias("id"), s.alias("_s")), "id"
     )
     best = scored.groupBy("component").agg(F.max("_s").alias("_smax"))
     winners = (

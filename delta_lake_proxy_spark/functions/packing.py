@@ -317,8 +317,10 @@ def select_by_token_budget(
 
     Documents with a NULL score carry no quality evidence and are never
     selected; a NaN score refuses loudly (it would poison the histogram
-    width). ``budget_tokens`` >= the scored total keeps every scored row.
-    Output: the selected rows, unmodified.
+    width), as does a NULL token count (it would pass the score filter
+    while adding nothing to the budget accounting). ``budget_tokens`` >=
+    the scored total keeps every scored row. Output: the selected rows,
+    unmodified.
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
@@ -332,14 +334,23 @@ def select_by_token_budget(
         F.min(score_col).alias("_lo"),
         F.max(score_col).alias("_hi"),
         F.sum(token_col).alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
         F.sum(
             F.when(F.isnan(F.col(score_col).cast("double")), 1).otherwise(0)
         ).alias("_nan"),
+        F.sum(
+            F.when(F.col(token_col).isNull(), 1).otherwise(0)
+        ).alias("_null_tok"),
     ).collect()[0]
-    if lo_hi["_tot"] is None:
+    if int(lo_hi["_n"]) == 0:
         return scored  # no scored rows
     if int(lo_hi["_nan"] or 0) > 0:
         raise ValueError(f"{score_col} contains NaN values")
+    if int(lo_hi["_null_tok"] or 0) > 0:
+        # a null token count would pass the score filter while adding
+        # nothing to the budget accounting — the kept set would silently
+        # blow the budget
+        raise ValueError(f"{token_col} contains NULL values")
     if int(lo_hi["_tot"]) <= budget_tokens:
         return scored
     lo, hi = float(lo_hi["_lo"]), float(lo_hi["_hi"])

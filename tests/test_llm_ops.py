@@ -2839,15 +2839,20 @@ def test_dedup_by_components_null_scores(spark):
     from delta_lake_proxy_spark.functions import dedup
 
     docs = spark.createDataFrame(
-        [(1, None), (2, None), (3, 0.4), (4, None)],
+        [(1, None), (2, None), (3, None), (4, 0.4), (5, float("nan")), (6, 0.2)],
         "doc_id long, quality double",
     )
-    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    # {1,2} all-null -> min id 1; {3,4}: the SCORED doc 4 beats the null
+    # (and is not the min id, pinning that null never wins); {5,6}: NaN
+    # ranks worst, the real 0.2 wins
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
     best = {
         r["doc_id"]
         for r in dedup.dedup_by_components(docs, pairs, score_col="quality").collect()
     }
-    assert best == {1, 3}
+    assert best == {1, 4, 6}
 
 
 def test_dedupe_repeated_lines_rejects_bad_separator(spark):
