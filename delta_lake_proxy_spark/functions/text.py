@@ -543,3 +543,90 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram companion to :func:`unigram_nll` (one step toward CCNet's
+    5-gram KenLM filter): an add-one-smoothed conditional model
+    ``p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`` trained on the corpus
+    itself, scoring each document by the mean negative log-likelihood of
+    its word TRANSITIONS (bigram-vocab V = distinct words appearing in any
+    transition; the first word of a doc is not scored — transitions only,
+    so documents with fewer than two word tokens are omitted). Catches
+    shuffled-word salad that a unigram model scores as fluent.
+
+    Same determinism contract as :func:`unigram_nll`: per-term log-probs
+    rounded to 9 dp, accumulated as DECIMAL (exact, order-independent);
+    floats only at the final divide.
+
+    Plan shape at 100 TB: one tokenize scan -> per-(doc, bigram) tf (one
+    shuffle, map-side combine) materialized once (lazy localCheckpoint) ->
+    corpus bigram counts, context counts and V roll up FROM tf
+    (bigram-vocab-sized, never corpus-sized) -> tf joins the model
+    (AQE broadcasts when it fits) -> per-doc agg. No Python.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0).alias("_w"),
+    )
+    bgs = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_w"), i + 1).alias("w1"),
+                        F.element_at(F.col("_w"), i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = bgs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    bg_counts = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
+    bg_counts = bg_counts.localCheckpoint(eager=False)
+    ctx = bg_counts.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = (
+        bg_counts.select(F.col("w1").alias("t"))
+        .unionByName(bg_counts.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    lp = (
+        bg_counts.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + F.lit(1)).cast("double")
+                    / (F.col("c_ctx") + F.col("v")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(21,9)")
+            .alias("logp"),
+        )
+    )
+    doc = (
+        tf.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_transitions"),
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("logp")).alias("_s"),
+        )
+    )
+    nll = F.round((-F.col("_s")).cast("double") / F.col("n_transitions"), 6)
+    return doc.select(
+        F.col(id_col),
+        "n_transitions",
+        nll.alias("bigram_nll"),
+        F.round(F.exp(nll), 3).alias("bigram_ppl"),
+    )

@@ -2970,3 +2970,48 @@ def test_end_to_end_curation_recipe(spark):
     summary = packing.pack_summary(packed, size_col="n_tokens", budget=2048).collect()
     assert len(summary) > 0
     assert all(row["pack_tokens"] > 0 for row in summary)
+
+
+def test_bigram_nll_matches_hand_model(spark):
+    """Add-one-smoothed bigram NLL against the closed-form model, and the
+    word-salad property a unigram model cannot see."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_nll(docs).collect()}
+    # transitions: doc1 ab,ba,ab; doc2 ba,aa,ab
+    # c(ab)=2+1=3? no: corpus counts -> ab:3 (2 from doc1, 1 from doc2),
+    # ba:2, aa:1; contexts c(a)=ab+aa=4, c(b)=ba=2; V = {a,b} = 2
+    lp = {
+        ("a", "b"): round(math.log((3 + 1) / (4 + 2)), 9),
+        ("b", "a"): round(math.log((2 + 1) / (2 + 2)), 9),
+        ("a", "a"): round(math.log((1 + 1) / (4 + 2)), 9),
+    }
+    exp1 = round(-(2 * lp[("a", "b")] + lp[("b", "a")]) / 3, 6)
+    exp2 = round(-(lp[("b", "a")] + lp[("a", "a")] + lp[("a", "b")]) / 3, 6)
+    assert out[1]["n_transitions"] == 3
+    assert abs(out[1]["bigram_nll"] - exp1) < 1e-9
+    assert abs(out[2]["bigram_nll"] - exp2) < 1e-9
+    assert abs(out[1]["bigram_ppl"] - round(math.exp(exp1), 3)) < 1e-9
+    assert 3 not in out and 4 not in out  # <2 tokens: no transitions
+    # doc 2 contains the rare transitions (aa) -> higher nll, same unigrams
+    assert out[2]["bigram_nll"] > out[1]["bigram_nll"]
+
+
+def test_bigram_nll_no_python_and_salad_property(spark):
+    """Pure codegen; a shuffled-word doc scores worse than the fluent one
+    even though its unigram distribution is identical."""
+    fluent = "the quick brown fox jumps over the lazy dog " * 5
+    salad = "fox the over quick dog brown the jumps lazy " * 5
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, salad), (3, fluent), (4, fluent)],
+        "doc_id long, text string",
+    )
+    df = text.bigram_nll(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    out = {r["doc_id"]: r["bigram_nll"] for r in df.collect()}
+    assert out[2] > out[1]  # the salad's transitions are corpus-rare
