@@ -579,3 +579,47 @@ def test_repetition_ngram_stats_property(spark, text):
     want = _rep_ngram_oracle(text, top_ns=(2, 3), dup_ns=(2, 4))
     for key, val in want.items():
         assert got[key] == pytest.approx(val, abs=1e-6), (key, got[key], val, text)
+
+
+_bg_word = st.sampled_from(["a", "b", "c", "dd", "e1"])
+_bg_text = st.lists(_bg_word, max_size=25).map(" ".join)
+
+
+@given(texts=st.lists(_bg_text, min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_nll_property(spark, texts):
+    """bigram_nll equals the closed-form add-one bigram model (decimal-
+    exact: round each logp to 9 dp, exact sum, final divide) on random
+    small-alphabet corpora."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from delta_lake_proxy_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in T.bigram_nll(docs).collect()}
+    bg_c: Counter = Counter()
+    for t in texts:
+        ws = t.split()
+        bg_c.update(zip(ws, ws[1:]))
+    ctx_c: Counter = Counter()
+    for (w1, _), c in bg_c.items():
+        ctx_c[w1] += c
+    vocab = {w for bg in bg_c for w in bg}
+    v = len(vocab)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            assert i not in got
+            continue
+        s = sum(
+            Decimal(str(round(math.log((bg_c[bg] + 1) / (ctx_c[bg[0]] + v)), 9)))
+            for bg in trans
+        )
+        want = round(float(-s) / len(trans), 6)
+        assert got[i]["n_transitions"] == len(trans)
+        assert got[i]["bigram_nll"] == pytest.approx(want, abs=1e-9), (i, t)
