@@ -574,3 +574,52 @@ def top_repeated_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def char_entropy_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_entropy: float = 2.0,
+    max_entropy: float = 6.0,
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) with pass flags:
+    the cheap detector for content no word-level rule sees — base64 /
+    compressed / binary blobs pasted into text score HIGH (random bytes
+    approach 8 bits; English prose sits near 4), and single-character /
+    whitespace-run junk scores LOW. The default band [2, 6] keeps natural
+    language in any alphabet.
+
+    Shape at scale: one explode of characters + a per-(doc, char)
+    count + per-doc entropy aggregation — the same two-shuffle shape as
+    :func:`repetition_stats`, partial-combined map-side (a document has
+    at most |alphabet| distinct chars after the first combine). Pure
+    codegen. Empty documents score entropy 0 (fail the low bound).
+    """
+    t = F.col(text_col)
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(t, "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    per_char = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    ent = per_char.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("_tot"),
+        # H = log2(N) - sum(n*log2(n))/N  (exact regrouping of -sum p log2 p)
+        F.sum(F.col("n") * F.log2("n")).alias("_nlogn"),
+    )
+    entropy = F.round(
+        F.log2(F.col("_tot")) - F.col("_nlogn") / F.col("_tot"), 6
+    )
+    base = docs.select(F.col(id_col))
+    out = base.join(ent, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_tot"), F.lit(0)).alias("n_chars"),
+        F.coalesce(entropy, F.lit(0.0)).alias("char_entropy"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("char_entropy") >= min_entropy)
+            & (F.col("char_entropy") <= max_entropy)
+        ).alias("pass_entropy"),
+    )

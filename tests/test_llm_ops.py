@@ -3015,3 +3015,38 @@ def test_bigram_nll_no_python_and_salad_property(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     out = {r["doc_id"]: r["bigram_nll"] for r in df.collect()}
     assert out[2] > out[1]  # the salad's transitions are corpus-rare
+
+
+def test_char_entropy_stats(spark):
+    """Shannon char entropy equals the Python model; base64-ish noise is
+    high, repeated-char junk low, prose inside the default band."""
+    import math
+    from collections import Counter
+
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog repeatedly today"),
+            (2, "aQ3zX9fL0pK7mN2vB8cR5tY1uW6eD4gH/sJ+kZqoTxIhPnUyVrMwEbSlCdGjOAF"),
+            (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality.char_entropy_stats(docs).collect()}
+    rows = {r[0]: r[1] for r in docs.collect()}
+    for doc_id, txt in rows.items():
+        if not txt:
+            assert out[doc_id]["char_entropy"] == 0.0
+            continue
+        c = Counter(txt)
+        n = len(txt)
+        want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+        assert out[doc_id]["char_entropy"] == pytest.approx(want, abs=1e-5), doc_id
+    assert out[1]["pass_entropy"] is True  # prose ~4.1 bits
+    assert out[2]["char_entropy"] > 5.5  # base64 noise
+    assert out[3]["char_entropy"] == 0.0 and out[3]["pass_entropy"] is False
+    assert out[4]["n_chars"] == 0 and out[4]["pass_entropy"] is False
+    p = quality.char_entropy_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
