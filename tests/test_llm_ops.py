@@ -3050,3 +3050,21 @@ def test_char_entropy_stats(spark):
     assert out[4]["n_chars"] == 0 and out[4]["pass_entropy"] is False
     p = quality.char_entropy_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_char_entropy_astral_chars(spark):
+    """Surrogate-pair characters count as ONE char in both Spark (Java's
+    zero-width split is code-point aware) and the Python oracle."""
+    import math
+    from collections import Counter
+
+    from delta_lake_proxy_spark.functions import quality
+
+    txt = "héllo 💩🎉 wörld 💩"
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = quality.char_entropy_stats(docs).collect()[0]
+    c = Counter(txt)
+    n = len(txt)
+    want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+    assert r["n_chars"] == n == 16
+    assert r["char_entropy"] == pytest.approx(want, abs=1e-6)
