@@ -581,20 +581,30 @@ def char_entropy_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_entropy: float = 2.0,
-    max_entropy: float = 6.0,
+    max_entropy: float = 5.2,
+    min_chars: int = 20,
 ) -> DataFrame:
-    """Per-document Shannon character entropy (bits/char) with pass flags:
-    the cheap detector for content no word-level rule sees — base64 /
-    compressed / binary blobs pasted into text score HIGH (random bytes
-    approach 8 bits; English prose sits near 4), and single-character /
-    whitespace-run junk scores LOW. The default band [2, 6] keeps natural
-    language in any alphabet.
+    """Per-document Shannon character entropy (bits/char) with a pass
+    flag: the cheap detector for content no word-level rule sees —
+    base64 / hex-dump blobs pasted into text score HIGH (random base64
+    sits at 5.5-6.0 bits, bounded by log2 64 = 6; English and other
+    alphabetic prose near 4), and single-character / whitespace-run junk
+    scores LOW. The default max of 5.2 sits between prose and base64 —
+    deliberately BELOW the log2(64) ceiling, which an inclusive bound of
+    6 could never catch. CJK corpora legitimately exceed it (thousands
+    of distinct chars); raise ``max_entropy`` there.
+
+    Sample entropy is bounded by log2(n_chars), so a short document
+    cannot reach the low bound no matter its content; documents under
+    ``min_chars`` therefore PASS (insufficient evidence is not junk)
+    rather than being conflated with repeated-char garbage.
 
     Shape at scale: one explode of characters + a per-(doc, char)
     count + per-doc entropy aggregation — the same two-shuffle shape as
     :func:`repetition_stats`, partial-combined map-side (a document has
     at most |alphabet| distinct chars after the first combine). Pure
-    codegen. Empty documents score entropy 0 (fail the low bound).
+    codegen. Empty documents report entropy 0 and pass (under
+    ``min_chars``).
     """
     t = F.col(text_col)
     chars = docs.select(
@@ -619,7 +629,10 @@ def char_entropy_stats(
     return out.select(
         "*",
         (
-            (F.col("char_entropy") >= min_entropy)
-            & (F.col("char_entropy") <= max_entropy)
+            (F.col("n_chars") < min_chars)
+            | (
+                (F.col("char_entropy") >= min_entropy)
+                & (F.col("char_entropy") <= max_entropy)
+            )
         ).alias("pass_entropy"),
     )

@@ -3045,9 +3045,13 @@ def test_char_entropy_stats(spark):
         want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
         assert out[doc_id]["char_entropy"] == pytest.approx(want, abs=1e-5), doc_id
     assert out[1]["pass_entropy"] is True  # prose ~4.1 bits
-    assert out[2]["char_entropy"] > 5.5  # base64 noise
+    # base64 noise: HIGH entropy and FLAGGED (the default max sits below
+    # the log2(64)=6 ceiling base64 can never exceed)
+    assert out[2]["char_entropy"] > 5.5
+    assert out[2]["pass_entropy"] is False
     assert out[3]["char_entropy"] == 0.0 and out[3]["pass_entropy"] is False
-    assert out[4]["n_chars"] == 0 and out[4]["pass_entropy"] is False
+    # empty/short docs: insufficient evidence is not junk
+    assert out[4]["n_chars"] == 0 and out[4]["pass_entropy"] is True
     p = quality.char_entropy_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
@@ -3068,3 +3072,18 @@ def test_char_entropy_astral_chars(spark):
     want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
     assert r["n_chars"] == n == 16
     assert r["char_entropy"] == pytest.approx(want, abs=1e-6)
+
+
+def test_char_entropy_short_doc_passes(spark):
+    """Docs under min_chars pass (entropy <= log2(n) can't reach the low
+    bound); at or above min_chars the band applies."""
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [(1, "ok"), (2, "cat says hi"), (3, "a" * 25)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality.char_entropy_stats(docs).collect()}
+    assert out[1]["pass_entropy"] is True  # 2 chars, 1 bit — but too short to judge
+    assert out[2]["pass_entropy"] is True  # 11 chars < 20, passes on evidence rule
+    assert out[3]["pass_entropy"] is False  # 25 repeated chars: entropy 0, junk
