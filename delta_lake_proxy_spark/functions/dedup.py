@@ -534,6 +534,41 @@ def simhash_near_duplicates(
         )
         packed = bit if packed is None else packed + bit
     sig = votes.select("_id", packed.alias("_sig"))
+    return hamming_near_duplicates(
+        sig,
+        id_col="_id",
+        sig_col="_sig",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        _bands_checked=True,
+    )
+
+
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    bands: int | None = None,
+    max_bucket_size: int | None = 10_000,
+    _bands_checked: bool = False,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit signatures by Hamming distance <=
+    ``max_hamming`` — the pigeonhole banding + exact popcount verify used
+    by :func:`simhash_near_duplicates`, factored out so ANY 64-bit
+    fingerprint rides it (SimHash text signatures, perceptual image
+    hashes, rolling fingerprints). Candidates come from a groupBy on
+    (band, band_value) with oversized buckets salted; verification is a
+    pure-codegen ``bit_count(xor)``. Output: (id_a, id_b, hamming)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if not _bands_checked and max_hamming >= bands:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands > max_hamming (pigeonhole)"
+        )
+    sig = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     band_width = 64 // bands
     mask = (1 << band_width) - 1
     banded = sig.select(

@@ -589,3 +589,73 @@ def multimodal_summary(features: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash (aHash) of every IMAGE payload: decode the
+    PPM, grayscale by exact integer mean ``(r + g + b) // 3``, downscale
+    to 8x8 with the same integer nearest-neighbor arithmetic as
+    :func:`resize_media` (``src = dst * src_dim // 8``), threshold each
+    cell STRICTLY ABOVE the 8x8 integer mean, and pack the 64 bits
+    (row-major, bit 0 = top-left) into one signed long. All-integer, so
+    the hash is bit-reproducible on any platform. Non-image rows are
+    omitted. ONE Arrow-batched ``mapInPandas`` pass.
+
+    A near-identical image (re-encode, small overlay, slight crop)
+    flips few bits; pair detection is Hamming distance over these
+    hashes — see :func:`image_near_duplicates`.
+    """
+    out_schema = f"{id_col} long, ahash long"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+                if m["modality"] != "image":
+                    continue
+                px = decode_ppm(bytes(b))  # (h, w, 3) uint8
+                gray = px.astype(np.int64).sum(axis=2) // 3  # (h, w)
+                h, w = gray.shape
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(8) * w) // 8
+                cells = gray[np.ix_(rows, cols)]  # (8, 8) ints
+                mean = int(cells.sum()) // 64
+                bits = (cells > mean).astype(np.uint64).ravel()  # row-major
+                val = 0
+                for j in range(64):
+                    if bits[j]:
+                        val |= 1 << j
+                # pack into a signed 64-bit long (bit 63 set -> negative)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(i))
+                hashes.append(val)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "ahash": pd.Series(hashes, dtype="int64")})
+
+    return media.mapInPandas(gen, out_schema)
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance:
+    :func:`ahash_media` fingerprints (one Arrow pass over the binary
+    column), then the generic 64-bit pigeonhole banding + exact popcount
+    verify of ``dedup.hamming_near_duplicates`` — the image analog of
+    SimHash text near-dup, riding the identical candidate machinery
+    (salted buckets, recall guarantee for ``max_hamming < bands``).
+    Output: (id_a, id_b, hamming)."""
+    from .dedup import hamming_near_duplicates
+
+    sigs = ahash_media(media, id_col=id_col)
+    return hamming_near_duplicates(
+        sigs,
+        id_col=id_col,
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

@@ -28,3 +28,92 @@ def test_grouped_zscore(spark):
     assert abs(out[2]) < 1e-12  # group mean maps to 0
     assert abs(out[1] + out[3]) < 1e-12  # symmetric
     assert out[4] == 0.0  # single-element group (std=0) -> 0
+
+
+# -- perceptual image hashing + near-dup (round 12) ---------------------------
+
+
+def _ahash_oracle(px):
+    """Pure-Python replica of ahash_media's integer pipeline."""
+    import numpy as np
+
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    h, w = gray.shape
+    cells = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+    mean = int(cells.sum()) // 64
+    val = 0
+    for j, b in enumerate((cells > mean).ravel()):
+        if b:
+            val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def _media_row(doc_id, px):
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    payload = M.encode_ppm(px)
+    return (
+        doc_id,
+        payload,
+        {
+            "modality": "image",
+            "n_bytes": len(payload),
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "sample_rate": None,
+        },
+    )
+
+
+_MEDIA_SCHEMA = (
+    "doc_id long, media_bytes binary, "
+    "media_meta struct<modality string, n_bytes long, width int, "
+    "height int, sample_rate int>"
+)
+
+
+def test_ahash_matches_python_oracle(spark):
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(7)
+    imgs = {i: rng.randint(0, 256, (24, 32, 3), dtype=np.uint8) for i in range(5)}
+    rows = [_media_row(i, px) for i, px in imgs.items()]
+    # a non-image row must be omitted
+    rows.append((99, b"\x00\x01", {"modality": "audio", "n_bytes": 2,
+                                   "width": None, "height": None,
+                                   "sample_rate": 16000}))
+    media = spark.createDataFrame(rows, _MEDIA_SCHEMA)
+    got = {r["doc_id"]: r["ahash"] for r in M.ahash_media(media).collect()}
+    assert set(got) == set(imgs)
+    for i, px in imgs.items():
+        assert got[i] == _ahash_oracle(px), i
+
+
+def test_image_near_duplicates(spark):
+    """A lightly-perturbed copy pairs with its source at small Hamming
+    distance; unrelated random images do not pair."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:3, :3, :] = 255  # small corner overlay: few aHash bits flip
+    far = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [_media_row(1, base), _media_row(2, near), _media_row(3, far)],
+        _MEDIA_SCHEMA,
+    )
+    exp_h = bin(
+        (_ahash_oracle(base) ^ _ahash_oracle(near)) & ((1 << 64) - 1)
+    ).count("1")
+    assert exp_h <= 8  # the perturbation is genuinely small
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.image_near_duplicates(media, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == exp_h
+    assert not any(3 in p for p in pairs)
