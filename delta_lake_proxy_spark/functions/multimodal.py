@@ -659,3 +659,68 @@ def image_near_duplicates(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual energy-profile hash of every AUDIO payload: decode the
+    WAV, split the samples into 64 contiguous frames (``start = j * n //
+    64``), and set bit ``j`` when frame ``j``'s mean absolute amplitude
+    exceeds the overall mean — compared exactly via integer
+    cross-multiplication (``frame_sum * n_total > total_sum * n_frame``),
+    so the hash is bit-reproducible AND amplitude-scale-invariant (both
+    sides scale together; a re-gained copy of the same clip hashes
+    identically). Audio shorter than 64 samples and non-audio rows are
+    omitted. ONE Arrow pass; pair detection via
+    :func:`audio_near_duplicates`."""
+    out_schema = f"{id_col} long, audio_hash long"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+                if m["modality"] != "audio":
+                    continue
+                samples, _sr = decode_wav_pcm16(bytes(b))
+                n = samples.shape[0]
+                if n < 64:
+                    continue
+                mag = np.abs(samples.astype(np.int64))
+                total = int(mag.sum())
+                bounds = (np.arange(65) * n) // 64
+                val = 0
+                for j in range(64):
+                    seg = mag[bounds[j] : bounds[j + 1]]
+                    # exact integer compare of seg mean vs overall mean
+                    if int(seg.sum()) * n > total * seg.shape[0]:
+                        val |= 1 << j
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(i))
+                hashes.append(val)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "audio_hash": pd.Series(hashes, dtype="int64")})
+
+    return media.mapInPandas(gen, out_schema)
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by energy-profile Hamming distance —
+    :func:`audio_hash_media` fingerprints, then the shared 64-bit
+    ``dedup.hamming_near_duplicates`` banding. Catches re-gained /
+    lightly-edited copies of the same clip. Output: (id_a, id_b,
+    hamming)."""
+    from .dedup import hamming_near_duplicates
+
+    sigs = audio_hash_media(media, id_col=id_col)
+    return hamming_near_duplicates(
+        sigs,
+        id_col=id_col,
+        sig_col="audio_hash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

@@ -117,3 +117,80 @@ def test_image_near_duplicates(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == exp_h
     assert not any(3 in p for p in pairs)
+
+
+def _audio_hash_oracle(samples):
+    import numpy as np
+
+    mag = np.abs(samples.astype(np.int64))
+    n = mag.shape[0]
+    total = int(mag.sum())
+    bounds = (np.arange(65) * n) // 64
+    val = 0
+    for j in range(64):
+        seg = mag[bounds[j]: bounds[j + 1]]
+        if int(seg.sum()) * n > total * len(seg):
+            val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def _audio_row(doc_id, samples, sr=16000):
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    payload = M.encode_wav_pcm16(samples, sr)
+    return (
+        doc_id,
+        payload,
+        {"modality": "audio", "n_bytes": len(payload), "width": None,
+         "height": None, "sample_rate": sr},
+    )
+
+
+def test_audio_hash_scale_invariant_and_oracle(spark):
+    """The energy-profile hash equals the Python oracle, a half-gain copy
+    hashes IDENTICALLY (scale invariance), and short/non-audio rows are
+    omitted."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(3)
+    clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    half = (clip.astype(np.int32) // 2).astype(np.int16)
+    rows = [
+        _audio_row(1, clip),
+        _audio_row(2, half),
+        _audio_row(3, np.zeros(10, dtype=np.int16)),  # < 64 samples: omitted
+    ]
+    rows.append((99, b"ppm", {"modality": "image", "n_bytes": 3,
+                              "width": 1, "height": 1, "sample_rate": None}))
+    media = spark.createDataFrame(rows, _MEDIA_SCHEMA)
+    got = {r["doc_id"]: r["audio_hash"] for r in M.audio_hash_media(media).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == _audio_hash_oracle(clip)
+    # halving int16 amplitudes rounds toward zero, which can flip a
+    # borderline frame; the profile must stay NEARLY identical
+    diff = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert diff <= 2
+    assert got[2] == _audio_hash_oracle(half)
+
+
+def test_audio_near_duplicates(spark):
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(5)
+    clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    regained = (clip.astype(np.int32) * 3 // 4).astype(np.int16)
+    other = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    media = spark.createDataFrame(
+        [_audio_row(1, clip), _audio_row(2, regained), _audio_row(3, other)],
+        _MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.audio_near_duplicates(media, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert not any(3 in p for p in pairs)
