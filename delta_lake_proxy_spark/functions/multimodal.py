@@ -591,6 +591,23 @@ def multimodal_summary(features: DataFrame) -> DataFrame:
     )
 
 
+def ahash64_gray(gray: "np.ndarray") -> int:
+    """64-bit average hash of a 2-D integer grayscale plane: integer
+    nearest-neighbor 8x8 downscale (``src = dst * dim // 8``), bit set
+    when the cell is STRICTLY above the 8x8 integer mean, packed
+    row-major (bit 0 = top-left) into a signed long. All-integer —
+    bit-reproducible on any platform. Shared by image aHash and the
+    per-frame video hash."""
+    h, w = gray.shape
+    cells = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+    mean = int(cells.sum()) // 64
+    val = 0
+    for j, b in enumerate((cells > mean).ravel()):
+        if b:
+            val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
 def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual average-hash (aHash) of every IMAGE payload: decode the
     PPM, grayscale by exact integer mean ``(r + g + b) // 3``, downscale
@@ -615,21 +632,8 @@ def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     continue
                 px = decode_ppm(bytes(b))  # (h, w, 3) uint8
                 gray = px.astype(np.int64).sum(axis=2) // 3  # (h, w)
-                h, w = gray.shape
-                rows = (np.arange(8) * h) // 8
-                cols = (np.arange(8) * w) // 8
-                cells = gray[np.ix_(rows, cols)]  # (8, 8) ints
-                mean = int(cells.sum()) // 64
-                bits = (cells > mean).astype(np.uint64).ravel()  # row-major
-                val = 0
-                for j in range(64):
-                    if bits[j]:
-                        val |= 1 << j
-                # pack into a signed 64-bit long (bit 63 set -> negative)
-                if val >= 1 << 63:
-                    val -= 1 << 64
                 ids.append(int(i))
-                hashes.append(val)
+                hashes.append(ahash64_gray(gray))
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                 "ahash": pd.Series(hashes, dtype="int64")})
 
@@ -724,3 +728,73 @@ def audio_near_duplicates(
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def video_frame_hashes(
+    media: DataFrame, id_col: str = "doc_id", stride: int = 1
+) -> DataFrame:
+    """Per-frame perceptual fingerprints of every VIDEO payload: decode
+    the Y4M, take every ``stride``-th frame's LUMA plane, and hash it
+    with the shared :func:`ahash64_gray`. Output one row per sampled
+    frame: (id, frame_idx, fhash) — the video analog of a document's
+    line relation, feeding :func:`video_near_duplicates` (or any custom
+    shot-level analysis). ONE Arrow pass; non-video rows omitted."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = f"{id_col} long, frame_idx int, fhash long"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+                if m["modality"] != "video":
+                    continue
+                y, _cb, _cr, _fps = decode_y4m(bytes(b))
+                for fi in range(0, y.shape[0], stride):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    hashes.append(ahash64_gray(y[fi].astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, out_schema)
+
+
+def video_near_duplicates(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    min_shared_frames: int = 2,
+    stride: int = 1,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by shared perceptual frame fingerprints:
+    two videos pair when at least ``min_shared_frames`` DISTINCT frame
+    hashes occur in both — a trimmed / re-cut / re-container'd copy
+    shares most of its frames' aHashes even when frame indexes shift.
+
+    Aggregation-shaped like the global line dedup: the (id, fhash)
+    relation dedups per video, self-joins on the 8-byte hash (oversized
+    hash buckets — e.g. black frames everywhere — salted), and pairs
+    aggregate distinct shared-hash counts with map-side combine. Output:
+    (id_a, id_b, shared_frames)."""
+    from .dedup import salt_oversized_buckets
+
+    fh = video_frame_hashes(media, id_col=id_col, stride=stride).select(
+        F.col(id_col).alias("_id"), "fhash"
+    ).dropDuplicates(["_id", "fhash"])
+    fh, join_keys = salt_oversized_buckets(
+        fh, ["fhash"], F.xxhash64(F.col("_id")), max_bucket_size
+    )
+    pairs = (
+        fh.alias("a")
+        .join(fh.alias("b"), on=join_keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+    )
+    return pairs.filter(F.col("shared_frames") >= min_shared_frames)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_proxy_spark.functions import similarity, udfs
@@ -194,3 +195,54 @@ def test_audio_near_duplicates(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert not any(3 in p for p in pairs)
+
+
+def _video_row(doc_id, y, cb, cr):
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    payload = M.encode_y4m(y, cb, cr, colorspace="C444")
+    return (
+        doc_id,
+        payload,
+        {"modality": "video", "n_bytes": len(payload), "width": y.shape[2],
+         "height": y.shape[1], "sample_rate": None},
+    )
+
+
+def test_video_frame_hashes_and_near_duplicates(spark):
+    """Per-frame luma hashes equal the shared ahash64_gray oracle; a
+    re-cut copy sharing most frames pairs, an unrelated video does not;
+    stride sampling and non-video omission hold."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(13)
+
+    def vid(frames):
+        y = np.stack(frames)
+        n, h, w = y.shape
+        c = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+        return y, c, c.copy()
+
+    frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    base = vid(frames)
+    recut = vid(frames[1:5] + [rng.randint(0, 256, (16, 16), dtype=np.uint8)])
+    other = vid([rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)])
+    media = spark.createDataFrame(
+        [_video_row(1, *base), _video_row(2, *recut), _video_row(3, *other)],
+        _MEDIA_SCHEMA,
+    )
+    fh = {(r["doc_id"], r["frame_idx"]): r["fhash"]
+          for r in M.video_frame_hashes(media).collect()}
+    assert len([k for k in fh if k[0] == 1]) == 6
+    for fi in range(6):
+        assert fh[(1, fi)] == M.ahash64_gray(frames[fi].astype("int64")), fi
+    # stride skips frames
+    assert len([r for r in M.video_frame_hashes(media, stride=2).collect()
+                if r["doc_id"] == 1]) == 3
+    pairs = {(r["id_a"], r["id_b"]): r["shared_frames"]
+             for r in M.video_near_duplicates(media, min_shared_frames=3).collect()}
+    assert pairs == {(1, 2): 4}  # frames 1..4 of base reappear in the recut
+    with pytest.raises(ValueError):
+        M.video_frame_hashes(media, stride=0)
