@@ -496,11 +496,8 @@ def simhash_near_duplicates(
     """
     if bands is None:
         bands = max_hamming + 1
-    elif max_hamming >= bands:
-        raise ValueError(
-            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
-            f"need bands > max_hamming (pigeonhole)"
-        )
+    # bands vs max_hamming validation happens once, in
+    # hamming_near_duplicates (the shared pairing machinery)
     # 60-bit token hash from the top 15 hex digits of sha2-256: engine-
     # portable (DuckDB: CAST('0x'||substring(sha256(t),1,15) AS BIGINT)), so
     # the whole pipeline is oracle-checkable; xxhash64 was not reproducible
@@ -541,7 +538,6 @@ def simhash_near_duplicates(
         max_hamming=max_hamming,
         bands=bands,
         max_bucket_size=max_bucket_size,
-        _bands_checked=True,
     )
 
 
@@ -552,7 +548,6 @@ def hamming_near_duplicates(
     max_hamming: int = 8,
     bands: int | None = None,
     max_bucket_size: int | None = 10_000,
-    _bands_checked: bool = False,
 ) -> DataFrame:
     """Near-dup pairs among 64-bit signatures by Hamming distance <=
     ``max_hamming`` — the pigeonhole banding + exact popcount verify used
@@ -560,17 +555,23 @@ def hamming_near_duplicates(
     fingerprint rides it (SimHash text signatures, perceptual image
     hashes, rolling fingerprints). Candidates come from a groupBy on
     (band, band_value) with oversized buckets salted; verification is a
-    pure-codegen ``bit_count(xor)``. Output: (id_a, id_b, hamming)."""
+    pure-codegen ``bit_count(xor)``. ``max_hamming=0`` degenerates to
+    exact-match pairing (one 64-bit band). When signature computation is
+    expensive and salting is disabled, the self-join is fed from a
+    materialized relation so the producer runs once. Output:
+    (id_a, id_b, hamming)."""
     if bands is None:
         bands = max_hamming + 1
-    if not _bands_checked and max_hamming >= bands:
+    if max_hamming >= bands:
         raise ValueError(
             f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
             f"need bands > max_hamming (pigeonhole)"
         )
     sig = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     band_width = 64 // bands
-    mask = (1 << band_width) - 1
+    # band_width=64 (bands=1): 2^64-1 is not a valid bigint literal; the
+    # all-ones mask as a SIGNED long is -1
+    mask = (1 << band_width) - 1 if band_width < 64 else -1
     banded = sig.select(
         "_id",
         "_sig",
@@ -581,6 +582,14 @@ def hamming_near_duplicates(
             )
         ).alias("_band", "_bucket"),
     )
+    if max_bucket_size is None:
+        # no salting pass to materialize the relation: persist here so an
+        # expensive upstream producer (media decode + hash) runs ONCE, not
+        # once per self-join branch
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded.count()
+        _SALT_CACHE.append(banded)
+        release_salt_caches(keep=_SALT_CACHE_MAX)
     banded, join_keys = salt_oversized_buckets(
         banded,
         ["_band", "_bucket"],

@@ -620,9 +620,11 @@ def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     A near-identical image (re-encode, small overlay, slight crop)
     flips few bits; pair detection is Hamming distance over these
-    hashes — see :func:`image_near_duplicates`.
+    hashes — see :func:`image_near_duplicates`. The id column keeps the
+    corpus's own type (string ids work like numeric ones).
     """
-    out_schema = f"{id_col} long, ahash long"
+    id_type = media.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, ahash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -632,9 +634,9 @@ def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     continue
                 px = decode_ppm(bytes(b))  # (h, w, 3) uint8
                 gray = px.astype(np.int64).sum(axis=2) // 3  # (h, w)
-                ids.append(int(i))
+                ids.append(i)
                 hashes.append(ahash64_gray(gray))
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                                 "ahash": pd.Series(hashes, dtype="int64")})
 
     return media.mapInPandas(gen, out_schema)
@@ -675,8 +677,10 @@ def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sides scale together; a re-gained copy of the same clip hashes
     identically). Audio shorter than 64 samples and non-audio rows are
     omitted. ONE Arrow pass; pair detection via
-    :func:`audio_near_duplicates`."""
-    out_schema = f"{id_col} long, audio_hash long"
+    :func:`audio_near_duplicates`. The id column keeps the corpus's own
+    type."""
+    id_type = media.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, audio_hash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -699,9 +703,9 @@ def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         val |= 1 << j
                 if val >= 1 << 63:
                     val -= 1 << 64
-                ids.append(int(i))
+                ids.append(i)
                 hashes.append(val)
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                                 "audio_hash": pd.Series(hashes, dtype="int64")})
 
     return media.mapInPandas(gen, out_schema)
@@ -738,10 +742,17 @@ def video_frame_hashes(
     with the shared :func:`ahash64_gray`. Output one row per sampled
     frame: (id, frame_idx, fhash) — the video analog of a document's
     line relation, feeding :func:`video_near_duplicates` (or any custom
-    shot-level analysis). ONE Arrow pass; non-video rows omitted."""
+    shot-level analysis). ONE Arrow pass; non-video rows omitted; the
+    id column keeps the corpus's own type.
+
+    ``stride`` is a COST knob for shot-level analysis, not for dedup: a
+    trim shifting frame indexes by a non-multiple of ``stride`` samples
+    a disjoint frame set from the copy, so duplicate detection should
+    run at stride=1 (the :func:`video_near_duplicates` default)."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    out_schema = f"{id_col} long, frame_idx int, fhash long"
+    id_type = media.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, frame_idx int, fhash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -751,12 +762,12 @@ def video_frame_hashes(
                     continue
                 y, _cb, _cr, _fps = decode_y4m(bytes(b))
                 for fi in range(0, y.shape[0], stride):
-                    ids.append(int(i))
+                    ids.append(i)
                     idxs.append(fi)
                     hashes.append(ahash64_gray(y[fi].astype(np.int64)))
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "fhash": pd.Series(hashes, dtype="int64"),
                 }
@@ -778,15 +789,36 @@ def video_near_duplicates(
     shares most of its frames' aHashes even when frame indexes shift.
 
     Aggregation-shaped like the global line dedup: the (id, fhash)
-    relation dedups per video, self-joins on the 8-byte hash (oversized
-    hash buckets — e.g. black frames everywhere — salted), and pairs
+    relation dedups per video, self-joins on the 8-byte hash, and pairs
     aggregate distinct shared-hash counts with map-side combine. Output:
-    (id_a, id_b, shared_frames)."""
-    from .dedup import salt_oversized_buckets
+    (id_a, id_b, shared_frames).
+
+    A frame hash occurring in more than ``max_bucket_size`` videos is a
+    NON-discriminative frame (black frames, title cards — pairing on it
+    would blow candidates quadratically); salting splits such buckets,
+    so those frames stop counting toward ``shared_frames`` for most
+    pairs — the standard hot-bucket trade, here WITHOUT a second band
+    to re-bucket the pair. Copies of mostly-static videos whose shared
+    frames are all hot need a larger ``max_bucket_size`` (or None) to
+    pair."""
+    from .dedup import (
+        _SALT_CACHE,
+        _SALT_CACHE_MAX,
+        release_salt_caches,
+        salt_oversized_buckets,
+    )
+    from pyspark import StorageLevel
 
     fh = video_frame_hashes(media, id_col=id_col, stride=stride).select(
         F.col(id_col).alias("_id"), "fhash"
     ).dropDuplicates(["_id", "fhash"])
+    if max_bucket_size is None:
+        # no salting pass to materialize: persist so the video decode +
+        # per-frame hashing runs once, not once per self-join branch
+        fh = fh.persist(StorageLevel.MEMORY_AND_DISK)
+        fh.count()
+        _SALT_CACHE.append(fh)
+        release_salt_caches(keep=_SALT_CACHE_MAX)
     fh, join_keys = salt_oversized_buckets(
         fh, ["fhash"], F.xxhash64(F.col("_id")), max_bucket_size
     )

@@ -246,3 +246,32 @@ def test_video_frame_hashes_and_near_duplicates(spark):
     assert pairs == {(1, 2): 4}  # frames 1..4 of base reappear in the recut
     with pytest.raises(ValueError):
         M.video_frame_hashes(media, stride=0)
+
+
+def test_perceptual_hashes_string_ids_and_exact_match(spark):
+    """String doc ids flow through every perceptual hasher unchanged, and
+    max_hamming=0 (exact fingerprint match, the bands=1 degenerate case)
+    works instead of crashing on the 2^64-1 mask literal."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    schema = (
+        "doc_id string, media_bytes binary, "
+        "media_meta struct<modality string, n_bytes long, width int, "
+        "height int, sample_rate int>"
+    )
+    payload = M.encode_ppm(px)
+    meta = {"modality": "image", "n_bytes": len(payload), "width": 16,
+            "height": 16, "sample_rate": None}
+    media = spark.createDataFrame(
+        [("img-a", payload, meta), ("img-b", payload, meta)], schema
+    )
+    got = {r["doc_id"]: r["ahash"] for r in M.ahash_media(media).collect()}
+    assert set(got) == {"img-a", "img-b"} and got["img-a"] == got["img-b"]
+    pairs = M.image_near_duplicates(media, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        ("img-a", "img-b", 0)
+    ]
