@@ -630,3 +630,181 @@ def bigram_nll(
         nll.alias("bigram_nll"),
         F.round(F.exp(nll), 3).alias("bigram_ppl"),
     )
+
+
+def stupid_backoff_nll(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram Stupid Backoff scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation" — the score designed FOR distributed
+    count tables): every token is scored with the LONGEST context whose
+    count exists, discounted by ``alpha`` per backoff level:
+
+      S(w3 | w1 w2) = c(w1 w2 w3)/c(w1 w2)        when the trigram is seen
+                    = a * c(w2 w3)/c(w2)          else, when the bigram is
+                    = a^2 * (c(w3)+1)/(N+V)       else (add-one unigram
+                                                   floor, so unseen words
+                                                   stay finite)
+
+    with position 0 scored by the unigram floor and position 1 by the
+    bigram→unigram chain. ``train`` is the counting corpus (defaults to
+    ``docs`` — note self-scoring never backs off at the trigram level
+    since every scored trigram was counted; pass a held-out ``train``
+    for a real backoff model). Output per doc: ``n_tokens`` scored,
+    ``sb_nll`` (mean -log S), ``sb_ppl``.
+
+    Same determinism contract as :func:`unigram_nll` / :func:`bigram_nll`:
+    each token's log-score rounds to 9 dp and accumulates as DECIMAL.
+
+    Plan shape at 100 TB: count tables (uni/bi/tri) roll up from ONE
+    tokenize pass over ``train``, all vocab-sized; the scored corpus
+    explodes once into (doc, pos, w1, w2, w3) and takes five joins
+    against the count tables (AQE broadcasts each that fits) — joins on
+    words, never on documents; one per-doc aggregation. No Python.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    train = docs if train is None else train
+
+    def words_of(df: DataFrame, with_id: bool):
+        return df.select(
+            *([F.col(id_col)] if with_id else []),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+            ).alias("_w"),
+        )
+
+    tw = words_of(train, with_id=False)
+    uni = (
+        tw.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    uni = uni.localCheckpoint(eager=False)
+    tot = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+    bi = (
+        tw.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 2),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_w"), i + 1).alias("wa"),
+                            F.element_at(F.col("_w"), i + 2).alias("wb"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("g")
+        )
+        .groupBy(F.col("g.wa").alias("wa"), F.col("g.wb").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bi = bi.localCheckpoint(eager=False)
+    tri = (
+        tw.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 3),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_w"), i + 1).alias("wa"),
+                            F.element_at(F.col("_w"), i + 2).alias("wb"),
+                            F.element_at(F.col("_w"), i + 3).alias("wc"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("g")
+        )
+        .groupBy(
+            F.col("g.wa").alias("wa"),
+            F.col("g.wb").alias("wb"),
+            F.col("g.wc").alias("wc"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    # scored positions: (doc, pos, w1=prev2, w2=prev, w3=token)
+    pos_rel = words_of(docs, with_id=True).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.when(i >= 2, F.element_at(F.col("_w"), i - 1)).alias("w1"),
+                        F.when(i >= 1, F.element_at(F.col("_w"), i)).alias("w2"),
+                        F.element_at(F.col("_w"), i + 1).alias("w3"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(F.col(id_col), "g.pos", "g.w1", "g.w2", "g.w3")
+    j = (
+        pos_rel.join(
+            tri.select(
+                F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                F.col("wc").alias("w3"), "c3",
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bi.select(F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                      F.col("c2").alias("c2_den")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                      F.col("c2").alias("c2_bo")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")),
+              ["w2"], "left")
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")),
+              ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    la = F.log(F.lit(float(alpha)))
+    log_uni = F.log(
+        (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n") + F.col("v")).cast("double")
+    )
+    log_bi = F.log(F.col("c2_bo").cast("double") / F.col("c1_w2").cast("double"))
+    log_tri = F.log(F.col("c3").cast("double") / F.col("c2_den").cast("double"))
+    # bigram-or-back chain (used at pos >= 1); one alpha already applied
+    # by the CALLER level where appropriate
+    bi_or_uni = F.when(F.col("c2_bo").isNotNull(), log_bi).otherwise(la + log_uni)
+    log_s = (
+        F.when(F.col("pos") == 0, log_uni)
+        .when(F.col("pos") == 1, bi_or_uni)
+        .otherwise(
+            F.when(F.col("c3").isNotNull(), log_tri).otherwise(la + bi_or_uni)
+        )
+    )
+    doc = (
+        j.select(
+            F.col(id_col),
+            F.round(log_s, 9).cast("decimal(21,9)").alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_lp").alias("_s"),
+        )
+    )
+    nll = F.round((-F.col("_s")).cast("double") / F.col("n_tokens"), 6)
+    return doc.select(
+        F.col(id_col),
+        "n_tokens",
+        nll.alias("sb_nll"),
+        F.round(F.exp(nll), 3).alias("sb_ppl"),
+    )

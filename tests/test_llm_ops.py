@@ -3087,3 +3087,96 @@ def test_char_entropy_short_doc_passes(spark):
     assert out[1]["pass_entropy"] is True  # 2 chars, 1 bit — but too short to judge
     assert out[2]["pass_entropy"] is True  # 11 chars < 20, passes on evidence rule
     assert out[3]["pass_entropy"] is False  # 25 repeated chars: entropy 0, junk
+
+
+def _sb_oracle(score_texts, train_texts, alpha=0.4):
+    """Pure-Python replica of stupid_backoff_nll."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import Decimal
+
+    def toks(t):
+        return re.findall("[a-z0-9]+", t.lower())
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    tri: Counter = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n = sum(uni.values())
+    v = len(uni)
+    la = math.log(alpha)
+
+    def log_uni(w):
+        return math.log((uni.get(w, 0) + 1) / (n + v))
+
+    def bi_or_uni(w2, w3):
+        if (w2, w3) in bi:
+            return math.log(bi[(w2, w3)] / uni[w2])
+        return la + log_uni(w3)
+
+    out = {}
+    for i, t in enumerate(score_texts):
+        ws = toks(t)
+        if not ws:
+            continue
+        logs = []
+        for p, w in enumerate(ws):
+            if p == 0:
+                ls = log_uni(w)
+            elif p == 1:
+                ls = bi_or_uni(ws[0], w)
+            else:
+                key = (ws[p - 2], ws[p - 1], w)
+                if key in tri:
+                    ls = math.log(tri[key] / bi[(ws[p - 2], ws[p - 1])])
+                else:
+                    ls = la + bi_or_uni(ws[p - 1], w)
+            logs.append(Decimal(str(round(ls, 9))))
+        out[i] = (len(ws), round(float(-sum(logs)) / len(ws), 6))
+    return out
+
+
+def test_stupid_backoff_matches_python_oracle(spark):
+    """Held-out train corpus: every backoff level (trigram hit, bigram
+    backoff, double backoff to the unigram floor, unseen word) exercises
+    and matches the oracle."""
+    train_rows = [(100, "a b c a b d e"), (101, "e d c b a")]
+    score_rows = [
+        (1, "a b c x"),   # tri hit, then double backoff on an UNSEEN word
+        (2, "a b d e"),   # all trigrams seen
+        (3, "c a x b"),   # bigram backoffs
+        (4, ""),          # empty: omitted
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.stupid_backoff_nll(docs, train=train).collect()}
+    want = _sb_oracle([t for _, t in score_rows], [t for _, t in train_rows])
+    assert set(got) == {1, 2, 3}
+    for i, (doc_id, _t) in enumerate(score_rows):
+        if i not in want:
+            continue
+        n_tok, nll = want[i]
+        assert got[doc_id]["n_tokens"] == n_tok
+        assert got[doc_id]["sb_nll"] == pytest.approx(nll, abs=1e-9), doc_id
+    # a fully in-domain doc scores better than the one with an unseen word
+    assert got[2]["sb_nll"] < got[1]["sb_nll"]
+    with pytest.raises(ValueError):
+        text.stupid_backoff_nll(docs, train=train, alpha=0.0)
+
+
+def test_stupid_backoff_self_train_no_python(spark):
+    """Default train=docs; plan stays JVM-only."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    df = text.stupid_backoff_nll(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    out = {r["doc_id"]: r for r in df.collect()}
+    assert out[1]["n_tokens"] == 6 and out[2]["n_tokens"] == 6
+    assert out[1]["sb_ppl"] > 0
