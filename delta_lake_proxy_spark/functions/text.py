@@ -545,6 +545,26 @@ def ngram_contamination(
     )
 
 
+def _ngram_structs(words: Column, n: int, names: tuple[str, ...]) -> Column:
+    """Array of word n-gram STRUCTS over a tokenized word array —
+    ``transform(sequence(0, size-n), i -> struct(w[i] as names[0], ...))``,
+    empty below ``n`` words. The struct-producing sibling of
+    ``quality._word_ngrams`` (which emits joined gram strings), shared by
+    the bigram and Stupid Backoff scorers so the size-guard and
+    element_at arithmetic exist once."""
+    assert len(names) == n
+
+    def gram(i: Column) -> Column:
+        return F.struct(
+            *[F.element_at(words, i + k + 1).alias(names[k]) for k in range(n)]
+        )
+
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n), gram),
+    ).otherwise(F.array())
+
+
 def bigram_nll(
     docs: DataFrame,
     text_col: str = "text",
@@ -575,18 +595,7 @@ def bigram_nll(
     )
     bgs = words.select(
         F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("_w"), i + 1).alias("w1"),
-                        F.element_at(F.col("_w"), i + 2).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("bg"),
+        F.explode(_ngram_structs(F.col("_w"), 2, ("w1", "w2"))).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     tf = bgs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.localCheckpoint(eager=False)
@@ -661,10 +670,12 @@ def stupid_backoff_nll(
     each token's log-score rounds to 9 dp and accumulates as DECIMAL.
 
     Plan shape at 100 TB: count tables (uni/bi/tri) roll up from ONE
-    tokenize pass over ``train``, all vocab-sized; the scored corpus
-    explodes once into (doc, pos, w1, w2, w3) and takes five joins
-    against the count tables (AQE broadcasts each that fits) — joins on
-    words, never on documents; one per-doc aggregation. No Python.
+    materialized tokenize pass over ``train``, all vocab-sized; the
+    scored corpus explodes once and rolls up to per-doc (w1, w2, w3)
+    TERM FREQUENCIES, so the five joins against the count tables (AQE
+    broadcasts each that fits) probe distinct trigrams per doc, not
+    every token of a repetitive document; one per-doc aggregation.
+    No Python.
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -679,6 +690,10 @@ def stupid_backoff_nll(
         )
 
     tw = words_of(train, with_id=False)
+    # the three count tables all derive from this tokenization — without a
+    # materialization point each would re-scan and re-tokenize the train
+    # corpus (the unigram_nll tf pattern)
+    tw = tw.localCheckpoint(eager=False)
     uni = (
         tw.select(F.explode("_w").alias("w"))
         .groupBy("w")
@@ -687,39 +702,14 @@ def stupid_backoff_nll(
     uni = uni.localCheckpoint(eager=False)
     tot = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
     bi = (
-        tw.select(
-            F.explode(
-                F.when(
-                    F.size("_w") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("_w") - 2),
-                        lambda i: F.struct(
-                            F.element_at(F.col("_w"), i + 1).alias("wa"),
-                            F.element_at(F.col("_w"), i + 2).alias("wb"),
-                        ),
-                    ),
-                ).otherwise(F.array())
-            ).alias("g")
-        )
+        tw.select(F.explode(_ngram_structs(F.col("_w"), 2, ("wa", "wb"))).alias("g"))
         .groupBy(F.col("g.wa").alias("wa"), F.col("g.wb").alias("wb"))
         .agg(F.count(F.lit(1)).alias("c2"))
     )
     bi = bi.localCheckpoint(eager=False)
     tri = (
         tw.select(
-            F.explode(
-                F.when(
-                    F.size("_w") >= 3,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("_w") - 3),
-                        lambda i: F.struct(
-                            F.element_at(F.col("_w"), i + 1).alias("wa"),
-                            F.element_at(F.col("_w"), i + 2).alias("wb"),
-                            F.element_at(F.col("_w"), i + 3).alias("wc"),
-                        ),
-                    ),
-                ).otherwise(F.array())
-            ).alias("g")
+            F.explode(_ngram_structs(F.col("_w"), 3, ("wa", "wb", "wc"))).alias("g")
         )
         .groupBy(
             F.col("g.wa").alias("wa"),
@@ -728,24 +718,33 @@ def stupid_backoff_nll(
         )
         .agg(F.count(F.lit(1)).alias("c3"))
     )
-    # scored positions: (doc, pos, w1=prev2, w2=prev, w3=token)
-    pos_rel = words_of(docs, with_id=True).select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_w") >= 1,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.when(i >= 2, F.element_at(F.col("_w"), i - 1)).alias("w1"),
-                        F.when(i >= 1, F.element_at(F.col("_w"), i)).alias("w2"),
-                        F.element_at(F.col("_w"), i + 1).alias("w3"),
+    # scored positions rolled up to per-doc (w1, w2, w3) term frequencies
+    # (the unigram_nll tf shape): the position class is recoverable from
+    # the null pattern — w2 null <=> pos 0, w1-only null <=> pos 1 — so
+    # the five joins probe per-doc DISTINCT trigrams, not every token of a
+    # repetitive document
+    pos_rel = (
+        words_of(docs, with_id=True)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_w") >= 1,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.when(i >= 2, F.element_at(F.col("_w"), i - 1)).alias("w1"),
+                            F.when(i >= 1, F.element_at(F.col("_w"), i)).alias("w2"),
+                            F.element_at(F.col("_w"), i + 1).alias("w3"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array())
-        ).alias("g"),
-    ).select(F.col(id_col), "g.pos", "g.w1", "g.w2", "g.w3")
+                ).otherwise(F.array())
+            ).alias("g"),
+        )
+        .groupBy(F.col(id_col), "g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col(id_col), "w1", "w2", "w3", "tf")
+    )
     j = (
         pos_rel.join(
             tri.select(
@@ -774,9 +773,17 @@ def stupid_backoff_nll(
         .crossJoin(F.broadcast(tot))
     )
     la = F.log(F.lit(float(alpha)))
+    # a train corpus with no word tokens cannot score anything: raise at
+    # execution instead of silently emitting null sb_nll for every doc
+    denom = F.when(
+        F.col("v") > 0, (F.col("n") + F.col("v")).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.lit("stupid_backoff_nll: train corpus has no word tokens")
+        ).cast("double")
+    )
     log_uni = F.log(
-        (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.col("n") + F.col("v")).cast("double")
+        (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1)).cast("double") / denom
     )
     log_bi = F.log(F.col("c2_bo").cast("double") / F.col("c1_w2").cast("double"))
     log_tri = F.log(F.col("c3").cast("double") / F.col("c2_den").cast("double"))
@@ -784,8 +791,8 @@ def stupid_backoff_nll(
     # by the CALLER level where appropriate
     bi_or_uni = F.when(F.col("c2_bo").isNotNull(), log_bi).otherwise(la + log_uni)
     log_s = (
-        F.when(F.col("pos") == 0, log_uni)
-        .when(F.col("pos") == 1, bi_or_uni)
+        F.when(F.col("w2").isNull(), log_uni)  # pos 0
+        .when(F.col("w1").isNull(), bi_or_uni)  # pos 1
         .otherwise(
             F.when(F.col("c3").isNotNull(), log_tri).otherwise(la + bi_or_uni)
         )
@@ -793,12 +800,13 @@ def stupid_backoff_nll(
     doc = (
         j.select(
             F.col(id_col),
+            F.col("tf"),
             F.round(log_s, 9).cast("decimal(21,9)").alias("_lp"),
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("_lp").alias("_s"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("_lp")).alias("_s"),
         )
     )
     nll = F.round((-F.col("_s")).cast("double") / F.col("n_tokens"), 6)

@@ -3180,3 +3180,14 @@ def test_stupid_backoff_self_train_no_python(spark):
     out = {r["doc_id"]: r for r in df.collect()}
     assert out[1]["n_tokens"] == 6 and out[2]["n_tokens"] == 6
     assert out[1]["sb_ppl"] > 0
+
+
+def test_stupid_backoff_empty_train_raises(spark):
+    """A train corpus with no word tokens raises instead of silently
+    emitting null scores for every doc."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    empty_train = spark.createDataFrame(
+        [(9, "..."), (10, "")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="no word tokens"):
+        text.stupid_backoff_nll(docs, train=empty_train).collect()
