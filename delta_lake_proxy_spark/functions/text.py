@@ -816,3 +816,74 @@ def stupid_backoff_nll(
         nll.alias("sb_nll"),
         F.round(F.exp(nll), 3).alias("sb_ppl"),
     )
+
+
+def vocab_kl_divergence(
+    corpus_p: DataFrame,
+    corpus_q: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpora: the unigram KL divergence
+    ``KL(P || Q) = sum_w P(w) log(P(w) / Q(w))`` with add-one smoothing
+    over the UNION vocabulary (so a term absent from one side stays
+    finite), plus the ``top_k`` terms contributing most — the standard
+    monitor for "did this crawl snapshot / domain mix drift from the
+    last one", and the aggregate DSIR's per-document log-ratios roll up
+    to.
+
+    Output: one row per top-|contribution| term (``term``, ``p``, ``q``,
+    ``kl_term``) with the corpus-level total repeated in ``kl_total`` —
+    a single small result; the corpora are each scanned once into
+    vocab-sized count tables, outer-joined on the term, aggregated. The
+    top-k is a TakeOrdered, never a global sort. No Python.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = counts(corpus_p, "cp").join(counts(corpus_q, "cq"), "term", "full").select(
+        "term",
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+        F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+    )
+    joined = joined.localCheckpoint(eager=False)
+    tot = joined.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    probs = joined.crossJoin(F.broadcast(tot)).select(
+        "term",
+        ((F.col("cp") + 1).cast("double") / (F.col("np") + F.col("v"))).alias("p"),
+        ((F.col("cq") + 1).cast("double") / (F.col("nq") + F.col("v"))).alias("q"),
+    )
+    terms = probs.select(
+        "term", "p", "q", (F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_term")
+    )
+    terms = terms.localCheckpoint(eager=False)
+    total = terms.agg(F.round(F.sum("kl_term"), 9).alias("kl_total"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .orderBy(F.abs(F.col("kl_term")).desc(), F.col("term").asc())
+        .limit(top_k)
+        .select(
+            "term",
+            F.round("p", 9).alias("p"),
+            F.round("q", 9).alias("q"),
+            F.round("kl_term", 9).alias("kl_term"),
+            "kl_total",
+        )
+    )

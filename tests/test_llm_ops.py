@@ -3191,3 +3191,49 @@ def test_stupid_backoff_empty_train_raises(spark):
     )
     with pytest.raises(Exception, match="no word tokens"):
         text.stupid_backoff_nll(docs, train=empty_train).collect()
+
+
+def test_vocab_kl_divergence(spark):
+    """KL(P||Q) with add-one smoothing over the union vocab equals the
+    Python model; identical corpora give ~0; the drifted term leads."""
+    import math
+    import re
+    from collections import Counter
+
+    p_rows = [(1, "spark engine spark engine spark plans"),
+              (2, "spark shuffles and plans")]
+    q_rows = [(10, "spark engine plans and shuffles"),
+              (11, "tokens tokens tokens tokens tokens")]
+    p_df = spark.createDataFrame(p_rows, "doc_id long, text string")
+    q_df = spark.createDataFrame(q_rows, "doc_id long, text string")
+    out = text.vocab_kl_divergence(p_df, q_df, top_k=50).collect()
+
+    def cnt(rows):
+        c = Counter()
+        for _, t in rows:
+            c.update(re.findall("[a-z0-9]+", t.lower()))
+        return c
+    cp, cq = cnt(p_rows), cnt(q_rows)
+    vocab = set(cp) | set(cq)
+    np_, nq, v = sum(cp.values()), sum(cq.values()), len(vocab)
+    want_terms = {}
+    for w in vocab:
+        p = (cp[w] + 1) / (np_ + v)
+        q = (cq[w] + 1) / (nq + v)
+        want_terms[w] = p * math.log(p / q)
+    want_total = round(sum(want_terms.values()), 9)
+    got = {r["term"]: r for r in out}
+    assert set(got) == vocab  # top_k=50 covers all terms here
+    for w, r in got.items():
+        assert r["kl_term"] == pytest.approx(want_terms[w], abs=1e-8), w
+        assert r["kl_total"] == pytest.approx(want_total, abs=1e-8)
+    # ordering: largest |contribution| first
+    kls = [abs(r["kl_term"]) for r in out]
+    assert kls == sorted(kls, reverse=True)
+    # the corpus-q-only flood word must be a top contributor
+    assert out[0]["term"] in ("tokens", "spark")
+    # identical corpora: kl_total ~ 0
+    same = text.vocab_kl_divergence(p_df, p_df, top_k=5).collect()
+    assert abs(same[0]["kl_total"]) < 1e-9
+    with pytest.raises(ValueError):
+        text.vocab_kl_divergence(p_df, q_df, top_k=0)
