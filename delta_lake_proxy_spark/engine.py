@@ -2416,7 +2416,7 @@ class Engine:
         df = self._apply_column_defaults(path, df)
         df, identity_pin = self._apply_identity_columns(path, df)
         df, enforced_gen = self._apply_generated_columns(path, df)
-        enforced = self._enforce_check_constraints(path, df)
+        enforced = self._enforce_check_constraints(path, df, schema_json=schema_json)
         # physical translation LAST (constraints and clustering reference
         # logical names): rename every column and partition directory to the
         # mapped physical names so the written files are indistinguishable
@@ -3846,7 +3846,9 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
-    def _enforce_check_constraints(self, path: str, df: DataFrame) -> bool:
+    def _enforce_check_constraints(
+        self, path: str, df: DataFrame, schema_json: str | None = None
+    ) -> bool:
         """Validate ``df`` (the rows about to be written) against the
         table's declared CHECK constraints (``delta.constraints.<name>``
         properties, Delta writer protocol 3) AND column invariants
@@ -3884,7 +3886,21 @@ class Engine:
         # back NULL for it (write_table applies defaults/identity/
         # generated fills BEFORE this check, so anything still missing
         # here is genuinely unfillable; review r12 #1).
-        schema = self._table_schema(path)
+        #
+        # The probes validate against the schema being COMMITTED, not the
+        # pre-write one: a schema-replacing overwrite commits df.schema
+        # wholesale, so a previously NOT NULL column it drops (or relaxes)
+        # no longer exists to read back NULL — callers that replace the
+        # schema pass it via ``schema_json`` (advice r12 #1).
+        if schema_json is not None:
+            from pyspark.sql import types as T
+
+            try:
+                schema = T.StructType.fromJson(json.loads(schema_json))
+            except Exception:
+                schema = None
+        else:
+            schema = self._table_schema(path)
         for f in schema.fields if schema is not None else []:
             if f.nullable:
                 continue

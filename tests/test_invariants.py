@@ -322,3 +322,46 @@ def test_top_level_not_null_absent_column_refuses(spark, tmp_path):
     assert sorted(
         r["id"] for r in eng.read_table("t", user="admin").collect()
     ) == [1, 2]
+
+
+def test_overwrite_may_drop_not_null_column(spark, tmp_path):
+    """Advice r12 #1: a schema-REPLACING overwrite commits df.schema
+    wholesale, so a previously NOT NULL column it drops (or relaxes) no
+    longer exists to read back NULL — the NOT NULL probes must validate
+    against the schema being committed, not the pre-write one. An append
+    omitting the column still refuses (the table schema survives an
+    append)."""
+    path = _notnull_table(str(tmp_path / "nn4"))
+    eng = _engine(spark, path)
+    replacement = spark.createDataFrame([(0,), (1,), (2,)], "other long")
+    v = eng.write_table("t", replacement, mode="overwrite")
+    assert v >= 1
+    got = eng.read_table("t", user="admin")
+    assert got.columns == ["other"]
+    assert sorted(r["other"] for r in got.collect()) == [0, 1, 2]
+    # the new schema has no NOT NULL columns: null values append fine now
+    eng.write_table(
+        "t", spark.createDataFrame([Row(other=None)], "other long"), mode="append"
+    )
+    # and on a FRESH not-null table, appends keep refusing both ways
+    path2 = _notnull_table(str(tmp_path / "nn5"))
+    eng2 = _engine(spark, path2)
+    with pytest.raises(ValueError, match="absent from the written frame"):
+        eng2.write_table(
+            "t",
+            spark.range(1).select(F.struct(F.lit(1).cast("long").alias("a")).alias("s")),
+            mode="append",
+        )
+    # and an overwrite that KEEPS the column but RELAXES it to nullable
+    # (the committed schema is the frame's) accepts nulls — the second
+    # half of the advice repro. (The inverse — a frame whose schema lies
+    # nullable=false over an actual null — is unreachable by a value
+    # probe: Catalyst constant-folds isNull to false on a non-null
+    # schema, and a truthful frame can't exist in that state.)
+    relaxed = spark.createDataFrame([Row(id=None), Row(id=7)], "id long")
+    assert relaxed.schema["id"].nullable
+    v2 = eng2.write_table("t", relaxed, mode="overwrite")
+    assert v2 >= 1
+    assert sorted(
+        (r["id"] is None, r["id"]) for r in eng2.read_table("t", user="admin").collect()
+    ) == [(False, 7), (True, None)]

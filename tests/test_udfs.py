@@ -275,3 +275,149 @@ def test_perceptual_hashes_string_ids_and_exact_match(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
         ("img-a", "img-b", 0)
     ]
+
+
+# -- persisted perceptual-hash indexes: incremental media dedup (round 13) ----
+
+
+def test_image_incremental_index_survives_corpus_corruption(spark):
+    """Daily image ingest pairs against the persisted aHash index with the
+    corpus media NEVER re-decoded — proven the hard way: after the index
+    is built, the corpus payloads are replaced with garbage that would
+    CRASH decode_ppm, the batch pairer on that union dies, and the
+    incremental path still returns the exact pairs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:3, :3, :] = 255
+    far = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [_media_row(1, base), _media_row(3, far)], _MEDIA_SCHEMA
+    )
+    index = M.image_hash_index(corpus, max_hamming=8)
+    index = spark.createDataFrame(index.collect(), index.schema)  # persisted
+    new = spark.createDataFrame([_media_row(2, near)], _MEDIA_SCHEMA)
+    exp_h = bin(
+        (_ahash_oracle(base) ^ _ahash_oracle(near)) & ((1 << 64) - 1)
+    ).count("1")
+    got = {
+        (r["new_id"], r["indexed_id"]): r["hamming"]
+        for r in M.image_near_duplicates_incremental(new, index, max_hamming=8).collect()
+    }
+    assert got == {(2, 1): exp_h}
+    # equality with the batch pairer's cross pairs on the (valid) union
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["hamming"]
+        for r in M.image_near_duplicates(corpus.union(new), max_hamming=8).collect()
+        if 2 in (r["id_a"], r["id_b"])
+    }
+    assert cross == got
+    # corrupt the corpus payloads: a rescanning implementation would crash
+    corrupted = corpus.withColumn("media_bytes", F.lit(b"\x89not-a-ppm"))
+    with _pytest.raises(Exception):
+        M.image_near_duplicates(corrupted.union(new), max_hamming=8).collect()
+    got2 = {
+        (r["new_id"], r["indexed_id"]): r["hamming"]
+        for r in M.image_near_duplicates_incremental(new, index, max_hamming=8).collect()
+    }
+    assert got2 == got  # the index, not the media, is the corpus contract
+
+
+def test_audio_incremental_index(spark):
+    """Audio energy-profile dedup via the persisted Hamming index: the
+    re-gained copy in a new batch pairs with its indexed source; fresh
+    content does not; distances equal the batch pairer's."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(5)
+    clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    regained = (clip.astype(np.int32) * 3 // 4).astype(np.int16)
+    other = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    corpus = spark.createDataFrame(
+        [_audio_row(1, clip), _audio_row(3, other)], _MEDIA_SCHEMA
+    )
+    index = M.audio_hash_index(corpus, max_hamming=8)
+    new = spark.createDataFrame([_audio_row(2, regained)], _MEDIA_SCHEMA)
+    got = {
+        (r["new_id"], r["indexed_id"]): r["hamming"]
+        for r in M.audio_near_duplicates_incremental(new, index, max_hamming=8).collect()
+    }
+    assert set(got) == {(2, 1)} and got[(2, 1)] <= 4
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["hamming"]
+        for r in M.audio_near_duplicates(corpus.union(new), max_hamming=8).collect()
+        if 2 in (r["id_a"], r["id_b"])
+    }
+    assert cross == got
+
+
+def test_video_incremental_frame_hash_index(spark):
+    """Video dedup via the persisted frame-fingerprint index: a re-cut in
+    the new batch pairs with its indexed source on shared distinct frame
+    hashes (count equal to the batch pairer's), fresh content does not,
+    and the hot-frame guard drops non-discriminative frames from
+    pairing."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(13)
+
+    def vid(frames):
+        y = np.stack(frames)
+        n, h, w = y.shape
+        c = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+        return y, c, c.copy()
+
+    frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    base = vid(frames)
+    recut = vid(frames[1:5] + [rng.randint(0, 256, (16, 16), dtype=np.uint8)])
+    other = vid([rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)])
+    corpus = spark.createDataFrame(
+        [_video_row(1, *base), _video_row(3, *other)], _MEDIA_SCHEMA
+    )
+    index = M.video_frame_hash_index(corpus)
+    assert index.columns == ["doc_id", "fhash"]
+    new = spark.createDataFrame([_video_row(2, *recut)], _MEDIA_SCHEMA)
+    got = {
+        (r["new_id"], r["indexed_id"]): r["shared_frames"]
+        for r in M.video_near_duplicates_incremental(
+            new, index, min_shared_frames=3
+        ).collect()
+    }
+    assert got == {(2, 1): 4}  # frames 1..4 of base reappear in the recut
+    # hot-frame guard: a frame hash in MORE than max_bucket_size indexed
+    # videos stops counting — the shared static frame alone cannot pair
+    static = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    hot_corpus = spark.createDataFrame(
+        [
+            _video_row(i, *vid([static,
+                                rng.randint(0, 256, (16, 16), dtype=np.uint8)]))
+            for i in (10, 11, 12)
+        ],
+        _MEDIA_SCHEMA,
+    )
+    hot_index = M.video_frame_hash_index(hot_corpus)
+    probe = spark.createDataFrame(
+        [_video_row(20, *vid([static,
+                              rng.randint(0, 256, (16, 16), dtype=np.uint8)]))],
+        _MEDIA_SCHEMA,
+    )
+    guarded = M.video_near_duplicates_incremental(
+        probe, hot_index, min_shared_frames=1, max_bucket_size=2
+    ).count()
+    assert guarded == 0  # the only shared hash is hot -> excluded
+    open_ = {
+        (r["new_id"], r["indexed_id"])
+        for r in M.video_near_duplicates_incremental(
+            probe, hot_index, min_shared_frames=1, max_bucket_size=None
+        ).collect()
+    }
+    assert open_ == {(20, 10), (20, 11), (20, 12)}
