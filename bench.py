@@ -65,6 +65,10 @@ EXTENDED = [
     "decontamination",
     "mix_sample",
     "gopher_flags",
+    # r13 incremental-ingest additions
+    "hamming_incremental",
+    "line_dedup_incremental",
+    "byte_bpe",
 ]
 
 

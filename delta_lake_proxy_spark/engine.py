@@ -55,6 +55,7 @@ import urllib.parse
 import uuid
 from typing import Any
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1256,12 +1257,21 @@ class Engine:
         snapshot cache serving fresh file sets per commit,
         src/main.rs:344-367.)
 
-        Non-append source changes refuse: a remove (DELETE/UPDATE/MERGE
-        rewrite) or a DV-carrying add means indexed vectors would need
-        retraction from the inverted lists — rebuild instead. ``user``
-        should match the building user; the probe additionally injects
-        the source ACL at query time regardless. Returns the newly
-        indexed source version."""
+        DELETE-AWARE (verdict r12 next #3): a source commit that removes
+        a pre-window file or attaches a deletion vector no longer forces
+        a rebuild. The changed files' ids + vectors are read back (Delta
+        removes tombstone the LOG; the parquet stays on disk until
+        vacuum), assigned to the stored centroids to find their inverted
+        lists, and retracted from the index by a semi-join DELETE whose
+        ``_cid IN (...)`` condition prunes the scan to exactly the
+        affected partitions; the files' still-live rows (DV-filtered)
+        then re-enter with the append. Retracting an id the index never
+        held (rows DV'd before the window, ACL-hidden rows) is a no-op
+        by construction — the semi-join just misses. Only a retract file
+        already VACUUMED refuses with the rebuild hint (the tombstoned
+        parquet is genuinely gone). ``user`` should match the building
+        user; the probe additionally injects the source ACL at query
+        time regardless. Returns the newly indexed source version."""
         if self.config.read_only:
             raise ReadOnlyError(index_alias)
         from .functions import similarity as _sim
@@ -1295,7 +1305,9 @@ class Engine:
                     index_alias, {"graft.ivf.indexedVersion": str(indexed)}
                 )
             return indexed  # already fresh — zero data scans
-        pv_of: dict[str, dict] = {}
+        pending: dict[str, dict] = {}  # path -> add action to (re)index
+        window_added: set[str] = set()  # paths first added inside the window
+        retract: dict[str, dict] = {}  # pre-window path -> partitionValues
         for v in range(indexed + 1, cur + 1):
             p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
             if not os.path.isfile(p):
@@ -1303,6 +1315,8 @@ class Engine:
                     f"source commit {v} is no longer retained (log cleanup) "
                     "— rebuild the index with build_ivf_index"
                 )
+            adds_c: dict[str, dict] = {}
+            removes_c: dict[str, dict] = {}
             with open(p, encoding="utf-8") as f:
                 for line in f:
                     if not line.strip():
@@ -1312,50 +1326,105 @@ class Engine:
                         a = action["add"]
                         if a.get("dataChange") is False:
                             continue  # compaction re-add: already indexed
-                        if a.get("deletionVector"):
-                            raise ValueError(
-                                f"source commit {v} adds a deletion-vector "
-                                "file — non-append change; refresh cannot "
-                                "retract indexed vectors, rebuild with "
-                                "build_ivf_index"
-                            )
-                        pv_of[a["path"]] = dict(a.get("partitionValues") or {})
+                        adds_c[a["path"]] = a
                     elif action.get("remove") is not None:
                         r = action["remove"]
                         if r.get("dataChange") is False:
                             continue  # compaction tombstone: no row change
-                        if r["path"] in pv_of:
-                            del pv_of[r["path"]]  # add+remove inside window
-                        else:
-                            raise ValueError(
-                                f"source commit {v} removes {r['path']!r} — "
-                                "non-append change; refresh cannot retract "
-                                "indexed vectors, rebuild with build_ivf_index"
-                            )
-        if pv_of:
+                        removes_c[r["path"]] = r
+            # per-commit, removes FIRST: a DV update logs remove(old DV
+            # identity) + add(same path, new DV) inside ONE commit in
+            # unspecified action order — classifying the remove first makes
+            # the pre-window test order-independent
+            for rp, r in removes_c.items():
+                if rp not in window_added:
+                    # pre-window content: its rows are in the index — retract
+                    retract[rp] = dict(r.get("partitionValues") or {})
+                pending.pop(rp, None)  # superseded within the window
+            for ap, a in adds_c.items():
+                pending[ap] = a
+                window_added.add(ap)
+        if retract or pending:
             cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
-            new_rows = self._read_clone_enumerated(src_path, pv_of)
-            pred = self.acl_predicate(src_alias, user)
-            if pred is not None:
-                new_rows = new_rows.filter(pred)
-            if isinstance(cents, list):
-                assigned = new_rows.withColumn(
-                    "_cid", _sim._assign_centroid(F.col(vec_col), cents)
-                )
-            else:
-                ids, mat = cents
-                assigned = _sim.assign_centroids_arrow(new_rows, ids, mat, vec_col)
+            codebook = None
             cb_path = os.path.join(path, "_pq_codebook.json")
             if os.path.exists(cb_path):
                 with open(cb_path, encoding="utf-8") as f:
                     codebook = json.load(f)["codebook"]
-                assigned = _sim.with_pq_codes(assigned, codebook, vec_col, "pq_codes")
-            self.write_table(
-                index_alias,
-                assigned.repartition(F.col("_cid")),
-                mode="append",
-                txn={"appId": _IVF_REFRESH_APP, "version": cur},
-            )
+
+            def assign(df: DataFrame) -> DataFrame:
+                if isinstance(cents, list):
+                    return df.withColumn(
+                        "_cid", _sim._assign_centroid(F.col(vec_col), cents)
+                    )
+                ids, mat = cents
+                return _sim.assign_centroids_arrow(df, ids, mat, vec_col)
+
+            if retract:
+                gone = sorted(
+                    rp
+                    for rp in retract
+                    if not _is_foreign_path(rp)
+                    and not os.path.isfile(os.path.join(src_path, rp))
+                )
+                if gone:
+                    raise ValueError(
+                        f"retracted source file(s) {gone[:3]} already "
+                        "vacuumed — cannot read back their vector ids; "
+                        "rebuild the index with build_ivf_index"
+                    )
+                # ids + vectors of every row the changed files USED to hold
+                # (over-approximation: pre-window DV'd / ACL-hidden rows were
+                # never indexed, so their retraction is a semi-join miss) —
+                # assigned to the STORED centroids to land in the same _cid
+                # lists the build placed them in
+                dead = assign(
+                    self._read_clone_enumerated(src_path, dict(retract)).select(
+                        id_col, vec_col
+                    )
+                ).select(id_col, "_cid")
+                dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    # centroid-bounded collect: <= num_centroids values
+                    dead_cids = [
+                        r["_cid"] for r in dead.select("_cid").distinct().collect()
+                    ]
+                    if dead_cids:
+                        self.delete(
+                            index_alias,
+                            condition=F.col("_cid").isin(dead_cids),
+                            match=dead.select(id_col),
+                            on=[id_col],
+                        )
+                finally:
+                    dead.unpersist()
+            if pending:
+                pv_of = {
+                    ap: dict(a.get("partitionValues") or {})
+                    for ap, a in pending.items()
+                }
+                dv_items = [
+                    (ap, a["deletionVector"])
+                    for ap, a in pending.items()
+                    if a.get("deletionVector")
+                ]
+                new_rows = self._read_clone_enumerated(
+                    src_path, pv_of, dv_items=dv_items or None
+                )
+                pred = self.acl_predicate(src_alias, user)
+                if pred is not None:
+                    new_rows = new_rows.filter(pred)
+                assigned = assign(new_rows)
+                if codebook is not None:
+                    assigned = _sim.with_pq_codes(
+                        assigned, codebook, vec_col, "pq_codes"
+                    )
+                self.write_table(
+                    index_alias,
+                    assigned.repartition(F.col("_cid")),
+                    mode="append",
+                    txn={"appId": _IVF_REFRESH_APP, "version": cur},
+                )
         self.set_table_properties(
             index_alias, {"graft.ivf.indexedVersion": str(cur)}
         )
@@ -4143,16 +4212,38 @@ class Engine:
         self._snapshot_cache.invalidate()
         return version
 
-    def delete(self, alias: str, condition: Column) -> int:
+    def delete(
+        self,
+        alias: str,
+        condition: Column | None = None,
+        match: DataFrame | None = None,
+        on: list[str] | None = None,
+    ) -> int:
         """Predicate DELETE with minimal file rewrite: only files containing
         matching rows are rewritten (without those rows); untouched files
-        survive. Returns the committed version."""
+        survive. Returns the committed version.
+
+        Two predicate forms: ``condition`` (a Column — the classic DELETE
+        WHERE) and/or ``match`` + ``on`` (a semi-join: rows whose ``on``
+        key appears in ``match`` are removed — the distributed shape for
+        large retract sets, where an ``isin`` literal list would put the
+        whole set in the plan; used by delete-aware
+        :meth:`refresh_ivf_index`). Given BOTH, a row must satisfy the
+        condition AND semi-join to be removed — the condition then also
+        narrows the scan (e.g. a partition ``isin`` prunes directories
+        before the join). The join form takes the copy-on-write path (the
+        DV fast path plans from a Column predicate); engine-created plain
+        tables — its intended targets — never carry DVs anyway."""
         if self.config.read_only:
             raise ReadOnlyError(alias)
+        if condition is None and match is None:
+            raise ValueError("pass condition, match+on, or both")
+        if match is not None and not on:
+            raise ValueError("the match form needs join key columns via on=[...]")
         path = self.resolve(alias)
         meta = deltalog.table_metadata_no_spark(path) or {}
         parts = meta.get("partitionColumns") or []
-        if self._dv_dml_eligible(path):
+        if match is None and self._dv_dml_eligible(path):
             # DELETE as a deletion-vector commit — no data rewrite. (CDF
             # tables included since round 10: the DV path writes the
             # marked rows as 'delete' change files itself.)
@@ -4165,8 +4256,35 @@ class Engine:
         # collated columns re-typed so the DELETE condition compares under
         # the declared collation, exactly like read_table
         target = self._apply_collations(path, self._read_data(path, keep_file_col=True))
+        if match is not None:
+            # deduped so the survivor-side LEFT join cannot fan rows out
+            keys = match.select(*[F.col(c) for c in on]).dropDuplicates(list(on))
+
+            def _is_matched(df: DataFrame) -> DataFrame:
+                base = df.filter(condition) if condition is not None else df
+                return base.join(keys, list(on), "leftsemi")
+
+            def _survivor_filter(df: DataFrame) -> DataFrame:
+                # keep rows that are NOT (condition AND key-matched) — one
+                # pass via a marked left join instead of a two-branch union
+                marked = df.join(
+                    keys.withColumn("_dlp_mk", F.lit(1)), list(on), "left"
+                )
+                dead = F.col("_dlp_mk").isNotNull()
+                if condition is not None:
+                    dead = dead & condition
+                return marked.filter(~dead).drop("_dlp_mk")
+
+        else:
+
+            def _is_matched(df: DataFrame) -> DataFrame:
+                return df.filter(condition)
+
+            def _survivor_filter(df: DataFrame) -> DataFrame:
+                return df.filter(~condition)
+
         touched_uris, touched_df, removes = self._dml_touched(
-            path, target.filter(condition)
+            path, _is_matched(target)
         )
         if touched_uris is not None and not touched_uris:
             return deltalog.latest_version(path)  # nothing to delete: no-op
@@ -4180,19 +4298,16 @@ class Engine:
                 "compact first",
             )
         try:
-            survivors = (
+            survivors = _survivor_filter(
                 self._rows_in_files(target, touched_uris, touched_df)
-                .filter(~condition)
-                .drop("_file")
-            )
+            ).drop("_file")
             cdc_actions = None
             if self._cdf_enabled(path):
                 # Delta CDF: a partial-file DELETE must record the deleted
                 # ROWS as change files (file-granularity derivation would
                 # wrongly re-feed the survivors)
                 deleted = (
-                    self._rows_in_files(target, touched_uris, touched_df)
-                    .filter(condition)
+                    _is_matched(self._rows_in_files(target, touched_uris, touched_df))
                     .drop("_file")
                     .withColumn("_change_type", F.lit("delete"))
                 )

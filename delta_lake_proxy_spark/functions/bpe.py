@@ -558,3 +558,213 @@ def bpe_train_collected(
     freqs = tbl.column("freq").to_pylist()
     word_freqs = [(list(w) + [END], f) for w, f in zip(words, freqs)]
     return _train_local(word_freqs, num_merges, min_pair_count)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style: Radford et al. 2019, public tokenizer design)
+# ---------------------------------------------------------------------------
+
+# GPT-2's pre-tokenization pattern, adapted to Python's stdlib `re` (the
+# original uses the `regex` module's \p{L}/\p{N}; [^\W\d_] is the stdlib
+# unicode-letter class and \d the unicode-digit class — underscore joins the
+# punctuation run, as in the original where _ is neither \p{L} nor \p{N}).
+# Contractions split off, letters/digits/punctuation each grab an optional
+# leading space, trailing whitespace runs stay separate tokens.
+BYTE_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte -> printable-unicode table (public domain
+    design): the 188 visible latin-1 bytes map to themselves; the other 68
+    (controls, space, DEL, soft hyphen...) map to U+0100.. so every byte is
+    a single PRINTABLE character and merged tokens remain readable strings.
+    Deterministic and self-inverse via :func:`unicode_to_bytes`."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def byte_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Token-string -> id table for a byte-level merge list: ids 0..255 are
+    the 256 byte symbols in BYTE order (vocab[_B2U[b]] == b — the id of a
+    base token IS its byte value, the simplest deterministic convention),
+    id 256+i is merge i's concatenation. Later duplicate concatenations
+    (two merge paths yielding one string cannot occur for a single trained
+    list, but defensively) keep the FIRST id."""
+    vocab = {_B2U[b]: b for b in range(256)}
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, 256 + i)
+    return vocab
+
+
+def _pretoken_to_units(tok: str) -> list[str]:
+    """UTF-8 bytes of a pre-token as 1-char byte-unicode symbols."""
+    return [_B2U[b] for b in tok.encode("utf-8")]
+
+
+def byte_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed pre-token frequency table for byte-level BPE: ONE
+    Arrow-batched corpus pass pre-tokenizes with :data:`BYTE_SPLIT_RE`
+    (Python `re` on the executors — the SAME engine as the encode side
+    and the test oracle, so pre-tokenization can never drift between
+    train and encode the way a JVM-regex/Python-regex split could), maps
+    each pre-token to its byte-unicode symbol string, and hash-aggregates
+    counts map-side. Case is PRESERVED (byte-level vocabularies encode
+    case; the word-level trainer's lowercasing is a normalization choice
+    that byte-level tokenizers deliberately do not make). Output:
+    ``(word string, freq long)`` — vocab-sized."""
+    import re as _re
+
+    pat = _re.compile(BYTE_SPLIT_RE)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            local: dict[str, int] = {}
+            for txt in pdf["_text"]:
+                for tok in pat.findall(txt or ""):
+                    u = "".join(_pretoken_to_units(tok))
+                    local[u] = local.get(u, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(local.keys()), "freq": list(local.values())}
+            )
+
+    return (
+        docs.select(F.col(text_col).alias("_text"))
+        .mapInPandas(gen, schema="word string, freq long")
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_train_bytes(
+    docs: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """GPT-2-style byte-level BPE training (verdict r12 next #5): the
+    alphabet is the 256 byte symbols (no ``</w>`` marker — word boundaries
+    live in the pre-tokenization, which attaches the leading space to the
+    following word), the trainer is the collected classic
+    (:func:`_train_local` over the vocab-sized byte-word table — one
+    distributed corpus scan, zero per-merge jobs, the shape
+    ``bpe_train_collected`` pinned). Handles ANY input — non-ASCII,
+    emoji, control bytes — because every symbol is a byte. Returns the
+    ordered merge list over byte-unicode symbol strings; feed it to
+    :func:`bpe_encode_bytes` / :func:`byte_vocab`."""
+    tbl = byte_word_freqs(docs, text_col).toArrow()
+    words = tbl.column("word").to_pylist()
+    freqs = tbl.column("freq").to_pylist()
+    # a word string splits back to its 1-char symbols — merges have not
+    # happened yet, so every unit is a single byte-unicode character
+    word_freqs = [(list(w), f) for w, f in zip(words, freqs)]
+    return _train_local(word_freqs, num_merges, min_pair_count)
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-level BPE encode: pre-tokenize with :data:`BYTE_SPLIT_RE`, map
+    each pre-token to byte-unicode symbols, apply the merge list
+    rank-priority (lowest rank first — canonical), and emit both the token
+    strings and their :func:`byte_vocab` ids. ONE Arrow-batched corpus
+    pass with a per-batch pre-token cache; the merge table is broadcast
+    with the closure. Lossless: :func:`bpe_decode_bytes` inverts exactly.
+
+    Output: ``(id, tokens array<string>, token_ids array<int>,
+    n_tokens)``."""
+    import re as _re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    vocab = byte_vocab(merges)
+    pat = _re.compile(BYTE_SPLIT_RE)
+
+    def encode_pretoken(tok: str, cache: dict) -> list[str]:
+        got = cache.get(tok)
+        if got is not None:
+            return got
+        syms = _pretoken_to_units(tok)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_rank is None:
+                break
+            a, b = merges[best_rank]
+            merged = a + b
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        cache[tok] = syms
+        return syms
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            toks, ids = [], []
+            for txt in pdf["_text"]:
+                out: list[str] = []
+                for tok in pat.findall(txt or ""):
+                    out.extend(encode_pretoken(tok, cache))
+                toks.append(out)
+                ids.append([vocab[t] for t in out])
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "tokens": toks,
+                    "token_ids": ids,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", docs.schema[id_col].dataType),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(encode, schema=out_schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def bpe_decode_bytes(tokens: list[str]) -> str:
+    """Inverse of the byte-level encode (driver-side helper, token-list
+    sized): concatenate, map byte-unicode symbols back to bytes, decode
+    UTF-8. Byte-level BPE is lossless by construction — pre-tokenization
+    only PARTITIONS the text, merges only GROUP bytes."""
+    data = bytes(_U2B[ch] for ch in "".join(tokens))
+    return data.decode("utf-8")

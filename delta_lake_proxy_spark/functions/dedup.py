@@ -1362,3 +1362,212 @@ def dedupe_repeated_lines(
     return rebuilt.select(
         F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
     )
+
+
+def line_hash_index(
+    docs: DataFrame,
+    min_line_chars: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n",
+) -> DataFrame:
+    """The persistable corpus state of :func:`dedupe_repeated_lines`:
+    one row per distinct eligible line hash —
+    ``(line_hash, n, first_id, first_pos)`` — so a daily batch can apply
+    C4-style global line dedup against the WHOLE corpus history without
+    re-reading a byte of corpus text
+    (:func:`dedupe_repeated_lines_incremental`). ~24 B per distinct line;
+    the line text itself is never stored (the 8-byte xxhash64 is the
+    dedup key, exactly as in the batch operator). Build parameters
+    (``min_line_chars``, ``separator``) must match between index and
+    incremental use; refresh after a batch with
+    :func:`merge_line_hash_indexes`."""
+    if not separator or "\\E" in separator:
+        raise ValueError(
+            f"separator must be non-empty and must not contain "
+            f"backslash-E, got {separator!r}"
+        )
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + separator + "\\E")
+        ).alias("_pos", "_line"),
+    ).filter(F.length(F.col("_line")) >= min_line_chars)
+    return (
+        lines.groupBy(F.xxhash64("_line").alias("line_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+        )
+        .select(
+            "line_hash",
+            "n",
+            F.col("_first._id").alias("first_id"),
+            F.col("_first._pos").alias("first_pos"),
+        )
+    )
+
+
+def merge_line_hash_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold a batch's :func:`line_hash_index` into the corpus index:
+    counts add, the first occurrence is the struct-min — one aggregation
+    over two vocab-of-lines-sized relations."""
+    return (
+        a.unionByName(b)
+        .groupBy("line_hash")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min(F.struct(F.col("first_id").alias("_id"),
+                           F.col("first_pos").alias("_pos"))).alias("_first"),
+        )
+        .select(
+            "line_hash",
+            "n",
+            F.col("_first._id").alias("first_id"),
+            F.col("_first._pos").alias("first_pos"),
+        )
+    )
+
+
+def dedupe_repeated_lines_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_count: int = 2,
+    min_line_chars: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n",
+) -> DataFrame:
+    """C4-style global line dedup of a NEW batch against the persisted
+    :func:`line_hash_index` — the corpus is touched only through its
+    24 B/line index, never rescanned. A new doc's eligible line is
+    removed when its corpus+batch occurrence total reaches ``min_count``
+    and the occurrence is not the UNION-global first ``(id, pos)`` —
+    byte-identical, for the batch's documents, to running
+    :func:`dedupe_repeated_lines` on corpus ∪ batch (already-shipped
+    corpus docs are immutable in the incremental story; a line that
+    crosses ``min_count`` only because of the batch is trimmed from
+    FUTURE occurrences, which is exactly what union-first-occurrence
+    semantics give when corpus ids precede batch ids). Output:
+    ``(id, text, n_removed_lines)`` — the batch operator's schema."""
+    if not separator or "\\E" in separator:
+        raise ValueError(
+            f"separator must be non-empty and must not contain "
+            f"backslash-E, got {separator!r}"
+        )
+    lines = new_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + separator + "\\E")
+        ).alias("_pos", "_line"),
+    )
+    eligible = F.length(F.col("_line")) >= min_line_chars
+    marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
+    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    marked.count()  # materialize before the plan forks into two branches
+    _SALT_CACHE.append(marked)
+    release_salt_caches(keep=_SALT_CACHE_MAX)
+    batch_agg = (
+        marked.filter(F.col("_lh").isNotNull())
+        .groupBy("_lh")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first_b"),
+        )
+    )
+    idx = index.select(
+        F.col("line_hash").alias("_lh"),
+        F.col("n").alias("_ni"),
+        F.struct(
+            F.col("first_id").alias("_id"), F.col("first_pos").alias("_pos")
+        ).alias("_first_i"),
+    )
+    firsts = (
+        batch_agg.join(idx, "_lh", "left")
+        .withColumn("_n", F.col("_nb") + F.coalesce(F.col("_ni"), F.lit(0)))
+        # least() skips nulls: union-global first occurrence
+        .withColumn("_first", F.least(F.col("_first_i"), F.col("_first_b")))
+        .filter(F.col("_n") >= min_count)
+        .select("_lh", "_n", "_first")
+    )
+    keep = F.col("_n").isNull() | (
+        F.struct(F.col("_id"), F.col("_pos")) == F.col("_first")
+    )
+    rebuilt = (
+        marked.join(firsts, "_lh", "left")
+        .withColumn("_keep", keep)
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                separator,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_lines"),
+        )
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
+    )
+
+
+def dedup_new_against_corpus(
+    batch: DataFrame,
+    internal_pairs: DataFrame,
+    cross_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup survivors of a NEW batch against a CANONICAL indexed
+    corpus: components form over the batch-internal pairs
+    (``(id_a, id_b)``) plus the batch-vs-index pairs
+    (``(new_id, indexed_id)``); any component touching an indexed id
+    drops ALL its batch members (the already-shipped corpus copy is
+    canonical — incremental ingest cannot retract it), and a pure-batch
+    component keeps its smallest id. When corpus ids order below batch
+    ids this equals the batch smallest-id-survivor rule on the union —
+    including chains (new₁ ~ new₂ ~ indexed drops both new docs, exactly
+    as the union component containing the indexed doc would). Transitive
+    via :func:`connected_components`, so chain recall matches the batch
+    path."""
+    edges = internal_pairs.select(
+        F.col("id_a").alias("_ea"), F.col("id_b").alias("_eb")
+    ).unionByName(
+        cross_pairs.select(
+            F.col("new_id").alias("_ea"), F.col("indexed_id").alias("_eb")
+        )
+    )
+    comp = connected_components(edges, id_a="_ea", id_b="_eb")
+    indexed_ids = cross_pairs.select(
+        F.col("indexed_id").alias("id")
+    ).distinct()
+    bad = (
+        comp.join(indexed_ids, "id", "leftsemi")
+        .select("component")
+        .distinct()
+    )
+    membership = (
+        comp.withColumnRenamed("id", id_col)
+        .join(bad.withColumn("_bad", F.lit(True)), "component", "left")
+    )
+    return (
+        batch.join(membership, id_col, "left")
+        .filter(
+            F.col("component").isNull()
+            | (
+                F.col("_bad").isNull()
+                & (F.col(id_col) == F.col("component"))
+            )
+        )
+        .drop("component", "_bad")
+    )

@@ -2821,3 +2821,49 @@ def gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "gopher_pass", "repetition_pass",
         (F.col("gopher_pass") & F.col("repetition_pass")).alias("keep"),
     )
+
+
+def hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 daily-ingest Hamming dedup (r13): SimHash-fingerprint ~90% of the
+    corpus into the persisted signature index, then pair the remaining
+    ~10% "new batch" against it — index build (one corpus scan) + the
+    (band, bucket) join + exact popcount verify, the full incremental
+    path. Unregistered (union-equality and corruption-invariance pinned
+    in test_llm_ops/test_udfs); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    idx = dedup.hamming_signature_index(dedup.simhash_signatures(corpus))
+    return dedup.hamming_near_duplicates_incremental(
+        dedup.simhash_signatures(batch), idx
+    )
+
+
+def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 daily-ingest C4 line dedup (r13): line-hash index over ~90% of
+    the corpus (24 B/line state), incremental trim of the ~10% batch
+    against it. Unregistered (batch-on-union equality pinned in
+    test_llm_ops); benchmarked under SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    idx = dedup.line_hash_index(corpus)
+    return dedup.dedupe_repeated_lines_incremental(batch, idx)
+
+
+def byte_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 byte-level BPE (r13): train 24 GPT-2-style byte merges (one
+    Arrow corpus pass + driver trainer) and encode every document to
+    token ids. Unregistered (merge list and ids pinned against an
+    independent byte-level reference in test_llm_ops); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
+    from .functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train_bytes(docs, num_merges=24)
+    return bpe.bpe_encode_bytes(docs, merges).select("doc_id", "n_tokens")

@@ -1867,7 +1867,8 @@ def test_refresh_ivf_index_incremental(spark, tmp_path):
     appends into the _cid partitions — no full rebuild. Pinned: the
     refresh scans exactly the new commits' files (spy on the enumerated
     scan), the probe finds the new vectors afterwards, a second refresh is
-    a no-op, and a non-append source change refuses."""
+    a no-op, and a source DELETE retracts the dead id from the index
+    (delete-aware since r13 — the former refusal is gone)."""
     from delta_lake_proxy_spark import deltalog
     from delta_lake_proxy_spark.engine import Engine
 
@@ -1949,10 +1950,18 @@ def test_refresh_ivf_index_incremental(spark, tmp_path):
         Engine._read_clone_enumerated = orig
     assert scanned == []
 
-    # non-append source change refuses with the rebuild hint
+    # a source DELETE no longer refuses: the refresh retracts the dead id
     eng.delete("emb", F.col("vec_id") == 0)
-    with pytest.raises(ValueError, match="non-append"):
-        eng.refresh_ivf_index(idx)
+    assert 0 in {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()
+    }
+    eng.refresh_ivf_index(idx)
+    after = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()
+    }
+    assert 0 not in after and {100, 101} <= after
 
 
 def test_refresh_ivf_index_governed_and_pq(spark, tmp_path):
@@ -1987,6 +1996,140 @@ def test_refresh_ivf_index_governed_and_pq(spark, tmp_path):
         for r in eng.ivf_probe(idx, [1.0, 0.02], k=5, n_probe=4, user="u", shortlist=50).collect()
     }
     assert 200 in top
+
+
+def test_refresh_ivf_index_delete_aware(spark, tmp_path):
+    """Verdict r12 next #3: a source DELETE past the watermark RETRACTS
+    exactly the dead vector ids instead of refusing. Pinned: the probe no
+    longer returns deleted ids (survivors intact), the refresh enumerates
+    ONLY the changed commits' files (retract + rewrite — never the
+    indexed corpus), and the index-side DELETE rewrites only the affected
+    _cid partitions (log-inspected)."""
+    import json as _json
+    import os
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    src = eng.resolve("emb")
+    idx_path = str(tmp_path / "emb_ivf_da")
+    idx = eng.build_ivf_index(
+        "emb", idx_path, index_alias="emb__ivf_da", num_centroids=4, lloyd_iters=1
+    )
+    built_v = deltalog.latest_version(src)
+    idx_v_before = deltalog.latest_version(idx_path)
+
+    # copy-on-write DELETE: remove(F) + add(F' survivors) in one commit
+    eng.delete("emb", F.col("vec_id").isin(3, 7))
+    del_v = deltalog.latest_version(src)
+    assert del_v == built_v + 1
+    retract_paths, rewrite_paths = set(), set()
+    with open(os.path.join(src, "_delta_log", f"{del_v:020d}.json")) as f:
+        for line in f:
+            a = _json.loads(line) if line.strip() else {}
+            if a.get("remove"):
+                retract_paths.add(a["remove"]["path"])
+            if a.get("add"):
+                rewrite_paths.add(a["add"]["path"])
+    assert retract_paths and rewrite_paths
+
+    scanned: list[set] = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *args, **kw):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *args, **kw)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        assert eng.refresh_ivf_index(idx) == del_v
+    finally:
+        Engine._read_clone_enumerated = orig
+    # dead-id scan reads exactly the tombstoned files, the re-index reads
+    # exactly the rewrite files — the untouched corpus is never enumerated
+    assert scanned == [retract_paths, rewrite_paths]
+
+    got = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()
+    }
+    assert not ({3, 7} & got)  # dead ids gone
+    assert {0, 1, 2, 4, 5, 6, 8} <= got  # survivors intact
+
+    # the retraction DELETE touched ONLY the dead vectors' _cid partitions
+    all_cids = {
+        r["_cid"] for r in eng.read_table(idx, user="admin").select("_cid").collect()
+    }
+    touched_cids = set()
+    for v in range(idx_v_before + 1, deltalog.latest_version(idx_path) + 1):
+        with open(os.path.join(idx_path, "_delta_log", f"{v:020d}.json")) as f:
+            for line in f:
+                a = _json.loads(line) if line.strip() else {}
+                if a.get("remove"):
+                    part = a["remove"]["path"].split("/", 1)[0]
+                    assert part.startswith("_cid=")
+                    touched_cids.add(part)
+    # 4 centroids over two well-separated clusters: the grp=a deletions
+    # live in the +x lists only — a full-index rewrite would touch all
+    assert touched_cids and len(touched_cids) < len(all_cids)
+
+    # idempotence: nothing new -> no scans, version unchanged
+    scanned.clear()
+    Engine._read_clone_enumerated = spy
+    try:
+        assert eng.refresh_ivf_index(idx) == del_v
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []
+
+    # a vacuumed retract file refuses with the rebuild hint: tombstone a
+    # file, then physically delete the parquet before refreshing
+    eng.delete("emb", F.col("vec_id") == 11)
+    v2 = deltalog.latest_version(src)
+    with open(os.path.join(src, "_delta_log", f"{v2:020d}.json")) as f:
+        gone = [
+            _json.loads(line)["remove"]["path"]
+            for line in f
+            if line.strip() and _json.loads(line).get("remove")
+        ]
+    for rel in gone:
+        os.remove(os.path.join(src, rel))
+    with pytest.raises(ValueError, match="vacuumed"):
+        eng.refresh_ivf_index(idx)
+
+
+def test_refresh_ivf_index_dv_delete(spark, tmp_path):
+    """Delete-aware refresh on a DELETION-VECTOR source: the DV commit
+    re-adds the same parquet with a DV (remove old identity + add new in
+    one commit, unspecified order) — refresh retracts the file's ids and
+    re-indexes its LIVE rows through the DV filter, so the probe drops
+    exactly the marked rows."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    eng.enable_deletion_vectors("emb")
+    idx_path = str(tmp_path / "emb_ivf_dv")
+    idx = eng.build_ivf_index(
+        "emb", idx_path, index_alias="emb__ivf_dv", num_centroids=4, lloyd_iters=1
+    )
+    assert eng._dv_dml_eligible(eng.resolve("emb"))
+    eng.delete("emb", F.col("vec_id").isin(5, 6))  # DV commit, no rewrite
+    # the DV really was the DML shape used (same data files, new DV)
+    assert any(
+        r["deletionVector"] is not None
+        for r in deltalog.snapshot_files(spark, eng.resolve("emb")).collect()
+    )
+    eng.refresh_ivf_index(idx)
+    got = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()
+    }
+    assert not ({5, 6} & got)
+    assert {0, 1, 2, 3, 4, 7, 8, 9} <= got
+    # no duplicate ids: the retract-then-reinsert pair is exact
+    rows = eng.read_table(idx, user="admin").groupBy("vec_id").count()
+    assert rows.filter(F.col("count") > 1).count() == 0
 
 
 def test_minhash_verify_candidates_exact_and_candidate_only(spark):
@@ -3443,3 +3586,257 @@ def test_sample_to_mix_tiny_rate_not_snapped_to_zero(spark):
     for r in up.collect():
         per[r["doc_id"]] += 1
     assert per == {0: 2, 1: 2, 2: 2}
+
+
+# -- byte-level BPE (round 13, verdict r12 next #5) ---------------------------
+
+
+def _ref_byte_bpe(texts, num_merges, min_pair_count=2):
+    """Independent pure-Python byte-level reference: GPT-2 pre-tokenize,
+    byte-unicode units, FULL pair recount each merge (the naive trainer —
+    a different algorithm from the incremental heap one under test)."""
+    import re
+    from collections import Counter
+
+    from delta_lake_proxy_spark.functions import bpe
+
+    b2u = bpe.bytes_to_unicode()
+    pat = re.compile(bpe.BYTE_SPLIT_RE)
+    vocab = Counter()
+    for t in texts:
+        for tok in pat.findall(t):
+            vocab[tuple(b2u[x] for x in tok.encode("utf-8"))] += 1
+    merges = []
+    while len(merges) < num_merges:
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        # tie-break: count desc, then lexicographically smallest (a, b)
+        top = max(counts.values())
+        a, b = sorted(p for p in counts if counts[p] == top)[0]
+        if top < min_pair_count:
+            break
+        merges.append((a, b))
+        nv = Counter()
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv[tuple(res)] += f
+        vocab = nv
+    return merges
+
+
+def _ref_byte_encode(text, merges):
+    """Independent reference encode: per pre-token, repeatedly apply the
+    LOWEST-rank applicable merge."""
+    import re
+
+    from delta_lake_proxy_spark.functions import bpe
+
+    b2u = bpe.bytes_to_unicode()
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for tok in re.compile(bpe.BYTE_SPLIT_RE).findall(text):
+        syms = [b2u[x] for x in tok.encode("utf-8")]
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out.extend(syms)
+    return out
+
+
+def test_byte_bpe_train_and_encode_match_reference(spark):
+    """Byte-level BPE pinned merge-for-merge and id-for-id against the
+    naive full-recount reference — on text with case, punctuation,
+    contractions, accents, CJK and an emoji (every one exercises the
+    multi-byte path the word-level trainer cannot represent)."""
+    from delta_lake_proxy_spark.functions import bpe
+
+    rows = [
+        (1, "The low low lower can't stop, won't stop."),
+        (2, "café café naïve naïve crème brûlée"),
+        (3, "日本語のテキスト 日本語のテキスト tokenizer"),
+        (4, "emoji 🚀🚀 rocket_var _under_ low lower THE THE The"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = [t for _i, t in rows]
+    want = _ref_byte_bpe(texts, num_merges=30)
+    got = bpe.bpe_train_bytes(docs, num_merges=30)
+    assert got == want and len(got) == 30
+    # encode: ids equal the reference on every doc, incl. non-ASCII
+    vocab = bpe.byte_vocab(got)
+    enc = {
+        r["doc_id"]: (list(r["tokens"]), list(r["token_ids"]))
+        for r in bpe.bpe_encode_bytes(docs, got).collect()
+    }
+    for i, t in rows:
+        ref_toks = _ref_byte_encode(t, got)
+        assert enc[i][0] == ref_toks, i
+        assert enc[i][1] == [vocab[tk] for tk in ref_toks], i
+        # losslessness: decode inverts exactly (case, spaces, emoji, CJK)
+        assert bpe.bpe_decode_bytes(enc[i][0]) == t, i
+    # id convention: base ids ARE the byte values; merges follow from 256
+    assert vocab[bpe.bytes_to_unicode()[ord("A")]] == ord("A")
+    assert vocab[got[0][0] + got[0][1]] == 256
+
+
+def test_byte_bpe_handles_every_byte_and_empty(spark):
+    """The byte alphabet covers ALL 256 values: control bytes, NULs and
+    invalid-looking sequences train and encode without error; empty and
+    null texts yield empty token lists."""
+    from delta_lake_proxy_spark.functions import bpe
+
+    weird = "tab\there\nnewline\x00nul \x7fdel"
+    docs = spark.createDataFrame(
+        [(1, weird), (2, ""), (3, None), (4, weird)],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train_bytes(docs, num_merges=8, min_pair_count=2)
+    enc = {r["doc_id"]: list(r["tokens"]) for r in bpe.bpe_encode_bytes(docs, merges).collect()}
+    assert bpe.bpe_decode_bytes(enc[1]) == weird
+    assert enc[2] == [] and enc[3] == []
+    assert enc[1] == enc[4]
+
+
+# -- incremental curation recipe (round 13, verdict r12 next #6) --------------
+
+
+def test_incremental_curation_recipe_matches_union(spark):
+    """The daily-ingest curation story END-TO-END: a new batch runs
+    quality -> incremental line dedup (persisted line-hash index) ->
+    incremental exact dedup (fingerprint table) -> incremental near-dup
+    (minhash signature index, corpus-canonical components) -> eval
+    decontamination, touching the corpus ONLY through its persisted
+    state — every index is materialized and rebuilt from collected rows,
+    severing any lineage to the corpus DataFrame, so the equality below
+    is achievable from on-disk state alone. Pinned equal (ids AND
+    rewritten texts) to re-running the full batch recipe on corpus ∪
+    batch and slicing the batch ids."""
+    from delta_lake_proxy_spark.functions import quality
+
+    BOIL = "subscribe to our newsletter for daily updates"
+    W = " ".join(f"alpha{i} signal" for i in range(30))  # 60 words
+    W2 = W.replace("alpha7 ", "alphaX ")  # near-dup of W
+    Y = " ".join(f"beta{i} token" for i in range(30))
+    Y2 = Y.replace("beta3 ", "betaZ ")
+    E = (
+        "the secret benchmark question asks about seventeen distinct "
+        "ways to evaluate language models carefully"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha content about distributed query engines running at scale\n" + BOIL),
+            (2, "beta content describing columnar storage formats in depth\n" + BOIL),
+            (3, W),
+            (4, "gamma different topic entirely about streaming watermarks and state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "GAMMA  different topic entirely about streaming watermarks and state stores"),  # exact dup of 4
+            (102, W2),  # near-dup of corpus doc 3
+            (103, Y),   # near-dup pair inside the batch: 103 survives
+            (104, Y2),
+            (105, "fresh unique insight about vectorized execution pipelines\n" + BOIL),
+            (106, E),   # contaminated with the eval doc
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9001, E)], "doc_id long, text string")
+
+    def quality_pass(docs):
+        q = quality.gopher_quality_flags(docs, min_words=5, min_stopword_hits=0)
+        return docs.join(
+            q.filter("pass_alpha_words AND pass_word_count").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    # ---- corpus pass builds the PERSISTED STATE ----
+    c2 = quality_pass(corpus)
+    line_index = dedup.line_hash_index(c2, min_line_chars=20)
+    c3 = dedup.dedupe_repeated_lines(c2, min_line_chars=20)
+    c4 = dedup.exact_dedup(c3.select("doc_id", "text"))
+    fingerprints = c4.select("content_hash")
+    mh_index = dedup.minhash_signature_index(c4.select("doc_id", "text"))
+
+    def materialize(df):
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    line_index = materialize(line_index)
+    fingerprints = materialize(fingerprints)
+    mh_index = materialize(mh_index)
+
+    # ---- incremental batch pass: corpus text is NOT an input ----
+    b2 = quality_pass(batch)
+    b3 = dedup.dedupe_repeated_lines_incremental(b2, line_index, min_line_chars=20)
+    b4, _new_fp = dedup.incremental_exact_dedup(b3.select("doc_id", "text"), fingerprints)
+    b4 = b4.select("doc_id", "text")
+    internal = dedup.minhash_near_duplicates(b4, threshold=0.8)
+    cross = dedup.minhash_near_duplicates_incremental(b4, mh_index, threshold=0.8)
+    b5 = dedup.dedup_new_against_corpus(b4, internal, cross)
+    contaminated = (
+        quality.contamination_scores(b5, ev, n=13)
+        .filter(F.col("contamination") > 0.8)
+        .select("doc_id")
+    )
+    b6 = b5.join(contaminated, "doc_id", "left_anti")
+    inc = {r["doc_id"]: r["text"] for r in b6.collect()}
+    assert set(inc) == {103, 105}
+    assert BOIL not in inc[105]  # corpus boilerplate trimmed via the index
+
+    # ---- full batch recipe on the UNION, sliced to the batch ids ----
+    u2 = quality_pass(corpus.union(batch))
+    u3 = dedup.dedupe_repeated_lines(u2, min_line_chars=20)
+    u4 = dedup.exact_dedup(u3.select("doc_id", "text"))
+    pairs_u = dedup.minhash_near_duplicates(u4, threshold=0.8)
+    u5 = dedup.dedup_by_components(u4.select("doc_id", "text"), pairs_u)
+    cont_u = (
+        quality.contamination_scores(u5, ev, n=13)
+        .filter(F.col("contamination") > 0.8)
+        .select("doc_id")
+    )
+    u6 = u5.join(cont_u, "doc_id", "left_anti")
+    uni = {r["doc_id"]: r["text"] for r in u6.collect() if r["doc_id"] >= 100}
+    assert uni == inc  # ids and rewritten texts byte-equal
+
+    # refreshed state for the NEXT day composes from what exists
+    next_index = dedup.merge_line_hash_indexes(
+        line_index, dedup.line_hash_index(b2, min_line_chars=20)
+    )
+    want = {
+        (r["line_hash"], r["n"], r["first_id"], r["first_pos"])
+        for r in dedup.line_hash_index(
+            c2.union(b2), min_line_chars=20
+        ).collect()
+    }
+    got = {
+        (r["line_hash"], r["n"], r["first_id"], r["first_pos"])
+        for r in next_index.collect()
+    }
+    assert got == want

@@ -119,3 +119,53 @@ def test_pii_scrub_is_pure_codegen(spark):
     p = plan_of("pii_scrub", spark)
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "Join" not in p  # lang rides the projection, no self-join
+
+
+def test_hamming_incremental_join_shape(spark):
+    """Incremental Hamming dedup (r13): a plain two-sided equi-join on
+    (band, bucket) — shuffle or broadcast hash join, NEVER a cartesian —
+    with the popcount verify in codegen (no Python anywhere: signatures
+    come in precomputed, the index is signature-only)."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    sigs = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 60)) for i in range(64)],
+        "doc_id long, sig long",
+    )
+    index = dedup.hamming_signature_index(sigs, max_hamming=8)
+    new = spark.createDataFrame(
+        [(1000 + i, (i * 40503) % (1 << 60)) for i in range(16)],
+        "doc_id long, sig long",
+    )
+    df = dedup.hamming_near_duplicates_incremental(new, index, max_hamming=8)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Join" in p  # the band-bucket equi-join is the only join
+
+
+def test_line_dedup_incremental_single_generate_no_python(spark):
+    """Incremental line dedup (r13): the BATCH is exploded exactly once
+    (the persisted fork feeds both the per-hash aggregate and the
+    rebuild probe); the corpus contributes only its 24 B/line index —
+    no second Generate, no Python, no cartesian."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "first line of text here\nsecond line of text here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = dedup.line_hash_index(docs, min_line_chars=5)
+    batch = spark.createDataFrame(
+        [(100, "first line of text here\nbrand new line of text")],
+        "doc_id long, text string",
+    )
+    df = dedup.dedupe_repeated_lines_incremental(batch, index, min_line_chars=5)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the batch side reads from the persisted (InMemory) relation — its
+    # explode ran once at materialization; the only Generate allowed in
+    # THIS plan is the index build's own explode... the index is
+    # aggregation-shaped (no explode at all), so: zero Generates here
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # batch explode materialized once
