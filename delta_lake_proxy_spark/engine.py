@@ -243,6 +243,7 @@ def _to_epoch_millis(ts: "int | float | str") -> int:
 # txn appId stamped on IVF-refresh append commits: makes the refresh
 # idempotent across a crash between its two commits (append + property)
 _IVF_REFRESH_APP = "graft.ivf.refresh"
+_MINHASH_REFRESH_APP = "graft.dedup.refresh"
 
 
 class Engine:
@@ -1238,6 +1239,75 @@ class Engine:
         )
         return idx_alias
 
+    def _source_window_changes(
+        self, src_path: str, indexed: int, cur: int
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """Net row-level changes of the source commits in ``(indexed, cur]``
+        — the shared walk behind every incremental index refresh
+        (:meth:`refresh_ivf_index`, :meth:`refresh_minhash_index`).
+        Returns ``(pending, retract)``: ``pending`` maps each net-added
+        file path to its add action (DV-carrying re-adds included — their
+        LIVE rows re-enter), ``retract`` maps each PRE-window file that
+        lost content to its remove action's partitionValues (its rows are
+        in the index and must come out). dataChange=False adds/removes
+        (compaction) are skipped on both sides. Removes classify BEFORE
+        adds per commit: a DV update logs remove(old identity) +
+        add(same path, new DV) inside one commit in unspecified action
+        order, and the pre-window test must be order-independent. A
+        cleaned-up commit json refuses with the rebuild hint."""
+        pending: dict[str, dict] = {}
+        window_added: set[str] = set()
+        retract: dict[str, dict] = {}
+        for v in range(indexed + 1, cur + 1):
+            p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
+            if not os.path.isfile(p):
+                raise ValueError(
+                    f"source commit {v} is no longer retained (log cleanup) "
+                    "— rebuild the index from scratch"
+                )
+            adds_c: dict[str, dict] = {}
+            removes_c: dict[str, dict] = {}
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if action.get("add") is not None:
+                        a = action["add"]
+                        if a.get("dataChange") is False:
+                            continue  # compaction re-add: already indexed
+                        adds_c[a["path"]] = a
+                    elif action.get("remove") is not None:
+                        r = action["remove"]
+                        if r.get("dataChange") is False:
+                            continue  # compaction tombstone: no row change
+                        removes_c[r["path"]] = r
+            for rp, r in removes_c.items():
+                if rp not in window_added:
+                    # pre-window content: its rows are in the index — retract
+                    retract[rp] = dict(r.get("partitionValues") or {})
+                pending.pop(rp, None)  # superseded within the window
+            for ap, a in adds_c.items():
+                pending[ap] = a
+                window_added.add(ap)
+        return pending, retract
+
+    def _require_retract_files(self, src_path: str, retract: dict) -> None:
+        """Refuse a retraction whose tombstoned parquet was already
+        vacuumed — the dead row ids are unreadable; only a rebuild can
+        reconcile the index."""
+        gone = sorted(
+            rp
+            for rp in retract
+            if not _is_foreign_path(rp)
+            and not os.path.isfile(os.path.join(src_path, rp))
+        )
+        if gone:
+            raise ValueError(
+                f"retracted source file(s) {gone[:3]} already vacuumed — "
+                "cannot read back their row ids; rebuild the index"
+            )
+
     def refresh_ivf_index(
         self, index_alias: str, user: str = acl.ANONYMOUS
     ) -> int:
@@ -1305,45 +1375,7 @@ class Engine:
                     index_alias, {"graft.ivf.indexedVersion": str(indexed)}
                 )
             return indexed  # already fresh — zero data scans
-        pending: dict[str, dict] = {}  # path -> add action to (re)index
-        window_added: set[str] = set()  # paths first added inside the window
-        retract: dict[str, dict] = {}  # pre-window path -> partitionValues
-        for v in range(indexed + 1, cur + 1):
-            p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
-            if not os.path.isfile(p):
-                raise ValueError(
-                    f"source commit {v} is no longer retained (log cleanup) "
-                    "— rebuild the index with build_ivf_index"
-                )
-            adds_c: dict[str, dict] = {}
-            removes_c: dict[str, dict] = {}
-            with open(p, encoding="utf-8") as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if action.get("add") is not None:
-                        a = action["add"]
-                        if a.get("dataChange") is False:
-                            continue  # compaction re-add: already indexed
-                        adds_c[a["path"]] = a
-                    elif action.get("remove") is not None:
-                        r = action["remove"]
-                        if r.get("dataChange") is False:
-                            continue  # compaction tombstone: no row change
-                        removes_c[r["path"]] = r
-            # per-commit, removes FIRST: a DV update logs remove(old DV
-            # identity) + add(same path, new DV) inside ONE commit in
-            # unspecified action order — classifying the remove first makes
-            # the pre-window test order-independent
-            for rp, r in removes_c.items():
-                if rp not in window_added:
-                    # pre-window content: its rows are in the index — retract
-                    retract[rp] = dict(r.get("partitionValues") or {})
-                pending.pop(rp, None)  # superseded within the window
-            for ap, a in adds_c.items():
-                pending[ap] = a
-                window_added.add(ap)
+        pending, retract = self._source_window_changes(src_path, indexed, cur)
         if retract or pending:
             cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
             codebook = None
@@ -1361,18 +1393,7 @@ class Engine:
                 return _sim.assign_centroids_arrow(df, ids, mat, vec_col)
 
             if retract:
-                gone = sorted(
-                    rp
-                    for rp in retract
-                    if not _is_foreign_path(rp)
-                    and not os.path.isfile(os.path.join(src_path, rp))
-                )
-                if gone:
-                    raise ValueError(
-                        f"retracted source file(s) {gone[:3]} already "
-                        "vacuumed — cannot read back their vector ids; "
-                        "rebuild the index with build_ivf_index"
-                    )
+                self._require_retract_files(src_path, retract)
                 # ids + vectors of every row the changed files USED to hold
                 # (over-approximation: pre-window DV'd / ACL-hidden rows were
                 # never indexed, so their retraction is a semi-join miss) —
@@ -1484,6 +1505,228 @@ class Engine:
                 .limit(max(int(shortlist), k))
             )
         return _sim.probe_index_df(hits, query_vec, k, id_col, vec_col)
+
+    def build_minhash_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_words: int = 3,
+    ) -> str:
+        """Materialize the MinHash signature index of a governed documents
+        table as a GOVERNED Delta table — the dedup analog of
+        :meth:`build_ivf_index` (r13): the corpus is read through
+        :meth:`read_table` (the index holds only what the building user
+        may see), signatures come from
+        ``functions.dedup.minhash_signature_index`` (~100 B/doc), the
+        table is written ``band``-partitioned (incremental joins arrive
+        by (band, bucket), so the probe side co-locates per band), and
+        the build parameters ride as ``graft.dedup.*`` properties so
+        :meth:`near_duplicates_incremental` can never pair with
+        mismatched banding — the classic silent-recall footgun of
+        hand-managed signature tables. Returns the registered alias
+        (default ``<alias>__minhash``)."""
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        from .functions import dedup as _dd
+
+        src_path = self.resolve(alias)
+        src_version = deltalog.latest_version(src_path)
+        src_df = self.read_table(alias, user=user, version=src_version)
+        idx_alias = index_alias or f"{alias}__minhash"
+        idx = _dd.minhash_signature_index(
+            src_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_words=shingle_words,
+        )
+        # the SOURCE's partition columns travel into the index (the
+        # build_ivf_index governance contract): a partition ACL on the
+        # source compiles into a plain row predicate on the index, so
+        # near_duplicates_incremental can inject it directly
+        idx = self._attach_source_partitions(idx, src_df, id_col, src_path)
+        self.config.table_mapping[idx_alias] = index_path
+        self.write_table(
+            idx_alias,
+            idx.repartition(F.col("band")),
+            mode="overwrite",
+            partition_by=["band"],
+        )
+        self.set_table_properties(
+            idx_alias,
+            {
+                "graft.dedup.source": alias,
+                "graft.dedup.kind": "minhash",
+                "graft.dedup.textCol": text_col,
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.numHashes": str(num_hashes),
+                "graft.dedup.bands": str(bands),
+                "graft.dedup.shingleWords": str(shingle_words),
+                "graft.dedup.indexedVersion": str(src_version),
+            },
+        )
+        return idx_alias
+
+    def _attach_source_partitions(
+        self, idx: DataFrame, src_df: DataFrame, id_col: str, src_path: str
+    ) -> DataFrame:
+        """Join the source's partition columns onto a per-doc index (a
+        broadcast-sized (id -> partition values) relation would be ideal,
+        but the doc table is not metadata-sized — this is a plain
+        id-keyed join, one shuffle of (id, pcols) pairs)."""
+        meta = deltalog.table_metadata_no_spark(src_path) or {}
+        pcols = [c for c in (meta.get("partitionColumns") or []) if c in src_df.columns]
+        if not pcols:
+            return idx
+        return idx.join(src_df.select(F.col(id_col), *pcols), id_col)
+
+    def _minhash_index_params(self, index_alias: str) -> dict:
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if conf.get("graft.dedup.kind") != "minhash":
+            raise ValueError(
+                f"{index_alias!r} is not a MinHash index built by "
+                "build_minhash_index"
+            )
+        return {
+            "path": path,
+            "source": conf["graft.dedup.source"],
+            "text_col": conf.get("graft.dedup.textCol", "text"),
+            "id_col": conf.get("graft.dedup.idCol", "doc_id"),
+            "num_hashes": int(conf.get("graft.dedup.numHashes", "64")),
+            "bands": int(conf.get("graft.dedup.bands", "16")),
+            "shingle_words": int(conf.get("graft.dedup.shingleWords", "3")),
+            "indexed_version": conf.get("graft.dedup.indexedVersion"),
+        }
+
+    def refresh_minhash_index(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> int:
+        """Incrementally refresh a :meth:`build_minhash_index` table:
+        signatures of the source commits PAST ``graft.dedup.
+        indexedVersion`` append into the band partitions (only the new
+        commits' files are read — the shared
+        :meth:`_source_window_changes` walk), and DELETE-AWARE like
+        :meth:`refresh_ivf_index`: a source remove / DV commit retracts
+        the dead doc ids via the semi-join DELETE (dead ids read back
+        from the tombstoned parquet; a vacuumed tombstone refuses with
+        the rebuild hint); DV-carrying re-adds re-sign only their LIVE
+        rows. Crash-idempotent through the same txn watermark pattern.
+        Returns the newly indexed source version."""
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        from .functions import dedup as _dd
+
+        prm = self._minhash_index_params(index_alias)
+        path = prm["path"]
+        if prm["indexed_version"] is None:
+            raise ValueError(
+                f"index {index_alias!r} predates indexed-version tracking — "
+                "rebuild once with build_minhash_index to enable refresh"
+            )
+        indexed = int(prm["indexed_version"])
+        txn_mark = deltalog.all_txn_versions(path).get(_MINHASH_REFRESH_APP, -1)
+        indexed = max(indexed, int(txn_mark))
+        src_path = self.resolve(prm["source"])
+        cur = deltalog.latest_version(src_path)
+        if cur <= indexed:
+            if int(prm["indexed_version"]) < indexed:
+                self.set_table_properties(
+                    index_alias, {"graft.dedup.indexedVersion": str(indexed)}
+                )
+            return indexed
+        pending, retract = self._source_window_changes(src_path, indexed, cur)
+        id_col, text_col = prm["id_col"], prm["text_col"]
+        if retract:
+            self._require_retract_files(src_path, retract)
+            dead = (
+                self._read_clone_enumerated(src_path, dict(retract))
+                .select(F.col(id_col))
+                .distinct()
+            )
+            # band partitions all hold every doc's rows (one per band), so
+            # there is no partition condition to prune by — the semi-join
+            # DELETE rewrites exactly the files containing dead ids
+            self.delete(index_alias, match=dead, on=[id_col])
+        if pending:
+            pv_of = {
+                ap: dict(a.get("partitionValues") or {})
+                for ap, a in pending.items()
+            }
+            dv_items = [
+                (ap, a["deletionVector"])
+                for ap, a in pending.items()
+                if a.get("deletionVector")
+            ]
+            new_rows = self._read_clone_enumerated(
+                src_path, pv_of, dv_items=dv_items or None
+            )
+            pred = self.acl_predicate(prm["source"], user)
+            if pred is not None:
+                new_rows = new_rows.filter(pred)
+            sigs = _dd.minhash_signature_index(
+                new_rows,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=prm["num_hashes"],
+                bands=prm["bands"],
+                shingle_words=prm["shingle_words"],
+            )
+            sigs = self._attach_source_partitions(sigs, new_rows, id_col, src_path)
+            self.write_table(
+                index_alias,
+                sigs.repartition(F.col("band")),
+                mode="append",
+                txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
+            )
+        self.set_table_properties(
+            index_alias, {"graft.dedup.indexedVersion": str(cur)}
+        )
+        return cur
+
+    def near_duplicates_incremental(
+        self,
+        index_alias: str,
+        new_docs: DataFrame,
+        threshold: float = 0.6,
+        user: str = acl.ANONYMOUS,
+    ) -> DataFrame:
+        """Near-dup candidates of a NEW batch against the governed MinHash
+        index: the banding parameters come from the index table's OWN
+        properties (a mismatched-bands probe is impossible), the index is
+        read through :meth:`read_table` and the SOURCE table's resolved
+        ACL for ``user`` is injected as a row predicate — the source's
+        partition columns travel into the index at build/refresh time
+        precisely so this compiles to a plain filter (derived data stays
+        governed, the :meth:`ivf_probe` contract). Output:
+        ``(new_id, indexed_id, est_jaccard)`` — exactly
+        ``functions.dedup.minhash_near_duplicates_incremental``. Callers
+        needing exact Jaccard re-read just the candidate docs with
+        ``minhash_verify_candidates``."""
+        from .functions import dedup as _dd
+
+        prm = self._minhash_index_params(index_alias)
+        index = self.read_table(index_alias, user=user)
+        pred = self.acl_predicate(prm["source"], user)
+        if pred is not None:
+            index = index.filter(pred)
+        return _dd.minhash_near_duplicates_incremental(
+            new_docs,
+            index,
+            text_col=prm["text_col"],
+            id_col=prm["id_col"],
+            num_hashes=prm["num_hashes"],
+            bands=prm["bands"],
+            shingle_words=prm["shingle_words"],
+            threshold=threshold,
+        )
 
     def _read_data(
         self,

@@ -3840,3 +3840,310 @@ def test_incremental_curation_recipe_matches_union(spark):
         for r in next_index.collect()
     }
     assert got == want
+
+
+def test_embedding_incremental_lsh_index(spark):
+    """The embedding family's incremental story (r13): index = bucket +
+    int8-quantized vectors; a new batch pairs against it with the corpus
+    floats never re-read. Pinned: known near-dup found with cosine within
+    0.01 of the float-float batch pairer, novel vectors unpaired, and the
+    materialized index alone (no corpus lineage) reproduces the result."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.02, -0.4, 0.2]),
+            (2, [-0.5, 0.9, 0.1, -0.3]),
+            (3, [0.1, -0.2, 0.8, 0.55]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    index = dedup.embedding_lsh_index(corpus, dim=4, num_planes=6)
+    assert index.columns == ["vec_id", "bucket", "qvec", "qscale"]
+    index = spark.createDataFrame(index.collect(), index.schema)  # persisted
+    new = spark.createDataFrame(
+        [
+            (100, [0.99, 0.03, -0.41, 0.19]),  # near-dup of 1
+            (101, [0.0, 0.0, -1.0, 0.0]),      # novel direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["new_id"], r["indexed_id"]): r["cosine"]
+        for r in dedup.embedding_near_duplicates_incremental(
+            new, index, threshold=0.9, dim=4, num_planes=6
+        ).collect()
+    }
+    assert set(got) == {(100, 1)}
+    # float-float batch pairer on the union: same pair, cosine within the
+    # int8 rounding bound
+    batch = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["cosine"]
+        for r in similarity.lsh_near_neighbors(
+            corpus.union(new), dim=4, num_planes=6, threshold=0.9
+        ).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert set(batch) == {(100, 1)}
+    assert abs(got[(100, 1)] - batch[(100, 1)]) < 0.01
+
+
+def test_dedup_new_against_corpus_edges(spark):
+    """Edge semantics of the corpus-canonical survivor rule: empty pair
+    sets keep the whole batch; a cross-only pair drops exactly the paired
+    batch doc; a chain new1~new2~indexed drops BOTH new docs (the union
+    component contains the canonical corpus copy)."""
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    empty_int = spark.createDataFrame([], "id_a long, id_b long")
+    empty_cross = spark.createDataFrame([], "new_id long, indexed_id long")
+    assert sorted(
+        r["doc_id"]
+        for r in dedup.dedup_new_against_corpus(batch, empty_int, empty_cross).collect()
+    ) == [1, 2, 3]
+    cross = spark.createDataFrame([(2, 900)], "new_id long, indexed_id long")
+    assert sorted(
+        r["doc_id"]
+        for r in dedup.dedup_new_against_corpus(batch, empty_int, cross).collect()
+    ) == [1, 3]
+    internal = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert sorted(
+        r["doc_id"]
+        for r in dedup.dedup_new_against_corpus(batch, internal, cross).collect()
+    ) == [3]
+
+
+def test_refresh_ivf_index_skips_source_compaction(spark, tmp_path):
+    """Maintenance composition: a SOURCE compaction commit (dataChange=
+    False adds + removes — same rows, new files) must not trigger
+    retraction OR re-indexing: the refresh walk skips both sides and the
+    watermark advances with zero data scans."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    src = eng.resolve("emb")
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_cmp"), index_alias="emb__ivf_cmp",
+        num_centroids=4, lloyd_iters=1,
+    )
+    before = {r["vec_id"] for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()}
+    eng.compact_table("emb")  # dataChange=False commit on the source
+    assert deltalog.latest_version(src) > int(
+        deltalog.table_configuration_no_spark(eng.resolve(idx))["graft.ivf.indexedVersion"]
+    )
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        got_v = eng.refresh_ivf_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert got_v == deltalog.latest_version(src)
+    assert scanned == []  # nothing enumerated: compaction moved no rows
+    after = {r["vec_id"] for r in eng.ivf_probe(idx, [1.0, 0.0], k=80, n_probe=4, user="admin").collect()}
+    assert after == before
+
+
+def test_ivf_index_compaction_keeps_probe_and_refresh(spark, tmp_path):
+    """The index is an engine Delta table: compacting ITS _cid partitions
+    after refreshes keeps the probe exact (same rows), keeps partition
+    pruning, and later refreshes still work (the watermark lives on the
+    source walk, not the index file layout)."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_cpi"), index_alias="emb__ivf_cpi",
+        num_centroids=4, lloyd_iters=1,
+    )
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(300, "a", [1.0, 0.03])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    eng.refresh_ivf_index(idx)
+    before = {r["vec_id"] for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()}
+    assert 300 in before
+    eng.compact_table(idx)
+    after = {r["vec_id"] for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()}
+    assert after == before
+    plan = (
+        eng.ivf_probe(idx, [1.0, 0.0], k=3, n_probe=1, user="admin")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_cid" in plan
+    # refresh still composes after the index compaction
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(301, "a", [0.98, 0.0])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    eng.refresh_ivf_index(idx)
+    got = {r["vec_id"] for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()}
+    assert 301 in got and got >= before
+
+
+# -- governed MinHash index (round 13): Engine-level incremental dedup -------
+
+
+def _minhash_gov_fixture(spark, tmp_path):
+    """Documents table partitioned by lang (en/de) + an engine granting
+    user 'u' only lang=en — the _ivf_gov_fixture shape for text dedup."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "en", "completely different english content about spark query engines"),
+        (3, "de", "der schnelle braune fuchs springt wieder und wieder uber den faulen hund"),
+        (4, "de", "ganz anderer deutscher inhalt uber verteilte speicherformate"),
+    ]
+    src = str(tmp_path / "docs")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        src,
+        ["lang"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "docs", _json.dumps({"lang": "en"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    return Engine(
+        spark,
+        EngineConfig(table_mapping={"docs": src}, read_only=False),
+        permissions_df=perms,
+    )
+
+
+def test_build_minhash_index_governed_probe(spark, tmp_path):
+    """build_minhash_index writes a governed band-partitioned Delta index
+    whose banding parameters ride as table properties;
+    near_duplicates_incremental pairs a new batch against it with the
+    SOURCE ACL injected — a lang-restricted user never receives a
+    candidate from a forbidden partition, even though the probe never
+    touches the source table."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_mh")
+    idx = eng.build_minhash_index("docs", idx_path)
+    assert idx == "docs__minhash"
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.dedup.source"] == "docs"
+    assert conf["graft.dedup.bands"] == "16"
+    # lang travelled into the index (the governance contract)
+    assert "lang" in eng.read_table(idx, user="admin").columns
+    new = spark.createDataFrame(
+        [
+            (100, "THE QUICK brown fox jumps over the lazy dog again and again"),
+            (101, "der schnelle braune fuchs springt wieder und wieder uber den faulen hund"),
+            (102, "entirely novel text never indexed before anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, new, user="admin").collect()
+    }
+    assert full == {(100, 1), (101, 3)}
+    gated = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, new, user="u").collect()
+    }
+    assert gated == {(100, 1)}  # the de pair never reaches user u
+
+
+def test_refresh_minhash_index_incremental_and_delete_aware(spark, tmp_path):
+    """refresh_minhash_index appends only the new commits' signatures
+    (scan spy), is a no-op when fresh, retracts deleted docs' signatures
+    (delete-aware via the shared walk + semi-join DELETE), and refuses on
+    a vacuumed tombstone."""
+    import json as _json
+    import os
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    src = eng.resolve("docs")
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh2"),
+                                  index_alias="docs__mh2")
+    built_v = deltalog.latest_version(src)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(10, "en", "brand new english document about vectorized execution")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    new_paths = set()
+    with open(os.path.join(src, "_delta_log", f"{built_v + 1:020d}.json")) as f:
+        for line in f:
+            a = _json.loads(line) if line.strip() else {}
+            if a.get("add"):
+                new_paths.add(a["add"]["path"])
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        assert eng.refresh_minhash_index(idx) == built_v + 1
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == [new_paths]
+    # the new doc now pairs from the refreshed index
+    probe = spark.createDataFrame(
+        [(200, "brand new english document about vectorized execution")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
+    }
+    assert got == {(200, 10)}
+    # fresh -> no-op, zero scans
+    scanned.clear()
+    Engine._read_clone_enumerated = spy
+    try:
+        assert eng.refresh_minhash_index(idx) == built_v + 1
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []
+    # delete-aware: remove doc 10 from the source, refresh, pair gone
+    eng.delete("docs", F.col("doc_id") == 10)
+    eng.refresh_minhash_index(idx)
+    assert eng.near_duplicates_incremental(idx, probe, user="admin").count() == 0
+    # signature rows really left the index table (not just filtered)
+    assert eng.read_table(idx, user="admin").filter("doc_id = 10").count() == 0
+    # vacuumed tombstone refuses
+    eng.delete("docs", F.col("doc_id") == 2)
+    v2 = deltalog.latest_version(src)
+    with open(os.path.join(src, "_delta_log", f"{v2:020d}.json")) as f:
+        gone = [
+            _json.loads(line)["remove"]["path"]
+            for line in f
+            if line.strip() and _json.loads(line).get("remove")
+        ]
+    for rel in gone:
+        os.remove(os.path.join(src, rel))
+    with pytest.raises(ValueError, match="vacuumed"):
+        eng.refresh_minhash_index(idx)

@@ -169,3 +169,26 @@ def test_line_dedup_incremental_single_generate_no_python(spark):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p  # batch explode materialized once
+
+
+def test_embedding_incremental_is_codegen_equi_join(spark):
+    """Embedding incremental dedup (r13): deterministic-hyperplane bucket
+    + quantized verify — one equi-join on bucket, cosine in codegen
+    higher-order functions, zero Python, no cartesian."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3, float(i % 5) - 2, 1.0, -0.5]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    index = dedup.embedding_lsh_index(emb, dim=4, num_planes=6)
+    new = spark.createDataFrame(
+        [(100, [0.5, -1.0, 1.0, -0.5])], "vec_id long, embedding array<double>"
+    )
+    df = dedup.embedding_near_duplicates_incremental(
+        new, index, threshold=0.9, dim=4, num_planes=6
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Join" in p
