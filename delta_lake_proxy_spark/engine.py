@@ -1728,6 +1728,46 @@ class Engine:
             threshold=threshold,
         )
 
+    def verify_near_duplicates(
+        self,
+        index_alias: str,
+        candidates: DataFrame,
+        new_docs: DataFrame,
+        threshold: float = 0.6,
+        user: str = acl.ANONYMOUS,
+    ) -> DataFrame:
+        """Exact-Jaccard verification of :meth:`near_duplicates_incremental`
+        candidates — the governed form of
+        ``functions.dedup.minhash_verify_candidates``: the indexed side's
+        text comes from a :meth:`read_table` of the SOURCE restricted to
+        the candidate ids (semi-join before shingling — O(candidate docs)
+        at any corpus size, and the ACL applies, so a forbidden document's
+        text can never be shingled on a user's behalf), the new side from
+        ``new_docs``; ``shingle_words`` comes from the index properties so
+        the verification shingles exactly like the signatures did.
+        Generate candidates with an estimate threshold a margin BELOW
+        ``threshold`` (est noise ±0.06 at 64 hashes). Output:
+        ``(new_id, indexed_id, jaccard)`` with exact jaccard >=
+        ``threshold``."""
+        from .functions import dedup as _dd
+
+        prm = self._minhash_index_params(index_alias)
+        id_col, text_col = prm["id_col"], prm["text_col"]
+        corpus = self.read_table(prm["source"], user=user).select(
+            F.col(id_col), F.col(text_col)
+        )
+        both = corpus.unionByName(
+            new_docs.select(F.col(id_col), F.col(text_col))
+        )
+        return _dd.minhash_verify_candidates(
+            candidates,
+            both,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_words=prm["shingle_words"],
+            threshold=threshold,
+        )
+
     def _read_data(
         self,
         path: str,

@@ -4147,3 +4147,36 @@ def test_refresh_minhash_index_incremental_and_delete_aware(spark, tmp_path):
         os.remove(os.path.join(src, rel))
     with pytest.raises(ValueError, match="vacuumed"):
         eng.refresh_minhash_index(idx)
+
+
+def test_verify_near_duplicates_governed(spark, tmp_path):
+    """The governed exact-verify companion: candidates from the est-scored
+    incremental probe re-verify with exact Jaccard, reading ONLY the
+    candidate docs' text through the governed source (the ACL applies —
+    a lang-restricted user cannot have forbidden text shingled on their
+    behalf, so the de pair never verifies for user u)."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh3"),
+                                  index_alias="docs__mh3")
+    new = spark.createDataFrame(
+        [
+            (100, "THE QUICK brown fox jumps over the lazy dog again and again"),
+            (101, "der schnelle braune fuchs springt wieder und wieder uber den faulen hund"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = eng.near_duplicates_incremental(idx, new, threshold=0.45, user="admin")
+    verified = {
+        (r["new_id"], r["indexed_id"]): r["jaccard"]
+        for r in eng.verify_near_duplicates(idx, cands, new, threshold=0.6,
+                                            user="admin").collect()
+    }
+    assert verified == {(100, 1): 1.0, (101, 3): 1.0}
+    # the restricted user: the de candidate cannot verify (source read of
+    # doc 3's text is ACL-blocked) — only the en pair survives
+    gated = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.verify_near_duplicates(idx, cands, new, threshold=0.6,
+                                            user="u").collect()
+    }
+    assert gated == {(100, 1)}
