@@ -4014,7 +4014,10 @@ def _minhash_gov_fixture(spark, tmp_path):
     src = str(tmp_path / "docs")
     write_governed_table(
         spark,
-        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        # one file per partition (not per row): partial-file DELETEs can
+        # then take the DV shape on a DV-enabled clone of this fixture
+        spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        .repartition(1),
         src,
         ["lang"],
     )
@@ -4180,3 +4183,71 @@ def test_verify_near_duplicates_governed(spark, tmp_path):
                                             user="u").collect()
     }
     assert gated == {(100, 1)}
+
+
+def test_refresh_minhash_index_dv_source(spark, tmp_path):
+    """Minhash refresh on a DELETION-VECTOR source: the DV commit re-adds
+    the same parquet with a DV — the shared walk retracts the file's doc
+    ids and RE-SIGNS only the live rows through the dv_items scan, so
+    the deleted doc stops pairing while its file-mates keep their
+    signatures (no dupes, no ghosts)."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    eng.enable_deletion_vectors("docs")
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_dv"),
+                                  index_alias="docs__mh_dv")
+    probe_en = spark.createDataFrame(
+        [(300, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe_en, user="admin").collect()
+    } == {(300, 1)}
+    eng.delete("docs", F.col("doc_id") == 1)  # DV commit, no rewrite
+    assert any(
+        r["deletionVector"] is not None
+        for r in deltalog.snapshot_files(spark, eng.resolve("docs")).collect()
+    )
+    eng.refresh_minhash_index(idx)
+    assert eng.near_duplicates_incremental(idx, probe_en, user="admin").count() == 0
+    # file-mate doc 2 (same lang=en partition file set) re-signed, once
+    sigs = eng.read_table(idx, user="admin")
+    assert sigs.filter("doc_id = 1").count() == 0
+    assert sigs.filter("doc_id = 2").count() == 16  # one row per band
+    probe_other = spark.createDataFrame(
+        [(301, "completely different english content about spark query engines")],
+        "doc_id long, text string",
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe_other, user="admin").collect()
+    } == {(301, 2)}
+
+
+def test_refresh_minhash_index_source_update(spark, tmp_path):
+    """A source UPDATE (copy-on-write rewrite: remove + add in one
+    commit) flows through the refresh as retract-then-resign: the doc's
+    STALE text stops pairing and its NEW text pairs — one signature set
+    per doc, never two generations at once."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_up"),
+                                  index_alias="docs__mh_up")
+    old_text = "completely different english content about spark query engines"
+    new_text = "rewritten english content describing adaptive query execution"
+    eng.update(
+        "docs",
+        F.col("doc_id") == 2,
+        {"text": F.lit(new_text)},
+    )
+    eng.refresh_minhash_index(idx)
+    probe_old = spark.createDataFrame([(400, old_text)], "doc_id long, text string")
+    probe_new = spark.createDataFrame([(401, new_text)], "doc_id long, text string")
+    assert eng.near_duplicates_incremental(idx, probe_old, user="admin").count() == 0
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe_new, user="admin").collect()
+    } == {(401, 2)}
+    # exactly one signature generation for doc 2
+    assert eng.read_table(idx, user="admin").filter("doc_id = 2").count() == 16
