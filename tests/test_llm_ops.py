@@ -4251,3 +4251,59 @@ def test_refresh_minhash_index_source_update(spark, tmp_path):
     } == {(401, 2)}
     # exactly one signature generation for doc 2
     assert eng.read_table(idx, user="admin").filter("doc_id = 2").count() == 16
+
+
+def test_refresh_ivf_index_crash_between_retract_and_append(spark, tmp_path):
+    """Delete-aware crash window (r13): a refresh that dies AFTER the
+    retract DELETE committed but BEFORE the append re-runs to the
+    correct final state — the second retract is a semi-join no-op (the
+    dead ids are already gone), the append completes, and no id is ever
+    duplicated or resurrected."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    src = eng.resolve("emb")
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_crash2"), index_alias="emb__ivf_crash2",
+        num_centroids=4, lloyd_iters=1,
+    )
+    iv0 = deltalog.table_configuration_no_spark(eng.resolve(idx))[
+        "graft.ivf.indexedVersion"
+    ]
+    eng.delete("emb", F.col("vec_id").isin(3, 7))  # remove + rewrite commit
+    del_v = deltalog.latest_version(src)
+
+    orig_write = Engine.write_table
+    calls = {"n": 0}
+
+    def crashing_write(self, alias, *a, **k):
+        if alias == idx:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before the append")
+        return orig_write(self, alias, *a, **k)
+
+    Engine.write_table = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.refresh_ivf_index(idx)
+    finally:
+        Engine.write_table = orig_write
+    assert calls["n"] == 1  # the retract DELETE is not a write_table call
+    # the retract DELETE committed; the watermark did NOT advance
+    assert deltalog.table_configuration_no_spark(eng.resolve(idx))[
+        "graft.ivf.indexedVersion"
+    ] == iv0
+    rows = eng.read_table(idx, user="admin")
+    assert rows.filter(F.col("vec_id").isin(3, 7)).count() == 0  # retracted
+    # re-run completes: survivors re-enter exactly once, version advances
+    assert eng.refresh_ivf_index(idx) == del_v
+    got = eng.read_table(idx, user="admin")
+    assert got.filter(F.col("vec_id").isin(3, 7)).count() == 0
+    dupes = got.groupBy("vec_id").count().filter("count > 1").count()
+    assert dupes == 0
+    probe = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()
+    }
+    assert {0, 1, 2, 4, 5, 6, 8} <= probe and not ({3, 7} & probe)
