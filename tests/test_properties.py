@@ -623,3 +623,54 @@ def test_bigram_nll_property(spark, texts):
         want = round(float(-s) / len(trans), 6)
         assert got[i]["n_transitions"] == len(trans)
         assert got[i]["bigram_nll"] == pytest.approx(want, abs=1e-9), (i, t)
+
+
+@given(
+    sigs=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                  min_size=2, max_size=24, unique=True),
+    max_hamming=st.integers(min_value=0, max_value=16),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=6),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_incremental_equals_batch_cross_pairs(spark, sigs, max_hamming, flips):
+    """Property (r13): for ANY signature set and banding, the incremental
+    path over the persisted index finds EXACTLY the batch pairer's
+    cross pairs at the same distances — the pigeonhole recall guarantee
+    carries through the index unchanged. The new batch contains one
+    bit-flipped variant of an indexed signature (distance len(flips') by
+    construction) plus fresh random sigs."""
+    from delta_lake_proxy_spark.functions import dedup
+
+    half = max(1, len(sigs) // 2)
+    corpus = [(i, s) for i, s in enumerate(sigs[:half])]
+    newsigs = [(1000 + i, s) for i, s in enumerate(sigs[half:])]
+    # a controlled near-dup: flip |set(flips)| distinct bits of corpus[0]
+    # (flips run in UNSIGNED space — Python XOR on a negative int would
+    # leave the infinite-two's-complement range of an int64)
+    mutated = corpus[0][1] & (2**64 - 1)
+    for b in set(flips):
+        mutated ^= 1 << b
+    if mutated >= 2**63:
+        mutated -= 2**64
+    newsigs.append((1999, mutated))
+    cdf = spark.createDataFrame(corpus, "doc_id long, sig long")
+    ndf = spark.createDataFrame(newsigs, "doc_id long, sig long")
+    index = dedup.hamming_signature_index(cdf, sig_col="sig", max_hamming=max_hamming)
+    inc = {
+        (r["new_id"], r["indexed_id"]): r["hamming"]
+        for r in dedup.hamming_near_duplicates_incremental(
+            ndf, index, max_hamming=max_hamming
+        ).collect()
+    }
+    batch = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["hamming"]
+        for r in dedup.hamming_near_duplicates(
+            cdf.union(ndf), sig_col="sig", max_hamming=max_hamming,
+            max_bucket_size=None,
+        ).collect()
+        if (r["id_a"] >= 1000) != (r["id_b"] >= 1000)
+    }
+    assert inc == batch
+    if len(set(flips)) <= max_hamming:
+        assert (1999, corpus[0][0]) in inc  # pigeonhole recall guarantee
