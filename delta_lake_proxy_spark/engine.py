@@ -1531,27 +1531,96 @@ class Engine:
         mismatched banding — the classic silent-recall footgun of
         hand-managed signature tables. Returns the registered alias
         (default ``<alias>__minhash``)."""
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__minhash",
+            user,
+            {
+                "kind": "minhash",
+                "text_col": text_col,
+                "id_col": id_col,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_words": shingle_words,
+                "max_hamming": 8,
+            },
+            {
+                "graft.dedup.kind": "minhash",
+                "graft.dedup.textCol": text_col,
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.numHashes": str(num_hashes),
+                "graft.dedup.bands": str(bands),
+                "graft.dedup.shingleWords": str(shingle_words),
+            },
+        )
+
+    def build_simhash_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        bands: int | None = None,
+    ) -> str:
+        """The SimHash counterpart of :meth:`build_minhash_index`: a
+        governed band-partitioned index of 60-bit SimHash signatures
+        (``dedup.hamming_signature_index`` over
+        ``dedup.simhash_signatures`` — ~16 B payload per (doc, band)
+        row), with ``max_hamming``/``bands`` pinned as properties. Unlike
+        MinHash, the incremental probe's verification is EXACT by
+        construction (popcount on the stored signature), so there is no
+        verify companion for this kind. Returns the registered alias
+        (default ``<alias>__simhash``)."""
+        from .functions.dedup import _validated_hamming_bands
+
+        bands = _validated_hamming_bands(max_hamming, bands)
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__simhash",
+            user,
+            {
+                "kind": "simhash",
+                "text_col": text_col,
+                "id_col": id_col,
+                "num_hashes": 64,
+                "bands": bands,
+                "shingle_words": 3,
+                "max_hamming": max_hamming,
+            },
+            {
+                "graft.dedup.kind": "simhash",
+                "graft.dedup.textCol": text_col,
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.maxHamming": str(max_hamming),
+                "graft.dedup.bands": str(bands),
+            },
+        )
+
+    def _build_dedup_index(
+        self,
+        alias: str,
+        index_path: str,
+        idx_alias: str,
+        user: str,
+        prm: dict,
+        props: dict,
+    ) -> str:
         if self.config.read_only:
             raise ReadOnlyError(alias)
-        from .functions import dedup as _dd
-
         src_path = self.resolve(alias)
         src_version = deltalog.latest_version(src_path)
         src_df = self.read_table(alias, user=user, version=src_version)
-        idx_alias = index_alias or f"{alias}__minhash"
-        idx = _dd.minhash_signature_index(
-            src_df,
-            text_col=text_col,
-            id_col=id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_words=shingle_words,
-        )
+        idx = self._dedup_index_signatures(prm, src_df)
         # the SOURCE's partition columns travel into the index (the
         # build_ivf_index governance contract): a partition ACL on the
         # source compiles into a plain row predicate on the index, so
         # near_duplicates_incremental can inject it directly
-        idx = self._attach_source_partitions(idx, src_df, id_col, src_path)
+        idx = self._attach_source_partitions(idx, src_df, prm["id_col"], src_path)
         self.config.table_mapping[idx_alias] = index_path
         self.write_table(
             idx_alias,
@@ -1562,13 +1631,8 @@ class Engine:
         self.set_table_properties(
             idx_alias,
             {
+                **props,
                 "graft.dedup.source": alias,
-                "graft.dedup.kind": "minhash",
-                "graft.dedup.textCol": text_col,
-                "graft.dedup.idCol": id_col,
-                "graft.dedup.numHashes": str(num_hashes),
-                "graft.dedup.bands": str(bands),
-                "graft.dedup.shingleWords": str(shingle_words),
                 "graft.dedup.indexedVersion": str(src_version),
             },
         )
@@ -1587,49 +1651,87 @@ class Engine:
             return idx
         return idx.join(src_df.select(F.col(id_col), *pcols), id_col)
 
-    def _minhash_index_params(self, index_alias: str) -> dict:
+    def _dedup_index_params(self, index_alias: str) -> dict:
         path = self.resolve(index_alias)
         conf = deltalog.table_configuration_no_spark(path)
-        if conf.get("graft.dedup.kind") != "minhash":
+        kind = conf.get("graft.dedup.kind")
+        if kind not in ("minhash", "simhash"):
             raise ValueError(
-                f"{index_alias!r} is not a MinHash index built by "
-                "build_minhash_index"
+                f"{index_alias!r} is not a dedup index built by "
+                "build_minhash_index / build_simhash_index"
             )
         return {
             "path": path,
+            "kind": kind,
             "source": conf["graft.dedup.source"],
             "text_col": conf.get("graft.dedup.textCol", "text"),
             "id_col": conf.get("graft.dedup.idCol", "doc_id"),
             "num_hashes": int(conf.get("graft.dedup.numHashes", "64")),
             "bands": int(conf.get("graft.dedup.bands", "16")),
             "shingle_words": int(conf.get("graft.dedup.shingleWords", "3")),
+            "max_hamming": int(conf.get("graft.dedup.maxHamming", "8")),
             "indexed_version": conf.get("graft.dedup.indexedVersion"),
         }
+
+    def _dedup_index_signatures(self, prm: dict, docs: DataFrame) -> DataFrame:
+        """The index-row relation for a batch of documents under an
+        index's pinned parameters — the ONE place both kinds hash, so
+        build and refresh can never drift: minhash -> banded MinHash
+        signatures, simhash -> the banded 64-bit Hamming index over
+        SimHash signatures (both come out (id, band, bucket, sig...))."""
+        from .functions import dedup as _dd
+
+        if prm["kind"] == "minhash":
+            return _dd.minhash_signature_index(
+                docs,
+                text_col=prm["text_col"],
+                id_col=prm["id_col"],
+                num_hashes=prm["num_hashes"],
+                bands=prm["bands"],
+                shingle_words=prm["shingle_words"],
+            )
+        return _dd.hamming_signature_index(
+            _dd.simhash_signatures(
+                docs, text_col=prm["text_col"], id_col=prm["id_col"]
+            ),
+            id_col=prm["id_col"],
+            sig_col="sig",
+            max_hamming=prm["max_hamming"],
+            bands=prm["bands"],
+        )
 
     def refresh_minhash_index(
         self, index_alias: str, user: str = acl.ANONYMOUS
     ) -> int:
-        """Incrementally refresh a :meth:`build_minhash_index` table:
-        signatures of the source commits PAST ``graft.dedup.
-        indexedVersion`` append into the band partitions (only the new
-        commits' files are read — the shared
+        """Back-compat name for :meth:`refresh_dedup_index` (which
+        handles both index kinds)."""
+        return self.refresh_dedup_index(index_alias, user=user)
+
+    def refresh_dedup_index(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> int:
+        """Incrementally refresh a :meth:`build_minhash_index` /
+        :meth:`build_simhash_index` table: signatures of the source
+        commits PAST ``graft.dedup.indexedVersion`` append into the band
+        partitions (only the new commits' files are read — the shared
         :meth:`_source_window_changes` walk), and DELETE-AWARE like
         :meth:`refresh_ivf_index`: a source remove / DV commit retracts
         the dead doc ids via the semi-join DELETE (dead ids read back
         from the tombstoned parquet; a vacuumed tombstone refuses with
         the rebuild hint); DV-carrying re-adds re-sign only their LIVE
-        rows. Crash-idempotent through the same txn watermark pattern.
-        Returns the newly indexed source version."""
+        rows. The signature function is kind-dispatched through
+        :meth:`_dedup_index_signatures`, the same code path the build
+        used — refresh can never hash differently. Crash-idempotent
+        through the same txn watermark pattern. Returns the newly
+        indexed source version."""
         if self.config.read_only:
             raise ReadOnlyError(index_alias)
-        from .functions import dedup as _dd
-
-        prm = self._minhash_index_params(index_alias)
+        prm = self._dedup_index_params(index_alias)
         path = prm["path"]
         if prm["indexed_version"] is None:
             raise ValueError(
                 f"index {index_alias!r} predates indexed-version tracking — "
-                "rebuild once with build_minhash_index to enable refresh"
+                "rebuild once to enable refresh"
             )
         indexed = int(prm["indexed_version"])
         txn_mark = deltalog.all_txn_versions(path).get(_MINHASH_REFRESH_APP, -1)
@@ -1643,7 +1745,7 @@ class Engine:
                 )
             return indexed
         pending, retract = self._source_window_changes(src_path, indexed, cur)
-        id_col, text_col = prm["id_col"], prm["text_col"]
+        id_col = prm["id_col"]
         if retract:
             self._require_retract_files(src_path, retract)
             dead = (
@@ -1671,14 +1773,7 @@ class Engine:
             pred = self.acl_predicate(prm["source"], user)
             if pred is not None:
                 new_rows = new_rows.filter(pred)
-            sigs = _dd.minhash_signature_index(
-                new_rows,
-                text_col=text_col,
-                id_col=id_col,
-                num_hashes=prm["num_hashes"],
-                bands=prm["bands"],
-                shingle_words=prm["shingle_words"],
-            )
+            sigs = self._dedup_index_signatures(prm, new_rows)
             sigs = self._attach_source_partitions(sigs, new_rows, id_col, src_path)
             self.write_table(
                 index_alias,
@@ -1698,25 +1793,38 @@ class Engine:
         threshold: float = 0.6,
         user: str = acl.ANONYMOUS,
     ) -> DataFrame:
-        """Near-dup candidates of a NEW batch against the governed MinHash
-        index: the banding parameters come from the index table's OWN
-        properties (a mismatched-bands probe is impossible), the index is
-        read through :meth:`read_table` and the SOURCE table's resolved
-        ACL for ``user`` is injected as a row predicate — the source's
-        partition columns travel into the index at build/refresh time
-        precisely so this compiles to a plain filter (derived data stays
-        governed, the :meth:`ivf_probe` contract). Output:
-        ``(new_id, indexed_id, est_jaccard)`` — exactly
-        ``functions.dedup.minhash_near_duplicates_incremental``. Callers
-        needing exact Jaccard re-read just the candidate docs with
-        ``minhash_verify_candidates``."""
+        """Near-dup candidates of a NEW batch against a governed dedup
+        index (either kind): the banding parameters come from the index
+        table's OWN properties (a mismatched-bands probe is impossible),
+        the index is read through :meth:`read_table` and the SOURCE
+        table's resolved ACL for ``user`` is injected as a row
+        predicate — the source's partition columns travel into the index
+        at build/refresh time precisely so this compiles to a plain
+        filter (derived data stays governed, the :meth:`ivf_probe`
+        contract). Output by kind: minhash ->
+        ``(new_id, indexed_id, est_jaccard)`` (estimate; verify exactly
+        with :meth:`verify_near_duplicates`); simhash ->
+        ``(new_id, indexed_id, hamming)`` at distance <= the index's
+        pinned ``max_hamming`` — already EXACT (popcount on the stored
+        signature), ``threshold`` is ignored for this kind."""
         from .functions import dedup as _dd
 
-        prm = self._minhash_index_params(index_alias)
+        prm = self._dedup_index_params(index_alias)
         index = self.read_table(index_alias, user=user)
         pred = self.acl_predicate(prm["source"], user)
         if pred is not None:
             index = index.filter(pred)
+        if prm["kind"] == "simhash":
+            return _dd.hamming_near_duplicates_incremental(
+                _dd.simhash_signatures(
+                    new_docs, text_col=prm["text_col"], id_col=prm["id_col"]
+                ),
+                index,
+                id_col=prm["id_col"],
+                sig_col="sig",
+                max_hamming=prm["max_hamming"],
+                bands=prm["bands"],
+            )
         return _dd.minhash_near_duplicates_incremental(
             new_docs,
             index,
@@ -1751,7 +1859,13 @@ class Engine:
         ``threshold``."""
         from .functions import dedup as _dd
 
-        prm = self._minhash_index_params(index_alias)
+        prm = self._dedup_index_params(index_alias)
+        if prm["kind"] != "minhash":
+            raise ValueError(
+                f"index {index_alias!r} is kind {prm['kind']!r}: its "
+                "incremental probe is already exact (popcount on the "
+                "stored signature) — there is nothing to verify"
+            )
         id_col, text_col = prm["id_col"], prm["text_col"]
         corpus = self.read_table(prm["source"], user=user).select(
             F.col(id_col), F.col(text_col)

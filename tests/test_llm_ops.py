@@ -4307,3 +4307,67 @@ def test_refresh_ivf_index_crash_between_retract_and_append(spark, tmp_path):
         for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()
     }
     assert {0, 1, 2, 4, 5, 6, 8} <= probe and not ({3, 7} & probe)
+
+
+def test_build_simhash_index_governed_and_refresh(spark, tmp_path):
+    """The SimHash kind of the governed dedup index: build pins
+    max_hamming/bands as properties, the incremental probe returns EXACT
+    Hamming distances (normalized-identical text pairs at 0) with the
+    source ACL injected, verify refuses (nothing to verify — the probe
+    is exact), and the kind-dispatched refresh appends + retracts
+    through the same shared walk."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_simhash_index("docs", str(tmp_path / "docs_sh"),
+                                  max_hamming=8)
+    assert idx == "docs__simhash"
+    conf = deltalog.table_configuration_no_spark(eng.resolve(idx))
+    assert conf["graft.dedup.kind"] == "simhash"
+    assert conf["graft.dedup.maxHamming"] == "8"
+    assert conf["graft.dedup.bands"] == "9"  # max_hamming + 1 default
+    assert "lang" in eng.read_table(idx, user="admin").columns
+    new = spark.createDataFrame(
+        [
+            (100, "THE QUICK brown fox jumps over the lazy dog again and again"),
+            (101, "der schnelle braune fuchs springt wieder und wieder uber den faulen hund"),
+            (102, "entirely novel text never indexed before anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["new_id"], r["indexed_id"]): r["hamming"]
+        for r in eng.near_duplicates_incremental(idx, new, user="admin").collect()
+    }
+    assert full == {(100, 1): 0, (101, 3): 0}  # normalized-identical
+    gated = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, new, user="u").collect()
+    }
+    assert gated == {(100, 1)}  # de partition never reaches user u
+    with pytest.raises(ValueError, match="nothing to verify"):
+        eng.verify_near_duplicates(idx, spark.createDataFrame(
+            [(100, 1)], "new_id long, indexed_id long"), new)
+    # kind-dispatched refresh: append a doc, probe pairs it; delete it,
+    # probe stops (delete-aware through the shared walk)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(20, "en", "fresh english text about adaptive query execution")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    assert eng.refresh_dedup_index(idx) == deltalog.latest_version(eng.resolve("docs"))
+    probe = spark.createDataFrame(
+        [(500, "FRESH english   text about adaptive query execution")],
+        "doc_id long, text string",
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
+    } == {(500, 20)}
+    eng.delete("docs", F.col("doc_id") == 20)
+    eng.refresh_dedup_index(idx)
+    assert eng.near_duplicates_incremental(idx, probe, user="admin").count() == 0
+    assert eng.read_table(idx, user="admin").filter("doc_id = 20").count() == 0
