@@ -1292,6 +1292,34 @@ class Engine:
                 window_added.add(ap)
         return pending, retract
 
+    def _cdf_refresh_feeds(
+        self, src_alias: str, src_path: str, indexed: int, cur: int
+    ):
+        """Row-EXACT refresh feeds from the source's change feed, or None
+        when CDF is off. Returns ``(dead, fresh)``: ``dead`` = the
+        delete/update_preimage rows of ``(indexed, cur]``, ``fresh`` =
+        the insert/update_postimage rows (CDF meta columns dropped).
+
+        When the source writes cdc change files, this is strictly better
+        than the file-granularity walk: a copy-on-write DELETE's
+        SURVIVORS never appear in either feed, so the index keeps their
+        original rows untouched instead of retract-and-re-adding them —
+        and the feeds stay readable after the rewritten data files are
+        vacuumed (change files have their own retention). The two feeds
+        must be used TOGETHER (a file-walk retract paired with a CDF
+        fresh side would double-add survivors)."""
+        if not self._cdf_enabled(src_path):
+            return None
+        ch = self.table_changes(src_alias, from_version=indexed, to_version=cur)
+        meta_cols = ["_change_type", "_commit_version"]
+        dead = ch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop(*meta_cols)
+        fresh = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop(*meta_cols)
+        return dead, fresh
+
     def _require_retract_files(self, src_path: str, retract: dict) -> None:
         """Refuse a retraction whose tombstoned parquet was already
         vacuumed — the dead row ids are unreadable; only a rebuild can
@@ -1377,6 +1405,11 @@ class Engine:
             return indexed  # already fresh — zero data scans
         pending, retract = self._source_window_changes(src_path, indexed, cur)
         if retract or pending:
+            # a CDF source upgrades BOTH feeds to row-exact change rows
+            # (survivors of a rewrite are never churned; feeds outlive the
+            # rewritten files' vacuum) — the walk above still decides
+            # WHETHER anything happened, from driver-side log json alone
+            cdf = self._cdf_refresh_feeds(src_alias, src_path, indexed, cur)
             cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
             codebook = None
             cb_path = os.path.join(path, "_pq_codebook.json")
@@ -1393,17 +1426,20 @@ class Engine:
                 return _sim.assign_centroids_arrow(df, ids, mat, vec_col)
 
             if retract:
-                self._require_retract_files(src_path, retract)
-                # ids + vectors of every row the changed files USED to hold
-                # (over-approximation: pre-window DV'd / ACL-hidden rows were
-                # never indexed, so their retraction is a semi-join miss) —
+                if cdf is not None:
+                    dead_src = cdf[0].select(id_col, vec_col)
+                else:
+                    self._require_retract_files(src_path, retract)
+                    # ids + vectors of every row the changed files USED to
+                    # hold (over-approximation: pre-window DV'd / ACL-hidden
+                    # rows were never indexed, so their retraction is a
+                    # semi-join miss)
+                    dead_src = self._read_clone_enumerated(
+                        src_path, dict(retract)
+                    ).select(id_col, vec_col)
                 # assigned to the STORED centroids to land in the same _cid
                 # lists the build placed them in
-                dead = assign(
-                    self._read_clone_enumerated(src_path, dict(retract)).select(
-                        id_col, vec_col
-                    )
-                ).select(id_col, "_cid")
+                dead = assign(dead_src).select(id_col, "_cid")
                 dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     # centroid-bounded collect: <= num_centroids values
@@ -1420,32 +1456,38 @@ class Engine:
                 finally:
                     dead.unpersist()
             if pending:
-                pv_of = {
-                    ap: dict(a.get("partitionValues") or {})
-                    for ap, a in pending.items()
-                }
-                dv_items = [
-                    (ap, a["deletionVector"])
-                    for ap, a in pending.items()
-                    if a.get("deletionVector")
-                ]
-                new_rows = self._read_clone_enumerated(
-                    src_path, pv_of, dv_items=dv_items or None
-                )
+                if cdf is not None:
+                    new_rows = cdf[1]
+                else:
+                    pv_of = {
+                        ap: dict(a.get("partitionValues") or {})
+                        for ap, a in pending.items()
+                    }
+                    dv_items = [
+                        (ap, a["deletionVector"])
+                        for ap, a in pending.items()
+                        if a.get("deletionVector")
+                    ]
+                    new_rows = self._read_clone_enumerated(
+                        src_path, pv_of, dv_items=dv_items or None
+                    )
                 pred = self.acl_predicate(src_alias, user)
                 if pred is not None:
                     new_rows = new_rows.filter(pred)
-                assigned = assign(new_rows)
-                if codebook is not None:
-                    assigned = _sim.with_pq_codes(
-                        assigned, codebook, vec_col, "pq_codes"
+                # a pure-DELETE window under cdc-authoritative change files
+                # has rewrite ADDS but no fresh rows — skip the empty commit
+                if cdf is None or not new_rows.isEmpty():
+                    assigned = assign(new_rows)
+                    if codebook is not None:
+                        assigned = _sim.with_pq_codes(
+                            assigned, codebook, vec_col, "pq_codes"
+                        )
+                    self.write_table(
+                        index_alias,
+                        assigned.repartition(F.col("_cid")),
+                        mode="append",
+                        txn={"appId": _IVF_REFRESH_APP, "version": cur},
                     )
-                self.write_table(
-                    index_alias,
-                    assigned.repartition(F.col("_cid")),
-                    mode="append",
-                    txn={"appId": _IVF_REFRESH_APP, "version": cur},
-                )
         self.set_table_properties(
             index_alias, {"graft.ivf.indexedVersion": str(cur)}
         )
@@ -1746,41 +1788,56 @@ class Engine:
             return indexed
         pending, retract = self._source_window_changes(src_path, indexed, cur)
         id_col = prm["id_col"]
+        # CDF source: row-exact feeds for both sides (see refresh_ivf_index)
+        cdf = (
+            self._cdf_refresh_feeds(prm["source"], src_path, indexed, cur)
+            if retract or pending
+            else None
+        )
         if retract:
-            self._require_retract_files(src_path, retract)
-            dead = (
-                self._read_clone_enumerated(src_path, dict(retract))
-                .select(F.col(id_col))
-                .distinct()
-            )
+            if cdf is not None:
+                dead = cdf[0].select(F.col(id_col)).distinct()
+            else:
+                self._require_retract_files(src_path, retract)
+                dead = (
+                    self._read_clone_enumerated(src_path, dict(retract))
+                    .select(F.col(id_col))
+                    .distinct()
+                )
             # band partitions all hold every doc's rows (one per band), so
             # there is no partition condition to prune by — the semi-join
             # DELETE rewrites exactly the files containing dead ids
             self.delete(index_alias, match=dead, on=[id_col])
         if pending:
-            pv_of = {
-                ap: dict(a.get("partitionValues") or {})
-                for ap, a in pending.items()
-            }
-            dv_items = [
-                (ap, a["deletionVector"])
-                for ap, a in pending.items()
-                if a.get("deletionVector")
-            ]
-            new_rows = self._read_clone_enumerated(
-                src_path, pv_of, dv_items=dv_items or None
-            )
+            if cdf is not None:
+                new_rows = cdf[1]
+            else:
+                pv_of = {
+                    ap: dict(a.get("partitionValues") or {})
+                    for ap, a in pending.items()
+                }
+                dv_items = [
+                    (ap, a["deletionVector"])
+                    for ap, a in pending.items()
+                    if a.get("deletionVector")
+                ]
+                new_rows = self._read_clone_enumerated(
+                    src_path, pv_of, dv_items=dv_items or None
+                )
             pred = self.acl_predicate(prm["source"], user)
             if pred is not None:
                 new_rows = new_rows.filter(pred)
-            sigs = self._dedup_index_signatures(prm, new_rows)
-            sigs = self._attach_source_partitions(sigs, new_rows, id_col, src_path)
-            self.write_table(
-                index_alias,
-                sigs.repartition(F.col("band")),
-                mode="append",
-                txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
-            )
+            if cdf is None or not new_rows.isEmpty():
+                sigs = self._dedup_index_signatures(prm, new_rows)
+                sigs = self._attach_source_partitions(
+                    sigs, new_rows, id_col, src_path
+                )
+                self.write_table(
+                    index_alias,
+                    sigs.repartition(F.col("band")),
+                    mode="append",
+                    txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
+                )
         self.set_table_properties(
             index_alias, {"graft.dedup.indexedVersion": str(cur)}
         )

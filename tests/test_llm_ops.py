@@ -4371,3 +4371,125 @@ def test_build_simhash_index_governed_and_refresh(spark, tmp_path):
     eng.refresh_dedup_index(idx)
     assert eng.near_duplicates_incremental(idx, probe, user="admin").count() == 0
     assert eng.read_table(idx, user="admin").filter("doc_id = 20").count() == 0
+
+
+def test_refresh_dedup_index_cdf_source_row_exact(spark, tmp_path):
+    """A CDF source upgrades the refresh to ROW-exact feeds: a
+    partial-file DELETE retracts only the dead doc (no enumerated file
+    scans — spy), survivors are never churned (a pure-DELETE window
+    commits exactly ONE index transaction: the retract DELETE; no append
+    at all), and an UPDATE flows as retract + re-sign of just the
+    updated doc."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("docs", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_cdf"),
+                                  index_alias="docs__mh_cdf")
+    idx_path = eng.resolve(idx)
+    probe1 = spark.createDataFrame(
+        [(300, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    probe2 = spark.createDataFrame(
+        [(301, "completely different english content about spark query engines")],
+        "doc_id long, text string",
+    )
+    eng.delete("docs", F.col("doc_id") == 1)  # partial-file: doc 2 survives
+    v_before = deltalog.latest_version(idx_path)
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []  # row-exact CDF feeds: no file enumeration
+    # pure-DELETE window: exactly ONE index commit (the retract DELETE),
+    # plus the property update — never an append of re-signed survivors
+    ops = []
+    for v in range(v_before + 1, deltalog.latest_version(idx_path) + 1):
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(idx_path, "_delta_log", f"{v:020d}.json")) as f:
+            for line in f:
+                a = _json.loads(line) if line.strip() else {}
+                if a.get("commitInfo"):
+                    ops.append(a["commitInfo"].get("operation"))
+    assert "DELETE" in ops and "APPEND" not in ops and "WRITE" not in ops
+    assert eng.near_duplicates_incremental(idx, probe1, user="admin").count() == 0
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe2, user="admin").collect()
+    } == {(301, 2)}  # the surviving file-mate still pairs, untouched
+    # UPDATE: retract + re-sign exactly the updated doc
+    new_text = "rewritten english content describing columnar execution"
+    eng.update("docs", F.col("doc_id") == 2, {"text": F.lit(new_text)})
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []
+    assert eng.near_duplicates_incremental(idx, probe2, user="admin").count() == 0
+    probe3 = spark.createDataFrame([(302, new_text)], "doc_id long, text string")
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe3, user="admin").collect()
+    } == {(302, 2)}
+    assert eng.read_table(idx, user="admin").filter("doc_id = 2").count() == 16
+
+
+def test_refresh_ivf_index_cdf_source_row_exact(spark, tmp_path):
+    """The IVF refresh on a CDF source: dead vectors retract from their
+    preimage rows, fresh vectors append from insert rows, no enumerated
+    file scans, survivors intact, no duplicate ids."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("emb", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_cdf"), index_alias="emb__ivf_cdf",
+        num_centroids=4, lloyd_iters=1,
+    )
+    eng.delete("emb", F.col("vec_id").isin(3, 7))
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(500, "a", [1.0, 0.01])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        assert eng.refresh_ivf_index(idx) == deltalog.latest_version(eng.resolve("emb"))
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []  # both feeds came from the change feed
+    got = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4, user="admin").collect()
+    }
+    assert not ({3, 7} & got) and 500 in got
+    assert {0, 1, 2, 4, 5, 6, 8} <= got
+    dupes = (
+        eng.read_table(idx, user="admin").groupBy("vec_id").count()
+        .filter("count > 1").count()
+    )
+    assert dupes == 0
