@@ -4445,6 +4445,17 @@ def test_refresh_dedup_index_cdf_source_row_exact(spark, tmp_path):
         for r in eng.near_duplicates_incremental(idx, probe3, user="admin").collect()
     } == {(302, 2)}
     assert eng.read_table(idx, user="admin").filter("doc_id = 2").count() == 16
+    # governance survives the CDF refresh: the change-feed rows carry the
+    # source partition columns, so the re-signed doc still reaches the
+    # lang-restricted user through the ACL filter
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe3, user="u").collect()
+    } == {(302, 2)}
+    assert (
+        eng.read_table(idx, user="admin")
+        .filter("doc_id = 2 AND lang IS NULL").count() == 0
+    )
 
 
 def test_refresh_ivf_index_cdf_source_row_exact(spark, tmp_path):
