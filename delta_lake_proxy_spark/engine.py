@@ -1241,15 +1241,19 @@ class Engine:
 
     def _source_window_changes(
         self, src_path: str, indexed: int, cur: int
-    ) -> tuple[dict[str, dict], dict[str, dict]]:
+    ) -> tuple[dict[str, dict], dict[str, dict], bool]:
         """Net row-level changes of the source commits in ``(indexed, cur]``
         — the shared walk behind every incremental index refresh
         (:meth:`refresh_ivf_index`, :meth:`refresh_minhash_index`).
-        Returns ``(pending, retract)``: ``pending`` maps each net-added
-        file path to its add action (DV-carrying re-adds included — their
-        LIVE rows re-enter), ``retract`` maps each PRE-window file that
-        lost content to its remove action's partitionValues (its rows are
-        in the index and must come out). dataChange=False adds/removes
+        Returns ``(pending, retract, saw_dml)``: ``pending`` maps each
+        net-added file path to its add action (DV-carrying re-adds
+        included — their LIVE rows re-enter), ``retract`` maps each
+        PRE-window file that lost content to its remove action's
+        partitionValues (its rows are in the index and must come out),
+        and ``saw_dml`` is True when ANY dataChange remove or DV-carrying
+        add appeared — including on in-window files, which net OUT of
+        ``retract`` but still mean deleted rows may hide in a row-exact
+        CDF feed (review r13 #1). dataChange=False adds/removes
         (compaction) are skipped on both sides. Removes classify BEFORE
         adds per commit: a DV update logs remove(old identity) +
         add(same path, new DV) inside one commit in unspecified action
@@ -1258,6 +1262,7 @@ class Engine:
         pending: dict[str, dict] = {}
         window_added: set[str] = set()
         retract: dict[str, dict] = {}
+        saw_dml = False
         for v in range(indexed + 1, cur + 1):
             p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
             if not os.path.isfile(p):
@@ -1283,41 +1288,84 @@ class Engine:
                             continue  # compaction tombstone: no row change
                         removes_c[r["path"]] = r
             for rp, r in removes_c.items():
+                saw_dml = True
                 if rp not in window_added:
                     # pre-window content: its rows are in the index — retract
                     retract[rp] = dict(r.get("partitionValues") or {})
                 pending.pop(rp, None)  # superseded within the window
             for ap, a in adds_c.items():
+                if a.get("deletionVector"):
+                    saw_dml = True
                 pending[ap] = a
                 window_added.add(ap)
-        return pending, retract
+        return pending, retract, saw_dml
 
     def _cdf_refresh_feeds(
-        self, src_alias: str, src_path: str, indexed: int, cur: int
+        self, src_alias: str, src_path: str, indexed: int, cur: int, id_col: str
     ):
         """Row-EXACT refresh feeds from the source's change feed, or None
-        when CDF is off. Returns ``(dead, fresh)``: ``dead`` = the
-        delete/update_preimage rows of ``(indexed, cur]``, ``fresh`` =
-        the insert/update_postimage rows (CDF meta columns dropped).
+        when CDF is off or unreadable for this window. Returns
+        ``(dead, fresh)``, NETTED per row id across the window (review
+        r13 #1 — a row inserted at V+1 and deleted at V+2 must not reach
+        the index; one updated twice must land exactly once):
 
-        When the source writes cdc change files, this is strictly better
+        - ``dead``: for every id with any delete/update_preimage event,
+          its EARLIEST such row — the id's PRE-window state, which is
+          what the index holds (the IVF retraction assigns the vector to
+          find the indexed ``_cid`` list; a later preimage's drifted
+          vector could assign elsewhere and the partition-pruned DELETE
+          would miss the real row). Ids never indexed (inserted AND
+          deleted in-window) retract as semi-join no-ops.
+        - ``fresh``: each id's LATEST insert/update_postimage row, and
+          only when no delete struck at a later commit.
+
+        When the source writes cdc change files this is strictly better
         than the file-granularity walk: a copy-on-write DELETE's
         SURVIVORS never appear in either feed, so the index keeps their
-        original rows untouched instead of retract-and-re-adding them —
-        and the feeds stay readable after the rewritten data files are
-        vacuumed (change files have their own retention). The two feeds
-        must be used TOGETHER (a file-walk retract paired with a CDF
-        fresh side would double-add survivors)."""
+        original rows untouched — and the feeds stay readable after the
+        rewritten data files are vacuumed. The two feeds must be used
+        TOGETHER (a file-walk retract paired with a CDF fresh side would
+        double-add survivors). An unreadable window (external DV writer
+        without change files, CDF enabled mid-window, oversized window)
+        returns None so callers fall back to the self-consistent
+        file-granularity path (review r13 #3)."""
         if not self._cdf_enabled(src_path):
             return None
-        ch = self.table_changes(src_alias, from_version=indexed, to_version=cur)
+        from pyspark.sql import Window
+
+        try:
+            ch = self.table_changes(src_alias, from_version=indexed, to_version=cur)
+        except (UnsupportedProtocolError, ValueError, RuntimeError):
+            return None
         meta_cols = ["_change_type", "_commit_version"]
-        dead = ch.filter(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).drop(*meta_cols)
-        fresh = ch.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).drop(*meta_cols)
+        dead_ev = ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        fresh_ev = ch.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        w_dead = Window.partitionBy(id_col).orderBy(F.col("_commit_version").asc())
+        dead = (
+            dead_ev.withColumn("_rn", F.row_number().over(w_dead))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", *meta_cols)
+        )
+        w_fresh = Window.partitionBy(id_col).orderBy(F.col("_commit_version").desc())
+        last_dead = dead_ev.groupBy(F.col(id_col)).agg(
+            F.max("_commit_version").alias("_last_dead_v")
+        )
+        fresh = (
+            fresh_ev.withColumn("_rn", F.row_number().over(w_fresh))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_change_type")
+            .join(last_dead, id_col, "left")
+            # <= not <: an UPDATE's preimage and postimage share one
+            # commit version and the row SURVIVES it (a commit either
+            # deletes a row or updates it, never both), so a same-version
+            # dead event must not veto the postimage — only a strictly
+            # LATER delete kills the fresh row
+            .filter(
+                F.col("_last_dead_v").isNull()
+                | (F.col("_last_dead_v") <= F.col("_commit_version"))
+            )
+            .drop("_last_dead_v", "_commit_version")
+        )
         return dead, fresh
 
     def _require_retract_files(self, src_path: str, retract: dict) -> None:
@@ -1403,14 +1451,17 @@ class Engine:
                     index_alias, {"graft.ivf.indexedVersion": str(indexed)}
                 )
             return indexed  # already fresh — zero data scans
-        pending, retract = self._source_window_changes(src_path, indexed, cur)
+        pending, retract, saw_dml = self._source_window_changes(
+            src_path, indexed, cur
+        )
         if retract or pending:
+            cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
             # a CDF source upgrades BOTH feeds to row-exact change rows
             # (survivors of a rewrite are never churned; feeds outlive the
             # rewritten files' vacuum) — the walk above still decides
-            # WHETHER anything happened, from driver-side log json alone
-            cdf = self._cdf_refresh_feeds(src_alias, src_path, indexed, cur)
-            cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
+            # WHETHER anything happened, from driver-side log json alone;
+            # an unreadable change feed falls back to the file walk
+            cdf = self._cdf_refresh_feeds(src_alias, src_path, indexed, cur, id_col)
             codebook = None
             cb_path = os.path.join(path, "_pq_codebook.json")
             if os.path.exists(cb_path):
@@ -1425,23 +1476,31 @@ class Engine:
                 ids, mat = cents
                 return _sim.assign_centroids_arrow(df, ids, mat, vec_col)
 
-            if retract:
-                if cdf is not None:
-                    dead_src = cdf[0].select(id_col, vec_col)
-                else:
-                    self._require_retract_files(src_path, retract)
-                    # ids + vectors of every row the changed files USED to
-                    # hold (over-approximation: pre-window DV'd / ACL-hidden
-                    # rows were never indexed, so their retraction is a
-                    # semi-join miss)
-                    dead_src = self._read_clone_enumerated(
-                        src_path, dict(retract)
-                    ).select(id_col, vec_col)
-                # assigned to the STORED centroids to land in the same _cid
-                # lists the build placed them in
-                dead = assign(dead_src).select(id_col, "_cid")
-                dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
-                try:
+            # the dead leg runs on the walk's retract set — or, with CDF
+            # feeds, whenever ANY remove/DV appeared: an in-window
+            # insert-then-DELETE nets out of `retract` yet its rows sit in
+            # the fresh feed and must be netted by the feed itself, while
+            # a DV on an in-window file leaves dead rows only the feed
+            # sees (review r13 #1)
+            dead_ids = None
+            try:
+                if retract or (cdf is not None and saw_dml):
+                    if cdf is not None:
+                        dead_src = cdf[0].select(id_col, vec_col)
+                    else:
+                        self._require_retract_files(src_path, retract)
+                        # ids + vectors of every row the changed files USED
+                        # to hold (over-approximation: pre-window DV'd /
+                        # ACL-hidden rows were never indexed, so their
+                        # retraction is a semi-join miss)
+                        dead_src = self._read_clone_enumerated(
+                            src_path, dict(retract)
+                        ).select(id_col, vec_col)
+                    # assigned to the STORED centroids to land in the same
+                    # _cid lists the build placed them in
+                    dead = assign(dead_src).select(id_col, "_cid")
+                    dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+                    dead_ids = dead.select(id_col)
                     # centroid-bounded collect: <= num_centroids values
                     dead_cids = [
                         r["_cid"] for r in dead.select("_cid").distinct().collect()
@@ -1450,48 +1509,81 @@ class Engine:
                         self.delete(
                             index_alias,
                             condition=F.col("_cid").isin(dead_cids),
-                            match=dead.select(id_col),
+                            match=dead_ids,
                             on=[id_col],
                         )
-                finally:
-                    dead.unpersist()
-            if pending:
-                if cdf is not None:
-                    new_rows = cdf[1]
-                else:
-                    pv_of = {
-                        ap: dict(a.get("partitionValues") or {})
-                        for ap, a in pending.items()
-                    }
-                    dv_items = [
-                        (ap, a["deletionVector"])
-                        for ap, a in pending.items()
-                        if a.get("deletionVector")
-                    ]
-                    new_rows = self._read_clone_enumerated(
-                        src_path, pv_of, dv_items=dv_items or None
-                    )
-                pred = self.acl_predicate(src_alias, user)
-                if pred is not None:
-                    new_rows = new_rows.filter(pred)
-                # a pure-DELETE window under cdc-authoritative change files
-                # has rewrite ADDS but no fresh rows — skip the empty commit
-                if cdf is None or not new_rows.isEmpty():
-                    assigned = assign(new_rows)
-                    if codebook is not None:
-                        assigned = _sim.with_pq_codes(
-                            assigned, codebook, vec_col, "pq_codes"
+                if pending:
+                    if cdf is not None:
+                        new_rows = cdf[1]
+                    else:
+                        pv_of = {
+                            ap: dict(a.get("partitionValues") or {})
+                            for ap, a in pending.items()
+                        }
+                        dv_items = [
+                            (ap, a["deletionVector"])
+                            for ap, a in pending.items()
+                            if a.get("deletionVector")
+                        ]
+                        new_rows = self._read_clone_enumerated(
+                            src_path, pv_of, dv_items=dv_items or None
                         )
-                    self.write_table(
-                        index_alias,
-                        assigned.repartition(F.col("_cid")),
-                        mode="append",
-                        txn={"appId": _IVF_REFRESH_APP, "version": cur},
+                    new_rows = self._acl_filter_keeping_retracted(
+                        new_rows, src_alias, user, dead_ids, id_col
                     )
+                    # a pure-DELETE window under cdc-authoritative change
+                    # files has rewrite ADDS but no fresh rows — skip the
+                    # empty commit
+                    if cdf is None or not new_rows.isEmpty():
+                        assigned = assign(new_rows)
+                        if codebook is not None:
+                            assigned = _sim.with_pq_codes(
+                                assigned, codebook, vec_col, "pq_codes"
+                            )
+                        self.write_table(
+                            index_alias,
+                            assigned.repartition(F.col("_cid")),
+                            mode="append",
+                            txn={"appId": _IVF_REFRESH_APP, "version": cur},
+                        )
+            finally:
+                if dead_ids is not None:
+                    dead.unpersist()
         self.set_table_properties(
             index_alias, {"graft.ivf.indexedVersion": str(cur)}
         )
         return cur
+
+    def _acl_filter_keeping_retracted(
+        self,
+        new_rows: DataFrame,
+        src_alias: str,
+        user: str,
+        dead_ids: DataFrame | None,
+        id_col: str,
+    ) -> DataFrame:
+        """ACL-filter a refresh's incoming rows WITHOUT destroying
+        previously-indexed content (review r13 #2): rows whose id was
+        just retracted were admitted by the index's BUILDING user — a
+        refresh run by a narrower user must restore them (the per-probe
+        ACL injection is the query-time governance layer), or a rewrite's
+        out-of-scope survivors silently vanish from the index. Genuinely
+        NEW rows still honor the refreshing user's ACL."""
+        pred = self.acl_predicate(src_alias, user)
+        if pred is None:
+            return new_rows
+        if dead_ids is None:
+            return new_rows.filter(pred)
+        marked = new_rows.join(
+            dead_ids.withColumn("_dlp_was_indexed", F.lit(True)).select(
+                id_col, "_dlp_was_indexed"
+            ),
+            id_col,
+            "left",
+        )
+        return marked.filter(
+            pred | F.col("_dlp_was_indexed").isNotNull()
+        ).drop("_dlp_was_indexed")
 
     def ivf_probe(
         self,
@@ -1786,58 +1878,73 @@ class Engine:
                     index_alias, {"graft.dedup.indexedVersion": str(indexed)}
                 )
             return indexed
-        pending, retract = self._source_window_changes(src_path, indexed, cur)
+        pending, retract, saw_dml = self._source_window_changes(
+            src_path, indexed, cur
+        )
         id_col = prm["id_col"]
         # CDF source: row-exact feeds for both sides (see refresh_ivf_index)
         cdf = (
-            self._cdf_refresh_feeds(prm["source"], src_path, indexed, cur)
+            self._cdf_refresh_feeds(prm["source"], src_path, indexed, cur, id_col)
             if retract or pending
             else None
         )
-        if retract:
-            if cdf is not None:
-                dead = cdf[0].select(F.col(id_col)).distinct()
-            else:
-                self._require_retract_files(src_path, retract)
-                dead = (
-                    self._read_clone_enumerated(src_path, dict(retract))
-                    .select(F.col(id_col))
-                    .distinct()
+        dead = None
+        try:
+            # with CDF feeds the dead leg also runs on in-window DML
+            # (insert-then-delete nets out of `retract` but its rows sit
+            # in the feeds; review r13 #1)
+            if retract or (cdf is not None and saw_dml):
+                if cdf is not None:
+                    dead = cdf[0].select(F.col(id_col)).distinct()
+                else:
+                    self._require_retract_files(src_path, retract)
+                    dead = (
+                        self._read_clone_enumerated(src_path, dict(retract))
+                        .select(F.col(id_col))
+                        .distinct()
+                    )
+                # persisted: delete() probes the match keys for touched
+                # files, survivors and CDC — without a persist each probe
+                # would re-read the retracted parquet (review r13 #6)
+                dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+                # band partitions all hold every doc's rows (one per band),
+                # so there is no partition condition to prune by — the
+                # semi-join DELETE rewrites exactly the files containing
+                # dead ids
+                self.delete(index_alias, match=dead, on=[id_col])
+            if pending:
+                if cdf is not None:
+                    new_rows = cdf[1]
+                else:
+                    pv_of = {
+                        ap: dict(a.get("partitionValues") or {})
+                        for ap, a in pending.items()
+                    }
+                    dv_items = [
+                        (ap, a["deletionVector"])
+                        for ap, a in pending.items()
+                        if a.get("deletionVector")
+                    ]
+                    new_rows = self._read_clone_enumerated(
+                        src_path, pv_of, dv_items=dv_items or None
+                    )
+                new_rows = self._acl_filter_keeping_retracted(
+                    new_rows, prm["source"], user, dead, id_col
                 )
-            # band partitions all hold every doc's rows (one per band), so
-            # there is no partition condition to prune by — the semi-join
-            # DELETE rewrites exactly the files containing dead ids
-            self.delete(index_alias, match=dead, on=[id_col])
-        if pending:
-            if cdf is not None:
-                new_rows = cdf[1]
-            else:
-                pv_of = {
-                    ap: dict(a.get("partitionValues") or {})
-                    for ap, a in pending.items()
-                }
-                dv_items = [
-                    (ap, a["deletionVector"])
-                    for ap, a in pending.items()
-                    if a.get("deletionVector")
-                ]
-                new_rows = self._read_clone_enumerated(
-                    src_path, pv_of, dv_items=dv_items or None
-                )
-            pred = self.acl_predicate(prm["source"], user)
-            if pred is not None:
-                new_rows = new_rows.filter(pred)
-            if cdf is None or not new_rows.isEmpty():
-                sigs = self._dedup_index_signatures(prm, new_rows)
-                sigs = self._attach_source_partitions(
-                    sigs, new_rows, id_col, src_path
-                )
-                self.write_table(
-                    index_alias,
-                    sigs.repartition(F.col("band")),
-                    mode="append",
-                    txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
-                )
+                if cdf is None or not new_rows.isEmpty():
+                    sigs = self._dedup_index_signatures(prm, new_rows)
+                    sigs = self._attach_source_partitions(
+                        sigs, new_rows, id_col, src_path
+                    )
+                    self.write_table(
+                        index_alias,
+                        sigs.repartition(F.col("band")),
+                        mode="append",
+                        txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
+                    )
+        finally:
+            if dead is not None:
+                dead.unpersist()
         self.set_table_properties(
             index_alias, {"graft.dedup.indexedVersion": str(cur)}
         )
@@ -1924,12 +2031,17 @@ class Engine:
                 "stored signature) — there is nothing to verify"
             )
         id_col, text_col = prm["id_col"], prm["text_col"]
-        corpus = self.read_table(prm["source"], user=user).select(
-            F.col(id_col), F.col(text_col)
+        batch = new_docs.select(F.col(id_col), F.col(text_col))
+        # the BATCH text wins for an id present on both sides (a
+        # re-crawled doc keeping its id): verification scores the text
+        # being ingested — without the anti-join, one candidate pair
+        # would emit two contradictory jaccard rows (review r13 #5)
+        corpus = (
+            self.read_table(prm["source"], user=user)
+            .select(F.col(id_col), F.col(text_col))
+            .join(batch.select(id_col), id_col, "left_anti")
         )
-        both = corpus.unionByName(
-            new_docs.select(F.col(id_col), F.col(text_col))
-        )
+        both = corpus.unionByName(batch)
         return _dd.minhash_verify_candidates(
             candidates,
             both,
@@ -4418,10 +4530,11 @@ class Engine:
         if schema_json is not None:
             from pyspark.sql import types as T
 
-            try:
-                schema = T.StructType.fromJson(json.loads(schema_json))
-            except Exception:
-                schema = None
+            # no try/except: callers pass a schema they just serialized
+            # (df.schema.json() / _evolve_schema output) — a parse failure
+            # is a caller bug and silently skipping every NOT NULL probe
+            # would be far worse than the loud error (review r13 #4)
+            schema = T.StructType.fromJson(json.loads(schema_json))
         else:
             schema = self._table_schema(path)
         for f in schema.fields if schema is not None else []:

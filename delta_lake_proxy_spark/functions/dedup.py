@@ -1336,6 +1336,92 @@ def minhash_verify_candidates(
     )
 
 
+def _exploded_lines(
+    docs: DataFrame, text_col: str, id_col: str, separator: str
+) -> DataFrame:
+    """``(_id, _pos, _line)`` per separator-split line, separator
+    validated — the shared front of the C4 line-dedup family (batch,
+    index build, incremental trim): one implementation, so the three can
+    never split differently (review r13 #7)."""
+    if not separator or "\\E" in separator:
+        # \Q...\E quoting cannot represent these; refuse rather than let
+        # the remainder be read as raw regex (or split per character)
+        raise ValueError(
+            f"separator must be non-empty and must not contain "
+            f"backslash-E, got {separator!r}"
+        )
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + separator + "\\E")
+        ).alias("_pos", "_line"),
+    )
+
+
+def _marked_lines(
+    docs: DataFrame,
+    min_line_chars: int,
+    text_col: str,
+    id_col: str,
+    separator: str,
+) -> DataFrame:
+    """The exploded line relation with eligible lines hashed (``_lh``
+    null for short lines), eagerly persisted: it feeds BOTH the per-hash
+    aggregate and the rebuild probe, and Spark would otherwise re-explode
+    the corpus per branch (plan-pinned to a single Generate). Released
+    FIFO via the salt-cache machinery."""
+    lines = _exploded_lines(docs, text_col, id_col, separator)
+    eligible = F.length(F.col("_line")) >= min_line_chars
+    marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
+    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
+    marked.count()  # materialize before the plan forks into two branches
+    _SALT_CACHE.append(marked)
+    release_salt_caches(keep=_SALT_CACHE_MAX)
+    return marked
+
+
+def _trim_marked_lines(
+    marked: DataFrame, firsts: DataFrame, text_col: str, id_col: str, separator: str
+) -> DataFrame:
+    """Rebuild documents from the marked line relation against a
+    ``(_lh, _n, _first)`` removal verdict: keep short/unmatched lines and
+    each removable line's global first occurrence; reassemble in position
+    order. ONE group over the (single) explode carries the kept lines
+    and the removal count together — a filter + second explode would
+    double the heaviest stage AND drop documents whose every line was
+    removed (a doc must survive as empty text, not vanish)."""
+    keep = F.col("_n").isNull() | (  # short or corpus-unique line
+        F.struct(F.col("_id"), F.col("_pos")) == F.col("_first")
+    )
+    rebuilt = (
+        marked.join(firsts, "_lh", "left")
+        .withColumn("_keep", keep)
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                separator,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_lines"),
+        )
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
+    )
+
+
 def dedupe_repeated_lines(
     docs: DataFrame,
     min_count: int = 2,
@@ -1369,25 +1455,7 @@ def dedupe_repeated_lines(
     rebuild order-preserved via sort-by-position reassembly. Output:
     ``(id, text, n_removed_lines)``.
     """
-    if not separator or "\\E" in separator:
-        # \Q...\E quoting cannot represent these; refuse rather than let
-        # the remainder be read as raw regex (or split per character)
-        raise ValueError(
-            f"separator must be non-empty and must not contain "
-            f"backslash-E, got {separator!r}"
-        )
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + separator + "\\E")
-        ).alias("_pos", "_line"),
-    )
-    eligible = F.length(F.col("_line")) >= min_line_chars
-    marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
-    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
-    marked.count()  # materialize before the plan forks into two branches
-    _SALT_CACHE.append(marked)
-    release_salt_caches(keep=_SALT_CACHE_MAX)
+    marked = _marked_lines(docs, min_line_chars, text_col, id_col, separator)
     firsts = (
         marked.filter(F.col("_lh").isNotNull())
         .groupBy("_lh")
@@ -1397,41 +1465,7 @@ def dedupe_repeated_lines(
         )
         .filter(F.col("_n") >= min_count)  # unique lines never join back
     )
-    keep = F.col("_n").isNull() | (  # short or corpus-unique line
-        F.struct(F.col("_id"), F.col("_pos")) == F.col("_first")
-    )
-    # ONE group over the (single) corpus explode carries the kept lines and
-    # the removal count together — a filter + second explode for totals
-    # would double the heaviest stage AND drop documents whose every line
-    # was removed (a doc must survive as empty text, not vanish:
-    # line-removal op, not doc-removal)
-    rebuilt = (
-        marked.join(firsts, "_lh", "left")
-        .withColumn("_keep", keep)
-        .groupBy("_id")
-        .agg(
-            F.concat_ws(
-                separator,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"),
-                                F.struct(F.col("_pos"), F.col("_line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["_line"],
-                ),
-            ).alias(text_col),
-            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed_lines"),
-        )
-    )
-    return rebuilt.select(
-        F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
-    )
+    return _trim_marked_lines(marked, firsts, text_col, id_col, separator)
 
 
 def line_hash_index(
@@ -1452,17 +1486,9 @@ def line_hash_index(
     (``min_line_chars``, ``separator``) must match between index and
     incremental use; refresh after a batch with
     :func:`merge_line_hash_indexes`."""
-    if not separator or "\\E" in separator:
-        raise ValueError(
-            f"separator must be non-empty and must not contain "
-            f"backslash-E, got {separator!r}"
-        )
-    lines = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + separator + "\\E")
-        ).alias("_pos", "_line"),
-    ).filter(F.length(F.col("_line")) >= min_line_chars)
+    lines = _exploded_lines(docs, text_col, id_col, separator).filter(
+        F.length(F.col("_line")) >= min_line_chars
+    )
     return (
         lines.groupBy(F.xxhash64("_line").alias("line_hash"))
         .agg(
@@ -1520,23 +1546,7 @@ def dedupe_repeated_lines_incremental(
     FUTURE occurrences, which is exactly what union-first-occurrence
     semantics give when corpus ids precede batch ids). Output:
     ``(id, text, n_removed_lines)`` — the batch operator's schema."""
-    if not separator or "\\E" in separator:
-        raise ValueError(
-            f"separator must be non-empty and must not contain "
-            f"backslash-E, got {separator!r}"
-        )
-    lines = new_docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + separator + "\\E")
-        ).alias("_pos", "_line"),
-    )
-    eligible = F.length(F.col("_line")) >= min_line_chars
-    marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
-    marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
-    marked.count()  # materialize before the plan forks into two branches
-    _SALT_CACHE.append(marked)
-    release_salt_caches(keep=_SALT_CACHE_MAX)
+    marked = _marked_lines(new_docs, min_line_chars, text_col, id_col, separator)
     batch_agg = (
         marked.filter(F.col("_lh").isNotNull())
         .groupBy("_lh")
@@ -1560,36 +1570,7 @@ def dedupe_repeated_lines_incremental(
         .filter(F.col("_n") >= min_count)
         .select("_lh", "_n", "_first")
     )
-    keep = F.col("_n").isNull() | (
-        F.struct(F.col("_id"), F.col("_pos")) == F.col("_first")
-    )
-    rebuilt = (
-        marked.join(firsts, "_lh", "left")
-        .withColumn("_keep", keep)
-        .groupBy("_id")
-        .agg(
-            F.concat_ws(
-                separator,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"),
-                                F.struct(F.col("_pos"), F.col("_line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["_line"],
-                ),
-            ).alias(text_col),
-            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed_lines"),
-        )
-    )
-    return rebuilt.select(
-        F.col("_id").alias(id_col), F.col(text_col), "n_removed_lines"
-    )
+    return _trim_marked_lines(marked, firsts, text_col, id_col, separator)
 
 
 def dedup_new_against_corpus(

@@ -4504,3 +4504,150 @@ def test_refresh_ivf_index_cdf_source_row_exact(spark, tmp_path):
         .filter("count > 1").count()
     )
     assert dupes == 0
+
+
+# -- review r13 regression pins ----------------------------------------------
+
+
+def test_refresh_cdf_in_window_churn_netted(spark, tmp_path):
+    """Review r13 #1: rows inserted AND deleted (or updated repeatedly)
+    within one refresh window must net out of the CDF feeds — the walk's
+    file-level retract set is empty for in-window files, so the feeds
+    themselves carry the netting. Pinned on the minhash index: the
+    transient doc never enters, the twice-updated doc lands exactly once
+    with its FINAL text."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("docs", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_net"),
+                                  index_alias="docs__mh_net")
+    # window: insert two docs, delete one, update the other twice
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(30, "en", "transient document that will be deleted in this window"),
+             (31, "en", "evolving document first draft of the text")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.delete("docs", F.col("doc_id") == 30)
+    eng.update("docs", F.col("doc_id") == 31, {"text": F.lit("evolving document second draft of the text")})
+    final_text = "evolving document final draft of the text entirely"
+    eng.update("docs", F.col("doc_id") == 31, {"text": F.lit(final_text)})
+    eng.refresh_dedup_index(idx)
+    sigs = eng.read_table(idx, user="admin")
+    assert sigs.filter("doc_id = 30").count() == 0  # transient never entered
+    assert sigs.filter("doc_id = 31").count() == 16  # exactly ONE generation
+    probe_final = spark.createDataFrame(
+        [(600, final_text)], "doc_id long, text string"
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe_final, user="admin").collect()
+    } == {(600, 31)}
+    probe_draft = spark.createDataFrame(
+        [(601, "evolving document first draft of the text")],
+        "doc_id long, text string",
+    )
+    assert eng.near_duplicates_incremental(idx, probe_draft, user="admin").count() == 0
+    # idempotent afterwards
+    v = deltalog.latest_version(eng.resolve("docs"))
+    assert eng.refresh_dedup_index(idx) == v
+
+
+def test_refresh_ivf_cdf_in_window_churn_netted(spark, tmp_path):
+    """The IVF side of review r13 #1: an in-window insert+delete vector
+    never reaches the index; an in-window insert+update lands once, at
+    its FINAL position (retraction assigns the _cid from the EARLIEST
+    preimage — the pre-window state — so pre-window vectors moved by an
+    update are retracted from the list they actually sit in)."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("emb", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_net"), index_alias="emb__ivf_net",
+        num_centroids=4, lloyd_iters=1,
+    )
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(600, "a", [1.0, 0.05]), (601, "a", [0.97, 0.01])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    eng.delete("emb", F.col("vec_id") == 600)
+    # move a PRE-window vector from the +x cluster to the +y cluster: the
+    # retraction must find it in its OLD _cid list
+    eng.update("emb", F.col("vec_id") == 5, {"embedding": F.array(F.lit(0.02), F.lit(1.0))})
+    eng.refresh_ivf_index(idx)
+    rows = eng.read_table(idx, user="admin")
+    assert rows.filter("vec_id = 600").count() == 0
+    assert rows.filter("vec_id = 601").count() == 1
+    assert rows.filter("vec_id = 5").count() == 1  # one copy, post-update
+    got_y = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [0.0, 1.0], k=200, n_probe=1, user="admin").collect()
+    }
+    assert 5 in got_y  # found in the +y list now
+    dupes = rows.groupBy("vec_id").count().filter("count > 1").count()
+    assert dupes == 0
+
+
+def test_refresh_narrow_user_preserves_out_of_scope_survivors(spark, tmp_path):
+    """Review r13 #2: a refresh run by a NARROWER user than the builder
+    must not destroy previously-indexed content. A source DELETE rewrites
+    a de-partition file; the en-only user's refresh retracts the whole
+    file but RESTORES the de survivors (they were admitted by the
+    builder; per-probe ACL injection stays the query-time guard), while
+    genuinely NEW de content still honors the refresher's ACL."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_nu"),
+                                  index_alias="docs__mh_nu")  # built as admin
+    # window: delete de doc 3 (file-mate doc 4 survives the rewrite), and
+    # append one new en + one new de doc
+    eng.delete("docs", F.col("doc_id") == 3)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(40, "en", "brand new english doc about shuffle partitioning"),
+             (41, "de", "brandneues deutsches dokument uber partitionierung")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.refresh_dedup_index(idx, user="u")  # u sees lang=en ONLY
+    sigs = eng.read_table(idx, user="admin")
+    assert sigs.filter("doc_id = 3").count() == 0  # genuinely deleted
+    assert sigs.filter("doc_id = 4").count() == 16  # de SURVIVOR restored
+    assert sigs.filter("doc_id = 40").count() == 16  # new en admitted
+    assert sigs.filter("doc_id = 41").count() == 0  # new de: refuser's ACL
+    # the restored survivor still pairs for an unrestricted user
+    probe4 = spark.createDataFrame(
+        [(700, "ganz anderer deutscher inhalt uber verteilte speicherformate")],
+        "doc_id long, text string",
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe4, user="admin").collect()
+    } == {(700, 4)}
+
+
+def test_verify_near_duplicates_recrawled_id_uses_batch_text(spark, tmp_path):
+    """Review r13 #5: a batch doc REUSING an indexed doc_id (a re-crawl)
+    must verify against the BATCH text, yielding exactly one jaccard row
+    per pair — not two contradictory rows from both text generations."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_rc"),
+                                  index_alias="docs__mh_rc")
+    # id 2 re-crawled: its NEW text is a near-dup of indexed doc 1
+    new = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    cands = eng.near_duplicates_incremental(idx, new, threshold=0.45, user="admin")
+    rows = eng.verify_near_duplicates(idx, cands, new, threshold=0.5,
+                                      user="admin").collect()
+    pairs = [(r["new_id"], r["indexed_id"], r["jaccard"]) for r in rows]
+    assert pairs == [(2, 1, 1.0)]  # ONE row, scored on the batch text
