@@ -1574,13 +1574,12 @@ class Engine:
             return new_rows
         if dead_ids is None:
             return new_rows.filter(pred)
-        marked = new_rows.join(
-            dead_ids.withColumn("_dlp_was_indexed", F.lit(True)).select(
-                id_col, "_dlp_was_indexed"
-            ),
-            id_col,
-            "left",
+        marker = (
+            dead_ids.select(id_col)
+            .dropDuplicates([id_col])  # a duplicated id must not fan rows out
+            .withColumn("_dlp_was_indexed", F.lit(True))
         )
+        marked = new_rows.join(marker, id_col, "left")
         return marked.filter(
             pred | F.col("_dlp_was_indexed").isNotNull()
         ).drop("_dlp_was_indexed")
