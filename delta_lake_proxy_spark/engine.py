@@ -1258,11 +1258,23 @@ class Engine:
         adds per commit: a DV update logs remove(old identity) +
         add(same path, new DV) inside one commit in unspecified action
         order, and the pre-window test must be order-independent. A
-        cleaned-up commit json refuses with the rebuild hint."""
+        cleaned-up commit json refuses with the rebuild hint.
+
+        ``remove.partitionValues`` is OPTIONAL in the Delta protocol: an
+        external writer may omit it, and on a partitioned table the
+        retracted rows would then read back with NULL partition columns —
+        silently matching nothing if the id/vec column is partition-based
+        (advice r13 #3). A pre-window remove missing them recovers the
+        file's partitionValues from its last surviving ADD (the live-adds
+        replay at the ``indexed`` version); an unrecoverable file refuses
+        with the rebuild hint rather than retract nothing."""
         pending: dict[str, dict] = {}
         window_added: set[str] = set()
         retract: dict[str, dict] = {}
         saw_dml = False
+        meta = deltalog.table_metadata_no_spark(src_path) or {}
+        has_parts = bool(meta.get("partitionColumns"))
+        base_adds: dict[str, dict] | None = None  # lazy pv-recovery replay
         for v in range(indexed + 1, cur + 1):
             p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
             if not os.path.isfile(p):
@@ -1291,7 +1303,21 @@ class Engine:
                 saw_dml = True
                 if rp not in window_added:
                     # pre-window content: its rows are in the index — retract
-                    retract[rp] = dict(r.get("partitionValues") or {})
+                    pv = r.get("partitionValues")
+                    if has_parts and not pv:
+                        if base_adds is None:
+                            base_adds = deltalog._live_adds_no_spark(
+                                src_path, max_version=indexed
+                            )
+                        pv = (base_adds.get(rp) or {}).get("partitionValues")
+                        if not pv:
+                            raise ValueError(
+                                f"remove of {rp!r} carries no partitionValues "
+                                "and no surviving add records them — retracted "
+                                "rows would read back with NULL partition "
+                                "columns; rebuild the index"
+                            )
+                    retract[rp] = dict(pv or {})
                 pending.pop(rp, None)  # superseded within the window
             for ap, a in adds_c.items():
                 if a.get("deletionVector"):
@@ -1328,7 +1354,18 @@ class Engine:
         double-add survivors). An unreadable window (external DV writer
         without change files, CDF enabled mid-window, oversized window)
         returns None so callers fall back to the self-consistent
-        file-granularity path (review r13 #3)."""
+        file-granularity path (review r13 #3).
+
+        The fallback decision happens EAGERLY (advice r13 #4): the feeds
+        are lazy plans, so ``table_changes`` succeeding at plan time does
+        not mean the window's change/data files still exist — one vacuumed
+        between planning and the delete/append jobs would fail the refresh
+        MID-FLIGHT, after the retract DELETE may already be committed.
+        Every file the feed would read (cdc files; add/remove parquet of
+        commits without change files) is stat'd here, before any index
+        commit, and a missing one returns None so the caller falls back
+        (and the file walk's own ``_require_retract_files`` decides from
+        there)."""
         if not self._cdf_enabled(src_path):
             return None
         from pyspark.sql import Window
@@ -1336,6 +1373,8 @@ class Engine:
         try:
             ch = self.table_changes(src_alias, from_version=indexed, to_version=cur)
         except (UnsupportedProtocolError, ValueError, RuntimeError):
+            return None
+        if not self._cdf_feed_files_exist(src_path, indexed, cur):
             return None
         meta_cols = ["_change_type", "_commit_version"]
         dead_ev = ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
@@ -1367,6 +1406,41 @@ class Engine:
             .drop("_last_dead_v", "_commit_version")
         )
         return dead, fresh
+
+    def _cdf_feed_files_exist(self, src_path: str, indexed: int, cur: int) -> bool:
+        """Driver-side existence check of every file a CDF feed over the
+        ``(indexed, cur]`` window would read, per the Delta CDF read
+        protocol: a commit WITH cdc actions feeds its change files; one
+        without feeds its dataChange add parquet (inserts) and remove
+        parquet (whole-file deletes). Pure os.stat over the commit jsons
+        already required by the walk — no Spark job."""
+        for v in range(indexed + 1, cur + 1):
+            p = os.path.join(deltalog.log_path(src_path), f"{v:020d}.json")
+            if not os.path.isfile(p):
+                return False
+            cdc_paths: list[str] = []
+            data_paths: list[str] = []
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if action.get("cdc") is not None:
+                        cdc_paths.append(action["cdc"]["path"])
+                    elif action.get("add") is not None:
+                        a = action["add"]
+                        if a.get("dataChange") is not False:
+                            data_paths.append(a["path"])
+                    elif action.get("remove") is not None:
+                        r = action["remove"]
+                        if r.get("dataChange") is not False:
+                            data_paths.append(r["path"])
+            for rel in cdc_paths or data_paths:
+                if not _is_foreign_path(rel) and not os.path.isfile(
+                    os.path.join(src_path, rel)
+                ):
+                    return False
+        return True
 
     def _require_retract_files(self, src_path: str, retract: dict) -> None:
         """Refuse a retraction whose tombstoned parquet was already
@@ -1483,8 +1557,15 @@ class Engine:
             # a DV on an in-window file leaves dead rows only the feed
             # sees (review r13 #1)
             dead_ids = None
+            pre_index_ids = None
             try:
                 if retract or (cdf is not None and saw_dml):
+                    # the index's id relation BEFORE the retract DELETE —
+                    # planned now (the live-file set pins at plan time;
+                    # tombstoned parquet survives until vacuum) so the ACL
+                    # marker below can intersect dead_ids down to ids the
+                    # index actually held (advice r13 #2)
+                    pre_index_ids = self._read_data(path).select(F.col(id_col))
                     if cdf is not None:
                         dead_src = cdf[0].select(id_col, vec_col)
                     else:
@@ -1529,7 +1610,8 @@ class Engine:
                             src_path, pv_of, dv_items=dv_items or None
                         )
                     new_rows = self._acl_filter_keeping_retracted(
-                        new_rows, src_alias, user, dead_ids, id_col
+                        new_rows, src_alias, user, dead_ids, id_col,
+                        index_ids=pre_index_ids,
                     )
                     # a pure-DELETE window under cdc-authoritative change
                     # files has rewrite ADDS but no fresh rows — skip the
@@ -1561,6 +1643,7 @@ class Engine:
         user: str,
         dead_ids: DataFrame | None,
         id_col: str,
+        index_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ACL-filter a refresh's incoming rows WITHOUT destroying
         previously-indexed content (review r13 #2): rows whose id was
@@ -1568,14 +1651,28 @@ class Engine:
         refresh run by a narrower user must restore them (the per-probe
         ACL injection is the query-time governance layer), or a rewrite's
         out-of-scope survivors silently vanish from the index. Genuinely
-        NEW rows still honor the refreshing user's ACL."""
+        NEW rows still honor the refreshing user's ACL.
+
+        ``dead_ids`` OVER-approximates "previously indexed" (advice r13
+        #2): ACL-hidden rows of a retracted file and in-window
+        inserted-then-updated ids were never indexed, and marking them
+        would let content invisible to even the BUILDING user bypass the
+        refreshing user's ACL into the index table. ``index_ids`` — the
+        id relation of the index as it stood BEFORE this refresh's
+        retract DELETE — intersects the marker down to ids the index
+        actually held."""
         pred = self.acl_predicate(src_alias, user)
         if pred is None:
             return new_rows
         if dead_ids is None:
             return new_rows.filter(pred)
+        was_indexed = dead_ids.select(id_col)
+        if index_ids is not None:
+            was_indexed = was_indexed.join(
+                index_ids.select(id_col), id_col, "semi"
+            )
         marker = (
-            dead_ids.select(id_col)
+            was_indexed
             .dropDuplicates([id_col])  # a duplicated id must not fan rows out
             .withColumn("_dlp_was_indexed", F.lit(True))
         )
@@ -1779,7 +1876,13 @@ class Engine:
         but the doc table is not metadata-sized — this is a plain
         id-keyed join, one shuffle of (id, pcols) pairs)."""
         meta = deltalog.table_metadata_no_spark(src_path) or {}
-        pcols = [c for c in (meta.get("partitionColumns") or []) if c in src_df.columns]
+        pcols = [
+            c
+            for c in (meta.get("partitionColumns") or [])
+            # the id itself may BE a partition column — it already rides
+            # every index row, and re-selecting it would duplicate the name
+            if c in src_df.columns and c != id_col
+        ]
         if not pcols:
             return idx
         return idx.join(src_df.select(F.col(id_col), *pcols), id_col)
@@ -1888,11 +1991,15 @@ class Engine:
             else None
         )
         dead = None
+        pre_index_ids = None
         try:
             # with CDF feeds the dead leg also runs on in-window DML
             # (insert-then-delete nets out of `retract` but its rows sit
             # in the feeds; review r13 #1)
             if retract or (cdf is not None and saw_dml):
+                # pre-DELETE index id relation for the ACL marker
+                # (advice r13 #2; see refresh_ivf_index)
+                pre_index_ids = self._read_data(path).select(F.col(id_col))
                 if cdf is not None:
                     dead = cdf[0].select(F.col(id_col)).distinct()
                 else:
@@ -1928,7 +2035,8 @@ class Engine:
                         src_path, pv_of, dv_items=dv_items or None
                     )
                 new_rows = self._acl_filter_keeping_retracted(
-                    new_rows, prm["source"], user, dead, id_col
+                    new_rows, prm["source"], user, dead, id_col,
+                    index_ids=pre_index_ids,
                 )
                 if cdf is None or not new_rows.isEmpty():
                     sigs = self._dedup_index_signatures(prm, new_rows)

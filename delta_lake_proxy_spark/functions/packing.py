@@ -209,6 +209,18 @@ def epoch_shuffle_shards(
     )
 
 
+def _snap_rate(r: float) -> float:
+    """Snap away one-ulp float noise on an intended-integral sampling rate
+    (2.0000000000000004 -> 2.0) so ``floor(rate)`` copies come out exact —
+    but ONLY when the nearest integer is >= 1: snapping toward 0 would send
+    a legitimately tiny rate (r < 1e-12 — a small total against a huge
+    domain) to exactly 0.0 and silently drop the whole weighted domain
+    (advice r12 #3, r13 #1)."""
+    if round(r) >= 1 and abs(r - round(r)) < 1e-12:
+        return float(round(r))
+    return r
+
+
 def sample_to_mix(
     df: DataFrame,
     weights: dict[str, float],
@@ -275,16 +287,12 @@ def sample_to_mix(
     )
     # snap away one-ulp float noise so an intended-integral rate (say
     # 2.0000000000000004) gives EXACTLY floor(rate) copies, never a
-    # spurious extra on coin==0 — but ONLY near an integer: a blanket
-    # round(r, 12) would send a legitimately tiny rate (< 5e-13, small
-    # total vs a huge domain) to exactly 0.0 and silently drop the whole
-    # weighted domain (advice r12 #3)
-    rates = {}
-    for d in norm:
-        r = norm[d] * t / counts[d]
-        if abs(r - round(r)) < 1e-12:
-            r = float(round(r))
-        rates[d] = r
+    # spurious extra on coin==0 — but ONLY when the nearest integer is
+    # >= 1: snapping toward 0 would send a legitimately tiny rate
+    # (r < 1e-12, small total vs a huge domain) to exactly 0.0 and
+    # silently drop the whole weighted domain — the very defect the
+    # near-integer window was built to avoid (advice r12 #3, r13 #1)
+    rates = {d: _snap_rate(norm[d] * t / counts[d]) for d in norm}
     if total is None or not allow_upsample:
         over = sorted(d for d, r in rates.items() if r > 1.0)
         if total is not None and over:

@@ -3588,6 +3588,27 @@ def test_sample_to_mix_tiny_rate_not_snapped_to_zero(spark):
     assert per == {0: 2, 1: 2, 2: 2}
 
 
+def test_snap_rate_never_forces_zero():
+    """Advice r13 #1: the near-integer snap only fires when the nearest
+    integer is >= 1 — a rate INSIDE the old absolute window (r < 1e-12,
+    unreachable with materialized rows: it needs a 10^12-doc domain) must
+    keep its exact fractional value instead of snapping to 0.0 and
+    dropping the domain. Pinned directly on the helper."""
+    from delta_lake_proxy_spark.functions.packing import _snap_rate
+
+    # sub-window tiny rates: the old abs(r - round(r)) < 1e-12 snapped all
+    # of these to exactly 0.0 (round(r) == 0)
+    for r in (5e-13, 1e-13, 9.99e-13, 1e-15):
+        assert _snap_rate(r) == r and _snap_rate(r) > 0.0
+    # one-ulp noise around true integers still snaps (both directions)
+    assert _snap_rate(2.0000000000000004) == 2.0
+    assert _snap_rate(0.9999999999999999) == 1.0
+    assert _snap_rate(1.0000000000000002) == 1.0
+    # plainly fractional rates are untouched
+    assert _snap_rate(0.002) == 0.002
+    assert _snap_rate(2.5) == 2.5
+
+
 # -- byte-level BPE (round 13, verdict r12 next #5) ---------------------------
 
 
@@ -4504,6 +4525,139 @@ def test_refresh_ivf_index_cdf_source_row_exact(spark, tmp_path):
         .filter("count > 1").count()
     )
     assert dupes == 0
+
+
+# -- advice r13 regression pins (round 14) ------------------------------------
+
+
+def test_refresh_acl_marker_restores_only_indexed_ids(spark, tmp_path):
+    """Advice r13 #2: dead_ids over-approximates 'previously indexed' —
+    ACL-hidden rows of a retracted file were NEVER in the index, and the
+    was-indexed marker must not smuggle their rewrite survivors past the
+    refreshing user's ACL. Build as the RESTRICTED user (index holds en
+    only), DELETE in the forbidden de partition (rewrites the de file),
+    refresh as the same user: the de survivor must stay out."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index(
+        "docs", str(tmp_path / "docs_mh_aclm"), index_alias="docs__mh_aclm",
+        user="u",
+    )
+    ids0 = {
+        r["doc_id"]
+        for r in eng.read_table(idx, user="admin").select("doc_id").distinct().collect()
+    }
+    assert ids0 == {1, 2}  # the restricted build never saw the de docs
+    # file-walk leg: the DELETE rewrites the de file — retract reads back
+    # ids {3, 4}, neither of which the index ever held
+    eng.delete("docs", F.col("doc_id") == 3)
+    eng.refresh_dedup_index(idx, user="u")
+    ids1 = {
+        r["doc_id"]
+        for r in eng.read_table(idx, user="admin").select("doc_id").distinct().collect()
+    }
+    assert ids1 == {1, 2}  # doc 4 (de survivor) did not ride the marker in
+    # CDF leg: an in-window insert-then-update of a FORBIDDEN doc puts its
+    # preimage in the dead feed though it was never indexed — same rule
+    eng.set_table_properties("docs", {"delta.enableChangeDataFeed": "true"})
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(50, "de", "forbidden german document first draft")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.update(
+        "docs", F.col("doc_id") == 50,
+        {"text": F.lit("forbidden german document second draft")},
+    )
+    eng.refresh_dedup_index(idx, user="u")
+    ids2 = {
+        r["doc_id"]
+        for r in eng.read_table(idx, user="admin").select("doc_id").distinct().collect()
+    }
+    assert ids2 == {1, 2}
+
+
+def test_refresh_recovers_missing_remove_partition_values(spark, tmp_path):
+    """Advice r13 #3: remove.partitionValues is OPTIONAL in the Delta
+    protocol — and this engine's OWN delete omits it. When the id column
+    is itself a partition column, the retracted rows would read back with
+    a NULL id and silently retract nothing — the walk must recover the
+    values from the file's last surviving add."""
+    import json as _json
+    import os
+
+    from delta_lake_proxy_spark import Engine, EngineConfig, deltalog
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [(i, f"document number {i} with some distinctive text") for i in range(4)]
+    src = str(tmp_path / "docs_bypid")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        src,
+        ["doc_id"],  # the ID is the partition column — pv loss is fatal
+    )
+    eng = Engine(spark, EngineConfig(table_mapping={"d": src}, read_only=False))
+    idx = eng.build_minhash_index("d", str(tmp_path / "docs_bypid_mh"),
+                                  index_alias="d__mh")
+    eng.delete("d", F.col("doc_id") == 2)
+    # the remove action genuinely carries no partitionValues (the
+    # external-writer shape is the native shape here)
+    v = deltalog.latest_version(src)
+    p = os.path.join(src, "_delta_log", f"{v:020d}.json")
+    removes = [
+        _json.loads(line)["remove"]
+        for line in open(p, encoding="utf-8")
+        if line.strip() and _json.loads(line).get("remove")
+    ]
+    assert removes and all(not r.get("partitionValues") for r in removes)
+    eng.refresh_dedup_index(idx)
+    got = eng.read_table(idx)
+    assert got.filter("doc_id = 2").count() == 0  # retraction really matched
+    assert got.filter("doc_id = 1").count() == 16  # one row per band, intact
+
+
+def test_cdf_refresh_feeds_validate_files_eagerly(spark, tmp_path):
+    """Advice r13 #4: the CDF feeds are lazy — a change file vacuumed
+    between table_changes() plan time and the delete/append jobs must flip
+    the fallback decision BEFORE any index commit. _cdf_refresh_feeds
+    stats every file the feeds would read and returns None on a missing
+    one; the refresh then runs the self-consistent file walk."""
+    import json as _json
+    import os
+
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("docs", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_vac"),
+                                  index_alias="docs__mh_vac")
+    src = eng.resolve("docs")
+    eng.delete("docs", F.col("doc_id") == 1)  # partial-file: writes cdc files
+    v = deltalog.latest_version(src)
+    cdc = []
+    with open(os.path.join(src, "_delta_log", f"{v:020d}.json"), encoding="utf-8") as f:
+        for line in f:
+            a = _json.loads(line) if line.strip() else {}
+            if a.get("cdc"):
+                cdc.append(a["cdc"]["path"])
+    assert cdc  # the DELETE really wrote change files
+    for rel in cdc:
+        os.remove(os.path.join(src, rel))
+    iv = int(
+        deltalog.table_configuration_no_spark(eng.resolve(idx))[
+            "graft.dedup.indexedVersion"
+        ]
+    )
+    # the eager check flips the decision at planning time
+    assert eng._cdf_refresh_feeds("docs", src, iv, v, "doc_id") is None
+    # and the refresh converges through the file walk (data files intact)
+    eng.refresh_dedup_index(idx)
+    got = eng.read_table(idx, user="admin")
+    assert got.filter("doc_id = 1").count() == 0
+    assert got.filter("doc_id = 2").count() == 16
 
 
 # -- review r13 regression pins ----------------------------------------------
