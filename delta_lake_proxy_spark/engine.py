@@ -1831,6 +1831,115 @@ class Engine:
             },
         )
 
+    def build_image_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        bands: int | None = None,
+    ) -> str:
+        """The IMAGE kind of the governed dedup index (verdict r13 next
+        #1): perceptual aHash fingerprints (``multimodal.ahash_media`` —
+        one Arrow pass over the corpus ``media_bytes``/``media_meta``
+        columns, non-image rows omitted) banded into the shared 64-bit
+        Hamming index shape and written as a governed band-partitioned
+        Delta table with ``max_hamming``/``bands`` pinned as
+        ``graft.dedup.*`` properties. Probe with
+        :meth:`near_duplicates_incremental` (exact popcount, source ACL
+        injected — media corpora get the same derived-data governance as
+        text), refresh with :meth:`refresh_dedup_index` (delete-aware,
+        never re-decodes an indexed payload). Returns the registered
+        alias (default ``<alias>__image``)."""
+        from .functions.dedup import _validated_hamming_bands
+
+        bands = _validated_hamming_bands(max_hamming, bands)
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__image",
+            user,
+            {"kind": "image", "id_col": id_col,
+             "max_hamming": max_hamming, "bands": bands},
+            {
+                "graft.dedup.kind": "image",
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.maxHamming": str(max_hamming),
+                "graft.dedup.bands": str(bands),
+            },
+        )
+
+    def build_audio_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        bands: int | None = None,
+    ) -> str:
+        """The AUDIO kind of the governed dedup index: energy-profile
+        hashes (``multimodal.audio_hash_media`` — amplitude-scale
+        invariant, so re-gained copies hash identically) through the same
+        banded Hamming machinery as :meth:`build_image_index`. Returns
+        the registered alias (default ``<alias>__audio``)."""
+        from .functions.dedup import _validated_hamming_bands
+
+        bands = _validated_hamming_bands(max_hamming, bands)
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__audio",
+            user,
+            {"kind": "audio", "id_col": id_col,
+             "max_hamming": max_hamming, "bands": bands},
+            {
+                "graft.dedup.kind": "audio",
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.maxHamming": str(max_hamming),
+                "graft.dedup.bands": str(bands),
+            },
+        )
+
+    def build_video_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        id_col: str = "doc_id",
+    ) -> str:
+        """The VIDEO kind of the governed dedup index: the distinct
+        ``(id, fhash)`` per-frame fingerprint relation
+        (``multimodal.video_frame_hash_index``, stride pinned to 1 — a
+        trim shifts frame indexes, so dedup must sample every frame).
+        Unlike the banded kinds this index is frame-keyed: the probe
+        joins on the 8-byte ``fhash`` and counts distinct shared frames
+        per (new, indexed) pair, and the refresh rule is retract-by-id /
+        re-add-distinct-(id, fhash). Returns the registered alias
+        (default ``<alias>__video``)."""
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__video",
+            user,
+            {"kind": "video", "id_col": id_col},
+            {"graft.dedup.kind": "video", "graft.dedup.idCol": id_col},
+        )
+
+    def _dedup_index_write_partitioning(self, prm: dict):
+        """(repartition column, partition_by) for an index kind's writes —
+        band-partitioned for the banded kinds (incremental joins arrive by
+        (band, bucket), so the probe co-locates per band); the video frame
+        index is fhash-keyed with file-count-bounded clustering instead (a
+        Delta partition per 8-byte hash would be a file per frame)."""
+        if prm["kind"] == "video":
+            return F.col("fhash"), None
+        return F.col("band"), ["band"]
+
     def _build_dedup_index(
         self,
         alias: str,
@@ -1852,11 +1961,12 @@ class Engine:
         # near_duplicates_incremental can inject it directly
         idx = self._attach_source_partitions(idx, src_df, prm["id_col"], src_path)
         self.config.table_mapping[idx_alias] = index_path
+        part_col, part_by = self._dedup_index_write_partitioning(prm)
         self.write_table(
             idx_alias,
-            idx.repartition(F.col("band")),
+            idx.repartition(part_col),
             mode="overwrite",
-            partition_by=["band"],
+            partition_by=part_by,
         )
         self.set_table_properties(
             idx_alias,
@@ -1891,10 +2001,11 @@ class Engine:
         path = self.resolve(index_alias)
         conf = deltalog.table_configuration_no_spark(path)
         kind = conf.get("graft.dedup.kind")
-        if kind not in ("minhash", "simhash"):
+        if kind not in ("minhash", "simhash", "image", "audio", "video"):
             raise ValueError(
                 f"{index_alias!r} is not a dedup index built by "
-                "build_minhash_index / build_simhash_index"
+                "build_minhash_index / build_simhash_index / "
+                "build_image_index / build_audio_index / build_video_index"
             )
         return {
             "path": path,
@@ -1911,10 +2022,13 @@ class Engine:
 
     def _dedup_index_signatures(self, prm: dict, docs: DataFrame) -> DataFrame:
         """The index-row relation for a batch of documents under an
-        index's pinned parameters — the ONE place both kinds hash, so
+        index's pinned parameters — the ONE place every kind hashes, so
         build and refresh can never drift: minhash -> banded MinHash
         signatures, simhash -> the banded 64-bit Hamming index over
-        SimHash signatures (both come out (id, band, bucket, sig...))."""
+        SimHash signatures, image/audio -> the same Hamming banding over
+        perceptual aHash / energy-profile fingerprints (one Arrow pass
+        over the media payloads; all four come out (id, band, bucket,
+        sig...)), video -> the distinct (id, fhash) per-frame relation."""
         from .functions import dedup as _dd
 
         if prm["kind"] == "minhash":
@@ -1926,6 +2040,27 @@ class Engine:
                 bands=prm["bands"],
                 shingle_words=prm["shingle_words"],
             )
+        if prm["kind"] in ("image", "audio"):
+            from .functions import multimodal as _mm
+
+            if prm["kind"] == "image":
+                sigs, sig_col = _mm.ahash_media(docs, id_col=prm["id_col"]), "ahash"
+            else:
+                sigs, sig_col = (
+                    _mm.audio_hash_media(docs, id_col=prm["id_col"]),
+                    "audio_hash",
+                )
+            return _dd.hamming_signature_index(
+                sigs,
+                id_col=prm["id_col"],
+                sig_col=sig_col,
+                max_hamming=prm["max_hamming"],
+                bands=prm["bands"],
+            )
+        if prm["kind"] == "video":
+            from .functions import multimodal as _mm
+
+            return _mm.video_frame_hash_index(docs, id_col=prm["id_col"])
         return _dd.hamming_signature_index(
             _dd.simhash_signatures(
                 docs, text_col=prm["text_col"], id_col=prm["id_col"]
@@ -2043,9 +2178,10 @@ class Engine:
                     sigs = self._attach_source_partitions(
                         sigs, new_rows, id_col, src_path
                     )
+                    part_col, _ = self._dedup_index_write_partitioning(prm)
                     self.write_table(
                         index_alias,
-                        sigs.repartition(F.col("band")),
+                        sigs.repartition(part_col),
                         mode="append",
                         txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
                     )
@@ -2063,9 +2199,11 @@ class Engine:
         new_docs: DataFrame,
         threshold: float = 0.6,
         user: str = acl.ANONYMOUS,
+        min_shared_frames: int = 2,
+        max_bucket_size: int | None = 10_000,
     ) -> DataFrame:
         """Near-dup candidates of a NEW batch against a governed dedup
-        index (either kind): the banding parameters come from the index
+        index (any kind): the banding parameters come from the index
         table's OWN properties (a mismatched-bands probe is impossible),
         the index is read through :meth:`read_table` and the SOURCE
         table's resolved ACL for ``user`` is injected as a row
@@ -2074,10 +2212,16 @@ class Engine:
         filter (derived data stays governed, the :meth:`ivf_probe`
         contract). Output by kind: minhash ->
         ``(new_id, indexed_id, est_jaccard)`` (estimate; verify exactly
-        with :meth:`verify_near_duplicates`); simhash ->
+        with :meth:`verify_near_duplicates`); simhash/image/audio ->
         ``(new_id, indexed_id, hamming)`` at distance <= the index's
         pinned ``max_hamming`` — already EXACT (popcount on the stored
-        signature), ``threshold`` is ignored for this kind."""
+        signature; the new media batch is decoded + hashed in one Arrow
+        pass, the indexed corpus is never re-decoded); video ->
+        ``(new_id, indexed_id, shared_frames)`` with at least
+        ``min_shared_frames`` distinct shared frame fingerprints
+        (``max_bucket_size`` is the hot-frame guard — black frames /
+        title cards held by more indexed videos stop counting).
+        ``threshold`` applies to the minhash kind only."""
         from .functions import dedup as _dd
 
         prm = self._dedup_index_params(index_alias)
@@ -2085,16 +2229,44 @@ class Engine:
         pred = self.acl_predicate(prm["source"], user)
         if pred is not None:
             index = index.filter(pred)
-        if prm["kind"] == "simhash":
+        if prm["kind"] in ("simhash", "image", "audio"):
+            if prm["kind"] == "simhash":
+                new_sigs, sig_col = (
+                    _dd.simhash_signatures(
+                        new_docs, text_col=prm["text_col"], id_col=prm["id_col"]
+                    ),
+                    "sig",
+                )
+            else:
+                from .functions import multimodal as _mm
+
+                if prm["kind"] == "image":
+                    new_sigs, sig_col = (
+                        _mm.ahash_media(new_docs, id_col=prm["id_col"]),
+                        "ahash",
+                    )
+                else:
+                    new_sigs, sig_col = (
+                        _mm.audio_hash_media(new_docs, id_col=prm["id_col"]),
+                        "audio_hash",
+                    )
             return _dd.hamming_near_duplicates_incremental(
-                _dd.simhash_signatures(
-                    new_docs, text_col=prm["text_col"], id_col=prm["id_col"]
-                ),
+                new_sigs,
                 index,
                 id_col=prm["id_col"],
-                sig_col="sig",
+                sig_col=sig_col,
                 max_hamming=prm["max_hamming"],
                 bands=prm["bands"],
+            )
+        if prm["kind"] == "video":
+            from .functions import multimodal as _mm
+
+            return _mm.video_near_duplicates_incremental(
+                new_docs,
+                index,
+                id_col=prm["id_col"],
+                min_shared_frames=min_shared_frames,
+                max_bucket_size=max_bucket_size,
             )
         return _dd.minhash_near_duplicates_incremental(
             new_docs,
@@ -2134,8 +2306,9 @@ class Engine:
         if prm["kind"] != "minhash":
             raise ValueError(
                 f"index {index_alias!r} is kind {prm['kind']!r}: its "
-                "incremental probe is already exact (popcount on the "
-                "stored signature) — there is nothing to verify"
+                "incremental probe is already exact (popcount / shared-"
+                "frame counts on the stored fingerprints) — there is "
+                "nothing to verify"
             )
         id_col, text_col = prm["id_col"], prm["text_col"]
         batch = new_docs.select(F.col(id_col), F.col(text_col))
