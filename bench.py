@@ -69,6 +69,9 @@ EXTENDED = [
     "hamming_incremental",
     "line_dedup_incremental",
     "byte_bpe",
+    # r14: batched multi-query IVF probe vs the single-probe loop
+    "ivf_probe_batch16",
+    "ivf_probe_loop16",
 ]
 
 

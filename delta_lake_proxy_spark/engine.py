@@ -1736,6 +1736,120 @@ class Engine:
             )
         return _sim.probe_index_df(hits, query_vec, k, id_col, vec_col)
 
+    def ivf_probe_batch(
+        self,
+        index_alias: str,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        user: str = acl.ANONYMOUS,
+        shortlist: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str | None = None,
+    ) -> DataFrame:
+        """Governed top-k probe for a whole DataFrame of query vectors —
+        the production retrieval/dedup shape ("find corpus neighbors for
+        every doc in today's ingest"). A driver loop over
+        :meth:`ivf_probe` is a per-query job storm; this is ONE plan
+        (verdict r13 next #2):
+
+        1. centroid ranking per query via the broadcast centroid matrix
+           (``similarity.rank_centroids_arrow`` — one Arrow matmul pass,
+           the same score-desc/cid-asc order as the single probe),
+        2. the index scan pruned by ``_cid IN (union of probed cids)``
+           (a centroid-bounded driver collect, like the refresh's
+           dead-cid set) and joined to the (query, cid) relation on
+           ``_cid`` — each query meets exactly its probed lists, no
+           cartesian,
+        3. optional ADC shortlist per query on an IVFPQ index
+           (``similarity.adc_distance_batch_col`` — codebook inlined
+           once, pure codegen), then exact cosine re-rank, top-k per
+           query by window rank.
+
+        Governance matches the single probe: the index is read through
+        :meth:`read_table` and the SOURCE table's ACL for ``user`` is
+        injected before any scoring. ``queries`` needs ``query_id_col``
+        plus a vector column (default: the index's own vector column
+        name). Output: ``(query_id, <id_col>, score)`` — per query
+        identical to :meth:`ivf_probe`."""
+        import numpy as np
+        from pyspark.sql import Window
+
+        from .functions import similarity as _sim
+        from .functions.dedup import (
+            _SALT_CACHE,
+            _SALT_CACHE_MAX,
+            release_salt_caches,
+        )
+
+        path = self.resolve(index_alias)
+        cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
+        qv = query_vec_col or vec_col
+        if isinstance(cents, list):
+            ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+            mat = np.asarray([v for _, v in cents], dtype=np.float64)
+            order = np.argsort(ids, kind="stable")
+            ids, mat = ids[order], mat[order]
+        else:
+            ids, mat = cents
+        q = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.transform(F.col(qv), lambda x: x.cast("double")).alias("_qvec"),
+        )
+        q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
+        # persisted: the distinct-cid collect below AND the probe join both
+        # consume the ranking — without it the query batch is re-scored
+        q_cid = q_cid.persist(StorageLevel.MEMORY_AND_DISK)
+        _SALT_CACHE.append(q_cid)
+        release_salt_caches(keep=_SALT_CACHE_MAX)
+        # centroid-bounded collect: <= num_centroids values — the union of
+        # probed lists becomes the scan's partition filter
+        probe_cids = [r["_cid"] for r in q_cid.select("_cid").distinct().collect()]
+        df = self.read_table(index_alias, user=user)
+        src_alias = deltalog.table_configuration_no_spark(path).get(
+            "graft.ivf.source"
+        )
+        if src_alias:
+            pred = self.acl_predicate(src_alias, user)
+            if pred is not None:
+                df = df.filter(pred)
+        hits = df.filter(F.col("_cid").isin(probe_cids)).join(
+            q_cid.select("_qid", "_qvec", "_cid"), "_cid"
+        )
+        if shortlist is not None:
+            cb_path = os.path.join(path, "_pq_codebook.json")
+            if not os.path.exists(cb_path):
+                raise ValueError(
+                    f"index {index_alias!r} carries no PQ codebook — build "
+                    "with build_ivf_index(..., pq_m=...) to use a shortlist"
+                )
+            with open(cb_path, encoding="utf-8") as f:
+                codebook = json.load(f)["codebook"]
+            adc = _sim.adc_distance_batch_col(codebook, "_qvec", "pq_codes")
+            w_adc = Window.partitionBy("_qid").orderBy(
+                F.col("_adc").asc(), F.col(id_col).asc()
+            )
+            hits = (
+                hits.select("_qid", "_qvec", F.col(id_col), F.col(vec_col),
+                            adc.alias("_adc"))
+                .withColumn("_rn", F.row_number().over(w_adc))
+                .filter(F.col("_rn") <= max(int(shortlist), k))
+                .drop("_rn", "_adc")
+            )
+        scored = hits.select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(_sim.cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
     def build_minhash_index(
         self,
         alias: str,

@@ -278,6 +278,78 @@ def assign_centroids_arrow(
     return df.mapInPandas(score, out_schema)
 
 
+def rank_centroids_arrow(
+    df: DataFrame,
+    cent_ids,
+    cent_mat,
+    vec_col: str,
+    n_probe: int,
+    out_col: str = "_cid",
+) -> DataFrame:
+    """Top-``n_probe`` centroids PER QUERY ROW by dot-product score (score
+    desc, cid asc on ties — the :func:`probe_centroids` ranking,
+    vectorized): the centroid matrix ships once per executor as a
+    broadcast, each Arrow batch scores with one float64 matmul, and the
+    output explodes to one row per (query, probed cid). ``cent_ids`` must
+    be sorted ascending so a STABLE argsort of the negated scores breaks
+    exact ties toward the smallest cid, matching the single-probe
+    lexsort. This is the batch-probe front end: a driver loop calling
+    ``probe_centroids`` per query is a job storm; this is one pass over
+    the query relation."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    n_probe = max(1, int(n_probe))
+
+    def rank(batches):
+        import numpy as np
+
+        ids, mat = bc.value
+        n = min(n_probe, len(ids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scores = vecs @ mat.T  # (B, C)
+            # stable argsort of -scores over id-ascending columns: score
+            # desc, cid asc ties — per-row, vectorized
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+            out = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+            out[out_col] = ids[order].ravel()
+            yield out
+
+    return df.mapInPandas(rank, out_schema)
+
+
+def adc_distance_batch_col(
+    codebook: list[list[list[float]]], qvec_col: str, codes_col: str
+) -> Column:
+    """The ADC approximate squared-L2 distance for a PER-ROW query vector
+    column (the batch-probe analog of :func:`adc_distance_col`, whose
+    query is a literal): the codebook inlines once as a literal m x k x
+    sub array; each row pays m code lookups + m subvector square-distance
+    folds — pure codegen, no Python."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(c)) for c in code]) for code in codebook[j]])
+            for j in range(m)
+        ]
+    )
+    dist = None
+    for j in range(m):
+        code_vec = F.element_at(
+            F.element_at(cb_lit, j + 1),
+            F.element_at(F.col(codes_col), j + 1) + 1,
+        )
+        term = _sq_l2(F.slice(F.col(qvec_col), j * sub + 1, sub), code_vec)
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def _lloyd_means_df(assigned: DataFrame, vec_col: str) -> DataFrame:
     """One distributed Lloyd step over an assigned corpus: per-(centroid,
     dimension) means via posexplode + hash agg (map-side partial combine —

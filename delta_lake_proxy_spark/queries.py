@@ -2856,6 +2856,67 @@ def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedupe_repeated_lines_incremental(batch, idx)
 
 
+def _ivf_batch_fixture(spark: SparkSession, sf_dir: str):
+    """A cached plain IVF index over the embeddings table plus an Engine
+    that serves it — shared by the batch-probe and probe-loop bench rows
+    so both pay zero build cost in the timed region."""
+    from .engine import Engine
+    from .config import EngineConfig
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fixtures",
+        os.path.basename(os.path.abspath(sf_dir)),
+        "ivf_batch_index",
+    )
+    if not os.path.exists(os.path.join(idx, "_ivf_centroids.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.ivf_build(emb, idx, num_centroids=8, lloyd_iters=1)
+    eng = Engine(spark, EngineConfig(table_mapping={"emb__ivfb": idx}))
+    return eng, "emb__ivfb", idx
+
+
+def _probe_queries(spark: SparkSession, sf_dir: str, n: int = 16) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def ivf_probe_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 batched multi-query IVF probe (r14): 16 query vectors answered
+    in ONE plan — Arrow centroid ranking, union-of-cids pruned scan, one
+    join, per-query window top-k. Compare with :func:`ivf_probe_loop16`
+    (the same 16 queries as 16 single-probe plan branches) for the
+    sub-linear claim. Unregistered (per-query equality with single probes
+    pinned in test_llm_ops); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
+    eng, alias, _ = _ivf_batch_fixture(spark, sf_dir)
+    return eng.ivf_probe_batch(
+        alias, _probe_queries(spark, sf_dir), k=10, n_probe=2
+    )
+
+
+def ivf_probe_loop16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The comparison floor for :func:`ivf_probe_batch16`: the SAME 16
+    queries as a union of 16 single-probe branches (each its own pruned
+    scan + TakeOrdered — and this is still the CHEAP loop: a real driver
+    loop would also pay 16 job submissions)."""
+    _eng, _alias, idx = _ivf_batch_fixture(spark, sf_dir)
+    qs = [
+        (r["query_id"], list(r["embedding"]))
+        for r in _probe_queries(spark, sf_dir).collect()
+    ]
+    out = None
+    for qid, v in qs:
+        one = similarity.ivf_probe(spark, idx, v, k=10, n_probe=2).withColumn(
+            "query_id", F.lit(qid).cast("long")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 def byte_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 byte-level BPE (r13): train 24 GPT-2-style byte merges (one
     Arrow corpus pass + driver trainer) and encode every document to
