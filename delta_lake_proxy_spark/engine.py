@@ -2044,14 +2044,69 @@ class Engine:
             {"graft.dedup.kind": "video", "graft.dedup.idCol": id_col},
         )
 
+    def build_embedding_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int | None = None,
+        num_planes: int = 12,
+        axis_planes: bool = False,
+    ) -> str:
+        """The EMBEDDING kind of the governed dedup index (verdict r13
+        next #3): ``dedup.embedding_lsh_index`` — deterministic
+        random-hyperplane sign buckets plus int8-quantized vectors (4-8x
+        smaller than the corpus floats; candidate verification runs on
+        the stored quantized values, the corpus floats are never
+        re-read) — as a governed Delta table with ``dim``/``num_planes``/
+        ``axis_planes`` pinned as ``graft.dedup.*`` properties. Those
+        parameters were caller-managed on the raw function — the classic
+        silent-recall footgun (a probe bucketing with different planes
+        finds NOTHING, without an error) that property pinning exists to
+        kill. ``dim`` defaults to the corpus's own dimensionality. Probe
+        with :meth:`near_duplicates_incremental` (``threshold`` = min
+        cosine; ``multi_probe`` = Hamming-1 bucket fan-out, the recall
+        lever), refresh with :meth:`refresh_dedup_index`. Returns the
+        registered alias (default ``<alias>__embedding``)."""
+        from .functions import similarity as _sim
+
+        if dim is None:
+            dim = _sim._vec_dim(
+                self.read_table(alias, user=user).select(vec_col), vec_col
+            )
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__embedding",
+            user,
+            {"kind": "embedding", "id_col": id_col, "vec_col": vec_col,
+             "dim": int(dim), "num_planes": num_planes,
+             "axis_planes": axis_planes},
+            {
+                "graft.dedup.kind": "embedding",
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.vecCol": vec_col,
+                "graft.dedup.dim": str(int(dim)),
+                "graft.dedup.numPlanes": str(num_planes),
+                "graft.dedup.axisPlanes": "true" if axis_planes else "false",
+            },
+        )
+
     def _dedup_index_write_partitioning(self, prm: dict):
         """(repartition column, partition_by) for an index kind's writes —
         band-partitioned for the banded kinds (incremental joins arrive by
         (band, bucket), so the probe co-locates per band); the video frame
-        index is fhash-keyed with file-count-bounded clustering instead (a
-        Delta partition per 8-byte hash would be a file per frame)."""
+        index is fhash-keyed and the embedding index bucket-keyed, both
+        with file-count-bounded clustering instead of Delta partitions (a
+        partition per 8-byte hash / 2^num_planes sign bucket would be a
+        file per value)."""
         if prm["kind"] == "video":
             return F.col("fhash"), None
+        if prm["kind"] == "embedding":
+            return F.col("bucket"), None
         return F.col("band"), ["band"]
 
     def _build_dedup_index(
@@ -2115,11 +2170,13 @@ class Engine:
         path = self.resolve(index_alias)
         conf = deltalog.table_configuration_no_spark(path)
         kind = conf.get("graft.dedup.kind")
-        if kind not in ("minhash", "simhash", "image", "audio", "video"):
+        if kind not in ("minhash", "simhash", "image", "audio", "video",
+                        "embedding"):
             raise ValueError(
                 f"{index_alias!r} is not a dedup index built by "
                 "build_minhash_index / build_simhash_index / "
-                "build_image_index / build_audio_index / build_video_index"
+                "build_image_index / build_audio_index / build_video_index "
+                "/ build_embedding_index"
             )
         return {
             "path": path,
@@ -2127,10 +2184,14 @@ class Engine:
             "source": conf["graft.dedup.source"],
             "text_col": conf.get("graft.dedup.textCol", "text"),
             "id_col": conf.get("graft.dedup.idCol", "doc_id"),
+            "vec_col": conf.get("graft.dedup.vecCol", "embedding"),
             "num_hashes": int(conf.get("graft.dedup.numHashes", "64")),
             "bands": int(conf.get("graft.dedup.bands", "16")),
             "shingle_words": int(conf.get("graft.dedup.shingleWords", "3")),
             "max_hamming": int(conf.get("graft.dedup.maxHamming", "8")),
+            "dim": int(conf.get("graft.dedup.dim", "64")),
+            "num_planes": int(conf.get("graft.dedup.numPlanes", "12")),
+            "axis_planes": conf.get("graft.dedup.axisPlanes", "false") == "true",
             "indexed_version": conf.get("graft.dedup.indexedVersion"),
         }
 
@@ -2175,6 +2236,15 @@ class Engine:
             from .functions import multimodal as _mm
 
             return _mm.video_frame_hash_index(docs, id_col=prm["id_col"])
+        if prm["kind"] == "embedding":
+            return _dd.embedding_lsh_index(
+                docs,
+                dim=prm["dim"],
+                num_planes=prm["num_planes"],
+                axis_planes=prm["axis_planes"],
+                id_col=prm["id_col"],
+                vec_col=prm["vec_col"],
+            )
         return _dd.hamming_signature_index(
             _dd.simhash_signatures(
                 docs, text_col=prm["text_col"], id_col=prm["id_col"]
@@ -2315,6 +2385,7 @@ class Engine:
         user: str = acl.ANONYMOUS,
         min_shared_frames: int = 2,
         max_bucket_size: int | None = 10_000,
+        multi_probe: bool = False,
     ) -> DataFrame:
         """Near-dup candidates of a NEW batch against a governed dedup
         index (any kind): the banding parameters come from the index
@@ -2334,8 +2405,12 @@ class Engine:
         ``(new_id, indexed_id, shared_frames)`` with at least
         ``min_shared_frames`` distinct shared frame fingerprints
         (``max_bucket_size`` is the hot-frame guard — black frames /
-        title cards held by more indexed videos stop counting).
-        ``threshold`` applies to the minhash kind only."""
+        title cards held by more indexed videos stop counting);
+        embedding -> ``(new_id, indexed_id, cosine)`` at cosine >=
+        ``threshold``, verified against the stored int8-quantized
+        vectors (``multi_probe`` fans the batch side out to Hamming-1
+        bucket neighbors — the recall lever, index untouched).
+        ``threshold`` applies to the minhash and embedding kinds."""
         from .functions import dedup as _dd
 
         prm = self._dedup_index_params(index_alias)
@@ -2382,6 +2457,18 @@ class Engine:
                 min_shared_frames=min_shared_frames,
                 max_bucket_size=max_bucket_size,
             )
+        if prm["kind"] == "embedding":
+            return _dd.embedding_near_duplicates_incremental(
+                new_docs,
+                index,
+                threshold=threshold,
+                dim=prm["dim"],
+                num_planes=prm["num_planes"],
+                axis_planes=prm["axis_planes"],
+                id_col=prm["id_col"],
+                vec_col=prm["vec_col"],
+                multi_probe=multi_probe,
+            )
         return _dd.minhash_near_duplicates_incremental(
             new_docs,
             index,
@@ -2420,9 +2507,9 @@ class Engine:
         if prm["kind"] != "minhash":
             raise ValueError(
                 f"index {index_alias!r} is kind {prm['kind']!r}: its "
-                "incremental probe is already exact (popcount / shared-"
-                "frame counts on the stored fingerprints) — there is "
-                "nothing to verify"
+                "incremental probe already verifies its candidates "
+                "(popcount / shared-frame counts / quantized cosine on "
+                "the stored fingerprints) — there is nothing to verify"
             )
         id_col, text_col = prm["id_col"], prm["text_col"]
         batch = new_docs.select(F.col(id_col), F.col(text_col))

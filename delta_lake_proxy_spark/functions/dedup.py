@@ -498,6 +498,7 @@ def embedding_near_duplicates_incremental(
     axis_planes: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs between a NEW embedding batch and an
     ALREADY-INDEXED corpus: the batch buckets with the same deterministic
@@ -508,7 +509,17 @@ def embedding_near_duplicates_incremental(
     QUANTIZED vector — exact up to int8 rounding (error ~1/254 per
     component against the stored side only; pinned within 0.01 of the
     float-float batch pairer). The corpus floats are never re-read.
-    Output: ``(new_id, indexed_id, cosine)``."""
+    Output: ``(new_id, indexed_id, cosine)``.
+
+    ``multi_probe`` is the standard LSH recall lever (verdict r13 nit
+    #3): single-bucket probing misses a near-pair whose projections
+    differ in even ONE plane sign; with multi-probe the new side also
+    probes every Hamming-1 bucket neighbor (flip one of ``num_planes``
+    bits), a (num_planes + 1)x fan-out of the BATCH side only — the
+    index is untouched, so the recall/cost dial turns per probe, not
+    per build. No pair can double-emit: the flipped buckets of one
+    vector are all distinct, so at most one matches a given indexed
+    bucket."""
     from .similarity import cosine, lsh_bucket
 
     new = new_embeddings.select(
@@ -516,6 +527,17 @@ def embedding_near_duplicates_incremental(
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("bucket"),
     )
+    if multi_probe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        new = new.select(
+            "new_id", "_vec", F.explode(flips).alias("bucket")
+        )
     old = index.select(
         F.col(id_col).alias("indexed_id"), "bucket", F.col("qvec").alias("_qvec")
     )

@@ -4499,6 +4499,120 @@ def test_ivf_probe_batch_pq_shortlist(spark, tmp_path):
         eng.ivf_probe_batch(plain, queries, k=5, shortlist=10)
 
 
+# -- governed embedding index (round 14, verdict r13 next #3) -----------------
+
+
+def test_build_embedding_index_governed(spark, tmp_path):
+    """The EMBEDDING kind of the governed dedup index: build pins dim /
+    numPlanes / axisPlanes as graft.dedup.* properties (the raw
+    function's caller-managed parameters were the classic silent-recall
+    footgun), the probe verifies against the stored int8-quantized
+    vectors with the SOURCE ACL injected, the governed path equals the
+    function-level incremental on the same parameters, and the
+    kind-dispatched refresh appends + retracts."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.functions import dedup as _dd
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_embedding_index(
+        "emb", str(tmp_path / "emb_lsh"), num_planes=2, axis_planes=True,
+    )
+    assert idx == "emb__embedding"
+    conf = deltalog.table_configuration_no_spark(eng.resolve(idx))
+    assert conf["graft.dedup.kind"] == "embedding"
+    assert conf["graft.dedup.dim"] == "2"  # inferred from the corpus
+    assert conf["graft.dedup.numPlanes"] == "2"
+    assert conf["graft.dedup.axisPlanes"] == "true"
+    cols = eng.read_table(idx, user="admin").columns
+    assert "qvec" in cols and "bucket" in cols and "grp" in cols
+    new = spark.createDataFrame(
+        [(100, [1.0, 0.02]), (101, [0.02, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # multi-probe recall: every same-group vector pairs (buckets split on
+    # the noisy second component's sign; the Hamming-1 fan-out heals it)
+    full = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(
+            idx, new, threshold=0.9, user="admin", multi_probe=True
+        ).collect()
+    }
+    assert {p for p in full if p[0] == 100} == {(100, i) for i in range(40)}
+    assert {p for p in full if p[0] == 101} == {(101, i) for i in range(40, 80)}
+    gated = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(
+            idx, new, threshold=0.9, user="u", multi_probe=True
+        ).collect()
+    }
+    assert gated == {(100, i) for i in range(40)}  # grp=b never reaches u
+    # governed == function-level on identical pinned parameters
+    raw_idx = _dd.embedding_lsh_index(
+        eng.read_table("emb", user="admin"), dim=2, num_planes=2,
+        axis_planes=True,
+    )
+    raw = {
+        (r["new_id"], r["indexed_id"], r["cosine"])
+        for r in _dd.embedding_near_duplicates_incremental(
+            new, raw_idx, threshold=0.9, dim=2, num_planes=2, axis_planes=True
+        ).collect()
+    }
+    gov = {
+        (r["new_id"], r["indexed_id"], r["cosine"])
+        for r in eng.near_duplicates_incremental(
+            idx, new, threshold=0.9, user="admin"
+        ).collect()
+    }
+    assert gov == raw
+    with pytest.raises(ValueError, match="nothing to verify"):
+        eng.verify_near_duplicates(
+            idx, spark.createDataFrame([(100, 1)], "new_id long, indexed_id long"),
+            new,
+        )
+    # refresh: append a vector, probe pairs it; delete it, probe stops
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(500, "a", [1.0, 0.03])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    assert eng.refresh_dedup_index(idx) == deltalog.latest_version(eng.resolve("emb"))
+    probed = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(
+            idx, new, threshold=0.9, user="admin", multi_probe=True
+        ).collect()
+    }
+    assert (100, 500) in probed
+    eng.delete("emb", F.col("vec_id") == 500)
+    eng.refresh_dedup_index(idx)
+    assert eng.read_table(idx, user="admin").filter("vec_id = 500").count() == 0
+
+
+def test_embedding_multi_probe_recall(spark):
+    """Verdict r13 nit #3: one flipped plane sign hides a near-pair from
+    single-bucket probing; the Hamming-1 multi-probe finds it, with no
+    duplicate emission."""
+    from delta_lake_proxy_spark.functions import dedup as _dd
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.01])], "vec_id long, embedding array<double>"
+    )
+    idx = _dd.embedding_lsh_index(corpus, dim=2, num_planes=2, axis_planes=True)
+    new = spark.createDataFrame(
+        [(2, [1.0, -0.01])], "vec_id long, embedding array<double>"
+    )
+    kw = dict(threshold=0.99, dim=2, num_planes=2, axis_planes=True)
+    assert _dd.embedding_near_duplicates_incremental(new, idx, **kw).count() == 0
+    rows = _dd.embedding_near_duplicates_incremental(
+        new, idx, multi_probe=True, **kw
+    ).collect()
+    assert [(r["new_id"], r["indexed_id"]) for r in rows] == [(2, 1)]
+    assert rows[0]["cosine"] >= 0.99
+
+
 # -- governed media dedup indexes (round 14, verdict r13 next #1) -------------
 
 
