@@ -2377,6 +2377,80 @@ class Engine:
         )
         return cur
 
+    def maintain_indexes_stream(
+        self,
+        index_aliases: "list[str] | str",
+        user: str = acl.ANONYMOUS,
+        checkpoint_dir: str | None = None,
+        processing_time: str = "0 seconds",
+        available_now: bool = False,
+    ) -> list:
+        """Continuous index maintenance (verdict r13 next #4): wire the
+        governed LOG-CURSOR streaming reader to the incremental refreshes
+        so indexes stay fresh while their sources take commits — ONE
+        stream per distinct source table, whose every micro-batch invokes
+        :meth:`refresh_ivf_index` / :meth:`refresh_dedup_index` (kind
+        read from the index's own properties) for each index derived from
+        that source.
+
+        The micro-batch DataFrame itself is deliberately IGNORED: a
+        refresh re-reads its commit window from the source log, because
+        retraction needs REMOVED rows that no append-shaped stream
+        carries — the stream contributes the commit-driven trigger and
+        its checkpointable cursor, the refresh contributes the
+        delete-aware semantics. ``ignoreChanges`` is implied for the same
+        reason (DML commits are exactly what the refreshes absorb; they
+        must not fail the maintenance stream).
+
+        Crash/restart safety is layered: the refresh txn watermark makes
+        a re-delivered or replayed trigger a no-op (idempotence), and
+        ``checkpoint_dir`` additionally resumes the source cursor so a
+        restart does not re-serve the initial snapshot. Returns the
+        started ``StreamingQuery`` handles — stop them to end
+        maintenance; ``available_now=True`` instead drains the pending
+        commits once and finishes (the scheduled-catch-up shape)."""
+        if isinstance(index_aliases, str):
+            index_aliases = [index_aliases]
+        by_source: dict[str, list] = {}
+        for ia in index_aliases:
+            conf = deltalog.table_configuration_no_spark(self.resolve(ia))
+            src = conf.get("graft.ivf.source") or conf.get("graft.dedup.source")
+            if not src:
+                raise ValueError(
+                    f"{ia!r} is not a governed index (no graft.*.source "
+                    "table property)"
+                )
+            refresher = (
+                self.refresh_ivf_index
+                if conf.get("graft.ivf.source")
+                else self.refresh_dedup_index
+            )
+            by_source.setdefault(src, []).append((ia, refresher))
+        queries = []
+        for src, pairs in sorted(by_source.items()):
+            stream = self.read_table_stream_log(
+                src, user=user, ignore_changes=True
+            )
+
+            def make_fb(pairs=pairs):
+                def _fb(batch_df, batch_id):
+                    for ia, refresher in pairs:
+                        refresher(ia, user=user)
+
+                return _fb
+
+            w = stream.writeStream.foreachBatch(make_fb())
+            if checkpoint_dir is not None:
+                w = w.option(
+                    "checkpointLocation", os.path.join(checkpoint_dir, src)
+                )
+            if available_now:
+                w = w.trigger(availableNow=True)
+            else:
+                w = w.trigger(processingTime=processing_time)
+            queries.append(w.start())
+        return queries
+
     def near_duplicates_incremental(
         self,
         index_alias: str,

@@ -4499,6 +4499,119 @@ def test_ivf_probe_batch_pq_shortlist(spark, tmp_path):
         eng.ivf_probe_batch(plain, queries, k=5, shortlist=10)
 
 
+# -- streaming index maintenance (round 14, verdict r13 next #4) --------------
+
+
+def test_maintain_indexes_stream_converges_and_restarts(spark, tmp_path):
+    """maintain_indexes_stream keeps a dedup index fresh while the source
+    takes commits: an append pairs from the index without any manual
+    refresh, a DELETE retracts, and a crash mid-maintenance (refresher
+    raises, query dies) converges after restart from the same checkpoint
+    — the txn watermark makes the replayed trigger idempotent."""
+    import time
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "docs_mh_stream"),
+                                  index_alias="docs__mh_s")
+    ckpt = str(tmp_path / "ckpt")
+    probe = spark.createDataFrame(
+        [(300, "streamed english document about continuous maintenance")],
+        "doc_id long, text string",
+    )
+
+    def pairs():
+        return {
+            (r["new_id"], r["indexed_id"])
+            for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
+        }
+
+    # crash leg: the first refresh raises -> the maintenance query dies
+    orig = Engine.refresh_dedup_index
+    state = {"boom": True}
+
+    def crashing(self, index_alias, user=None, **kw):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("simulated maintenance crash")
+        return orig(self, index_alias, user=user or "anonymous")
+
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(40, "en", "streamed english document about continuous maintenance")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    Engine.refresh_dedup_index = crashing
+    try:
+        (q,) = eng.maintain_indexes_stream([idx], user="admin",
+                                           checkpoint_dir=ckpt)
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive  # the crash killed the maintenance query
+    finally:
+        Engine.refresh_dedup_index = orig
+        if q.isActive:
+            q.stop()
+    # restart from the same checkpoint: converges (idempotent refresh)
+    (q,) = eng.maintain_indexes_stream([idx], user="admin", checkpoint_dir=ckpt)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and pairs() != {(300, 40)}:
+            time.sleep(0.5)
+        assert pairs() == {(300, 40)}
+        # a DELETE while the stream runs retracts without manual refresh
+        eng.delete("docs", F.col("doc_id") == 40)
+        deadline = time.time() + 120
+        while time.time() < deadline and pairs():
+            time.sleep(0.5)
+        assert pairs() == set()
+        assert eng.read_table(idx, user="admin").filter("doc_id = 40").count() == 0
+    finally:
+        q.stop()
+    # converged == batch-refresh state: an explicit refresh is a no-op at tip
+    assert eng.refresh_dedup_index(idx) == deltalog.latest_version(
+        eng.resolve("docs")
+    )
+
+
+def test_maintain_indexes_stream_ivf_available_now(spark, tmp_path):
+    """The IVF kind through the same surface, in the scheduled-catch-up
+    shape (available_now drains pending commits once and finishes): a
+    vector appended after the build reaches the probe with no manual
+    refresh call."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_stream"), index_alias="emb__ivf_s",
+        num_centroids=4, lloyd_iters=1,
+    )
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(500, "a", [1.0, 0.01])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=str(tmp_path / "ckpt_ivf"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, [1.0, 0.0], k=200, n_probe=4,
+                               user="admin").collect()
+    }
+    assert 500 in got
+
+
 # -- governed embedding index (round 14, verdict r13 next #3) -----------------
 
 
