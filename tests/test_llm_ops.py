@@ -5004,6 +5004,103 @@ def test_build_video_index_governed(spark, tmp_path):
     assert n_frames == 6  # one row per distinct frame hash
 
 
+def test_incremental_media_curation_governed(spark, tmp_path):
+    """The MULTIMODAL leg of the daily-ingest curation story (verdict r13
+    next #5): a mixed image+audio batch dedups against the GOVERNED
+    perceptual indexes — batch-internal pairs + cross pairs from
+    near_duplicates_incremental feed the corpus-canonical component rule
+    — with survivors equal to the batch pairers on corpus ∪ batch sliced
+    to the batch ids, and the SAME answer after every source parquet is
+    deleted from disk (the indexed corpus is never re-decoded)."""
+    import os
+
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import dedup as _dd
+    from delta_lake_proxy_spark.functions import multimodal as M
+
+    rng = np.random.RandomState(7)
+    img_base = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    img_far = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    other_clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    eng = _media_gov_engine(
+        spark, tmp_path,
+        [_gov_image_row(1, "a", img_base), _gov_image_row(2, "a", img_far),
+         _gov_audio_row(3, "a", clip), _gov_audio_row(4, "a", other_clip)],
+        name="mixmedia",
+    )
+    img_idx = eng.build_image_index("mixmedia", str(tmp_path / "mm_img"))
+    aud_idx = eng.build_audio_index("mixmedia", str(tmp_path / "mm_aud"))
+    # batch: a near-copy of indexed image 1, a fresh image + its internal
+    # near-copy, a re-gained copy of indexed clip 3, a fresh clip
+    near_img = img_base.copy(); near_img[:3, :3, :] = 255
+    fresh_img = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    fresh_img_dup = fresh_img.copy(); fresh_img_dup[:2, :2, :] = 0
+    regained = (clip.astype(np.int32) * 3 // 4).astype(np.int16)
+    fresh_aud = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    batch_schema = _GOV_MEDIA_SCHEMA.replace("grp string, ", "")
+
+    def nogrp(row):
+        return row[0:1] + row[2:]
+
+    batch_rows = [
+        nogrp(_gov_image_row(101, "a", near_img)),
+        nogrp(_gov_image_row(102, "a", fresh_img)),
+        nogrp(_gov_image_row(112, "a", fresh_img_dup)),
+        nogrp(_gov_audio_row(103, "a", regained)),
+        nogrp(_gov_audio_row(104, "a", fresh_aud)),
+    ]
+    batch = spark.createDataFrame(batch_rows, batch_schema)
+
+    def survivors():
+        cross = eng.near_duplicates_incremental(
+            img_idx, batch, user="admin"
+        ).unionByName(
+            eng.near_duplicates_incremental(aud_idx, batch, user="admin")
+        )
+        internal = M.image_near_duplicates(batch).unionByName(
+            M.audio_near_duplicates(batch)
+        )
+        out = _dd.dedup_new_against_corpus(
+            batch.select("doc_id"), internal, cross
+        )
+        return {r["doc_id"] for r in out.collect()}
+
+    inc = survivors()
+    assert inc == {102, 104}  # 101/103 cross-dropped, 112 lost to 102
+    # batch recipe on the union, sliced to the batch ids
+    union_rows = [
+        nogrp(_gov_image_row(1, "a", img_base)),
+        nogrp(_gov_image_row(2, "a", img_far)),
+        nogrp(_gov_audio_row(3, "a", clip)),
+        nogrp(_gov_audio_row(4, "a", other_clip)),
+    ] + batch_rows
+    union = spark.createDataFrame(union_rows, batch_schema)
+    pairs_u = M.image_near_duplicates(union).unionByName(
+        M.audio_near_duplicates(union)
+    )
+    uni = {
+        r["doc_id"]
+        for r in _dd.dedup_by_components(union.select("doc_id"), pairs_u).collect()
+        if r["doc_id"] >= 100
+    }
+    assert uni == inc
+    # the corpus contract is the INDEX: delete every source parquet — the
+    # incremental recipe still answers identically
+    src = eng.resolve("mixmedia")
+    removed = 0
+    for root, _dirs, files in os.walk(src):
+        if "_delta_log" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.remove(os.path.join(root, fn))
+                removed += 1
+    assert removed > 0
+    assert survivors() == inc
+
+
 def test_refresh_dedup_index_cdf_source_row_exact(spark, tmp_path):
     """A CDF source upgrades the refresh to ROW-exact feeds: a
     partial-file DELETE retracts only the dead doc (no enumerated file
