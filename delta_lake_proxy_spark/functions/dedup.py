@@ -464,6 +464,7 @@ def embedding_lsh_index(
     axis_planes: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """The persistable index of an embedding corpus for INCREMENTAL
     cosine near-dup — ``(id, bucket, qvec, qscale)``: the deterministic
@@ -478,14 +479,19 @@ def embedding_lsh_index(
     must match between build and probe."""
     from .similarity import lsh_bucket, quantize_embeddings
 
+    carry = list(carry_cols)
     q = quantize_embeddings(
-        embeddings.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), *[F.col(c) for c in carry]
+        ),
+        vec_col=vec_col,
     )
     return q.select(
         F.col(id_col),
         lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("bucket"),
         "qvec",
         "qscale",
+        *carry,
     )
 
 
@@ -602,7 +608,10 @@ def simhash_near_duplicates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Per-document 60-bit SimHash signature — ``(id, sig)`` — factored
     out of :func:`simhash_near_duplicates` so the SAME signature feeds
@@ -614,24 +623,33 @@ def simhash_signatures(
     the whole pipeline is oracle-checkable; xxhash64 was not reproducible
     outside Spark. 60 bits keeps the signature in a signed long. Bit
     votes run as 60 codegen'd sum-aggregates (one hash per token, one
-    pass), then the majority bits pack into the signature long."""
+    pass), then the majority bits pack into the signature long.
+
+    ``carry_cols`` (per-doc constants, e.g. the source's partition
+    columns) ride through the aggregation instead of a second join-back
+    scan (verdict r13 nit #1): they join the group keys, and because the
+    explode runs AFTER the id repartition, the hashpartitioning(_id)
+    already satisfies the wider clustering — no extra shuffle."""
     bits = 60
+    carry = list(carry_cols)
     tok = (
         df.repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
+            *[F.col(c) for c in carry],
             F.explode(
                 F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
             ).alias("_t"),
         )
         .select(
             "_id",
+            *carry,
             F.conv(F.substring(F.sha2(F.col("_t"), 256), 1, 15), 16, 10)
             .cast("long")
             .alias("_h"),
         )
     )
-    votes = tok.groupBy("_id").agg(
+    votes = tok.groupBy("_id", *carry).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(F.getbit("_h", F.lit(j))).alias(f"_b{j}") for j in range(bits)],
     )
@@ -641,7 +659,7 @@ def simhash_signatures(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
-    return votes.select(F.col("_id").alias(id_col), packed.alias("sig"))
+    return votes.select(F.col("_id").alias(id_col), packed.alias("sig"), *carry)
 
 
 def _validated_hamming_bands(max_hamming: int, bands: int | None) -> int:
@@ -662,12 +680,15 @@ def _validated_hamming_bands(max_hamming: int, bands: int | None) -> int:
     return bands
 
 
-def _banded_hamming_sigs(sig: DataFrame, bands: int) -> DataFrame:
+def _banded_hamming_sigs(
+    sig: DataFrame, bands: int, carry_cols: "tuple[str, ...] | list[str]" = ()
+) -> DataFrame:
     """Explode a ``(_id, _sig)`` relation into one row per band:
     ``(_id, _sig, _band, _bucket)`` where ``_bucket`` is the band's raw
     bit-slice (``shiftrightunsigned & mask``) — the shared banding of the
     batch pairer, the persistable index and the incremental joiner (the
-    three must slice identically or (band, bucket) keys never meet)."""
+    three must slice identically or (band, bucket) keys never meet).
+    ``carry_cols`` ride through untouched."""
     band_width = 64 // bands
     # band_width=64 (bands=1): 2^64-1 is not a valid bigint literal; the
     # all-ones mask as a SIGNED long is -1
@@ -675,6 +696,7 @@ def _banded_hamming_sigs(sig: DataFrame, bands: int) -> DataFrame:
     return sig.select(
         "_id",
         "_sig",
+        *[F.col(c) for c in carry_cols],
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -747,6 +769,7 @@ def hamming_signature_index(
     sig_col: str = "sig",
     max_hamming: int = 8,
     bands: int | None = None,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """The persistable index of a 64-bit fingerprint corpus: one row per
     (doc, band) — ``(id, band, bucket, sig)``, ~16 bytes of payload per
@@ -762,14 +785,21 @@ def hamming_signature_index(
     (``bit_count(xor)``), so there is no estimate/verify split and no
     companion rescan step. Write it partitioned/bucketed by ``band`` for
     co-located incremental joins. The banding parameters must match
-    between build and probe."""
+    between build and probe. ``carry_cols`` (per-doc constants riding on
+    the signature relation) pass through to every band row."""
     bands = _validated_hamming_bands(max_hamming, bands)
-    sig = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
-    return _banded_hamming_sigs(sig, bands).select(
+    carry = list(carry_cols)
+    sig = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        *[F.col(c) for c in carry],
+    )
+    return _banded_hamming_sigs(sig, bands, carry_cols=carry).select(
         F.col("_id").alias(id_col),
         F.col("_band").alias("band"),
         F.col("_bucket").alias("bucket"),
         F.col("_sig").alias("sig"),
+        *carry,
     )
 
 
@@ -1206,6 +1236,7 @@ def minhash_signature_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """The persistable MinHash index of a corpus: one row per (doc, band)
     with the band bucket hash AND the full signature —
@@ -1213,19 +1244,31 @@ def minhash_signature_index(
     scan), then incremental batches join it by (band, bucket)
     (:func:`minhash_near_duplicates_incremental`) without ever touching
     the indexed TEXT again. Write it as a table partitioned/bucketed by
-    ``band`` for co-located incremental joins."""
+    ``band`` for co-located incremental joins.
+
+    ``carry_cols`` (per-doc constants, e.g. the source's partition
+    columns) join the group keys and ride through the signature
+    aggregation — ONE corpus scan instead of a join-back second scan
+    (verdict r13 nit #1). A low-cardinality string per exploded shingle
+    is cheaper than reshuffling the whole finished index relation
+    against an (id, cols) projection."""
     rows_per_band = num_hashes // bands
     p = F.lit(_MERSENNE_31).cast("long")
+    carry = list(carry_cols)
     base = df.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carry],
         word_shingles(F.col(text_col), shingle_words).alias("_shingles"),
     )
-    exploded = base.select("_id", F.explode("_shingles").alias("_sh")).select(
+    exploded = base.select(
+        "_id", *carry, F.explode("_shingles").alias("_sh")
+    ).select(
         "_id",
+        *carry,
         F.pmod(F.xxhash64("_sh"), p).alias("_h1"),
         F.pmod(F.xxhash64("_sh", F.lit("mh-salt")), p).alias("_h2"),
     )
-    sig_df = exploded.groupBy("_id").agg(
+    sig_df = exploded.groupBy("_id", *carry).agg(
         *[
             F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), p)).alias(f"_m{i}")
             for i in range(num_hashes)
@@ -1246,6 +1289,7 @@ def minhash_signature_index(
             )
         ).alias("band", "bucket"),
         sig.alias("sig"),
+        *carry,
     )
 
 

@@ -608,7 +608,20 @@ def ahash64_gray(gray: "np.ndarray") -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
-def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _carry_schema(media: DataFrame, carry_cols) -> str:
+    """Schema fragment for columns riding through a media hash pass
+    (per-doc constants, e.g. the source's partition columns — folding
+    them through the Arrow pass keeps index builds at ONE corpus scan)."""
+    return "".join(
+        f", `{c}` {media.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+
+
+def ahash_media(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
     """Perceptual average-hash (aHash) of every IMAGE payload: decode the
     PPM, grayscale by exact integer mean ``(r + g + b) // 3``, downscale
     to 8x8 with the same integer nearest-neighbor arithmetic as
@@ -621,23 +634,26 @@ def ahash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     A near-identical image (re-encode, small overlay, slight crop)
     flips few bits; pair detection is Hamming distance over these
     hashes — see :func:`image_near_duplicates`. The id column keeps the
-    corpus's own type (string ids work like numeric ones).
+    corpus's own type (string ids work like numeric ones); ``carry_cols``
+    pass through per kept row.
     """
     id_type = media.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, ahash long"
+    carry = list(carry_cols)
+    out_schema = f"{id_col} {id_type}{_carry_schema(media, carry)}, ahash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, hashes = [], []
-            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+            keep, hashes = [], []
+            for i, (b, m) in enumerate(zip(pdf["media_bytes"], pdf["media_meta"])):
                 if m["modality"] != "image":
                     continue
                 px = decode_ppm(bytes(b))  # (h, w, 3) uint8
                 gray = px.astype(np.int64).sum(axis=2) // 3  # (h, w)
-                ids.append(i)
+                keep.append(i)
                 hashes.append(ahash64_gray(gray))
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                                "ahash": pd.Series(hashes, dtype="int64")})
+            out = pdf.iloc[keep][[id_col, *carry]].reset_index(drop=True)
+            out["ahash"] = pd.Series(hashes, dtype="int64")
+            yield out
 
     return media.mapInPandas(gen, out_schema)
 
@@ -667,7 +683,11 @@ def image_near_duplicates(
     )
 
 
-def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def audio_hash_media(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
     """Perceptual energy-profile hash of every AUDIO payload: decode the
     WAV, split the samples into 64 contiguous frames (``start = j * n //
     64``), and set bit ``j`` when frame ``j``'s mean absolute amplitude
@@ -678,14 +698,15 @@ def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     identically). Audio shorter than 64 samples and non-audio rows are
     omitted. ONE Arrow pass; pair detection via
     :func:`audio_near_duplicates`. The id column keeps the corpus's own
-    type."""
+    type; ``carry_cols`` pass through per kept row."""
     id_type = media.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, audio_hash long"
+    carry = list(carry_cols)
+    out_schema = f"{id_col} {id_type}{_carry_schema(media, carry)}, audio_hash long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, hashes = [], []
-            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+            keep, hashes = [], []
+            for i, (b, m) in enumerate(zip(pdf["media_bytes"], pdf["media_meta"])):
                 if m["modality"] != "audio":
                     continue
                 samples, _sr = decode_wav_pcm16(bytes(b))
@@ -703,10 +724,11 @@ def audio_hash_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         val |= 1 << j
                 if val >= 1 << 63:
                     val -= 1 << 64
-                ids.append(i)
+                keep.append(i)
                 hashes.append(val)
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                                "audio_hash": pd.Series(hashes, dtype="int64")})
+            out = pdf.iloc[keep][[id_col, *carry]].reset_index(drop=True)
+            out["audio_hash"] = pd.Series(hashes, dtype="int64")
+            yield out
 
     return media.mapInPandas(gen, out_schema)
 
@@ -826,7 +848,10 @@ def audio_near_duplicates_incremental(
 
 
 def video_frame_hashes(
-    media: DataFrame, id_col: str = "doc_id", stride: int = 1
+    media: DataFrame,
+    id_col: str = "doc_id",
+    stride: int = 1,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Per-frame perceptual fingerprints of every VIDEO payload: decode
     the Y4M, take every ``stride``-th frame's LUMA plane, and hash it
@@ -843,26 +868,27 @@ def video_frame_hashes(
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     id_type = media.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, frame_idx int, fhash long"
+    carry = list(carry_cols)
+    out_schema = (
+        f"{id_col} {id_type}{_carry_schema(media, carry)}, "
+        "frame_idx int, fhash long"
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, hashes = [], [], []
-            for i, b, m in zip(pdf[id_col], pdf["media_bytes"], pdf["media_meta"]):
+            rows, idxs, hashes = [], [], []
+            for i, (b, m) in enumerate(zip(pdf["media_bytes"], pdf["media_meta"])):
                 if m["modality"] != "video":
                     continue
                 y, _cb, _cr, _fps = decode_y4m(bytes(b))
                 for fi in range(0, y.shape[0], stride):
-                    ids.append(i)
+                    rows.append(i)
                     idxs.append(fi)
                     hashes.append(ahash64_gray(y[fi].astype(np.int64)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "fhash": pd.Series(hashes, dtype="int64"),
-                }
-            )
+            out = pdf.iloc[rows][[id_col, *carry]].reset_index(drop=True)
+            out["frame_idx"] = pd.Series(idxs, dtype="int32")
+            out["fhash"] = pd.Series(hashes, dtype="int64")
+            yield out
 
     return media.mapInPandas(gen, out_schema)
 
@@ -924,7 +950,9 @@ def video_near_duplicates(
 
 
 def video_frame_hash_index(
-    media: DataFrame, id_col: str = "doc_id"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Persistable frame-fingerprint index of a VIDEO corpus: the distinct
     ``(id, fhash)`` relation of :func:`video_frame_hashes` at stride 1 —
@@ -934,10 +962,12 @@ def video_frame_hash_index(
     :func:`video_near_duplicates_incremental` without re-decoding a
     single indexed video. Stride is pinned to 1 because dedup must
     sample the full frame set (a trim shifts indexes; see
-    :func:`video_frame_hashes`)."""
+    :func:`video_frame_hashes`). ``carry_cols`` (per-video constants)
+    ride through the distinct."""
+    carry = list(carry_cols)
     return (
-        video_frame_hashes(media, id_col=id_col, stride=1)
-        .select(id_col, "fhash")
+        video_frame_hashes(media, id_col=id_col, stride=1, carry_cols=carry)
+        .select(id_col, "fhash", *carry)
         .dropDuplicates([id_col, "fhash"])
     )
 
