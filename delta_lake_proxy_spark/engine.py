@@ -1784,6 +1784,11 @@ class Engine:
 
         path = self.resolve(index_alias)
         cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
+        if query_id_col == id_col:
+            raise ValueError(
+                f"query_id_col {query_id_col!r} collides with the index's id "
+                "column — alias the query ids (the output carries both)"
+            )
         qv = query_vec_col or vec_col
         if isinstance(cents, list):
             ids = np.asarray([c for c, _ in cents], dtype=np.int64)

@@ -4497,6 +4497,13 @@ def test_ivf_probe_batch_pq_shortlist(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no PQ codebook"):
         eng.ivf_probe_batch(plain, queries, k=5, shortlist=10)
+    # query ids must not collide with the index's id column (the output
+    # carries both)
+    with pytest.raises(ValueError, match="collides"):
+        eng.ivf_probe_batch(
+            plain, queries.withColumnRenamed("query_id", "vec_id"),
+            query_id_col="vec_id",
+        )
 
 
 # -- single-scan index builds (round 14, verdict r13 next #6) -----------------
