@@ -1368,13 +1368,24 @@ class Engine:
         there)."""
         if not self._cdf_enabled(src_path):
             return None
+        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
+        # stat the feed files BEFORE planning: table_changes itself
+        # resolves the cdc parquet at analysis time, so a vacuumed change
+        # file raises AnalysisException out of the plan call — the
+        # existence walk must run first (and the except below still
+        # catches a file vanishing between the stat and the plan)
+        if not self._cdf_feed_files_exist(src_path, indexed, cur):
+            return None
         try:
             ch = self.table_changes(src_alias, from_version=indexed, to_version=cur)
-        except (UnsupportedProtocolError, ValueError, RuntimeError):
-            return None
-        if not self._cdf_feed_files_exist(src_path, indexed, cur):
+        except (
+            UnsupportedProtocolError,
+            ValueError,
+            RuntimeError,
+            AnalysisException,
+        ):
             return None
         meta_cols = ["_change_type", "_commit_version"]
         dead_ev = ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
