@@ -4618,6 +4618,52 @@ def test_maintain_indexes_stream_converges_and_restarts(spark, tmp_path):
     )
 
 
+def test_maintain_indexes_stream_shared_source(spark, tmp_path):
+    """Two indexes of DIFFERENT kinds over ONE source share a single
+    maintenance stream (one log cursor, one foreachBatch invoking both
+    refreshers) — an appended doc reaches both probes with no manual
+    refresh."""
+    import time
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    mh = eng.build_minhash_index("docs", str(tmp_path / "mh_shared"),
+                                 index_alias="docs__mh_sh")
+    sh = eng.build_simhash_index("docs", str(tmp_path / "sh_shared"),
+                                 index_alias="docs__sh_sh")
+    qs = eng.maintain_indexes_stream(
+        [mh, sh], user="admin", checkpoint_dir=str(tmp_path / "ckpt_sh")
+    )
+    assert len(qs) == 1  # one source -> one stream
+    (q,) = qs
+    text = "shared stream document about micro batch index maintenance"
+    probe = spark.createDataFrame([(600, text)], "doc_id long, text string")
+    try:
+        eng.write_table(
+            "docs",
+            spark.createDataFrame([(60, "en", text)],
+                                  "doc_id long, lang string, text string"),
+            mode="append",
+        )
+
+        def both():
+            a = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(mh, probe, user="admin").collect()
+            }
+            b = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(sh, probe, user="admin").collect()
+            }
+            return a, b
+
+        deadline = time.time() + 120
+        while time.time() < deadline and both() != ({(600, 60)}, {(600, 60)}):
+            time.sleep(0.5)
+        assert both() == ({(600, 60)}, {(600, 60)})
+    finally:
+        q.stop()
+
+
 def test_maintain_indexes_stream_ivf_available_now(spark, tmp_path):
     """The IVF kind through the same surface, in the scheduled-catch-up
     shape (available_now drains pending commits once and finishes): a
