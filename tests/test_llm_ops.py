@@ -5088,6 +5088,74 @@ def test_build_video_index_governed(spark, tmp_path):
     assert n_frames == 6  # one row per distinct frame hash
 
 
+def test_media_index_refresh_cdf_source_row_exact(spark, tmp_path):
+    """The CDF refresh path carries BINARY media payloads row-exactly: a
+    partial-file DELETE on a change-feed media source retracts only the
+    dead image with ZERO enumerated file scans (spy), the surviving
+    file-mate keeps its signature rows unchurned, and an appended image
+    re-signs from the change feed WITH its partition column (the carry
+    fold applies to feed rows too)."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.engine import Engine
+
+    rng = np.random.RandomState(23)
+    base = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    mate = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    eng = _media_gov_engine(
+        spark, tmp_path,
+        [_gov_image_row(1, "a", base), _gov_image_row(2, "a", mate)],
+        name="cdfmedia",
+    )
+    eng.set_table_properties("cdfmedia", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_image_index("cdfmedia", str(tmp_path / "cdfmedia_img"))
+    eng.delete("cdfmedia", F.col("doc_id") == 1)  # partial-file: 2 survives
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []  # row-exact feeds: no file enumeration
+    got = eng.read_table(idx, user="admin")
+    assert got.filter("doc_id = 1").count() == 0
+    assert got.filter("doc_id = 2").count() == 9  # file-mate unchurned
+    # appended media flows through the insert feed, partition col intact
+    fresh = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    eng.write_table(
+        "cdfmedia",
+        spark.createDataFrame([_gov_image_row(20, "a", fresh)], _GOV_MEDIA_SCHEMA),
+        mode="append",
+    )
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []
+    near = fresh.copy(); near[:3, :3, :] = 255
+    probe = spark.createDataFrame(
+        [_gov_image_row(500, "a", near)[0:1] + _gov_image_row(500, "a", near)[2:]],
+        _GOV_MEDIA_SCHEMA.replace("grp string, ", ""),
+    )
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
+    } == {(500, 20)}
+    assert got.filter("doc_id = 20 AND grp IS NULL").count() == 0
+    # and the lang-style ACL still gates through the CDF-refreshed rows
+    assert {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(idx, probe, user="u").collect()
+    } == {(500, 20)}
+
+
 def test_incremental_media_curation_governed(spark, tmp_path):
     """The MULTIMODAL leg of the daily-ingest curation story (verdict r13
     next #5): a mixed image+audio batch dedups against the GOVERNED
