@@ -2420,6 +2420,7 @@ class Engine:
         checkpoint_dir: str | None = None,
         processing_time: str = "0 seconds",
         available_now: bool = False,
+        compact_every: int | None = None,
     ) -> list:
         """Continuous index maintenance (verdict r13 next #4): wire the
         governed LOG-CURSOR streaming reader to the incremental refreshes
@@ -2444,7 +2445,16 @@ class Engine:
         restart does not re-serve the initial snapshot. Returns the
         started ``StreamingQuery`` handles — stop them to end
         maintenance; ``available_now=True`` instead drains the pending
-        commits once and finishes (the scheduled-catch-up shape)."""
+        commits once and finishes (the scheduled-catch-up shape).
+
+        ``compact_every=N`` folds small-file maintenance into the loop:
+        every N processed micro-batches the source's indexes are
+        compacted (:meth:`compact_table`, one file per band/partition).
+        Incremental appends are the index's small-file factory —
+        continuous maintenance without compaction degrades probe scans
+        over time. The compaction commits ``dataChange=False``, so it
+        never disturbs the refresh watermark or any downstream CDF
+        reader of the index."""
         if isinstance(index_aliases, str):
             index_aliases = [index_aliases]
         by_source: dict[str, list] = {}
@@ -2469,9 +2479,15 @@ class Engine:
             )
 
             def make_fb(pairs=pairs):
+                state = {"n": 0}
+
                 def _fb(batch_df, batch_id):
+                    state["n"] += 1
                     for ia, refresher in pairs:
                         refresher(ia, user=user)
+                    if compact_every and state["n"] % compact_every == 0:
+                        for ia, _refresher in pairs:
+                            self.compact_table(ia)
 
                 return _fb
 

@@ -4664,6 +4664,134 @@ def test_maintain_indexes_stream_shared_source(spark, tmp_path):
         q.stop()
 
 
+def test_maintain_indexes_stream_compacts(spark, tmp_path):
+    """compact_every folds small-file maintenance into the stream:
+    incremental appends are the index's small-file factory, and after the
+    cadence fires each band partition is back to ONE live file — with
+    probe results unchanged (the compaction is dataChange=False, so it
+    never disturbs the refresh watermark)."""
+    import time
+
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "mh_cpct"),
+                                  index_alias="docs__mh_c")
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=str(tmp_path / "ckpt_c"),
+        compact_every=1,
+    )
+    text = "compaction cadence document about small file maintenance"
+    probe = spark.createDataFrame([(700, text)], "doc_id long, text string")
+
+    def per_band_files():
+        counts: dict[str, int] = {}
+        for rel in deltalog._live_adds_no_spark(eng.resolve(idx)):
+            counts[rel.split("/")[0]] = counts.get(rel.split("/")[0], 0) + 1
+        return counts
+
+    try:
+        eng.write_table(
+            "docs",
+            spark.createDataFrame([(70, "en", text)],
+                                  "doc_id long, lang string, text string"),
+            mode="append",
+        )
+        deadline = time.time() + 120
+
+        def converged():
+            pairs = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
+            }
+            return pairs == {(700, 70)} and set(per_band_files().values()) == {1}
+
+        while time.time() < deadline and not converged():
+            time.sleep(0.5)
+        assert converged()  # refreshed AND one live file per band
+    finally:
+        q.stop()
+
+
+def test_ivf_refresh_acl_marker_restores_only_indexed_ids(spark, tmp_path):
+    """The advice r13 #2 fix on the IVF side: an index built by the
+    grp=a-restricted user never held the grp=b vectors, so a DELETE
+    rewriting the b file must not let the b survivors ride the
+    was-indexed marker past the refreshing user's ACL."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_aclm"), index_alias="emb__ivf_aclm",
+        num_centroids=4, lloyd_iters=1, user="u",
+    )
+    got0 = eng.read_table(idx, user="admin")
+    assert got0.filter("vec_id >= 40").count() == 0  # b never indexed
+    assert got0.filter("vec_id < 40").count() == 40
+    eng.delete("emb", F.col("vec_id") == 45)  # rewrite in the FORBIDDEN grp
+    eng.refresh_ivf_index(idx, user="u")
+    got1 = eng.read_table(idx, user="admin")
+    assert got1.filter("vec_id >= 40").count() == 0  # survivors stayed out
+    assert got1.filter("vec_id < 40").count() == 40
+
+
+def test_embedding_index_refresh_cdf_source(spark, tmp_path):
+    """The embedding kind on a CDF source: vector arrays ride the
+    row-exact feeds — a partial-file DELETE retracts only the dead
+    vector with zero enumerated scans, and an appended vector re-buckets
+    from the insert feed with its partition column intact."""
+    from delta_lake_proxy_spark.engine import Engine
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    eng.set_table_properties("emb", {"delta.enableChangeDataFeed": "true"})
+    idx = eng.build_embedding_index(
+        "emb", str(tmp_path / "emb_lsh_cdf"), index_alias="emb__lsh_cdf",
+        num_planes=2, axis_planes=True,
+    )
+    eng.delete("emb", F.col("vec_id") == 3)
+    scanned = []
+    orig = Engine._read_clone_enumerated
+
+    def spy(self, path, pv_of, *a, **k):
+        scanned.append(set(pv_of))
+        return orig(self, path, pv_of, *a, **k)
+
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []  # row-exact feeds
+    got = eng.read_table(idx, user="admin")
+    assert got.filter("vec_id = 3").count() == 0
+    assert got.count() == 79  # survivors unchurned
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(500, "a", [1.0, 0.03])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    Engine._read_clone_enumerated = spy
+    try:
+        eng.refresh_dedup_index(idx)
+    finally:
+        Engine._read_clone_enumerated = orig
+    assert scanned == []
+    new = spark.createDataFrame(
+        [(100, [1.0, 0.02])], "vec_id long, embedding array<double>"
+    )
+    probed = {
+        (r["new_id"], r["indexed_id"])
+        for r in eng.near_duplicates_incremental(
+            idx, new, threshold=0.9, user="admin", multi_probe=True
+        ).collect()
+    }
+    assert (100, 500) in probed
+    assert eng.read_table(idx, user="admin").filter(
+        "vec_id = 500 AND grp IS NULL"
+    ).count() == 0
+
+
 def test_maintain_indexes_stream_ivf_available_now(spark, tmp_path):
     """The IVF kind through the same surface, in the scheduled-catch-up
     shape (available_now drains pending commits once and finishes): a
