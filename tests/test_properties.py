@@ -674,3 +674,42 @@ def test_hamming_incremental_equals_batch_cross_pairs(spark, sigs, max_hamming, 
     assert inc == batch
     if len(set(flips)) <= max_hamming:
         assert (1999, corpus[0][0]) in inc  # pigeonhole recall guarantee
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_cents=st.integers(2, 8),
+    dim=st.integers(2, 6),
+    n_queries=st.integers(1, 5),
+    n_probe=st.integers(1, 10),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_centroids_arrow_matches_lexsort_oracle(
+    spark, seed, n_cents, dim, n_queries, n_probe
+):
+    """The batch probe's vectorized per-query centroid ranking equals the
+    single probe's lexsort rule (score desc, cid asc) on random matrices:
+    the probed-cid PREFIX SET at any random cut agrees, so a ranking
+    error anywhere in the order would surface across examples."""
+    from delta_lake_proxy_spark.functions import similarity
+
+    rng = np.random.RandomState(seed)
+    ids = np.sort(
+        rng.choice(np.arange(100), size=n_cents, replace=False)
+    ).astype(np.int64)
+    mat = rng.randn(n_cents, dim)
+    qs = rng.randn(n_queries, dim)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in qs[i]]) for i in range(n_queries)],
+        "qid long, v array<double>",
+    )
+    got: dict[int, set] = {}
+    for r in similarity.rank_centroids_arrow(df, ids, mat, "v", n_probe).collect():
+        got.setdefault(r["qid"], set()).add(r["_cid"])
+    n = max(1, min(n_probe, n_cents))
+    for i in range(n_queries):
+        scores = mat @ qs[i]
+        order = np.lexsort((ids, -scores))  # probe_centroids' exact rule
+        want = {int(c) for c in ids[order[:n]]}
+        assert got[i] == want and len(got[i]) == n
