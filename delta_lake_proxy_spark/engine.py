@@ -2421,6 +2421,8 @@ class Engine:
         processing_time: str = "0 seconds",
         available_now: bool = False,
         compact_every: int | None = None,
+        vacuum_every: int | None = None,
+        vacuum_retention_hours: float | None = None,
     ) -> list:
         """Continuous index maintenance (verdict r13 next #4): wire the
         governed LOG-CURSOR streaming reader to the incremental refreshes
@@ -2454,7 +2456,14 @@ class Engine:
         continuous maintenance without compaction degrades probe scans
         over time. The compaction commits ``dataChange=False``, so it
         never disturbs the refresh watermark or any downstream CDF
-        reader of the index."""
+        reader of the index. ``vacuum_every=N`` completes the loop by
+        reclaiming the files those compactions (and retract DELETEs)
+        tombstone — applied to the INDEX tables only, never the source
+        (a source vacuum is exactly what forces index rebuilds, so the
+        maintenance loop must not perform one); standard vacuum
+        semantics apply (``vacuum_retention_hours`` guards concurrent
+        probes planned against an older snapshot, and time travel to
+        vacuumed index versions ends)."""
         if isinstance(index_aliases, str):
             index_aliases = [index_aliases]
         by_source: dict[str, list] = {}
@@ -2488,6 +2497,11 @@ class Engine:
                     if compact_every and state["n"] % compact_every == 0:
                         for ia, _refresher in pairs:
                             self.compact_table(ia)
+                    if vacuum_every and state["n"] % vacuum_every == 0:
+                        for ia, _refresher in pairs:
+                            self.vacuum(
+                                ia, retention_hours=vacuum_retention_hours
+                            )
 
                 return _fb
 

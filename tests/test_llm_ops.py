@@ -4665,11 +4665,13 @@ def test_maintain_indexes_stream_shared_source(spark, tmp_path):
 
 
 def test_maintain_indexes_stream_compacts(spark, tmp_path):
-    """compact_every folds small-file maintenance into the stream:
-    incremental appends are the index's small-file factory, and after the
-    cadence fires each band partition is back to ONE live file — with
-    probe results unchanged (the compaction is dataChange=False, so it
-    never disturbs the refresh watermark)."""
+    """compact_every + vacuum_every fold the full maintenance loop into
+    the stream: incremental appends are the index's small-file factory —
+    after the cadence fires each band partition is back to ONE live file,
+    the vacuum has reclaimed the tombstoned pre-compaction files from
+    disk, and probe results are unchanged (the compaction is
+    dataChange=False, so it never disturbs the refresh watermark)."""
+    import os
     import time
 
     from delta_lake_proxy_spark import deltalog
@@ -4679,7 +4681,7 @@ def test_maintain_indexes_stream_compacts(spark, tmp_path):
                                   index_alias="docs__mh_c")
     (q,) = eng.maintain_indexes_stream(
         [idx], user="admin", checkpoint_dir=str(tmp_path / "ckpt_c"),
-        compact_every=1,
+        compact_every=1, vacuum_every=1, vacuum_retention_hours=0,
     )
     text = "compaction cadence document about small file maintenance"
     probe = spark.createDataFrame([(700, text)], "doc_id long, text string")
@@ -4700,15 +4702,43 @@ def test_maintain_indexes_stream_compacts(spark, tmp_path):
         deadline = time.time() + 120
 
         def converged():
-            pairs = {
-                (r["new_id"], r["indexed_id"])
-                for r in eng.near_duplicates_incremental(idx, probe, user="admin").collect()
-            }
+            try:
+                pairs = {
+                    (r["new_id"], r["indexed_id"])
+                    for r in eng.near_duplicates_incremental(
+                        idx, probe, user="admin"
+                    ).collect()
+                }
+            except Exception:
+                # a probe planned mid-vacuum can race the retention-0 file
+                # delete (the documented concurrent-reader hazard retention
+                # hours exist to prevent) — retry; the STEADY state is
+                # what this test pins
+                return False
             return pairs == {(700, 70)} and set(per_band_files().values()) == {1}
 
         while time.time() < deadline and not converged():
             time.sleep(0.5)
         assert converged()  # refreshed AND one live file per band
+        # the vacuum reclaimed everything the compactions tombstoned:
+        # on-disk parquet == the live file set (may lag one batch behind
+        # the last compaction, hence inside the deadline loop)
+        def reclaimed():
+            live = set(deltalog._live_adds_no_spark(eng.resolve(idx)))
+            on_disk = set()
+            for root, _dirs, files in os.walk(eng.resolve(idx)):
+                if "_delta_log" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(root, fn),
+                                              eng.resolve(idx))
+                        on_disk.add(rel)
+            return on_disk == live
+
+        while time.time() < deadline and not reclaimed():
+            time.sleep(0.5)
+        assert reclaimed()
     finally:
         q.stop()
 
