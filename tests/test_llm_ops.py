@@ -4822,6 +4822,33 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
     ).count() == 0
 
 
+def test_index_surface_kind_boundaries(spark, tmp_path):
+    """Negative paths of the index surfaces: maintain_indexes_stream
+    refuses a plain table (no graft.*.source property), the dedup
+    probe/refresh refuse an IVF index (wrong dispatch family), and
+    ivf_probe refuses a dedup index (no centroid manifest)."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a governed index"):
+        eng.maintain_indexes_stream(["emb"])
+    ivf = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_neg"), index_alias="emb__ivf_neg",
+        num_centroids=4, lloyd_iters=1,
+    )
+    probe = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not a dedup index"):
+        eng.near_duplicates_incremental(ivf, probe)
+    with pytest.raises(ValueError, match="not a dedup index"):
+        eng.refresh_dedup_index(ivf)
+    emb_idx = eng.build_embedding_index(
+        "emb", str(tmp_path / "emb_lsh_neg"), index_alias="emb__lsh_neg",
+        num_planes=2, axis_planes=True,
+    )
+    with pytest.raises(Exception):
+        eng.ivf_probe(emb_idx, [1.0, 0.0]).collect()
+
+
 def test_maintain_indexes_stream_ivf_available_now(spark, tmp_path):
     """The IVF kind through the same surface, in the scheduled-catch-up
     shape (available_now drains pending commits once and finishes): a
