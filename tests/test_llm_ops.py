@@ -4822,6 +4822,142 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
     ).count() == 0
 
 
+def test_maintain_all_index_kinds_one_call(spark, tmp_path):
+    """Capstone: one engine serving text + embedding + media sources,
+    four index kinds (minhash, IVF, embedding-LSH, image) maintained by
+    ONE maintain_indexes_stream call — three streams (one per distinct
+    source), every probe converging after its source takes an append,
+    with no manual refresh anywhere."""
+    import json as _json
+    import time
+
+    import numpy as np
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    # -- three governed sources under ONE engine --
+    docs_src = str(tmp_path / "docs")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "en", "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, lang string, text string",
+        ).repartition(1),
+        docs_src, ["lang"],
+    )
+    emb_src = str(tmp_path / "emb")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(0, "a", [1.0, 0.05]), (1, "a", [0.95, -0.03])],
+            "vec_id long, grp string, embedding array<double>",
+        ).repartition(1),
+        emb_src, ["grp"],
+    )
+    rng = np.random.RandomState(31)
+    base_img = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    media_src = str(tmp_path / "media")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [_gov_image_row(1, "a", base_img)], _GOV_MEDIA_SCHEMA
+        ).repartition(1),
+        media_src, ["grp"],
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"docs": docs_src, "emb": emb_src, "media": media_src},
+            read_only=False,
+        ),
+        permissions_df=spark.createDataFrame(
+            [(1, "u", "docs", _json.dumps({"lang": "en"}))],
+            "id int, user_id string, table_name string, partition_filters string",
+        ),
+    )
+    mh = eng.build_minhash_index("docs", str(tmp_path / "i_mh"))
+    ivf = eng.build_ivf_index("emb", str(tmp_path / "i_ivf"),
+                              num_centroids=2, lloyd_iters=1)
+    lsh = eng.build_embedding_index("emb", str(tmp_path / "i_lsh"),
+                                    num_planes=2, axis_planes=True)
+    img = eng.build_image_index("media", str(tmp_path / "i_img"))
+    qs = eng.maintain_indexes_stream(
+        [mh, ivf, lsh, img], user="admin",
+        checkpoint_dir=str(tmp_path / "ckpt_all"),
+    )
+    assert len(qs) == 3  # docs, emb, media — one stream per source
+    new_text = "fresh capstone document about unified index maintenance"
+    near_img = base_img.copy(); near_img[:3, :3, :] = 255
+    fresh_img = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    doc_probe = spark.createDataFrame([(900, new_text)], "doc_id long, text string")
+    vec_probe = spark.createDataFrame(
+        [(901, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    img_probe = spark.createDataFrame(
+        [_gov_image_row(902, "a", fresh_img)[0:1]
+         + _gov_image_row(902, "a", fresh_img)[2:]],
+        _GOV_MEDIA_SCHEMA.replace("grp string, ", ""),
+    )
+    try:
+        eng.write_table(
+            "docs",
+            spark.createDataFrame([(9, "en", new_text)],
+                                  "doc_id long, lang string, text string"),
+            mode="append",
+        )
+        eng.write_table(
+            "emb",
+            spark.createDataFrame([(9, "a", [0.02, 1.0])],
+                                  "vec_id long, grp string, embedding array<double>"),
+            mode="append",
+        )
+        eng.write_table(
+            "media",
+            spark.createDataFrame(
+                [_gov_image_row(9, "a", fresh_img)], _GOV_MEDIA_SCHEMA
+            ),
+            mode="append",
+        )
+
+        def state():
+            mh_p = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(mh, doc_probe, user="admin").collect()
+            }
+            ivf_p = {
+                r["vec_id"]
+                for r in eng.ivf_probe(ivf, [0.0, 1.0], k=10, n_probe=2,
+                                       user="admin").collect()
+            }
+            lsh_p = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(
+                    lsh, vec_probe, threshold=0.9, user="admin",
+                    multi_probe=True,
+                ).collect()
+            }
+            img_p = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(img, img_probe, user="admin").collect()
+            }
+            return mh_p, ivf_p, lsh_p, img_p
+
+        want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)})
+
+        def done():
+            mh_p, ivf_p, lsh_p, img_p = state()
+            return (mh_p, 9 in ivf_p, lsh_p, img_p) == want
+
+        deadline = time.time() + 180
+        while time.time() < deadline and not done():
+            time.sleep(0.5)
+        assert done()
+    finally:
+        for q in qs:
+            q.stop()
+
+
 def test_index_surface_kind_boundaries(spark, tmp_path):
     """Negative paths of the index surfaces: maintain_indexes_stream
     refuses a plain table (no graft.*.source property), the dedup
