@@ -4958,6 +4958,63 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
             q.stop()
 
 
+def test_compact_unpartitioned_index_kind(spark, tmp_path):
+    """compact_table on the frame-keyed video index (unpartitioned, like
+    the embedding index): refresh appends accumulate live files;
+    compaction collapses them to one with probe results unchanged — the
+    small-file maintenance story holds for the non-banded kinds too."""
+    import numpy as np
+
+    from delta_lake_proxy_spark import deltalog
+
+    rng = np.random.RandomState(17)
+
+    def vid(frames):
+        y = np.stack(frames)
+        n, h, w = y.shape
+        c = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+        return y, c, c.copy()
+
+    frames_a = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    eng = _media_gov_engine(
+        spark, tmp_path, [_gov_video_row(1, "a", *vid(frames_a))], name="vc"
+    )
+    idx = eng.build_video_index("vc", str(tmp_path / "vc_idx"))
+    for i in (2, 3):
+        eng.write_table(
+            "vc",
+            spark.createDataFrame(
+                [_gov_video_row(i, "a", *vid(
+                    [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+                     for _ in range(6)]
+                ))],
+                _GOV_MEDIA_SCHEMA,
+            ),
+            mode="append",
+        )
+        eng.refresh_dedup_index(idx)
+    assert len(deltalog._live_adds_no_spark(eng.resolve(idx))) >= 3
+    recut = vid(frames_a[1:5] + [rng.randint(0, 256, (16, 16), dtype=np.uint8)])
+    probe = spark.createDataFrame(
+        [_gov_video_row(100, "a", *recut)[0:1] + _gov_video_row(100, "a", *recut)[2:]],
+        _GOV_MEDIA_SCHEMA.replace("grp string, ", ""),
+    )
+
+    def pairs():
+        return {
+            (r["new_id"], r["indexed_id"]): r["shared_frames"]
+            for r in eng.near_duplicates_incremental(
+                idx, probe, user="admin", min_shared_frames=3
+            ).collect()
+        }
+
+    before = pairs()
+    assert before == {(100, 1): 4}
+    eng.compact_table(idx)
+    assert len(deltalog._live_adds_no_spark(eng.resolve(idx))) == 1
+    assert pairs() == before
+
+
 def test_index_surface_kind_boundaries(spark, tmp_path):
     """Negative paths of the index surfaces: maintain_indexes_stream
     refuses a plain table (no graft.*.source property), the dedup
