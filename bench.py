@@ -106,6 +106,29 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
     import gc
 
+    # Fixed-work calibration row (verdict r14 next #5): a code-independent
+    # shuffle+agg over spark.range — identical work every round, so the
+    # round-over-round headline totals can be read drift-normalized
+    # (r12->r14 driver totals swung +/-30% on unchanged headline code).
+    # Same min-of-3 discipline as the queries.
+    cal_runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        gc.collect()
+        t0 = time.time()
+        (
+            spark.range(50_000_000)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        cal_runs.append(round(time.time() - t0, 3))
+    calibration = min(cal_runs)
+    print(f"# calibration: min {calibration:.2f}s of {cal_runs}", file=sys.stderr)
+
     names = list(HEADLINE) + list(PROTOCOL)
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
         names += EXTENDED
@@ -153,6 +176,8 @@ def main() -> None:
                 "protocol_queries": proto,
                 "protocol_runs": proto_runs,
                 "protocol_total": round(sum(proto.values()), 3),
+                "calibration_sec": calibration,
+                "calibration_runs": cal_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

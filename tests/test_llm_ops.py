@@ -6042,3 +6042,125 @@ def test_verify_near_duplicates_recrawled_id_uses_batch_text(spark, tmp_path):
                                       user="admin").collect()
     pairs = [(r["new_id"], r["indexed_id"], r["jaccard"]) for r in rows]
     assert pairs == [(2, 1, 1.0)]  # ONE row, scored on the batch text
+
+
+# -- round 15: probe hardening, cadence persistence, reserved carry columns ---
+
+
+def test_ivf_probe_batch_refuses_duplicate_query_ids(spark, tmp_path):
+    """Advice r14 #1: two query rows sharing a query_id value would merge
+    their candidate sets into ONE top-k window and return a ranking that
+    matches neither single probe — the batch refuses by name instead."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_dup"), index_alias="emb__ivf_dup",
+        num_centroids=4, lloyd_iters=1,
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [0.5, 0.5])],
+        "query_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate 'query_id'"):
+        eng.ivf_probe_batch(idx, queries, k=3, n_probe=2, user="admin")
+
+
+def test_ivf_probe_batch_empty_batch(spark, tmp_path):
+    """Verdict r14 next #4: a zero-row query batch answers with a
+    zero-row result of the contract schema (query_id, id, score) — no
+    error from the empty centroid-union scan filter."""
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_empty"), index_alias="emb__ivf_empty",
+        num_centroids=4, lloyd_iters=1,
+    )
+    queries = spark.createDataFrame([], "query_id long, embedding array<double>")
+    out = eng.ivf_probe_batch(idx, queries, k=3, n_probe=2, user="admin")
+    assert out.columns == ["query_id", "vec_id", "score"]
+    assert out.count() == 0
+
+
+def test_dedup_index_build_refuses_reserved_partition_column(spark, tmp_path):
+    """Advice r14 #2: a source partitioned by a column named like an index
+    output/internal column (here 'band') cannot fold through the
+    signature pipeline as a carry column without duplicating an index
+    column — the build refuses, naming the clashing partition column,
+    instead of materializing a broken index."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [
+        (1, "x", "the quick brown fox jumps over the lazy dog again"),
+        (2, "y", "completely different english content about spark engines"),
+    ]
+    src = str(tmp_path / "docs_badpart")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, band string, text string"),
+        src,
+        ["band"],
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"docs_badpart": src}, read_only=False),
+    )
+    with pytest.raises(ValueError, match=r"\['band'\].*reserved"):
+        eng.build_minhash_index(
+            "docs_badpart", str(tmp_path / "mh_badpart"),
+            index_alias="docs_badpart__mh",
+        )
+    # a non-clashing kind over the same source still builds: 'band' is NOT
+    # reserved for the video frame index (its only output is (id, fhash))
+    assert "band" not in Engine._DEDUP_RESERVED_COLS["video"]
+
+
+def test_maintain_indexes_stream_cadence_survives_restart(spark, tmp_path):
+    """Advice r14 #3 / verdict r14 next #2: the compact_every cadence is
+    derived from the CHECKPOINTED batch_id, not a driver-memory counter —
+    a stop/start mid-cadence keeps the GLOBAL count, so with
+    compact_every=2 the compaction fires on the first post-restart batch
+    (global batch #2), which a reset in-memory counter would skip."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_minhash_index("docs", str(tmp_path / "mh_cad"),
+                                  index_alias="docs__mh_cad")
+    ckpt = str(tmp_path / "ckpt_cad")
+
+    def per_band_files():
+        counts: dict[str, int] = {}
+        for rel in deltalog._live_adds_no_spark(eng.resolve(idx)):
+            counts[rel.split("/")[0]] = counts.get(rel.split("/")[0], 0) + 1
+        return counts
+
+    # batch 0 (initial snapshot): n=1, 1 % 2 != 0 -> no compaction
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=ckpt,
+        compact_every=2, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    v_before = deltalog.latest_version(eng.resolve(idx))
+    # source append between the runs -> the restart has one batch to drain
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(50, "en", "restart cadence document about batch id arithmetic")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    # RESTART from the same checkpoint: batch 1 -> n=2 -> compaction fires
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=ckpt,
+        compact_every=2, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    # the refresh landed (2 files/band would be the uncompacted state) AND
+    # the cadence-2 compaction collapsed every band back to ONE live file
+    assert eng.read_table(idx, user="admin").filter("doc_id = 50").count() > 0
+    assert set(per_band_files().values()) == {1}
+    # and the compaction is visible as a commit on the index log
+    assert deltalog.latest_version(eng.resolve(idx)) >= v_before + 2
