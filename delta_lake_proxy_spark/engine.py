@@ -1860,16 +1860,23 @@ class Engine:
                 )
             with open(cb_path, encoding="utf-8") as f:
                 codebook = json.load(f)["codebook"]
-            adc = _sim.adc_distance_batch_col(codebook, "_qvec", "pq_codes")
+            # literal-codebook codegen below ARROW_CENTROID_CELLS, broadcast
+            # Arrow scorer past it (k=256 would inline 10k+ literals)
+            scored_hits = _sim.with_adc_batch_distance(
+                hits.select(
+                    "_qid", "_qvec", F.col(id_col), F.col(vec_col),
+                    F.col("pq_codes"),
+                ),
+                codebook, "_qvec", "pq_codes", "_adc",
+            )
             w_adc = Window.partitionBy("_qid").orderBy(
                 F.col("_adc").asc(), F.col(id_col).asc()
             )
             hits = (
-                hits.select("_qid", "_qvec", F.col(id_col), F.col(vec_col),
-                            adc.alias("_adc"))
+                scored_hits
                 .withColumn("_rn", F.row_number().over(w_adc))
                 .filter(F.col("_rn") <= max(int(shortlist), k))
-                .drop("_rn", "_adc")
+                .drop("_rn", "_adc", "pq_codes")
             )
         scored = hits.select(
             F.col("_qid").alias(query_id_col),

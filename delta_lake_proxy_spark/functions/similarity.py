@@ -330,7 +330,11 @@ def adc_distance_batch_col(
     column (the batch-probe analog of :func:`adc_distance_col`, whose
     query is a literal): the codebook inlines once as a literal m x k x
     sub array; each row pays m code lookups + m subvector square-distance
-    folds — pure codegen, no Python."""
+    folds — pure codegen, no Python. The literal carries m*k*sub floats,
+    so callers must route through :func:`with_adc_batch_distance`, which
+    switches to the broadcast-codebook Arrow scorer past
+    ``ARROW_CENTROID_CELLS`` (at the canonical k=256 the inline tree is
+    10k+ literals — a codegen-size risk; verdict r14 next #6)."""
     m = len(codebook)
     sub = len(codebook[0][0])
     cb_lit = F.array(
@@ -348,6 +352,74 @@ def adc_distance_batch_col(
         term = _sq_l2(F.slice(F.col(qvec_col), j * sub + 1, sub), code_vec)
         dist = term if dist is None else dist + term
     return dist
+
+
+def adc_distance_batch_arrow(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    qvec_col: str,
+    codes_col: str,
+    out_col: str = "_adc",
+) -> DataFrame:
+    """ADC distance for LARGE codebooks (the :func:`pq_codes_arrow`
+    strategy applied to batch-probe scoring): the (m, k, sub) codebook
+    ships once per executor as a broadcast variable and each Arrow batch
+    scores with one fancy-indexed gather + squared-difference reduction —
+    constant plan size in k, unlike the literal m x k x sub expression
+    tree. Appends ``out_col`` (float64 approximate squared L2) to the
+    input relation."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        cb = bc.value
+        m, _k, sub = cb.shape
+        rows = np.arange(m)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype=np.float64)
+                yield pdf
+                continue
+            q = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[qvec_col]]
+            ).reshape(len(pdf), m, sub)
+            codes = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in pdf[codes_col]]
+            )  # (B, m)
+            diff = q - cb[rows, codes]  # gather -> (B, m, sub)
+            pdf[out_col] = np.einsum("bms,bms->b", diff, diff)
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
+def with_adc_batch_distance(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    qvec_col: str,
+    codes_col: str,
+    out_col: str = "_adc",
+) -> DataFrame:
+    """Attach the per-row-query ADC distance column, picking the scoring
+    strategy by codebook size — the :func:`with_pq_codes` dispatch rule:
+    below ``ARROW_CENTROID_CELLS`` total cells the codebook inlines as a
+    pure-codegen literal (:func:`adc_distance_batch_col`); past it —
+    production PQ, e.g. k=256 — the broadcast-codebook Arrow scorer
+    (:func:`adc_distance_batch_arrow`) keeps the plan constant-size."""
+    if _codebook_cells(codebook) <= ARROW_CENTROID_CELLS:
+        return df.withColumn(
+            out_col, adc_distance_batch_col(codebook, qvec_col, codes_col)
+        )
+    return adc_distance_batch_arrow(df, codebook, qvec_col, codes_col, out_col)
 
 
 def _lloyd_means_df(assigned: DataFrame, vec_col: str) -> DataFrame:

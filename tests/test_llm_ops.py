@@ -6164,3 +6164,97 @@ def test_maintain_indexes_stream_cadence_survives_restart(spark, tmp_path):
     assert set(per_band_files().values()) == {1}
     # and the compaction is visible as a commit on the index log
     assert deltalog.latest_version(eng.resolve(idx)) >= v_before + 2
+
+
+def test_adc_batch_arrow_equals_literal(spark):
+    """The broadcast-codebook Arrow ADC scorer is value-equal to the
+    literal-codebook codegen column on the same (query, codes) relation —
+    the dispatch threshold must never change a distance."""
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    codebook = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+        [[0.5, 0.5], [1.5, 0.0], [0.0, 2.0], [1.0, 1.0]],
+    ]  # m=2, k=4, sub=2
+    rows = [
+        (1, [0.2, 0.1, 0.7, 0.6], [0, 3]),
+        (2, [1.1, 0.0, 0.1, 1.9], [1, 2]),
+        (3, [2.0, 2.0, 0.5, 0.5], [3, 0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, qvec array<double>, codes array<int>"
+    )
+    lit = df.withColumn(
+        "_adc", _sim.adc_distance_batch_col(codebook, "qvec", "codes")
+    )
+    arrow = _sim.adc_distance_batch_arrow(df, codebook, "qvec", "codes", "_adc")
+    lit_vals = {r["rid"]: r["_adc"] for r in lit.collect()}
+    arrow_vals = {r["rid"]: r["_adc"] for r in arrow.collect()}
+    assert lit_vals.keys() == arrow_vals.keys()
+    for rid in lit_vals:
+        assert abs(lit_vals[rid] - arrow_vals[rid]) < 1e-9, rid
+
+
+def test_ivf_probe_batch_pq_k256_arrow_path(spark, tmp_path):
+    """Verdict r14 next #6 done-criterion: at the canonical Jegou k=256
+    the batch ADC's codebook exceeds ARROW_CENTROID_CELLS, so the
+    dispatcher routes scoring through the broadcast-codebook Arrow path
+    (a 10k+-literal codegen expression never plans) — and the batch probe
+    stays per-query equal to the single probe at the same shortlist."""
+    import json as _json
+    import random
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    rng = random.Random(15)
+    dim = 32
+    rows = [
+        (i, [rng.gauss(1.0 if i % 2 else 0.0, 0.3) for _ in range(dim)])
+        for i in range(300)
+    ]
+    src = str(tmp_path / "emb256")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        src,
+        [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"emb256": src}, read_only=False)
+    )
+    idx = eng.build_ivf_index(
+        "emb256", str(tmp_path / "emb256_ivfpq"), index_alias="emb256__ivfpq",
+        num_centroids=4, lloyd_iters=1, pq_m=2, pq_k=256, pq_iters=1,
+    )
+    with open(str(tmp_path / "emb256_ivfpq" / "_pq_codebook.json")) as f:
+        codebook = _json.load(f)["codebook"]
+    # the dispatch precondition this test exists for: k=256 codebook is
+    # PAST the literal threshold, so with_adc_batch_distance goes Arrow
+    assert _sim._codebook_cells(codebook) > _sim.ARROW_CENTROID_CELLS
+    qvecs = {
+        0: [1.0] * dim,
+        1: [0.1 + (0.9 if i % 2 else 0.0) for i in range(dim)],
+        2: [0.5 + 0.01 * i for i in range(dim)],
+    }
+    queries = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()],
+        "query_id long, embedding array<double>",
+    )
+    batch = eng.ivf_probe_batch(
+        idx, queries, k=5, n_probe=2, shortlist=40, user="admin"
+    )
+    got: dict[int, list] = {qid: [] for qid in qvecs}
+    for r in batch.collect():
+        got[r["query_id"]].append((r["vec_id"], r["score"]))
+    for qid in got:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+    for qid, v in qvecs.items():
+        single = [
+            (r["vec_id"], r["score"])
+            for r in eng.ivf_probe(
+                idx, v, k=5, n_probe=2, shortlist=40, user="admin"
+            ).collect()
+        ]
+        assert got[qid] == single, qid
