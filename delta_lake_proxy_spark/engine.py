@@ -1228,15 +1228,19 @@ class Engine:
                 os.path.join(index_path, "_pq_codebook.json"), "w", encoding="utf-8"
             ) as f:
                 json.dump({"m": pq_m, "k": pq_k, "codebook": codebook}, f)
-        self.set_table_properties(
-            idx_alias,
-            {
-                "graft.ivf.source": alias,
-                "graft.ivf.idCol": id_col,
-                "graft.ivf.vecCol": vec_col,
-                "graft.ivf.indexedVersion": str(src_version),
-            },
-        )
+        props = {
+            "graft.ivf.source": alias,
+            "graft.ivf.idCol": id_col,
+            "graft.ivf.vecCol": vec_col,
+            "graft.ivf.indexedVersion": str(src_version),
+        }
+        # the drift stamp (verdict r14 next #1): mean assigned distance at
+        # train time, read back from the written index (one column-pruned
+        # scan) — ivf_drift compares the maintained index's inertia to it
+        dist = self._ivf_mean_dist(index_path, cents=(cents, vec_col))
+        if dist is not None:
+            props["graft.ivf.buildDistance"] = repr(dist)
+        self.set_table_properties(idx_alias, props)
         return idx_alias
 
     def _source_window_changes(
@@ -1646,6 +1650,165 @@ class Engine:
             index_alias, {"graft.ivf.indexedVersion": str(cur)}
         )
         return cur
+
+    def _ivf_mean_dist(self, path: str, cents=None) -> float | None:
+        """Mean squared-L2 distance of the index's stored vectors to their
+        ASSIGNED (stored ``_cid``) centroids — the k-means inertia of the
+        index as it stands. One column-pruned scan of the index, an
+        aggregation, and a single driver float; no shuffle (the scorer is
+        a map-side column, see ``similarity.assigned_sq_dist``)."""
+        from .functions import similarity as _sim
+
+        if cents is None:
+            cents, _id_col, vec_col = _sim.load_centroids(self.spark, path)
+        else:
+            cents, vec_col = cents
+        d = _sim.assigned_sq_dist(
+            self._read_data(path).select(F.col(vec_col), F.col("_cid")),
+            cents,
+            vec_col,
+        )
+        row = d.agg(F.avg(F.col("_dist")).alias("_m")).collect()[0]
+        return float(row["_m"]) if row["_m"] is not None else None
+
+    def ivf_drift(self, index_alias: str) -> dict:
+        """Centroid-drift signal of an index built by :meth:`build_ivf_index`
+        (verdict r14 next #1): compares the CURRENT mean assigned distance
+        (k-means inertia over the live index — one column-pruned scan)
+        against the ``graft.ivf.buildDistance`` stamp recorded when the
+        centroids were last trained (build or retrain). Months of
+        maintained ingest assign every new vector to frozen centroids; as
+        data drifts, the inertia rises and probe recall decays silently —
+        this is the cheap WHEN-to-retrain signal.
+
+        Returns ``{"mean_sq_dist", "build_mean_sq_dist", "drift_ratio",
+        "indexed_version"}``; ``drift_ratio`` (current/build, ~1.0 right
+        after training) is None when the index predates the stamp —
+        retrain once (or rebuild) to establish it."""
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if not conf.get("graft.ivf.source"):
+            raise ValueError(
+                f"{index_alias!r} is not an IVF index built by build_ivf_index"
+            )
+        cur = self._ivf_mean_dist(path)
+        stamp = conf.get("graft.ivf.buildDistance")
+        build = float(stamp) if stamp is not None else None
+        return {
+            "mean_sq_dist": cur,
+            "build_mean_sq_dist": build,
+            "drift_ratio": (cur / build) if (build and cur is not None) else None,
+            "indexed_version": int(conf.get("graft.ivf.indexedVersion", "-1")),
+        }
+
+    def retrain_ivf_index(
+        self,
+        index_alias: str,
+        lloyd_iters: int = 2,
+        pq_iters: int = 2,
+        user: str = acl.ANONYMOUS,
+    ) -> int:
+        """In-place centroid retrain of an index built by
+        :meth:`build_ivf_index` (verdict r14 next #1 — the one freshness
+        gap streaming maintenance left open): re-run Lloyd from the
+        CURRENT centroids over the LIVE index rows
+        (``similarity.lloyd_refine`` — the same distributed machinery the
+        build used, on either centroid representation), re-assign every
+        row to the refined centroids, retrain the PQ codebook on the live
+        corpus when the index carries one, and OVERWRITE the index table
+        in one Delta commit. No source scan happens at all — the index IS
+        the corpus sample the centroids must represent (it already holds
+        exactly what the building user could see, post-refresh).
+
+        Everything the maintenance loop depends on survives the retrain:
+        - centroid IDS are preserved (``lloyd_refine`` contract), so the
+          ``_cid`` partition values stay in the same key space and a probe
+          planned against the pre-retrain manifest still scans valid
+          partitions (approximate results during the swap window — the
+          standard ANN freshness trade);
+        - the refresh txn watermark rides the overwrite commit
+          (``txn={app, indexed}``) and ``graft.ivf.indexedVersion`` is
+          re-stamped, so :meth:`refresh_ivf_index` — and any
+          :meth:`maintain_indexes_stream` trigger firing mid- or
+          post-retrain — keeps its O(new-commits) window; a retrain is
+          invisible to the maintenance stream;
+        - the overwrite commit inherits the table's ``graft.ivf.*``
+          configuration (the log writer carries configuration forward),
+          so probes stay governed by the SOURCE table's ACL exactly as
+          before.
+
+        Finishes by re-stamping ``graft.ivf.buildDistance`` so
+        :meth:`ivf_drift` reads ~1.0 again. Crash between the overwrite
+        and the manifest write leaves old centroids over new assignments —
+        probes stay governed and approximate, and re-running the retrain
+        converges. Returns the indexed source version the retrained index
+        covers."""
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        from .functions import similarity as _sim
+
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        src_alias = conf.get("graft.ivf.source")
+        if not src_alias:
+            raise ValueError(
+                f"{index_alias!r} is not an IVF index built by build_ivf_index"
+            )
+        iv = conf.get("graft.ivf.indexedVersion")
+        if iv is None:
+            raise ValueError(
+                f"index {index_alias!r} predates indexed-version tracking — "
+                "rebuild once with build_ivf_index to enable retrain"
+            )
+        indexed = max(
+            int(iv), int(deltalog.all_txn_versions(path).get(_IVF_REFRESH_APP, -1))
+        )
+        cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
+        live = self._read_data(path).drop("_cid", "pq_codes")
+        new_cents = _sim.lloyd_refine(
+            live.select(F.col(vec_col)), cents, lloyd_iters, vec_col
+        )
+        if isinstance(new_cents, list):
+            assigned = live.withColumn(
+                "_cid", _sim._assign_centroid(F.col(vec_col), new_cents)
+            )
+        else:
+            ids, mat = new_cents
+            assigned = _sim.assign_centroids_arrow(live, ids, mat, vec_col)
+        codebook = None
+        cb_path = os.path.join(path, "_pq_codebook.json")
+        if os.path.exists(cb_path):
+            with open(cb_path, encoding="utf-8") as f:
+                cb_meta = json.load(f)
+            codebook = _sim.pq_train(
+                live, m=int(cb_meta["m"]), k=int(cb_meta["k"]),
+                lloyd_iters=pq_iters, id_col=id_col, vec_col=vec_col,
+            )
+            assigned = _sim.with_pq_codes(assigned, codebook, vec_col, "pq_codes")
+        self.write_table(
+            index_alias,
+            assigned.repartition(F.col("_cid")),
+            mode="overwrite",
+            partition_by=["_cid"],
+            txn={"appId": _IVF_REFRESH_APP, "version": indexed},
+        )
+        _sim.write_centroid_manifest(self.spark, path, new_cents, id_col, vec_col)
+        if codebook is not None:
+            with open(cb_path, "w", encoding="utf-8") as f:
+                json.dump(
+                    {
+                        "m": int(cb_meta["m"]),
+                        "k": int(cb_meta["k"]),
+                        "codebook": codebook,
+                    },
+                    f,
+                )
+        dist = self._ivf_mean_dist(path, cents=(new_cents, vec_col))
+        props = {"graft.ivf.indexedVersion": str(indexed)}
+        if dist is not None:
+            props["graft.ivf.buildDistance"] = repr(dist)
+        self.set_table_properties(index_alias, props)
+        return indexed
 
     def _acl_filter_keeping_retracted(
         self,

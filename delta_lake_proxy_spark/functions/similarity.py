@@ -465,6 +465,20 @@ def _ivf_centroids_np(
         .limit(num_centroids)
     )
     ids, mat = _cents_arrow(seeds, "_cid", "_cvec")
+    return _lloyd_steps_np(embeddings, ids, mat, lloyd_iters, vec_col)
+
+
+def _lloyd_steps_np(
+    embeddings: DataFrame, ids, mat, lloyd_iters: int, vec_col: str
+):
+    """``lloyd_iters`` Lloyd steps from GIVEN starting centroids (Arrow
+    path): broadcast-matrix assignment + distributed per-(centroid, dim)
+    means; only the refreshed centroid table transits the driver. Shared
+    by the seeded build (:func:`_ivf_centroids_np`) and the in-place
+    retrain (:func:`lloyd_refine`); centroid ids are PRESERVED — an empty
+    cluster keeps its previous centroid."""
+    import numpy as np
+
     for _ in range(max(0, lloyd_iters)):
         assigned = assign_centroids_arrow(
             embeddings.select(F.col(vec_col)), ids, mat, vec_col
@@ -479,6 +493,71 @@ def _ivf_centroids_np(
             ]
         )
     return ids, mat
+
+
+def lloyd_refine(embeddings: DataFrame, cents, lloyd_iters: int, vec_col: str):
+    """Lloyd steps seeded from EXISTING centroids — the retrain primitive
+    (verdict r14 next #1): months of maintained ingest assign new vectors
+    to build-time centroids, so the lists skew and recall decays;
+    refining from the CURRENT centroids over the live index re-centers
+    them without a from-scratch rebuild. Accepts and returns either
+    centroid representation (the small path's ``list[(cid, vector)]`` or
+    the Arrow path's ``(ids, matrix)`` pair); centroid IDS are preserved,
+    so a concurrent probe planned against the old manifest still prunes
+    to valid ``_cid`` partitions."""
+    if isinstance(cents, list):
+        return _lloyd_steps_small(embeddings, cents, lloyd_iters, vec_col)
+    ids, mat = cents
+    return _lloyd_steps_np(embeddings, ids, mat, lloyd_iters, vec_col)
+
+
+def assigned_sq_dist(
+    df: DataFrame,
+    cents,
+    vec_col: str,
+    cid_col: str = "_cid",
+    out_col: str = "_dist",
+) -> DataFrame:
+    """Squared-L2 distance of each row's vector to its ASSIGNED (stored
+    ``cid_col``) centroid — the k-means inertia term behind the drift
+    metric: rising mean assigned distance means the centroids no longer
+    represent the ingested data. Literal map lookup below
+    ``ARROW_CENTROID_CELLS``; broadcast matrix + Arrow gather past it.
+    One column-pruned scan, no shuffle."""
+    if isinstance(cents, list):
+        cmap = F.map_from_arrays(
+            F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cents]),
+            F.array(*[_lit_vec(cv) for _, cv in cents]),
+        )
+        cvec = F.element_at(cmap, F.col(cid_col).cast("long"))
+        return df.withColumn(out_col, _sq_l2(F.col(vec_col), cvec))
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ids, mat = cents
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype=np.float64)
+                yield pdf
+                continue
+            vecs = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            pos = np.searchsorted(ids, pdf[cid_col].to_numpy(dtype=np.int64))
+            diff = vecs - mat[pos]
+            pdf[out_col] = (diff * diff).sum(axis=1)
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
 
 
 def _assign_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
@@ -586,6 +665,21 @@ def _ivf_centroids(
     cents: list[tuple[int, list[float]]] = [
         (int(r["_cid"]), [float(x) for x in r["_cvec"]]) for r in seed_rows
     ]
+    return _lloyd_steps_small(embeddings, cents, lloyd_iters, vec_col)
+
+
+def _lloyd_steps_small(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    lloyd_iters: int,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """``lloyd_iters`` Lloyd steps from GIVEN starting centroids (literal
+    path): literal-expression assignment + a driver collect of the
+    per-(centroid, dim) sums (num_centroids x dim rows — metadata-sized).
+    Shared by the seeded build (:func:`_ivf_centroids`) and the in-place
+    retrain (:func:`lloyd_refine`); centroid ids are PRESERVED — an empty
+    cluster keeps its previous centroid."""
     for _ in range(max(0, lloyd_iters)):
         assigned_cid = _assign_centroid(F.col(vec_col), cents)
         sums = (
@@ -609,7 +703,7 @@ def _ivf_centroids(
             (
                 cid,
                 [m[p] for p in sorted(m)] if (m := by_cid.get(cid)) else cv,
-            )  # empty cluster: keep the seed centroid
+            )  # empty cluster: keep the previous centroid
             for cid, cv in cents
         ]
     return cents
