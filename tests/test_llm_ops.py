@@ -4823,11 +4823,13 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
 
 
 def test_maintain_all_index_kinds_one_call(spark, tmp_path):
-    """Capstone: one engine serving text + embedding + media sources,
-    four index kinds (minhash, IVF, embedding-LSH, image) maintained by
-    ONE maintain_indexes_stream call — three streams (one per distinct
-    source), every probe converging after its source takes an append,
-    with no manual refresh anywhere."""
+    """Capstone: one engine serving text + embedding + image + video
+    sources, five index kinds (minhash, IVF, embedding-LSH, image,
+    video) maintained by ONE maintain_indexes_stream call — four streams
+    (one per distinct source), every probe converging after its source
+    takes an append, with no manual refresh anywhere. The video leg
+    (verdict r14 next #3) exercises the frame-keyed refresh under a live
+    stream — the last (kind x surface) cell."""
     import json as _json
     import time
 
@@ -4865,10 +4867,27 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
         ).repartition(1),
         media_src, ["grp"],
     )
+
+    def mk_vid(frames):
+        y = np.stack(frames)
+        c = rng.randint(0, 256, y.shape, dtype=np.uint8)
+        return y, c, c.copy()
+
+    base_frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+                   for _ in range(6)]
+    vids_src = str(tmp_path / "vids")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [_gov_video_row(1, "a", *mk_vid(base_frames))], _GOV_MEDIA_SCHEMA
+        ).repartition(1),
+        vids_src, ["grp"],
+    )
     eng = Engine(
         spark,
         EngineConfig(
-            table_mapping={"docs": docs_src, "emb": emb_src, "media": media_src},
+            table_mapping={"docs": docs_src, "emb": emb_src,
+                           "media": media_src, "vids": vids_src},
             read_only=False,
         ),
         permissions_df=spark.createDataFrame(
@@ -4882,11 +4901,12 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     lsh = eng.build_embedding_index("emb", str(tmp_path / "i_lsh"),
                                     num_planes=2, axis_planes=True)
     img = eng.build_image_index("media", str(tmp_path / "i_img"))
+    vid = eng.build_video_index("vids", str(tmp_path / "i_vid"))
     qs = eng.maintain_indexes_stream(
-        [mh, ivf, lsh, img], user="admin",
+        [mh, ivf, lsh, img, vid], user="admin",
         checkpoint_dir=str(tmp_path / "ckpt_all"),
     )
-    assert len(qs) == 3  # docs, emb, media — one stream per source
+    assert len(qs) == 4  # docs, emb, media, vids — one stream per source
     new_text = "fresh capstone document about unified index maintenance"
     near_img = base_img.copy(); near_img[:3, :3, :] = 255
     fresh_img = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
@@ -4897,6 +4917,13 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     img_probe = spark.createDataFrame(
         [_gov_image_row(902, "a", fresh_img)[0:1]
          + _gov_image_row(902, "a", fresh_img)[2:]],
+        _GOV_MEDIA_SCHEMA.replace("grp string, ", ""),
+    )
+    fresh_frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+                    for _ in range(6)]
+    vid_probe = spark.createDataFrame(
+        [_gov_video_row(903, "a", *mk_vid(fresh_frames))[0:1]
+         + _gov_video_row(903, "a", *mk_vid(fresh_frames))[2:]],
         _GOV_MEDIA_SCHEMA.replace("grp string, ", ""),
     )
     try:
@@ -4916,6 +4943,14 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
             "media",
             spark.createDataFrame(
                 [_gov_image_row(9, "a", fresh_img)], _GOV_MEDIA_SCHEMA
+            ),
+            mode="append",
+        )
+        eng.write_table(
+            "vids",
+            spark.createDataFrame(
+                [_gov_video_row(9, "a", *mk_vid(fresh_frames))],
+                _GOV_MEDIA_SCHEMA,
             ),
             mode="append",
         )
@@ -4941,13 +4976,17 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                 (r["new_id"], r["indexed_id"])
                 for r in eng.near_duplicates_incremental(img, img_probe, user="admin").collect()
             }
-            return mh_p, ivf_p, lsh_p, img_p
+            vid_p = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(vid, vid_probe, user="admin").collect()
+            }
+            return mh_p, ivf_p, lsh_p, img_p, vid_p
 
-        want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)})
+        want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)}, {(903, 9)})
 
         def done():
-            mh_p, ivf_p, lsh_p, img_p = state()
-            return (mh_p, 9 in ivf_p, lsh_p, img_p) == want
+            mh_p, ivf_p, lsh_p, img_p, vid_p = state()
+            return (mh_p, 9 in ivf_p, lsh_p, img_p, vid_p) == want
 
         deadline = time.time() + 180
         while time.time() < deadline and not done():
@@ -5536,12 +5575,13 @@ def test_media_index_refresh_cdf_source_row_exact(spark, tmp_path):
 
 def test_incremental_media_curation_governed(spark, tmp_path):
     """The MULTIMODAL leg of the daily-ingest curation story (verdict r13
-    next #5): a mixed image+audio batch dedups against the GOVERNED
-    perceptual indexes — batch-internal pairs + cross pairs from
-    near_duplicates_incremental feed the corpus-canonical component rule
-    — with survivors equal to the batch pairers on corpus ∪ batch sliced
-    to the batch ids, and the SAME answer after every source parquet is
-    deleted from disk (the indexed corpus is never re-decoded)."""
+    next #5, video leg r14 next #3): a mixed image+audio+VIDEO batch
+    dedups against the GOVERNED perceptual indexes — batch-internal pairs
+    + cross pairs from near_duplicates_incremental feed the
+    corpus-canonical component rule — with survivors equal to the batch
+    pairers on corpus ∪ batch sliced to the batch ids, and the SAME
+    answer after every source parquet is deleted from disk (the indexed
+    corpus is never re-decoded)."""
     import os
 
     import numpy as np
@@ -5554,21 +5594,35 @@ def test_incremental_media_curation_governed(spark, tmp_path):
     img_far = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
     clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
     other_clip = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+
+    def mk_vid(frames):
+        y = np.stack(frames)
+        c = rng.randint(0, 256, y.shape, dtype=np.uint8)
+        return y, c, c.copy()
+
+    vid_frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+                  for _ in range(6)]
     eng = _media_gov_engine(
         spark, tmp_path,
         [_gov_image_row(1, "a", img_base), _gov_image_row(2, "a", img_far),
-         _gov_audio_row(3, "a", clip), _gov_audio_row(4, "a", other_clip)],
+         _gov_audio_row(3, "a", clip), _gov_audio_row(4, "a", other_clip),
+         _gov_video_row(5, "a", *mk_vid(vid_frames))],
         name="mixmedia",
     )
     img_idx = eng.build_image_index("mixmedia", str(tmp_path / "mm_img"))
     aud_idx = eng.build_audio_index("mixmedia", str(tmp_path / "mm_aud"))
+    vid_idx = eng.build_video_index("mixmedia", str(tmp_path / "mm_vid"))
     # batch: a near-copy of indexed image 1, a fresh image + its internal
-    # near-copy, a re-gained copy of indexed clip 3, a fresh clip
+    # near-copy, a re-gained copy of indexed clip 3, a fresh clip, a
+    # TRIMMED copy of indexed video 5 + a fresh video with an internal
+    # re-cut duplicate
     near_img = img_base.copy(); near_img[:3, :3, :] = 255
     fresh_img = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
     fresh_img_dup = fresh_img.copy(); fresh_img_dup[:2, :2, :] = 0
     regained = (clip.astype(np.int32) * 3 // 4).astype(np.int16)
     fresh_aud = (rng.randn(4000) * 8000).clip(-32768, 32767).astype(np.int16)
+    fresh_frames = [rng.randint(0, 256, (16, 16), dtype=np.uint8)
+                    for _ in range(6)]
     batch_schema = _GOV_MEDIA_SCHEMA.replace("grp string, ", "")
 
     def nogrp(row):
@@ -5580,17 +5634,29 @@ def test_incremental_media_curation_governed(spark, tmp_path):
         nogrp(_gov_image_row(112, "a", fresh_img_dup)),
         nogrp(_gov_audio_row(103, "a", regained)),
         nogrp(_gov_audio_row(104, "a", fresh_aud)),
+        nogrp(_gov_video_row(105, "a", *mk_vid(vid_frames[1:]))),  # trim of 5
+        nogrp(_gov_video_row(106, "a", *mk_vid(fresh_frames))),
+        nogrp(_gov_video_row(116, "a", *mk_vid(fresh_frames[:4]))),  # re-cut
     ]
     batch = spark.createDataFrame(batch_rows, batch_schema)
 
     def survivors():
-        cross = eng.near_duplicates_incremental(
-            img_idx, batch, user="admin"
-        ).unionByName(
-            eng.near_duplicates_incremental(aud_idx, batch, user="admin")
+        cross = (
+            eng.near_duplicates_incremental(img_idx, batch, user="admin")
+            .select("new_id", "indexed_id")
+            .unionByName(
+                eng.near_duplicates_incremental(aud_idx, batch, user="admin")
+                .select("new_id", "indexed_id")
+            )
+            .unionByName(
+                eng.near_duplicates_incremental(vid_idx, batch, user="admin")
+                .select("new_id", "indexed_id")
+            )
         )
-        internal = M.image_near_duplicates(batch).unionByName(
-            M.audio_near_duplicates(batch)
+        internal = (
+            M.image_near_duplicates(batch).select("id_a", "id_b")
+            .unionByName(M.audio_near_duplicates(batch).select("id_a", "id_b"))
+            .unionByName(M.video_near_duplicates(batch).select("id_a", "id_b"))
         )
         out = _dd.dedup_new_against_corpus(
             batch.select("doc_id"), internal, cross
@@ -5598,17 +5664,21 @@ def test_incremental_media_curation_governed(spark, tmp_path):
         return {r["doc_id"] for r in out.collect()}
 
     inc = survivors()
-    assert inc == {102, 104}  # 101/103 cross-dropped, 112 lost to 102
+    # 101/103/105 cross-dropped, 112 lost to 102, 116 lost to 106
+    assert inc == {102, 104, 106}
     # batch recipe on the union, sliced to the batch ids
     union_rows = [
         nogrp(_gov_image_row(1, "a", img_base)),
         nogrp(_gov_image_row(2, "a", img_far)),
         nogrp(_gov_audio_row(3, "a", clip)),
         nogrp(_gov_audio_row(4, "a", other_clip)),
+        nogrp(_gov_video_row(5, "a", *mk_vid(vid_frames))),
     ] + batch_rows
     union = spark.createDataFrame(union_rows, batch_schema)
-    pairs_u = M.image_near_duplicates(union).unionByName(
-        M.audio_near_duplicates(union)
+    pairs_u = (
+        M.image_near_duplicates(union).select("id_a", "id_b")
+        .unionByName(M.audio_near_duplicates(union).select("id_a", "id_b"))
+        .unionByName(M.video_near_duplicates(union).select("id_a", "id_b"))
     )
     uni = {
         r["doc_id"]
