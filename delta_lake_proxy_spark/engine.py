@@ -1950,11 +1950,7 @@ class Engine:
         from pyspark.sql import Window
 
         from .functions import similarity as _sim
-        from .functions.dedup import (
-            _SALT_CACHE,
-            _SALT_CACHE_MAX,
-            release_salt_caches,
-        )
+        from .functions._persist_cache import cache_persisted
 
         path = self.resolve(index_alias)
         cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
@@ -1997,9 +1993,7 @@ class Engine:
         q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
         # persisted: the distinct-cid collect below AND the probe join both
         # consume the ranking — without it the query batch is re-scored
-        q_cid = q_cid.persist(StorageLevel.MEMORY_AND_DISK)
-        _SALT_CACHE.append(q_cid)
-        release_salt_caches(keep=_SALT_CACHE_MAX)
+        q_cid = cache_persisted(q_cid.persist(StorageLevel.MEMORY_AND_DISK))
         # centroid-bounded collect: <= num_centroids values — the union of
         # probed lists becomes the scan's partition filter
         probe_cids = [r["_cid"] for r in q_cid.select("_cid").distinct().collect()]

@@ -14,7 +14,6 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
-from collections import deque
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
@@ -22,24 +21,15 @@ from pyspark.sql import functions as F
 
 from delta_lake_proxy_spark.functions.text import WORD_RE
 
-# Persisted bucketed projections from salt_oversized_buckets, retired FIFO so
-# long-lived sessions running many dedup/LSH calls never accumulate cached
-# blocks without bound. persist() (unlike localCheckpoint) keeps lineage, so
-# a retired relation stays correct — it just recomputes.
-_SALT_CACHE: deque[DataFrame] = deque()
-_SALT_CACHE_MAX = 4
-
-
-def release_salt_caches(keep: int = 0) -> int:
-    """Unpersist salted-bucket projections beyond ``keep`` (oldest first).
-
-    Returns how many were released. Safe at any time: persisted plans keep
-    their lineage and recompute if re-used after release."""
-    n = 0
-    while len(_SALT_CACHE) > keep:
-        _SALT_CACHE.popleft().unpersist()
-        n += 1
-    return n
+# Persisted bucketed projections from salt_oversized_buckets live in the
+# repo-wide FIFO persist cache (functions/_persist_cache.py) — these names
+# are back-compat aliases (the cache predates its shared home).
+from ._persist_cache import (  # noqa: F401  (re-exported aliases)
+    PERSIST_CACHE as _SALT_CACHE,
+    PERSIST_CACHE_MAX as _SALT_CACHE_MAX,
+    cache_persisted as _cache_persisted,
+    release_persisted as release_salt_caches,
+)
 
 
 def normalized_text(text: Column) -> Column:
@@ -161,8 +151,7 @@ def salt_oversized_buckets(
         return df, bucket_cols
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize before the plan forks into three branches
-    _SALT_CACHE.append(df)
-    release_salt_caches(keep=_SALT_CACHE_MAX)
+    _cache_persisted(df)
     big = (
         df.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -734,8 +723,7 @@ def hamming_near_duplicates(
         # once per self-join branch
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         banded.count()
-        _SALT_CACHE.append(banded)
-        release_salt_caches(keep=_SALT_CACHE_MAX)
+        _cache_persisted(banded)
     banded, join_keys = salt_oversized_buckets(
         banded,
         ["_band", "_bucket"],
@@ -1441,8 +1429,7 @@ def _marked_lines(
     marked = lines.withColumn("_lh", F.when(eligible, F.xxhash64("_line")))
     marked = marked.persist(StorageLevel.MEMORY_AND_DISK)
     marked.count()  # materialize before the plan forks into two branches
-    _SALT_CACHE.append(marked)
-    release_salt_caches(keep=_SALT_CACHE_MAX)
+    _cache_persisted(marked)
     return marked
 
 

@@ -918,12 +918,8 @@ def video_near_duplicates(
     to re-bucket the pair. Copies of mostly-static videos whose shared
     frames are all hot need a larger ``max_bucket_size`` (or None) to
     pair."""
-    from .dedup import (
-        _SALT_CACHE,
-        _SALT_CACHE_MAX,
-        release_salt_caches,
-        salt_oversized_buckets,
-    )
+    from ._persist_cache import cache_persisted
+    from .dedup import salt_oversized_buckets
     from pyspark import StorageLevel
 
     fh = video_frame_hashes(media, id_col=id_col, stride=stride).select(
@@ -934,8 +930,7 @@ def video_near_duplicates(
         # per-frame hashing runs once, not once per self-join branch
         fh = fh.persist(StorageLevel.MEMORY_AND_DISK)
         fh.count()
-        _SALT_CACHE.append(fh)
-        release_salt_caches(keep=_SALT_CACHE_MAX)
+        cache_persisted(fh)
     fh, join_keys = salt_oversized_buckets(
         fh, ["fhash"], F.xxhash64(F.col("_id")), max_bucket_size
     )

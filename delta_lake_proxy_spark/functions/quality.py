@@ -369,15 +369,14 @@ def repetition_ngram_stats(
         raise ValueError("at least one n required")
     if any(n < 1 for n in ns):
         raise ValueError(f"n must be >= 1, got {ns}")
-    from .dedup import _SALT_CACHE, _SALT_CACHE_MAX, release_salt_caches
+    from ._persist_cache import cache_persisted
 
     t = F.col(text_col)
     base = docs.select(
         F.col(id_col), F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base.count()  # materialize: several branches below re-read the words
-    _SALT_CACHE.append(base)
-    release_salt_caches(keep=_SALT_CACHE_MAX)
+    cache_persisted(base)
     words = base.select(
         F.col(id_col),
         F.expr("posexplode(_w)").alias("pos", "word"),
