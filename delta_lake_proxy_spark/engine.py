@@ -2640,6 +2640,8 @@ class Engine:
         compact_every: int | None = None,
         vacuum_every: int | None = None,
         vacuum_retention_hours: float | None = None,
+        retrain_every: int | None = None,
+        retrain_drift_ratio: float | None = None,
     ) -> list:
         """Continuous index maintenance (verdict r13 next #4): wire the
         governed LOG-CURSOR streaming reader to the incremental refreshes
@@ -2680,9 +2682,22 @@ class Engine:
         maintenance loop must not perform one); standard vacuum
         semantics apply (``vacuum_retention_hours`` guards concurrent
         probes planned against an older snapshot, and time travel to
-        vacuumed index versions ends)."""
+        vacuumed index versions ends).
+
+        ``retrain_every=N`` (r15) closes the freshness loop for the IVF
+        kind: every N micro-batches each IVF index's centroid drift is
+        checked (:meth:`ivf_drift` — one column-pruned index scan) and,
+        when the drift ratio reaches ``retrain_drift_ratio`` (default
+        1.5), :meth:`retrain_ivf_index` runs in place — refresh keeps
+        the lists complete, retrain keeps the centroids representative,
+        with no operator in the loop. An index predating the
+        ``graft.ivf.buildDistance`` stamp is skipped (retrain once
+        manually to establish it). Dedup kinds have no centroids and
+        are unaffected."""
         if isinstance(index_aliases, str):
             index_aliases = [index_aliases]
+        if retrain_drift_ratio is None:
+            retrain_drift_ratio = 1.5
         by_source: dict[str, list] = {}
         for ia in index_aliases:
             conf = deltalog.table_configuration_no_spark(self.resolve(ia))
@@ -2692,12 +2707,11 @@ class Engine:
                     f"{ia!r} is not a governed index (no graft.*.source "
                     "table property)"
                 )
+            is_ivf = bool(conf.get("graft.ivf.source"))
             refresher = (
-                self.refresh_ivf_index
-                if conf.get("graft.ivf.source")
-                else self.refresh_dedup_index
+                self.refresh_ivf_index if is_ivf else self.refresh_dedup_index
             )
-            by_source.setdefault(src, []).append((ia, refresher))
+            by_source.setdefault(src, []).append((ia, refresher, is_ivf))
         queries = []
         for src, pairs in sorted(by_source.items()):
             stream = self.read_table_stream_log(
@@ -2706,22 +2720,33 @@ class Engine:
 
             def make_fb(pairs=pairs):
                 def _fb(batch_df, batch_id):
-                    for ia, refresher in pairs:
+                    for ia, refresher, _is_ivf in pairs:
                         refresher(ia, user=user)
                     # cadence derives from the CHECKPOINTED batch_id (0-based,
                     # +1 so every-N fires on the Nth batch), never a
                     # driver-memory counter: a restart resumes the global
                     # cadence instead of resetting it, and a foreachBatch
                     # re-execution of the same batch_id repeats the SAME
-                    # decision (compaction is dataChange=False and vacuum is
-                    # retention-bounded, so the repeat is idempotent)
+                    # decision (compaction is dataChange=False, vacuum is
+                    # retention-bounded, and a repeated drift check either
+                    # sees ratio ~1 post-retrain and no-ops or re-runs the
+                    # idempotent retrain — all safe to repeat)
                     # (advice r14 #3 / verdict r14 next #2)
                     n = int(batch_id) + 1
+                    if retrain_every and n % retrain_every == 0:
+                        # retrain BEFORE compaction: the overwrite would
+                        # tombstone a just-compacted layout anyway
+                        for ia, _refresher, is_ivf in pairs:
+                            if not is_ivf:
+                                continue
+                            ratio = self.ivf_drift(ia).get("drift_ratio")
+                            if ratio is not None and ratio >= retrain_drift_ratio:
+                                self.retrain_ivf_index(ia, user=user)
                     if compact_every and n % compact_every == 0:
-                        for ia, _refresher in pairs:
+                        for ia, _refresher, _is_ivf in pairs:
                             self.compact_table(ia)
                     if vacuum_every and n % vacuum_every == 0:
-                        for ia, _refresher in pairs:
+                        for ia, _refresher, _is_ivf in pairs:
                             self.vacuum(
                                 ia, retention_hours=vacuum_retention_hours
                             )

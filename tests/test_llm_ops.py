@@ -6616,3 +6616,74 @@ def test_retrain_ivf_index_arrow_path(spark, tmp_path, monkeypatch):
         for r in eng.ivf_probe(idx, q45, k=10, n_probe=4, user="admin").collect()
     }
     assert got == truth
+
+
+def test_maintain_indexes_stream_drift_retrain(spark, tmp_path):
+    """retrain_every folds centroid RETRAINING into the maintenance loop
+    (the r15 completion of the freshness story): the stream refreshes a
+    drifted append, the cadenced drift check sees the ratio past
+    retrain_drift_ratio and retrains in place — no manual call — and a
+    subsequent cadence tick with ratio ~1 no-ops (the retrained stamp
+    gates re-retraining). Dedup-kind indexes in the same call are
+    untouched by the retrain machinery."""
+    import math
+
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    eng, ring = _drift_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_auto_rt"), index_alias="emb__auto_rt",
+        num_centroids=4, lloyd_iters=2,
+    )
+    # drifted ingest lands BEFORE the stream starts: batch 0 refreshes it,
+    # then the every-batch drift check fires the retrain
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            ring(40, 500, 45.0, "a"),
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=str(tmp_path / "ckpt_auto"),
+        available_now=True, retrain_every=1, retrain_drift_ratio=1.5,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    d = eng.ivf_drift(idx)
+    assert abs(d["drift_ratio"] - 1.0) < 1e-9  # retrained + re-stamped
+    # recall restored for a drifted-direction query, fully hands-off
+    q45 = [math.cos(math.radians(45.0)), math.sin(math.radians(45.0))]
+    truth = {
+        r["vec_id"]
+        for r in _sim.cosine_topk(
+            eng.read_table("emb", user="admin"), q45, k=10
+        ).collect()
+    }
+    assert _recall_at(eng, idx, q45, 10, 1, truth) == 1.0
+    # a second drained run over an UNdrifted append: the gate sees ratio
+    # ~1 and does NOT retrain — the build stamp survives untouched while
+    # the refresh still lands the new vector
+    stamp = deltalog.table_configuration_no_spark(eng.resolve(idx))[
+        "graft.ivf.buildDistance"
+    ]
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            [(600, "a", [1.0, 0.02])],
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    (q,) = eng.maintain_indexes_stream(
+        [idx], user="admin", checkpoint_dir=str(tmp_path / "ckpt_auto"),
+        available_now=True, retrain_every=1, retrain_drift_ratio=1.5,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert eng.read_table(idx, user="admin").filter("vec_id = 600").count() == 1
+    assert deltalog.table_configuration_no_spark(eng.resolve(idx))[
+        "graft.ivf.buildDistance"
+    ] == stamp
