@@ -164,7 +164,9 @@ def main() -> None:
         print(f"# {name}: min {timings[name]:.2f}s of {rs}", file=sys.stderr)
     proto = {k: timings.pop(k) for k in PROTOCOL if k in timings}
     proto_runs = {k: runs.pop(k) for k in PROTOCOL if k in runs}
-    total = round(sum(timings.values()), 3)
+    # headline keys only: an extended run must report the same comparable
+    # total the driver's plain run does
+    total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
     print(
         json.dumps(
             {
