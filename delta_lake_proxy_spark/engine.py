@@ -1694,11 +1694,24 @@ class Engine:
         cur = self._ivf_mean_dist(path)
         stamp = conf.get("graft.ivf.buildDistance")
         build = float(stamp) if stamp is not None else None
+        if build is None or cur is None:
+            ratio = None  # no stamp / empty index: no signal
+        elif build == 0.0:
+            # a zero-inertia stamp (bootstrap corpus where every vector
+            # WAS its centroid) must not disable the signal forever: any
+            # positive inertia over it is infinite drift (review r15)
+            ratio = 1.0 if cur == 0.0 else float("inf")
+        else:
+            ratio = cur / build
         return {
             "mean_sq_dist": cur,
             "build_mean_sq_dist": build,
-            "drift_ratio": (cur / build) if (build and cur is not None) else None,
+            "drift_ratio": ratio,
             "indexed_version": int(conf.get("graft.ivf.indexedVersion", "-1")),
+            # True while a retrain is in flight (or died mid-way): the
+            # overwrite landed but the manifest/codebook/stamp updates may
+            # not have — re-run retrain_ivf_index to converge
+            "retrain_pending": conf.get("graft.ivf.retrainPending") == "1",
         }
 
     def retrain_ivf_index(
@@ -1738,11 +1751,20 @@ class Engine:
           before.
 
         Finishes by re-stamping ``graft.ivf.buildDistance`` so
-        :meth:`ivf_drift` reads ~1.0 again. Crash between the overwrite
-        and the manifest write leaves old centroids over new assignments —
-        probes stay governed and approximate, and re-running the retrain
-        converges. Returns the indexed source version the retrained index
-        covers."""
+        :meth:`ivf_drift` reads ~1.0 again. Crash safety: a
+        ``graft.ivf.retrainPending`` marker commits BEFORE the data
+        overwrite and clears in the final property update — a retrain
+        that died between the overwrite and the manifest/codebook
+        rewrites (old centroids or old codebook over new assignments:
+        probes stay governed but score approximately) is visible as
+        ``ivf_drift()["retrain_pending"]`` and re-running the retrain
+        converges (it recomputes everything from the live rows);
+        :meth:`maintain_indexes_stream`'s drift gate re-fires on the
+        marker automatically. ``user`` is accepted for interface parity
+        with the refreshes (the maintenance stream passes it) but is
+        deliberately unused: the index already holds exactly the
+        building user's view, and a retrain must never narrow it.
+        Returns the indexed source version the retrained index covers."""
         if self.config.read_only:
             raise ReadOnlyError(index_alias)
         from .functions import similarity as _sim
@@ -1765,6 +1787,14 @@ class Engine:
         )
         cents, id_col, vec_col = _sim.load_centroids(self.spark, path)
         live = self._read_data(path).drop("_cid", "pq_codes")
+        # an emptied index (every source row retracted) has nothing to
+        # retrain — return rather than crash deep in Lloyd/PQ on a
+        # zero-row, zero-dim relation (review r15)
+        if live.isEmpty():
+            return indexed
+        self.set_table_properties(
+            index_alias, {"graft.ivf.retrainPending": "1"}
+        )
         new_cents = _sim.lloyd_refine(
             live.select(F.col(vec_col)), cents, lloyd_iters, vec_col
         )
@@ -1804,7 +1834,10 @@ class Engine:
                     f,
                 )
         dist = self._ivf_mean_dist(path, cents=(new_cents, vec_col))
-        props = {"graft.ivf.indexedVersion": str(indexed)}
+        props = {
+            "graft.ivf.indexedVersion": str(indexed),
+            "graft.ivf.retrainPending": "0",
+        }
         if dist is not None:
             props["graft.ivf.buildDistance"] = repr(dist)
         self.set_table_properties(index_alias, props)
@@ -1971,15 +2004,22 @@ class Engine:
             F.col(query_id_col).alias("_qid"),
             F.transform(F.col(qv), lambda x: x.cast("double")).alias("_qvec"),
         )
+        q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
+        # persisted: the distinct-cid collect below AND the probe join both
+        # consume the ranking — without it the query batch is re-scored
+        q_cid = cache_persisted(q_cid.persist(StorageLevel.MEMORY_AND_DISK))
         # duplicate query-id VALUES would silently merge two queries'
         # candidate sets into one top-k window and return a ranking that
         # matches neither single probe — refuse by name instead (advice
-        # r14 #1). Query batches are retrieval-request-sized, so the
-        # bounded duplicate collect is driver metadata, not data motion.
+        # r14 #1). Checked on the PERSISTED ranking (each query row emits
+        # exactly per_q rows), not the raw query relation, so a caller's
+        # expensive upstream pipeline is never evaluated twice; the
+        # bounded collect is driver metadata, not data motion.
+        per_q = min(max(1, int(n_probe)), len(ids))
         dup = (
-            q.groupBy("_qid")
+            q_cid.groupBy("_qid")
             .count()
-            .filter(F.col("count") > 1)
+            .filter(F.col("count") > F.lit(per_q))
             .select("_qid")
             .limit(5)
             .collect()
@@ -1987,13 +2027,10 @@ class Engine:
         if dup:
             raise ValueError(
                 f"duplicate {query_id_col!r} values in the query batch "
-                f"(e.g. {sorted(r['_qid'] for r in dup)}) — each query "
-                "needs a unique id; dropDuplicates or re-key the batch"
+                f"(e.g. {sorted((r['_qid'] for r in dup), key=repr)}) — "
+                "each query needs a unique id; dropDuplicates or re-key "
+                "the batch"
             )
-        q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
-        # persisted: the distinct-cid collect below AND the probe join both
-        # consume the ranking — without it the query batch is re-scored
-        q_cid = cache_persisted(q_cid.persist(StorageLevel.MEMORY_AND_DISK))
         # centroid-bounded collect: <= num_centroids values — the union of
         # probed lists becomes the scan's partition filter
         probe_cids = [r["_cid"] for r in q_cid.select("_cid").distinct().collect()]
@@ -2357,13 +2394,15 @@ class Engine:
     # with one of these names cannot fold through as a carry column without
     # producing a duplicate/ambiguous column mid-build (advice r14 #2).
     _DEDUP_RESERVED_COLS: dict = {
-        "minhash": {"band", "bucket", "sig", "_id", "_sh", "_h1", "_h2"},
+        "minhash": {"band", "bucket", "sig", "_id", "_sh", "_h1", "_h2",
+                    "_shingles"},
         "simhash": {"band", "bucket", "sig", "_id", "_band", "_bucket", "_sig"},
         "image": {"band", "bucket", "sig", "ahash",
                   "_id", "_band", "_bucket", "_sig"},
         "audio": {"band", "bucket", "sig", "audio_hash",
                   "_id", "_band", "_bucket", "_sig"},
-        "video": {"fhash"},
+        # frame_idx: video_frame_hashes emits it mid-pipeline (review r15)
+        "video": {"fhash", "frame_idx"},
         "embedding": {"bucket", "qvec", "qscale"},
     }
     # probe-output names shared by every kind's incremental pairer
@@ -2739,8 +2778,26 @@ class Engine:
                         for ia, _refresher, is_ivf in pairs:
                             if not is_ivf:
                                 continue
-                            ratio = self.ivf_drift(ia).get("drift_ratio")
-                            if ratio is not None and ratio >= retrain_drift_ratio:
+                            iconf = deltalog.table_configuration_no_spark(
+                                self.resolve(ia)
+                            )
+                            fire = iconf.get("graft.ivf.retrainPending") == "1"
+                            if (
+                                not fire
+                                and iconf.get("graft.ivf.buildDistance") is None
+                            ):
+                                # stamp-less (pre-stamp) index: the drift
+                                # scan can never gate a retrain — skip it
+                                # instead of paying an index scan per
+                                # cadence tick forever (review r15)
+                                continue
+                            if not fire:
+                                ratio = self.ivf_drift(ia).get("drift_ratio")
+                                fire = (
+                                    ratio is not None
+                                    and ratio >= retrain_drift_ratio
+                                )
+                            if fire:
                                 self.retrain_ivf_index(ia, user=user)
                     if compact_every and n % compact_every == 0:
                         for ia, _refresher, _is_ivf in pairs:

@@ -6687,3 +6687,104 @@ def test_maintain_indexes_stream_drift_retrain(spark, tmp_path):
     assert deltalog.table_configuration_no_spark(eng.resolve(idx))[
         "graft.ivf.buildDistance"
     ] == stamp
+
+
+def test_ivf_drift_zero_stamp_and_empty_retrain(spark, tmp_path):
+    """Review r15 hardening: (a) a zero-inertia build stamp (bootstrap
+    corpus where every vector IS its centroid) reads as INFINITE drift
+    once real data lands — not a permanently-None signal that would
+    disable auto-retrain; (b) retraining an index whose every row was
+    retracted returns cleanly instead of crashing in Lloyd/PQ."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)]
+    src = str(tmp_path / "emb_zero")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        src, [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"emb_zero": src}, read_only=False)
+    )
+    idx = eng.build_ivf_index(
+        "emb_zero", str(tmp_path / "emb_zero_ivf"), num_centroids=4,
+        lloyd_iters=1,
+    )
+    d0 = eng.ivf_drift(idx)
+    assert d0["build_mean_sq_dist"] == 0.0
+    assert d0["drift_ratio"] == 1.0  # zero over zero: fresh
+    eng.write_table(
+        "emb_zero",
+        spark.createDataFrame([(10, [0.5, 0.5, 0.5, 0.5])],
+                              "vec_id long, embedding array<double>"),
+        mode="append",
+    )
+    eng.refresh_ivf_index(idx)
+    assert eng.ivf_drift(idx)["drift_ratio"] == float("inf")
+    # retrain recovers and establishes a usable stamp
+    eng.retrain_ivf_index(idx, lloyd_iters=2)
+    assert eng.ivf_drift(idx)["drift_ratio"] == 1.0
+    # (b): retract EVERYTHING, then retrain no-ops at the indexed version
+    eng.delete("emb_zero", F.lit(True))
+    v = eng.refresh_ivf_index(idx)
+    assert eng.read_table(idx, user="admin").count() == 0
+    assert eng.retrain_ivf_index(idx) == v
+
+
+def test_retrain_pending_marker_recovers_crash(spark, tmp_path):
+    """A retrain that dies between the data overwrite and the manifest
+    rewrite leaves graft.ivf.retrainPending=1 — visible in ivf_drift —
+    and re-running the retrain converges (re-stamps, clears the marker,
+    full-width probe equals brute force)."""
+    import math
+
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    eng, ring = _drift_fixture(spark, tmp_path)
+    idx = eng.build_ivf_index(
+        "emb", str(tmp_path / "emb_crash_rt"), index_alias="emb__crash_rt",
+        num_centroids=4, lloyd_iters=2,
+    )
+    eng.write_table(
+        "emb",
+        spark.createDataFrame(
+            ring(20, 700, 45.0, "a"),
+            "vec_id long, grp string, embedding array<double>",
+        ),
+        mode="append",
+    )
+    eng.refresh_ivf_index(idx)
+    assert eng.ivf_drift(idx)["retrain_pending"] is False
+    orig = _sim.write_centroid_manifest
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash after the overwrite")
+
+    _sim.write_centroid_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.retrain_ivf_index(idx, lloyd_iters=2)
+    finally:
+        _sim.write_centroid_manifest = orig
+    assert eng.ivf_drift(idx)["retrain_pending"] is True
+    # convergence: the re-run recomputes everything from the live rows
+    eng.retrain_ivf_index(idx, lloyd_iters=2)
+    d = eng.ivf_drift(idx)
+    assert d["retrain_pending"] is False
+    assert abs(d["drift_ratio"] - 1.0) < 1e-9
+    q45 = [math.cos(math.radians(45.0)), math.sin(math.radians(45.0))]
+    truth = {
+        r["vec_id"]
+        for r in _sim.cosine_topk(
+            eng.read_table("emb", user="admin"), q45, k=10
+        ).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in eng.ivf_probe(idx, q45, k=10, n_probe=4, user="admin").collect()
+    }
+    assert got == truth
