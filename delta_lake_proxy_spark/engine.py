@@ -1651,12 +1651,17 @@ class Engine:
         )
         return cur
 
-    def _ivf_mean_dist(self, path: str, cents=None) -> float | None:
+    def _ivf_mean_dist(
+        self, path: str, cents=None, quantiles: "tuple[float, ...]" = ()
+    ):
         """Mean squared-L2 distance of the index's stored vectors to their
         ASSIGNED (stored ``_cid``) centroids — the k-means inertia of the
         index as it stands. One column-pruned scan of the index, an
         aggregation, and a single driver float; no shuffle (the scorer is
-        a map-side column, see ``similarity.assigned_sq_dist``)."""
+        a map-side column, see ``similarity.assigned_sq_dist``).
+        ``quantiles`` folds approximate distance percentiles into the SAME
+        aggregation (still one scan) and switches the return to
+        ``(mean, {q: value})``."""
         from .functions import similarity as _sim
 
         if cents is None:
@@ -1668,10 +1673,26 @@ class Engine:
             cents,
             vec_col,
         )
-        row = d.agg(F.avg(F.col("_dist")).alias("_m")).collect()[0]
-        return float(row["_m"]) if row["_m"] is not None else None
+        aggs = [F.avg(F.col("_dist")).alias("_m")]
+        if quantiles:
+            aggs.append(
+                F.percentile_approx(
+                    F.col("_dist"), [float(q) for q in quantiles]
+                ).alias("_q")
+            )
+        row = d.agg(*aggs).collect()[0]
+        mean = float(row["_m"]) if row["_m"] is not None else None
+        if not quantiles:
+            return mean
+        qv = row["_q"]
+        return mean, {
+            float(q): (float(v) if v is not None else None)
+            for q, v in zip(quantiles, qv or [None] * len(quantiles))
+        }
 
-    def ivf_drift(self, index_alias: str) -> dict:
+    def ivf_drift(
+        self, index_alias: str, quantiles: "tuple[float, ...]" = ()
+    ) -> dict:
         """Centroid-drift signal of an index built by :meth:`build_ivf_index`
         (verdict r14 next #1): compares the CURRENT mean assigned distance
         (k-means inertia over the live index — one column-pruned scan)
@@ -1682,16 +1703,24 @@ class Engine:
         this is the cheap WHEN-to-retrain signal.
 
         Returns ``{"mean_sq_dist", "build_mean_sq_dist", "drift_ratio",
-        "indexed_version"}``; ``drift_ratio`` (current/build, ~1.0 right
-        after training) is None when the index predates the stamp —
-        retrain once (or rebuild) to establish it."""
+        "indexed_version", "retrain_pending"}``; ``drift_ratio``
+        (current/build, ~1.0 right after training) is None when the index
+        predates the stamp — retrain once (or rebuild) to establish it.
+        ``quantiles`` (e.g. ``(0.5, 0.95)``) adds a ``"quantiles_sq_dist"``
+        map of approximate distance percentiles from the SAME single scan
+        — a drifting TAIL (p95 rising while the mean holds) is the early
+        signal a skew-prone corpus gives before mean inertia moves."""
         path = self.resolve(index_alias)
         conf = deltalog.table_configuration_no_spark(path)
         if not conf.get("graft.ivf.source"):
             raise ValueError(
                 f"{index_alias!r} is not an IVF index built by build_ivf_index"
             )
-        cur = self._ivf_mean_dist(path)
+        qmap = None
+        if quantiles:
+            cur, qmap = self._ivf_mean_dist(path, quantiles=tuple(quantiles))
+        else:
+            cur = self._ivf_mean_dist(path)
         stamp = conf.get("graft.ivf.buildDistance")
         build = float(stamp) if stamp is not None else None
         if build is None or cur is None:
@@ -1703,7 +1732,7 @@ class Engine:
             ratio = 1.0 if cur == 0.0 else float("inf")
         else:
             ratio = cur / build
-        return {
+        out = {
             "mean_sq_dist": cur,
             "build_mean_sq_dist": build,
             "drift_ratio": ratio,
@@ -1713,6 +1742,9 @@ class Engine:
             # not have — re-run retrain_ivf_index to converge
             "retrain_pending": conf.get("graft.ivf.retrainPending") == "1",
         }
+        if qmap is not None:
+            out["quantiles_sq_dist"] = qmap
+        return out
 
     def retrain_ivf_index(
         self,

@@ -6315,6 +6315,9 @@ def test_ivf_probe_batch_pq_k256_arrow_path(spark, tmp_path):
     batch = eng.ivf_probe_batch(
         idx, queries, k=5, n_probe=2, shortlist=40, user="admin"
     )
+    # the Arrow scorer is mapInPandas, never row-at-a-time Python
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
     got: dict[int, list] = {qid: [] for qid in qvecs}
     for r in batch.collect():
         got[r["query_id"]].append((r["vec_id"], r["score"]))
@@ -6447,6 +6450,13 @@ def test_retrain_ivf_index_recovers_drift(spark, tmp_path):
     eng.refresh_ivf_index(idx)
     d1 = eng.ivf_drift(idx)
     assert d1["drift_ratio"] > 2.0  # inertia rose: centroids no longer fit
+    # the quantile view rides the SAME single scan: the drifted tail sits
+    # far above the median (clusters a/b still fit; the 45deg cluster is
+    # the p95 mass)
+    dq = eng.ivf_drift(idx, quantiles=(0.5, 0.95))
+    qs = dq["quantiles_sq_dist"]
+    assert qs[0.95] > qs[0.5] >= 0.0
+    assert qs[0.95] > d0["mean_sq_dist"] * 2
     # the split hurts single-list recall for a 45deg query
     q45 = [math.cos(math.radians(45.0)), math.sin(math.radians(45.0))]
     truth = {

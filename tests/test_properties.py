@@ -713,3 +713,44 @@ def test_rank_centroids_arrow_matches_lexsort_oracle(
         order = np.lexsort((ids, -scores))  # probe_centroids' exact rule
         want = {int(c) for c in ids[order[:n]]}
         assert got[i] == want and len(got[i]) == n
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_cents=st.integers(2, 8),
+    dim=st.integers(2, 6),
+    n_rows=st.integers(1, 8),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_assigned_sq_dist_matches_numpy_oracle(
+    spark, seed, n_cents, dim, n_rows
+):
+    """The drift metric's per-row assigned distance equals the plain
+    numpy computation on random vectors/assignments, through BOTH
+    centroid representations (literal map lookup and broadcast Arrow
+    gather) — the dispatch threshold can never change a distance."""
+    from delta_lake_proxy_spark.functions import similarity
+
+    rng = np.random.RandomState(seed)
+    ids = np.sort(
+        rng.choice(np.arange(100), size=n_cents, replace=False)
+    ).astype(np.int64)
+    mat = rng.randn(n_cents, dim)
+    cents_list = [(int(c), [float(x) for x in mat[i]])
+                  for i, c in enumerate(ids)]
+    vecs = rng.randn(n_rows, dim)
+    cids = ids[rng.randint(0, n_cents, size=n_rows)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(cids[i])) for i in range(n_rows)],
+        "rid long, vec array<double>, _cid long",
+    )
+    pos = np.searchsorted(ids, cids)
+    expect = ((vecs - mat[pos]) ** 2).sum(axis=1)
+    for cents in (cents_list, (ids, mat)):
+        got = {
+            r["rid"]: r["_dist"]
+            for r in similarity.assigned_sq_dist(df, cents, "vec").collect()
+        }
+        for i in range(n_rows):
+            assert abs(got[i] - expect[i]) < 1e-9, (i, cents is cents_list)
