@@ -297,7 +297,7 @@ def gopher_quality_flags(
     )
 
 
-def _word_ngrams(words: Column, n: int, mapper=None) -> Column:
+def _word_ngrams(words: Column, n: int, mapper=None, slice_mapper=None) -> Column:
     """Array of word ``n``-grams over an already-tokenized word array:
     ``transform(sequence(0, size-n), i -> mapper(space-joined gram, i))``,
     empty when the doc has fewer than ``n`` words. The ONE shared
@@ -306,9 +306,15 @@ def _word_ngrams(words: Column, n: int, mapper=None) -> Column:
     empty-array guard and slice arithmetic can never drift apart.
     ``mapper(gram, i)`` defaults to the gram string itself; it is called
     by this function (arity is ours, not PySpark's lambda-parameter
-    sniffing)."""
+    sniffing). ``slice_mapper(word_slice, i)`` instead receives the RAW
+    word-array slice — consumers that only need a fingerprint
+    (``xxhash64`` hashes arrays directly) skip materializing the joined
+    gram string entirely, the dominant cost when every n in 2..10
+    explodes per word position."""
 
     def gram(i: Column) -> Column:
+        if slice_mapper is not None:
+            return slice_mapper(F.slice(words, i + 1, n), i)
         g = F.concat_ws(" ", F.slice(words, i + 1, n))
         return mapper(g, i) if mapper is not None else g
 
@@ -352,12 +358,20 @@ def repetition_ngram_stats(
 
     Shape at scale: the corpus is scanned and TOKENIZED exactly once —
     the word-array projection is materialized (eager persist, retired
-    FIFO through the dedup salt-cache machinery) and every n-gram size
-    is built in one flattened ``transform`` over it, exploded once into
-    a unified (doc, n, start, gram) relation. Counting is a partial-
-    combined hash aggregation on (doc, n, gram); the dup-coverage union
-    is a distinct on (doc, n, pos) — interval merging without a
-    skew-prone per-doc window. No Python anywhere.
+    FIFO through the shared persist cache) and every n-gram size is
+    built in one flattened ``transform`` over it, exploded once into a
+    unified (doc, n, start, ghash, wc) relation. Grams are FINGERPRINTS,
+    never strings (r15): ``xxhash64`` hashes the word-array slice
+    directly and the gram's word-chars fold from the per-word length
+    array — with n = 2..10 every word position explodes ~9 gram rows,
+    so the count shuffle and the dup join carry 8-byte keys instead of
+    up-to-10-word strings. (An interleaved A/B at the bench SF measured
+    this neutral — 14.0 vs 14.9 s min-of-3 — because at 5k docs the
+    cost is fixed stage machinery, the r11 minhash finding again; the
+    byte reduction is the part that scales with the corpus.) Counting
+    is a partial-combined hash aggregation on (doc, n, ghash); the
+    dup-coverage union is a distinct on (doc, n, pos) — interval
+    merging without a skew-prone per-doc window. No Python anywhere.
 
     Documents with fewer than ``n`` words score 0 for that ``n``.
     Companion to :func:`repetition_stats` (lines/top-bigram);
@@ -373,22 +387,38 @@ def repetition_ngram_stats(
 
     t = F.col(text_col)
     base = docs.select(
-        F.col(id_col), F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w")
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.col("_w"),
+        # per-word lengths once: gram word-chars fold from this instead
+        # of measuring a materialized gram string
+        F.transform(F.col("_w"), F.length).alias("_wl"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base.count()  # materialize: several branches below re-read the words
     cache_persisted(base)
     words = base.select(
         F.col(id_col),
-        F.expr("posexplode(_w)").alias("pos", "word"),
-    ).select(F.col(id_col), "pos", F.length("word").alias("wlen"))
+        F.expr("posexplode(_wl)").alias("pos", "wlen"),
+    )
     totals = words.groupBy(id_col).agg(F.sum("wlen").alias("_tot"))
 
     def _tagged(n: int) -> Column:
+        # fingerprint + word-chars per position — the gram string itself
+        # is never built (xxhash64 hashes the slice array directly)
         return _word_ngrams(
             F.col("_w"),
             n,
-            mapper=lambda g, i, n=n: F.struct(
-                F.lit(n).alias("n"), i.alias("start"), g.alias("gram")
+            slice_mapper=lambda s, i, n=n: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("start"),
+                F.xxhash64(s).alias("ghash"),
+                F.aggregate(
+                    F.slice(F.col("_wl"), i + 1, n),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).alias("wc"),
             ),
         )
 
@@ -400,17 +430,18 @@ def repetition_ngram_stats(
         F.col(id_col),
         F.col("g.n").alias("n"),
         F.col("g.start").alias("start"),
-        F.col("g.gram").alias("gram"),
+        F.col("g.ghash").alias("ghash"),
+        F.col("g.wc").alias("wc"),
     )
-    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = grams.groupBy(id_col, "n", "ghash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("wc").alias("wc"),  # constant per (doc, n, ghash)
+    )
     # id list from the cached projection too — zero raw-source rescans
     out = base.select(F.col(id_col)).join(totals, id_col, "left")
     if top_ns:
-        # the most frequent gram, count ties toward the longer one; its
-        # word-chars = gram length minus the n-1 joining spaces
-        pick = F.struct(
-            F.col("cnt"), (F.length("gram") - (F.col("n") - 1)).alias("wc")
-        )
+        # the most frequent gram, count ties toward the longer one
+        pick = F.struct(F.col("cnt"), F.col("wc"))
         top = (
             counts.filter(F.col("n").isin(*[int(x) for x in top_ns]))
             .groupBy(id_col)
@@ -435,7 +466,7 @@ def repetition_ngram_stats(
                 counts.filter(
                     (F.col("cnt") > 1) & F.col("n").isin(*[int(x) for x in dup_ns])
                 ),
-                [id_col, "n", "gram"],
+                [id_col, "n", "ghash"],
             )
             .select(
                 F.col(id_col),
