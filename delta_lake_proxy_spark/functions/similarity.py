@@ -188,6 +188,56 @@ def quantized_cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def rrf_fuse(
+    rankings,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval result lists (Cormack et al.
+    2009) — the standard hybrid-search combiner: fuse a lexical ranking
+    (``text.bm25_topk``) with a vector ranking (:func:`cosine_topk` /
+    ``Engine.ivf_probe``) without score calibration, since only RANKS
+    enter: ``rrf(id) = sum_i 1 / (rrf_k + rank_i(id))``, an id missing
+    from a list contributing nothing. ``rrf_k=60`` is the published
+    constant. Each input needs ``id_col`` plus exactly one score column
+    (any name — bm25/score/cosine all work); rank within a list is
+    (score desc, id asc), the engine's total-order convention.
+
+    Inputs are ALREADY-REDUCED top-N result lists (the retrieval
+    contract), so the per-list ranking window is metadata-sized — this
+    deliberately does NOT fuse corpus-scale relations; run retrieval
+    first, fuse the shortlists. Output: (id, rrf_score) descending,
+    ties toward the smaller id, limited to ``k``."""
+    from pyspark.sql import Window
+
+    fused = None
+    for r in rankings:
+        extra = [c for c in r.columns if c != id_col]
+        if id_col not in r.columns or len(extra) != 1:
+            raise ValueError(
+                f"each ranking needs ({id_col!r}, <one score column>); "
+                f"got {r.columns}"
+            )
+        w = Window.orderBy(F.col(extra[0]).desc(), F.col(id_col).asc())
+        contrib = r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.row_number().over(w))
+            ).alias("_c"),
+        )
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    if fused is None:
+        raise ValueError("at least one ranking required")
+    return (
+        fused.groupBy(F.col(id_col))
+        .agg(F.round(F.sum(F.col("_c")), 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 

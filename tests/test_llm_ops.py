@@ -6798,3 +6798,69 @@ def test_retrain_pending_marker_recovers_crash(spark, tmp_path):
         for r in eng.ivf_probe(idx, q45, k=10, n_probe=4, user="admin").collect()
     }
     assert got == truth
+
+
+def test_rrf_fuse_hybrid_retrieval(spark):
+    """Reciprocal-rank fusion of a BM25 lexical ranking and a cosine
+    vector ranking, pinned against a Python oracle: rrf(id) =
+    sum 1/(60 + rank) over the lists containing the id, rank by
+    (score desc, id asc) within each list — the standard hybrid-search
+    combiner, no score calibration."""
+    from delta_lake_proxy_spark.functions import similarity as _sim
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engines and distributed joins"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "query planning in distributed spark engines"),
+            (4, "completely unrelated cooking recipe with butter"),
+            (5, "spark spark spark distributed distributed engines"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [0.1, 0.9]),
+            (3, [0.8, 0.3]),
+            (4, [0.0, 1.0]),
+            (5, [0.7, 0.1]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    lex = _tx.bm25_topk(docs, ["spark", "distributed"], k=4)
+    vec = _sim.cosine_topk(vecs, [1.0, 0.0], k=4, id_col="doc_id")
+
+    def ranks(rows, score_key):
+        ordered = sorted(rows, key=lambda r: (-r[score_key], r["doc_id"]))
+        return {r["doc_id"]: i + 1 for i, r in enumerate(ordered)}
+
+    lr = ranks(lex.collect(), "bm25")
+    vr = ranks(vec.collect(), "score")
+    expect = {}
+    for d in set(lr) | set(vr):
+        s = 0.0
+        if d in lr:
+            s += 1.0 / (60 + lr[d])
+        if d in vr:
+            s += 1.0 / (60 + vr[d])
+        expect[d] = round(s, 6)
+    want = sorted(expect.items(), key=lambda t: (-t[1], t[0]))[:3]
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in _sim.rrf_fuse([lex, vec], k=3).collect()
+    ]
+    assert got == want
+    # an id present in only one list still fuses (contributes one term)
+    only_lex = set(lr) - set(vr)
+    if only_lex:
+        full = {
+            r["doc_id"]: r["rrf_score"]
+            for r in _sim.rrf_fuse([lex, vec], k=10).collect()
+        }
+        d = min(only_lex)
+        assert abs(full[d] - 1.0 / (60 + lr[d])) < 1e-9
+    # malformed ranking refuses by name
+    with pytest.raises(ValueError, match="one score column"):
+        _sim.rrf_fuse([lex.withColumn("extra", F.lit(1))], k=3)
