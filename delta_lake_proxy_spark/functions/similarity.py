@@ -238,6 +238,89 @@ def rrf_fuse(
     )
 
 
+def mmr_rerank(
+    hits: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of
+    per-query candidate shortlists — the standard diversity pass after
+    retrieval (RAG context building: near-duplicate passages crowd out
+    coverage): greedily pick ``argmax lam * relevance - (1 - lam) *
+    max_cosine_to_already_picked``, ties toward the higher relevance
+    then the smaller id; the first pick is the plain top-scored row.
+
+    Input: one row per (query, candidate) with the retrieval score and
+    the candidate's vector — exactly ``Engine.ivf_probe_batch``'s output
+    joined back to its vectors, or any scored shortlist. Shortlists are
+    ALREADY-REDUCED top-N sets (the retrieval contract), so the per-query
+    group fits a pandas frame and the n^2 similarity matrix is tiny —
+    one ``applyInPandas`` over the query grouping, no shuffle beyond the
+    groupBy. Zero-norm vectors contribute 0 similarity (they diversify
+    nothing). Output: (query_id, id, score, mmr_rank) with ranks 1..k
+    per query."""
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    qt = hits.schema[query_id_col].dataType.simpleString()
+    it = hits.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} {qt}, {id_col} {it}, "
+        f"{score_col} double, mmr_rank int"
+    )
+    kk = int(k)
+
+    def pick(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        vecs = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = vecs / safe[:, None]
+        sim = unit @ unit.T  # (n, n) — shortlist-sized by contract
+        scores = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        # deterministic candidate order: relevance desc, id asc — argmax's
+        # first-occurrence rule then breaks every tie the same way
+        order = np.lexsort((ids, -scores))
+        remaining = list(order)
+        picked: list[int] = []
+        # the published penalty is the RAW max similarity to the picked
+        # set (negative similarity is a diversity BONUS) — a zeros init
+        # would silently clamp it at 0; before the first pick the term
+        # is 0 by convention (pure relevance)
+        max_sim = None
+        while remaining and len(picked) < kk:
+            rem = np.asarray(remaining)
+            pen = 0.0 if max_sim is None else max_sim[rem]
+            mmr = lam * scores[rem] - (1.0 - lam) * pen
+            j = rem[int(np.argmax(mmr))]
+            picked.append(int(j))
+            remaining.remove(int(j))
+            max_sim = (
+                sim[:, j].copy()
+                if max_sim is None
+                else np.maximum(max_sim, sim[:, j])
+            )
+        out = pdf.iloc[picked][[query_id_col, id_col, score_col]].reset_index(
+            drop=True
+        )
+        out["mmr_rank"] = pd.Series(
+            range(1, len(picked) + 1), dtype="int32"
+        )
+        return out
+
+    return hits.groupBy(F.col(query_id_col)).applyInPandas(pick, out_schema)
+
+
 def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 

@@ -6864,3 +6864,75 @@ def test_rrf_fuse_hybrid_retrieval(spark):
     # malformed ranking refuses by name
     with pytest.raises(ValueError, match="one score column"):
         _sim.rrf_fuse([lex.withColumn("extra", F.lit(1))], k=3)
+
+
+def test_mmr_rerank_diversifies_matches_oracle(spark):
+    """MMR rerank over per-query shortlists, pinned against a pure-Python
+    greedy oracle: rank 1 is the plain top-score pick, and a shortlist
+    whose top-2 are near-duplicates gets DIVERSIFIED (the second pick
+    jumps to the different cluster, which a plain top-k would not do)."""
+    import numpy as np
+
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    # query 0: candidates 1,2 nearly identical (both ~+x, top scores),
+    # candidate 3 orthogonal (+y, lower score) -> MMR picks 1 then 3
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0]),
+        (0, 2, 0.98, [0.99, 0.05]),
+        (0, 3, 0.80, [0.0, 1.0]),
+        (1, 1, 0.90, [1.0, 0.0]),
+        (1, 4, 0.90, [0.5, 0.5]),  # score tie with id 1 -> id asc first
+    ]
+    hits = spark.createDataFrame(
+        rows, "query_id long, vec_id long, score double, embedding array<double>"
+    )
+    out = _sim.mmr_rerank(hits, k=2, lam=0.5)
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["vec_id"] for r in out.collect()
+    }
+    assert got[(0, 1)] == 1  # plain top score
+    assert got[(0, 2)] == 3  # diversified: NOT the near-dup 2
+    assert got[(1, 1)] == 1  # tie -> smaller id
+    # full python-oracle replica on a bigger random shortlist
+    rng = np.random.RandomState(9)
+    cands = []
+    vecs = {}
+    for i in range(12):
+        v = rng.randn(4)
+        vecs[i] = v
+        cands.append((7, i, float(np.round(rng.rand(), 3)), [float(x) for x in v]))
+    big = spark.createDataFrame(
+        cands, "query_id long, vec_id long, score double, embedding array<double>"
+    )
+    lam, k = 0.7, 5
+    # oracle: independent greedy logic over the same vectorized cosine
+    # matrix (matmul, like the implementation — a scalar-dot oracle can
+    # flip near-ties by one ulp of BLAS rounding)
+    mat = np.vstack([vecs[i] for i in range(12)])
+    unit_m = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sim_m = unit_m @ unit_m.T
+    scores = {c[1]: c[2] for c in cands}
+    order = sorted(vecs, key=lambda i: (-scores[i], i))
+    remaining, picked = list(order), []
+    while remaining and len(picked) < k:
+        best = max(
+            remaining,
+            key=lambda i: (
+                lam * scores[i]
+                - (1 - lam) * max(
+                    (float(sim_m[i, j]) for j in picked), default=0.0
+                ),
+                -order.index(i),
+            ),
+        )
+        picked.append(best)
+        remaining.remove(best)
+    got_big = [
+        r["vec_id"]
+        for r in _sim.mmr_rerank(big, k=k, lam=lam)
+        .orderBy("mmr_rank").collect()
+    ]
+    assert got_big == picked
+    with pytest.raises(ValueError, match="lam"):
+        _sim.mmr_rerank(big, k=2, lam=1.5)
