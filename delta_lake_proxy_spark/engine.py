@@ -244,6 +244,7 @@ def _to_epoch_millis(ts: "int | float | str") -> int:
 # idempotent across a crash between its two commits (append + property)
 _IVF_REFRESH_APP = "graft.ivf.refresh"
 _MINHASH_REFRESH_APP = "graft.dedup.refresh"
+_SKETCH_REFRESH_APP = "graft.sketch.refresh"
 
 
 class Engine:
@@ -2363,18 +2364,68 @@ class Engine:
             },
         )
 
+    def build_bm25_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> str:
+        """Materialize the Okapi BM25 inverted index of a governed
+        documents table as a GOVERNED Delta table — the sparse-retrieval
+        counterpart of :meth:`build_ivf_index`: posting rows
+        ``(id, term, tf, dl)`` (``functions.text.bm25_postings``, one
+        tokenize pass) written TERM-CLUSTERED (file-count-bounded
+        clustering, not Delta partitions — the vocabulary is too
+        high-cardinality for a directory per term; parquet footer
+        min/max on the sorted ``term`` column prunes a probe's scan to
+        the query terms' files), with the scoring parameters and the
+        collection statistics (``nDocs``/``sumDl`` — BM25's N and the
+        numerator of avgdl) pinned as ``graft.bm25.*`` properties so a
+        probe never re-scans the corpus for them. Probe with
+        :meth:`bm25_probe` (ACL-injected), fuse with a dense probe via
+        :meth:`hybrid_search`, refresh with :meth:`refresh_dedup_index`
+        (delete-aware; the statistics adjust by exact deltas), maintain
+        continuously with :meth:`maintain_indexes_stream`. Returns the
+        registered alias (default ``<alias>__bm25``).
+
+        Reference parity: the reference proxies full-table reads
+        (src/main.rs read path); corpus-scale lexical retrieval is part
+        of this repo's LLM-pipeline charter, not a reference operator."""
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__bm25",
+            user,
+            {"kind": "bm25", "text_col": text_col, "id_col": id_col},
+            {
+                "graft.dedup.kind": "bm25",
+                "graft.dedup.textCol": text_col,
+                "graft.dedup.idCol": id_col,
+                "graft.bm25.k1": repr(float(k1)),
+                "graft.bm25.b": repr(float(b)),
+            },
+        )
+
     def _dedup_index_write_partitioning(self, prm: dict):
         """(repartition column, partition_by) for an index kind's writes —
         band-partitioned for the banded kinds (incremental joins arrive by
         (band, bucket), so the probe co-locates per band); the video frame
-        index is fhash-keyed and the embedding index bucket-keyed, both
-        with file-count-bounded clustering instead of Delta partitions (a
-        partition per 8-byte hash / 2^num_planes sign bucket would be a
+        index is fhash-keyed, the embedding index bucket-keyed and the
+        bm25 postings term-keyed, all three with file-count-bounded
+        clustering instead of Delta partitions (a partition per 8-byte
+        hash / 2^num_planes sign bucket / vocabulary term would be a
         file per value)."""
         if prm["kind"] == "video":
             return F.col("fhash"), None
         if prm["kind"] == "embedding":
             return F.col("bucket"), None
+        if prm["kind"] == "bm25":
+            return F.col("term"), None
         return F.col("band"), ["band"]
 
     def _build_dedup_index(
@@ -2415,11 +2466,38 @@ class Engine:
             idx_alias,
             {
                 **props,
+                # bm25: collection stats (N, sum of dl) counted from the
+                # WRITTEN index (a two-column scan of the fresh parquet —
+                # cheaper than re-running the corpus tokenize) so probes
+                # never scan the index for them
+                **self._index_stats_props(prm, index_path),
                 "graft.dedup.source": alias,
                 "graft.dedup.indexedVersion": str(src_version),
             },
         )
         return idx_alias
+
+    def _bm25_stats(self, postings: DataFrame, id_col: str) -> tuple:
+        """(nDocs, sumDl) of a posting relation: ``dl`` repeats on every
+        posting row of a document, so the stats aggregate over the
+        distinct (id, dl) pairs — a two-column scan however wide the
+        relation."""
+        row = (
+            postings.select(F.col(id_col), F.col("dl"))
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            )
+            .collect()[0]  # two scalars: the collection statistics
+        )
+        return int(row["n"]), int(row["s"])
+
+    def _index_stats_props(self, prm: dict, index_path: str) -> dict:
+        if prm["kind"] != "bm25":
+            return {}
+        n, s = self._bm25_stats(self._read_data(index_path), prm["id_col"])
+        return {"graft.bm25.nDocs": str(n), "graft.bm25.sumDl": str(s)}
 
     # Column names each index kind emits (index rows + probe outputs) or
     # binds internally during the signature pass — a SOURCE partition column
@@ -2436,6 +2514,9 @@ class Engine:
         # frame_idx: video_frame_hashes emits it mid-pipeline (review r15)
         "video": {"fhash", "frame_idx"},
         "embedding": {"bucket", "qvec", "qscale"},
+        # index rows (term/tf/dl) + probe-side bindings (df/idf/s/bm25 and
+        # the one-row collection-stats crossJoin's n/avgdl)
+        "bm25": {"term", "tf", "dl", "df", "idf", "s", "bm25", "n", "avgdl"},
     }
     # probe-output names shared by every kind's incremental pairer
     _DEDUP_RESERVED_COMMON = frozenset({"new_id", "indexed_id"})
@@ -2474,12 +2555,12 @@ class Engine:
         conf = deltalog.table_configuration_no_spark(path)
         kind = conf.get("graft.dedup.kind")
         if kind not in ("minhash", "simhash", "image", "audio", "video",
-                        "embedding"):
+                        "embedding", "bm25"):
             raise ValueError(
                 f"{index_alias!r} is not a dedup index built by "
                 "build_minhash_index / build_simhash_index / "
                 "build_image_index / build_audio_index / build_video_index "
-                "/ build_embedding_index"
+                "/ build_embedding_index / build_bm25_index"
             )
         return {
             "path": path,
@@ -2495,6 +2576,10 @@ class Engine:
             "dim": int(conf.get("graft.dedup.dim", "64")),
             "num_planes": int(conf.get("graft.dedup.numPlanes", "12")),
             "axis_planes": conf.get("graft.dedup.axisPlanes", "false") == "true",
+            "k1": float(conf.get("graft.bm25.k1", "1.2")),
+            "b": float(conf.get("graft.bm25.b", "0.75")),
+            "n_docs": conf.get("graft.bm25.nDocs"),
+            "sum_dl": conf.get("graft.bm25.sumDl"),
             "indexed_version": conf.get("graft.dedup.indexedVersion"),
         }
 
@@ -2565,6 +2650,15 @@ class Engine:
                 vec_col=prm["vec_col"],
                 carry_cols=carry,
             )
+        if prm["kind"] == "bm25":
+            from .functions import text as _tx
+
+            return _tx.bm25_postings(
+                docs,
+                text_col=prm["text_col"],
+                id_col=prm["id_col"],
+                carry_cols=carry,
+            )
         return _dd.hamming_signature_index(
             _dd.simhash_signatures(
                 docs, text_col=prm["text_col"], id_col=prm["id_col"],
@@ -2615,10 +2709,27 @@ class Engine:
         indexed = max(indexed, int(txn_mark))
         src_path = self.resolve(prm["source"])
         cur = deltalog.latest_version(src_path)
+        # bm25 collection stats (graft.bm25.nDocs/sumDl) normally adjust by
+        # exact deltas; a txn mark AHEAD of the indexedVersion property means
+        # a prior refresh crashed between its append and its property commit,
+        # so the stored stats are untrusted — recount from the index (the
+        # same two-column scan the build pays) instead of delta arithmetic
+        bm25_recount = prm["kind"] == "bm25" and (
+            int(prm["indexed_version"]) < indexed
+            or prm["n_docs"] is None
+            or prm["sum_dl"] is None
+        )
+        bm25_delta = (
+            [0, 0] if prm["kind"] == "bm25" and not bm25_recount else None
+        )
         if cur <= indexed:
             if int(prm["indexed_version"]) < indexed:
+                stats = (
+                    self._index_stats_props(prm, path) if bm25_recount else {}
+                )
                 self.set_table_properties(
-                    index_alias, {"graft.dedup.indexedVersion": str(indexed)}
+                    index_alias,
+                    {"graft.dedup.indexedVersion": str(indexed), **stats},
                 )
             return indexed
         pending, retract, saw_dml = self._source_window_changes(
@@ -2654,6 +2765,16 @@ class Engine:
                 # files, survivors and CDC — without a persist each probe
                 # would re-read the retracted parquet (review r13 #6)
                 dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+                if bm25_delta is not None:
+                    # stats of the docs the index ACTUALLY held (semi-join:
+                    # a dead id never indexed must not decrement), counted
+                    # BEFORE the retract DELETE removes their rows
+                    n_d, s_d = self._bm25_stats(
+                        self._read_data(path).join(dead, id_col, "semi"),
+                        id_col,
+                    )
+                    bm25_delta[0] -= n_d
+                    bm25_delta[1] -= s_d
                 # band partitions all hold every doc's rows (one per band),
                 # so there is no partition condition to prune by — the
                 # semi-join DELETE rewrites exactly the files containing
@@ -2686,19 +2807,43 @@ class Engine:
                             src_path, new_rows, id_col, prm["kind"]
                         ),
                     )
+                    if bm25_delta is not None:
+                        # persisted: the stats count after the append would
+                        # otherwise re-run the tokenize over the window
+                        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
                     part_col, _ = self._dedup_index_write_partitioning(prm)
-                    self.write_table(
-                        index_alias,
-                        sigs.repartition(part_col),
-                        mode="append",
-                        txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
-                    )
+                    try:
+                        self.write_table(
+                            index_alias,
+                            sigs.repartition(part_col),
+                            mode="append",
+                            txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
+                        )
+                        if bm25_delta is not None:
+                            n_a, s_a = self._bm25_stats(sigs, id_col)
+                            bm25_delta[0] += n_a
+                            bm25_delta[1] += s_a
+                    finally:
+                        if bm25_delta is not None:
+                            sigs.unpersist()
         finally:
             if dead is not None:
                 dead.unpersist()
-        self.set_table_properties(
-            index_alias, {"graft.dedup.indexedVersion": str(cur)}
-        )
+        final_props = {"graft.dedup.indexedVersion": str(cur)}
+        if bm25_recount:
+            final_props.update(self._index_stats_props(prm, path))
+        elif bm25_delta is not None:
+            final_props.update(
+                {
+                    "graft.bm25.nDocs": str(
+                        int(prm["n_docs"]) + bm25_delta[0]
+                    ),
+                    "graft.bm25.sumDl": str(
+                        int(prm["sum_dl"]) + bm25_delta[1]
+                    ),
+                }
+            )
+        self.set_table_properties(index_alias, final_props)
         return cur
 
     def maintain_indexes_stream(
@@ -2772,16 +2917,23 @@ class Engine:
         by_source: dict[str, list] = {}
         for ia in index_aliases:
             conf = deltalog.table_configuration_no_spark(self.resolve(ia))
-            src = conf.get("graft.ivf.source") or conf.get("graft.dedup.source")
+            src = (
+                conf.get("graft.ivf.source")
+                or conf.get("graft.dedup.source")
+                or conf.get("graft.sketch.source")
+            )
             if not src:
                 raise ValueError(
                     f"{ia!r} is not a governed index (no graft.*.source "
                     "table property)"
                 )
             is_ivf = bool(conf.get("graft.ivf.source"))
-            refresher = (
-                self.refresh_ivf_index if is_ivf else self.refresh_dedup_index
-            )
+            if is_ivf:
+                refresher = self.refresh_ivf_index
+            elif conf.get("graft.sketch.source"):
+                refresher = self.refresh_sketch_rollup
+            else:
+                refresher = self.refresh_dedup_index
             by_source.setdefault(src, []).append((ia, refresher, is_ivf))
         queries = []
         for src, pairs in sorted(by_source.items()):
@@ -2891,6 +3043,11 @@ class Engine:
         from .functions import dedup as _dd
 
         prm = self._dedup_index_params(index_alias)
+        if prm["kind"] == "bm25":
+            raise ValueError(
+                f"index {index_alias!r} is a BM25 retrieval index — probe "
+                "it with bm25_probe / hybrid_search, not the dedup pairer"
+            )
         index = self.read_table(index_alias, user=user)
         pred = self.acl_predicate(prm["source"], user)
         if pred is not None:
@@ -3008,6 +3165,354 @@ class Engine:
             shingle_words=prm["shingle_words"],
             threshold=threshold,
         )
+
+    def bm25_probe(
+        self,
+        index_alias: str,
+        query_terms: list[str],
+        k: int = 10,
+        user: str = acl.ANONYMOUS,
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> DataFrame:
+        """Top-k Okapi BM25 probe of an index built by
+        :meth:`build_bm25_index`: the scan reads only the query terms'
+        posting rows (``term IN (...)`` over the term-clustered index —
+        footer min/max prune the other files), the collection statistics
+        (N, avgdl) come from the pinned ``graft.bm25.*`` properties (no
+        corpus or index re-scan, and a probe can never score with stats
+        from a different build — the property-pinning contract every
+        governed index here follows), and the SOURCE table's resolved ACL
+        for ``user`` is injected as a row predicate, so tf/dl/df and the
+        candidate set come only from documents the user may see.
+
+        Per standard IR practice the collection-level N/avgdl describe
+        the INDEXED corpus (the building user's view) — document
+        frequency, being a per-query aggregate, is counted on the
+        ACL-visible slice. ``k1``/``b`` default to the values pinned at
+        build. Output: ``(id, bm25)`` descending, ties toward the
+        smaller id. Identical scoring to ``functions.text.bm25_topk``
+        (shared ``bm25_rank_postings`` formula; pinned equal in
+        tests/test_llm_ops.py)."""
+        from .functions import text as _tx
+
+        prm = self._dedup_index_params(index_alias)
+        if prm["kind"] != "bm25":
+            raise ValueError(
+                f"index {index_alias!r} is kind {prm['kind']!r} — "
+                "bm25_probe answers only build_bm25_index tables"
+            )
+        if prm["n_docs"] is None or prm["sum_dl"] is None:
+            raise ValueError(
+                f"index {index_alias!r} carries no collection statistics "
+                "(graft.bm25.nDocs/sumDl) — refresh_dedup_index() restores "
+                "them, or rebuild with build_bm25_index()"
+            )
+        n, sdl = int(prm["n_docs"]), int(prm["sum_dl"])
+        index = self.read_table(index_alias, user=user)
+        pred = self.acl_predicate(prm["source"], user)
+        if pred is not None:
+            index = index.filter(pred)
+        n_avgdl = self.spark.range(1).select(
+            F.lit(n).alias("n"),
+            F.lit(sdl / n if n else 0.0).alias("avgdl"),
+        )
+        return _tx.bm25_rank_postings(
+            index,
+            query_terms,
+            n_avgdl,
+            k=k,
+            id_col=prm["id_col"],
+            k1=prm["k1"] if k1 is None else k1,
+            b=prm["b"] if b is None else b,
+        )
+
+    def hybrid_search(
+        self,
+        bm25_index_alias: str,
+        ivf_index_alias: str,
+        query_terms: list[str],
+        query_vec: list[float],
+        k: int = 10,
+        user: str = acl.ANONYMOUS,
+        fetch_k: int | None = None,
+        n_probe: int = 4,
+        rrf_k: int = 60,
+        shortlist: int | None = None,
+        diversify_lam: float | None = None,
+    ) -> DataFrame:
+        """Governed hybrid retrieval — the production RAG shape in ONE
+        call: the BM25 lexical probe (:meth:`bm25_probe`) and the IVF
+        dense probe (:meth:`ivf_probe`) each read only their pruned index
+        slice with the SOURCE ACL injected; the two ``fetch_k``-sized
+        shortlists (default ``2*k``) fuse rank-only by reciprocal-rank
+        fusion (``functions.similarity.rrf_fuse`` — no score calibration
+        across the incomparable bm25/cosine scales); ``diversify_lam``
+        adds the maximal-marginal-relevance pass
+        (``similarity.mmr_rerank``), whose candidate vectors come from
+        the IVF index itself (governed read + shortlist semi-join — the
+        corpus floats are never re-read). The dense side's id column is
+        renamed to the lexical index's so the fusion keys on one name.
+
+        Output without MMR: ``(id, rrf_score)`` descending; with MMR:
+        ``(id, rrf_score, mmr_rank)`` by rank. Every stage is
+        shortlist-sized past the two index scans — at 100 TB the cost is
+        the pruned posting files + the probed inverted lists, identical
+        to running the two probes alone."""
+        from .functions import similarity as _sim
+
+        nk = int(fetch_k) if fetch_k is not None else 2 * k
+        id_col = self._dedup_index_params(bm25_index_alias)["id_col"]
+        lex = self.bm25_probe(bm25_index_alias, query_terms, k=nk, user=user)
+        dense = self.ivf_probe(
+            ivf_index_alias, query_vec, k=nk, n_probe=n_probe, user=user,
+            shortlist=shortlist,
+        )
+        iconf = deltalog.table_configuration_no_spark(
+            self.resolve(ivf_index_alias)
+        )
+        d_id = iconf.get("graft.ivf.idCol", "vec_id")
+        fused = _sim.rrf_fuse(
+            [lex, dense.withColumnRenamed(d_id, id_col)],
+            k=nk if diversify_lam is not None else k,
+            rrf_k=rrf_k,
+            id_col=id_col,
+        )
+        if diversify_lam is None:
+            return fused
+        vec_col = iconf.get("graft.ivf.vecCol", "embedding")
+        vecs = self.read_table(ivf_index_alias, user=user)
+        src_alias = iconf.get("graft.ivf.source")
+        pred = self.acl_predicate(src_alias, user) if src_alias else None
+        if pred is not None:
+            vecs = vecs.filter(pred)
+        hits = fused.join(
+            vecs.select(F.col(d_id).alias(id_col), F.col(vec_col)), id_col
+        ).withColumn("_q", F.lit(0))
+        out = _sim.mmr_rerank(
+            hits,
+            k=k,
+            lam=diversify_lam,
+            query_id_col="_q",
+            id_col=id_col,
+            score_col="rrf_score",
+            vec_col=vec_col,
+        )
+        return out.drop("_q").orderBy(F.col("mmr_rank").asc())
+
+    # -- governed HLL sketch rollup (approximate distinct accounting) ------
+
+    def build_sketch_rollup(
+        self,
+        alias: str,
+        index_path: str,
+        group_cols: list,
+        value_col: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        lg_k: int = 12,
+    ) -> str:
+        """Materialize a GOVERNED per-group HLL distinct-count rollup of a
+        source table (``functions.sketches`` — Apache DataSketches HLL via
+        Spark's built-in ``hll_sketch_agg``): one ``(group_cols...,
+        sketch, n_rows)`` row per group, the hypertable-rollup pattern
+        for corpus accounting (distinct urls/users/documents per
+        shard/day) that answers at sketch-table size instead of
+        re-shuffling the corpus. The source's partition columns are
+        auto-added to ``group_cols`` so a partition ACL on the source
+        compiles into a plain row predicate on the rollup (the governed
+        derived-data contract every index here follows). Query with
+        :meth:`sketch_rollup_estimate`, refresh with
+        :meth:`refresh_sketch_rollup` (O(new commits); DELETE-AWARE by
+        affected-group recompute — HLL cannot retract, so groups touched
+        by a delete recount from the live source while untouched groups
+        keep their incremental sketches), maintain continuously with
+        :meth:`maintain_indexes_stream`. Returns the registered alias
+        (default ``<alias>__sketch``)."""
+        from .functions import sketches as _sk
+
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        src_path = self.resolve(alias)
+        src_version = deltalog.latest_version(src_path)
+        src_df = self.read_table(alias, user=user, version=src_version)
+        if value_col not in src_df.columns:
+            raise ValueError(f"value column {value_col!r} not in {alias!r}")
+        group_cols = list(group_cols)
+        meta = deltalog.table_metadata_no_spark(src_path) or {}
+        for c in meta.get("partitionColumns") or []:
+            if c in src_df.columns and c not in group_cols and c != value_col:
+                group_cols.append(c)
+        for c in group_cols:
+            if "," in c:
+                raise ValueError(
+                    f"group column name {c!r} contains a comma — it cannot "
+                    "be pinned in the graft.sketch.groupCols property"
+                )
+        rollup = _sk.sketch_rollup(src_df, group_cols, value_col, lg_k=lg_k)
+        idx_alias = index_alias or f"{alias}__sketch"
+        self.config.table_mapping[idx_alias] = index_path
+        self.write_table(
+            idx_alias,
+            rollup.repartition(*[F.col(c) for c in group_cols]),
+            mode="overwrite",
+        )
+        self.set_table_properties(
+            idx_alias,
+            {
+                "graft.sketch.source": alias,
+                "graft.sketch.groupCols": ",".join(group_cols),
+                "graft.sketch.valueCol": value_col,
+                "graft.sketch.lgK": str(int(lg_k)),
+                "graft.sketch.indexedVersion": str(src_version),
+            },
+        )
+        return idx_alias
+
+    def _sketch_rollup_params(self, index_alias: str) -> dict:
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if not conf.get("graft.sketch.source"):
+            raise ValueError(
+                f"{index_alias!r} is not a sketch rollup built by "
+                "build_sketch_rollup"
+            )
+        return {
+            "path": path,
+            "source": conf["graft.sketch.source"],
+            "group_cols": conf["graft.sketch.groupCols"].split(","),
+            "value_col": conf["graft.sketch.valueCol"],
+            "lg_k": int(conf.get("graft.sketch.lgK", "12")),
+            "indexed_version": conf.get("graft.sketch.indexedVersion"),
+        }
+
+    def refresh_sketch_rollup(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> int:
+        """Incrementally refresh a :meth:`build_sketch_rollup` table:
+        partial sketches of the source commits PAST
+        ``graft.sketch.indexedVersion`` APPEND (HLL union-merging at query
+        time makes per-commit partials exactly equivalent to a rebuild —
+        sketches are order- and duplication-insensitive), and deletes are
+        absorbed by AFFECTED-GROUP RECOMPUTE: an HLL sketch cannot
+        retract items, so the groups whose rows a source remove touched
+        (read back from the tombstoned parquet — a vacuumed tombstone
+        refuses with the rebuild hint) are deleted from the rollup and
+        recounted from the LIVE governed source, while every other group
+        keeps its incremental state. Both legs land in ONE append commit
+        carrying the txn watermark, after the group DELETE — so a crash
+        anywhere replays to the same state (the dedup/IVF refresh
+        idempotence pattern). Returns the newly indexed source version."""
+        from .functions import sketches as _sk
+
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        prm = self._sketch_rollup_params(index_alias)
+        path = prm["path"]
+        if prm["indexed_version"] is None:
+            raise ValueError(
+                f"rollup {index_alias!r} predates indexed-version tracking "
+                "— rebuild once to enable refresh"
+            )
+        indexed = int(prm["indexed_version"])
+        txn_mark = deltalog.all_txn_versions(path).get(_SKETCH_REFRESH_APP, -1)
+        indexed = max(indexed, int(txn_mark))
+        src_path = self.resolve(prm["source"])
+        cur = deltalog.latest_version(src_path)
+        if cur <= indexed:
+            if int(prm["indexed_version"]) < indexed:
+                self.set_table_properties(
+                    index_alias,
+                    {"graft.sketch.indexedVersion": str(indexed)},
+                )
+            return indexed
+        pending, retract, saw_dml = self._source_window_changes(
+            src_path, indexed, cur
+        )
+        gcols = prm["group_cols"]
+        pred = self.acl_predicate(prm["source"], user)
+        affected = None
+        try:
+            if retract:
+                self._require_retract_files(src_path, retract)
+                affected = (
+                    self._read_clone_enumerated(src_path, dict(retract))
+                    .select(*[F.col(c) for c in gcols])
+                    .distinct()
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+            parts = []
+            if pending:
+                pv_of = {
+                    ap: dict(a.get("partitionValues") or {})
+                    for ap, a in pending.items()
+                }
+                dv_items = [
+                    (ap, a["deletionVector"])
+                    for ap, a in pending.items()
+                    if a.get("deletionVector")
+                ]
+                new_rows = self._read_clone_enumerated(
+                    src_path, pv_of, dv_items=dv_items or None
+                )
+                if pred is not None:
+                    new_rows = new_rows.filter(pred)
+                if affected is not None:
+                    # rows of recomputed groups must not ALSO append as a
+                    # partial — n_rows would double-count (the sketch
+                    # itself would shrug: HLL is duplication-insensitive)
+                    new_rows = new_rows.join(affected, gcols, "left_anti")
+                parts.append(
+                    _sk.sketch_rollup(
+                        new_rows, gcols, prm["value_col"], lg_k=prm["lg_k"]
+                    )
+                )
+            if affected is not None:
+                self.delete(index_alias, match=affected, on=gcols)
+                live = self.read_table(
+                    prm["source"], user=user, version=cur
+                ).join(affected, gcols, "semi")
+                parts.append(
+                    _sk.sketch_rollup(
+                        live, gcols, prm["value_col"], lg_k=prm["lg_k"]
+                    )
+                )
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                self.write_table(
+                    index_alias,
+                    out.repartition(*[F.col(c) for c in gcols]),
+                    mode="append",
+                    txn={"appId": _SKETCH_REFRESH_APP, "version": cur},
+                )
+        finally:
+            if affected is not None:
+                affected.unpersist()
+        self.set_table_properties(
+            index_alias, {"graft.sketch.indexedVersion": str(cur)}
+        )
+        return cur
+
+    def sketch_rollup_estimate(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> DataFrame:
+        """Governed per-group estimate over a :meth:`build_sketch_rollup`
+        table: ``(group_cols..., approx_distinct, n_rows)``. The scan is
+        the SKETCH table (groups x ~KB — never the corpus), the merge is
+        ``hll_union_agg`` over however many partial rows refreshes
+        appended, and the SOURCE table's resolved ACL for ``user``
+        applies as a row predicate (the source's partition columns are
+        rollup group columns by construction)."""
+        from .functions import sketches as _sk
+
+        prm = self._sketch_rollup_params(index_alias)
+        rollup = self.read_table(index_alias, user=user)
+        pred = self.acl_predicate(prm["source"], user)
+        if pred is not None:
+            rollup = rollup.filter(pred)
+        return _sk.sketch_rollup_estimate(rollup, prm["group_cols"])
 
     def _read_data(
         self,

@@ -226,7 +226,11 @@ def bm25_topk(
        TakeOrdered top-k.
 
     All JVM-side; the corpus is scanned once. At 100 TB the dominant cost
-    is the tokenize scan — df/avgdl are tiny aggregates."""
+    is the tokenize scan — df/avgdl are tiny aggregates. For REPEATED
+    queries, materialize the postings once (``bm25_postings`` /
+    ``Engine.build_bm25_index``) and rank with
+    :func:`bm25_rank_postings` — the probe then reads only the query
+    terms' posting rows instead of re-tokenizing the corpus."""
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -240,10 +244,76 @@ def bm25_topk(
     qterms = [t.lower() for t in query_terms]
     qtoks = toks.filter(F.col("term").isin(qterms))
     tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return bm25_rank_postings(
+        tf.join(doclen, id_col),
+        query_terms,
+        n_docs_avgdl,
+        k=k,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    )
+
+
+def bm25_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """The materialized-inverted-index relation for Okapi BM25: one row
+    per (document, term) carrying the term frequency and the document
+    length — ``(id, term, tf, dl[, carry...])`` — from ONE tokenize pass
+    (explode -> groupBy tf -> per-doc window sum for dl; the window
+    reuses no second scan). This is what ``Engine.build_bm25_index``
+    stores: a probe then reads only the query terms' posting rows
+    (term-clustered files + footer stats prune the rest) instead of
+    re-tokenizing the corpus per query. ``carry_cols`` (the source's
+    partition columns) fold through the aggregation keys so a partition
+    ACL compiles into a plain row predicate on the stored index —
+    the governed-index contract."""
+    from pyspark.sql import Window
+
+    carry = list(carry_cols)
+    toks = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, *carry, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+
+
+def bm25_rank_postings(
+    postings: DataFrame,
+    query_terms: list[str],
+    n_docs_avgdl: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank posting rows (:func:`bm25_postings` shape — ``(id, term, tf,
+    dl)``) against ``query_terms``: the ONE place the BM25 formula lives,
+    shared by the batch scorer (:func:`bm25_topk`) and the index probe
+    (``Engine.bm25_probe``), so the two can never score differently.
+    ``n_docs_avgdl`` is a one-row (n, avgdl) DataFrame — computed in-plan
+    by the batch scorer, read from pinned ``graft.bm25.*`` properties by
+    the probe. Document frequency is counted from the query-term slice
+    itself (a posting relation holds one row per (doc, term), so the
+    slice's per-term row count IS df). Output: (id, bm25) descending,
+    ties toward the smaller id, limited to ``k``."""
+    qterms = sorted({t.lower() for t in query_terms})
+    sl = postings.filter(F.col("term").isin(qterms))
+    df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(doclen, id_col)
+        sl.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs_avgdl))
         .withColumn(
             "idf",

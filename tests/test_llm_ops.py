@@ -6936,3 +6936,548 @@ def test_mmr_rerank_diversifies_matches_oracle(spark):
     assert got_big == picked
     with pytest.raises(ValueError, match="lam"):
         _sim.mmr_rerank(big, k=2, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Governed BM25 inverted index (r15): build / probe / refresh / hybrid search
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(texts, qterms, n, avgdl, k1=1.2, b=0.75):
+    """Plain-Python Okapi BM25 oracle over a {id: text} dict with
+    EXPLICIT collection stats (n, avgdl) — so the governed-probe
+    expectation (visible docs scored under corpus-level stats) can be
+    stated independently of the Spark code."""
+    import math
+    import re
+
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in texts.items()}
+    qs = sorted({q.lower() for q in qterms})
+    df = {q: sum(1 for ts in toks.values() if q in ts) for q in qs}
+    out = []
+    for i, ts in toks.items():
+        s = 0.0
+        for q in qs:
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0.0:
+            out.append((i, s))
+    return sorted(out, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_build_bm25_index_probe_equals_batch(spark, tmp_path):
+    """build_bm25_index stores (id, term, tf, dl) postings term-clustered
+    with collection stats pinned as graft.bm25.* properties; bm25_probe
+    over the index returns EXACTLY what the batch scorer (bm25_topk over
+    the source) returns — same shared formula, same rounding, same
+    total order — without re-tokenizing the corpus."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_bm25")
+    idx = eng.build_bm25_index("docs", idx_path)
+    assert idx == "docs__bm25"
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.dedup.kind"] == "bm25"
+    assert conf["graft.dedup.source"] == "docs"
+    assert conf["graft.bm25.nDocs"] == "4"
+    src = eng.read_table("docs", user="admin")
+    total_tokens = src.select(
+        F.sum(F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+")))
+    ).collect()[0][0]
+    assert conf["graft.bm25.sumDl"] == str(total_tokens)
+    # lang travelled into the index (the governance contract)
+    assert "lang" in eng.read_table(idx, user="admin").columns
+    for terms in (["fox", "dog"], ["quick", "uber", "engines"], ["und"],
+                  ["nowhere_term"]):
+        want = [
+            (r["doc_id"], r["bm25"])
+            for r in _tx.bm25_topk(src, terms, k=4).collect()
+        ]
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in eng.bm25_probe(idx, terms, k=4).collect()
+        ]
+        assert got == want, terms
+
+
+def test_bm25_probe_governed(spark, tmp_path):
+    """The ACL leg: a lang=en-restricted user's probe scores only en
+    documents (tf/df from the visible slice) under the corpus-level
+    collection stats pinned at build — matched against a plain-Python
+    BM25 oracle, not the Spark code."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    rows = {
+        r["doc_id"]: (r["lang"], r["text"])
+        for r in eng.read_table("docs", user="admin").collect()
+    }
+    n = len(rows)
+    import re
+
+    avgdl = (
+        sum(len(re.findall("[a-z0-9]+", t.lower())) for _, t in rows.values())
+        / n
+    )
+    terms = ["fox", "content", "uber"]
+    want = _bm25_py(
+        {i: t for i, (lg, t) in rows.items() if lg == "en"}, terms, n, avgdl
+    )
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in eng.bm25_probe(idx, terms, k=10, user="u").collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=2e-6)
+    # and the de doc is reachable by admin with the same call
+    admin_ids = {
+        r["doc_id"] for r in eng.bm25_probe(idx, terms, k=10).collect()
+    }
+    assert any(rows[i][0] == "de" for i in admin_ids)
+
+
+def test_bm25_index_refresh_and_delete_aware_stats(spark, tmp_path):
+    """refresh_dedup_index on the bm25 kind appends only the new commits'
+    postings, retracts deleted docs' posting rows, and keeps the pinned
+    collection stats EXACT by delta arithmetic — probe == batch scorer
+    after every step."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_bm25")
+    idx = eng.build_bm25_index("docs", idx_path)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(10, "en", "brand new fox document about query engines")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.refresh_dedup_index(idx)
+    src = eng.read_table("docs", user="admin")
+    terms = ["fox", "engines"]
+    want = [(r["doc_id"], r["bm25"]) for r in _tx.bm25_topk(src, terms, k=5).collect()]
+    got = [(r["doc_id"], r["bm25"]) for r in eng.bm25_probe(idx, terms, k=5).collect()]
+    assert got == want
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == "5"
+    # delete-aware: doc 1 leaves the index, stats drop by its exact dl
+    dl1 = 12  # tokens of doc 1's fixture text
+    sum_before = int(conf["graft.bm25.sumDl"])
+    eng.delete("docs", F.col("doc_id") == 1)
+    eng.refresh_dedup_index(idx)
+    assert eng.read_table(idx, user="admin").filter("doc_id = 1").count() == 0
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == "4"
+    assert int(conf["graft.bm25.sumDl"]) == sum_before - dl1
+    src = eng.read_table("docs", user="admin")
+    want = [(r["doc_id"], r["bm25"]) for r in _tx.bm25_topk(src, terms, k=5).collect()]
+    got = [(r["doc_id"], r["bm25"]) for r in eng.bm25_probe(idx, terms, k=5).collect()]
+    assert got == want
+    # fresh -> no-op
+    v = eng.refresh_dedup_index(idx)
+    assert v == eng.refresh_dedup_index(idx)
+
+
+def test_bm25_stats_recount_after_crashed_property_commit(spark, tmp_path):
+    """A refresh that crashed between its append (txn mark committed) and
+    its property commit leaves the stored stats untrusted: the next
+    refresh detects the txn mark AHEAD of graft.dedup.indexedVersion and
+    RECOUNTS the stats from the index instead of trusting deltas."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_bm25")
+    idx = eng.build_bm25_index("docs", idx_path)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(10, "en", "five more tokens right here")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.refresh_dedup_index(idx)
+    good = deltalog.table_configuration_no_spark(idx_path)
+    # simulate the crash window: roll the property back and corrupt stats
+    eng.set_table_properties(
+        idx,
+        {
+            "graft.dedup.indexedVersion": "0",
+            "graft.bm25.nDocs": "999",
+            "graft.bm25.sumDl": "999",
+        },
+    )
+    eng.refresh_dedup_index(idx)  # no new source commits: recount path
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == good["graft.bm25.nDocs"]
+    assert conf["graft.bm25.sumDl"] == good["graft.bm25.sumDl"]
+    assert (
+        conf["graft.dedup.indexedVersion"] == good["graft.dedup.indexedVersion"]
+    )
+
+
+def test_bm25_probe_survives_source_deletion(spark, tmp_path):
+    """Corruption proof (the governed-index standard): the postings are
+    self-contained — after every source parquet file is deleted from
+    disk, the probe answers unchanged (stats from properties, scores
+    from stored tf/dl; the corpus text is never re-read)."""
+    import os
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    terms = ["fox", "content"]
+    before = [(r["doc_id"], r["bm25"]) for r in eng.bm25_probe(idx, terms).collect()]
+    src = eng.resolve("docs")
+    for root, _dirs, files in os.walk(src):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                os.remove(os.path.join(root, fn))
+    after = [(r["doc_id"], r["bm25"]) for r in eng.bm25_probe(idx, terms).collect()]
+    assert after == before and before
+
+
+def test_bm25_index_reserved_partition_column_refuses(spark, tmp_path):
+    """A source partitioned by a column named like a bm25 index/probe
+    column ('term') cannot fold through as a carry column — the build
+    refuses by name."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "docs_term")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "some text here"), (2, "b", "other text there")],
+            "doc_id long, term string, text string",
+        ).repartition(1),
+        src,
+        ["term"],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"docs": src}, read_only=False)
+    )
+    with pytest.raises(ValueError, match="term"):
+        eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+
+
+def test_bm25_index_wrong_probe_refusals(spark, tmp_path):
+    """Kind routing is explicit: the dedup pairer refuses a bm25 index
+    and bm25_probe refuses a dedup index."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    bm = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    mh = eng.build_minhash_index("docs", str(tmp_path / "docs_mh"))
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bm25_probe"):
+        eng.near_duplicates_incremental(bm, probe)
+    with pytest.raises(ValueError, match="bm25_probe answers only"):
+        eng.bm25_probe(mh, ["fox"])
+
+
+def test_bm25_index_in_maintenance_stream(spark, tmp_path):
+    """maintain_indexes_stream keeps a bm25 index fresh like every other
+    kind: an appended source commit is drained by one availableNow pass,
+    after which the probe sees the new document and the pinned stats
+    reflect it."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_bm25")
+    idx = eng.build_bm25_index("docs", idx_path)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(10, "en", "streaming fox maintenance document")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    qs = eng.maintain_indexes_stream(
+        [idx],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == "5"
+    ids = {r["doc_id"] for r in eng.bm25_probe(idx, ["maintenance"]).collect()}
+    assert ids == {10}
+
+
+def _hybrid_gov_fixture(spark, tmp_path):
+    """Documents with BOTH text and an embedding column, partitioned by
+    lang, user 'u' restricted to lang=en — one corpus, two governed
+    indexes (bm25 + ivf), the hybrid-search shape."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog",
+         [1.0, 0.1, 0.0, 0.0]),
+        (2, "en", "spark query engines process distributed data",
+         [0.9, 0.2, 0.1, 0.0]),
+        (3, "de", "der schnelle braune fuchs springt uber den hund",
+         [0.0, 1.0, 0.0, 0.0]),
+        (4, "de", "verteilte speicherformate und tabellen",
+         [0.1, 0.9, 0.0, 0.0]),
+        (5, "en", "lazy dog sleeps near the fox den",
+         [0.8, 0.0, 0.5, 0.0]),
+    ]
+    src = str(tmp_path / "docs")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "doc_id long, lang string, text string, embedding array<float>",
+        ).repartition(1),
+        src,
+        ["lang"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "docs", _json.dumps({"lang": "en"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"docs": src}, read_only=False),
+        permissions_df=perms,
+    )
+    bm = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    ivf = eng.build_ivf_index(
+        "docs", str(tmp_path / "docs_ivf"), num_centroids=2, id_col="doc_id"
+    )
+    return eng, bm, ivf
+
+
+def test_hybrid_search_fuses_lexical_and_dense(spark, tmp_path):
+    """hybrid_search == rrf_fuse(bm25_probe shortlist, ivf_probe
+    shortlist) at the default fetch_k=2k, keyed on the lexical index's
+    id column — and the doc strong on BOTH modalities wins rank 1."""
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    q_terms, q_vec = ["fox", "dog"], [1.0, 0.0, 0.0, 0.0]
+    got = eng.hybrid_search(bm, ivf, q_terms, q_vec, k=3, n_probe=2).collect()
+    lex = eng.bm25_probe(bm, q_terms, k=6)
+    dense = eng.ivf_probe(ivf, q_vec, k=6, n_probe=2)
+    want = _sim.rrf_fuse([lex, dense], k=3, id_col="doc_id").collect()
+    assert got == want
+    assert got[0]["doc_id"] == 1  # fox+dog text AND the closest vector
+
+
+def test_hybrid_search_governed_and_diversified(spark, tmp_path):
+    """The ACL rides both legs (a lang-restricted user's fusion contains
+    only en docs), and diversify_lam adds the MMR pass: ranks 1..k over
+    the fused pool, rank 1 = the fused top-1 (MMR's first pick is pure
+    relevance)."""
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    q_terms, q_vec = ["fox", "hund"], [0.5, 0.5, 0.0, 0.0]
+    full = {
+        r["doc_id"]
+        for r in eng.hybrid_search(bm, ivf, q_terms, q_vec, k=5,
+                                   n_probe=2).collect()
+    }
+    assert any(i in full for i in (3, 4))  # admin reaches de docs
+    gated = eng.hybrid_search(
+        bm, ivf, q_terms, q_vec, k=5, n_probe=2, user="u"
+    ).collect()
+    assert gated and {r["doc_id"] for r in gated} <= {1, 2, 5}
+    fused = eng.hybrid_search(bm, ivf, q_terms, q_vec, k=6, n_probe=2).collect()
+    div = eng.hybrid_search(
+        bm, ivf, q_terms, q_vec, k=3, n_probe=2, diversify_lam=0.5
+    ).collect()
+    assert [r["mmr_rank"] for r in div] == [1, 2, 3]
+    assert div[0]["doc_id"] == fused[0]["doc_id"]
+    assert {r["doc_id"] for r in div} <= {r["doc_id"] for r in fused}
+
+
+# ---------------------------------------------------------------------------
+# Governed HLL sketch rollup (r15): approximate distinct accounting
+# ---------------------------------------------------------------------------
+
+
+def _sketch_gov_fixture(spark, tmp_path):
+    """Events with duplicated urls, partitioned by lang, user 'u'
+    restricted to lang=en — the corpus-accounting shape (distinct urls
+    per language)."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [
+        (1, "en", "http://a"), (2, "en", "http://b"), (3, "en", "http://a"),
+        (4, "en", "http://c"), (5, "de", "http://x"), (6, "de", "http://x"),
+        (7, "de", "http://y"),
+    ]
+    src = str(tmp_path / "events")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "eid long, lang string, url string")
+        .repartition(1),
+        src,
+        ["lang"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "events", _json.dumps({"lang": "en"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    return Engine(
+        spark,
+        EngineConfig(table_mapping={"events": src}, read_only=False),
+        permissions_df=perms,
+    )
+
+
+def test_sketch_rollup_build_estimate_governed(spark, tmp_path):
+    """build_sketch_rollup stores one HLL row per group with the source
+    partition columns as group keys; sketch_rollup_estimate answers from
+    the sketch table (exact at these cardinalities — DataSketches HLL is
+    lossless in sparse mode) with the source ACL injected."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "events_sk")
+    idx = eng.build_sketch_rollup("events", idx_path, ["lang"], "url")
+    assert idx == "events__sketch"
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.sketch.source"] == "events"
+    assert conf["graft.sketch.groupCols"] == "lang"
+    got = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": (3, 4), "de": (2, 3)}
+    gated = {
+        r["lang"]: r["approx_distinct"]
+        for r in eng.sketch_rollup_estimate(idx, user="u").collect()
+    }
+    assert gated == {"en": 3}
+
+
+def test_sketch_rollup_refresh_partials_equal_rebuild(spark, tmp_path):
+    """refresh_sketch_rollup APPENDS per-window partial sketches (the
+    rollup really holds multiple rows per group — no rebuild) whose
+    union-merge estimate equals a from-scratch rebuild exactly: HLL is
+    order- and duplication-insensitive, so the overlapping url re-appears
+    without double-counting."""
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    idx = eng.build_sketch_rollup("events", str(tmp_path / "events_sk"),
+                                  ["lang"], "url")
+    eng.write_table(
+        "events",
+        spark.createDataFrame(
+            [(8, "en", "http://b"), (9, "en", "http://d"),
+             (10, "de", "http://z")],
+            "eid long, lang string, url string",
+        ),
+        mode="append",
+    )
+    v = eng.refresh_sketch_rollup(idx)
+    assert eng.refresh_sketch_rollup(idx) == v  # fresh -> no-op
+    # two sketch rows per group now (build + one partial)
+    per_group = {
+        r["lang"]: r["cnt"]
+        for r in eng.read_table(idx, user="admin")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per_group == {"en": 2, "de": 2}
+    got = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": (4, 6), "de": (3, 4)}  # b deduped across commits
+    rebuilt = eng.build_sketch_rollup(
+        "events", str(tmp_path / "events_sk2"), ["lang"], "url",
+        index_alias="events__sk2",
+    )
+    want = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(rebuilt).collect()
+    }
+    assert got == want
+
+
+def test_sketch_rollup_delete_aware_group_recompute(spark, tmp_path):
+    """HLL cannot retract, so a source DELETE triggers affected-group
+    recompute: the touched group's sketch rows are replaced by a recount
+    of its LIVE rows, while the untouched group keeps its incremental
+    partial rows."""
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    idx = eng.build_sketch_rollup("events", str(tmp_path / "events_sk"),
+                                  ["lang"], "url")
+    eng.write_table(
+        "events",
+        spark.createDataFrame(
+            [(8, "de", "http://w")], "eid long, lang string, url string"
+        ),
+        mode="append",
+    )
+    eng.refresh_sketch_rollup(idx)  # de now holds 2 sketch rows
+    # delete every row carrying url http://a (en only)
+    eng.delete("events", F.col("url") == "http://a")
+    eng.refresh_sketch_rollup(idx)
+    got = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": (2, 2), "de": (3, 4)}  # en recounted; de untouched
+    per_group = {
+        r["lang"]: r["cnt"]
+        for r in eng.read_table(idx, user="admin")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # en collapsed to ONE recomputed row; de keeps build + partial
+    assert per_group == {"en": 1, "de": 2}
+
+
+def test_sketch_rollup_in_maintenance_stream_and_guards(spark, tmp_path):
+    """The rollup rides maintain_indexes_stream like every governed
+    index (graft.sketch.source routes to refresh_sketch_rollup), and the
+    guards hold: reserved group-column names refuse, non-rollup aliases
+    refuse."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    idx = eng.build_sketch_rollup("events", str(tmp_path / "events_sk"),
+                                  ["lang"], "url")
+    with pytest.raises(ValueError, match="sketch"):
+        eng.build_sketch_rollup(
+            "events", str(tmp_path / "bad"), ["sketch"], "url",
+            index_alias="events__bad",
+        )
+    with pytest.raises(ValueError, match="not a sketch rollup"):
+        eng.sketch_rollup_estimate("events")
+    eng.write_table(
+        "events",
+        spark.createDataFrame(
+            [(8, "en", "http://new")], "eid long, lang string, url string"
+        ),
+        mode="append",
+    )
+    qs = eng.maintain_indexes_stream(
+        [idx], checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    conf = deltalog.table_configuration_no_spark(str(tmp_path / "events_sk"))
+    got = {
+        r["lang"]: r["approx_distinct"]
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": 4, "de": 2}
+    assert int(conf["graft.sketch.indexedVersion"]) >= 1
