@@ -72,6 +72,9 @@ EXTENDED = [
     # r14: batched multi-query IVF probe vs the single-probe loop
     "ivf_probe_batch16",
     "ivf_probe_loop16",
+    # r15: batched BM25 index probe vs the no-index corpus-scan loop
+    "bm25_probe_batch16",
+    "bm25_scan_loop16",
 ]
 
 

@@ -2428,6 +2428,22 @@ class Engine:
             return F.col("term"), None
         return F.col("band"), ["band"]
 
+    def _dedup_index_arrange(self, prm: dict, df: DataFrame) -> DataFrame:
+        """Physical layout of an index kind's rows before a write. The
+        bm25 kind RANGE-clusters by term (files cover contiguous term
+        ranges, so each file's parquet footer min/max actually prunes a
+        probe's ``term IN (...)`` down to the few files holding those
+        terms — a hash repartition would co-locate each term but give
+        every file vocabulary-wide min/max, pruning nothing) and sorts
+        within partitions to tighten row-group stats. Every other kind
+        hash-clusters on its join/partition key."""
+        part_col, _ = self._dedup_index_write_partitioning(prm)
+        if prm["kind"] == "bm25":
+            return df.repartitionByRange(part_col).sortWithinPartitions(
+                part_col
+            )
+        return df.repartition(part_col)
+
     def _build_dedup_index(
         self,
         alias: str,
@@ -2455,10 +2471,10 @@ class Engine:
             ),
         )
         self.config.table_mapping[idx_alias] = index_path
-        part_col, part_by = self._dedup_index_write_partitioning(prm)
+        _, part_by = self._dedup_index_write_partitioning(prm)
         self.write_table(
             idx_alias,
-            idx.repartition(part_col),
+            self._dedup_index_arrange(prm, idx),
             mode="overwrite",
             partition_by=part_by,
         )
@@ -2811,11 +2827,10 @@ class Engine:
                         # persisted: the stats count after the append would
                         # otherwise re-run the tokenize over the window
                         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-                    part_col, _ = self._dedup_index_write_partitioning(prm)
                     try:
                         self.write_table(
                             index_alias,
-                            sigs.repartition(part_col),
+                            self._dedup_index_arrange(prm, sigs),
                             mode="append",
                             txn={"appId": _MINHASH_REFRESH_APP, "version": cur},
                         )
@@ -3227,6 +3242,109 @@ class Engine:
             b=prm["b"] if b is None else b,
         )
 
+    def bm25_probe_batch(
+        self,
+        index_alias: str,
+        queries: DataFrame,
+        k: int = 10,
+        user: str = acl.ANONYMOUS,
+        query_id_col: str = "query_id",
+        terms_col: str = "terms",
+        k1: float | None = None,
+        b: float | None = None,
+    ) -> DataFrame:
+        """Governed top-k BM25 for a whole DataFrame of queries — the
+        lexical counterpart of :meth:`ivf_probe_batch` (a driver loop
+        over :meth:`bm25_probe` is a per-query job storm; this is ONE
+        plan): the posting scan is pruned ONCE by the union of every
+        query's terms (a bounded driver collect — query batches are
+        retrieval-request-sized, like the dense probe's cid union), df
+        is counted once per term on the ACL-visible slice (df depends on
+        the term, not on which query asked), and each matched posting
+        fans out to its asking queries through a broadcast
+        ``(query_id, term)`` relation — no cartesian, top-k per query by
+        window rank. ``queries`` needs ``query_id_col`` plus
+        ``terms_col`` (``array<string>``; terms lowercase-normalized,
+        repeated terms score once — the single probe's set semantics).
+        Duplicate query-id values refuse by name (they would silently
+        merge two queries' term sets). Output:
+        ``(query_id, <id_col>, bm25)`` — per query identical to
+        :meth:`bm25_probe`."""
+        from .functions import text as _tx
+        from .functions._persist_cache import cache_persisted
+
+        prm = self._dedup_index_params(index_alias)
+        if prm["kind"] != "bm25":
+            raise ValueError(
+                f"index {index_alias!r} is kind {prm['kind']!r} — "
+                "bm25_probe_batch answers only build_bm25_index tables"
+            )
+        if prm["n_docs"] is None or prm["sum_dl"] is None:
+            raise ValueError(
+                f"index {index_alias!r} carries no collection statistics "
+                "(graft.bm25.nDocs/sumDl) — refresh_dedup_index() restores "
+                "them, or rebuild with build_bm25_index()"
+            )
+        index = self.read_table(index_alias, user=user)
+        if query_id_col in index.columns:
+            raise ValueError(
+                f"query_id_col {query_id_col!r} collides with an index "
+                "column — alias the query ids (the output carries both)"
+            )
+        # duplicate query ids checked on the raw batch (bounded collect —
+        # the q_rel distinct would silently UNION two same-id queries'
+        # term sets, so the persisted-relation trick of ivf_probe_batch
+        # cannot detect them here)
+        dup = (
+            queries.groupBy(F.col(query_id_col))
+            .count()
+            .filter(F.col("count") > 1)
+            .select(query_id_col)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate {query_id_col!r} values in the query batch "
+                f"(e.g. {sorted((r[query_id_col] for r in dup), key=repr)}) "
+                "— each query needs a unique id; dropDuplicates or re-key "
+                "the batch"
+            )
+        q_rel = cache_persisted(
+            queries.select(
+                F.col(query_id_col),
+                F.explode(F.col(terms_col)).alias("term"),
+            )
+            .withColumn("term", F.lower(F.col("term")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # bounded collect: the union of query terms becomes the posting
+        # scan's pushed filter (footer min/max prune on the term-clustered
+        # files — the batch pays one pruned scan however many queries ask)
+        terms_all = sorted(
+            r["term"] for r in q_rel.select("term").distinct().collect()
+        )
+        sl = index.filter(F.col("term").isin(terms_all))
+        pred = self.acl_predicate(prm["source"], user)
+        if pred is not None:
+            sl = sl.filter(pred)
+        n, sdl = int(prm["n_docs"]), int(prm["sum_dl"])
+        n_avgdl = self.spark.range(1).select(
+            F.lit(n).alias("n"),
+            F.lit(sdl / n if n else 0.0).alias("avgdl"),
+        )
+        return _tx.bm25_rank_postings_batch(
+            sl,
+            q_rel,
+            n_avgdl,
+            k=k,
+            id_col=prm["id_col"],
+            query_id_col=query_id_col,
+            k1=prm["k1"] if k1 is None else k1,
+            b=prm["b"] if b is None else b,
+        )
+
     def hybrid_search(
         self,
         bm25_index_alias: str,
@@ -3299,6 +3417,80 @@ class Engine:
             vec_col=vec_col,
         )
         return out.drop("_q").orderBy(F.col("mmr_rank").asc())
+
+    def hybrid_search_batch(
+        self,
+        bm25_index_alias: str,
+        ivf_index_alias: str,
+        queries: DataFrame,
+        k: int = 10,
+        user: str = acl.ANONYMOUS,
+        fetch_k: int | None = None,
+        n_probe: int = 4,
+        rrf_k: int = 60,
+        shortlist: int | None = None,
+        diversify_lam: float | None = None,
+        query_id_col: str = "query_id",
+        terms_col: str = "terms",
+        query_vec_col: str | None = None,
+    ) -> DataFrame:
+        """:meth:`hybrid_search` for a whole DataFrame of queries in ONE
+        composed plan — the serving shape: ``queries`` carries
+        ``query_id_col`` + ``terms_col`` (lexical leg) + a query-vector
+        column (dense leg; default: the IVF index's own vector column
+        name). Both legs run BATCHED (:meth:`bm25_probe_batch` /
+        :meth:`ivf_probe_batch` — one pruned posting scan + one pruned
+        inverted-list scan however many queries ask), fuse per query
+        rank-only (``similarity.rrf_fuse_batch``), and ``diversify_lam``
+        adds the MMR pass per query group (``mmr_rerank`` is natively
+        multi-query — one applyInPandas over the query grouping).
+        Output without MMR: ``(query_id, id, rrf_score)`` top-k per
+        query; with MMR: ``(query_id, id, rrf_score, mmr_rank)`` — per
+        query identical to :meth:`hybrid_search`."""
+        from .functions import similarity as _sim
+
+        nk = int(fetch_k) if fetch_k is not None else 2 * k
+        id_col = self._dedup_index_params(bm25_index_alias)["id_col"]
+        lex = self.bm25_probe_batch(
+            bm25_index_alias, queries, k=nk, user=user,
+            query_id_col=query_id_col, terms_col=terms_col,
+        )
+        iconf = deltalog.table_configuration_no_spark(
+            self.resolve(ivf_index_alias)
+        )
+        d_id = iconf.get("graft.ivf.idCol", "vec_id")
+        dense = self.ivf_probe_batch(
+            ivf_index_alias, queries, k=nk, n_probe=n_probe, user=user,
+            shortlist=shortlist, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).withColumnRenamed(d_id, id_col)
+        fused = _sim.rrf_fuse_batch(
+            [lex, dense],
+            k=nk if diversify_lam is not None else k,
+            rrf_k=rrf_k,
+            id_col=id_col,
+            query_id_col=query_id_col,
+        )
+        if diversify_lam is None:
+            return fused
+        vec_col = iconf.get("graft.ivf.vecCol", "embedding")
+        vecs = self.read_table(ivf_index_alias, user=user)
+        src_alias = iconf.get("graft.ivf.source")
+        pred = self.acl_predicate(src_alias, user) if src_alias else None
+        if pred is not None:
+            vecs = vecs.filter(pred)
+        hits = fused.join(
+            vecs.select(F.col(d_id).alias(id_col), F.col(vec_col)), id_col
+        )
+        return _sim.mmr_rerank(
+            hits,
+            k=k,
+            lam=diversify_lam,
+            query_id_col=query_id_col,
+            id_col=id_col,
+            score_col="rrf_score",
+            vec_col=vec_col,
+        )
 
     # -- governed HLL sketch rollup (approximate distinct accounting) ------
 

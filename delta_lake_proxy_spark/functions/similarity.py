@@ -238,6 +238,65 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_batch(
+    rankings,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of N BATCHED retrieval results —
+    the multi-query form of :func:`rrf_fuse`: each input carries
+    ``(query_id, id, <one score column>)`` (exactly the
+    ``Engine.bm25_probe_batch`` / ``Engine.ivf_probe_batch`` output
+    shapes), ranks are taken WITHIN each query partition (score desc,
+    id asc — the engine's total-order convention), contributions sum per
+    (query, id), and the output is the top-``k`` per query by window
+    rank: ``(query_id, id, rrf_score)`` — per query identical to
+    :func:`rrf_fuse` over that query's lists. Inputs are already-reduced
+    per-query shortlists (the retrieval contract), so every window
+    partition is shortlist-sized."""
+    from pyspark.sql import Window
+
+    fused = None
+    for r in rankings:
+        extra = [c for c in r.columns if c not in (id_col, query_id_col)]
+        if (
+            id_col not in r.columns
+            or query_id_col not in r.columns
+            or len(extra) != 1
+        ):
+            raise ValueError(
+                f"each batch ranking needs ({query_id_col!r}, {id_col!r}, "
+                f"<one score column>); got {r.columns}"
+            )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(extra[0]).desc(), F.col(id_col).asc()
+        )
+        contrib = r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.row_number().over(w))
+            ).alias("_c"),
+        )
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    if fused is None:
+        raise ValueError("at least one ranking required")
+    scored = fused.groupBy(F.col(query_id_col), F.col(id_col)).agg(
+        F.round(F.sum(F.col("_c")), 6).alias("rrf_score")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def mmr_rerank(
     hits: DataFrame,
     k: int = 10,

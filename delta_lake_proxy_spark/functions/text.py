@@ -290,6 +290,22 @@ def bm25_postings(
     )
 
 
+def _bm25_idf_expr() -> Column:
+    """Lucene-style non-negative idf: log((n - df + 0.5)/(df + 0.5) + 1)."""
+    return F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+
+
+def _bm25_term_score_expr(k1: float, b: float) -> Column:
+    """Per-(doc, term) BM25 contribution over (idf, tf, dl, avgdl) cols."""
+    return (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+
+
 def bm25_rank_postings(
     postings: DataFrame,
     query_terms: list[str],
@@ -300,38 +316,76 @@ def bm25_rank_postings(
     b: float = 0.75,
 ) -> DataFrame:
     """Rank posting rows (:func:`bm25_postings` shape — ``(id, term, tf,
-    dl)``) against ``query_terms``: the ONE place the BM25 formula lives,
-    shared by the batch scorer (:func:`bm25_topk`) and the index probe
-    (``Engine.bm25_probe``), so the two can never score differently.
-    ``n_docs_avgdl`` is a one-row (n, avgdl) DataFrame — computed in-plan
-    by the batch scorer, read from pinned ``graft.bm25.*`` properties by
-    the probe. Document frequency is counted from the query-term slice
-    itself (a posting relation holds one row per (doc, term), so the
-    slice's per-term row count IS df). Output: (id, bm25) descending,
-    ties toward the smaller id, limited to ``k``."""
+    dl)``) against ``query_terms``: the ONE place the BM25 formula lives
+    (``_bm25_idf_expr``/``_bm25_term_score_expr``, shared with the batch
+    ranker below), used by the batch scorer (:func:`bm25_topk`) and the
+    index probe (``Engine.bm25_probe``), so the paths can never score
+    differently. ``n_docs_avgdl`` is a one-row (n, avgdl) DataFrame —
+    computed in-plan by the batch scorer, read from pinned
+    ``graft.bm25.*`` properties by the probe. Document frequency is
+    counted from the query-term slice itself (a posting relation holds
+    one row per (doc, term), so the slice's per-term row count IS df).
+    Output: (id, bm25) descending, ties toward the smaller id, limited
+    to ``k``."""
     qterms = sorted({t.lower() for t in query_terms})
     sl = postings.filter(F.col("term").isin(qterms))
     df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         sl.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs_avgdl))
-        .withColumn(
-            "idf",
-            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        )
-        .withColumn(
-            "s",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+        .withColumn("idf", _bm25_idf_expr())
+        .withColumn("s", _bm25_term_score_expr(k1, b))
         .groupBy(id_col)
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_rank_postings_batch(
+    postings: DataFrame,
+    query_terms_rel: DataFrame,
+    n_docs_avgdl: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank posting rows against a whole BATCH of queries in one plan —
+    the N-query form of :func:`bm25_rank_postings` with the same shared
+    formula expressions. ``query_terms_rel`` is the exploded
+    ``(query_id, term)`` relation (distinct rows — repeated query terms
+    score once, matching the single ranker's set semantics); it is
+    broadcast twice: once to slice the postings (semi-join — callers
+    wanting footer pruning pre-filter with an ``isin`` literal, as
+    ``Engine.bm25_probe_batch`` does) and once to fan each matched
+    posting out to the queries that asked for its term. Document
+    frequency is per TERM (independent of which query asked), so it is
+    counted once on the slice and shared by every query. Output:
+    ``(query_id, id, bm25)``, top-``k`` per query by window rank —
+    per query identical to the single ranker."""
+    from pyspark.sql import Window
+
+    terms = query_terms_rel.select("term").distinct()
+    sl = postings.join(F.broadcast(terms), "term", "semi")
+    df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        sl.join(F.broadcast(df_), "term")
+        .join(F.broadcast(query_terms_rel.select(query_id_col, "term")), "term")
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .withColumn("idf", _bm25_idf_expr())
+        .withColumn("s", _bm25_term_score_expr(k1, b))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def chunk_documents(

@@ -2928,3 +2928,80 @@ def byte_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train_bytes(docs, num_merges=24)
     return bpe.bpe_encode_bytes(docs, merges).select("doc_id", "n_tokens")
+
+
+def _bm25_batch_fixture(spark: SparkSession, sf_dir: str):
+    """A cached governed copy of the documents table plus its BM25
+    posting index, shared by the bm25 bench rows so both pay zero
+    build cost in the timed region (the _ivf_batch_fixture pattern)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fixtures",
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    srcp = os.path.join(base, "bm25_docs_governed")
+    idxp = os.path.join(base, "bm25_index")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            table_mapping={"bm_docs": srcp, "bm_docs__bm25": idxp},
+            read_only=False,
+        ),
+    )
+    if not os.path.exists(os.path.join(srcp, "_delta_log")):
+        write_governed_table(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            srcp,
+            [],
+        )
+    if not os.path.exists(os.path.join(idxp, "_delta_log")):
+        eng.build_bm25_index("bm_docs", idxp)
+    return eng, "bm_docs__bm25"
+
+
+_BM25_QUERY_POOL = [
+    "the", "and", "data", "model", "learning", "spark", "test", "value",
+    "time", "work", "system", "result", "word", "code", "line", "point",
+]
+
+
+def _bm25_queries(spark: SparkSession, n: int = 16):
+    pool = _BM25_QUERY_POOL
+    return [
+        (i, [pool[i % len(pool)], pool[(i + 3) % len(pool)]])
+        for i in range(n)
+    ]
+
+
+def bm25_probe_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 batched BM25 probe (r15): 16 term queries answered in ONE plan
+    against the governed posting index — union-of-terms pruned posting
+    scan, shared per-term df, per-query window top-k. Compare with
+    :func:`bm25_scan_loop16` (the same 16 queries each re-tokenizing the
+    corpus — the no-index floor). Unregistered (per-query equality with
+    single probes pinned in test_llm_ops); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
+    eng, idx = _bm25_batch_fixture(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _bm25_queries(spark), "query_id int, terms array<string>"
+    )
+    return eng.bm25_probe_batch(idx, queries, k=10)
+
+
+def bm25_scan_loop16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-index comparison floor for :func:`bm25_probe_batch16`: the
+    SAME 16 queries as 16 `text.bm25_topk` branches, each tokenizing the
+    whole corpus — what serving lexical retrieval without the posting
+    index costs."""
+    from .functions import text as _tx
+
+    _bm25_batch_fixture(spark, sf_dir)  # same fixture cost parity
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = None
+    for qid, terms in _bm25_queries(spark):
+        one = _tx.bm25_topk(docs, terms, k=10).withColumn(
+            "query_id", F.lit(qid).cast("int")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

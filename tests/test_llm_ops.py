@@ -7481,3 +7481,155 @@ def test_sketch_rollup_in_maintenance_stream_and_guards(spark, tmp_path):
     }
     assert got == {"en": 4, "de": 2}
     assert int(conf["graft.sketch.indexedVersion"]) >= 1
+
+
+def test_bm25_probe_batch_equals_single_probes(spark, tmp_path):
+    """bm25_probe_batch answers N queries in ONE plan — per query
+    identical to bm25_probe (shared formula; repeated/uppercase query
+    terms collapse to the single probe's set semantics), under admin AND
+    the lang-restricted user; duplicate query ids, empty batches and
+    id-column collisions follow the ivf_probe_batch contracts."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    queries = spark.createDataFrame(
+        [(1, ["fox", "dog"]), (2, ["QUICK", "quick", "engines"]),
+         (3, ["nothing_matches"])],
+        "query_id int, terms array<string>",
+    )
+    cases = {1: ["fox", "dog"], 2: ["quick", "engines"],
+             3: ["nothing_matches"]}
+    for u in ("admin", "u"):
+        rows = eng.bm25_probe_batch(idx, queries, k=3, user=u).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["bm25"])
+            )
+        for qid, terms in cases.items():
+            got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+            want = [
+                (r["doc_id"], r["bm25"])
+                for r in eng.bm25_probe(idx, terms, k=3, user=u).collect()
+            ]
+            assert got == want, (u, qid)
+    dupq = spark.createDataFrame(
+        [(1, ["fox"]), (1, ["dog"])], "query_id int, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.bm25_probe_batch(idx, dupq)
+    empty = spark.createDataFrame([], "query_id int, terms array<string>")
+    out = eng.bm25_probe_batch(idx, empty)
+    assert out.columns == ["query_id", "doc_id", "bm25"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="collides"):
+        eng.bm25_probe_batch(idx, queries, query_id_col="doc_id")
+
+
+def test_hybrid_search_batch_equals_single(spark, tmp_path):
+    """hybrid_search_batch == hybrid_search per query — both legs
+    batched, per-query RRF (rrf_fuse_batch), MMR natively grouped — under
+    admin and the restricted user, with and without diversification."""
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [(1, ["fox", "dog"], [1.0, 0.0, 0.0, 0.0]),
+         (2, ["hund", "verteilte"], [0.0, 1.0, 0.0, 0.0])],
+        "query_id int, terms array<string>, embedding array<float>",
+    )
+    cases = {1: (["fox", "dog"], [1.0, 0.0, 0.0, 0.0]),
+             2: (["hund", "verteilte"], [0.0, 1.0, 0.0, 0.0])}
+    for u in ("admin", "u"):
+        rows = eng.hybrid_search_batch(
+            bm, ivf, queries, k=3, n_probe=2, user=u
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["rrf_score"])
+            )
+        for qid, (terms, vec) in cases.items():
+            got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+            want = [
+                (r["doc_id"], r["rrf_score"])
+                for r in eng.hybrid_search(
+                    bm, ivf, terms, vec, k=3, n_probe=2, user=u
+                ).collect()
+            ]
+            assert got == want, (u, qid)
+    div = eng.hybrid_search_batch(
+        bm, ivf, queries, k=3, n_probe=2, diversify_lam=0.5
+    ).collect()
+    by_q = {}
+    for r in div:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["mmr_rank"], r["doc_id"], r["rrf_score"])
+        )
+    for qid, (terms, vec) in cases.items():
+        got = sorted(by_q[qid])
+        want = [
+            (r["mmr_rank"], r["doc_id"], r["rrf_score"])
+            for r in eng.hybrid_search(
+                bm, ivf, terms, vec, k=3, n_probe=2, diversify_lam=0.5
+            ).collect()
+        ]
+        assert got == want, qid
+
+
+def test_bm25_index_range_layout_and_python_free_probe(spark, tmp_path):
+    """The bm25 index is RANGE-clustered by term: per-file parquet
+    footer (min, max) term ranges are pairwise disjoint, so a probe's
+    ``term IN (...)`` skips every file whose range misses the query
+    terms — the file-skipping prerequisite a hash layout cannot give
+    (every hash file spans the vocabulary). The probe plan pushes the
+    term filter to the scan and contains no Python stage."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [(i, f"term{i:04d} shared filler words") for i in range(300)]
+    src = str(tmp_path / "docs2")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(2),
+        src,
+        [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"docs2": src}, read_only=False)
+    )
+    idx_path = str(tmp_path / "docs2_bm25")
+    # AQE coalesces the tiny range shuffle to ONE file at fixture scale
+    # (at real scale it merges only ADJACENT ranges, so disjointness is
+    # unaffected) — disable it for the build so the layout is observable
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        idx = eng.build_bm25_index("docs2", idx_path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    ranges = []
+    for f in glob.glob(os.path.join(idx_path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            j
+            for j in range(md.num_columns)
+            if md.row_group(0).column(j).path_in_schema == "term"
+        )
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # several files, or there is nothing to skip
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint: footer stats can skip
+    probe = eng.bm25_probe(idx, ["term0007", "shared"], k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed
