@@ -1822,8 +1822,16 @@ class Engine:
         live = self._read_data(path).drop("_cid", "pq_codes")
         # an emptied index (every source row retracted) has nothing to
         # retrain — return rather than crash deep in Lloyd/PQ on a
-        # zero-row, zero-dim relation (review r15)
+        # zero-row, zero-dim relation (review r15). A retrainPending
+        # marker left by a PRIOR crashed retrain clears here: re-running
+        # the retrain can never converge it on an empty index, and a
+        # stale marker would re-fire a no-op retrain on every
+        # maintenance cadence tick forever (review r15 part 2)
         if live.isEmpty():
+            if conf.get("graft.ivf.retrainPending") == "1":
+                self.set_table_properties(
+                    index_alias, {}, unset=["graft.ivf.retrainPending"]
+                )
             return indexed
         self.set_table_properties(
             index_alias, {"graft.ivf.retrainPending": "1"}
@@ -2470,6 +2478,19 @@ class Engine:
                 src_path, src_df, prm["id_col"], prm["kind"]
             ),
         )
+        # by-construction backstop for _DEDUP_RESERVED_COLS drift: the
+        # hand-maintained reserved sets have missed an internal name once
+        # already (frame_idx, review r15) — a carry column that slipped
+        # past them and duplicated a signature output surfaces here as a
+        # duplicate column name instead of a silently broken index
+        dup_cols = sorted({c for c in idx.columns if idx.columns.count(c) > 1})
+        if dup_cols:
+            raise ValueError(
+                f"index build for kind {prm['kind']!r} produced duplicate "
+                f"column(s) {dup_cols} — a source partition column collides "
+                "with an index output not covered by the reserved-name "
+                "guard; rename the source column"
+            )
         self.config.table_mapping[idx_alias] = index_path
         _, part_by = self._dedup_index_write_partitioning(prm)
         self.write_table(
@@ -2751,6 +2772,15 @@ class Engine:
         pending, retract, saw_dml = self._source_window_changes(
             src_path, indexed, cur
         )
+        # retract-bearing windows RECOUNT rather than decrement: the
+        # retract DELETE commits before the txn-marked append, so a crash
+        # between them would replay this window with the dead rows already
+        # gone from the index — a semi-join decrement would count 0 and
+        # keep the dead docs' contributions forever (review r15 part 2).
+        # The recount is a two-column scan of the post-refresh index, paid
+        # only on delete-bearing refreshes; pure appends keep the deltas.
+        if prm["kind"] == "bm25" and (retract or saw_dml):
+            bm25_recount, bm25_delta = True, None
         id_col = prm["id_col"]
         # CDF source: row-exact feeds for both sides (see refresh_ivf_index)
         cdf = (
@@ -2781,16 +2811,6 @@ class Engine:
                 # files, survivors and CDC — without a persist each probe
                 # would re-read the retracted parquet (review r13 #6)
                 dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
-                if bm25_delta is not None:
-                    # stats of the docs the index ACTUALLY held (semi-join:
-                    # a dead id never indexed must not decrement), counted
-                    # BEFORE the retract DELETE removes their rows
-                    n_d, s_d = self._bm25_stats(
-                        self._read_data(path).join(dead, id_col, "semi"),
-                        id_col,
-                    )
-                    bm25_delta[0] -= n_d
-                    bm25_delta[1] -= s_d
                 # band partitions all hold every doc's rows (one per band),
                 # so there is no partition condition to prune by — the
                 # semi-join DELETE rewrites exactly the files containing
@@ -3291,12 +3311,20 @@ class Engine:
                 f"query_id_col {query_id_col!r} collides with an index "
                 "column — alias the query ids (the output carries both)"
             )
-        # duplicate query ids checked on the raw batch (bounded collect —
-        # the q_rel distinct would silently UNION two same-id queries'
-        # term sets, so the persisted-relation trick of ivf_probe_batch
-        # cannot detect them here)
+        # the caller's (possibly expensive) query pipeline is evaluated
+        # ONCE into this persisted request-sized base; the dup check, the
+        # term-union collect and the ranker's joins all derive from it
+        q_base = cache_persisted(
+            queries.select(F.col(query_id_col), F.col(terms_col)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        # duplicate query ids checked on the raw rows (the q_rel distinct
+        # below would silently UNION two same-id queries' term sets, so
+        # the persisted-ranking trick of ivf_probe_batch cannot detect
+        # them here)
         dup = (
-            queries.groupBy(F.col(query_id_col))
+            q_base.groupBy(F.col(query_id_col))
             .count()
             .filter(F.col("count") > 1)
             .select(query_id_col)
@@ -3310,14 +3338,13 @@ class Engine:
                 "— each query needs a unique id; dropDuplicates or re-key "
                 "the batch"
             )
-        q_rel = cache_persisted(
-            queries.select(
+        q_rel = (
+            q_base.select(
                 F.col(query_id_col),
                 F.explode(F.col(terms_col)).alias("term"),
             )
             .withColumn("term", F.lower(F.col("term")))
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # bounded collect: the union of query terms becomes the posting
         # scan's pushed filter (footer min/max prune on the term-clustered
@@ -3398,14 +3425,26 @@ class Engine:
         )
         if diversify_lam is None:
             return fused
+        from .functions._persist_cache import cache_persisted
+
         vec_col = iconf.get("graft.ivf.vecCol", "embedding")
         vecs = self.read_table(ivf_index_alias, user=user)
         src_alias = iconf.get("graft.ivf.source")
         pred = self.acl_predicate(src_alias, user) if src_alias else None
         if pred is not None:
             vecs = vecs.filter(pred)
+        # persisted: the shortlist-id collect and the vector join both
+        # consume the fusion. The bounded collect (<= fetch_k ids) pushes
+        # the vector fetch down to an isin the scan can file-skip with —
+        # a bare join would scan the WHOLE index to fetch a shortlist of
+        # vectors (review r15 part 2)
+        fused = cache_persisted(fused.persist(StorageLevel.MEMORY_AND_DISK))
+        ids = [r[id_col] for r in fused.select(id_col).collect()]
         hits = fused.join(
-            vecs.select(F.col(d_id).alias(id_col), F.col(vec_col)), id_col
+            vecs.filter(F.col(d_id).isin(ids)).select(
+                F.col(d_id).alias(id_col), F.col(vec_col)
+            ),
+            id_col,
         ).withColumn("_q", F.lit(0))
         out = _sim.mmr_rerank(
             hits,
@@ -3473,14 +3512,26 @@ class Engine:
         )
         if diversify_lam is None:
             return fused
+        from .functions._persist_cache import cache_persisted
+
         vec_col = iconf.get("graft.ivf.vecCol", "embedding")
         vecs = self.read_table(ivf_index_alias, user=user)
         src_alias = iconf.get("graft.ivf.source")
         pred = self.acl_predicate(src_alias, user) if src_alias else None
         if pred is not None:
             vecs = vecs.filter(pred)
+        # request-bounded collect (<= n_queries * fetch_k DISTINCT ids):
+        # the isin lets the vector fetch skip files instead of scanning
+        # the whole index for the shortlists (review r15 part 2)
+        fused = cache_persisted(fused.persist(StorageLevel.MEMORY_AND_DISK))
+        ids = [
+            r[id_col] for r in fused.select(id_col).distinct().collect()
+        ]
         hits = fused.join(
-            vecs.select(F.col(d_id).alias(id_col), F.col(vec_col)), id_col
+            vecs.filter(F.col(d_id).isin(ids)).select(
+                F.col(d_id).alias(id_col), F.col(vec_col)
+            ),
+            id_col,
         )
         return _sim.mmr_rerank(
             hits,
@@ -3549,6 +3600,14 @@ class Engine:
             rollup.repartition(*[F.col(c) for c in group_cols]),
             mode="overwrite",
         )
+        # NULL group-key values refuse (group-sized check on the written
+        # rollup, before the properties commit registers it): the
+        # delete-aware refresh retracts/recounts groups through
+        # null-UNSAFE equality joins, so a NULL group's stale rows would
+        # silently survive every recompute (review r15 part 2)
+        self._refuse_null_group_keys(
+            self._read_data(index_path), group_cols, alias
+        )
         self.set_table_properties(
             idx_alias,
             {
@@ -3560,6 +3619,26 @@ class Engine:
             },
         )
         return idx_alias
+
+    def _refuse_null_group_keys(
+        self, df: DataFrame, group_cols: list, source: str
+    ) -> None:
+        """Refuse NULL group-key values in a sketch-rollup relation: the
+        group-level DELETE/semi/anti joins the delete-aware refresh runs
+        are null-unsafe, so a NULL group could never be retracted or
+        recounted — coalesce the source's group column to a sentinel
+        instead."""
+        cond = None
+        for c in group_cols:
+            n = F.col(c).isNull()
+            cond = n if cond is None else (cond | n)
+        if df.filter(cond).limit(1).count():
+            raise ValueError(
+                f"{source!r} holds NULL values in group column(s) "
+                f"{group_cols} — the sketch rollup's delete-aware "
+                "maintenance joins on group keys and cannot retract a "
+                "NULL group; COALESCE the column to a sentinel first"
+            )
 
     def _sketch_rollup_params(self, index_alias: str) -> dict:
         path = self.resolve(index_alias)
@@ -3594,7 +3673,16 @@ class Engine:
         keeps its incremental state. Both legs land in ONE append commit
         carrying the txn watermark, after the group DELETE — so a crash
         anywhere replays to the same state (the dedup/IVF refresh
-        idempotence pattern). Returns the newly indexed source version."""
+        idempotence pattern).
+
+        Two refusals guard corruption: a delete-bearing refresh by a
+        user with a RESTRICTED source view refuses (the recount re-reads
+        live rows through that user's ACL — hidden rows would silently
+        leave the recounted sketches; pure-append windows are fine, they
+        only ADD what the user may see, the dedup-refresh semantics),
+        and NULL group-key values refuse (the group-level joins are
+        null-unsafe — a NULL group could never be retracted). Returns
+        the newly indexed source version."""
         from .functions import sketches as _sk
 
         if self.config.read_only:
@@ -3623,6 +3711,19 @@ class Engine:
         )
         gcols = prm["group_cols"]
         pred = self.acl_predicate(prm["source"], user)
+        if retract and pred is not None:
+            # the affected-group recompute re-reads those groups' LIVE rows
+            # through the refreshing user's ACL — a user narrower than the
+            # builder would silently erase ACL-hidden rows from the
+            # recounted sketches (the keeping-retracted guard of the
+            # dedup/IVF refreshes has no sketch analog: HLL cannot carry
+            # forward rows it cannot re-read). Refuse rather than corrupt.
+            raise ValueError(
+                f"refresh of {index_alias!r} must absorb a source DELETE by "
+                "recounting the affected groups, but user "
+                f"{user!r} holds a restricted view of {prm['source']!r} — "
+                "run this refresh as a user with full read access"
+            )
         affected = None
         try:
             if retract:
@@ -3633,6 +3734,7 @@ class Engine:
                     .distinct()
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                self._refuse_null_group_keys(affected, gcols, prm["source"])
             parts = []
             if pending:
                 pv_of = {
@@ -3673,12 +3775,19 @@ class Engine:
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p)
-                self.write_table(
-                    index_alias,
-                    out.repartition(*[F.col(c) for c in gcols]),
-                    mode="append",
-                    txn={"appId": _SKETCH_REFRESH_APP, "version": cur},
-                )
+                # persisted for the NULL-group check + the write (both
+                # consume the aggregated partials; group-sized)
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    self._refuse_null_group_keys(out, gcols, prm["source"])
+                    self.write_table(
+                        index_alias,
+                        out.repartition(*[F.col(c) for c in gcols]),
+                        mode="append",
+                        txn={"appId": _SKETCH_REFRESH_APP, "version": cur},
+                    )
+                finally:
+                    out.unpersist()
         finally:
             if affected is not None:
                 affected.unpersist()

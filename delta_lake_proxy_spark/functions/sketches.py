@@ -68,7 +68,14 @@ def sketch_rollup_estimate(
     appends collapse to the full-corpus estimate."""
     group_cols = _check_group_cols(group_cols)
     return rollup.groupBy(*[F.col(c) for c in group_cols]).agg(
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"), F.lit(False)))
+        # a group whose values were all NULL aggregates a NULL sketch
+        # (hll_sketch_agg skips nulls) — its distinct count is 0, not NULL
+        F.coalesce(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("sketch"), F.lit(False))
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),

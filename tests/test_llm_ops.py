@@ -7633,3 +7633,150 @@ def test_bm25_index_range_layout_and_python_free_probe(spark, tmp_path):
     assert "BatchEvalPython" not in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "term" in pushed
+
+
+# ---------------------------------------------------------------------------
+# Review fixes (r15 part 2): crash windows, ACL-narrow refresh, NULL groups
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_stats_survive_crash_between_delete_and_append(spark, tmp_path):
+    """A refresh that crashes AFTER its retract DELETE but BEFORE the
+    txn-marked append would replay the window with the dead rows already
+    gone — a semi-join decrement would count 0 and keep the dead docs'
+    stats forever. Retract-bearing windows therefore RECOUNT from the
+    index; this pins the crash replay converging to exact stats."""
+    from delta_lake_proxy_spark import deltalog
+    from delta_lake_proxy_spark.engine import Engine
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "docs_bm25")
+    idx = eng.build_bm25_index("docs", idx_path)
+    eng.delete("docs", F.col("doc_id") == 1)
+    orig = Engine.write_table
+    boom = {"armed": True}
+
+    def crashing(self, alias, df, *a, **k):
+        if alias == idx and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before the append")
+        return orig(self, alias, df, *a, **k)
+
+    Engine.write_table = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.refresh_dedup_index(idx)
+    finally:
+        Engine.write_table = orig
+    # the crash window is real: the retract DELETE committed, the txn
+    # mark and stats did not
+    assert eng.read_table(idx, user="admin").filter("doc_id = 1").count() == 0
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == "4"  # stale (pre-delete)
+    eng.refresh_dedup_index(idx)  # replay converges by recount
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.bm25.nDocs"] == "3"
+    src = eng.read_table("docs", user="admin")
+    terms = ["fox", "content"]
+    want = [(r["doc_id"], r["bm25"]) for r in _tx.bm25_topk(src, terms, k=5).collect()]
+    got = [(r["doc_id"], r["bm25"]) for r in eng.bm25_probe(idx, terms, k=5).collect()]
+    assert got == want
+
+
+def test_sketch_rollup_refresh_refuses_narrow_user_on_delete(spark, tmp_path):
+    """The affected-group recompute re-reads live rows through the
+    refreshing user's ACL — a narrower user would silently erase hidden
+    rows from the recounted sketches (HLL cannot carry forward rows it
+    cannot re-read), so a delete-bearing refresh by a restricted user
+    REFUSES; the same user drains pure-append windows fine."""
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    idx = eng.build_sketch_rollup("events", str(tmp_path / "events_sk"),
+                                  ["lang"], "url")
+    eng.write_table(
+        "events",
+        spark.createDataFrame(
+            [(8, "en", "http://n")], "eid long, lang string, url string"
+        ),
+        mode="append",
+    )
+    eng.refresh_sketch_rollup(idx, user="u")  # append window: allowed
+    got = {
+        r["lang"]: r["approx_distinct"]
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got["en"] == 4
+    eng.delete("events", F.col("url") == "http://a")
+    with pytest.raises(ValueError, match="restricted view"):
+        eng.refresh_sketch_rollup(idx, user="u")
+    eng.refresh_sketch_rollup(idx)  # full-access user absorbs the delete
+    got = {
+        r["lang"]: r["approx_distinct"]
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": 3, "de": 2}
+
+
+def test_sketch_rollup_null_group_keys_refuse_and_null_values_are_zero(
+    spark, tmp_path
+):
+    """NULL group-key values refuse at build (the delete-aware joins are
+    null-unsafe — a NULL group could never be retracted); a group whose
+    VALUES are all NULL estimates 0 distinct, not NULL."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "ev_null")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, None, "http://a"), (2, "en", "http://b")],
+            "eid long, lang string, url string",
+        ).repartition(1),
+        src,
+        [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"ev": src}, read_only=False)
+    )
+    with pytest.raises(ValueError, match="NULL values in group"):
+        eng.build_sketch_rollup("ev", str(tmp_path / "sk_null"),
+                                ["lang"], "url")
+    src2 = str(tmp_path / "ev_nullv")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "en", None), (2, "en", None), (3, "de", "http://x")],
+            "eid long, lang string, url string",
+        ).repartition(1),
+        src2,
+        [],
+    )
+    eng2 = Engine(
+        spark, EngineConfig(table_mapping={"ev2": src2}, read_only=False)
+    )
+    idx = eng2.build_sketch_rollup("ev2", str(tmp_path / "sk_nullv"),
+                                   ["lang"], "url")
+    got = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng2.sketch_rollup_estimate(idx).collect()
+    }
+    assert got == {"en": (0, 2), "de": (1, 1)}
+
+
+def test_retrain_empty_index_clears_stale_pending_marker(spark, tmp_path):
+    """A retrainPending marker left by a crashed retrain clears when the
+    index has been emptied — otherwise the maintenance stream would
+    re-fire a no-op retrain on every cadence tick forever."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "emb_ivf")
+    idx = eng.build_ivf_index("emb", idx_path, num_centroids=2)
+    eng.set_table_properties(idx, {"graft.ivf.retrainPending": "1"})
+    eng.delete("emb", F.lit(True))
+    eng.refresh_ivf_index(idx)
+    assert eng.read_table(idx, user="admin").count() == 0
+    eng.retrain_ivf_index(idx)
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert "graft.ivf.retrainPending" not in conf
