@@ -4824,12 +4824,13 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
 
 def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     """Capstone: one engine serving text + embedding + image + video
-    sources, five index kinds (minhash, IVF, embedding-LSH, image,
-    video) maintained by ONE maintain_indexes_stream call — four streams
-    (one per distinct source), every probe converging after its source
-    takes an append, with no manual refresh anywhere. The video leg
-    (verdict r14 next #3) exercises the frame-keyed refresh under a live
-    stream — the last (kind x surface) cell."""
+    sources, SEVEN index kinds (minhash, IVF, embedding-LSH, image,
+    video, bm25, sketch rollup) maintained by ONE maintain_indexes_stream
+    call — four streams (one per distinct source; the bm25 index and the
+    sketch rollup share the docs stream with the minhash index), every
+    probe converging after its source takes an append, with no manual
+    refresh anywhere. The video leg (verdict r14 next #3) exercises the
+    frame-keyed refresh under a live stream."""
     import json as _json
     import time
 
@@ -4902,8 +4903,11 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                                     num_planes=2, axis_planes=True)
     img = eng.build_image_index("media", str(tmp_path / "i_img"))
     vid = eng.build_video_index("vids", str(tmp_path / "i_vid"))
+    bm = eng.build_bm25_index("docs", str(tmp_path / "i_bm"))
+    sk = eng.build_sketch_rollup("docs", str(tmp_path / "i_sk"),
+                                 ["lang"], "doc_id")
     qs = eng.maintain_indexes_stream(
-        [mh, ivf, lsh, img, vid], user="admin",
+        [mh, ivf, lsh, img, vid, bm, sk], user="admin",
         checkpoint_dir=str(tmp_path / "ckpt_all"),
     )
     assert len(qs) == 4  # docs, emb, media, vids — one stream per source
@@ -4980,13 +4984,25 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                 (r["new_id"], r["indexed_id"])
                 for r in eng.near_duplicates_incremental(vid, vid_probe, user="admin").collect()
             }
-            return mh_p, ivf_p, lsh_p, img_p, vid_p
+            bm_p = {
+                r["doc_id"]
+                for r in eng.bm25_probe(bm, ["capstone"], k=5,
+                                        user="admin").collect()
+            }
+            sk_p = {
+                r["lang"]: r["approx_distinct"]
+                for r in eng.sketch_rollup_estimate(sk, user="admin").collect()
+            }
+            return mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p
 
-        want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)}, {(903, 9)})
+        want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)}, {(903, 9)},
+                {9}, {"en": 2})
 
         def done():
-            mh_p, ivf_p, lsh_p, img_p, vid_p = state()
-            return (mh_p, 9 in ivf_p, lsh_p, img_p, vid_p) == want
+            mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p = state()
+            return (
+                mh_p, 9 in ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p
+            ) == want
 
         deadline = time.time() + 180
         while time.time() < deadline and not done():
