@@ -245,6 +245,7 @@ def _to_epoch_millis(ts: "int | float | str") -> int:
 _IVF_REFRESH_APP = "graft.ivf.refresh"
 _MINHASH_REFRESH_APP = "graft.dedup.refresh"
 _SKETCH_REFRESH_APP = "graft.sketch.refresh"
+_HIST_REFRESH_APP = "graft.hist.refresh"
 
 
 class Engine:
@@ -2956,6 +2957,7 @@ class Engine:
                 conf.get("graft.ivf.source")
                 or conf.get("graft.dedup.source")
                 or conf.get("graft.sketch.source")
+                or conf.get("graft.hist.source")
             )
             if not src:
                 raise ValueError(
@@ -2967,6 +2969,8 @@ class Engine:
                 refresher = self.refresh_ivf_index
             elif conf.get("graft.sketch.source"):
                 refresher = self.refresh_sketch_rollup
+            elif conf.get("graft.hist.source"):
+                refresher = self.refresh_hist_rollup
             else:
                 refresher = self.refresh_dedup_index
             by_source.setdefault(src, []).append((ia, refresher, is_ivf))
@@ -3795,6 +3799,234 @@ class Engine:
             index_alias, {"graft.sketch.indexedVersion": str(cur)}
         )
         return cur
+
+    # -- governed histogram rollup (approximate per-group quantiles) -------
+
+    def build_hist_rollup(
+        self,
+        alias: str,
+        index_path: str,
+        group_cols: list,
+        value_col: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        bins: int = 64,
+        lo: float | None = None,
+        hi: float | None = None,
+    ) -> str:
+        """Materialize a GOVERNED per-group fixed-bin histogram rollup
+        (``functions.sketches.hist_rollup``) — the mergeable-quantile
+        companion of :meth:`build_sketch_rollup` for corpus accounting
+        (doc-length / quality-score percentiles per shard/day at
+        training-data scale): one ``(group_cols..., counts, n_rows)``
+        row per group, bin edges pinned as ``graft.hist.*`` properties
+        (default: the corpus min/max at build — under/overflow bins keep
+        totals exact if later data escapes the range). Histogram counts
+        are LINEAR, so the refresh story beats the HLL rollup's: appends
+        add positive partials, deletes add NEGATIVE partials of the
+        tombstoned rows — no group recompute, no group-key joins (NULL
+        group keys are fine), every group exact vs a rebuild. Query with
+        :meth:`hist_rollup_quantiles`, refresh with
+        :meth:`refresh_hist_rollup`, maintain with
+        :meth:`maintain_indexes_stream`. Returns the registered alias
+        (default ``<alias>__hist``)."""
+        from .functions import sketches as _sk
+
+        if self.config.read_only:
+            raise ReadOnlyError(alias)
+        src_path = self.resolve(alias)
+        src_version = deltalog.latest_version(src_path)
+        src_df = self.read_table(alias, user=user, version=src_version)
+        if value_col not in src_df.columns:
+            raise ValueError(f"value column {value_col!r} not in {alias!r}")
+        group_cols = list(group_cols)
+        meta = deltalog.table_metadata_no_spark(src_path) or {}
+        for c in meta.get("partitionColumns") or []:
+            if c in src_df.columns and c not in group_cols and c != value_col:
+                group_cols.append(c)
+        for c in group_cols:
+            if "," in c:
+                raise ValueError(
+                    f"group column name {c!r} contains a comma — it cannot "
+                    "be pinned in the graft.hist.groupCols property"
+                )
+        if lo is None or hi is None:
+            row = src_df.agg(
+                F.min(F.col(value_col).cast("double")).alias("lo"),
+                F.max(F.col(value_col).cast("double")).alias("hi"),
+            ).collect()[0]  # two scalars: the default bin range
+            lo = float(row["lo"]) if lo is None else float(lo)
+            hi = float(row["hi"]) if hi is None else float(hi)
+        if not hi > lo:
+            hi = lo + 1.0  # constant (or empty) column: one unit-wide bin
+        rollup = _sk.hist_rollup(
+            src_df, group_cols, value_col, bins=bins, lo=lo, hi=hi
+        )
+        idx_alias = index_alias or f"{alias}__hist"
+        self.config.table_mapping[idx_alias] = index_path
+        self.write_table(
+            idx_alias,
+            rollup.repartition(*[F.col(c) for c in group_cols]),
+            mode="overwrite",
+        )
+        self.set_table_properties(
+            idx_alias,
+            {
+                "graft.hist.source": alias,
+                "graft.hist.groupCols": ",".join(group_cols),
+                "graft.hist.valueCol": value_col,
+                "graft.hist.bins": str(int(bins)),
+                "graft.hist.lo": repr(float(lo)),
+                "graft.hist.hi": repr(float(hi)),
+                "graft.hist.indexedVersion": str(src_version),
+            },
+        )
+        return idx_alias
+
+    def _hist_rollup_params(self, index_alias: str) -> dict:
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if not conf.get("graft.hist.source"):
+            raise ValueError(
+                f"{index_alias!r} is not a histogram rollup built by "
+                "build_hist_rollup"
+            )
+        return {
+            "path": path,
+            "source": conf["graft.hist.source"],
+            "group_cols": conf["graft.hist.groupCols"].split(","),
+            "value_col": conf["graft.hist.valueCol"],
+            "bins": int(conf.get("graft.hist.bins", "64")),
+            "lo": float(conf["graft.hist.lo"]),
+            "hi": float(conf["graft.hist.hi"]),
+            "indexed_version": conf.get("graft.hist.indexedVersion"),
+        }
+
+    def refresh_hist_rollup(
+        self, index_alias: str, user: str = acl.ANONYMOUS
+    ) -> int:
+        """Incrementally refresh a :meth:`build_hist_rollup` table:
+        positive histogram partials of the commits past
+        ``graft.hist.indexedVersion`` and NEGATIVE partials of any
+        retracted rows (read back from the tombstoned parquet — a
+        vacuumed tombstone refuses with the rebuild hint) land in ONE
+        txn-watermarked append; the query-time element-wise merge nets
+        them out exactly. Counts are linear, so unlike the HLL rollup
+        there is no recompute, no DELETE, and no restricted-user refusal
+        — the ACL applies SYMMETRICALLY to both partials (run refreshes
+        as the building user for exact parity, the maintenance-stream
+        contract shared by every index here). Crash-idempotent via the
+        shared txn-watermark pattern. Returns the indexed version."""
+        from .functions import sketches as _sk
+
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        prm = self._hist_rollup_params(index_alias)
+        path = prm["path"]
+        if prm["indexed_version"] is None:
+            raise ValueError(
+                f"rollup {index_alias!r} predates indexed-version tracking "
+                "— rebuild once to enable refresh"
+            )
+        indexed = int(prm["indexed_version"])
+        txn_mark = deltalog.all_txn_versions(path).get(_HIST_REFRESH_APP, -1)
+        indexed = max(indexed, int(txn_mark))
+        src_path = self.resolve(prm["source"])
+        cur = deltalog.latest_version(src_path)
+        if cur <= indexed:
+            if int(prm["indexed_version"]) < indexed:
+                self.set_table_properties(
+                    index_alias, {"graft.hist.indexedVersion": str(indexed)}
+                )
+            return indexed
+        pending, retract, _saw_dml = self._source_window_changes(
+            src_path, indexed, cur
+        )
+        gcols = prm["group_cols"]
+        pred = self.acl_predicate(prm["source"], user)
+
+        def partial(rows: DataFrame, negate: bool) -> DataFrame:
+            if pred is not None:
+                rows = rows.filter(pred)
+            return _sk.hist_rollup(
+                rows, gcols, prm["value_col"], bins=prm["bins"],
+                lo=prm["lo"], hi=prm["hi"], negate=negate,
+            )
+
+        parts = []
+        if pending:
+            pv_of = {
+                ap: dict(a.get("partitionValues") or {})
+                for ap, a in pending.items()
+            }
+            dv_items = [
+                (ap, a["deletionVector"])
+                for ap, a in pending.items()
+                if a.get("deletionVector")
+            ]
+            parts.append(
+                partial(
+                    self._read_clone_enumerated(
+                        src_path, pv_of, dv_items=dv_items or None
+                    ),
+                    negate=False,
+                )
+            )
+        if retract:
+            self._require_retract_files(src_path, retract)
+            parts.append(
+                partial(
+                    self._read_clone_enumerated(src_path, dict(retract)),
+                    negate=True,
+                )
+            )
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            self.write_table(
+                index_alias,
+                out.repartition(*[F.col(c) for c in gcols]),
+                mode="append",
+                txn={"appId": _HIST_REFRESH_APP, "version": cur},
+            )
+        self.set_table_properties(
+            index_alias, {"graft.hist.indexedVersion": str(cur)}
+        )
+        return cur
+
+    def hist_rollup_quantiles(
+        self,
+        index_alias: str,
+        quantiles=(0.5, 0.95, 0.99),
+        user: str = acl.ANONYMOUS,
+    ) -> DataFrame:
+        """Governed per-group approximate quantiles over a
+        :meth:`build_hist_rollup` table: ``(group_cols..., n_rows,
+        q<quantile>...)`` — the scan is the histogram table (groups x
+        ~(bins+2) longs, never the corpus), partials (including the
+        delete legs' negative rows) merge by element-wise sum, quantile
+        values are bin midpoints (within half a bin width of exact for
+        in-range mass; under/overflow clamp to the pinned lo/hi), and
+        the SOURCE table's resolved ACL for ``user`` applies as a row
+        predicate. Fully-deleted groups drop out, exactly like a
+        rebuild."""
+        from .functions import sketches as _sk
+
+        prm = self._hist_rollup_params(index_alias)
+        rollup = self.read_table(index_alias, user=user)
+        pred = self.acl_predicate(prm["source"], user)
+        if pred is not None:
+            rollup = rollup.filter(pred)
+        merged = _sk.hist_rollup_merge(rollup, prm["group_cols"], prm["bins"])
+        qcols = _sk.hist_quantile_cols(
+            prm["bins"], prm["lo"], prm["hi"], quantiles
+        )
+        return merged.select(
+            *[F.col(c) for c in prm["group_cols"]],
+            F.col("n_rows"),
+            *[e.alias(n) for n, e in qcols.items()],
+        )
 
     def sketch_rollup_estimate(
         self, index_alias: str, user: str = acl.ANONYMOUS

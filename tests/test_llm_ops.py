@@ -7796,3 +7796,179 @@ def test_retrain_empty_index_clears_stale_pending_marker(spark, tmp_path):
     eng.retrain_ivf_index(idx)
     conf = deltalog.table_configuration_no_spark(idx_path)
     assert "graft.ivf.retrainPending" not in conf
+
+
+# ---------------------------------------------------------------------------
+# Governed histogram rollup (r15): mergeable per-group quantiles
+# ---------------------------------------------------------------------------
+
+
+def _hist_gov_fixture(spark, tmp_path):
+    """Events with a numeric score, partitioned by lang, user 'u'
+    restricted to lang=en — the quantile-accounting shape."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [(i, "en", float(i)) for i in range(1, 9)]       # 1..8
+    rows += [(i, "de", float(i * 10)) for i in range(1, 5)]  # 10..40
+    src = str(tmp_path / "scores")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "eid long, lang string, score double")
+        .repartition(1),
+        src,
+        ["lang"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "scores", _json.dumps({"lang": "en"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    return Engine(
+        spark,
+        EngineConfig(table_mapping={"scores": src}, read_only=False),
+        permissions_df=perms,
+    )
+
+
+def test_hist_rollup_build_quantiles_governed(spark, tmp_path):
+    """build_hist_rollup pins bin edges (default: the corpus min/max) as
+    graft.hist.* properties; hist_rollup_quantiles answers per group
+    from the histogram table within half a bin width of the exact
+    quantile, with the source ACL injected."""
+    from delta_lake_proxy_spark import deltalog
+
+    eng = _hist_gov_fixture(spark, tmp_path)
+    idx_path = str(tmp_path / "scores_h")
+    idx = eng.build_hist_rollup("scores", idx_path, ["lang"], "score",
+                                bins=39)
+    assert idx == "scores__hist"
+    conf = deltalog.table_configuration_no_spark(idx_path)
+    assert conf["graft.hist.groupCols"] == "lang"
+    lo, hi = float(conf["graft.hist.lo"]), float(conf["graft.hist.hi"])
+    assert (lo, hi) == (1.0, 40.0)
+    w = (hi - lo) / 39
+    import math
+
+    got = {
+        r["lang"]: (r["n_rows"], r["q0_5"], r["q0_95"])
+        for r in eng.hist_rollup_quantiles(idx, (0.5, 0.95)).collect()
+    }
+    exact = {"en": [float(i) for i in range(1, 9)],
+             "de": [10.0, 20.0, 30.0, 40.0]}
+    for lang, vals in exact.items():
+        n, q50, q95 = got[lang]
+        assert n == len(vals)
+        vals = sorted(vals)
+        for q, est in ((0.5, q50), (0.95, q95)):
+            want = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est - want) <= w / 2 + 1e-9, (lang, q, est, want)
+    gated = {
+        r["lang"] for r in eng.hist_rollup_quantiles(idx, user="u").collect()
+    }
+    assert gated == {"en"}
+
+
+def test_hist_rollup_refresh_exact_vs_rebuild_including_deletes(
+    spark, tmp_path
+):
+    """Histogram counts are linear: append partials plus NEGATIVE delete
+    partials merge to EXACTLY the rebuild's histograms — no group
+    recompute, no joins, and the rollup really accumulates partial rows
+    (it is incremental, not a rebuild in disguise)."""
+    eng = _hist_gov_fixture(spark, tmp_path)
+    idx = eng.build_hist_rollup("scores", str(tmp_path / "scores_h"),
+                                ["lang"], "score", bins=13,
+                                lo=0.0, hi=65.0)
+    eng.write_table(
+        "scores",
+        spark.createDataFrame(
+            [(20, "en", 6.5), (21, "de", 55.0)],
+            "eid long, lang string, score double",
+        ),
+        mode="append",
+    )
+    v = eng.refresh_hist_rollup(idx)
+    assert eng.refresh_hist_rollup(idx) == v  # fresh -> no-op
+    eng.delete("scores", F.col("score") < 3.0)  # en rows 1, 2 leave
+    eng.refresh_hist_rollup(idx)
+    # the rollup holds build + partial rows, not a rewritten snapshot
+    per_group = {
+        r["lang"]: r["cnt"]
+        for r in eng.read_table(idx, user="admin")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per_group["en"] >= 3  # build + append partial + negative partial
+    rebuilt = eng.build_hist_rollup(
+        "scores", str(tmp_path / "scores_h2"), ["lang"], "score",
+        bins=13, lo=0.0, hi=65.0, index_alias="scores__h2",
+    )
+    from delta_lake_proxy_spark.functions import sketches as _sk
+
+    def merged(alias):
+        return {
+            tuple(r[c] for c in ("lang",)): (r["counts"], r["n_rows"])
+            for r in _sk.hist_rollup_merge(
+                eng.read_table(alias, user="admin"), ["lang"], 13
+            ).collect()
+        }
+
+    assert merged(idx) == merged(rebuilt)
+    got = {
+        r["lang"]: r["q0_5"]
+        for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
+    }
+    want = {
+        r["lang"]: r["q0_5"]
+        for r in eng.hist_rollup_quantiles(rebuilt, (0.5,)).collect()
+    }
+    assert got == want
+
+
+def test_hist_rollup_null_groups_and_maintenance_stream(spark, tmp_path):
+    """NULL group keys are fine for the histogram rollup (its delete leg
+    subtracts, never joins); the rollup rides maintain_indexes_stream
+    via graft.hist.source; reserved group-column names refuse."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "sc_null")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 4.0), (2, "en", 8.0), (3, None, 6.0)],
+            "eid long, lang string, score double",
+        ).repartition(1),
+        src,
+        [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"sc": src}, read_only=False)
+    )
+    with pytest.raises(ValueError, match="counts"):
+        eng.build_hist_rollup("sc", str(tmp_path / "bad"), ["counts"],
+                              "score", index_alias="sc__bad")
+    idx = eng.build_hist_rollup("sc", str(tmp_path / "sc_h"), ["lang"],
+                                "score", bins=8, lo=0.0, hi=8.0)
+    rows = {
+        r["lang"]: (r["n_rows"], r["q0_5"])
+        for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
+    }
+    assert rows[None][0] == 2 and rows["en"][0] == 1
+    eng.write_table(
+        "sc",
+        spark.createDataFrame([(4, None, 2.0)],
+                              "eid long, lang string, score double"),
+        mode="append",
+    )
+    qs = eng.maintain_indexes_stream(
+        [idx], checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    rows = {
+        r["lang"]: r["n_rows"]
+        for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
+    }
+    assert rows[None] == 3
