@@ -3974,9 +3974,28 @@ class Engine:
             )
         if retract:
             self._require_retract_files(src_path, retract)
+            # subtraction must mirror what the index HOLDS for each
+            # retracted file: a DV-carrying file contributed only its
+            # LIVE rows, so subtracting the raw file would over-subtract
+            # the already-subtracted DV'd rows. The file's DV as of the
+            # indexed version comes from the live-adds replay (the same
+            # replay the shared walk uses for partitionValues recovery —
+            # and the index-state source of truth, independent of
+            # whether an external writer stamped the remove action's
+            # optional deletionVector field).
+            base_adds = deltalog._live_adds_no_spark(
+                src_path, max_version=indexed
+            )
+            rm_dvs = [
+                (rp, (base_adds.get(rp) or {}).get("deletionVector"))
+                for rp in retract
+            ]
+            rm_dvs = [(rp, dv) for rp, dv in rm_dvs if dv]
             parts.append(
                 partial(
-                    self._read_clone_enumerated(src_path, dict(retract)),
+                    self._read_clone_enumerated(
+                        src_path, dict(retract), dv_items=rm_dvs or None
+                    ),
                     negate=True,
                 )
             )

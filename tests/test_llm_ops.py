@@ -7972,3 +7972,44 @@ def test_hist_rollup_null_groups_and_maintenance_stream(spark, tmp_path):
         for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
     }
     assert rows[None] == 3
+
+
+def test_hist_rollup_dv_source_no_over_subtraction(spark, tmp_path):
+    """A retracted file that carried a deletion vector contributed only
+    its LIVE rows to the histograms — the negative partial must subtract
+    the file under that DV (from the live-adds replay at the indexed
+    version), not the raw file, or the DV'd rows are subtracted twice.
+    Sequence: DV-delete one row (refresh), then a copy-on-write DELETE
+    that removes the DV-carrying file (refresh) — merged counts must
+    equal a rebuild."""
+    eng = _hist_gov_fixture(spark, tmp_path)
+    idx = eng.build_hist_rollup("scores", str(tmp_path / "scores_h"),
+                                ["lang"], "score", bins=8, lo=0.0, hi=64.0)
+    eng.enable_deletion_vectors("scores")
+    eng.delete("scores", F.col("score") == 3.0)  # DV commit on the en file
+    eng.refresh_hist_rollup(idx)
+    # copy-on-write DELETE (match form): removes the DV-carrying file
+    # entirely and rewrites the survivors
+    dead = spark.createDataFrame([(5.0,)], "score double")
+    eng.delete("scores", match=dead, on=["score"])
+    eng.refresh_hist_rollup(idx)
+    rebuilt = eng.build_hist_rollup(
+        "scores", str(tmp_path / "scores_h2"), ["lang"], "score",
+        bins=8, lo=0.0, hi=64.0, index_alias="scores__h2",
+    )
+    from delta_lake_proxy_spark.functions import sketches as _sk
+
+    def merged(alias):
+        return {
+            r["lang"]: (r["counts"], r["n_rows"])
+            for r in _sk.hist_rollup_merge(
+                eng.read_table(alias, user="admin"), ["lang"], 8
+            ).collect()
+        }
+
+    assert merged(idx) == merged(rebuilt)
+    got = {
+        r["lang"]: (r["n_rows"], r["q0_5"])
+        for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
+    }
+    assert got["en"][0] == 6  # 8 en rows minus score 3 and score 5
