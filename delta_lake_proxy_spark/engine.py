@@ -2965,6 +2965,9 @@ class Engine:
                     "table property)"
                 )
             is_ivf = bool(conf.get("graft.ivf.source"))
+            is_rollup = bool(
+                conf.get("graft.sketch.source") or conf.get("graft.hist.source")
+            )
             if is_ivf:
                 refresher = self.refresh_ivf_index
             elif conf.get("graft.sketch.source"):
@@ -2973,7 +2976,9 @@ class Engine:
                 refresher = self.refresh_hist_rollup
             else:
                 refresher = self.refresh_dedup_index
-            by_source.setdefault(src, []).append((ia, refresher, is_ivf))
+            by_source.setdefault(src, []).append(
+                (ia, refresher, is_ivf, is_rollup)
+            )
         queries = []
         for src, pairs in sorted(by_source.items()):
             stream = self.read_table_stream_log(
@@ -2982,7 +2987,7 @@ class Engine:
 
             def make_fb(pairs=pairs):
                 def _fb(batch_df, batch_id):
-                    for ia, refresher, _is_ivf in pairs:
+                    for ia, refresher, _is_ivf, _is_rollup in pairs:
                         refresher(ia, user=user)
                     # cadence derives from the CHECKPOINTED batch_id (0-based,
                     # +1 so every-N fires on the Nth batch), never a
@@ -2998,7 +3003,7 @@ class Engine:
                     if retrain_every and n % retrain_every == 0:
                         # retrain BEFORE compaction: the overwrite would
                         # tombstone a just-compacted layout anyway
-                        for ia, _refresher, is_ivf in pairs:
+                        for ia, _refresher, is_ivf, _is_rollup in pairs:
                             if not is_ivf:
                                 continue
                             iconf = deltalog.table_configuration_no_spark(
@@ -3023,10 +3028,18 @@ class Engine:
                             if fire:
                                 self.retrain_ivf_index(ia, user=user)
                     if compact_every and n % compact_every == 0:
-                        for ia, _refresher, _is_ivf in pairs:
-                            self.compact_table(ia)
+                        for ia, _refresher, _is_ivf, is_rollup in pairs:
+                            if is_rollup:
+                                # a rollup's compaction IS consolidation:
+                                # refreshes grow ROWS (one partial per
+                                # group per refresh, plus negative delete
+                                # partials), and the merge rewrite also
+                                # produces fresh files
+                                self.consolidate_rollup(ia)
+                            else:
+                                self.compact_table(ia)
                     if vacuum_every and n % vacuum_every == 0:
-                        for ia, _refresher, _is_ivf in pairs:
+                        for ia, _refresher, _is_ivf, _is_rollup in pairs:
                             self.vacuum(
                                 ia, retention_hours=vacuum_retention_hours
                             )
@@ -4046,6 +4059,70 @@ class Engine:
             F.col("n_rows"),
             *[e.alias(n) for n, e in qcols.items()],
         )
+
+    def consolidate_rollup(self, index_alias: str) -> int:
+        """Merge a sketch/histogram rollup's accumulated partial rows
+        back to ONE row per group — the rollup analog of
+        :meth:`compact_table` (which merges FILES; rollup refreshes also
+        grow ROWS: one partial per group per refresh, plus the histogram
+        delete legs' negative rows — unreclaimed, a year of maintenance
+        leaves every query merging thousands of partials per group).
+        Sketches union-merge (``hll_union_agg`` yields the merged binary
+        sketch), histograms element-wise-sum (fully-deleted groups drop
+        out, reclaiming their tombstone rows). ONE overwrite commit
+        carrying the refresh txn watermark, so maintenance streams run
+        straight through a consolidation (the retrain_ivf_index
+        pattern); estimates/quantiles are unchanged by construction
+        (both merges are associative). The maintenance loop runs this
+        INSTEAD of compact_table for rollup kinds on the
+        ``compact_every`` cadence — consolidation rewrites fresh files,
+        subsuming small-file compaction. Returns the preserved indexed
+        version."""
+        from .functions import sketches as _sk
+
+        if self.config.read_only:
+            raise ReadOnlyError(index_alias)
+        path = self.resolve(index_alias)
+        conf = deltalog.table_configuration_no_spark(path)
+        if conf.get("graft.sketch.source"):
+            prm = self._sketch_rollup_params(index_alias)
+            app, ver_key = _SKETCH_REFRESH_APP, "graft.sketch.indexedVersion"
+            gcols = prm["group_cols"]
+            merged = (
+                self._read_data(path)
+                .groupBy(*[F.col(c) for c in gcols])
+                .agg(
+                    F.hll_union_agg(F.col("sketch"), F.lit(False)).alias(
+                        "sketch"
+                    ),
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            )
+        elif conf.get("graft.hist.source"):
+            prm = self._hist_rollup_params(index_alias)
+            app, ver_key = _HIST_REFRESH_APP, "graft.hist.indexedVersion"
+            gcols = prm["group_cols"]
+            merged = _sk.hist_rollup_merge(
+                self._read_data(path), gcols, prm["bins"]
+            )
+        else:
+            raise ValueError(
+                f"{index_alias!r} is not a rollup built by "
+                "build_sketch_rollup / build_hist_rollup"
+            )
+        indexed = max(
+            int(prm["indexed_version"] or -1),
+            int(deltalog.all_txn_versions(path).get(app, -1)),
+        )
+        self.write_table(
+            index_alias,
+            merged.repartition(*[F.col(c) for c in gcols]),
+            mode="overwrite",
+            txn={"appId": app, "version": indexed},
+        )
+        if int(prm["indexed_version"] or -1) < indexed:
+            self.set_table_properties(index_alias, {ver_key: str(indexed)})
+        return indexed
 
     def sketch_rollup_estimate(
         self, index_alias: str, user: str = acl.ANONYMOUS

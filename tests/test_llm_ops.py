@@ -8013,3 +8013,71 @@ def test_hist_rollup_dv_source_no_over_subtraction(spark, tmp_path):
         for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
     }
     assert got["en"][0] == 6  # 8 en rows minus score 3 and score 5
+
+
+def test_consolidate_rollup_sketch_and_hist(spark, tmp_path):
+    """consolidate_rollup merges accumulated partial rows back to one
+    row per group with estimates/quantiles unchanged, preserves the
+    refresh txn watermark (a post-consolidation refresh is a no-op at
+    tip, a later append still refreshes O(new commits)), and the
+    maintenance loop's compact_every cadence runs it for rollup kinds."""
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    sk = eng.build_sketch_rollup("events", str(tmp_path / "ev_sk"),
+                                 ["lang"], "url")
+    for i, url in ((20, "http://p"), (21, "http://q")):
+        eng.write_table(
+            "events",
+            spark.createDataFrame([(i, "en", url)],
+                                  "eid long, lang string, url string"),
+            mode="append",
+        )
+        eng.refresh_sketch_rollup(sk)
+    before = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(sk).collect()
+    }
+    rows = eng.read_table(sk, user="admin").count()
+    assert rows >= 4  # build + two partial rows for en
+    v = eng.consolidate_rollup(sk)
+    assert eng.read_table(sk, user="admin").count() == 2  # one per lang
+    after = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(sk).collect()
+    }
+    assert after == before
+    assert eng.refresh_sketch_rollup(sk) == v  # watermark preserved
+    eng.write_table(
+        "events",
+        spark.createDataFrame([(22, "de", "http://r")],
+                              "eid long, lang string, url string"),
+        mode="append",
+    )
+    eng.refresh_sketch_rollup(sk)
+    got = {
+        r["lang"]: r["approx_distinct"]
+        for r in eng.sketch_rollup_estimate(sk).collect()
+    }
+    assert got == {"en": 5, "de": 3}
+    # hist kind + the maintenance cadence
+    eng2 = _hist_gov_fixture(spark, tmp_path)
+    h = eng2.build_hist_rollup("scores", str(tmp_path / "sc_h"),
+                               ["lang"], "score", bins=8, lo=0.0, hi=64.0)
+    eng2.write_table(
+        "scores",
+        spark.createDataFrame([(30, "en", 7.0)],
+                              "eid long, lang string, score double"),
+        mode="append",
+    )
+    qs = eng2.maintain_indexes_stream(
+        [h], checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+        compact_every=1,
+    )
+    for q in qs:
+        q.awaitTermination(120)
+    # the cadence consolidated: one merged row per group
+    assert eng2.read_table(h, user="admin").count() == 2
+    got = {
+        r["lang"]: r["n_rows"]
+        for r in eng2.hist_rollup_quantiles(h, (0.5,)).collect()
+    }
+    assert got == {"en": 9, "de": 4}
