@@ -4824,10 +4824,10 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
 
 def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     """Capstone: one engine serving text + embedding + image + video
-    sources, SEVEN index kinds (minhash, IVF, embedding-LSH, image,
-    video, bm25, sketch rollup) maintained by ONE maintain_indexes_stream
-    call — four streams (one per distinct source; the bm25 index and the
-    sketch rollup share the docs stream with the minhash index), every
+    sources, EIGHT index kinds (minhash, IVF, embedding-LSH, image,
+    video, bm25, sketch rollup, histogram rollup) maintained by ONE
+    maintain_indexes_stream call — four streams (one per distinct source;
+    the bm25 index and both rollups share the docs stream), every
     probe converging after its source takes an append, with no manual
     refresh anywhere. The video leg (verdict r14 next #3) exercises the
     frame-keyed refresh under a live stream."""
@@ -4906,8 +4906,10 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     bm = eng.build_bm25_index("docs", str(tmp_path / "i_bm"))
     sk = eng.build_sketch_rollup("docs", str(tmp_path / "i_sk"),
                                  ["lang"], "doc_id")
+    hs = eng.build_hist_rollup("docs", str(tmp_path / "i_hs"),
+                               ["lang"], "doc_id", bins=8, lo=0.0, hi=16.0)
     qs = eng.maintain_indexes_stream(
-        [mh, ivf, lsh, img, vid, bm, sk], user="admin",
+        [mh, ivf, lsh, img, vid, bm, sk, hs], user="admin",
         checkpoint_dir=str(tmp_path / "ckpt_all"),
     )
     assert len(qs) == 4  # docs, emb, media, vids — one stream per source
@@ -4993,15 +4995,21 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                 r["lang"]: r["approx_distinct"]
                 for r in eng.sketch_rollup_estimate(sk, user="admin").collect()
             }
-            return mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p
+            hs_p = {
+                r["lang"]: r["n_rows"]
+                for r in eng.hist_rollup_quantiles(
+                    hs, (0.5,), user="admin"
+                ).collect()
+            }
+            return mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p
 
         want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)}, {(903, 9)},
-                {9}, {"en": 2})
+                {9}, {"en": 2}, {"en": 2})
 
         def done():
-            mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p = state()
+            mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p = state()
             return (
-                mh_p, 9 in ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p
+                mh_p, 9 in ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p
             ) == want
 
         deadline = time.time() + 180
