@@ -7391,6 +7391,13 @@ def test_sketch_rollup_build_estimate_governed(spark, tmp_path):
         for r in eng.sketch_rollup_estimate(idx, user="u").collect()
     }
     assert gated == {"en": 3}
+    # sketch-table-sized JVM aggregation: no Python stage, one merge agg
+    plan = (
+        eng.sketch_rollup_estimate(idx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
 
 
 def test_sketch_rollup_refresh_partials_equal_rebuild(spark, tmp_path):
@@ -7876,6 +7883,13 @@ def test_hist_rollup_build_quantiles_governed(spark, tmp_path):
         r["lang"] for r in eng.hist_rollup_quantiles(idx, user="u").collect()
     }
     assert gated == {"en"}
+    # expression-only quantiles: no Python stage, one merge aggregation
+    plan = (
+        eng.hist_rollup_quantiles(idx, (0.5, 0.95))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
 
 
 def test_hist_rollup_refresh_exact_vs_rebuild_including_deletes(
