@@ -3355,13 +3355,17 @@ class Engine:
                 "— each query needs a unique id; dropDuplicates or re-key "
                 "the batch"
             )
-        q_rel = (
+        # also persisted: the term-union collect and the ranker's two
+        # joins each consume q_rel — unpersisted, the explode+distinct
+        # shuffle would recompute per consumer (review r15 part 2)
+        q_rel = cache_persisted(
             q_base.select(
                 F.col(query_id_col),
                 F.explode(F.col(terms_col)).alias("term"),
             )
             .withColumn("term", F.lower(F.col("term")))
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # bounded collect: the union of query terms becomes the posting
         # scan's pushed filter (footer min/max prune on the term-clustered
@@ -3442,29 +3446,11 @@ class Engine:
         )
         if diversify_lam is None:
             return fused
-        from .functions._persist_cache import cache_persisted
-
-        vec_col = iconf.get("graft.ivf.vecCol", "embedding")
-        vecs = self.read_table(ivf_index_alias, user=user)
-        src_alias = iconf.get("graft.ivf.source")
-        pred = self.acl_predicate(src_alias, user) if src_alias else None
-        if pred is not None:
-            vecs = vecs.filter(pred)
-        # persisted: the shortlist-id collect and the vector join both
-        # consume the fusion. The bounded collect (<= fetch_k ids) pushes
-        # the vector fetch down to an isin the scan can file-skip with —
-        # a bare join would scan the WHOLE index to fetch a shortlist of
-        # vectors (review r15 part 2)
-        fused = cache_persisted(fused.persist(StorageLevel.MEMORY_AND_DISK))
-        ids = [r[id_col] for r in fused.select(id_col).collect()]
-        hits = fused.join(
-            vecs.filter(F.col(d_id).isin(ids)).select(
-                F.col(d_id).alias(id_col), F.col(vec_col)
-            ),
-            id_col,
-        ).withColumn("_q", F.lit(0))
+        hits, vec_col = self._mmr_candidate_vectors(
+            fused, ivf_index_alias, iconf, id_col, user
+        )
         out = _sim.mmr_rerank(
-            hits,
+            hits.withColumn("_q", F.lit(0)),
             k=k,
             lam=diversify_lam,
             query_id_col="_q",
@@ -3473,6 +3459,43 @@ class Engine:
             vec_col=vec_col,
         )
         return out.drop("_q").orderBy(F.col("mmr_rank").asc())
+
+    def _mmr_candidate_vectors(
+        self,
+        fused: DataFrame,
+        ivf_index_alias: str,
+        iconf: dict,
+        id_col: str,
+        user: str,
+    ):
+        """Join an RRF shortlist back to its candidate vectors from the
+        IVF index (governed read + source ACL), shortlist-sized: the
+        fusion is persisted (the id collect and the vector join both
+        consume it) and the bounded id collect pushes an ``isin`` into
+        the index scan — a bare join would scan the WHOLE index to fetch
+        a shortlist of vectors (review r15 part 2). Shared by
+        :meth:`hybrid_search` and :meth:`hybrid_search_batch`. Returns
+        (hits, vec_col)."""
+        from .functions._persist_cache import cache_persisted
+
+        d_id = iconf.get("graft.ivf.idCol", "vec_id")
+        vec_col = iconf.get("graft.ivf.vecCol", "embedding")
+        vecs = self.read_table(ivf_index_alias, user=user)
+        src_alias = iconf.get("graft.ivf.source")
+        pred = self.acl_predicate(src_alias, user) if src_alias else None
+        if pred is not None:
+            vecs = vecs.filter(pred)
+        fused = cache_persisted(fused.persist(StorageLevel.MEMORY_AND_DISK))
+        ids = [
+            r[id_col] for r in fused.select(id_col).distinct().collect()
+        ]
+        hits = fused.join(
+            vecs.filter(F.col(d_id).isin(ids)).select(
+                F.col(d_id).alias(id_col), F.col(vec_col)
+            ),
+            id_col,
+        )
+        return hits, vec_col
 
     def hybrid_search_batch(
         self,
@@ -3529,26 +3552,8 @@ class Engine:
         )
         if diversify_lam is None:
             return fused
-        from .functions._persist_cache import cache_persisted
-
-        vec_col = iconf.get("graft.ivf.vecCol", "embedding")
-        vecs = self.read_table(ivf_index_alias, user=user)
-        src_alias = iconf.get("graft.ivf.source")
-        pred = self.acl_predicate(src_alias, user) if src_alias else None
-        if pred is not None:
-            vecs = vecs.filter(pred)
-        # request-bounded collect (<= n_queries * fetch_k DISTINCT ids):
-        # the isin lets the vector fetch skip files instead of scanning
-        # the whole index for the shortlists (review r15 part 2)
-        fused = cache_persisted(fused.persist(StorageLevel.MEMORY_AND_DISK))
-        ids = [
-            r[id_col] for r in fused.select(id_col).distinct().collect()
-        ]
-        hits = fused.join(
-            vecs.filter(F.col(d_id).isin(ids)).select(
-                F.col(d_id).alias(id_col), F.col(vec_col)
-            ),
-            id_col,
+        hits, vec_col = self._mmr_candidate_vectors(
+            fused, ivf_index_alias, iconf, id_col, user
         )
         return _sim.mmr_rerank(
             hits,
@@ -3753,6 +3758,7 @@ class Engine:
                 )
                 self._refuse_null_group_keys(affected, gcols, prm["source"])
             parts = []
+            pend = None
             if pending:
                 pv_of = {
                     ap: dict(a.get("partitionValues") or {})
@@ -3773,13 +3779,20 @@ class Engine:
                     # partial — n_rows would double-count (the sketch
                     # itself would shrug: HLL is duplication-insensitive)
                     new_rows = new_rows.join(affected, gcols, "left_anti")
-                parts.append(
-                    _sk.sketch_rollup(
-                        new_rows, gcols, prm["value_col"], lg_k=prm["lg_k"]
-                    )
-                )
+                pend = _sk.sketch_rollup(
+                    new_rows, gcols, prm["value_col"], lg_k=prm["lg_k"]
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # the pending leg's NULL check must run BEFORE the
+                # destructive group DELETE below: raising after it would
+                # leave the deleted groups' rollup rows gone with the
+                # txn-marked append never landing — every replay would
+                # re-raise and the refresh would wedge (review r15 part 2)
+                self._refuse_null_group_keys(pend, gcols, prm["source"])
+                parts.append(pend)
             if affected is not None:
                 self.delete(index_alias, match=affected, on=gcols)
+                # the recompute cannot introduce NULL groups: its rows
+                # semi-join `affected`, whose keys were checked above
                 live = self.read_table(
                     prm["source"], user=user, version=cur
                 ).join(affected, gcols, "semi")
@@ -3788,23 +3801,20 @@ class Engine:
                         live, gcols, prm["value_col"], lg_k=prm["lg_k"]
                     )
                 )
-            if parts:
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
-                # persisted for the NULL-group check + the write (both
-                # consume the aggregated partials; group-sized)
-                out = out.persist(StorageLevel.MEMORY_AND_DISK)
-                try:
-                    self._refuse_null_group_keys(out, gcols, prm["source"])
+            try:
+                if parts:
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out.unionByName(p)
                     self.write_table(
                         index_alias,
                         out.repartition(*[F.col(c) for c in gcols]),
                         mode="append",
                         txn={"appId": _SKETCH_REFRESH_APP, "version": cur},
                     )
-                finally:
-                    out.unpersist()
+            finally:
+                if pend is not None:
+                    pend.unpersist()
         finally:
             if affected is not None:
                 affected.unpersist()
@@ -3863,15 +3873,24 @@ class Engine:
                     f"group column name {c!r} contains a comma — it cannot "
                     "be pinned in the graft.hist.groupCols property"
                 )
+        if int(bins) < 1:
+            raise ValueError(f"bins must be >= 1, got {bins}")
         if lo is None or hi is None:
             row = src_df.agg(
                 F.min(F.col(value_col).cast("double")).alias("lo"),
                 F.max(F.col(value_col).cast("double")).alias("hi"),
             ).collect()[0]  # two scalars: the default bin range
+            if row["lo"] is None or row["hi"] is None:
+                raise ValueError(
+                    f"{alias!r} has no non-NULL {value_col!r} values to "
+                    "derive default bin edges from — pass explicit lo/hi "
+                    "to bootstrap an empty rollup"
+                )
             lo = float(row["lo"]) if lo is None else float(lo)
             hi = float(row["hi"]) if hi is None else float(hi)
+        lo, hi = float(lo), float(hi)
         if not hi > lo:
-            hi = lo + 1.0  # constant (or empty) column: one unit-wide bin
+            hi = lo + 1.0  # constant-valued column: one unit-wide range
         rollup = _sk.hist_rollup(
             src_df, group_cols, value_col, bins=bins, lo=lo, hi=hi
         )
@@ -3925,11 +3944,13 @@ class Engine:
         vacuumed tombstone refuses with the rebuild hint) land in ONE
         txn-watermarked append; the query-time element-wise merge nets
         them out exactly. Counts are linear, so unlike the HLL rollup
-        there is no recompute, no DELETE, and no restricted-user refusal
-        — the ACL applies SYMMETRICALLY to both partials (run refreshes
-        as the building user for exact parity, the maintenance-stream
-        contract shared by every index here). Crash-idempotent via the
-        shared txn-watermark pattern. Returns the indexed version."""
+        there is no recompute and no DELETE. A delete-bearing refresh by
+        a user with a RESTRICTED source view refuses (the negative
+        partial would miss hidden rows and leave their counts in the
+        rollup forever, with the window consumed — the sketch rollup's
+        refusal, same reason); pure-append windows only ADD what the
+        user may see, the dedup-refresh semantics. Crash-idempotent via
+        the shared txn-watermark pattern. Returns the indexed version."""
         from .functions import sketches as _sk
 
         if self.config.read_only:
@@ -3957,6 +3978,20 @@ class Engine:
         )
         gcols = prm["group_cols"]
         pred = self.acl_predicate(prm["source"], user)
+        if retract and pred is not None:
+            # the negative partial must subtract EVERY retracted row the
+            # rollup counted; a user with a restricted source view would
+            # filter hidden rows out of the subtraction and leave their
+            # counts in the rollup forever — with indexedVersion advanced
+            # past the window, unrepairable. Refuse like the sketch
+            # rollup does (review r15 part 2); pure-append windows stay
+            # allowed (they only ADD what the user may see).
+            raise ValueError(
+                f"refresh of {index_alias!r} must absorb a source DELETE by "
+                "subtracting the retracted rows, but user "
+                f"{user!r} holds a restricted view of {prm['source']!r} — "
+                "run this refresh as a user with full read access"
+            )
 
         def partial(rows: DataFrame, negate: bool) -> DataFrame:
             if pred is not None:

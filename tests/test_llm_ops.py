@@ -8103,3 +8103,108 @@ def test_consolidate_rollup_sketch_and_hist(spark, tmp_path):
         for r in eng2.hist_rollup_quantiles(h, (0.5,)).collect()
     }
     assert got == {"en": 9, "de": 4}
+
+
+def test_hist_rollup_refresh_refuses_narrow_user_on_delete(spark, tmp_path):
+    """A delete-bearing hist refresh by a restricted user refuses (the
+    negative partial would miss hidden rows, with the window consumed —
+    unrepairable); append windows stay allowed; build guards: bins >= 1
+    and derivable default edges."""
+    eng = _hist_gov_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="bins"):
+        eng.build_hist_rollup("scores", str(tmp_path / "bad"), ["lang"],
+                              "score", bins=0, index_alias="scores__bad")
+    idx = eng.build_hist_rollup("scores", str(tmp_path / "scores_h"),
+                                ["lang"], "score", bins=8, lo=0.0, hi=64.0)
+    eng.write_table(
+        "scores",
+        spark.createDataFrame([(30, "en", 7.0)],
+                              "eid long, lang string, score double"),
+        mode="append",
+    )
+    eng.refresh_hist_rollup(idx, user="u")  # append window: allowed
+    eng.delete("scores", F.col("score") == 7.0)
+    with pytest.raises(ValueError, match="restricted view"):
+        eng.refresh_hist_rollup(idx, user="u")
+    eng.refresh_hist_rollup(idx)  # full-access user absorbs the delete
+    got = {
+        r["lang"]: r["n_rows"]
+        for r in eng.hist_rollup_quantiles(idx, (0.5,)).collect()
+    }
+    # the delete matched BOTH score-7.0 rows (fixture eid=7 + appended
+    # eid=30): 8 + 1 - 2
+    assert got == {"en": 7, "de": 4}
+    # empty / all-NULL default-edge guard
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "nullvals")
+    write_governed_table(
+        spark,
+        spark.createDataFrame([(1, "en", None)],
+                              "eid long, lang string, score double")
+        .repartition(1),
+        src,
+        [],
+    )
+    eng2 = Engine(
+        spark, EngineConfig(table_mapping={"nv": src}, read_only=False)
+    )
+    with pytest.raises(ValueError, match="explicit lo/hi"):
+        eng2.build_hist_rollup("nv", str(tmp_path / "nv_h"), ["lang"],
+                               "score")
+    # explicit edges bootstrap an empty-histogram rollup fine
+    idx2 = eng2.build_hist_rollup("nv", str(tmp_path / "nv_h2"), ["lang"],
+                                  "score", lo=0.0, hi=1.0,
+                                  index_alias="nv__h2")
+    rows = eng2.hist_rollup_quantiles(idx2, (0.5,)).collect()
+    assert [(r["lang"], r["n_rows"], r["q0_5"]) for r in rows] == [
+        ("en", 1, None)
+    ]
+
+
+def test_sketch_rollup_null_append_refuses_before_group_delete(
+    spark, tmp_path
+):
+    """A window combining a source DELETE with a NULL-group append must
+    refuse BEFORE the destructive group DELETE — raising after it would
+    leave the deleted groups' rollup rows gone with the txn append never
+    landing, wedging every replay. Pinned: the refusal fires and the
+    affected group's estimate is UNCHANGED."""
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "ev3")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "en", "http://a"), (2, "en", "http://b"),
+             (3, "de", "http://x")],
+            "eid long, lang string, url string",
+        ).repartition(1),
+        src,
+        [],
+    )
+    eng = Engine(
+        spark, EngineConfig(table_mapping={"ev3": src}, read_only=False)
+    )
+    idx = eng.build_sketch_rollup("ev3", str(tmp_path / "ev3_sk"),
+                                  ["lang"], "url")
+    eng.write_table(
+        "ev3",
+        spark.createDataFrame([(4, None, "http://n")],
+                              "eid long, lang string, url string"),
+        mode="append",
+    )
+    eng.delete("ev3", F.col("url") == "http://a")
+    before = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    with pytest.raises(ValueError, match="NULL values in group"):
+        eng.refresh_sketch_rollup(idx)
+    after = {
+        r["lang"]: (r["approx_distinct"], r["n_rows"])
+        for r in eng.sketch_rollup_estimate(idx).collect()
+    }
+    assert after == before  # the group DELETE never ran
