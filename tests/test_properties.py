@@ -754,3 +754,64 @@ def test_assigned_sq_dist_matches_numpy_oracle(
         }
         for i in range(n_rows):
             assert abs(got[i] - expect[i]) < 1e-9, (i, cents is cents_list)
+
+
+# -- histogram rollup: merge-linearity + quantile bound (r15) ---------------
+
+hist_vals_st = st.lists(
+    st.floats(min_value=-50.0, max_value=150.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60,
+)
+
+
+@given(vals=hist_vals_st, bins=st.integers(1, 16), cut=st.integers(0, 60),
+       q=st.sampled_from([0.1, 0.5, 0.9]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hist_rollup_merge_linear_and_quantile_bound(spark, vals, bins, cut, q):
+    """Properties of the mergeable histogram (functions.sketches): for
+    ANY value list, bin count and split point — (1) partials over an
+    arbitrary split merge to exactly the direct histogram (linearity),
+    (2) the estimated quantile is within half a bin width of the exact
+    percentile whenever that percentile lands in range, and clamps to
+    the pinned [lo, hi] edges otherwise."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_proxy_spark.functions import sketches as sk
+
+    lo, hi = 0.0, 100.0
+    w = (hi - lo) / bins
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    cut = min(cut, len(vals))
+    a, b = vals[:cut], vals[cut:]
+    parts = []
+    for chunk in (a, b):
+        if chunk:
+            parts.append(sk.hist_rollup(
+                spark.createDataFrame([("g", float(v)) for v in chunk],
+                                      "g string, v double"),
+                ["g"], "v", bins, lo, hi))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    merged = sk.hist_rollup_merge(un, ["g"], bins).collect()[0]
+    direct = sk.hist_rollup(df, ["g"], "v", bins, lo, hi).collect()[0]
+    assert merged["counts"] == direct["counts"]
+    assert merged["n_rows"] == direct["n_rows"]
+    qc = sk.hist_quantile_cols(bins, lo, hi, (q,))
+    est = (
+        sk.hist_rollup_merge(un, ["g"], bins)
+        .select(*[e.alias(n) for n, e in qc.items()])
+        .collect()[0][0]
+    )
+    exact = sorted(vals)[math.ceil(q * len(vals)) - 1]
+    if exact < lo:
+        assert est == lo
+    elif exact >= hi:
+        assert est == hi
+    else:
+        assert abs(est - exact) <= w / 2 + 1e-9
