@@ -3598,6 +3598,11 @@ class Engine:
 
         if self.config.read_only:
             raise ReadOnlyError(alias)
+        if not 4 <= int(lg_k) <= 21:
+            # the DataSketches HLL lgConfigK domain — refuse by name at
+            # build instead of failing deep inside the first aggregation
+            # (and pinning a poisoned value into graft.sketch.lgK)
+            raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         src_path = self.resolve(alias)
         src_version = deltalog.latest_version(src_path)
         src_df = self.read_table(alias, user=user, version=src_version)

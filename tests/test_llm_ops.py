@@ -7491,6 +7491,11 @@ def test_sketch_rollup_in_maintenance_stream_and_guards(spark, tmp_path):
             "events", str(tmp_path / "bad"), ["sketch"], "url",
             index_alias="events__bad",
         )
+    with pytest.raises(ValueError, match="lg_k"):
+        eng.build_sketch_rollup(
+            "events", str(tmp_path / "bad2"), ["lang"], "url",
+            index_alias="events__bad2", lg_k=2,
+        )
     with pytest.raises(ValueError, match="not a sketch rollup"):
         eng.sketch_rollup_estimate("events")
     eng.write_table(
