@@ -814,4 +814,6 @@ def test_hist_rollup_merge_linear_and_quantile_bound(spark, vals, bins, cut, q):
     elif exact >= hi:
         assert est == hi
     else:
-        assert abs(est - exact) <= w / 2 + 1e-9
+        # +1e-6: the estimate column is rounded to 6 decimals, which can
+        # carry a boundary midpoint (e.g. 50/3) just past the exact w/2
+        assert abs(est - exact) <= w / 2 + 1e-6
