@@ -8213,3 +8213,37 @@ def test_sketch_rollup_null_append_refuses_before_group_delete(
         for r in eng.sketch_rollup_estimate(idx).collect()
     }
     assert after == before  # the group DELETE never ran
+
+
+def test_bm25_probe_batch_plan_pruned_and_python_free(spark, tmp_path):
+    """The batched probe keeps the single probe's plan contract: the
+    union-of-terms filter reaches the posting scan (PushedFilters) and
+    no Python stage appears anywhere in the plan."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
+    queries = spark.createDataFrame(
+        [(1, ["fox", "dog"]), (2, ["engines"])],
+        "query_id int, terms array<string>",
+    )
+    batch = eng.bm25_probe_batch(idx, queries, k=3)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed
+
+
+def test_hybrid_search_one_empty_leg(spark, tmp_path):
+    """A hybrid query whose lexical leg matches nothing degrades to the
+    dense ranking (RRF over one non-empty shortlist), and vice-versa the
+    fusion never errors on an empty side — the real-traffic edge."""
+    from delta_lake_proxy_spark.functions import similarity as _sim
+
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    got = eng.hybrid_search(
+        bm, ivf, ["zzz_nomatch"], [1.0, 0.0, 0.0, 0.0], k=3, n_probe=2
+    ).collect()
+    dense = eng.ivf_probe(ivf, [1.0, 0.0, 0.0, 0.0], k=6, n_probe=2)
+    lex = eng.bm25_probe(bm, ["zzz_nomatch"], k=6)
+    assert lex.count() == 0
+    want = _sim.rrf_fuse([lex, dense], k=3, id_col="doc_id").collect()
+    assert got == want and len(got) == 3
