@@ -4100,6 +4100,71 @@ class Engine:
             *[e.alias(n) for n, e in qcols.items()],
         )
 
+    def index_status(self, index_aliases: "list[str] | str") -> list:
+        """Freshness/observability snapshot for governed indexes of ANY
+        kind (IVF, the dedup family, bm25, sketch/hist rollups) —
+        driver-side METADATA only (log tails + table properties, no
+        Spark job): one dict per index with ``kind``, ``source``, the
+        ``indexed_version`` the index covers (the max of the stored
+        property and the refresh txn watermark, i.e. what a crash-replay
+        would resume from), the source's ``source_version`` tip, the
+        commit ``lag`` between them (0 = fresh; what
+        :meth:`maintain_indexes_stream` drives to 0), and for IVF
+        indexes ``retrain_pending`` (a crashed retrain to re-fire).
+        The one call an operator needs before trusting probe results or
+        after a maintenance outage."""
+        if isinstance(index_aliases, str):
+            index_aliases = [index_aliases]
+        out = []
+        for ia in index_aliases:
+            path = self.resolve(ia)
+            conf = deltalog.table_configuration_no_spark(path)
+            kind, src, iv, app = None, None, None, None
+            if conf.get("graft.ivf.source"):
+                kind = "ivf"
+                src = conf["graft.ivf.source"]
+                iv = conf.get("graft.ivf.indexedVersion")
+                app = _IVF_REFRESH_APP
+            elif conf.get("graft.dedup.source"):
+                kind = conf.get("graft.dedup.kind", "dedup")
+                src = conf["graft.dedup.source"]
+                iv = conf.get("graft.dedup.indexedVersion")
+                app = _MINHASH_REFRESH_APP
+            elif conf.get("graft.sketch.source"):
+                kind = "sketch"
+                src = conf["graft.sketch.source"]
+                iv = conf.get("graft.sketch.indexedVersion")
+                app = _SKETCH_REFRESH_APP
+            elif conf.get("graft.hist.source"):
+                kind = "hist"
+                src = conf["graft.hist.source"]
+                iv = conf.get("graft.hist.indexedVersion")
+                app = _HIST_REFRESH_APP
+            else:
+                raise ValueError(
+                    f"{ia!r} is not a governed index (no graft.*.source "
+                    "table property)"
+                )
+            indexed = max(
+                int(iv) if iv is not None else -1,
+                int(deltalog.all_txn_versions(path).get(app, -1)),
+            )
+            src_tip = deltalog.latest_version(self.resolve(src))
+            row = {
+                "index": ia,
+                "kind": kind,
+                "source": src,
+                "indexed_version": indexed if indexed >= 0 else None,
+                "source_version": src_tip,
+                "lag": max(0, src_tip - indexed) if indexed >= 0 else None,
+            }
+            if kind == "ivf":
+                row["retrain_pending"] = (
+                    conf.get("graft.ivf.retrainPending") == "1"
+                )
+            out.append(row)
+        return out
+
     def consolidate_rollup(self, index_alias: str) -> int:
         """Merge a sketch/histogram rollup's accumulated partial rows
         back to ONE row per group — the rollup analog of

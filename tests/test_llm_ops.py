@@ -8247,3 +8247,53 @@ def test_hybrid_search_one_empty_leg(spark, tmp_path):
     assert lex.count() == 0
     want = _sim.rrf_fuse([lex, dense], k=3, id_col="doc_id").collect()
     assert got == want and len(got) == 3
+
+
+def test_index_status_across_kinds(spark, tmp_path):
+    """index_status answers freshness for every governed kind from
+    driver-side metadata: lag 0 after build, lag = pending commits after
+    source appends (including the crash window where the txn mark leads
+    the property), back to 0 after refresh; IVF rows surface
+    retrain_pending; non-index aliases refuse."""
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    bm = eng.build_bm25_index("docs", str(tmp_path / "i_bm"))
+    mh = eng.build_minhash_index("docs", str(tmp_path / "i_mh"))
+    sk = eng.build_sketch_rollup("docs", str(tmp_path / "i_sk"),
+                                 ["lang"], "doc_id")
+    st = {r["index"]: r for r in eng.index_status([bm, mh, sk])}
+    assert st[bm]["kind"] == "bm25" and st[bm]["lag"] == 0
+    assert st[mh]["kind"] == "minhash" and st[mh]["lag"] == 0
+    assert st[sk]["kind"] == "sketch" and st[sk]["source"] == "docs"
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(10, "en", "fresh status probe document")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    st = {r["index"]: r for r in eng.index_status([bm, mh, sk])}
+    assert {st[bm]["lag"], st[mh]["lag"], st[sk]["lag"]} == {1}
+    eng.refresh_dedup_index(bm)
+    eng.refresh_sketch_rollup(sk)
+    st = {r["index"]: r for r in eng.index_status([bm, sk, mh])}
+    assert st[bm]["lag"] == 0 and st[sk]["lag"] == 0 and st[mh]["lag"] == 1
+    # the crash window (property behind the txn mark) reads as covered:
+    # indexed_version comes from the max with the watermark
+    eng.set_table_properties(bm, {"graft.dedup.indexedVersion": "0"})
+    st = {r["index"]: r for r in eng.index_status(bm)}
+    assert st[bm]["lag"] == 0
+    with pytest.raises(ValueError, match="not a governed index"):
+        eng.index_status("docs")
+
+
+def test_index_status_ivf_retrain_pending(spark, tmp_path):
+    eng = _ivf_gov_fixture(spark, tmp_path)
+    ivf = eng.build_ivf_index("emb", str(tmp_path / "emb_ivf"),
+                              num_centroids=2)
+    (row,) = eng.index_status(ivf)
+    assert row["kind"] == "ivf" and row["lag"] == 0
+    assert row["retrain_pending"] is False
+    eng.set_table_properties(ivf, {"graft.ivf.retrainPending": "1"})
+    (row,) = eng.index_status(ivf)
+    assert row["retrain_pending"] is True
