@@ -2761,7 +2761,12 @@ class Engine:
             [0, 0] if prm["kind"] == "bm25" and not bm25_recount else None
         )
         if cur <= indexed:
-            if int(prm["indexed_version"]) < indexed:
+            # a property commit is due when the version lags OR the bm25
+            # stats are missing even at a current version (e.g. an admin
+            # cleared them): bm25_probe's error message promises this
+            # refresh restores them, so the no-op early return may not
+            # skip the recount (advice r15 #1)
+            if int(prm["indexed_version"]) < indexed or bm25_recount:
                 stats = (
                     self._index_stats_props(prm, path) if bm25_recount else {}
                 )
@@ -3393,6 +3398,35 @@ class Engine:
             b=prm["b"] if b is None else b,
         )
 
+    def _check_hybrid_sources(
+        self,
+        bm25_prm: dict,
+        bm25_index_alias: str,
+        ivf_index_alias: str,
+        allow_cross_source: bool,
+    ) -> None:
+        """Refuse hybrid fusion across indexes built from DIFFERENT source
+        tables (``graft.dedup.source`` vs ``graft.ivf.source``): nothing
+        else ties the two id spaces together, so fusing a docs-table BM25
+        index with a different-corpus IVF index would silently produce
+        rank fusion across unrelated ids (verdict r15 nit #1). Driver
+        metadata only — two property reads, no Spark job."""
+        if allow_cross_source:
+            return
+        ivf_src = deltalog.table_configuration_no_spark(
+            self.resolve(ivf_index_alias)
+        ).get("graft.ivf.source")
+        if bm25_prm["source"] != ivf_src:
+            raise ValueError(
+                f"hybrid search refuses to fuse {bm25_index_alias!r} "
+                f"(source {bm25_prm['source']!r}) with {ivf_index_alias!r} "
+                f"(source {ivf_src!r}): the indexes were built from "
+                "different source tables, so their id spaces are unrelated "
+                "— rebuild both from one source, or pass "
+                "allow_cross_source=True for a deliberately split corpus "
+                "with known-aligned ids"
+            )
+
     def hybrid_search(
         self,
         bm25_index_alias: str,
@@ -3406,6 +3440,7 @@ class Engine:
         rrf_k: int = 60,
         shortlist: int | None = None,
         diversify_lam: float | None = None,
+        allow_cross_source: bool = False,
     ) -> DataFrame:
         """Governed hybrid retrieval — the production RAG shape in ONE
         call: the BM25 lexical probe (:meth:`bm25_probe`) and the IVF
@@ -3420,6 +3455,13 @@ class Engine:
         corpus floats are never re-read). The dense side's id column is
         renamed to the lexical index's so the fusion keys on one name.
 
+        The two indexes must be built from the SAME source table
+        (``graft.bm25.source == graft.ivf.source``) — fusing rankings
+        from unrelated id spaces returns plausible garbage, so a
+        mismatch refuses. Pass ``allow_cross_source=True`` only for a
+        deliberately split corpus whose id spaces are known-aligned
+        (e.g. text and vectors materialized as two tables sharing ids).
+
         Output without MMR: ``(id, rrf_score)`` descending; with MMR:
         ``(id, rrf_score, mmr_rank)`` by rank. Every stage is
         shortlist-sized past the two index scans — at 100 TB the cost is
@@ -3428,7 +3470,11 @@ class Engine:
         from .functions import similarity as _sim
 
         nk = int(fetch_k) if fetch_k is not None else 2 * k
-        id_col = self._dedup_index_params(bm25_index_alias)["id_col"]
+        prm = self._dedup_index_params(bm25_index_alias)
+        id_col = prm["id_col"]
+        self._check_hybrid_sources(
+            prm, bm25_index_alias, ivf_index_alias, allow_cross_source
+        )
         lex = self.bm25_probe(bm25_index_alias, query_terms, k=nk, user=user)
         dense = self.ivf_probe(
             ivf_index_alias, query_vec, k=nk, n_probe=n_probe, user=user,
@@ -3449,13 +3495,12 @@ class Engine:
         hits, vec_col = self._mmr_candidate_vectors(
             fused, ivf_index_alias, iconf, id_col, user
         )
-        out = _sim.mmr_rerank(
+        out = self._mmr_rerank_passthrough(
             hits.withColumn("_q", F.lit(0)),
             k=k,
             lam=diversify_lam,
             query_id_col="_q",
             id_col=id_col,
-            score_col="rrf_score",
             vec_col=vec_col,
         )
         return out.drop("_q").orderBy(F.col("mmr_rank").asc())
@@ -3489,13 +3534,70 @@ class Engine:
         ids = [
             r[id_col] for r in fused.select(id_col).distinct().collect()
         ]
+        # LEFT join: a fused candidate absent from the dense index (e.g.
+        # the IVF index lagging the BM25 index by a refresh) must not be
+        # silently dropped from the MMR output — it passes through with a
+        # NULL vector and _mmr_rerank_passthrough appends it after the
+        # diversity-ranked rows, so the result never shrinks below k
+        # relative to the diversify_lam=None ranking (advice r15 #2)
         hits = fused.join(
             vecs.filter(F.col(d_id).isin(ids)).select(
                 F.col(d_id).alias(id_col), F.col(vec_col)
             ),
             id_col,
+            "left",
         )
         return hits, vec_col
+
+    def _mmr_rerank_passthrough(
+        self,
+        hits: DataFrame,
+        k: int,
+        lam: float,
+        query_id_col: str,
+        id_col: str,
+        vec_col: str,
+    ) -> DataFrame:
+        """MMR-rerank the candidates that HAVE vectors and append the
+        vector-less ones after them (relevance order, the engine's total
+        order) so a dense-index lag reorders the tail instead of
+        shrinking the result set. Shared by :meth:`hybrid_search` and
+        :meth:`hybrid_search_batch`; ``hits`` is shortlist-sized by the
+        retrieval contract, so the split re-reads a persisted fusion,
+        not the index."""
+        from pyspark.sql import Window
+
+        from .functions import similarity as _sim
+        from .functions._persist_cache import cache_persisted
+
+        hits = cache_persisted(hits.persist(StorageLevel.MEMORY_AND_DISK))
+        ranked = _sim.mmr_rerank(
+            hits.filter(F.col(vec_col).isNotNull()),
+            k=k,
+            lam=lam,
+            query_id_col=query_id_col,
+            id_col=id_col,
+            score_col="rrf_score",
+            vec_col=vec_col,
+        )
+        base = ranked.groupBy(query_id_col).agg(
+            F.max("mmr_rank").alias("_base")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        )
+        tail = (
+            hits.filter(F.col(vec_col).isNull())
+            .select(query_id_col, id_col, "rrf_score")
+            .join(F.broadcast(base), query_id_col, "left")
+            .withColumn(
+                "mmr_rank",
+                (F.coalesce(F.col("_base"), F.lit(0)) + F.row_number().over(w))
+                .cast("int"),
+            )
+            .drop("_base")
+        )
+        return ranked.unionByName(tail).filter(F.col("mmr_rank") <= int(k))
 
     def hybrid_search_batch(
         self,
@@ -3512,6 +3614,7 @@ class Engine:
         query_id_col: str = "query_id",
         terms_col: str = "terms",
         query_vec_col: str | None = None,
+        allow_cross_source: bool = False,
     ) -> DataFrame:
         """:meth:`hybrid_search` for a whole DataFrame of queries in ONE
         composed plan — the serving shape: ``queries`` carries
@@ -3523,13 +3626,19 @@ class Engine:
         rank-only (``similarity.rrf_fuse_batch``), and ``diversify_lam``
         adds the MMR pass per query group (``mmr_rerank`` is natively
         multi-query — one applyInPandas over the query grouping).
+        Same-source guard as :meth:`hybrid_search` (opt out with
+        ``allow_cross_source=True``).
         Output without MMR: ``(query_id, id, rrf_score)`` top-k per
         query; with MMR: ``(query_id, id, rrf_score, mmr_rank)`` — per
         query identical to :meth:`hybrid_search`."""
         from .functions import similarity as _sim
 
         nk = int(fetch_k) if fetch_k is not None else 2 * k
-        id_col = self._dedup_index_params(bm25_index_alias)["id_col"]
+        prm = self._dedup_index_params(bm25_index_alias)
+        id_col = prm["id_col"]
+        self._check_hybrid_sources(
+            prm, bm25_index_alias, ivf_index_alias, allow_cross_source
+        )
         lex = self.bm25_probe_batch(
             bm25_index_alias, queries, k=nk, user=user,
             query_id_col=query_id_col, terms_col=terms_col,
@@ -3555,13 +3664,12 @@ class Engine:
         hits, vec_col = self._mmr_candidate_vectors(
             fused, ivf_index_alias, iconf, id_col, user
         )
-        return _sim.mmr_rerank(
+        return self._mmr_rerank_passthrough(
             hits,
             k=k,
             lam=diversify_lam,
             query_id_col=query_id_col,
             id_col=id_col,
-            score_col="rrf_score",
             vec_col=vec_col,
         )
 
@@ -3610,9 +3718,9 @@ class Engine:
             raise ValueError(f"value column {value_col!r} not in {alias!r}")
         group_cols = list(group_cols)
         meta = deltalog.table_metadata_no_spark(src_path) or {}
-        for c in meta.get("partitionColumns") or []:
-            if c in src_df.columns and c not in group_cols and c != value_col:
-                group_cols.append(c)
+        self._fold_rollup_partition_cols(
+            meta, src_df, group_cols, value_col, alias
+        )
         for c in group_cols:
             if "," in c:
                 raise ValueError(
@@ -3646,6 +3754,31 @@ class Engine:
             },
         )
         return idx_alias
+
+    @staticmethod
+    def _fold_rollup_partition_cols(
+        meta: dict, src_df: DataFrame, group_cols: list, value_col: str,
+        alias: str,
+    ) -> None:
+        """Auto-add a rollup source's partition columns to ``group_cols``
+        (in place) so a partition ACL on the source compiles into a plain
+        row predicate on the rollup. A partition column EQUAL to the
+        value column refuses outright: it can be neither a group column
+        (grouping a value by itself makes every sketch/histogram
+        degenerate) nor skipped (the query-time ACL predicate would hit
+        an unresolved column on the rollup — advice r15 #3); rollup a
+        different value column, or un-partition the source."""
+        for c in meta.get("partitionColumns") or []:
+            if c == value_col:
+                raise ValueError(
+                    f"{alias!r} is partitioned by {c!r}, which is also the "
+                    "rollup value column — a partition ACL on the source "
+                    "could not compile against the rollup (the governed "
+                    "derived-data contract cannot hold); pick a different "
+                    "value column"
+                )
+            if c in src_df.columns and c not in group_cols:
+                group_cols.append(c)
 
     def _refuse_null_group_keys(
         self, df: DataFrame, group_cols: list, source: str
@@ -3869,9 +4002,9 @@ class Engine:
             raise ValueError(f"value column {value_col!r} not in {alias!r}")
         group_cols = list(group_cols)
         meta = deltalog.table_metadata_no_spark(src_path) or {}
-        for c in meta.get("partitionColumns") or []:
-            if c in src_df.columns and c not in group_cols and c != value_col:
-                group_cols.append(c)
+        self._fold_rollup_partition_cols(
+            meta, src_df, group_cols, value_col, alias
+        )
         for c in group_cols:
             if "," in c:
                 raise ValueError(

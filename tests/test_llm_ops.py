@@ -8297,3 +8297,119 @@ def test_index_status_ivf_retrain_pending(spark, tmp_path):
     eng.set_table_properties(ivf, {"graft.ivf.retrainPending": "1"})
     (row,) = eng.index_status(ivf)
     assert row["retrain_pending"] is True
+
+
+# ---------------------------------------------------------------------------
+# Round 16 hardening: cross-source guard, MMR passthrough, advice closures
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_search_refuses_cross_source_indexes(spark, tmp_path):
+    """Hybrid fusion across indexes built from DIFFERENT source tables
+    refuses (verdict r15 nit #1): nothing ties the two id spaces, so the
+    fusion would be plausible garbage. allow_cross_source=True is the
+    documented escape hatch for deliberately split corpora."""
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    other = str(tmp_path / "other")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+            "doc_id long, embedding array<float>",
+        ).repartition(1),
+        other,
+        [],
+    )
+    eng.config.table_mapping["other"] = other
+    ivf2 = eng.build_ivf_index(
+        "other", str(tmp_path / "other_ivf"), num_centroids=1, id_col="doc_id"
+    )
+    with pytest.raises(ValueError, match="different source tables"):
+        eng.hybrid_search(bm, ivf2, ["fox"], [1.0, 0.0, 0.0, 0.0], k=3)
+    q = spark.createDataFrame(
+        [(1, ["fox"], [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, terms array<string>, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="different source tables"):
+        eng.hybrid_search_batch(bm, ivf2, q, k=3)
+    got = eng.hybrid_search(
+        bm, ivf2, ["fox"], [1.0, 0.0, 0.0, 0.0], k=3,
+        n_probe=1, allow_cross_source=True,
+    ).collect()
+    assert got  # the opt-out fuses; aligned ids are the caller's claim
+
+
+def test_hybrid_mmr_keeps_candidates_missing_from_dense_index(spark, tmp_path):
+    """An IVF index lagging the BM25 index by a refresh must not SHRINK
+    the diversified result (advice r15 #2): fused candidates with no
+    vector in the dense index pass through after the MMR-ranked rows,
+    so the id set matches the diversify_lam=None pool at the same k."""
+    eng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(6, "en", "fox dog fox dog fox dog", [0.7, 0.1, 0.2, 0.0])],
+            "doc_id long, lang string, text string, embedding array<float>",
+        ),
+        mode="append",
+    )
+    eng.refresh_dedup_index(bm)  # lexical side sees doc 6; dense does not
+    q_terms, q_vec = ["fox", "dog"], [1.0, 0.0, 0.0, 0.0]
+    plain = eng.hybrid_search(bm, ivf, q_terms, q_vec, k=6, n_probe=2).collect()
+    div = eng.hybrid_search(
+        bm, ivf, q_terms, q_vec, k=6, n_probe=2, diversify_lam=0.5
+    ).collect()
+    assert 6 in {r["doc_id"] for r in plain}
+    assert {r["doc_id"] for r in div} == {r["doc_id"] for r in plain}
+    assert sorted(r["mmr_rank"] for r in div) == [1, 2, 3, 4, 5, 6]
+    by_id = {r["doc_id"]: r["mmr_rank"] for r in div}
+    assert by_id[6] == 6  # the vector-less doc appends after the MMR ranks
+    # batch path: same passthrough per query group
+    q = spark.createDataFrame(
+        [(7, q_terms, q_vec)],
+        "query_id long, terms array<string>, embedding array<float>",
+    )
+    bdiv = eng.hybrid_search_batch(
+        bm, ivf, q, k=6, n_probe=2, diversify_lam=0.5
+    ).collect()
+    assert {(r["doc_id"], r["mmr_rank"]) for r in bdiv} == {
+        (r["doc_id"], r["mmr_rank"]) for r in div
+    }
+
+
+def test_bm25_missing_stats_restored_at_current_version(spark, tmp_path):
+    """refresh_dedup_index restores cleared graft.bm25.* stats even when
+    the indexed version is already current (advice r15 #1) — exactly
+    what bm25_probe's error message promises."""
+    eng, bm, _ivf = _hybrid_gov_fixture(spark, tmp_path)
+    eng.set_table_properties(
+        bm, {}, unset=["graft.bm25.nDocs", "graft.bm25.sumDl"]
+    )
+    with pytest.raises(ValueError, match="no collection statistics"):
+        eng.bm25_probe(bm, ["fox"])
+    eng.refresh_dedup_index(bm)  # no new commits; stats must still recount
+    from delta_lake_proxy_spark import deltalog as _dl
+
+    conf = _dl.table_configuration_no_spark(eng.resolve(bm))
+    assert conf.get("graft.bm25.nDocs") == "5"  # recounted, not lost
+    got = eng.bm25_probe(bm, ["fox", "dog"], k=3).collect()
+    assert [r["doc_id"] for r in got] == [5, 1]  # the fox+dog docs, short first
+
+
+def test_rollup_build_refuses_partition_value_col(spark, tmp_path):
+    """A source partition column equal to the rollup value column refuses
+    at BUILD (advice r15 #3): it can be neither grouped nor skipped, so a
+    partition ACL could never compile against the rollup — refuse loudly
+    instead of failing with an unresolved column at query time."""
+    eng = _sketch_gov_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="also the rollup value column"):
+        eng.build_sketch_rollup(
+            "events", str(tmp_path / "sk"), ["url"], "lang"
+        )
+    with pytest.raises(ValueError, match="also the rollup value column"):
+        eng.build_hist_rollup(
+            "events", str(tmp_path / "hs"), ["url"], "lang",
+            bins=4, lo=0.0, hi=1.0,
+        )
