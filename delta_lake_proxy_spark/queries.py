@@ -198,6 +198,266 @@ def governed_engine(
 
 
 # ---------------------------------------------------------------------------
+# Retrieval + rollup fixtures (round 16): a governed corpus holding text AND
+# vectors with its BM25 + IVF indexes built at fixture time, and a governed
+# events table with an incrementally-refreshed HLL sketch rollup — the
+# serving-shape driver rows (bm25_probe / hybrid_search /
+# sketch_rollup_estimate), each DuckDB-oracle-checked.
+# ---------------------------------------------------------------------------
+
+DOCS_ALIAS = "documents_gov"
+DOCS_BM25 = DOCS_ALIAS + "__bm25"
+DOCS_IVF = DOCS_ALIAS + "__ivf"
+EVENTS_ALIAS = "events_gov"
+EVENTS_SKETCH = EVENTS_ALIAS + "__sketch"
+
+# SigV4 Authorization header whose Credential access-key segment IS the
+# probing identity (G4, ref src/main.rs:1129-1135): acl.extract_user pulls
+# 'AKIARETRIEVER' out of it, and that user's DB grants (PROBE_LANGS) gate
+# both retrieval rows — the oracle mirrors the grant as a WHERE clause, so
+# hash equality certifies extraction AND enforcement end-to-end.
+PROBE_AUTH = (
+    "AWS4-HMAC-SHA256 Credential=AKIARETRIEVER/20240101/us-east-1/s3/"
+    "aws4_request, SignedHeaders=host, Signature=cafe"
+)
+PROBE_TERMS = ("spark", "window", "merge", "filter")
+PROBE_LANGS = ("en", "fr")
+# deterministic 64-dim query vector with exact one-decimal components: the
+# same double literals appear in the Spark plan and the DuckDB oracle
+PROBE_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+PROBE_K1, PROBE_B = 1.2, 0.75
+HYBRID_K, HYBRID_FETCH_K = 10, 20  # fetch_k = engine default 2*k
+
+
+def docs_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build-once (per process per sf_dir) retrieval fixture: documents
+    JOIN embeddings as ONE governed Delta table (text + vectors,
+    partitioned by ``lang``), plus its governed BM25 posting index and
+    IVF vector index — built by an UNRESTRICTED engine, so the pinned
+    ``graft.bm25.nDocs/sumDl`` collection statistics describe the full
+    corpus while a restricted probe sees only its ACL slice (the
+    standard-IR semantics ``Engine.bm25_probe`` documents). The IVF
+    index uses 4 centroids so an ``n_probe=4`` probe scans every
+    inverted list — EXACT top-k, which is what lets a SQL oracle
+    reproduce the dense leg verbatim."""
+    key = os.path.abspath(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
+    )
+    paths = {
+        DOCS_ALIAS: os.path.join(base, DOCS_ALIAS),
+        DOCS_BM25: os.path.join(base, DOCS_BM25),
+        DOCS_IVF: os.path.join(base, DOCS_IVF),
+    }
+    marker = os.path.join(base, ".ready_docs")
+    with _FIXTURE_LOCK:
+        if not os.path.exists(marker):
+            docs = load_table(spark, sf_dir, "documents")
+            emb = load_table(spark, sf_dir, "embeddings")
+            corpus = docs.join(
+                emb, docs["doc_id"] == emb["vec_id"]
+            ).select("doc_id", "lang", "source", "n_chars", "text", "embedding")
+            write_governed_table(
+                spark, corpus.repartition(1), paths[DOCS_ALIAS], ["lang"]
+            )
+            eng = Engine(
+                spark,
+                EngineConfig(table_mapping=dict(paths), read_only=False),
+            )
+            eng.build_bm25_index(
+                DOCS_ALIAS, paths[DOCS_BM25], k1=PROBE_K1, b=PROBE_B
+            )
+            eng.build_ivf_index(
+                DOCS_ALIAS,
+                paths[DOCS_IVF],
+                num_centroids=4,
+                id_col="doc_id",
+                vec_col="embedding",
+            )
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("ok")
+    return paths
+
+
+def retrieval_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    """Engine over the retrieval fixture whose DB permission rows grant the
+    SigV4-extracted user exactly PROBE_LANGS of the corpus (J2 union
+    semantics: no static config, two dynamic grants)."""
+    paths = docs_fixture(spark, sf_dir)
+    perms = spark.createDataFrame(
+        [
+            (i + 1, acl.extract_user(PROBE_AUTH), DOCS_ALIAS,
+             json.dumps({"lang": lang}))
+            for i, lang in enumerate(PROBE_LANGS)
+        ],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    return Engine(
+        spark,
+        EngineConfig(table_mapping=paths, read_only=True),
+        permissions_df=perms,
+    )
+
+
+def events_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build-once governed events table (partitioned by ``event_type``)
+    with its HLL sketch rollup taken through a REAL incremental cycle at
+    fixture time: build at version 0, append a deterministic second copy
+    of the corpus (user ids shifted by 1e6 — reproducible in SQL), then
+    ``refresh_sketch_rollup`` so every group holds TWO partial sketch
+    rows. The driver row then certifies the union-merged estimate, the
+    exact row accounting, and the partial count externally."""
+    key = os.path.abspath(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
+    )
+    paths = {
+        EVENTS_ALIAS: os.path.join(base, EVENTS_ALIAS),
+        EVENTS_SKETCH: os.path.join(base, EVENTS_SKETCH),
+    }
+    marker = os.path.join(base, ".ready_events")
+    with _FIXTURE_LOCK:
+        if not os.path.exists(marker):
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "event_type", "user_id", "value"
+            )
+            write_governed_table(
+                spark, ev.repartition(1), paths[EVENTS_ALIAS], ["event_type"]
+            )
+            eng = Engine(
+                spark,
+                EngineConfig(table_mapping=dict(paths), read_only=False),
+            )
+            eng.build_sketch_rollup(
+                EVENTS_ALIAS, paths[EVENTS_SKETCH], [], "user_id"
+            )
+            appended = ev.select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "event_type",
+                (F.col("user_id") + 1_000_000).alias("user_id"),
+                "value",
+            )
+            eng.write_table(EVENTS_ALIAS, appended, mode="append")
+            eng.refresh_sketch_rollup(EVENTS_SKETCH)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("ok")
+    return paths
+
+
+SKETCH_EVENT_TYPES = ("click", "purchase", "view")  # metrics_reader's grant
+
+
+def _bm25_sql_ctes() -> str:
+    """The DuckDB replay of the BM25 scoring path: tokenize the corpus
+    (same ``[a-z0-9]+`` word regex as ``functions.text.WORD_RE``), tf per
+    (doc, term), dl per doc, collection stats over the FULL corpus (the
+    pinned-at-build ``graft.bm25.*`` semantics), df on the ACL-visible
+    query-term slice, then the shared Okapi formula with every mixed
+    operand CAST to DOUBLE so each arithmetic op is the same IEEE-double
+    op Spark's expression tree performs."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(PROBE_TERMS)))
+    ll = ", ".join(f"'{lang}'" for lang in PROBE_LANGS)
+    k1, b = PROBE_K1, PROBE_B
+    return f"""
+    toks AS (
+      SELECT d.doc_id, d.lang,
+             unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS term
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+    sl AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+      FROM tf JOIN dl USING (doc_id)
+      WHERE tf.term IN ({tl}) AND tf.lang IN ({ll})
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM sl GROUP BY 1),
+    bm AS (
+      SELECT sl.doc_id,
+             round(SUM(
+               ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(sl.tf AS DOUBLE) * {k1 + 1})
+               / (CAST(sl.tf AS DOUBLE)
+                  + {k1} * ({1 - b} + ({b} * CAST(sl.dl AS DOUBLE))
+                            / (CAST(stats.sumdl AS DOUBLE) / stats.n)))
+             ), 6) AS bm25
+      FROM sl JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY sl.doc_id
+    )"""
+
+
+BM25_PROBE_SQL = f"""
+WITH {_bm25_sql_ctes()}
+SELECT doc_id, bm25, '{acl.extract_user(PROBE_AUTH)}' AS probe_user
+FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+"""
+
+
+def _hybrid_sql() -> str:
+    """RRF arithmetic over the two SQL top-k CTE legs: the BM25 leg from
+    ``_bm25_sql_ctes``, the dense leg as exact double-precision cosine
+    (the engine's 4-centroid / n_probe=4 probe scans every list, so the
+    approximate index answers the EXACT top-k), ranks per leg on the
+    rounded scores with the engine's (score desc, id asc) total order,
+    contributions 1/(60 + rank) (Cormack 2009), fused top-k."""
+    vec = "[" + ", ".join(str(x) for x in PROBE_VEC) + "]::DOUBLE[]"
+    ll = ", ".join(f"'{lang}'" for lang in PROBE_LANGS)
+    return f"""
+    WITH {_bm25_sql_ctes()},
+    lexk AS (SELECT doc_id, bm25 FROM bm
+             ORDER BY bm25 DESC, doc_id ASC LIMIT {HYBRID_FETCH_K}),
+    q AS (SELECT {vec} AS qv),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+      WHERE d.lang IN ({ll})
+    ),
+    denk AS (SELECT doc_id, score FROM dense
+             ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_FETCH_K}),
+    lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                    AS rnk FROM lexk),
+    denr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rnk FROM denk),
+    contrib AS (
+      SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rnk) AS c
+      FROM lexr
+      UNION ALL
+      SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rnk) AS c
+      FROM denr
+    ),
+    fused AS (SELECT doc_id, round(SUM(c), 6) AS rrf_score
+              FROM contrib GROUP BY 1)
+    SELECT doc_id, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
+    """
+
+
+HYBRID_SEARCH_SQL = _hybrid_sql()
+
+SKETCH_ROLLUP_SQL = f"""
+WITH all_events AS (
+  SELECT event_type, user_id FROM events
+  UNION ALL
+  SELECT event_type, user_id + 1000000 AS user_id FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       true AS within_bounds,
+       CAST(2 AS BIGINT) AS n_partials
+FROM all_events
+WHERE event_type IN ({', '.join(f"'{t}'" for t in SKETCH_EVENT_TYPES)})
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # G1 governed read (flagship) + ACL semantics (P2-P4, G3, J2)
 # ---------------------------------------------------------------------------
 
@@ -395,9 +655,26 @@ def permission_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@register(
-    "request_identity",
-    """
+@register("bm25_probe", BM25_PROBE_SQL)
+def bm25_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed BM25 index probe, driver-oracle-checked (X4 lexical leg +
+    G4): the probing identity is EXTRACTED from a SigV4 Authorization
+    header (``acl.extract_user``, ref src/main.rs:1129-1135) and its DB
+    grants (PROBE_LANGS) gate the posting scan, while the collection
+    statistics come from the ``graft.bm25.*`` properties pinned at build
+    over the FULL corpus. The DuckDB oracle re-derives the entire path —
+    tokenize, tf/dl/df, pinned-stats semantics, Okapi formula — from the
+    raw parquet, so hash equality certifies the index content, the probe
+    ranking, the pinned statistics AND the ACL in one row. Replaced the
+    retired ``request_identity`` row in round 16 (still pytest-gated);
+    the header-extraction leg rides along here."""
+    eng = retrieval_engine(spark, sf_dir)
+    user = acl.extract_user(PROBE_AUTH)
+    out = eng.bm25_probe(DOCS_BM25, list(PROBE_TERMS), k=15, user=user)
+    return out.withColumn("probe_user", F.lit(user))
+
+
+REQUEST_IDENTITY_SQL = """
     SELECT doc_id,
            concat('trades/', source, '/', CAST(doc_id AS VARCHAR), '.parquet') AS key,
            regexp_replace(
@@ -406,8 +683,9 @@ def permission_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 5 = 0 THEN 'anonymous'
                 ELSE concat('AKIA', upper(source)) END AS user_id
     FROM documents
-    """,
-)
+    """
+
+
 def request_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-request parsing in one pass (G4 + P5): SigV4 identity extraction
     from a synthesized Authorization header (src/main.rs:1129-1135; every
@@ -1168,9 +1446,35 @@ def row_ids_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "set_ops",
-    """
+@register("hybrid_search", HYBRID_SEARCH_SQL)
+def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call governed hybrid retrieval, driver-oracle-checked (X3+X4,
+    the production RAG serving shape): the BM25 posting probe and the IVF
+    vector probe (4 centroids, n_probe=4 — every list scanned, so the
+    index answers the EXACT top-k a SQL oracle can reproduce) each read
+    their pruned index slice under the SigV4-extracted user's ACL, then
+    fuse rank-only by reciprocal-rank fusion (Cormack 2009; the fusion
+    itself is a unionByName of per-leg rank contributions + one
+    shortlist-sized group-sum — U1's union, driver-certified). The DuckDB
+    oracle recomputes both legs and the RRF arithmetic from raw parquet.
+    Replaced the retired ``set_ops`` row in round 16 (still pytest-gated;
+    U2's EXCEPT shape stays driver-green via table_history's
+    adds-minus-removes replay, U3's INTERSECT via auth_join's left-semi —
+    Catalyst's own INTERSECT lowering)."""
+    eng = retrieval_engine(spark, sf_dir)
+    user = acl.extract_user(PROBE_AUTH)
+    return eng.hybrid_search(
+        DOCS_BM25,
+        DOCS_IVF,
+        list(PROBE_TERMS),
+        list(PROBE_VEC),
+        k=HYBRID_K,
+        n_probe=4,
+        user=user,
+    )
+
+
+SET_OPS_SQL = """
     SELECT 'except' AS op, custkey FROM (
       SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       EXCEPT
@@ -1180,12 +1484,15 @@ def row_ids_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
-    """,
-)
+    """
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1-U3 in one row: EXCEPT (the adds-minus-removes reconciliation
+    """U1-U3 in one query: EXCEPT (the adds-minus-removes reconciliation
     shape, U2), INTERSECT (U3), and the UNION ALL that tags and combines
-    them (U1) — customers with urgent-only vs both urgent and low orders."""
+    them (U1) — customers with urgent-only vs both urgent and low orders.
+    Retired from the pinned driver window in round 16 (slot for
+    hybrid_search); oracle-gated by test_retired_queries_match_oracle."""
     o = load_table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -1915,9 +2222,16 @@ def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "file_surface",
-    _gov_replay_sql(
+def _file_surface_oracle() -> str:
+    base = os.path.join(_oracle_fixture_base(), GOV_ALIAS)
+    glob = os.path.join(base, "_delta_log", "*.json")
+    proto = (
+        f"SELECT protocol FROM read_json_auto('{glob}', filename=true, "
+        "format='newline_delimited') WHERE protocol IS NOT NULL "
+        "ORDER BY CAST(regexp_extract(filename, '(\\d+)\\.json$', 1) AS BIGINT) "
+        "DESC LIMIT 1"
+    )
+    return _gov_replay_sql(
         f"""
         , p1 AS (SELECT key, size, modificationTime FROM live
                  WHERE key LIKE '{GOV_ALIAS}/l_returnflag=%'
@@ -1934,28 +2248,52 @@ def read_delta_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         u AS (SELECT key, size, modificationTime, false AS is_common_prefix FROM p1
               UNION ALL
               SELECT key, size, modificationTime, false AS is_common_prefix FROM p2
-              UNION ALL SELECT * FROM p3)
-        SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified,
-               is_common_prefix
-        FROM u
+              UNION ALL SELECT * FROM p3),
+        listing AS (
+          SELECT key, size, make_timestamp(modificationTime * 1000) AS last_modified,
+                 is_common_prefix,
+                 CASE WHEN is_common_prefix THEN 'prefix' ELSE 'object' END AS entry_kind,
+                 CAST(NULL AS VARCHAR) AS detail
+          FROM u),
+        cat AS (
+          SELECT 'datalake://{GOV_ALIAS}' AS key,
+                 (SELECT CAST(SUM(size) AS BIGINT) FROM live) AS size,
+                 CAST(NULL AS TIMESTAMP) AS last_modified,
+                 false AS is_common_prefix,
+                 'table' AS entry_kind,
+                 'parquet:r'
+                   || CAST((SELECT CAST(protocol.minReaderVersion AS INT) FROM ({proto})) AS VARCHAR)
+                   || 'w'
+                   || CAST((SELECT CAST(protocol.minWriterVersion AS INT) FROM ({proto})) AS VARCHAR)
+                   || ':files=' || CAST((SELECT COUNT(*) FROM live) AS VARCHAR) AS detail)
+        SELECT * FROM listing UNION ALL SELECT * FROM cat
         """
-    ),
-)
+    )()
+
+
+@register("file_surface", _file_surface_oracle)
 def file_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ListObjectsV2 + HEAD surface in one row (S3-S5, S10, P1, O1-O2):
-    page 1 is a prefix-filtered, key-ordered, max-keys-limited listing; the
-    continuation token (last key of page 1, strictly-after semantics, ref
-    src/main.rs:251-262) drives page 2; page 3 is a ``delimiter='/'``
-    listing whose CommonPrefixes groups discover the partition directories
-    (ref src/main.rs:307-317, golden src/main.rs:1286-1294); each content
-    key carries its HEAD-equivalent size + last-modified metadata."""
+    """The ListObjectsV2 + HEAD + catalog surface in one row (S1-S5, S10,
+    P1, P5, O1-O2, J8): page 1 is a prefix-filtered, key-ordered,
+    max-keys-limited listing; the continuation token (last key of page 1,
+    strictly-after semantics, ref src/main.rs:251-262) drives page 2;
+    page 3 is a ``delimiter='/'`` listing whose CommonPrefixes groups
+    discover the partition directories (ref src/main.rs:307-317, golden
+    src/main.rs:1286-1294); each content key carries its HEAD-equivalent
+    size + last-modified metadata, in the ALIAS key namespace the engine
+    rewrites from physical paths (P5). The catalog leg (folded in from
+    the retired ``catalog_surface`` row, round 16) crosses the virtual
+    namespace with its table listing and DESCRIBE DETAIL facts — live
+    file count, total logged bytes, protocol versions — that the oracle
+    independently re-derives from its own log replay; the crossJoin is
+    broadcast-sized (J8, plan-pinned in test_plans)."""
     eng = governed_engine(spark, sf_dir)
     page1 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/l_returnflag=", max_keys=2)
     rows = page1.select("key").collect()
     token = rows[-1]["key"] if rows else None
     page2 = eng.list_files(GOV_ALIAS, continuation_token=token, max_keys=2)
     page3 = eng.list_files(GOV_ALIAS, prefix=f"{GOV_ALIAS}/", delimiter="/")
-    return (
+    listing = (
         page1.unionByName(page2)
         .withColumn("is_common_prefix", F.lit(False))
         .unionByName(page3)
@@ -1964,8 +2302,40 @@ def file_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size",
             F.timestamp_millis(F.col("modificationTime")).alias("last_modified"),
             "is_common_prefix",
+            F.when(F.col("is_common_prefix"), F.lit("prefix"))
+            .otherwise(F.lit("object"))
+            .alias("entry_kind"),
+            F.lit(None).cast("string").alias("detail"),
         )
     )
+    detail = eng.describe_table(GOV_ALIAS).select(
+        "format", "numFiles", "sizeInBytes",
+        "minReaderVersion", "minWriterVersion",
+    )
+    cat = (
+        eng.list_catalogs()
+        .crossJoin(F.broadcast(eng.list_tables()))
+        .crossJoin(F.broadcast(detail))
+        .select(
+            F.concat(
+                F.col("catalog_name"), F.lit("://"), F.col("table_name")
+            ).alias("key"),
+            F.col("sizeInBytes").cast("long").alias("size"),
+            F.lit(None).cast("timestamp").alias("last_modified"),
+            F.lit(False).alias("is_common_prefix"),
+            F.lit("table").alias("entry_kind"),
+            F.concat(
+                F.col("format"),
+                F.lit(":r"),
+                F.col("minReaderVersion").cast("string"),
+                F.lit("w"),
+                F.col("minWriterVersion").cast("string"),
+                F.lit(":files="),
+                F.col("numFiles").cast("string"),
+            ).alias("detail"),
+        )
+    )
+    return listing.unionByName(cat)
 
 
 @register(
@@ -2625,13 +2995,77 @@ def _catalog_surface_oracle() -> str:
     return _gov_replay_sql(body)()
 
 
-@register("catalog_surface", _catalog_surface_oracle)
+@register("sketch_rollup_estimate", SKETCH_ROLLUP_SQL)
+def sketch_rollup_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed HLL sketch rollup, driver-oracle-checked through a REAL
+    incremental cycle (A2 at scale): the fixture builds the rollup,
+    appends a deterministic second corpus copy, and refreshes — so each
+    group holds TWO partial sketches that must union-merge to the
+    full-corpus estimate. The row certifies, per ACL-visible group:
+    exact row accounting (``n_rows`` — summed across partials), the
+    exact distinct count re-derived from the governed SOURCE under the
+    same restricted user, the estimate landing within HLL error bounds
+    of it (``within_bounds``), and the partial-row count (``n_partials``
+    = 2, i.e. the refresh really appended instead of rebuilding). The
+    DuckDB oracle replays base + append from raw parquet. Replaced the
+    retired ``catalog_surface`` row in round 16 (still pytest-gated;
+    S1/S2/J8 fold into file_surface's catalog leg)."""
+    paths = events_fixture(spark, sf_dir)
+    user = "metrics_reader"
+    perms = spark.createDataFrame(
+        [
+            (i + 1, user, EVENTS_ALIAS, json.dumps({"event_type": t}))
+            for i, t in enumerate(SKETCH_EVENT_TYPES)
+        ],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping=paths, read_only=True),
+        permissions_df=perms,
+    )
+    est = eng.sketch_rollup_estimate(EVENTS_SKETCH, user=user)
+    exact = (
+        eng.read_table(EVENTS_ALIAS, user=user)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    roll = eng.read_table(EVENTS_SKETCH, user=user)
+    pred = eng.acl_predicate(EVENTS_ALIAS, user)
+    if pred is not None:
+        roll = roll.filter(pred)
+    partials = roll.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_partials")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .join(F.broadcast(partials), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    / F.col("exact_distinct")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("within_bounds"),
+            "n_partials",
+        )
+    )
+
+
 def catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S2 catalog surface + DESCRIBE DETAIL in one driver row: the
+    """S1+S2 catalog surface + DESCRIBE DETAIL in one query: the
     virtual bucket namespace crossed with its table listing, enriched with
     ``describe_table`` facts the oracle independently derives from its own
     log replay (live file count, total logged bytes) plus the protocol
-    constants this engine emits."""
+    constants this engine emits. Retired from the pinned driver window in
+    round 16 (slot for sketch_rollup_estimate; S1/S2/J8 stay driver-green
+    via file_surface's catalog leg); oracle-gated by
+    test_retired_catalog_surface_matches_oracle."""
     eng = governed_engine(spark, sf_dir)
     detail = eng.describe_table(GOV_ALIAS).select(
         "format",

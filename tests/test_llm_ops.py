@@ -1374,40 +1374,65 @@ def test_new_llm_ops_no_row_python(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _oracle_norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(
+            round(v, 9) if isinstance(v, float) else v
+            for v in (r[i] for i in order)
+        )
+        for r in rows
+    )
+
+
 def test_retired_queries_match_oracle(spark):
-    """agg_events and corpus_sample_stratified left the pinned driver window
-    in round 11 (slots for lm_perplexity / dedup_substring); this test IS
-    their oracle gate now — same DuckDB compare the driver runs."""
+    """Queries rotated out of the pinned 50-row driver window keep their
+    oracle gate HERE — the same DuckDB compare the driver runs: agg_events
+    + corpus_sample_stratified (retired round 11 for lm_perplexity /
+    dedup_substring), set_ops + request_identity (retired round 16 for
+    hybrid_search / bm25_probe)."""
     import duckdb
 
     from delta_lake_proxy_spark import queries as Q
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-
-    def norm(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return sorted(
-            tuple(
-                round(v, 9) if isinstance(v, float) else v
-                for v in (r[i] for i in order)
-            )
-            for r in rows
         )
 
     for fn, sql in (
         (Q.agg_events, Q.AGG_EVENTS_SQL),
         (Q.corpus_sample_stratified, Q.CORPUS_SAMPLE_SQL),
+        (Q.set_ops, Q.SET_OPS_SQL),
+        (Q.request_identity, Q.REQUEST_IDENTITY_SQL),
     ):
         sdf = fn(spark, SF_DIR)
-        got = norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        got = _oracle_norm([tuple(r) for r in sdf.collect()], sdf.columns)
         rel = con.execute(sql)
-        want = norm(rel.fetchall(), [d[0] for d in rel.description])
+        want = _oracle_norm(rel.fetchall(), [d[0] for d in rel.description])
         assert got == want, fn.__name__
+
+
+def test_retired_catalog_surface_matches_oracle(spark, monkeypatch):
+    """catalog_surface left the pinned window in round 16 (slot for
+    sketch_rollup_estimate; its facts fold into file_surface's catalog
+    leg) — this IS its oracle gate now. The lazy oracle embeds the
+    governed fixture's on-disk path, so the oracle SF override must point
+    at the test fixture before resolution."""
+    import duckdb
+
+    from delta_lake_proxy_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    Q.governed_fixture(spark, SF_DIR)
+    sdf = Q.catalog_surface(spark, SF_DIR)
+    got = _oracle_norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = duckdb.connect().execute(Q._catalog_surface_oracle())
+    want = _oracle_norm(rel.fetchall(), [d[0] for d in rel.description])
+    assert got == want
 
 
 def test_minhash_default_calibration_recalls_borderline_pairs(spark):

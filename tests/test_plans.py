@@ -51,7 +51,8 @@ def test_join_inner_broadcasts_dims(spark):
 def test_cross_join_is_broadcast_sized_only(spark):
     # region x region: broadcast nested loop, never a shuffled cartesian
     # (join_cross_q left the driver registry in round 7 — dv_read took its
-    # slot; J8 stays driver-certified via catalog_surface's crossJoin)
+    # slot; J8 stays driver-certified via file_surface's catalog crossJoin,
+    # broadcast-hinted since the round-16 catalog_surface fold-in)
     df = queries.join_cross_q(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p

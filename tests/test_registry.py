@@ -21,7 +21,7 @@ EXPECTED_ORDER = [
     "governed_stream_read",
     "acl_dnf",
     "permission_lookup_join",
-    "request_identity",
+    "bm25_probe",
     "filter_project",
     "agg_group",
     "agg_rollup_cube",
@@ -35,7 +35,7 @@ EXPECTED_ORDER = [
     "string_funcs",
     "dv_read",
     "row_ids_read",
-    "set_ops",
+    "hybrid_search",
     "json_props",
     "array_funcs",
     "metrics_tumbling_window",
@@ -64,7 +64,7 @@ EXPECTED_ORDER = [
     "similarity_lsh",
     "similarity_ivf",
     "multimodal_decode",
-    "catalog_surface",
+    "sketch_rollup_estimate",
     "sequence_pack",
     "pii_scrub",
 ]
@@ -73,8 +73,11 @@ EXPECTED_ORDER = [
 # (S11/S13/G8 are documented-n/a transport items; T5/G5/G6 are engine
 # services certified by pytest, not a driver row.)
 SURVEY_COVERAGE = {
-    "S1": "catalog_surface",
-    "S2": "catalog_surface",
+    # S1/S2: the catalog_surface row was rotated out in round 16 (slot for
+    # sketch_rollup_estimate); its catalog x tables x DESCRIBE-DETAIL leg
+    # folded INTO file_surface, so the listing surface stays driver-green
+    "S1": "file_surface",
+    "S2": "file_surface",
     "S3": "file_surface",
     "S4": "file_surface",
     "S5": "file_surface",
@@ -89,7 +92,10 @@ SURVEY_COVERAGE = {
     "P2": "partition_filter_scan",
     "P3": "partition_filter_scan",
     "P4": "acl_dnf",
-    "P5": "request_identity",
+    # P5: alias<->physical key-namespace rewrite — file_surface's listing
+    # keys are the engine's alias-namespace projection of physical paths;
+    # the retired request_identity regex leg stays pytest-oracle-gated
+    "P5": "file_surface",
     "P6": "auth_join",
     "P7": "filter_project",
     "J1": "auth_join",
@@ -99,10 +105,10 @@ SURVEY_COVERAGE = {
     "J5": "auth_join",
     "J6": "join_range",
     "J7": "join_asof",
-    # J8 cross join: catalog_surface crossJoins catalogs x tables x detail
-    # (join_cross_q retired from the pinned window in round 7 for dv_read;
+    # J8 cross join: file_surface's catalog leg crossJoins catalogs x
+    # tables x detail (broadcast-sized; join_cross_q retired round 7,
     # still pinned by test_plans.test_cross_join_is_broadcast_sized_only)
-    "J8": "catalog_surface",
+    "J8": "file_surface",
     "A1": "agg_group",
     # A2/A3: agg_events retired from the pinned window in round 11 for
     # lm_perplexity — the same exact-distinct + decimal-average shape stays
@@ -119,9 +125,16 @@ SURVEY_COVERAGE = {
     "O2": "file_surface",
     "O3": "filter_project",
     "O4": "top_k",
-    "U1": "set_ops",
-    "U2": "set_ops",
-    "U3": "set_ops",
+    # U1-U3: set_ops rotated out in round 16 (slot for hybrid_search) and
+    # stays pytest-oracle-gated. U1 union: rrf_fuse is a unionByName of
+    # per-leg rank contributions, driver-certified in hybrid_search (and
+    # file_surface unions its three listing pages). U2 except: the
+    # adds-minus-removes log reconciliation driver-certified in
+    # table_history. U3 intersect: Catalyst lowers INTERSECT to a
+    # left-semi join + distinct — auth_join's semi leg is that physical op.
+    "U1": "hybrid_search",
+    "U2": "table_history",
+    "U3": "auth_join",
     "F1": "string_funcs",
     "F2": "string_funcs",
     "F3": "string_funcs",
@@ -139,18 +152,23 @@ SURVEY_COVERAGE = {
     "G1": "governed_read",
     "G2": "governed_write_roundtrip",
     "G3": "permission_lookup_join",
-    "G4": "request_identity",
+    # G4: bm25_probe's identity comes from acl.extract_user over a real
+    # SigV4 header, surfaced as probe_user and enforced through the ACL
+    "G4": "bm25_probe",
     "G7": "metrics_tumbling_window",
     "G9": "compact_table",  # + table_changes (CDF), merge_upsert, table_history, row_ids_read (rowTracking)
     "X1": "dedup_exact",
     "X2": "dedup_near_minhash",  # + dedup_components, dedup_substring (ExactSubstr)
-    "X3": "similarity_topk",
-    "X4": "text_stats",  # + lm_perplexity (CCNet-style LM filter)
+    "X3": "similarity_topk",  # + similarity_ivf, hybrid_search (r16 row)
+    "X4": "text_stats",  # + lm_perplexity (CCNet-style LM filter), bm25_probe
     "X5": "multimodal_decode",
 }
 
 FLAGSHIPS = [
     "governed_read",
+    "bm25_probe",
+    "hybrid_search",
+    "sketch_rollup_estimate",
     "dedup_near_minhash",
     "dedup_components",
     "dedup_near_simhash",
