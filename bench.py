@@ -75,6 +75,9 @@ EXTENDED = [
     # r15: batched BM25 index probe vs the no-index corpus-scan loop
     "bm25_probe_batch16",
     "bm25_scan_loop16",
+    # r16: one-call hybrid serving, batched vs a per-request loop
+    "hybrid_batch16",
+    "hybrid_loop16",
 ]
 
 
@@ -132,6 +135,34 @@ def main() -> None:
     calibration = min(cal_runs)
     print(f"# calibration: min {calibration:.2f}s of {cal_runs}", file=sys.stderr)
 
+    # Small-jobs calibration row (verdict r15 next #2): the protocol rows
+    # (checkpoint_replay, read_delta_log) are many-tiny-jobs, metadata-IO
+    # bound — a shape the big-shuffle calibration above doesn't capture
+    # (r14->r15 those rows doubled on provably unchanged code). Fixed work:
+    # 20 iterations of spark.read.json over the same 3 tiny files + count.
+    import tempfile as _tf
+
+    cal_dir = os.path.join(_tf.gettempdir(), "spark_graft_bench_caljson")
+    os.makedirs(cal_dir, exist_ok=True)
+    for i in range(3):
+        fp = os.path.join(cal_dir, f"part{i}.json")
+        if not os.path.exists(fp):
+            with open(fp, "w", encoding="utf-8") as f:
+                for j in range(200):
+                    f.write('{"a": %d, "b": "x%d"}\n' % (j, i))
+    small_runs = []
+    for _ in range(3):
+        gc.collect()
+        t0 = time.time()
+        for _ in range(20):
+            spark.read.json(cal_dir).count()
+        small_runs.append(round(time.time() - t0, 3))
+    small_cal = min(small_runs)
+    print(
+        f"# small-jobs calibration: min {small_cal:.2f}s of {small_runs}",
+        file=sys.stderr,
+    )
+
     names = list(HEADLINE) + list(PROTOCOL)
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
         names += EXTENDED
@@ -153,9 +184,13 @@ def main() -> None:
         fn = Q.QUERIES.get(name) or getattr(Q, name, None) or globals()[name]
         # min-of-3: this VM's load spikes can inflate a single run 2-4x,
         # and the driver records exactly one bench per round; per-run times
-        # are published so a reader can see the noise band, not just the min
+        # are published so a reader can see the noise band, not just the min.
+        # Protocol rows run min-of-5 (verdict r15 nit #3): they are seconds
+        # each and high-variance small-job paths — table_changes ran
+        # [4.2, 2.8, 5.4] in r15 — so two extra runs stabilize the signal
+        # the round-10 change added them for.
         rs = []
-        for _ in range(3):
+        for _ in range(5 if name in PROTOCOL else 3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink materializes every output column (count() would let
@@ -183,6 +218,8 @@ def main() -> None:
                 "protocol_total": round(sum(proto.values()), 3),
                 "calibration_sec": calibration,
                 "calibration_runs": cal_runs,
+                "calibration_small_jobs_sec": small_cal,
+                "calibration_small_jobs_runs": small_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -3439,3 +3439,47 @@ def bm25_scan_loop16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def _hybrid_queries(n: int = 16):
+    pool = _BM25_QUERY_POOL
+    return [
+        (
+            i,
+            [pool[i % len(pool)], pool[(i + 5) % len(pool)]],
+            [
+                float((((i + 1) * (d + 3) * 29) % 17) - 8) / 8.0
+                for d in range(64)
+            ],
+        )
+        for i in range(n)
+    ]
+
+
+def hybrid_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 hybrid queries in ONE composed plan (r16): batched BM25 probe +
+    batched IVF probe + per-query RRF over the round-16 retrieval fixture
+    (one governed corpus, both indexes). Compare :func:`hybrid_loop16` —
+    the same 16 queries as 16 separate hybrid_search plans (a per-request
+    serving loop). Unregistered (batch == single pinned in
+    test_llm_ops.test_hybrid_search_batch_equals_single); benchmarked
+    under SPARK_GRAFT_BENCH_EXTENDED."""
+    eng = retrieval_engine(spark, sf_dir)
+    q = spark.createDataFrame(
+        _hybrid_queries(),
+        "query_id int, terms array<string>, embedding array<float>",
+    )
+    return eng.hybrid_search_batch(DOCS_BM25, DOCS_IVF, q, k=10, n_probe=2)
+
+
+def hybrid_loop16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-request comparison floor for :func:`hybrid_batch16`: the
+    SAME 16 hybrid queries as 16 independent two-probe plans."""
+    eng = retrieval_engine(spark, sf_dir)
+    out = None
+    for qid, terms, vec in _hybrid_queries():
+        one = eng.hybrid_search(
+            DOCS_BM25, DOCS_IVF, terms, vec, k=10, n_probe=2
+        ).withColumn("query_id", F.lit(qid).cast("int"))
+        out = one if out is None else out.unionByName(one)
+    return out
