@@ -193,3 +193,33 @@ def test_embedding_incremental_is_codegen_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "Join" in p
+
+
+def test_bm25_probe_row_pushes_terms_no_python(spark):
+    """The registered bm25_probe driver row (r16): the query-term IN
+    filter reaches the posting scan (footer-range pruning at scale) and
+    the whole path is JVM expressions — no Python stage."""
+    p = plan_of("bm25_probe", spark)
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hybrid_search_row_pruned_and_python_free(spark):
+    """The registered hybrid_search driver row (r16): both index scans
+    carry pushed filters (terms on the posting side, lang ACL on both),
+    no cartesian product, no Python stage — RRF is pure expressions."""
+    p = plan_of("hybrid_search", spark)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "term" in p.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_sketch_rollup_row_single_merge_no_python(spark):
+    """The registered sketch_rollup_estimate driver row (r16): the
+    estimate merges sketch partials (hll_union_agg partial+final), the
+    ACL rides as a row filter, and nothing drops to Python."""
+    p = plan_of("sketch_rollup_estimate", spark)
+    assert "hll_union_agg" in p or "hll_sketch_estimate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
