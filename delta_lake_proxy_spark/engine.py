@@ -3403,6 +3403,7 @@ class Engine:
         bm25_prm: dict,
         bm25_index_alias: str,
         ivf_index_alias: str,
+        iconf: dict,
         allow_cross_source: bool,
     ) -> None:
         """Refuse hybrid fusion across indexes built from DIFFERENT source
@@ -3410,12 +3411,11 @@ class Engine:
         else ties the two id spaces together, so fusing a docs-table BM25
         index with a different-corpus IVF index would silently produce
         rank fusion across unrelated ids (verdict r15 nit #1). Driver
-        metadata only — two property reads, no Spark job."""
+        metadata only — the callers' already-read property maps, no extra
+        log read, no Spark job."""
         if allow_cross_source:
             return
-        ivf_src = deltalog.table_configuration_no_spark(
-            self.resolve(ivf_index_alias)
-        ).get("graft.ivf.source")
+        ivf_src = iconf.get("graft.ivf.source")
         if bm25_prm["source"] != ivf_src:
             raise ValueError(
                 f"hybrid search refuses to fuse {bm25_index_alias!r} "
@@ -3472,16 +3472,16 @@ class Engine:
         nk = int(fetch_k) if fetch_k is not None else 2 * k
         prm = self._dedup_index_params(bm25_index_alias)
         id_col = prm["id_col"]
+        iconf = deltalog.table_configuration_no_spark(
+            self.resolve(ivf_index_alias)
+        )
         self._check_hybrid_sources(
-            prm, bm25_index_alias, ivf_index_alias, allow_cross_source
+            prm, bm25_index_alias, ivf_index_alias, iconf, allow_cross_source
         )
         lex = self.bm25_probe(bm25_index_alias, query_terms, k=nk, user=user)
         dense = self.ivf_probe(
             ivf_index_alias, query_vec, k=nk, n_probe=n_probe, user=user,
             shortlist=shortlist,
-        )
-        iconf = deltalog.table_configuration_no_spark(
-            self.resolve(ivf_index_alias)
         )
         d_id = iconf.get("graft.ivf.idCol", "vec_id")
         fused = _sim.rrf_fuse(
@@ -3580,6 +3580,12 @@ class Engine:
             score_col="rrf_score",
             vec_col=vec_col,
         )
+        # persisted: both the union and the per-query max-rank base consume
+        # it — unpersisted, the O(n^2) Python MMR stage would run twice per
+        # request (review r16)
+        ranked = cache_persisted(
+            ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        )
         base = ranked.groupBy(query_id_col).agg(
             F.max("mmr_rank").alias("_base")
         )
@@ -3636,15 +3642,15 @@ class Engine:
         nk = int(fetch_k) if fetch_k is not None else 2 * k
         prm = self._dedup_index_params(bm25_index_alias)
         id_col = prm["id_col"]
+        iconf = deltalog.table_configuration_no_spark(
+            self.resolve(ivf_index_alias)
+        )
         self._check_hybrid_sources(
-            prm, bm25_index_alias, ivf_index_alias, allow_cross_source
+            prm, bm25_index_alias, ivf_index_alias, iconf, allow_cross_source
         )
         lex = self.bm25_probe_batch(
             bm25_index_alias, queries, k=nk, user=user,
             query_id_col=query_id_col, terms_col=terms_col,
-        )
-        iconf = deltalog.table_configuration_no_spark(
-            self.resolve(ivf_index_alias)
         )
         d_id = iconf.get("graft.ivf.idCol", "vec_id")
         dense = self.ivf_probe_batch(
@@ -4324,14 +4330,19 @@ class Engine:
                     and conf.get("graft.bm25.sumDl") is not None
                 )
                 if deep:
-                    n, s = self._bm25_stats(
-                        self._read_data(path),
-                        conf.get("graft.dedup.idCol", "doc_id"),
-                    )
-                    row["stats_ok"] = row["stats_present"] and (
-                        (str(n), str(s))
-                        == (conf["graft.bm25.nDocs"], conf["graft.bm25.sumDl"])
-                    )
+                    # absent stats are already a known-bad verdict — don't
+                    # pay the recount scan to confirm it (review r16)
+                    if not row["stats_present"]:
+                        row["stats_ok"] = False
+                    else:
+                        n, s = self._bm25_stats(
+                            self._read_data(path),
+                            conf.get("graft.dedup.idCol", "doc_id"),
+                        )
+                        row["stats_ok"] = (str(n), str(s)) == (
+                            conf["graft.bm25.nDocs"],
+                            conf["graft.bm25.sumDl"],
+                        )
             if deep and kind in ("sketch", "hist"):
                 gcols = conf[f"graft.{kind}.groupCols"].split(",")
                 agg = (

@@ -213,6 +213,7 @@ def test_hybrid_search_row_pruned_and_python_free(spark):
     p = plan_of("hybrid_search", spark)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "PushedFilters: [" in p
     assert "term" in p.split("PushedFilters: [")[1].split("]")[0]
 
 
