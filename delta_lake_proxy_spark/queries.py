@@ -346,6 +346,135 @@ def events_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 SKETCH_EVENT_TYPES = ("click", "purchase", "view")  # metrics_reader's grant
 
+EVENTS_HIST_ALIAS = "events_hist_gov"
+EVENTS_HIST = EVENTS_HIST_ALIAS + "__hist"
+# power-of-two bin geometry: width (hi-lo)/bins = 32.0 and midpoints
+# lo + (i+0.5)*32 are EXACT doubles, so the oracle's quantile arithmetic
+# reproduces Spark's bit-for-bit (events.value sits in [0, ~500])
+HIST_BINS, HIST_LO, HIST_HI = 16, 0.0, 512.0
+HIST_QUANTILES = (0.25, 0.5, 0.95)
+
+
+def hist_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build-once governed events table with its histogram rollup taken
+    through the FULL maintenance cycle at fixture time: build at the base
+    version, append a deterministic second corpus copy, DELETE every
+    seventh event id (both base and appended rows — exercising the
+    histogram's unique delete story: counts are linear, so the refresh
+    absorbs the delete as NEGATIVE partials with no group recompute),
+    then one ``refresh_hist_rollup`` covering both commits. The driver
+    row's oracle replays base + append − delete from raw parquet and
+    re-derives the bin counts and quantile arithmetic exactly."""
+    key = os.path.abspath(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fixtures", os.path.basename(key)
+    )
+    paths = {
+        EVENTS_HIST_ALIAS: os.path.join(base, EVENTS_HIST_ALIAS),
+        EVENTS_HIST: os.path.join(base, EVENTS_HIST),
+    }
+    marker = os.path.join(base, ".ready_events_hist")
+    with _FIXTURE_LOCK:
+        if not os.path.exists(marker):
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "event_type", "value"
+            )
+            write_governed_table(
+                spark, ev.repartition(1), paths[EVENTS_HIST_ALIAS],
+                ["event_type"],
+            )
+            eng = Engine(
+                spark,
+                EngineConfig(table_mapping=dict(paths), read_only=False),
+            )
+            eng.build_hist_rollup(
+                EVENTS_HIST_ALIAS, paths[EVENTS_HIST], [], "value",
+                bins=HIST_BINS, lo=HIST_LO, hi=HIST_HI,
+            )
+            appended = ev.select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "event_type",
+                "value",
+            )
+            eng.write_table(EVENTS_HIST_ALIAS, appended, mode="append")
+            eng.delete(
+                EVENTS_HIST_ALIAS, condition=F.col("event_id") % 7 == 0
+            )
+            eng.refresh_hist_rollup(EVENTS_HIST)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("ok")
+    return paths
+
+
+def _hist_quantiles_sql() -> str:
+    """DuckDB replay of the histogram-rollup quantile path from raw
+    parquet: rebuild the live row set (base ∪ shifted-append, minus the
+    deleted seventh ids), assign bins with the SAME float arithmetic as
+    ``sketches._hist_bin_expr`` (floor((v-lo)/w), clamp, under/overflow
+    sentinels), then per quantile take the first bin whose cumulative
+    count reaches ceil(q*total) and map it to its midpoint — zero-count
+    bins can never cross first, so MIN(bin) over the non-zero bins equals
+    Spark's array_position over the dense counts array."""
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    ll = ", ".join(f"'{t}'" for t in SKETCH_EVENT_TYPES)
+    qcols, qsel_parts, joins_parts = [], [], []
+    for q in HIST_QUANTILES:
+        n = "q" + str(q).replace(".", "_")
+        # ceil over a DOUBLE product: a decimal-literal q would make
+        # total*q exact decimal arithmetic, which can land one integer
+        # BELOW the double product Spark ceils (0.95's double sits above
+        # 0.95) — cast q so both engines ceil the identical double
+        qcols.append(f"""
+    {n}_pos AS (
+      SELECT c.event_type, MIN(c.b) AS pos
+      FROM cum c JOIN totals t USING (event_type)
+      WHERE c.cum >= greatest(
+        CAST(ceil(t.total * CAST({q} AS DOUBLE)) AS BIGINT),
+        CAST(1 AS BIGINT))
+      GROUP BY 1
+    )""")
+        qsel_parts.append(
+            f"round(CASE WHEN {n}_pos.pos = 1 THEN {HIST_LO} "
+            f"WHEN {n}_pos.pos = {HIST_BINS + 2} THEN {HIST_HI} "
+            f"ELSE {HIST_LO} + (CAST({n}_pos.pos AS DOUBLE) - 2.0 + 0.5) "
+            f"* {w} END, 6) AS {n}"
+        )
+        joins_parts.append(f"JOIN {n}_pos USING (event_type)")
+    qsel = ", ".join(qsel_parts)
+    joins = " ".join(joins_parts)
+    return f"""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id + 10000000 AS event_id, event_type, value FROM events
+    ),
+    live AS (SELECT * FROM base WHERE event_id % 7 != 0
+             AND event_type IN ({ll})),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN value IS NULL THEN NULL
+                  WHEN value < {HIST_LO} THEN 1
+                  WHEN value >= {HIST_HI} THEN {HIST_BINS + 2}
+                  ELSE least(CAST(floor((value - {HIST_LO}) / {w}) AS INT),
+                             {HIST_BINS - 1}) + 2 END AS b
+      FROM live
+    ),
+    counts AS (SELECT event_type, b, COUNT(*) AS c FROM binned
+               WHERE b IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT event_type, SUM(c) AS total FROM counts GROUP BY 1),
+    nrows AS (SELECT event_type, COUNT(*) AS n_rows FROM live GROUP BY 1),
+    cum AS (
+      SELECT event_type, b,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+      FROM counts
+    ),{','.join(qcols)}
+    SELECT nrows.event_type, nrows.n_rows, {qsel}
+    FROM nrows {joins}
+    """
+
+
+HIST_QUANTILES_SQL = _hist_quantiles_sql()
+
 
 def _bm25_sql_ctes() -> str:
     """The DuckDB replay of the BM25 scoring path: tokenize the corpus
@@ -2338,17 +2467,53 @@ def file_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return listing.unionByName(cat)
 
 
-@register(
-    "governed_source_read",
-    f"""
+@register("hist_rollup_quantiles", HIST_QUANTILES_SQL)
+def hist_rollup_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed histogram rollup quantiles, driver-oracle-checked through
+    the FULL maintenance cycle (A6/X4 at scale, r16 rotation part 2): the
+    fixture builds the rollup, appends a second corpus copy, DELETES every
+    seventh event id, and refreshes — so the rollup holds positive AND
+    NEGATIVE partials whose element-wise merge must equal a rebuild over
+    the live rows. The row certifies per ACL-visible group the exact
+    merged ``n_rows`` and three quantiles, each re-derived by the DuckDB
+    oracle from raw parquet with the identical bin/cumulative/midpoint
+    arithmetic (power-of-two bin geometry keeps every double exact).
+    Replaced the retired ``governed_source_read`` row (still
+    pytest-oracle-gated; S14's Python DataSource stays driver-green via
+    governed_stream_read — the same GovernedDataSource, stream leg)."""
+    paths = hist_fixture(spark, sf_dir)
+    user = "metrics_reader"
+    perms = spark.createDataFrame(
+        [
+            (i + 1, user, EVENTS_HIST_ALIAS, json.dumps({"event_type": t}))
+            for i, t in enumerate(SKETCH_EVENT_TYPES)
+        ],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping=paths, read_only=True),
+        permissions_df=perms,
+    )
+    return eng.hist_rollup_quantiles(
+        EVENTS_HIST, quantiles=HIST_QUANTILES, user=user
+    )
+
+
+GOVERNED_SOURCE_READ_SQL = f"""
     SELECT l_returnflag, COUNT(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
     FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag
-    """,
-)
+    """
+
+
 def governed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The format("governed") Python Data Source: the reference's FILE-level
     allowed-file-set serving (forbidden files never become input partitions)
-    read through Spark's DataSource API and hash-checked against SQL."""
+    read through Spark's DataSource API and hash-checked against SQL.
+    Retired from the pinned driver window in round 16 (slot for
+    hist_rollup_quantiles; the same GovernedDataSource's STREAM leg stays
+    driver-green via governed_stream_read); oracle-gated by
+    test_retired_queries_match_oracle."""
     import json as _json
 
     from .session import ensure_engine_confs

@@ -1397,7 +1397,7 @@ def test_retired_queries_match_oracle(spark):
     from tests.conftest import SF_DIR
 
     con = duckdb.connect()
-    for t in ("events", "documents", "orders"):
+    for t in ("events", "documents", "orders", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -1407,6 +1407,7 @@ def test_retired_queries_match_oracle(spark):
         (Q.corpus_sample_stratified, Q.CORPUS_SAMPLE_SQL),
         (Q.set_ops, Q.SET_OPS_SQL),
         (Q.request_identity, Q.REQUEST_IDENTITY_SQL),
+        (Q.governed_source_read, Q.GOVERNED_SOURCE_READ_SQL),
     ):
         sdf = fn(spark, SF_DIR)
         got = _oracle_norm([tuple(r) for r in sdf.collect()], sdf.columns)

@@ -224,3 +224,13 @@ def test_sketch_rollup_row_single_merge_no_python(spark):
     p = plan_of("sketch_rollup_estimate", spark)
     assert "hll_union_agg" in p or "hll_sketch_estimate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hist_rollup_row_merge_no_python(spark):
+    """The registered hist_rollup_quantiles driver row (r16): quantiles
+    come from expression-only aggregation over the rollup's counts
+    arrays (positive AND negative partials merged element-wise) — one
+    merge aggregate, no Python stage, no corpus scan shapes."""
+    p = plan_of("hist_rollup_quantiles", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p

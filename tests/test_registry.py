@@ -51,7 +51,7 @@ EXPECTED_ORDER = [
     "partition_filter_scan",
     "read_delta_log",
     "file_surface",
-    "governed_source_read",
+    "hist_rollup_quantiles",
     "governed_write_roundtrip",
     "compact_table",
     "merge_upsert",
@@ -87,7 +87,11 @@ SURVEY_COVERAGE = {
     "S9": "filter_project",
     "S10": "file_surface",
     "S12": "governed_write_roundtrip",
-    "S14": "governed_source_read",
+    # S14: governed_source_read rotated out in round 16 (slot for
+    # hist_rollup_quantiles; pytest-oracle-gated since) — the SAME
+    # GovernedDataSource serves the driver-green stream row, and the batch
+    # leg stays pinned by test_governed_source.py
+    "S14": "governed_stream_read",
     "P1": "file_surface",
     "P2": "partition_filter_scan",
     "P3": "partition_filter_scan",
@@ -178,7 +182,7 @@ FLAGSHIPS = [
     "dv_read",
     "sequence_pack",
     "pii_scrub",
-    "governed_source_read",
+    "hist_rollup_quantiles",
     "governed_write_roundtrip",
     "compact_table",
     "merge_upsert",
