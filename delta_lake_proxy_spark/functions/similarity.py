@@ -32,7 +32,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # a zero-norm vector scores 0 to everything rather than killing the
+    # whole job with ANSI DIVIDE_BY_ZERO (one token-less doc in a corpus
+    # of billions must not fail the query): when either norm is 0 the
+    # dot is also 0, so dividing by a substituted 1 yields exactly 0,
+    # and for every nonzero pair the division is bit-identical to the
+    # unguarded form (the value the SQL oracles replicate)
+    denom = norm(a) * norm(b)
+    return dot(a, b) / F.when(denom > 0, denom).otherwise(F.lit(1.0))
 
 
 def cosine_topk(

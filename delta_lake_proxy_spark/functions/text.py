@@ -1011,3 +1011,83 @@ def vocab_kl_divergence(
             "kl_total",
         )
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Feature-hashing document embedder (the "hashing trick",
+    Weinberger et al. 2009, ICML): each token hashes to a bucket in
+    ``[0, dim)`` with an independent hash choosing its sign (the
+    unbiasing trick from the paper), signed token counts accumulate per
+    bucket, and the vector L2-normalizes — a deterministic, model-free
+    embedding whose cosine approximates token-multiset similarity.
+
+    Why it belongs in a 100 TB pipeline: the embedding-cosine dedup and
+    ANN surfaces (``dedup.embedding_lsh_index``,
+    ``Engine.build_embedding_index`` / ``build_ivf_index``) consume an
+    embedding column that normally comes from a learned model; this
+    gives the same surfaces a zero-dependency vectorizer for cheap
+    candidate generation and corpus triage — pure codegen (tokenize →
+    explode → two hash-keyed aggregations → map lookup), no Python, no
+    model artifact to ship or version, identical on every executor and
+    every run.
+
+    Output: ``(id, embedding array<float>)`` with unit L2 norm;
+    token-less documents keep a zero vector (cosine 0 to everything —
+    they diversify nothing and match nothing).
+
+    Reference parity: the reference proxies storage bytes
+    (src/main.rs); vectorization is part of this repo's LLM-pipeline
+    charter, not a reference operator."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    bucket = F.pmod(F.xxhash64(F.lit(int(seed)), F.col("term")), F.lit(dim)).cast(
+        "int"
+    )
+    sign = F.when(
+        F.pmod(F.xxhash64(F.lit(int(seed) + 1), F.col("term")), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    by_bucket = toks.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.sum(sign).alias("w")
+    )
+    agg = by_bucket.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "w"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("m"), d.cast("int")), F.lit(0.0)),
+    )
+    nrm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+    # a zero-norm vector (all signed counts cancelled) divides by 1 and
+    # stays zero — a conditional divide would still be evaluated on the
+    # zero branch under ANSI codegen and throw DIVIDE_BY_ZERO
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    unit = F.transform(dense, lambda x: x / safe)
+    embedded = agg.select(
+        F.col(id_col), unit.cast("array<float>").alias("embedding")
+    )
+    # token-less docs never reach the explode — join them back with the
+    # zero vector so the output covers every input id exactly once
+    return (
+        docs.select(id_col)
+        .join(embedded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("embedding"),
+                F.array_repeat(F.lit(0.0), int(dim)).cast("array<float>"),
+            ).alias("embedding"),
+        )
+    )

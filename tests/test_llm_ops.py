@@ -8523,3 +8523,61 @@ def test_ivf_probe_planned_before_retrain_stays_valid(spark, tmp_path):
     # n_probe=4 scans every list, so both snapshots answer the same exact
     # top-k: the full-probe result is retrain-invariant by construction
     assert before == after == got
+
+
+def test_hash_embed_properties_and_pipeline(spark, tmp_path):
+    """Feature-hashing embedder (r16): deterministic unit vectors whose
+    cosine tracks token overlap — near-identical docs score near 1,
+    disjoint-vocab docs near 0 — token-less docs keep the zero vector,
+    every input id appears exactly once, and the output feeds the
+    existing embedding-index surfaces end-to-end with no model."""
+    import math
+
+    from delta_lake_proxy_spark.functions import similarity as _sim
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engines process distributed data"),
+            (2, "spark query engines process distributed data quickly"),
+            (3, "der schnelle braune fuchs springt"),
+            (4, "...!!!"),  # no [a-z0-9]+ tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    emb = _tx.hash_embed(docs, dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for did in (1, 2, 3):
+        assert abs(math.sqrt(sum(x * x for x in rows[did])) - 1.0) < 1e-5
+    assert all(x == 0.0 for x in rows[4])
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(rows[1], rows[2]) > 0.9  # one extra token
+    assert abs(cos(rows[1], rows[3])) < 0.5  # disjoint vocabularies
+    # deterministic: a second evaluation reproduces the vectors exactly
+    again = {r["doc_id"]: r["embedding"] for r in _tx.hash_embed(docs, dim=64).collect()}
+    assert again == rows
+    # plan: pure codegen — no Python stage anywhere
+    p = emb._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # pipeline integration: the embedder's output drives exact cosine
+    # top-k and the governed IVF build/probe unchanged
+    top = _sim.cosine_topk(emb, list(rows[1]), k=2, id_col="doc_id",
+                           vec_col="embedding").collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    src = str(tmp_path / "hembed")
+    write_governed_table(spark, emb.repartition(1), src, [])
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"he": src}, read_only=False),
+    )
+    ivf = eng.build_ivf_index("he", str(tmp_path / "hembed_ivf"),
+                              num_centroids=2, id_col="doc_id")
+    got = eng.ivf_probe(ivf, list(rows[1]), k=2, n_probe=2).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
