@@ -3231,6 +3231,7 @@ class Engine:
         user: str = acl.ANONYMOUS,
         k1: float | None = None,
         b: float | None = None,
+        require_all_terms: bool = False,
     ) -> DataFrame:
         """Top-k Okapi BM25 probe of an index built by
         :meth:`build_bm25_index`: the scan reads only the query terms'
@@ -3282,6 +3283,7 @@ class Engine:
             id_col=prm["id_col"],
             k1=prm["k1"] if k1 is None else k1,
             b=prm["b"] if b is None else b,
+            require_all=require_all_terms,
         )
 
     def bm25_probe_batch(
@@ -3294,6 +3296,7 @@ class Engine:
         terms_col: str = "terms",
         k1: float | None = None,
         b: float | None = None,
+        require_all_terms: bool = False,
     ) -> DataFrame:
         """Governed top-k BM25 for a whole DataFrame of queries — the
         lexical counterpart of :meth:`ivf_probe_batch` (a driver loop
@@ -3396,6 +3399,7 @@ class Engine:
             query_id_col=query_id_col,
             k1=prm["k1"] if k1 is None else k1,
             b=prm["b"] if b is None else b,
+            require_all=require_all_terms,
         )
 
     def _check_hybrid_sources(

@@ -213,6 +213,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Okapi BM25 ranking of documents against ``query_terms`` — the
     classic relevance score, expressed as three declarative aggregations:
@@ -252,6 +253,7 @@ def bm25_topk(
         id_col=id_col,
         k1=k1,
         b=b,
+        require_all=require_all,
     )
 
 
@@ -314,6 +316,7 @@ def bm25_rank_postings(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Rank posting rows (:func:`bm25_postings` shape — ``(id, term, tf,
     dl)``) against ``query_terms``: the ONE place the BM25 formula lives
@@ -325,8 +328,11 @@ def bm25_rank_postings(
     ``graft.bm25.*`` properties by the probe. Document frequency is
     counted from the query-term slice itself (a posting relation holds
     one row per (doc, term), so the slice's per-term row count IS df).
-    Output: (id, bm25) descending, ties toward the smaller id, limited
-    to ``k``."""
+    ``require_all=True`` switches to CONJUNCTIVE retrieval: only
+    documents matching EVERY query term rank (the slice's per-doc row
+    count equals the matched-term count, so the AND is one filter on
+    the aggregate — no extra scan). Output: (id, bm25) descending,
+    ties toward the smaller id, limited to ``k``."""
     qterms = sorted({t.lower() for t in query_terms})
     sl = postings.filter(F.col("term").isin(qterms))
     df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -336,8 +342,14 @@ def bm25_rank_postings(
         .withColumn("idf", _bm25_idf_expr())
         .withColumn("s", _bm25_term_score_expr(k1, b))
         .groupBy(id_col)
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("_mt"),
+        )
     )
+    if require_all:
+        scored = scored.filter(F.col("_mt") == len(qterms))
+    scored = scored.drop("_mt")
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -350,6 +362,7 @@ def bm25_rank_postings_batch(
     query_id_col: str = "query_id",
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Rank posting rows against a whole BATCH of queries in one plan —
     the N-query form of :func:`bm25_rank_postings` with the same shared
@@ -361,9 +374,12 @@ def bm25_rank_postings_batch(
     ``Engine.bm25_probe_batch`` does) and once to fan each matched
     posting out to the queries that asked for its term. Document
     frequency is per TERM (independent of which query asked), so it is
-    counted once on the slice and shared by every query. Output:
-    ``(query_id, id, bm25)``, top-``k`` per query by window rank —
-    per query identical to the single ranker."""
+    counted once on the slice and shared by every query.
+    ``require_all=True`` keeps only (query, doc) pairs matching every
+    one of THAT query's terms (per-query distinct term counts broadcast
+    next to the match counts). Output: ``(query_id, id, bm25)``,
+    top-``k`` per query by window rank — per query identical to the
+    single ranker."""
     from pyspark.sql import Window
 
     terms = query_terms_rel.select("term").distinct()
@@ -376,8 +392,21 @@ def bm25_rank_postings_batch(
         .withColumn("idf", _bm25_idf_expr())
         .withColumn("s", _bm25_term_score_expr(k1, b))
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("_mt"),
+        )
     )
+    if require_all:
+        q_n = query_terms_rel.groupBy(query_id_col).agg(
+            F.count_distinct(F.col("term")).alias("_qt")
+        )
+        scored = (
+            scored.join(F.broadcast(q_n), query_id_col)
+            .filter(F.col("_mt") == F.col("_qt"))
+            .drop("_qt")
+        )
+    scored = scored.drop("_mt")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()
     )

@@ -8581,3 +8581,42 @@ def test_hash_embed_properties_and_pipeline(spark, tmp_path):
                               num_centroids=2, id_col="doc_id")
     got = eng.ivf_probe(ivf, list(rows[1]), k=2, n_probe=2).collect()
     assert [r["doc_id"] for r in got] == [1, 2]
+
+
+def test_bm25_conjunctive_retrieval(spark, tmp_path):
+    """require_all_terms switches BM25 to CONJUNCTIVE (AND) retrieval
+    (r16): only documents matching every query term rank — the standard
+    strict-match mode IR systems offer next to the default OR. Pinned on
+    the batch scorer, the governed probe, and the batched probe (equal
+    per query to the single probe)."""
+    from delta_lake_proxy_spark.functions import text as _tx
+
+    eng, bm, _ivf = _hybrid_gov_fixture(spark, tmp_path)
+    terms = ["fox", "quick"]  # doc 1 has both; doc 5 only 'fox'
+    loose = eng.bm25_probe(bm, terms, k=10)
+    strict = eng.bm25_probe(bm, terms, k=10, require_all_terms=True)
+    loose_ids = {r["doc_id"] for r in loose.collect()}
+    strict_rows = strict.collect()
+    strict_ids = {r["doc_id"] for r in strict_rows}
+    assert strict_ids == {1} and strict_ids < loose_ids
+    # scores are unchanged for surviving docs (the AND is a filter on the
+    # same aggregate, never a different formula)
+    loose_scores = {r["doc_id"]: r["bm25"] for r in loose.collect()}
+    assert all(loose_scores[r["doc_id"]] == r["bm25"] for r in strict_rows)
+    # batch == single per query, incl. a query nothing fully matches
+    q = spark.createDataFrame(
+        [(1, terms), (2, ["fox", "zzz_nomatch"])],
+        "query_id long, terms array<string>",
+    )
+    batch = eng.bm25_probe_batch(bm, q, k=10, require_all_terms=True).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    assert sorted(by_q.get(1, [])) == sorted(
+        (r["doc_id"], r["bm25"]) for r in strict_rows
+    )
+    assert 2 not in by_q  # no doc matches both 'fox' and 'zzz_nomatch'
+    # the raw corpus scorer honors the same switch
+    docs = eng.read_table("docs")
+    raw = _tx.bm25_topk(docs, terms, k=10, require_all=True).collect()
+    assert {r["doc_id"] for r in raw} == {1}
