@@ -2373,6 +2373,55 @@ class Engine:
             },
         )
 
+    def build_hashvec_index(
+        self,
+        alias: str,
+        index_path: str,
+        index_alias: str | None = None,
+        user: str = acl.ANONYMOUS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        dim: int = 64,
+        num_planes: int = 12,
+        seed: int = 42,
+    ) -> str:
+        """The HASHVEC kind of the governed dedup index (r16): a
+        MODEL-FREE embedding near-dup index over a TEXT corpus — each
+        document vectorizes in-plan with the feature-hashing trick
+        (``text.hash_embed``, Weinberger et al. 2009: signed token
+        counts per hashed bucket, L2-normalized), then persists exactly
+        like the embedding kind (``dedup.embedding_lsh_index``:
+        deterministic hyperplane sign bucket + int8-quantized vector).
+        Where :meth:`build_embedding_index` needs a learned embedding
+        column to already exist, this kind derives its vectors from the
+        text at build AND refresh time through the same kind-dispatched
+        signature path — so incremental maintenance re-embeds only new
+        commits, with zero model artifact to ship or version. ``dim`` /
+        ``num_planes`` / ``seed`` pin as ``graft.dedup.*`` properties
+        (a probe hashing with a different seed or dim finds NOTHING —
+        the silent-recall footgun property pinning exists to kill).
+        Probe with :meth:`near_duplicates_incremental` (text batch in,
+        cosine pairs out), refresh with :meth:`refresh_dedup_index`,
+        maintain with :meth:`maintain_indexes_stream`. Returns the
+        registered alias (default ``<alias>__hashvec``)."""
+        return self._build_dedup_index(
+            alias,
+            index_path,
+            index_alias or f"{alias}__hashvec",
+            user,
+            {"kind": "hashvec", "text_col": text_col, "id_col": id_col,
+             "dim": int(dim), "num_planes": int(num_planes),
+             "seed": int(seed)},
+            {
+                "graft.dedup.kind": "hashvec",
+                "graft.dedup.textCol": text_col,
+                "graft.dedup.idCol": id_col,
+                "graft.dedup.dim": str(int(dim)),
+                "graft.dedup.numPlanes": str(int(num_planes)),
+                "graft.dedup.hashSeed": str(int(seed)),
+            },
+        )
+
     def build_bm25_index(
         self,
         alias: str,
@@ -2431,7 +2480,7 @@ class Engine:
         file per value)."""
         if prm["kind"] == "video":
             return F.col("fhash"), None
-        if prm["kind"] == "embedding":
+        if prm["kind"] in ("embedding", "hashvec"):
             return F.col("bucket"), None
         if prm["kind"] == "bm25":
             return F.col("term"), None
@@ -2552,6 +2601,10 @@ class Engine:
         # frame_idx: video_frame_hashes emits it mid-pipeline (review r15)
         "video": {"fhash", "frame_idx"},
         "embedding": {"bucket", "qvec", "qscale"},
+        # lsh index outputs + the in-plan vectorizer's internal bindings
+        # (hash_embed derives the vector under the name "embedding")
+        "hashvec": {"bucket", "qvec", "qscale", "embedding", "term", "w",
+                    "m"},
         # index rows (term/tf/dl) + probe-side bindings (df/idf/s/bm25 and
         # the one-row collection-stats crossJoin's n/avgdl)
         "bm25": {"term", "tf", "dl", "df", "idf", "s", "bm25", "n", "avgdl"},
@@ -2593,12 +2646,13 @@ class Engine:
         conf = deltalog.table_configuration_no_spark(path)
         kind = conf.get("graft.dedup.kind")
         if kind not in ("minhash", "simhash", "image", "audio", "video",
-                        "embedding", "bm25"):
+                        "embedding", "hashvec", "bm25"):
             raise ValueError(
                 f"{index_alias!r} is not a dedup index built by "
                 "build_minhash_index / build_simhash_index / "
                 "build_image_index / build_audio_index / build_video_index "
-                "/ build_embedding_index / build_bm25_index"
+                "/ build_embedding_index / build_hashvec_index / "
+                "build_bm25_index"
             )
         return {
             "path": path,
@@ -2614,6 +2668,7 @@ class Engine:
             "dim": int(conf.get("graft.dedup.dim", "64")),
             "num_planes": int(conf.get("graft.dedup.numPlanes", "12")),
             "axis_planes": conf.get("graft.dedup.axisPlanes", "false") == "true",
+            "seed": int(conf.get("graft.dedup.hashSeed", "42")),
             "k1": float(conf.get("graft.bm25.k1", "1.2")),
             "b": float(conf.get("graft.bm25.b", "0.75")),
             "n_docs": conf.get("graft.bm25.nDocs"),
@@ -2686,6 +2741,29 @@ class Engine:
                 axis_planes=prm["axis_planes"],
                 id_col=prm["id_col"],
                 vec_col=prm["vec_col"],
+                carry_cols=carry,
+            )
+        if prm["kind"] == "hashvec":
+            from .functions import text as _tx
+
+            # vectorize in-plan (model-free), then index exactly like the
+            # embedding kind — build and refresh share this one path, so
+            # maintenance can never embed differently than the build did
+            embedded = _tx.hash_embed(
+                docs,
+                dim=prm["dim"],
+                text_col=prm["text_col"],
+                id_col=prm["id_col"],
+                seed=prm["seed"],
+                carry_cols=carry,
+            )
+            return _dd.embedding_lsh_index(
+                embedded,
+                dim=prm["dim"],
+                num_planes=prm["num_planes"],
+                axis_planes=False,
+                id_col=prm["id_col"],
+                vec_col="embedding",
                 carry_cols=carry,
             )
         if prm["kind"] == "bm25":
@@ -3095,8 +3173,12 @@ class Engine:
         embedding -> ``(new_id, indexed_id, cosine)`` at cosine >=
         ``threshold``, verified against the stored int8-quantized
         vectors (``multi_probe`` fans the batch side out to Hamming-1
-        bucket neighbors — the recall lever, index untouched).
-        ``threshold`` applies to the minhash and embedding kinds."""
+        bucket neighbors — the recall lever, index untouched); hashvec
+        -> same as embedding, but the NEW batch arrives as TEXT and
+        vectorizes in-plan with the index's pinned feature-hashing
+        parameters (``text.hash_embed``).
+        ``threshold`` applies to the minhash, embedding, and hashvec
+        kinds."""
         from .functions import dedup as _dd
 
         prm = self._dedup_index_params(index_alias)
@@ -3148,16 +3230,33 @@ class Engine:
                 min_shared_frames=min_shared_frames,
                 max_bucket_size=max_bucket_size,
             )
-        if prm["kind"] == "embedding":
+        if prm["kind"] in ("embedding", "hashvec"):
+            if prm["kind"] == "hashvec":
+                from .functions import text as _tx
+
+                # the NEW batch arrives as TEXT — vectorize it with the
+                # index's pinned dim/seed before the bucket join (the
+                # indexed side already holds buckets + quantized vectors)
+                new_docs = _tx.hash_embed(
+                    new_docs,
+                    dim=prm["dim"],
+                    text_col=prm["text_col"],
+                    id_col=prm["id_col"],
+                    seed=prm["seed"],
+                )
             return _dd.embedding_near_duplicates_incremental(
                 new_docs,
                 index,
                 threshold=threshold,
                 dim=prm["dim"],
                 num_planes=prm["num_planes"],
-                axis_planes=prm["axis_planes"],
+                axis_planes=(
+                    False if prm["kind"] == "hashvec" else prm["axis_planes"]
+                ),
                 id_col=prm["id_col"],
-                vec_col=prm["vec_col"],
+                vec_col=(
+                    "embedding" if prm["kind"] == "hashvec" else prm["vec_col"]
+                ),
                 multi_probe=multi_probe,
             )
         return _dd.minhash_near_duplicates_incremental(

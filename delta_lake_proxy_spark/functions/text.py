@@ -1048,6 +1048,7 @@ def hash_embed(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Feature-hashing document embedder (the "hashing trick",
     Weinberger et al. 2009, ICML): each token hashes to a bucket in
@@ -1066,9 +1067,12 @@ def hash_embed(
     model artifact to ship or version, identical on every executor and
     every run.
 
-    Output: ``(id, embedding array<float>)`` with unit L2 norm;
-    token-less documents keep a zero vector (cosine 0 to everything —
-    they diversify nothing and match nothing).
+    Output: ``(id, embedding array<float>[, carry...])`` with unit L2
+    norm; token-less documents keep a zero vector (cosine 0 to
+    everything — they diversify nothing and match nothing).
+    ``carry_cols`` (the source's partition columns) ride the id join so
+    a partition ACL compiles into a plain row predicate on a persisted
+    index of these vectors — the governed-index contract.
 
     Reference parity: the reference proxies storage bytes
     (src/main.rs); vectorization is part of this repo's LLM-pipeline
@@ -1109,8 +1113,9 @@ def hash_embed(
     )
     # token-less docs never reach the explode — join them back with the
     # zero vector so the output covers every input id exactly once
+    carry = list(carry_cols)
     return (
-        docs.select(id_col)
+        docs.select(id_col, *carry)
         .join(embedded, id_col, "left")
         .select(
             F.col(id_col),
@@ -1118,5 +1123,6 @@ def hash_embed(
                 F.col("embedding"),
                 F.array_repeat(F.lit(0.0), int(dim)).cast("array<float>"),
             ).alias("embedding"),
+            *[F.col(c) for c in carry],
         )
     )

@@ -4850,13 +4850,14 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
 
 def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     """Capstone: one engine serving text + embedding + image + video
-    sources, EIGHT index kinds (minhash, IVF, embedding-LSH, image,
-    video, bm25, sketch rollup, histogram rollup) maintained by ONE
-    maintain_indexes_stream call — four streams (one per distinct source;
-    the bm25 index and both rollups share the docs stream), every
-    probe converging after its source takes an append, with no manual
-    refresh anywhere. The video leg (verdict r14 next #3) exercises the
-    frame-keyed refresh under a live stream."""
+    sources, NINE index kinds (minhash, IVF, embedding-LSH, hashvec,
+    image, video, bm25, sketch rollup, histogram rollup) maintained by
+    ONE maintain_indexes_stream call — four streams (one per distinct
+    source; the bm25/hashvec indexes and both rollups share the docs
+    stream), every probe converging after its source takes an append,
+    with no manual refresh anywhere. The video leg (verdict r14 next #3)
+    exercises the frame-keyed refresh under a live stream; the hashvec
+    leg (r16) re-embeds new text in-plan under the stream."""
     import json as _json
     import time
 
@@ -4930,12 +4931,14 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     img = eng.build_image_index("media", str(tmp_path / "i_img"))
     vid = eng.build_video_index("vids", str(tmp_path / "i_vid"))
     bm = eng.build_bm25_index("docs", str(tmp_path / "i_bm"))
+    hv = eng.build_hashvec_index("docs", str(tmp_path / "i_hv"),
+                                 num_planes=4)
     sk = eng.build_sketch_rollup("docs", str(tmp_path / "i_sk"),
                                  ["lang"], "doc_id")
     hs = eng.build_hist_rollup("docs", str(tmp_path / "i_hs"),
                                ["lang"], "doc_id", bins=8, lo=0.0, hi=16.0)
     qs = eng.maintain_indexes_stream(
-        [mh, ivf, lsh, img, vid, bm, sk, hs], user="admin",
+        [mh, ivf, lsh, img, vid, bm, hv, sk, hs], user="admin",
         checkpoint_dir=str(tmp_path / "ckpt_all"),
     )
     assert len(qs) == 4  # docs, emb, media, vids — one stream per source
@@ -5017,6 +5020,13 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                 for r in eng.bm25_probe(bm, ["capstone"], k=5,
                                         user="admin").collect()
             }
+            hv_p = {
+                (r["new_id"], r["indexed_id"])
+                for r in eng.near_duplicates_incremental(
+                    hv, doc_probe, threshold=0.6, user="admin",
+                    multi_probe=True,
+                ).collect()
+            }
             sk_p = {
                 r["lang"]: r["approx_distinct"]
                 for r in eng.sketch_rollup_estimate(sk, user="admin").collect()
@@ -5027,15 +5037,15 @@ def test_maintain_all_index_kinds_one_call(spark, tmp_path):
                     hs, (0.5,), user="admin"
                 ).collect()
             }
-            return mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p
+            return mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, hv_p, sk_p, hs_p
 
         want = ({(900, 9)}, True, {(901, 9)}, {(902, 9)}, {(903, 9)},
-                {9}, {"en": 2}, {"en": 2})
+                {9}, {(900, 9)}, {"en": 2}, {"en": 2})
 
         def done():
-            mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p = state()
+            mh_p, ivf_p, lsh_p, img_p, vid_p, bm_p, hv_p, sk_p, hs_p = state()
             return (
-                mh_p, 9 in ivf_p, lsh_p, img_p, vid_p, bm_p, sk_p, hs_p
+                mh_p, 9 in ivf_p, lsh_p, img_p, vid_p, bm_p, hv_p, sk_p, hs_p
             ) == want
 
         deadline = time.time() + 180
@@ -8620,3 +8630,83 @@ def test_bm25_conjunctive_retrieval(spark, tmp_path):
     docs = eng.read_table("docs")
     raw = _tx.bm25_topk(docs, terms, k=10, require_all=True).collect()
     assert {r["doc_id"] for r in raw} == {1}
+
+
+def test_hashvec_index_build_refresh_probe_governed(spark, tmp_path):
+    """The hashvec governed index kind (r16): a TEXT corpus indexed as
+    model-free hashed embeddings — build == refresh by the shared
+    signature path (incremental index equals a from-scratch rebuild),
+    the probe takes raw text and finds the near-duplicate via cosine on
+    stored quantized vectors, the source ACL gates the probe, and the
+    pinned dim/seed make a mismatched probe impossible."""
+    import json as _json
+
+    from delta_lake_proxy_spark import Engine, EngineConfig
+    from delta_lake_proxy_spark.engine import write_governed_table
+
+    rows = [
+        (1, "en", "spark query engines process distributed data"),
+        (2, "en", "the quick brown fox jumps over the lazy dog"),
+        (3, "de", "der schnelle braune fuchs springt uber den hund"),
+    ]
+    src = str(tmp_path / "hv_docs")
+    write_governed_table(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        .repartition(1),
+        src,
+        ["lang"],
+    )
+    perms = spark.createDataFrame(
+        [(1, "u", "docs", _json.dumps({"lang": "de"}))],
+        "id int, user_id string, table_name string, partition_filters string",
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(table_mapping={"docs": src}, read_only=False),
+        permissions_df=perms,
+    )
+    hv = eng.build_hashvec_index("docs", str(tmp_path / "hv_idx"),
+                                 num_planes=4)
+    # incremental == rebuild: append a doc, refresh, compare to scratch
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(
+            [(4, "en", "spark query engines process distributed workloads")],
+            "doc_id long, lang string, text string",
+        ),
+        mode="append",
+    )
+    eng.refresh_dedup_index(hv)
+    rebuilt = eng.build_hashvec_index(
+        "docs", str(tmp_path / "hv_idx2"), index_alias="hv2", num_planes=4
+    )
+    def key(df):
+        return {
+            (r["doc_id"], r["bucket"], tuple(r["qvec"]), r["qscale"], r["lang"])
+            for r in df.select(
+                "doc_id", "bucket", "qvec", "qscale", "lang"
+            ).collect()
+        }
+
+    a, b = key(eng.read_table(hv)), key(eng.read_table(rebuilt))
+    assert a == b and len(a) == 4
+    # probe with raw TEXT: a near-copy of doc 1 pairs with docs 1 and 4
+    batch = spark.createDataFrame(
+        [(100, "spark query engines process distributed data")],
+        "doc_id long, text string",
+    )
+    got = eng.near_duplicates_incremental(
+        hv, batch, threshold=0.5, multi_probe=True
+    ).collect()
+    pairs = {(r["new_id"], r["indexed_id"]) for r in got}
+    assert (100, 1) in pairs
+    assert all(c["cosine"] >= 0.5 for c in got)
+    # governed: the de-restricted user can only pair against de docs
+    gated = eng.near_duplicates_incremental(
+        hv, batch, threshold=0.0, user="u", multi_probe=True
+    ).collect()
+    assert {r["indexed_id"] for r in gated} <= {3}
+    # freshness surfaces like every kind
+    (st,) = eng.index_status(hv)
+    assert st["kind"] == "hashvec" and st["lag"] == 0
