@@ -2748,7 +2748,12 @@ class Engine:
 
             # vectorize in-plan (model-free), then index exactly like the
             # embedding kind — build and refresh share this one path, so
-            # maintenance can never embed differently than the build did
+            # maintenance can never embed differently than the build did.
+            # Token-less docs embed to the ZERO vector: it is near nothing
+            # (cosine NULL) yet would pile into LSH bucket 0 — a crawl
+            # corpus full of empty/punctuation-only docs would turn the
+            # candidate equi-join into an |empty_new| x |empty_indexed|
+            # hotspot — so zero vectors never enter the index (review r16)
             embedded = _tx.hash_embed(
                 docs,
                 dim=prm["dim"],
@@ -2756,7 +2761,7 @@ class Engine:
                 id_col=prm["id_col"],
                 seed=prm["seed"],
                 carry_cols=carry,
-            )
+            ).filter(F.exists("embedding", lambda x: x != 0))
             return _dd.embedding_lsh_index(
                 embedded,
                 dim=prm["dim"],
@@ -3236,27 +3241,27 @@ class Engine:
 
                 # the NEW batch arrives as TEXT — vectorize it with the
                 # index's pinned dim/seed before the bucket join (the
-                # indexed side already holds buckets + quantized vectors)
+                # indexed side already holds buckets + quantized vectors);
+                # zero vectors drop like at build time — a token-less doc
+                # is near nothing and must not probe bucket 0
                 new_docs = _tx.hash_embed(
                     new_docs,
                     dim=prm["dim"],
                     text_col=prm["text_col"],
                     id_col=prm["id_col"],
                     seed=prm["seed"],
-                )
+                ).filter(F.exists("embedding", lambda x: x != 0))
+            # for hashvec, _dedup_index_params already yields the derived
+            # vec_col ("embedding") and axis_planes=False — no re-dispatch
             return _dd.embedding_near_duplicates_incremental(
                 new_docs,
                 index,
                 threshold=threshold,
                 dim=prm["dim"],
                 num_planes=prm["num_planes"],
-                axis_planes=(
-                    False if prm["kind"] == "hashvec" else prm["axis_planes"]
-                ),
+                axis_planes=prm["axis_planes"],
                 id_col=prm["id_col"],
-                vec_col=(
-                    "embedding" if prm["kind"] == "hashvec" else prm["vec_col"]
-                ),
+                vec_col=prm["vec_col"],
                 multi_probe=multi_probe,
             )
         return _dd.minhash_near_duplicates_incremental(

@@ -32,14 +32,20 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # a zero-norm vector scores 0 to everything rather than killing the
-    # whole job with ANSI DIVIDE_BY_ZERO (one token-less doc in a corpus
-    # of billions must not fail the query): when either norm is 0 the
-    # dot is also 0, so dividing by a substituted 1 yields exactly 0,
-    # and for every nonzero pair the division is bit-identical to the
-    # unguarded form (the value the SQL oracles replicate)
+    # a zero-norm vector scores NULL to everything rather than killing
+    # the whole job with ANSI DIVIDE_BY_ZERO (one token-less doc in a
+    # corpus of billions must not fail the query). NULL — not 0 — is the
+    # ranking-correct degenerate value: 0 would promote an empty doc
+    # above genuinely anti-correlated (negative-cosine) documents in any
+    # top-k, while NULL sorts last under the engine's `score DESC`
+    # convention and drops out of every `>= threshold` filter. The inner
+    # substituted-1 divisor only exists because ANSI codegen evaluates
+    # both CASE branches; for every nonzero pair the division is
+    # bit-identical to the unguarded form (the value the SQL oracles
+    # replicate)
     denom = norm(a) * norm(b)
-    return dot(a, b) / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+    safe = F.when(denom > 0, denom).otherwise(F.lit(1.0))
+    return F.when(denom > 0, dot(a, b) / safe)
 
 
 def cosine_topk(

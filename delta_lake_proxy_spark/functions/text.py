@@ -1062,40 +1062,49 @@ def hash_embed(
     ``Engine.build_embedding_index`` / ``build_ivf_index``) consume an
     embedding column that normally comes from a learned model; this
     gives the same surfaces a zero-dependency vectorizer for cheap
-    candidate generation and corpus triage — pure codegen (tokenize →
-    explode → two hash-keyed aggregations → map lookup), no Python, no
-    model artifact to ship or version, identical on every executor and
-    every run.
+    candidate generation and corpus triage — pure codegen in ONE scan of
+    the corpus (explode_outer → two hash-keyed aggregations → map
+    lookup; the outer explode keeps token-less docs as a zero-weight row,
+    so no second scan / join-back is needed to cover every id — review
+    r16), no Python, no model artifact to ship or version, identical on
+    every executor and every run.
 
     Output: ``(id, embedding array<float>[, carry...])`` with unit L2
-    norm; token-less documents keep a zero vector (cosine 0 to
-    everything — they diversify nothing and match nothing).
-    ``carry_cols`` (the source's partition columns) ride the id join so
-    a partition ACL compiles into a plain row predicate on a persisted
-    index of these vectors — the governed-index contract.
+    norm, every input id exactly once; token-less documents keep the
+    zero vector, whose cosine is NULL to everything (``similarity
+    .cosine``) — excluded from every ranking and threshold, they match
+    nothing. ``carry_cols`` (the source's partition columns) ride the
+    aggregation keys so a partition ACL compiles into a plain row
+    predicate on a persisted index of these vectors — the
+    governed-index contract.
 
     Reference parity: the reference proxies storage bytes
     (src/main.rs); vectorization is part of this repo's LLM-pipeline
     charter, not a reference operator."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    carry = list(carry_cols)
     toks = docs.select(
         F.col(id_col),
-        F.explode(
+        *[F.col(c) for c in carry],
+        F.explode_outer(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
         ).alias("term"),
     )
-    bucket = F.pmod(F.xxhash64(F.lit(int(seed)), F.col("term")), F.lit(dim)).cast(
-        "int"
+    bucket = F.coalesce(
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col("term")), F.lit(dim)).cast(
+            "int"
+        ),
+        F.lit(0),
     )
-    sign = F.when(
+    sign = F.when(F.col("term").isNull(), F.lit(0.0)).when(
         F.pmod(F.xxhash64(F.lit(int(seed) + 1), F.col("term")), F.lit(2)) == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    by_bucket = toks.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
-        F.sum(sign).alias("w")
-    )
-    agg = by_bucket.groupBy(id_col).agg(
+    by_bucket = toks.groupBy(
+        F.col(id_col), *[F.col(c) for c in carry], bucket.alias("bucket")
+    ).agg(F.sum(sign).alias("w"))
+    agg = by_bucket.groupBy(id_col, *carry).agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "w"))).alias("m")
     )
     dense = F.transform(
@@ -1103,26 +1112,13 @@ def hash_embed(
         lambda d: F.coalesce(F.element_at(F.col("m"), d.cast("int")), F.lit(0.0)),
     )
     nrm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
-    # a zero-norm vector (all signed counts cancelled) divides by 1 and
-    # stays zero — a conditional divide would still be evaluated on the
-    # zero branch under ANSI codegen and throw DIVIDE_BY_ZERO
+    # a zero-norm vector (token-less doc, or all signed counts cancelled)
+    # divides by 1 and stays zero — a conditional divide would still be
+    # evaluated on the zero branch under ANSI codegen and throw
     safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
     unit = F.transform(dense, lambda x: x / safe)
-    embedded = agg.select(
-        F.col(id_col), unit.cast("array<float>").alias("embedding")
-    )
-    # token-less docs never reach the explode — join them back with the
-    # zero vector so the output covers every input id exactly once
-    carry = list(carry_cols)
-    return (
-        docs.select(id_col, *carry)
-        .join(embedded, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(
-                F.col("embedding"),
-                F.array_repeat(F.lit(0.0), int(dim)).cast("array<float>"),
-            ).alias("embedding"),
-            *[F.col(c) for c in carry],
-        )
+    return agg.select(
+        F.col(id_col),
+        unit.cast("array<float>").alias("embedding"),
+        *[F.col(c) for c in carry],
     )

@@ -8648,6 +8648,7 @@ def test_hashvec_index_build_refresh_probe_governed(spark, tmp_path):
         (1, "en", "spark query engines process distributed data"),
         (2, "en", "the quick brown fox jumps over the lazy dog"),
         (3, "de", "der schnelle braune fuchs springt uber den hund"),
+        (8, "en", "...!!!"),  # token-less: zero vector, must not index
     ]
     src = str(tmp_path / "hv_docs")
     write_governed_table(
@@ -8690,7 +8691,8 @@ def test_hashvec_index_build_refresh_probe_governed(spark, tmp_path):
         }
 
     a, b = key(eng.read_table(hv)), key(eng.read_table(rebuilt))
-    assert a == b and len(a) == 4
+    assert a == b and len(a) == 4  # docs 1-4; the token-less doc 8 is out
+    assert 8 not in {t[0] for t in a}  # zero vectors never hot-bucket 0
     # probe with raw TEXT: a near-copy of doc 1 pairs with docs 1 and 4
     batch = spark.createDataFrame(
         [(100, "spark query engines process distributed data")],
