@@ -2114,10 +2114,23 @@ class Engine:
                 .filter(F.col("_rn") <= max(int(shortlist), k))
                 .drop("_rn", "_adc", "pq_codes")
             )
+        # norms in a separate projection: the zero-norm guard references its
+        # denominator three times, and with precomputed scalar columns those
+        # are attribute reads — inlining _sim.cosine here re-evaluated both
+        # norm aggregates up to 3x per (query, candidate) row (r17 hoist)
         scored = hits.select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
-            F.round(_sim.cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+            _sim.dot(F.col(vec_col), F.col("_qvec")).alias("_dot"),
+            _sim.norm(F.col(vec_col)).alias("_na"),
+            _sim.norm(F.col("_qvec")).alias("_nb"),
+        ).select(
+            query_id_col,
+            id_col,
+            F.round(
+                _sim.cosine_from_norms(F.col("_dot"), F.col("_na"), F.col("_nb")),
+                6,
+            ).alias("score"),
         )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col).asc()

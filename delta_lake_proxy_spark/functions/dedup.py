@@ -515,12 +515,18 @@ def embedding_near_duplicates_incremental(
     per build. No pair can double-emit: the flipped buckets of one
     vector are all distinct, so at most one matches a given indexed
     bucket."""
-    from .similarity import cosine, lsh_bucket
+    from .similarity import cosine_from_norms, dot, lsh_bucket, norm
 
+    # per-vector norms are precomputed on EACH side before the bucket join
+    # (and before the multi-probe explode, so a vector's norm is computed
+    # once, not once per flipped bucket) — the pair scorer then pays one
+    # dot() aggregate per candidate plus scalar guard arithmetic instead of
+    # re-aggregating both norms per pair (r17 norm hoist).
     new = new_embeddings.select(
         F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("_nnew"),
     )
     if multi_probe:
         flips = F.array(
@@ -531,15 +537,25 @@ def embedding_near_duplicates_incremental(
             ],
         )
         new = new.select(
-            "new_id", "_vec", F.explode(flips).alias("bucket")
+            "new_id", "_vec", "_nnew", F.explode(flips).alias("bucket")
         )
     old = index.select(
-        F.col(id_col).alias("indexed_id"), "bucket", F.col("qvec").alias("_qvec")
+        F.col(id_col).alias("indexed_id"),
+        "bucket",
+        F.col("qvec").alias("_qvec"),
+        norm(F.col("qvec")).alias("_nidx"),
     )
     pairs = new.join(old, "bucket").select(
         "new_id",
         "indexed_id",
-        F.round(cosine(F.col("_vec"), F.col("_qvec")), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms(
+                dot(F.col("_vec"), F.col("_qvec")),
+                F.col("_nnew"),
+                F.col("_nidx"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -987,7 +1003,7 @@ def semantic_dedup(
         _lit_vec,
         _vec_dim,
         assign_centroids_arrow,
-        cosine,
+        cosine_from_norms,
         dot,
         norm,
     )
@@ -1039,11 +1055,14 @@ def semantic_dedup(
         assigned = assigned.withColumn(
             "_csim", F.col("_cs") / norm(F.col(vec_col))
         ).drop("_cs")
+    # _norm once per row (rides the salt persist) — the pair scorer pays one
+    # dot() per candidate instead of re-aggregating both norms per pair
     proj = assigned.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         "_cid",
         "_csim",
+        norm(F.col(vec_col)).alias("_norm"),
     )
     proj, join_keys = salt_oversized_buckets(
         proj, ["_cid"], F.xxhash64(F.col("_id")), max_cluster_size
@@ -1055,7 +1074,11 @@ def semantic_dedup(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine(F.col("a._vec"), F.col("b._vec")).alias("_cos"),
+            cosine_from_norms(
+                dot(F.col("a._vec"), F.col("b._vec")),
+                F.col("a._norm"),
+                F.col("b._norm"),
+            ).alias("_cos"),
         )
         .filter(F.col("_cos") >= F.lit(float(threshold)))
     )

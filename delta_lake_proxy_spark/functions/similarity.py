@@ -42,10 +42,68 @@ def cosine(a: Column, b: Column) -> Column:
     # substituted-1 divisor only exists because ANSI codegen evaluates
     # both CASE branches; for every nonzero pair the division is
     # bit-identical to the unguarded form (the value the SQL oracles
-    # replicate)
-    denom = norm(a) * norm(b)
+    # replicate).
+    #
+    # PERFORMANCE: this form re-evaluates each norm() aggregate up to
+    # three times per call site (outer condition, inner condition, safe
+    # branch) — Spark does not CSE across higher-order-function
+    # boundaries. Pair scorers must NOT call this per pair: norms are
+    # per-vector quantities, so precompute them once per row before the
+    # pair join and score with :func:`cosine_from_norms`, which pays one
+    # dot() per pair and scalar arithmetic for the guard.
+    return cosine_from_norms(dot(a, b), norm(a), norm(b))
+
+
+def cosine_from_norms(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """Guarded cosine from a dot-product column and two PRECOMPUTED norm
+    columns. Same NULL-for-zero-norm semantics and bit-identical value as
+    :func:`cosine` (``na * nb`` multiplies in the same order as
+    ``norm(a) * norm(b)`` did inline), but when ``na``/``nb`` are plain
+    column references the thrice-evaluated guard costs three scalar
+    multiplies instead of six array aggregates per pair."""
+    denom = na * nb
     safe = F.when(denom > 0, denom).otherwise(F.lit(1.0))
-    return F.when(denom > 0, dot(a, b) / safe)
+    return F.when(denom > 0, dot_ab / safe)
+
+
+def fold_norm(vals) -> float:
+    """Python-side L2 norm with the SAME left-fold order as ``norm()``'s
+    Spark ``aggregate()`` — plain ``s += x*x`` in element order, then
+    ``sqrt`` — so a literal query vector's norm can be folded at plan time
+    and stay bit-identical to what the executor would have computed."""
+    import math
+
+    s = 0.0
+    for x in vals:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _scored_topk_against_query(
+    embeddings: DataFrame,
+    q: Column,
+    qnorm: float,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared literal-query scorer: one dot + one norm aggregate per row
+    (the query norm arrives as a plan-time literal; the row norm is
+    computed in a separate projection so the guard's three references hit
+    a cheap attribute, not three aggregate re-evaluations — Catalyst's
+    CollapseProject declines to inline non-cheap aliases used more than
+    once). Same TakeOrdered top-k as before."""
+    scored = embeddings.select(
+        F.col(id_col),
+        dot(F.col(vec_col), q).alias("_dot"),
+        norm(F.col(vec_col)).alias("_na"),
+    ).select(
+        F.col(id_col),
+        F.round(
+            cosine_from_norms(F.col("_dot"), F.col("_na"), F.lit(qnorm)), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def cosine_topk(
@@ -61,11 +119,9 @@ def cosine_topk(
     (score desc, id asc) so the selected set is deterministic.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    return _scored_topk_against_query(
+        embeddings, q, fold_norm(query_vec), k, id_col, vec_col
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def _hyperplane(plane: int, dim: int) -> Column:
@@ -130,10 +186,17 @@ def lsh_near_neighbors(
     """
     from .dedup import salt_oversized_buckets
 
+    # _norm is computed ONCE PER ROW here (O(rows), and it rides the salt
+    # persist) — NOT per pair: the r16 zero-norm guard inlined norm(a)*norm(b)
+    # into the pair scorer, and with the threshold filter pushed into the
+    # join condition Spark evaluated up to 13 array aggregates per candidate
+    # pair. With precomputed norms the join condition pays ONE dot()
+    # aggregate per pair and scalar arithmetic for the guard.
     with_bucket = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), dim, num_planes, axis_planes).alias("_bucket"),
+        norm(F.col(vec_col)).alias("_norm"),
     )
     with_bucket, join_keys = salt_oversized_buckets(
         with_bucket, ["_bucket"], F.xxhash64(F.col("_id")), max_bucket_size
@@ -145,7 +208,14 @@ def lsh_near_neighbors(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    dot(F.col("a._vec"), F.col("b._vec")),
+                    F.col("a._norm"),
+                    F.col("b._norm"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
@@ -191,14 +261,11 @@ def quantized_cosine_topk(
     quantized the same way): same TakeOrdered plan as :func:`cosine_topk`,
     reading 1/4 the vector bytes. Approximation = rounding only."""
     mx = max(abs(float(x)) for x in query_vec) or 1.0
-    q = F.array(
-        *[F.lit(int(round(float(x) / mx * 127))).cast("tinyint") for x in query_vec]
+    qi = [int(round(float(x) / mx * 127)) for x in query_vec]
+    q = F.array(*[F.lit(v).cast("tinyint") for v in qi])
+    return _scored_topk_against_query(
+        embeddings, q, fold_norm(qi), k, id_col, qvec_col
     )
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(cosine(F.col(qvec_col), q), 6).alias("score"),
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def rrf_fuse(
@@ -843,11 +910,7 @@ def ivf_topk(
         hits = embeddings.filter(
             _assign_centroid(F.col(vec_col), cents).isin(probe_cids)
         )
-    q = _lit_vec(query_vec)
-    scored = hits.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return probe_index_df(hits, query_vec, k, id_col, vec_col)
 
 
 def _ivf_centroids(
@@ -1110,12 +1173,12 @@ def probe_index_df(
     hits: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """Score + top-k over an already-pruned inverted-list scan (shared by
-    the raw :func:`ivf_probe` and the governed ``Engine.ivf_probe``)."""
+    the raw :func:`ivf_probe`, the ad-hoc :func:`ivf_topk` and the governed
+    ``Engine.ivf_probe``)."""
     q = _lit_vec(query_vec)
-    scored = hits.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    return _scored_topk_against_query(
+        hits, q, fold_norm(query_vec), k, id_col, vec_col
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def ivf_probe(
