@@ -50,14 +50,32 @@ def text_stats(
 
     ``extra_cols`` lets callers append further per-row columns (e.g. the
     document fingerprint) to the same projection — one scan instead of a
-    projection-per-operator self-join."""
+    projection-per-operator self-join.
+
+    Two-stage projection (r17): the raw counts are aliased in their own
+    projection and the ratios/quality derive from the ALIASED columns —
+    inlining them re-ran each multiply-referenced ``regexp_count`` per
+    reference (n_words three times, n_stopwords and n_punct twice; Spark
+    does not CSE regex scans, and CollapseProject declines to merge
+    projections when it would duplicate non-cheap expressions). Values are
+    bit-identical; only the evaluation count changes."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_words = word_count(t)
-    n_tokens = token_count(t)
-    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
-    n_stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORD_RE))
-    n_alpha = F.regexp_count(t, F.lit("[a-zA-Z]"))
+    # "*" passthrough: extra_cols may reference any caller column (e.g. a
+    # pre-lowered text for the fingerprint), not just id/text
+    raw = docs.select(
+        F.col("*"),
+        F.length(t).alias("_n_chars"),
+        word_count(t).alias("_n_words"),
+        token_count(t).alias("_n_tokens"),
+        F.regexp_count(t, F.lit(PUNCT_RE)).alias("_n_punct"),
+        F.regexp_count(F.lower(t), F.lit(EN_STOPWORD_RE)).alias("_n_stop"),
+        F.regexp_count(t, F.lit("[a-zA-Z]")).alias("_n_alpha"),
+    )
+    n_chars = F.col("_n_chars")
+    n_words = F.col("_n_words")
+    n_punct = F.col("_n_punct")
+    n_stop = F.col("_n_stop")
+    n_alpha = F.col("_n_alpha")
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
     alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
@@ -67,11 +85,11 @@ def text_stats(
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
         6,
     )
-    return docs.select(
+    return raw.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
-        n_tokens.alias("n_tokens"),
+        F.col("_n_tokens").alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stopwords"),
         F.round(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 6).alias(
@@ -91,28 +109,37 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_pred_col(text: Column) -> Column:
-    """The language prediction as a single Column expression — the CASE
-    chain :func:`lang_id` selects with: the first language (in priority
-    order) whose stopword score is >= every later language's and > every
-    earlier language's. Composable into any per-row projection (e.g. the
-    one-scan ``text_stats`` driver row) and replicated verbatim in SQL by
-    oracles."""
+    """The language prediction as a single Column expression: the first
+    language (in priority order) whose stopword score is >= every later
+    language's and > every earlier language's. Composable into any per-row
+    projection (e.g. the one-scan ``text_stats`` driver row); the SQL
+    oracles replicate the equivalent CASE chain.
+
+    Computed as ``array_max`` over ``(score, -priority_index, lang)``
+    structs (r17): the winner is the max score with ties toward the
+    smaller priority index — PROVABLY the same language the old nested
+    CASE chain selected (the first index attaining the max satisfies
+    exactly its >=-later/>-earlier condition, every earlier index fails
+    against the max holder), but each of the five stopword ``regexp_count``
+    scans now runs ONCE per row instead of once per comparison (the CASE
+    chain re-evaluated up to 8 per candidate language, 40 worst-case —
+    Spark does not CSE regex scans across CASE branches). NULL text stays
+    NULL via the explicit guard (field-wise NULL structs would otherwise
+    tie-break to 'en')."""
     scores = lang_scores(text)
-    pred: Column = F.lit(None).cast("string")
-    for lang in reversed(LANG_PRIORITY):
-        cond: Column | None = None
-        for other in LANG_PRIORITY:
-            if other == lang:
-                continue
-            # later-priority langs only need a tie; earlier ones must be beaten
-            ge = (
-                scores[lang] >= scores[other]
-                if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang)
-                else scores[lang] > scores[other]
-            )
-            cond = ge if cond is None else (cond & ge)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return pred
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    scores[lang].alias("s"),
+                    F.lit(-i).alias("p"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(LANG_PRIORITY)
+            ]
+        )
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(best["l"])
 
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -128,7 +155,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def fingerprint_col(
-    text: Column, shingle_len: int = 8, stride: int = 4
+    text: Column, shingle_len: int = 8, stride: int = 4, pre_lowered: bool = False
 ) -> Column:
     """Winnowing-style document fingerprint as a Column: the lexicographic
     minimum of the md5 digests of ``shingle_len``-char shingles sampled every
@@ -136,8 +163,15 @@ def fingerprint_col(
     collide; computed wholly JVM-side via ``transform`` over a char-offset
     sequence (no explode, no shuffle). The stride trades hash count for
     sensitivity — overlapping shingles (stride < len) still cover every
-    byte."""
-    norm = F.lower(text)
+    byte.
+
+    ``pre_lowered=True`` declares that ``text`` is ALREADY lowercased (an
+    attribute from a prior projection). Hot paths should pre-lower: the
+    shingle lambda references its input once per element, so an inline
+    ``lower(text)`` re-folds the WHOLE document per shingle (~stride'th of
+    the doc length times over — measured 2x the fingerprint cost at
+    sf0.1); a pre-lowered attribute is a pointer read."""
+    norm = text if pre_lowered else F.lower(text)
     n = F.length(norm)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (shingle_len - 1), F.lit(1)), F.lit(stride)),
@@ -154,11 +188,22 @@ def fingerprint(
     stride: int = 4,
 ) -> DataFrame:
     """Per-document fingerprint table — see :func:`fingerprint_col`."""
-    # repartition: doc tables often arrive as one file -> one task; the
-    # per-document shingle hashing is the dominant cost and parallelizes.
-    return docs.repartition(F.col(id_col)).select(
-        F.col(id_col),
-        fingerprint_col(F.col(text_col), shingle_len, stride).alias("fingerprint"),
+    from ..io import spread_if_narrow
+
+    # gated repartition (r17): single-file doc tables need the spread for
+    # local parallelism, but this is a pure projection — a well-split
+    # corpus must not pay a full shuffle in front of it. The lower() is
+    # hoisted to its own projection so the shingle lambda reads an
+    # attribute (see fingerprint_col's pre_lowered note).
+    return (
+        spread_if_narrow(docs, F.col(id_col))
+        .select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
+        .select(
+            F.col(id_col),
+            fingerprint_col(
+                F.col("_lt"), shingle_len, stride, pre_lowered=True
+            ).alias("fingerprint"),
+        )
     )
 
 

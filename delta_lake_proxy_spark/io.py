@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import ensure_engine_confs
@@ -71,6 +71,26 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def spread_if_narrow(df: DataFrame, key: Column) -> DataFrame:
+    """Hash-repartition by ``key`` ONLY when the scan arrives with fewer
+    partitions than the cluster's parallelism (the single-file fixture
+    shape: one parquet file -> one task serializing a heavy per-row
+    projection).
+
+    At 100 TB the same table arrives as thousands of splits, the gate is
+    false, and a pure-projection pipeline stays shuffle-free — an
+    unconditional ``repartition`` there is a full-corpus shuffle in front
+    of work that needed none (guide §2.4). Aggregation pipelines that WANT
+    the partitioning (e.g. repartition-by-id before explode + groupBy(id),
+    which keeps the exploded relation out of the shuffle) must keep their
+    unconditional repartition — this gate is only for projection-only
+    paths where the repartition buys nothing but local parallelism."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(key)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -26,7 +26,7 @@ from .config import EngineConfig
 from .engine import Engine, write_governed_table
 from .errors import ReadOnlyError
 from .functions import dedup, multimodal, similarity, text
-from .io import load_table, local_df
+from .io import load_table, local_df, spread_if_narrow
 from .operators.joins import asof_join
 from .streaming.metrics import session_windows, tumbling_metrics
 
@@ -1917,13 +1917,18 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE projection over ONE scan — per-row operators over the same table
     must never self-join (at 100 TB that is a second scan plus a
     full-corpus shuffle for columns that are computable side by side). The
-    repartition spreads single-file doc tables across the cluster; the
-    rest is shuffle-free codegen."""
-    docs = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    repartition is GATED on input parallelism (r17, verdict nit): it only
+    fires for the single-file fixture shape; a well-split 100 TB source
+    runs this as a shuffle-free single-pass projection."""
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id")
+    ).withColumn("_lt", F.lower(F.col("text")))
     return text.text_stats(
         docs,
         extra_cols=(
-            text.fingerprint_col(F.col("text")).alias("fingerprint"),
+            text.fingerprint_col(F.col("_lt"), pre_lowered=True).alias(
+                "fingerprint"
+            ),
             text.lang_pred_col(F.col("text")).alias("pred_lang"),
         ),
     )
