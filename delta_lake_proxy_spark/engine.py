@@ -3537,7 +3537,21 @@ class Engine:
         if allow_cross_source:
             return
         ivf_src = iconf.get("graft.ivf.source")
-        if bm25_prm["source"] != ivf_src:
+        bm25_src = bm25_prm["source"]
+        # compare PHYSICAL paths when both stored aliases resolve in this
+        # engine (advice r16): two indexes built from the same corpus under
+        # different alias names must not falsely refuse, and two unrelated
+        # corpora that happen to share an alias string must not falsely
+        # pass. Fall back to the stored alias strings when either alias is
+        # no longer mapped (still driver metadata only — no log read).
+        cmp_a, cmp_b = bm25_src, ivf_src
+        if bm25_src is not None and ivf_src is not None:
+            try:
+                cmp_a = os.path.abspath(self.resolve(bm25_src))
+                cmp_b = os.path.abspath(self.resolve(ivf_src))
+            except TableNotFoundError:
+                pass
+        if cmp_a != cmp_b:
             raise ValueError(
                 f"hybrid search refuses to fuse {bm25_index_alias!r} "
                 f"(source {bm25_prm['source']!r}) with {ivf_index_alias!r} "
@@ -4373,7 +4387,8 @@ class Engine:
         commit ``lag`` between them (0 = fresh; what
         :meth:`maintain_indexes_stream` drives to 0), ``num_files``
         (live index files — fragmentation; from the tip version checksum
-        when one exists, else the driver-side log replay), for IVF
+        when one exists, ``None`` otherwise — the O(log-length)
+        driver-side replay fallback runs only under ``deep=True``), for IVF
         indexes ``retrain_pending`` (a crashed retrain to re-fire), and
         for bm25 indexes ``stats_present`` (the pinned
         ``graft.bm25.nDocs/sumDl`` collection statistics exist — a probe
@@ -4427,11 +4442,19 @@ class Engine:
             )
             src_tip = deltalog.latest_version(self.resolve(src))
             crc = deltalog._tip_checksum(path)
-            num_files = (
-                int(crc["numFiles"])
-                if crc is not None
-                else len(deltalog._live_adds_no_spark(path))
-            )
+            # num_files comes from the tip version checksum ONLY in the
+            # default mode (advice r16): the log-replay fallback is
+            # O(log length) driver work on long un-checkpointed logs,
+            # contradicting the "no data scan, log tails only" promise of
+            # the cheap observability call. deep=True — which already pays
+            # a Spark scan per index — restores the replay fallback; the
+            # default reports None when the tip has no checksum.
+            if crc is not None:
+                num_files = int(crc["numFiles"])
+            elif deep:
+                num_files = len(deltalog._live_adds_no_spark(path))
+            else:
+                num_files = None
             row = {
                 "index": ia,
                 "kind": kind,

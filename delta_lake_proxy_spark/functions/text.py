@@ -374,27 +374,32 @@ def bm25_rank_postings(
     counted from the query-term slice itself (a posting relation holds
     one row per (doc, term), so the slice's per-term row count IS df).
     ``require_all=True`` switches to CONJUNCTIVE retrieval: only
-    documents matching EVERY query term rank (the slice's per-doc row
-    count equals the matched-term count, so the AND is one filter on
-    the aggregate — no extra scan). Output: (id, bm25) descending,
+    documents matching EVERY query term rank (the per-doc DISTINCT
+    matched-term count, so the AND is one filter on the same aggregate —
+    no extra scan, and robust to a posting relation with duplicate
+    (id, term) rows). Output: (id, bm25) descending,
     ties toward the smaller id, limited to ``k``."""
     qterms = sorted({t.lower() for t in query_terms})
     sl = postings.filter(F.col("term").isin(qterms))
     df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the match count exists only for the conjunctive filter, and it counts
+    # DISTINCT terms (advice r16: a caller passing a non-contractual posting
+    # relation with duplicate (id, term) rows would otherwise silently drop
+    # documents that match every term); computing it only when asked keeps
+    # the disjunctive plan free of the distinct-aggregate Expand.
+    aggs = [F.round(F.sum("s"), 6).alias("bm25")]
+    if require_all:
+        aggs.append(F.count_distinct(F.col("term")).alias("_mt"))
     scored = (
         sl.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs_avgdl))
         .withColumn("idf", _bm25_idf_expr())
         .withColumn("s", _bm25_term_score_expr(k1, b))
         .groupBy(id_col)
-        .agg(
-            F.round(F.sum("s"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("_mt"),
-        )
+        .agg(*aggs)
     )
     if require_all:
-        scored = scored.filter(F.col("_mt") == len(qterms))
-    scored = scored.drop("_mt")
+        scored = scored.filter(F.col("_mt") == len(qterms)).drop("_mt")
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -430,6 +435,15 @@ def bm25_rank_postings_batch(
     terms = query_terms_rel.select("term").distinct()
     sl = postings.join(F.broadcast(terms), "term", "semi")
     df_ = sl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # _mt counts DISTINCT matched terms (advice r16): count(*) counted join
+    # fan-out rows, so a non-distinct (query_id, term) relation from a
+    # direct caller silently dropped documents matching every term (the
+    # engine path dedupes first, but the function must be robust on its
+    # own). Computed only for the conjunctive path — the disjunctive plan
+    # stays free of the distinct-aggregate Expand.
+    aggs = [F.round(F.sum("s"), 6).alias("bm25")]
+    if require_all:
+        aggs.append(F.count_distinct(F.col("term")).alias("_mt"))
     scored = (
         sl.join(F.broadcast(df_), "term")
         .join(F.broadcast(query_terms_rel.select(query_id_col, "term")), "term")
@@ -437,10 +451,7 @@ def bm25_rank_postings_batch(
         .withColumn("idf", _bm25_idf_expr())
         .withColumn("s", _bm25_term_score_expr(k1, b))
         .groupBy(query_id_col, id_col)
-        .agg(
-            F.round(F.sum("s"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("_mt"),
-        )
+        .agg(*aggs)
     )
     if require_all:
         q_n = query_terms_rel.groupBy(query_id_col).agg(
@@ -449,9 +460,8 @@ def bm25_rank_postings_batch(
         scored = (
             scored.join(F.broadcast(q_n), query_id_col)
             .filter(F.col("_mt") == F.col("_qt"))
-            .drop("_qt")
+            .drop("_qt", "_mt")
         )
-    scored = scored.drop("_mt")
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()
     )
