@@ -11,11 +11,216 @@ from __future__ import annotations
 from functools import reduce
 from operator import or_
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import WORD_RE
+
+
+def _arr_sum(arr: Column, init: Column | None = None) -> Column:
+    """``aggregate(arr, 0, +)`` — the shared array-sum fold."""
+    return F.aggregate(arr, F.lit(0) if init is None else init, lambda a, x: a + x)
+
+
+def _adjacent_dup_flags(srt: Column, eq) -> Column:
+    """Per-element "is part of a duplicated run" flags for an already
+    SORTED array: element j is a duplicate iff it equals its left or right
+    neighbor. Built from one ``zip_with`` of the array against its own
+    shift (no ``element_at`` indexing, which would be an ANSI out-of-bounds
+    hazard at the boundaries). ``eq(a, b)`` compares two elements."""
+    m1 = F.greatest(F.size(srt) - 1, F.lit(0))
+    en = F.zip_with(F.slice(srt, 1, m1), F.slice(srt, 2, m1), eq)
+    fb = F.array(F.lit(False))
+    return F.zip_with(
+        F.concat(fb, en), F.concat(en, fb), lambda a, b: a | b
+    )
+
+
+def _run_best(srt: Column, weight) -> Column:
+    """Max ``(run_length, weight)`` product over equal-key runs of a SORTED
+    struct array — one O(m) fold: the accumulator tracks the current run
+    length and the lexicographic best ``(count, weight)`` seen, exactly the
+    ``max(struct(cnt, w))`` the old grouped aggregation computed.
+    ``weight(x)`` extracts the tie-break weight from an element; runs are
+    keyed on the ``h`` field. Returns ``best_count * best_weight`` (0 for
+    an empty array)."""
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("ph"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bc"),
+        F.lit(0).alias("bw"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x["h"] == acc["ph"], acc["run"] + 1).otherwise(F.lit(1))
+        w = weight(x)
+        better = (run2 > acc["bc"]) | ((run2 == acc["bc"]) & (w > acc["bw"]))
+        return F.struct(
+            x["h"].alias("ph"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, w).otherwise(acc["bw"]).alias("bw"),
+        )
+
+    fin = F.aggregate(srt, init, step)
+    return fin["bc"] * fin["bw"]
+
+
+_GRAM_STRUCT = "array<struct<h:bigint,s:int,wc:int>>"
+
+
+def _gram_structs(words: Column, wlens: Column, n: int) -> Column:
+    """Per-document word ``n``-gram fingerprints without an explode: one
+    ``(h, s, wc)`` struct per position — ``xxhash64`` of the word-array
+    slice (grams are never materialized as strings, the r15 finding) plus
+    the start offset and the gram's word-chars folded from the per-word
+    lengths. Empty when the doc has fewer than ``n`` words."""
+    return (
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.struct(
+                    F.xxhash64(F.slice(words, i + 1, n)).alias("h"),
+                    i.alias("s"),
+                    _arr_sum(F.slice(wlens, i + 1, n)).alias("wc"),
+                ),
+            ),
+        )
+        .otherwise(F.array())
+        .cast(_GRAM_STRUCT)
+    )
+
+
+def _dup_coverage(srt: Column, wlens: Column, n: int) -> Column:
+    """Word-chars inside ANY occurrence of a duplicated ``n``-gram,
+    overlap counted once — per-document, no shuffle: the duplicated
+    occurrences' start offsets (adjacent-equal runs of the SORTED
+    fingerprint array) are re-sorted by position and folded left to right
+    merging the fixed-length intervals; each step adds only the
+    non-overlapped slice of the per-word length array, so total slice
+    work is O(words) per document."""
+    starts = F.when(
+        F.size(srt) >= 2,
+        F.array_sort(
+            F.filter(
+                F.zip_with(
+                    srt,
+                    _adjacent_dup_flags(srt, lambda a, b: a["h"] == b["h"]),
+                    lambda x, d: F.when(d, x["s"]),
+                ),
+                lambda v: v.isNotNull(),
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    init = F.struct(F.lit(0).alias("cov"), F.lit(0).alias("pend"))
+
+    def step(acc: Column, st: Column) -> Column:
+        gs = F.greatest(st, acc["pend"])
+        return F.struct(
+            (acc["cov"] + _arr_sum(F.slice(wlens, gs + 1, st + F.lit(n) - gs))).alias(
+                "cov"
+            ),
+            (st + F.lit(n)).alias("pend"),
+        )
+
+    return F.aggregate(starts, init, step)["cov"]
+
+
+def _line_bigram_stage(frame: DataFrame, keep: list[str]) -> DataFrame:
+    """Append the STAGED line/bigram intermediates to a frame that carries
+    ``_t`` (raw text) and ``_w`` (word array): ``_nl`` (non-empty lines),
+    ``_srtl`` (sorted lines), ``_enl`` (adjacent-equal flags of the sorted
+    lines), ``_srtb`` (sorted bigram strings). Each intermediate lives in
+    its OWN projection and is referenced at least twice downstream, so
+    CollapseProject cannot inline (and thereby duplicate) the underlying
+    split/sort per consumer — the reason these are columns, not nested
+    expressions."""
+    nl = F.filter(
+        F.split(F.coalesce(F.col("_t"), F.lit("")), "\n"),
+        lambda l: F.length(F.trim(l)) > 0,
+    )
+    bgs = (
+        F.when(
+            F.size(F.col("_w")) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_w")) - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array())
+        .cast("array<string>")
+    )
+    s1 = frame.select(*keep, "_t", "_w", nl.alias("_nl"), bgs.alias("_srtb_raw"))
+    s2 = s1.select(
+        *keep,
+        "_t",
+        "_nl",
+        F.array_sort(F.col("_nl")).alias("_srtl"),
+        F.array_sort(F.col("_srtb_raw")).alias("_srtb"),
+    )
+    m1 = F.greatest(F.size(F.col("_srtl")) - 1, F.lit(0))
+    en = F.zip_with(
+        F.slice(F.col("_srtl"), 1, m1),
+        F.slice(F.col("_srtl"), 2, m1),
+        lambda a, b: a == b,
+    )
+    return s2.select(*keep, "_t", "_nl", "_srtl", "_srtb", en.alias("_enl"))
+
+
+def _line_metric_cols() -> dict[str, Column]:
+    """The per-document line metrics of :func:`repetition_stats` as
+    Column expressions over the staged ``_nl``/``_srtl``/``_enl``
+    attributes (:func:`_line_bigram_stage`): duplicate occurrences =
+    adjacent-equal pairs of the sorted lines, duplicated chars =
+    per-element sum over flagged elements. No explode, no shuffle."""
+    srtl, nl, en = F.col("_srtl"), F.col("_nl"), F.col("_enl")
+    n_extra = F.size(F.filter(en, lambda x: x))
+    fb = F.array(F.lit(False))
+    dupflags = F.zip_with(F.concat(fb, en), F.concat(en, fb), lambda a, b: a | b)
+    dup_chars = _arr_sum(
+        F.zip_with(srtl, dupflags, lambda l, d: F.when(d, F.length(l)).otherwise(0))
+    )
+    tot_chars = _arr_sum(F.transform(nl, F.length))
+    return {
+        "dup_line_frac": F.round(
+            n_extra.cast("double") / F.greatest(F.size(srtl), F.lit(1)), 6
+        ),
+        "dup_line_char_frac": F.round(
+            dup_chars.cast("double") / F.greatest(tot_chars, F.lit(1)), 6
+        ),
+    }
+
+
+def _top_bigram_col() -> Column:
+    """``top_bigram_frac`` over the staged ``_srtb``/``_t`` attributes:
+    most frequent word bigram STRING (sorted-run count, ties toward the
+    longer string — the exact ``max(struct(cnt, length))`` of the old
+    grouped form), over total text chars."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("pb"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bc"),
+        F.lit(0).alias("bl"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["pb"], acc["run"] + 1).otherwise(F.lit(1))
+        ln = F.length(x)
+        better = (run2 > acc["bc"]) | ((run2 == acc["bc"]) & (ln > acc["bl"]))
+        return F.struct(
+            x.alias("pb"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, ln).otherwise(acc["bl"]).alias("bl"),
+        )
+
+    fin = F.aggregate(F.col("_srtb"), init, step)
+    return F.round(
+        (fin["bc"] * fin["bl"]).cast("double")
+        / F.greatest(F.length(F.col("_t")), F.lit(1)),
+        6,
+    )
 
 
 def repetition_stats(
@@ -30,62 +235,27 @@ def repetition_stats(
     - ``top_bigram_frac``: fraction of word-characters covered by the most
       frequent word bigram (boilerplate/templating signal).
 
-    One explode + per-doc aggregation per metric family (two shuffles on
-    ``id_col``); joins are per-document metadata-sized. Documents with no
-    lines/bigrams score 0.
+    Wholly per-document (r17): every metric is a sorted-array fold inside
+    ONE projection chain — no explode, no shuffle, no join, one corpus
+    scan — so the operator is embarrassingly parallel at 100 TB (the old
+    shape paid two explodes, four shuffles and two per-doc joins for
+    document-local arithmetic). Documents with no lines/bigrams score 0.
     """
     t = F.col(text_col)
-    lines = docs.select(
+    base = docs.select(
         F.col(id_col),
-        F.explode(F.split(t, "\n")).alias("line"),
-    ).filter(F.length(F.trim(F.col("line"))) > 0)
-    per_line = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("n"))
-    line_stats = per_line.groupBy(id_col).agg(
-        F.round(
-            (F.sum("n") - F.count(F.lit(1))).cast("double")
-            / F.greatest(F.sum("n"), F.lit(1)),
-            6,
-        ).alias("dup_line_frac"),
-        F.round(
-            F.sum(F.when(F.col("n") > 1, F.col("n") * F.length("line")).otherwise(0))
-            .cast("double")
-            / F.greatest(F.sum(F.col("n") * F.length("line")), F.lit(1)),
-            6,
-        ).alias("dup_line_char_frac"),
+        t.alias("_t"),
+        F.regexp_extract_all(F.lower(F.coalesce(t, F.lit(""))), F.lit(WORD_RE), 0).alias(
+            "_w"
+        ),
     )
-    words = docs.select(
+    staged = _line_bigram_stage(base, [id_col])
+    line_cols = _line_metric_cols()
+    return staged.select(
         F.col(id_col),
-        F.length(t).alias("_n_chars"),
-        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
+        *[v.alias(k) for k, v in line_cols.items()],
+        _top_bigram_col().alias("top_bigram_frac"),
     )
-    bigrams = words.select(
-        F.col(id_col),
-        F.col("_n_chars"),
-        F.explode(_word_ngrams(F.col("_w"), 2)).alias("bg"),
-    )
-    top_bigram = (
-        bigrams.groupBy(id_col, "_n_chars", "bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy(id_col, "_n_chars")
-        .agg(F.max(F.struct(F.col("n"), F.length("bg").alias("l"))).alias("m"))
-        .select(
-            F.col(id_col),
-            F.round(
-                (F.col("m.n") * F.col("m.l")).cast("double")
-                / F.greatest(F.col("_n_chars"), F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
-    )
-    base = docs.select(F.col(id_col))
-    out = (
-        base.join(line_stats, id_col, "left")
-        .join(top_bigram, id_col, "left")
-        .fillna(
-            {"dup_line_frac": 0.0, "dup_line_char_frac": 0.0, "top_bigram_frac": 0.0}
-        )
-    )
-    return out
 
 
 def contamination_scores(
@@ -211,8 +381,73 @@ def gopher_quality_flags(
             f"min_stopword_hits must be in [0, {len(GOPHER_STOPWORDS)}] "
             f"(distinct required words), got {min_stopword_hits}"
         )
-    t = F.col(text_col)
-    words = F.filter(F.split(t, _UWS_SPLIT), lambda w: F.length(w) > 0)
+    staged = _quality_stage(
+        docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    )
+    metrics, flags, gopher_pass = _quality_cols(
+        F.col("_t"),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_word_ratio,
+        max_bullet_line_frac,
+        max_ellipsis_line_frac,
+        min_alpha_word_frac,
+        min_stopword_hits,
+    )
+    with_metrics = staged.select(
+        F.col(id_col), *[v.alias(k) for k, v in metrics.items()]
+    )
+    return with_metrics.select(
+        F.col(id_col),
+        *metrics.keys(),
+        *[v.alias(k) for k, v in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def _quality_stage(frame: DataFrame) -> DataFrame:
+    """Append the STAGED heavy intermediates of the quality rules to a
+    frame carrying ``_t``: ``_qw`` (Unicode-whitespace words), ``_ql``
+    (trimmed non-empty lines), ``_qlow`` (lowered text). Staged as
+    columns (r17) so each split/lower runs once per row — inlined, the
+    words expression re-split the text once per metric referencing it
+    (up to 5x) and the flags once more."""
+    t = F.col("_t")
+    return frame.withColumns(
+        {
+            "_qw": F.filter(F.split(t, _UWS_SPLIT), lambda w: F.length(w) > 0),
+            "_ql": F.filter(
+                F.transform(
+                    F.split(t, "\n"), lambda l: F.regexp_replace(l, _UWS_TRIM, "")
+                ),
+                lambda l: F.length(l) > 0,
+            ),
+            "_qlow": F.lower(t),
+        }
+    )
+
+
+def _quality_cols(
+    t: Column,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_bullet_line_frac: float,
+    max_ellipsis_line_frac: float,
+    min_alpha_word_frac: float,
+    min_stopword_hits: int,
+) -> tuple[dict[str, Column], dict[str, Column], Column]:
+    """The :func:`gopher_quality_flags` metric and flag columns over the
+    STAGED ``_qw``/``_ql``/``_qlow`` attributes of :func:`_quality_stage`
+    (plus the raw ``t``) — factored out (r17) so the full published
+    filter (:func:`gopher_filter`) composes quality and repetition rules
+    into ONE projection chain instead of a per-document join of two
+    scans. Returns ``(metrics, flags, gopher_pass)``."""
+    words = F.col("_qw")
     n_words = F.size(words)
     words_f = n_words.cast("double")
     mean_word_len = F.round(
@@ -231,10 +466,7 @@ def gopher_quality_flags(
     ellipsis_word_ratio = F.round(
         n_ellipsis.cast("double") / F.greatest(words_f, F.lit(1.0)), 6
     )
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda l: F.regexp_replace(l, _UWS_TRIM, "")),
-        lambda l: F.length(l) > 0,
-    )
+    lines = F.col("_ql")
     lines_f = F.size(lines).cast("double")
 
     def _frac(pred) -> Column:
@@ -255,7 +487,7 @@ def gopher_quality_flags(
         / F.greatest(words_f, F.lit(1.0)),
         6,
     )
-    lowered = F.lower(t)
+    lowered = F.col("_qlow")
     stopword_hits = sum(
         (
             F.when(lowered.rlike("\\b" + w + "\\b"), 1).otherwise(0)
@@ -274,27 +506,51 @@ def gopher_quality_flags(
         "alpha_word_frac": alpha_word_frac,
         "stopword_hits": stopword_hits,
     }
-    # flags read the rounded metrics above, never a second unrounded copy
-    flags = {
-        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "pass_mean_word_len": (mean_word_len >= min_mean_word_len)
-        & (mean_word_len <= max_mean_word_len),
-        "pass_symbol_ratio": (hash_word_ratio <= max_symbol_word_ratio)
-        & (ellipsis_word_ratio <= max_symbol_word_ratio),
-        "pass_bullet_lines": bullet_line_frac <= max_bullet_line_frac,
-        "pass_ellipsis_lines": ellipsis_line_frac <= max_ellipsis_line_frac,
-        "pass_alpha_words": alpha_word_frac >= min_alpha_word_frac,
-        "pass_stopwords": stopword_hits >= min_stopword_hits,
-    }
+    # flags read the rounded metrics above, never a second unrounded copy —
+    # as ATTRIBUTE references (r17): the metrics are aliased in their own
+    # projection and each flag reads the aliased column, so a metric's
+    # expression runs once per row however many flags consume it
+    flags = _quality_flag_cols(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_word_ratio,
+        max_bullet_line_frac,
+        max_ellipsis_line_frac,
+        min_alpha_word_frac,
+        min_stopword_hits,
+    )
     gopher_pass: Column = F.lit(True)
     for c in flags.values():
         gopher_pass = gopher_pass & c
-    return docs.select(
-        F.col(id_col),
-        *[v.alias(k) for k, v in metrics.items()],
-        *[v.alias(k) for k, v in flags.items()],
-        gopher_pass.alias("gopher_pass"),
-    )
+    return metrics, flags, gopher_pass
+
+
+def _quality_flag_cols(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_bullet_line_frac: float,
+    max_ellipsis_line_frac: float,
+    min_alpha_word_frac: float,
+    min_stopword_hits: int,
+) -> dict[str, Column]:
+    """The quality flags as comparisons of the ALIASED metric columns."""
+    return {
+        "pass_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbol_ratio": (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio),
+        "pass_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "pass_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "pass_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "pass_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
 
 
 def _word_ngrams(words: Column, n: int, mapper=None, slice_mapper=None) -> Column:
@@ -356,22 +612,20 @@ def repetition_ngram_stats(
     denominator, so separators/punctuation never dilute the signal and
     the metric is exactly reproducible.
 
-    Shape at scale: the corpus is scanned and TOKENIZED exactly once —
-    the word-array projection is materialized (eager persist, retired
-    FIFO through the shared persist cache) and every n-gram size is
-    built in one flattened ``transform`` over it, exploded once into a
-    unified (doc, n, start, ghash, wc) relation. Grams are FINGERPRINTS,
-    never strings (r15): ``xxhash64`` hashes the word-array slice
-    directly and the gram's word-chars fold from the per-word length
-    array — with n = 2..10 every word position explodes ~9 gram rows,
-    so the count shuffle and the dup join carry 8-byte keys instead of
-    up-to-10-word strings. (An interleaved A/B at the bench SF measured
-    this neutral — 14.0 vs 14.9 s min-of-3 — because at 5k docs the
-    cost is fixed stage machinery, the r11 minhash finding again; the
-    byte reduction is the part that scales with the corpus.) Counting
-    is a partial-combined hash aggregation on (doc, n, ghash); the
-    dup-coverage union is a distinct on (doc, n, pos) — interval
-    merging without a skew-prone per-doc window. No Python anywhere.
+    Shape at scale (r17): wholly per-document — every metric is a
+    sorted-array fold over the doc's own gram fingerprints inside ONE
+    projection chain: tokenize once, build each n's ``(h, start, wc)``
+    struct array (``xxhash64`` of the word-array slice — grams are
+    FINGERPRINTS, never strings, the r15 finding), ``array_sort``, then
+    one O(m) pass per metric (run-max for top, adjacent-dup flags +
+    interval-merge fold for coverage). No explode, no shuffle, no join,
+    no Python: one corpus scan and embarrassingly parallel at 100 TB.
+    The old shape exploded ~9 gram rows per word position into a
+    (doc, n, start, ghash, wc) relation and paid seven shuffles plus a
+    persist for arithmetic that is document-local; the per-doc fold costs
+    O(m log m) per document (array_sort), a fine trade for removing every
+    exchange — one pathological 100k-word document is one straggler task,
+    bounded by the same ``max_words`` rule the filter enforces.
 
     Documents with fewer than ``n`` words score 0 for that ``n``.
     Companion to :func:`repetition_stats` (lines/top-bigram);
@@ -383,124 +637,48 @@ def repetition_ngram_stats(
         raise ValueError("at least one n required")
     if any(n < 1 for n in ns):
         raise ValueError(f"n must be >= 1, got {ns}")
-    from ._persist_cache import cache_persisted
-
     t = F.col(text_col)
     base = docs.select(
         F.col(id_col),
-        F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0).alias("_w"),
+        F.regexp_extract_all(F.lower(F.coalesce(t, F.lit(""))), F.lit(WORD_RE), 0).alias(
+            "_w"
+        ),
     ).select(
         F.col(id_col),
         F.col("_w"),
         # per-word lengths once: gram word-chars fold from this instead
         # of measuring a materialized gram string
         F.transform(F.col("_w"), F.length).alias("_wl"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()  # materialize: several branches below re-read the words
-    cache_persisted(base)
-    words = base.select(
-        F.col(id_col),
-        F.expr("posexplode(_wl)").alias("pos", "wlen"),
     )
-    totals = words.groupBy(id_col).agg(F.sum("wlen").alias("_tot"))
-
-    def _tagged(n: int) -> Column:
-        # fingerprint + word-chars per position — the gram string itself
-        # is never built (xxhash64 hashes the slice array directly)
-        return _word_ngrams(
-            F.col("_w"),
-            n,
-            slice_mapper=lambda s, i, n=n: F.struct(
-                F.lit(n).alias("n"),
-                i.alias("start"),
-                F.xxhash64(s).alias("ghash"),
-                F.aggregate(
-                    F.slice(F.col("_wl"), i + 1, n),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).alias("wc"),
-            ),
-        )
-
-    # every n in ONE projection + ONE explode over the cached words
-    grams = base.select(
+    # each n's sorted fingerprint array in its OWN projection stage so the
+    # metric folds below reference it as an attribute (CollapseProject
+    # would otherwise duplicate the sort per consumer)
+    srt = base.select(
         F.col(id_col),
-        F.explode(F.flatten(F.array(*[_tagged(n) for n in ns]))).alias("g"),
-    ).select(
-        F.col(id_col),
-        F.col("g.n").alias("n"),
-        F.col("g.start").alias("start"),
-        F.col("g.ghash").alias("ghash"),
-        F.col("g.wc").alias("wc"),
+        F.col("_wl"),
+        _arr_sum(F.col("_wl")).alias("_tot"),
+        *[
+            F.array_sort(_gram_structs(F.col("_w"), F.col("_wl"), n)).alias(f"_srt{n}")
+            for n in ns
+        ],
     )
-    counts = grams.groupBy(id_col, "n", "ghash").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.max("wc").alias("wc"),  # constant per (doc, n, ghash)
-    )
-    # id list from the cached projection too — zero raw-source rescans
-    out = base.select(F.col(id_col)).join(totals, id_col, "left")
-    if top_ns:
-        # the most frequent gram, count ties toward the longer one
-        pick = F.struct(F.col("cnt"), F.col("wc"))
-        top = (
-            counts.filter(F.col("n").isin(*[int(x) for x in top_ns]))
-            .groupBy(id_col)
-            .agg(
-                *[
-                    F.max(F.when(F.col("n") == n, pick)).alias(f"_m{n}")
-                    for n in top_ns
-                ]
-            )
-            .select(
-                F.col(id_col),
-                *[
-                    (F.col(f"_m{n}.cnt") * F.col(f"_m{n}.wc")).alias(f"_top{n}")
-                    for n in top_ns
-                ],
-            )
-        )
-        out = out.join(top, id_col, "left")
-    if dup_ns:
-        dup_pos = (
-            grams.join(
-                counts.filter(
-                    (F.col("cnt") > 1) & F.col("n").isin(*[int(x) for x in dup_ns])
-                ),
-                [id_col, "n", "ghash"],
-            )
-            .select(
-                F.col(id_col),
-                "n",
-                F.explode(
-                    F.sequence(F.col("start"), F.col("start") + F.col("n") - 1)
-                ).alias("pos"),
-            )
-            .distinct()
-        )
-        dup_cov = (
-            dup_pos.join(words, [id_col, "pos"])
-            .groupBy(id_col)
-            .agg(
-                *[
-                    F.sum(F.when(F.col("n") == n, F.col("wlen"))).alias(f"_dup{n}")
-                    for n in dup_ns
-                ]
-            )
-        )
-        out = out.join(dup_cov, id_col, "left")
     safe_tot = F.greatest(F.col("_tot"), F.lit(1)).cast("double")
-    return out.select(
+    return srt.select(
         F.col(id_col),
         *[
-            F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double") / safe_tot, 6).alias(
-                f"top_{n}gram_frac"
-            )
+            F.round(
+                _run_best(F.col(f"_srt{n}"), lambda x: x["wc"]).cast("double")
+                / safe_tot,
+                6,
+            ).alias(f"top_{n}gram_frac")
             for n in top_ns
         ],
         *[
-            F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double") / safe_tot, 6).alias(
-                f"dup_{n}gram_frac"
-            )
+            F.round(
+                _dup_coverage(F.col(f"_srt{n}"), F.col("_wl"), n).cast("double")
+                / safe_tot,
+                6,
+            ).alias(f"dup_{n}gram_frac")
             for n in dup_ns
         ],
     )
@@ -522,23 +700,89 @@ def gopher_repetition_flags(
     :data:`GOPHER_TOP_NGRAM_MAX`, :data:`GOPHER_DUP_NGRAM_MAX`), with
     the conjunction ``repetition_pass``. Flags compare the ROUNDED
     reported metrics (both stat relations round to 6 decimals), the
-    same convention as :func:`gopher_quality_flags`. One per-document
-    join between the two metric relations; compose with
-    :func:`gopher_quality_flags` for the complete published filter."""
+    same convention as :func:`gopher_quality_flags`. One projection
+    chain, no join (r17): both metric families are per-document
+    sorted-array folds, so the whole verdict is map-side — one corpus
+    scan, zero shuffles. Compose with :func:`gopher_quality_flags` for
+    the complete published filter, or use :func:`gopher_filter` for the
+    join-free composition."""
+    frame, metric_cols, flag_cols, rep_pass = _repetition_verdict_cols(
+        docs, max_dup_line_frac, max_dup_line_char_frac,
+        top_ngram_max, dup_ngram_max, text_col, id_col,
+    )
+    with_metrics = frame.select(
+        F.col(id_col), *[v.alias(k) for k, v in metric_cols.items()]
+    )
+    return with_metrics.select(
+        F.col(id_col),
+        *metric_cols.keys(),
+        *[v.alias(k) for k, v in flag_cols.items()],
+        rep_pass.alias("repetition_pass"),
+    )
+
+
+def _repetition_verdict_cols(
+    docs: DataFrame,
+    max_dup_line_frac: float,
+    max_dup_line_char_frac: float,
+    top_ngram_max: dict[int, float] | None,
+    dup_ngram_max: dict[int, float] | None,
+    text_col: str,
+    id_col: str,
+):
+    """Shared builder for :func:`gopher_repetition_flags` and
+    :func:`gopher_filter`: a projection chain whose final frame carries
+    the raw text (``_t``) plus each n's sorted gram fingerprints, and the
+    repetition metric/flag Column dicts over it. Returns
+    ``(frame, metrics, flags, repetition_pass)``."""
     top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
     dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
-    line = repetition_stats(docs, text_col=text_col, id_col=id_col)
-    ngram = repetition_ngram_stats(
-        docs,
-        top_ns=tuple(sorted(top_ngram_max)),
-        dup_ns=tuple(sorted(dup_ngram_max)),
-        text_col=text_col,
-        id_col=id_col,
+    top_ns = tuple(sorted(top_ngram_max))
+    dup_ns = tuple(sorted(dup_ngram_max))
+    ns = sorted(set(top_ns) | set(dup_ns))
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.regexp_extract_all(F.lower(F.coalesce(t, F.lit(""))), F.lit(WORD_RE), 0).alias(
+            "_w"
+        ),
+    ).select(F.col(id_col), "_t", "_w", F.transform(F.col("_w"), F.length).alias("_wl"))
+    gram_stage = base.select(
+        F.col(id_col),
+        "_t",
+        "_w",
+        "_wl",
+        _arr_sum(F.col("_wl")).alias("_tot"),
+        *[
+            F.array_sort(_gram_structs(F.col("_w"), F.col("_wl"), n)).alias(f"_srt{n}")
+            for n in ns
+        ],
     )
-    joined = line.join(ngram, id_col)
-    flags = {
+    frame = _line_bigram_stage(
+        gram_stage, [id_col, "_wl", "_tot", *[f"_srt{n}" for n in ns]]
+    )
+    safe_tot = F.greatest(F.col("_tot"), F.lit(1)).cast("double")
+    metric_cols: dict[str, Column] = dict(_line_metric_cols())
+    metric_cols["top_bigram_frac"] = _top_bigram_col()
+    for n in top_ns:
+        metric_cols[f"top_{n}gram_frac"] = F.round(
+            _run_best(F.col(f"_srt{n}"), lambda x: x["wc"]).cast("double") / safe_tot,
+            6,
+        )
+    for n in dup_ns:
+        metric_cols[f"dup_{n}gram_frac"] = F.round(
+            _dup_coverage(F.col(f"_srt{n}"), F.col("_wl"), n).cast("double")
+            / safe_tot,
+            6,
+        )
+    # flags read the ALIASED metric columns (the metrics are projected in
+    # their own stage by both consumers), so each metric fold runs once
+    # per row however many flags and passes consume it
+    flag_cols = {
         "pass_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
-        "pass_dup_line_chars": F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+        "pass_dup_line_chars": F.col("dup_line_char_frac")
+        <= max_dup_line_char_frac,
         **{
             f"pass_top_{n}gram": F.col(f"top_{n}gram_frac") <= thr
             for n, thr in sorted(top_ngram_max.items())
@@ -549,13 +793,49 @@ def gopher_repetition_flags(
         },
     }
     rep_pass: Column = F.lit(True)
-    for c in flags.values():
+    for c in flag_cols.values():
         rep_pass = rep_pass & c
-    return joined.select(
+    return frame, metric_cols, flag_cols, rep_pass
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The COMPLETE published Gopher filter (quality rules A1.1 + both
+    repetition rule families) as one verdict row per document —
+    ``(id, gopher_pass, repetition_pass, keep)`` — in ONE map-side
+    projection chain (r17): the quality flags are pure expressions over
+    the text and every repetition metric is a per-document sorted-array
+    fold, so composing them needs no join. The previous shape
+    (``gopher_quality_flags(docs).join(gopher_repetition_flags(docs))``)
+    scanned the corpus four times and shuffled it three times for
+    document-local arithmetic; this is one scan, zero exchanges — the
+    filter runs map-side at 100 TB. Thresholds are the published
+    defaults of the two component functions (use those directly for
+    custom thresholds or the raw metrics)."""
+    frame, rep_metrics, _rep_flags, rep_pass = _repetition_verdict_cols(
+        docs, 0.30, 0.20, None, None, text_col, id_col
+    )
+    q_metrics, _q_flags, gopher_pass = _quality_cols(
+        F.col("_t"), 50, 100_000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2
+    )
+    with_metrics = _quality_stage(frame).select(
         F.col(id_col),
-        *[c for c in joined.columns if c != id_col],
-        *[v.alias(k) for k, v in flags.items()],
+        *[v.alias(k) for k, v in q_metrics.items()],
+        *[v.alias(k) for k, v in rep_metrics.items()],
+    )
+    passes = with_metrics.select(
+        F.col(id_col),
+        gopher_pass.alias("gopher_pass"),
         rep_pass.alias("repetition_pass"),
+    )
+    return passes.select(
+        F.col(id_col),
+        "gopher_pass",
+        "repetition_pass",
+        (F.col("gopher_pass") & F.col("repetition_pass")).alias("keep"),
     )
 
 

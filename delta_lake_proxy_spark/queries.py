@@ -3412,19 +3412,17 @@ def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 Gopher quality + repetition rules over the documents table: the
-    published Rae et al. 2021 A1.1 filter — the map-side rule projection
-    joined with the repetition verdict. Unregistered (both halves are
-    Python-oracled in test_llm_ops incl. on real fixture docs); benchmarked
-    under SPARK_GRAFT_BENCH_EXTENDED."""
+    published Rae et al. 2021 A1.1 filter — quality rules and repetition
+    verdict composed in ONE map-side projection (r17:
+    ``quality.gopher_filter``; the old two-half join scanned the corpus
+    four times and shuffled it three times for document-local
+    arithmetic). Unregistered (both halves are Python-oracled in
+    test_llm_ops incl. on real fixture docs); benchmarked under
+    SPARK_GRAFT_BENCH_EXTENDED."""
     from .functions import quality
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality.gopher_quality_flags(docs)
-    r = quality.gopher_repetition_flags(docs)
-    return q.join(r, "doc_id").select(
-        "doc_id", "gopher_pass", "repetition_pass",
-        (F.col("gopher_pass") & F.col("repetition_pass")).alias("keep"),
-    )
+    return quality.gopher_filter(docs)
 
 
 def hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

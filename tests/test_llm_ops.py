@@ -2821,9 +2821,9 @@ def test_repetition_ngram_stats_no_python(spark):
 
 
 def test_repetition_ngram_stats_single_tokenization(spark):
-    """The corpus is tokenized once: every branch reads the persisted word
-    projection (InMemoryTableScan), and no branch rescans the raw source —
-    the one Scan outside cached lineage would be a docs re-read."""
+    """The r17 per-document shape: the corpus is tokenized exactly once
+    and every metric is a sorted-array fold in the same map-side
+    projection chain — no shuffle, no join, no cache, one scan."""
     from delta_lake_proxy_spark.functions import quality
 
     docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
@@ -2833,11 +2833,45 @@ def test_repetition_ngram_stats_single_tokenization(spark):
         .executedPlan()
         .toString()
     )
-    n_imts = p.count("InMemoryTableScan")
-    assert n_imts >= 4  # words x2 (totals, dup join), grams x2, id list
-    # each InMemoryTableScan reprints its cached lineage (one tokenization
-    # per print); any EXTRA occurrence would be a live re-tokenization
-    assert p.count("regexp_extract_all") == n_imts
+    assert p.count("regexp_extract_all") == 1  # one live tokenization
+    assert "Exchange" not in p  # wholly map-side
+    assert "InMemoryTableScan" not in p  # no persist needed: single consumer
+
+
+def test_gopher_filter_single_stage_no_exchange(spark):
+    """The composed Gopher verdict (quality + repetition) is ONE map-side
+    projection chain over ONE corpus scan — the 100 TB posture pin for
+    the r17 join-free rewrite (the old quality x repetition join paid 4
+    scans and 3 shuffles). Verdict values must equal the two-half
+    composition it replaced."""
+    from delta_lake_proxy_spark.functions import quality
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    out = quality.gopher_filter(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
+    # exactly one WORD_RE tokenization and one Unicode-whitespace word
+    # split per row — the staged intermediates must not re-inline
+    assert p.count("[a-z0-9]+") == 1
+    assert p.count("(?U)\\s+") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    q = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in quality.gopher_quality_flags(docs).collect()
+    }
+    r_ = {
+        r["doc_id"]: r["repetition_pass"]
+        for r in quality.gopher_repetition_flags(docs).collect()
+    }
+    for doc_id, _txt in _REP_DOCS:
+        assert got[doc_id]["gopher_pass"] == q[doc_id]
+        assert got[doc_id]["repetition_pass"] == r_[doc_id]
+        assert got[doc_id]["keep"] == (
+            None
+            if q[doc_id] is None or r_[doc_id] is None
+            else q[doc_id] and r_[doc_id]
+        )
 
 
 def test_sample_to_mix_upsample(spark):
