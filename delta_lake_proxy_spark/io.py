@@ -86,10 +86,17 @@ def spread_if_narrow(df: DataFrame, key: Column) -> DataFrame:
     the partitioning (e.g. repartition-by-id before explode + groupBy(id),
     which keeps the exploded relation out of the shuffle) must keep their
     unconditional repartition — this gate is only for projection-only
-    paths where the repartition buys nothing but local parallelism."""
+    paths where the repartition buys nothing but local parallelism.
+
+    The partition count is EXPLICIT: a keyed ``repartition(key)`` with no
+    number is a coalescible exchange, and AQE's bytes-based advisory
+    target folds a small-bytes/heavy-compute relation (the exact shape
+    this gate exists for) straight back to one partition — the spread
+    becomes a no-op shuffle. ``repartition(n, key)`` pins the count so
+    the per-row compute actually lands on every core."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(key)
+        return df.repartition(sc.defaultParallelism, key)
     return df
 
 

@@ -3421,7 +3421,13 @@ def gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_BENCH_EXTENDED."""
     from .functions import quality
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file fixture -> one scan task; the verdict is a heavy per-row
+    # projection, so spread it (gated: at 100 TB the scan has thousands of
+    # splits and the chain stays shuffle-free)
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        F.col("doc_id"),
+    )
     return quality.gopher_filter(docs)
 
 
