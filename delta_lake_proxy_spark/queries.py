@@ -3352,15 +3352,18 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 distributed BPE: train a small merge table on the corpus (ONE
-    corpus scan + vocab-sized merge rounds) and encode every document with
-    it. Unregistered (the iterative trainer has no single-SQL oracle; the
+    """X4 BPE: train a small merge table on the corpus (ONE distributed
+    corpus scan into the word-frequency vocab, then the in-memory
+    incremental trainer — r17: ``bpe_train_collected``, pinned
+    merge-for-merge equal to the distributed rounds, which paid 2+ driver
+    round-trip jobs per merge for a vocab that is driver-sized by
+    definition) and encode every document with it. Unregistered (the
     merge list is pinned EQUAL to a from-scratch Sennrich reference in
     test_llm_ops); benchmarked under SPARK_GRAFT_BENCH_EXTENDED."""
     from .functions import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, num_merges=12, checkpoint_every=4)
+    merges = bpe.bpe_train_collected(docs, num_merges=12)
     return bpe.bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
@@ -3438,16 +3441,27 @@ def hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket) join + exact popcount verify, the full incremental
     path. Unregistered (union-equality and corruption-invariance pinned
     in test_llm_ops/test_udfs); benchmarked under
-    SPARK_GRAFT_BENCH_EXTENDED."""
+    SPARK_GRAFT_BENCH_EXTENDED.
+
+    r17: signatures are computed in ONE pass over the full table and
+    split by the ingest predicate afterwards (signatures are per-doc
+    deterministic, so ``sigs(corpus) == sigs(docs).filter(corpus)``) —
+    the old shape ran the tokenize + 61-aggregate signature pipeline
+    twice, once per side, for one underlying scan's worth of work. The
+    persist is a query-local intermediate materialized eagerly (both
+    join sides read the cache; lazy, the two concurrent upstream stages
+    would each recompute it) and FIFO-retired via the module's persist
+    registry — not a cross-run cache."""
     from .functions import dedup
+    from .functions._persist_cache import cache_persisted
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
-    idx = dedup.hamming_signature_index(dedup.simhash_signatures(corpus))
-    return dedup.hamming_near_duplicates_incremental(
-        dedup.simhash_signatures(batch), idx
-    )
+    sigs = dedup.simhash_signatures(docs).persist()
+    sigs.count()
+    cache_persisted(sigs)
+    new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    idx = dedup.hamming_signature_index(sigs.filter(~new))
+    return dedup.hamming_near_duplicates_incremental(sigs.filter(new), idx)
 
 
 def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
