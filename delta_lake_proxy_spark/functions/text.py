@@ -725,20 +725,22 @@ def ngram_contamination(
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
         words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        # the short-doc guard rides the gram array (when -> explode emits
+        # no rows below n words, exactly what the old filter(size >= n)
+        # kept) instead of a Filter node: predicate pushdown substituted
+        # that filter through the projection, so the tokenize regex ran
+        # TWICE per row — once in the pushed size() check, once in the
+        # gram transform (r17; Spark does not CSE across Filter/Project).
+        gram_arr = F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, F.lit(n))),
+            ),
+        )
         return (
             df.select(F.col(id_col).alias(out_id), words.alias("_w"))
-            .filter(F.size("_w") >= n)
-            .select(
-                out_id,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("_w"), i, F.lit(n))
-                        ),
-                    )
-                ).alias("_g"),
-            )
+            .select(out_id, F.explode(gram_arr).alias("_g"))
             .select(out_id, F.xxhash64("_g").alias("_gh"))
             .dropDuplicates([out_id, "_gh"])
         )
