@@ -53,6 +53,7 @@ import shutil
 import time
 import urllib.parse
 import uuid
+from collections import Counter
 from typing import Any
 
 from pyspark import StorageLevel
@@ -1985,6 +1986,73 @@ class Engine:
             )
         return _sim.probe_index_df(hits, query_vec, k, id_col, vec_col)
 
+    def _driver_batch_ranking(
+        self, queries: DataFrame, query_id_col: str, qv: str, ids, mat,
+        per_q: int,
+    ):
+        """The zero-job prep for :meth:`ivf_probe_batch`'s serving fast
+        path: when the query relation is DRIVER-RESIDENT (every analyzed
+        leaf a LocalRelation/OneRowRelation — the retrieval-request shape;
+        ``functions._local_relation.driver_resident_rows`` is the gate),
+        rank centroids with the SAME numpy kernel the Arrow path runs
+        (``similarity.rank_centroid_ids`` — bit-identical probe sets),
+        check duplicate ids, and return the ``(_qid, _qvec, _cid)``
+        relation as a JVM literal plus the probed-cid union — all without
+        a single Spark job. Returns ``None`` (caller keeps the distributed
+        plan) for distributed/oversized/empty batches, non-finite or
+        wrong-dimension vectors, NULL ids, and id types with no literal
+        channel; the r17 A/B/A showed a Python-RDD re-entry loses, so the
+        literal channel is the only fast re-entry used."""
+        import numpy as np
+
+        from .functions import _local_relation as _lr
+        from .functions import similarity as _sim
+
+        try:
+            id_t = _lr.id_sql_type(queries.schema[query_id_col].dataType)
+            sel = queries.select(query_id_col, qv)
+        except Exception:
+            # missing columns raise the distributed path's own error
+            return None
+        if id_t is None:
+            return None
+        rows = _lr.driver_resident_rows(sel)
+        if rows is None:
+            return None
+        qids = [r[0] for r in rows]
+        vecs = [r[1] for r in rows]
+        dim = mat.shape[1]
+        if (
+            any(q is None for q in qids)
+            or not _lr.all_finite(vecs)
+            or any(len(v) != dim for v in vecs)
+            or len(rows) * per_q * dim > _lr.MAX_VEC_CELLS
+        ):
+            return None
+        counts = Counter(qids)
+        dups = sorted((q for q, n in counts.items() if n > 1), key=repr)[:5]
+        if dups:
+            raise ValueError(
+                f"duplicate {query_id_col!r} values in the query batch "
+                f"(e.g. {dups}) — each query needs a unique id; "
+                "dropDuplicates or re-key the batch"
+            )
+        vmat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )
+        cid_mat = _sim.rank_centroid_ids(vmat, ids, mat, per_q)
+        rep_ids, rep_vecs, rep_cids = [], [], []
+        for qid, v, crow in zip(qids, vecs, cid_mat):
+            for c in crow:
+                rep_ids.append(qid)
+                rep_vecs.append(v)
+                rep_cids.append(int(c))
+        q_cid = _lr.id_vec_cid_relation(
+            self.spark, rep_ids, rep_vecs, rep_cids,
+            "_qid", "_qvec", "_cid", id_t,
+        )
+        return q_cid, sorted(set(rep_cids))
+
     def ivf_probe_batch(
         self,
         index_alias: str,
@@ -2042,40 +2110,57 @@ class Engine:
             ids, mat = ids[order], mat[order]
         else:
             ids, mat = cents
-        q = queries.select(
-            F.col(query_id_col).alias("_qid"),
-            F.transform(F.col(qv), lambda x: x.cast("double")).alias("_qvec"),
-        )
-        q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
-        # persisted: the distinct-cid collect below AND the probe join both
-        # consume the ranking — without it the query batch is re-scored
-        q_cid = cache_persisted(q_cid.persist(StorageLevel.MEMORY_AND_DISK))
-        # duplicate query-id VALUES would silently merge two queries'
-        # candidate sets into one top-k window and return a ranking that
-        # matches neither single probe — refuse by name instead (advice
-        # r14 #1). Checked on the PERSISTED ranking (each query row emits
-        # exactly per_q rows), not the raw query relation, so a caller's
-        # expensive upstream pipeline is never evaluated twice; the
-        # bounded collect is driver metadata, not data motion.
         per_q = min(max(1, int(n_probe)), len(ids))
-        dup = (
-            q_cid.groupBy("_qid")
-            .count()
-            .filter(F.col("count") > F.lit(per_q))
-            .select("_qid")
-            .limit(5)
-            .collect()
+        fast = self._driver_batch_ranking(
+            queries, query_id_col, qv, ids, mat, per_q
         )
-        if dup:
-            raise ValueError(
-                f"duplicate {query_id_col!r} values in the query batch "
-                f"(e.g. {sorted((r['_qid'] for r in dup), key=repr)}) — "
-                "each query needs a unique id; dropDuplicates or re-key "
-                "the batch"
+        if fast is not None:
+            # SERVING fast path (r17): the query relation is driver-resident
+            # (a literal/inline-table batch — the retrieval-request shape),
+            # so centroid ranking, the dup check and the probed-cid union
+            # all run in the driver with ZERO Spark jobs, and the
+            # (query, cid) relation re-enters the plan as a JVM-literal
+            # relation (functions._local_relation) — no Python-RDD
+            # round-trips, no persist, exact tiny stats for the broadcast.
+            # A distributed query relation (an ingest scan) never gates in.
+            q_cid, probe_cids = fast
+        else:
+            q = queries.select(
+                F.col(query_id_col).alias("_qid"),
+                F.transform(F.col(qv), lambda x: x.cast("double")).alias("_qvec"),
             )
-        # centroid-bounded collect: <= num_centroids values — the union of
-        # probed lists becomes the scan's partition filter
-        probe_cids = [r["_cid"] for r in q_cid.select("_cid").distinct().collect()]
+            q_cid = _sim.rank_centroids_arrow(q, ids, mat, "_qvec", n_probe)
+            # persisted: the distinct-cid collect below AND the probe join
+            # both consume the ranking — without it the query batch is
+            # re-scored
+            q_cid = cache_persisted(q_cid.persist(StorageLevel.MEMORY_AND_DISK))
+            # duplicate query-id VALUES would silently merge two queries'
+            # candidate sets into one top-k window and return a ranking that
+            # matches neither single probe — refuse by name instead (advice
+            # r14 #1). Checked on the PERSISTED ranking (each query row
+            # emits exactly per_q rows), not the raw query relation, so a
+            # caller's expensive upstream pipeline is never evaluated twice;
+            # the bounded collect is driver metadata, not data motion.
+            dup = (
+                q_cid.groupBy("_qid")
+                .count()
+                .filter(F.col("count") > F.lit(per_q))
+                .select("_qid")
+                .limit(5)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate {query_id_col!r} values in the query batch "
+                    f"(e.g. {sorted((r['_qid'] for r in dup), key=repr)}) — "
+                    "each query needs a unique id; dropDuplicates or re-key "
+                    "the batch"
+                )
+            # centroid-bounded collect: <= num_centroids values — the union
+            # of probed lists becomes the scan's partition filter
+            probe_cids = [
+                r["_cid"] for r in q_cid.select("_cid").distinct().collect()
+            ]
         df = self.read_table(index_alias, user=user)
         src_alias = deltalog.table_configuration_no_spark(path).get(
             "graft.ivf.source"
@@ -3403,6 +3488,63 @@ class Engine:
             require_all=require_all_terms,
         )
 
+    def _driver_batch_terms(
+        self, queries: DataFrame, query_id_col: str, terms_col: str,
+    ):
+        """The zero-job prep for :meth:`bm25_probe_batch`'s serving fast
+        path (the lexical twin of :meth:`_driver_batch_ranking`): when the
+        query relation is driver-resident, run the dup check, the
+        lowercase-distinct ``(query_id, term)`` explode and the term-union
+        in the driver, and return the pair relation as a JVM literal plus
+        the sorted term union. Returns ``None`` (distributed plan) for
+        distributed/oversized/empty batches, NULL ids, non-string or
+        NON-ASCII terms (``str.lower`` and Spark's ``lower`` are only
+        guaranteed to agree on ASCII), and id types with no literal
+        channel."""
+        from .functions import _local_relation as _lr
+
+        try:
+            id_t = _lr.id_sql_type(queries.schema[query_id_col].dataType)
+            sel = queries.select(query_id_col, terms_col)
+        except Exception:
+            # missing columns raise the distributed path's own error
+            return None
+        if id_t is None:
+            return None
+        rows = _lr.driver_resident_rows(sel)
+        if rows is None:
+            return None
+        qids = [r[0] for r in rows]
+        if any(q is None for q in qids):
+            return None
+        for ts in (r[1] for r in rows):
+            if ts is not None and any(
+                not isinstance(t, str) or not t.isascii() for t in ts
+            ):
+                return None
+        counts = Counter(qids)
+        dups = sorted((q for q, n in counts.items() if n > 1), key=repr)[:5]
+        if dups:
+            raise ValueError(
+                f"duplicate {query_id_col!r} values in the query batch "
+                f"(e.g. {dups}) — each query needs a unique id; "
+                "dropDuplicates or re-key the batch"
+            )
+        pairs = sorted(
+            {(r[0], t.lower()) for r in rows for t in (r[1] or [])}
+        )
+        if not pairs or len(pairs) > _lr.MAX_PAIR_ROWS:
+            return None
+        q_rel = _lr.string_pair_relation(
+            self.spark,
+            [p[0] for p in pairs],
+            [p[1] for p in pairs],
+            query_id_col,
+            "term",
+            id_t,
+        )
+        return q_rel, sorted({t for _, t in pairs})
+
     def bm25_probe_batch(
         self,
         index_alias: str,
@@ -3453,51 +3595,65 @@ class Engine:
                 f"query_id_col {query_id_col!r} collides with an index "
                 "column — alias the query ids (the output carries both)"
             )
-        # the caller's (possibly expensive) query pipeline is evaluated
-        # ONCE into this persisted request-sized base; the dup check, the
-        # term-union collect and the ranker's joins all derive from it
-        q_base = cache_persisted(
-            queries.select(F.col(query_id_col), F.col(terms_col)).persist(
-                StorageLevel.MEMORY_AND_DISK
+        fast = self._driver_batch_terms(queries, query_id_col, terms_col)
+        if fast is not None:
+            # SERVING fast path (r17): the query relation is driver-resident
+            # (the gate of _driver_batch_ranking), so the dup check, the
+            # lowercase-distinct explode and the term union all run in the
+            # driver with ZERO Spark jobs, and the (query_id, term) relation
+            # re-enters the plan as a JVM literal — no Python-RDD round
+            # trips, no persists. ASCII terms only (Python str.lower ==
+            # Spark lower is only guaranteed there); anything else keeps
+            # the distributed plan below.
+            q_rel, terms_all = fast
+        else:
+            # the caller's (possibly expensive) query pipeline is evaluated
+            # ONCE into this persisted request-sized base; the dup check,
+            # the term-union collect and the ranker's joins all derive
+            # from it
+            q_base = cache_persisted(
+                queries.select(F.col(query_id_col), F.col(terms_col)).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
             )
-        )
-        # duplicate query ids checked on the raw rows (the q_rel distinct
-        # below would silently UNION two same-id queries' term sets, so
-        # the persisted-ranking trick of ivf_probe_batch cannot detect
-        # them here)
-        dup = (
-            q_base.groupBy(F.col(query_id_col))
-            .count()
-            .filter(F.col("count") > 1)
-            .select(query_id_col)
-            .limit(5)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"duplicate {query_id_col!r} values in the query batch "
-                f"(e.g. {sorted((r[query_id_col] for r in dup), key=repr)}) "
-                "— each query needs a unique id; dropDuplicates or re-key "
-                "the batch"
+            # duplicate query ids checked on the raw rows (the q_rel
+            # distinct below would silently UNION two same-id queries' term
+            # sets, so the persisted-ranking trick of ivf_probe_batch
+            # cannot detect them here)
+            dup = (
+                q_base.groupBy(F.col(query_id_col))
+                .count()
+                .filter(F.col("count") > 1)
+                .select(query_id_col)
+                .limit(5)
+                .collect()
             )
-        # also persisted: the term-union collect and the ranker's two
-        # joins each consume q_rel — unpersisted, the explode+distinct
-        # shuffle would recompute per consumer (review r15 part 2)
-        q_rel = cache_persisted(
-            q_base.select(
-                F.col(query_id_col),
-                F.explode(F.col(terms_col)).alias("term"),
+            if dup:
+                raise ValueError(
+                    f"duplicate {query_id_col!r} values in the query batch "
+                    f"(e.g. {sorted((r[query_id_col] for r in dup), key=repr)}) "
+                    "— each query needs a unique id; dropDuplicates or "
+                    "re-key the batch"
+                )
+            # also persisted: the term-union collect and the ranker's two
+            # joins each consume q_rel — unpersisted, the explode+distinct
+            # shuffle would recompute per consumer (review r15 part 2)
+            q_rel = cache_persisted(
+                q_base.select(
+                    F.col(query_id_col),
+                    F.explode(F.col(terms_col)).alias("term"),
+                )
+                .withColumn("term", F.lower(F.col("term")))
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .withColumn("term", F.lower(F.col("term")))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # bounded collect: the union of query terms becomes the posting
-        # scan's pushed filter (footer min/max prune on the term-clustered
-        # files — the batch pays one pruned scan however many queries ask)
-        terms_all = sorted(
-            r["term"] for r in q_rel.select("term").distinct().collect()
-        )
+            # bounded collect: the union of query terms becomes the posting
+            # scan's pushed filter (footer min/max prune on the
+            # term-clustered files — the batch pays one pruned scan however
+            # many queries ask)
+            terms_all = sorted(
+                r["term"] for r in q_rel.select("term").distinct().collect()
+            )
         sl = index.filter(F.col("term").isin(terms_all))
         pred = self.acl_predicate(prm["source"], user)
         if pred is not None:

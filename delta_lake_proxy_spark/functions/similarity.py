@@ -550,6 +550,21 @@ def assign_centroids_arrow(
     return df.mapInPandas(score, out_schema)
 
 
+def rank_centroid_ids(vecs, cent_ids, cent_mat, n: int):
+    """Top-``n`` centroid ids per query row — the ONE ranking kernel shared
+    by the Arrow batch front end (:func:`rank_centroids_arrow`) and the
+    driver-resident fast path (``Engine.ivf_probe_batch``), so both produce
+    bit-identical probe sets: float64 matmul scores, STABLE argsort of the
+    negated scores over id-ascending columns (score desc, cid asc ties —
+    the single probe's lexsort). ``vecs`` is a (B, D) float64 matrix,
+    ``cent_ids`` sorted ascending; returns a (B, n) id matrix."""
+    import numpy as np
+
+    scores = vecs @ cent_mat.T  # (B, C)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+    return cent_ids[order]
+
+
 def rank_centroids_arrow(
     df: DataFrame,
     cent_ids,
@@ -584,12 +599,8 @@ def rank_centroids_arrow(
             if len(pdf) == 0:
                 continue
             vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            scores = vecs @ mat.T  # (B, C)
-            # stable argsort of -scores over id-ascending columns: score
-            # desc, cid asc ties — per-row, vectorized
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :n]
             out = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
-            out[out_col] = ids[order].ravel()
+            out[out_col] = rank_centroid_ids(vecs, ids, mat, n).ravel()
             yield out
 
     return df.mapInPandas(rank, out_schema)

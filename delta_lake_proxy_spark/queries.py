@@ -3603,10 +3603,19 @@ def bm25_probe_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`bm25_scan_loop16` (the same 16 queries each re-tokenizing the
     corpus — the no-index floor). Unregistered (per-query equality with
     single probes pinned in test_llm_ops); benchmarked under
-    SPARK_GRAFT_BENCH_EXTENDED."""
+    SPARK_GRAFT_BENCH_EXTENDED.
+
+    r17: the batch is built as a JVM-literal relation
+    (``functions._local_relation.id_terms_relation`` — the serving-request
+    shape) so the probe's driver-resident fast path gates in: prep runs
+    with zero Spark jobs and no Python-RDD round trips. Values identical
+    to the previous ``createDataFrame`` batch (pinned equal in
+    test_llm_ops)."""
+    from .functions import _local_relation as _lr
+
     eng, idx = _bm25_batch_fixture(spark, sf_dir)
-    queries = spark.createDataFrame(
-        _bm25_queries(spark), "query_id int, terms array<string>"
+    queries = _lr.id_terms_relation(
+        spark, _bm25_queries(spark), "query_id", "terms"
     )
     return eng.bm25_probe_batch(idx, queries, k=10)
 
@@ -3651,11 +3660,19 @@ def hybrid_batch16(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 16 queries as 16 separate hybrid_search plans (a per-request
     serving loop). Unregistered (batch == single pinned in
     test_llm_ops.test_hybrid_search_batch_equals_single); benchmarked
-    under SPARK_GRAFT_BENCH_EXTENDED."""
+    under SPARK_GRAFT_BENCH_EXTENDED.
+
+    r17: the batch is built as a JVM-literal relation
+    (``functions._local_relation.id_terms_vec_relation``, float32 vector
+    parity with the previous ``createDataFrame`` schema) so BOTH probe
+    legs' driver-resident fast paths gate in — zero prep jobs, no
+    Python-RDD round trips. Values identical (pinned in test_llm_ops)."""
+    from .functions import _local_relation as _lr
+
     eng = retrieval_engine(spark, sf_dir)
-    q = spark.createDataFrame(
-        _hybrid_queries(),
-        "query_id int, terms array<string>, embedding array<float>",
+    q = _lr.id_terms_vec_relation(
+        spark, _hybrid_queries(), "query_id", "terms", "embedding",
+        vec_sql_type="ARRAY<FLOAT>",
     )
     return eng.hybrid_search_batch(DOCS_BM25, DOCS_IVF, q, k=10, n_probe=2)
 

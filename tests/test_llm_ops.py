@@ -7680,6 +7680,176 @@ def test_hybrid_search_batch_equals_single(spark, tmp_path):
         assert got == want, qid
 
 
+def test_batch_probe_driver_fast_path_equals_distributed(spark, tmp_path):
+    """The r17 serving fast path: a DRIVER-RESIDENT query relation (the
+    JVM-literal builders in functions._local_relation) gates the batch
+    probes into zero-job prep — and every answer is IDENTICAL to the
+    distributed path on the same values (createDataFrame input), for
+    bm25 (plain + require_all), ivf, and hybrid, under admin AND the
+    restricted user. Plan pins: the fast ivf plan carries NO Python eval
+    node (the Arrow centroid ranker is replaced by the driver kernel) and
+    the fast bm25 plan carries NO InMemoryTableScan (no persists)."""
+    from delta_lake_proxy_spark.functions import _local_relation as _lr
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    bm_idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25_fast"))
+    qrows = [(1, ["fox", "dog"]), (2, ["QUICK", "quick", "engines"]),
+             (3, ["nothing_matches"])]
+    q_lit = _lr.id_terms_relation(spark, qrows, "query_id", "terms")
+    q_rdd = spark.createDataFrame(qrows, "query_id int, terms array<string>")
+    for u in ("admin", "u"):
+        assert key(eng.bm25_probe_batch(bm_idx, q_lit, k=3, user=u)) == key(
+            eng.bm25_probe_batch(bm_idx, q_rdd, k=3, user=u)
+        ), u
+    assert key(
+        eng.bm25_probe_batch(bm_idx, q_lit, k=3, require_all_terms=True)
+    ) == key(eng.bm25_probe_batch(bm_idx, q_rdd, k=3, require_all_terms=True))
+    fast_plan = (
+        eng.bm25_probe_batch(bm_idx, q_lit, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in fast_plan
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.bm25_probe_batch(
+            bm_idx,
+            _lr.id_terms_relation(
+                spark, [(1, ["fox"]), (1, ["dog"])], "query_id", "terms"
+            ),
+        )
+
+    eng2 = _ivf_gov_fixture(spark, tmp_path)
+    ivf_idx = eng2.build_ivf_index(
+        "emb", str(tmp_path / "emb_ivf_fast"), index_alias="emb__ivf_fast",
+        num_centroids=4, lloyd_iters=1,
+    )
+    vrows = [(0, ["x"], [1.0, 0.0]), (1, ["x"], [0.0, 1.0]),
+             (2, ["x"], [0.7, 0.7]), (3, ["x"], [-0.3, 0.9])]
+    v_lit = _lr.id_terms_vec_relation(
+        spark, vrows, "query_id", "terms", "embedding",
+        vec_sql_type="ARRAY<DOUBLE>",
+    ).select("query_id", "embedding")
+    v_rdd = spark.createDataFrame(
+        [(i, v) for i, _, v in vrows], "query_id int, embedding array<double>"
+    )
+    for u in ("admin", "u"):
+        assert key(eng2.ivf_probe_batch(ivf_idx, v_lit, k=5, n_probe=2, user=u)) == key(
+            eng2.ivf_probe_batch(ivf_idx, v_rdd, k=5, n_probe=2, user=u)
+        ), u
+    fast_ivf = (
+        eng2.ivf_probe_batch(ivf_idx, v_lit, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                 "InMemoryTableScan"):
+        assert node not in fast_ivf, node
+    dist_ivf = (
+        eng2.ivf_probe_batch(ivf_idx, v_rdd, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in dist_ivf  # the distributed ranker stays Arrow
+    with pytest.raises(ValueError, match="duplicate"):
+        eng2.ivf_probe_batch(
+            ivf_idx,
+            _lr.id_terms_vec_relation(
+                spark, [(0, ["x"], [1.0, 0.0]), (0, ["x"], [0.0, 1.0])],
+                "query_id", "terms", "embedding",
+            ).select("query_id", "embedding"),
+            k=5, n_probe=2,
+        )
+
+    heng, bm, ivf = _hybrid_gov_fixture(spark, tmp_path)
+    hrows = [(1, ["fox", "dog"], [1.0, 0.0, 0.0, 0.0]),
+             (2, ["hund", "verteilte"], [0.0, 1.0, 0.0, 0.0])]
+    h_lit = _lr.id_terms_vec_relation(
+        spark, hrows, "query_id", "terms", "embedding",
+        vec_sql_type="ARRAY<FLOAT>",
+    )
+    h_rdd = spark.createDataFrame(
+        hrows, "query_id int, terms array<string>, embedding array<float>"
+    )
+    for u in ("admin", "u"):
+        assert key(
+            heng.hybrid_search_batch(bm, ivf, h_lit, k=3, n_probe=2, user=u)
+        ) == key(
+            heng.hybrid_search_batch(bm, ivf, h_rdd, k=3, n_probe=2, user=u)
+        ), u
+
+
+def test_batch_probe_fast_path_gates_and_fallbacks(spark, tmp_path):
+    """Everything the literal channel cannot represent falls back to the
+    distributed plan WITH IDENTICAL ANSWERS: non-ASCII terms (str.lower
+    parity is only guaranteed on ASCII), NULL query ids, over-cap
+    batches, and unsupported id types; a genuinely distributed relation
+    (createDataFrame Python-RDD) never gates in."""
+    import delta_lake_proxy_spark.functions._local_relation as _lr
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    eng = _minhash_gov_fixture(spark, tmp_path)
+    idx = eng.build_bm25_index("docs", str(tmp_path / "docs_bm25_gate"))
+
+    # non-ASCII terms: falls back, equal answers (term 'fox' still hits)
+    na = [(1, ["fox", "Ωmega"]), (2, ["érg"])]
+    na_lit = _lr.id_terms_relation(spark, na, "query_id", "terms")
+    na_rdd = spark.createDataFrame(na, "query_id int, terms array<string>")
+    assert _lr.driver_resident_rows(na_lit) is not None  # gate sees local...
+    assert key(eng.bm25_probe_batch(idx, na_lit, k=3)) == key(
+        eng.bm25_probe_batch(idx, na_rdd, k=3)
+    )
+    # ...but the ASCII guard fell back: the distributed plan explodes the
+    # terms in-plan (Generate explode), the fast path never does (its pair
+    # relation is a driver-built literal, decoded by posexplode only)
+    fb_plan = (
+        eng.bm25_probe_batch(idx, na_lit, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate explode(" in fb_plan
+
+    # over-cap batch: gate refuses above MAX_PAIR_ROWS via monkeypatched cap
+    old = _lr.MAX_PAIR_ROWS
+    try:
+        _lr.MAX_PAIR_ROWS = 1
+        qrows = [(1, ["fox", "dog"])]
+        q_lit = _lr.id_terms_relation(spark, qrows, "query_id", "terms")
+        assert key(eng.bm25_probe_batch(idx, q_lit, k=3)) == key(
+            eng.bm25_probe_batch(
+                idx,
+                spark.createDataFrame(
+                    qrows, "query_id int, terms array<string>"
+                ),
+                k=3,
+            )
+        )
+    finally:
+        _lr.MAX_PAIR_ROWS = old
+
+    # the gate itself: literal relations are driver-resident, Python-RDD
+    # and file-scan relations are not
+    lit = _lr.id_terms_relation(spark, [(1, ["a"])], "query_id", "terms")
+    assert _lr.driver_resident_rows(lit) is not None
+    rdd = spark.createDataFrame([(1, ["a"])], "query_id int, terms array<string>")
+    assert _lr.driver_resident_rows(rdd) is None
+    assert _lr.driver_resident_rows(spark.range(3)) is None
+    assert _lr.driver_resident_rows(lit, max_rows=0) is None
+
+    # string channels round-trip arbitrary content exactly (hex transport)
+    weird = [(7, ["it's", 'a,"b"\\', "x|y", ""])]
+    got = _lr.id_terms_relation(spark, weird, "query_id", "terms").collect()
+    assert [(r["query_id"], r["terms"]) for r in got] == [
+        (7, ["it's", 'a,"b"\\', "x|y", ""])
+    ]
+    pair = _lr.string_pair_relation(
+        spark, ["k1", "k,2"], ["v'1", "v|2"], "qid", "term", "string"
+    ).collect()
+    assert sorted((r["qid"], r["term"]) for r in pair) == sorted(
+        [("k1", "v'1"), ("k,2", "v|2")]
+    )
+
+
 def test_bm25_index_range_layout_and_python_free_probe(spark, tmp_path):
     """The bm25 index is RANGE-clustered by term: per-file parquet
     footer (min, max) term ranges are pairwise disjoint, so a probe's
