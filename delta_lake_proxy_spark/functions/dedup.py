@@ -1205,6 +1205,12 @@ def duplicate_span_stats(
         "pos",
         F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), F.col("pos"), k))).alias("_gh"),
     )
+    # occ feeds BOTH the occurrence-count aggregate and the hits join; when
+    # AQE broadcasts the dup set there is no common exchange to reuse, so
+    # without a materialization point the tokenize + k-gram slice/hash
+    # stream is recomputed per consumer (r17). Lazy localCheckpoint: one
+    # scan fills it, both branches reuse, ContextCleaner reclaims it.
+    occ = occ.localCheckpoint(eager=False)
     dup = (
         occ.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -1231,7 +1237,15 @@ def duplicate_span_stats(
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
         F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_span_tokens"),
     )
-    base = toks.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    # per-doc token counts without re-materializing the token array: a
+    # count-only regex scan (r17) — identical value to size(extract_all),
+    # needed separately because sub-k docs emit no occ rows
+    base = docs.select(
+        F.col(id_col),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
+        .cast("long")
+        .alias("n_tokens"),
+    )
     return base.join(per_doc, id_col, "left").select(
         F.col(id_col),
         "n_tokens",

@@ -918,21 +918,33 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 multi-level aggregation: ROLLUP and CUBE grouping sets over the
     same keys, tagged and unioned so both operators run under one driver
-    row (each is a single Expand + hash-agg; no extra shuffle vs separate
-    queries)."""
+    row.
+
+    r17: ROLLUP(a, b)'s grouping sets {(a,b), (a), ()} are a subset of
+    CUBE(a, b)'s {(a,b), (a), (b), ()}, and each shared set's aggregates
+    are identical — so ONE cube aggregation serves both legs: rows whose
+    ``grouping_id`` is not the (b)-only set (gid == 2 for this column
+    order) are re-emitted under the 'rollup' tag via a single explode.
+    The old two-leg union scanned lineitem twice and expanded each input
+    row 7x (3 rollup + 4 cube sets) across two shuffles; this shape is
+    one scan, one 4x Expand, one shuffle — the exact row set (and oracle
+    hash) of the union is preserved."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty")]
-    r = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("rollup").alias("gset"), "l_returnflag", "l_linestatus", "n_rows", "sum_qty")
+    c = li.cube("l_returnflag", "l_linestatus").agg(
+        *aggs, F.grouping_id().alias("_gid")
     )
-    c = (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("cube").alias("gset"), "l_returnflag", "l_linestatus", "n_rows", "sum_qty")
+    return c.select(
+        F.explode(
+            F.when(F.col("_gid") == 2, F.array(F.lit("cube"))).otherwise(
+                F.array(F.lit("rollup"), F.lit("cube"))
+            )
+        ).alias("gset"),
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "sum_qty",
     )
-    return r.unionByName(c)
 
 
 @register(
@@ -967,20 +979,34 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-ish star join (J3): fact-fact shuffle join on the orderkey,
-    broadcast joins for the small dims (Catalyst picks broadcast via AQE;
-    nation/region are tiny, customer small)."""
+    """TPC-H Q5-ish star join (J3).
+
+    r17 (guide §3.2 — reduce the big side before shuffling it): the only
+    selective predicate (``r_name = 'ASIA'``) enters through the dimension
+    chain, so apply it BEFORE the fact-fact join — customer⋈nation⋈region
+    filtered to ASIA (all broadcast, map-side), that onto orders (broadcast,
+    map-side), and only then lineitem⋈orders. Inner joins commute, so the
+    row set is identical, but the orders side of the fact join carries ~1/5
+    of the rows projected to (o_orderkey, n_name) — small enough that AQE
+    finishes the whole chain broadcast at bench scale, and 5x less shuffle
+    at any scale. The old shape shuffled ALL of lineitem and ALL of orders
+    first and threw 4/5 of the join away in the post-join filter."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    c_asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    return (
+        li.join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .groupBy("n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
@@ -999,19 +1025,26 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 (guide §2.3 — aggregate before you shuffle): orders pre-aggregate
+    to one row per custkey BEFORE the outer join, so the join moves ~1/10 of
+    the rows and the post-join side needs no aggregation at all — a missing
+    custkey is exactly the empty group (count 0 / sum 0, via coalesce). The
+    old shape shuffled every raw order row into the join and aggregated the
+    joined relation. Decimal sums are order-independent, so values are
+    bit-identical."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(27,4)")), F.lit(0).cast("decimal(27,4)")
-            )
-            .cast("double")
-            .alias("total_spent"),
-        )
+    oa = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias("_t"),
+    )
+    return c.join(oa, c.c_custkey == oa.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("_t"), F.lit(0).cast("decimal(27,4)"))
+        .cast("double")
+        .alias("total_spent"),
     )
 
 
@@ -3373,10 +3406,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unregistered companion of lm_perplexity; benchmarked under
     SPARK_GRAFT_BENCH_EXTENDED, model pinned in test_llm_ops."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = text.text_stats(docs).select("doc_id", "quality_score")
-    joined = docs.join(stats, "doc_id").withColumn(
-        "_tgt", F.col("quality_score") >= 0.55
-    )
+    # r17: carry text THROUGH the stats projection (extra_cols passthrough)
+    # instead of joining stats back to the corpus on doc_id — the old shape
+    # scanned documents twice and paid a doc⋈doc shuffle join just to attach
+    # the quality gate to the text it was computed from.
+    stats = text.text_stats(docs, extra_cols=(F.col("text"),))
+    joined = stats.withColumn("_tgt", F.col("quality_score") >= 0.55)
     return text.dsir_importance_weights(joined, F.col("_tgt"))
 
 

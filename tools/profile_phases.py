@@ -118,6 +118,60 @@ def profile_text(spark, sf_dir):
     from delta_lake_proxy_spark import text  # type: ignore[attr-defined]
 
 
+def profile_cdf(spark, sf_dir):
+    """Phase breakdown of the table_changes bench row (r17): scratch-table
+    write, CDF enablement, DELETE, UPDATE, CDF read+agg — each timed as its
+    own wall segment inside one full run (min-of-3 over full runs)."""
+    import tempfile as _tf
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from delta_lake_proxy_spark import queries as Q
+    from delta_lake_proxy_spark.config import EngineConfig
+    from delta_lake_proxy_spark.engine import Engine, write_governed_table
+    from delta_lake_proxy_spark.queries import dsum
+
+    for run in range(3):
+        spark.catalog.clearCache()
+        gc.collect()
+        marks = [("start", _time.time())]
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+            .filter(F.col("l_orderkey") % 7 == 0)
+        )
+        scratch = os.path.join(_tf.mkdtemp(prefix="graft_cdf_prof_"), "t")
+        write_governed_table(spark, li.repartition(2), scratch, [])
+        marks.append(("write_table", _time.time()))
+        eng = Engine(
+            spark, EngineConfig(table_mapping={"cdf_t": scratch}, read_only=False)
+        )
+        eng.set_table_properties("cdf_t", {"delta.enableChangeDataFeed": "true"})
+        marks.append(("enable_cdf", _time.time()))
+        eng.delete("cdf_t", F.col("l_returnflag") == "A")
+        marks.append(("delete", _time.time()))
+        eng.update(
+            "cdf_t",
+            F.col("l_returnflag") == "N",
+            {"l_quantity": F.col("l_quantity") * 2},
+        )
+        marks.append(("update", _time.time()))
+        cdf = eng.table_changes("cdf_t", from_version=1, to_version=3)
+        out = cdf.groupBy("_change_type", "_commit_version").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        out.write.mode("overwrite").format("noop").save()
+        marks.append(("read_cdf", _time.time()))
+        segs = "  ".join(
+            f"{name}={t1 - t0:6.3f}s"
+            for (_, t0), (name, t1) in zip(marks, marks[1:])
+        )
+        print(f"cdf run {run}: total={marks[-1][1] - marks[0][1]:6.3f}s  {segs}",
+              flush=True)
+
+
 def main() -> None:
     target = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
