@@ -268,8 +268,16 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
     # Spread the per-document work across the cluster: small doc tables often
-    # arrive as one file -> one task, serializing everything.
-    base = df.repartition(F.col(id_col)).select(
+    # arrive as one file -> one task, serializing everything. The count is
+    # EXPLICIT (r17): a keyed repartition with no number is a coalescible
+    # exchange, and AQE's bytes-based advisory target folds the small-bytes/
+    # compute-heavy doc relation back to ONE partition (measured at sf0.1),
+    # serializing the shingle + 64-min signature pipeline. The repartition
+    # itself stays unconditional — hashpartitioning(_id) is what lets the
+    # post-explode signature aggregation run WITHOUT shuffling the exploded
+    # per-shingle rows (text shuffles once, pre-explode).
+    _spread = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(_spread, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_words).alias("_shingles"),
     ).persist()
@@ -637,8 +645,11 @@ def simhash_signatures(
     already satisfies the wider clustering — no extra shuffle."""
     bits = 60
     carry = list(carry_cols)
+    # explicit count (r17): see minhash_near_duplicates — AQE folds a
+    # countless keyed repartition of the small-bytes doc relation to one
+    # partition, serializing the tokenize + 60-bit-vote aggregation
     tok = (
-        df.repartition(F.col(id_col))
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             *[F.col(c) for c in carry],
