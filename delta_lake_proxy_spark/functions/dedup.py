@@ -37,6 +37,25 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
 
 
+def _spread_by_id(df: DataFrame, key: Column) -> DataFrame:
+    """Hash-repartition the doc relation by id before the per-document
+    compute pipelines (shingle+signature aggs, tokenize+bit votes).
+
+    The count is EXPLICIT (r17): a keyed repartition with no number is a
+    coalescible exchange, and AQE's bytes-based advisory target folds the
+    small-bytes/compute-heavy doc relation back to ONE partition (measured
+    at sf0.1), serializing the whole pipeline. The count is BYTE-AWARE
+    (r18, verdict r17 #1): ``defaultParallelism`` alone hard-caps the
+    corpus-text shuffle at core count — at 100 TB that is a few thousand
+    partitions of tens of GB each (guide §2.2 targets 100 MB–1 GB). Scan
+    split count tracks input bytes (~``maxPartitionBytes`` per split), so
+    ``max(defaultParallelism, scan splits)`` keeps every core busy on the
+    single-file bench fixture AND preserves ~split-sized partitions on a
+    well-split corpus."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(sc.defaultParallelism, df.rdd.getNumPartitions()), key)
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -268,16 +287,13 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
     # Spread the per-document work across the cluster: small doc tables often
-    # arrive as one file -> one task, serializing everything. The count is
-    # EXPLICIT (r17): a keyed repartition with no number is a coalescible
-    # exchange, and AQE's bytes-based advisory target folds the small-bytes/
-    # compute-heavy doc relation back to ONE partition (measured at sf0.1),
-    # serializing the shingle + 64-min signature pipeline. The repartition
-    # itself stays unconditional — hashpartitioning(_id) is what lets the
+    # arrive as one file -> one task, serializing everything. The repartition
+    # stays unconditional — hashpartitioning(_id) is what lets the
     # post-explode signature aggregation run WITHOUT shuffling the exploded
-    # per-shingle rows (text shuffles once, pre-explode).
-    _spread = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(_spread, F.col(id_col)).select(
+    # per-shingle rows (text shuffles once, pre-explode). Count policy:
+    # _spread_by_id (explicit so AQE can't fold it, byte-aware so 100 TB
+    # isn't squeezed into core-count partitions).
+    base = _spread_by_id(df, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_words).alias("_shingles"),
     ).persist()
@@ -645,11 +661,11 @@ def simhash_signatures(
     already satisfies the wider clustering — no extra shuffle."""
     bits = 60
     carry = list(carry_cols)
-    # explicit count (r17): see minhash_near_duplicates — AQE folds a
+    # explicit, byte-aware count (r17/r18): see _spread_by_id — AQE folds a
     # countless keyed repartition of the small-bytes doc relation to one
     # partition, serializing the tokenize + 60-bit-vote aggregation
     tok = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        _spread_by_id(df, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             *[F.col(c) for c in carry],
@@ -1221,7 +1237,19 @@ def duplicate_span_stats(
     # without a materialization point the tokenize + k-gram slice/hash
     # stream is recomputed per consumer (r17). Lazy localCheckpoint: one
     # scan fills it, both branches reuse, ContextCleaner reclaims it.
-    occ = occ.localCheckpoint(eager=False)
+    #
+    # GATED on input narrowness (r18, verdict r17 #5 + advice): occ is
+    # O(total tokens) rows — ~24 B each (id, pos, 8-byte hash). The bench
+    # fixture (one file, ~6.7k docs x ~200 tokens) checkpoints ~1.3M rows
+    # ≈ 30 MB, trivially worth one saved tokenize pass. A 100 TB corpus is
+    # ~10^13 tokens ≈ 240 TB of executor-local disk — there, recomputing
+    # the codegen tokenize+hash once is far cheaper than materializing the
+    # explode, and localCheckpoint's truncated lineage (non-recoverable on
+    # executor loss) is a real availability cost. Same narrowness signal as
+    # io.spread_if_narrow: a well-split corpus skips the checkpoint.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        occ = occ.localCheckpoint(eager=False)
     dup = (
         occ.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_occ"))

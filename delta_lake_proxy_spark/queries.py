@@ -1002,7 +1002,11 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey", "n_name")
     )
-    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+    # Hint only the fixed-size dims (nation/region); c_asia grows with
+    # customer cardinality, so AQE's size-based decision picks broadcast
+    # vs shuffle for it (r18, advice r17: an unconditional hint would force
+    # a driver-OOM-sized broadcast build at large SFs).
+    o_asia = o.join(c_asia, o.o_custkey == c_asia.c_custkey).select(
         "o_orderkey", "n_name"
     )
     return (

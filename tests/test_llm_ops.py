@@ -30,6 +30,27 @@ def test_exact_dedup_survivor_and_count(corpus):
     assert {r["doc_id"]: r["n_copies"] for r in out}[1] == 2
 
 
+def test_spread_by_id_count_is_byte_aware(spark):
+    """_spread_by_id (r18): explicit count = max(defaultParallelism, scan
+    splits). A narrow input spreads UP to the session parallelism (the
+    single-file bench shape); an input already wider than the session is
+    NOT squeezed down to core count (the 100 TB posture — verdict r17 #1:
+    a hard defaultParallelism cap makes tens-of-GB partitions at scale)."""
+    import pyspark.sql.functions as F
+
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    ).coalesce(1)
+    assert dedup._spread_by_id(narrow, F.col("doc_id")).rdd.getNumPartitions() == dp
+    wide = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    ).repartition(dp * 3)
+    assert (
+        dedup._spread_by_id(wide, F.col("doc_id")).rdd.getNumPartitions() == dp * 3
+    )
+
+
 def test_minhash_finds_near_dups(corpus):
     # bands=32 (r=2) lowers the LSH detection threshold to ~(1/32)^(1/2)=0.18
     # so the one-word-changed pair (jaccard ~0.5) is recalled.

@@ -121,7 +121,10 @@ def profile_text(spark, sf_dir):
 def profile_cdf(spark, sf_dir):
     """Phase breakdown of the table_changes bench row (r17): scratch-table
     write, CDF enablement, DELETE, UPDATE, CDF read+agg — each timed as its
-    own wall segment inside one full run (min-of-3 over full runs)."""
+    own wall segment inside one full run (three full runs printed; read the
+    fastest run's segments — per-segment minima across runs would not sum
+    to a real run)."""
+    import shutil as _sh
     import tempfile as _tf
     import time as _time
 
@@ -141,7 +144,8 @@ def profile_cdf(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
             .filter(F.col("l_orderkey") % 7 == 0)
         )
-        scratch = os.path.join(_tf.mkdtemp(prefix="graft_cdf_prof_"), "t")
+        scratch_dir = _tf.mkdtemp(prefix="graft_cdf_prof_")
+        scratch = os.path.join(scratch_dir, "t")
         write_governed_table(spark, li.repartition(2), scratch, [])
         marks.append(("write_table", _time.time()))
         eng = Engine(
@@ -170,6 +174,7 @@ def profile_cdf(spark, sf_dir):
         )
         print(f"cdf run {run}: total={marks[-1][1] - marks[0][1]:6.3f}s  {segs}",
               flush=True)
+        _sh.rmtree(scratch_dir, ignore_errors=True)
 
 
 def main() -> None:
