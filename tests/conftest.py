@@ -12,8 +12,34 @@ from delta_lake_proxy_spark.session import build_session  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: slow multi-SF sweep / capstone — skipped unless "
+        "SPARK_GRAFT_FULL_TESTS=1 (r18, verdict r17 #7: the 685-test suite "
+        "outgrew the driver's verify window; the default run must finish "
+        "inside it, the full suite stays one env var away)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow sweep/capstone; set SPARK_GRAFT_FULL_TESTS=1 to run"
+    )
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
+    # cpus=8 stays pinned (r18): a local[32] probe sped one file up 1.6x
+    # but broke a core-count-sensitive checksum pin
+    # (test_dv_dml_and_row_tracking_checksums — written-file counts follow
+    # parallelism) and showed no whole-suite gain; the driver-window fix
+    # is the @pytest.mark.full gate above, not the session size.
     s = build_session("spark-graft-tests", cpus=8)
     yield s
     s.stop()

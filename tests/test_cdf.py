@@ -214,6 +214,7 @@ def test_vacuum_reclaims_cdc_files_past_retention(cdf_table):
     assert eng.read_table("t").count() == 17
 
 
+@pytest.mark.full
 def test_streaming_change_feed(cdf_table, spark, tmp_path):
     """readChangeFeed streaming: bootstrap arrives as 'insert' at the
     starting snapshot version, a DELETE feeds its change-file rows AS
@@ -316,6 +317,7 @@ def test_batch_reader_rejects_read_change_feed(cdf_table, spark):
         )
 
 
+@pytest.mark.full
 def test_table_changes_timestamp_bounds(cdf_table, spark):
     """Timestamp-bounded CDF: bounds resolve through the same rule as
     timestampAsOf (ICT-aware), exclusive start / inclusive end."""
@@ -366,6 +368,7 @@ def test_table_changes_timestamp_bounds(cdf_table, spark):
         eng.table_changes("t", from_version=1, from_timestamp=1000)
 
 
+@pytest.mark.full
 def test_feed_replay_reconstructs_table(cdf_table, spark):
     """End-to-end CDF invariant: applying the whole change feed to an
     empty state — inserts/update_postimages upsert, deletes/preimages
@@ -487,6 +490,7 @@ def test_dv_merge_feed_types(dv_cdf_table, spark):
     assert eng.read_table("t").count() == 21
 
 
+@pytest.mark.full
 def test_dv_cdf_feed_replay_reconstructs_table(dv_cdf_table, spark):
     """Replaying the full change feed (insert - delete + postimages) must
     reconstruct the DV table exactly — the invariant that certifies the
@@ -515,6 +519,7 @@ def test_dv_cdf_feed_replay_reconstructs_table(dv_cdf_table, spark):
     assert state == actual
 
 
+@pytest.mark.full
 def test_streaming_change_feed_over_dv_commits(dv_cdf_table, spark, tmp_path):
     """readChangeFeed streaming over DV-shaped DML (round-10): a DV DELETE
     commit serves its cdc change files as authoritative (previously any DV

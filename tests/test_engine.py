@@ -748,6 +748,7 @@ def test_binpack_plan_constant_in_partition_count(spark):
     assert packed.count() == 1000  # no rows lost by the routing join
 
 
+@pytest.mark.full
 def test_rank_zorder_handles_skew(spark, tmp_path):
     """An outlier stretches linear (min/max) Z-bins so the entire data bulk
     collapses into bin 0 — a narrow query INSIDE the bulk can then prune
@@ -1344,6 +1345,7 @@ def test_shallow_clone_through_governed_source(spark, tmp_path, lineitem):
     assert spark.read.parquet(out).count() == want.count()
 
 
+@pytest.mark.full
 def test_clone_maintenance_leaves_source_byte_identical(spark, tmp_path, lineitem):
     """Round-10 pin (r9 advice): vacuum, compaction, checkpoint and log
     cleanup of a SHALLOW CLONE must leave the source directory tree

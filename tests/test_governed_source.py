@@ -277,6 +277,7 @@ def test_governed_writer_rejects_readonly_and_schema_drift(registered, spark, go
         ).save()
 
 
+@pytest.mark.full
 def test_governed_stream_writer_sink(registered, spark, gov_table, lineitem, tmp_path):
     """writeStream.format('governed'): one log commit per micro-batch through
     the same hive-file machinery; rows land and versions advance."""

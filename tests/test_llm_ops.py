@@ -521,6 +521,7 @@ def test_asof_join_backward(spark):
     assert got[(2, 10)] is None  # no prior right row
 
 
+@pytest.mark.full
 def test_salt_cache_bounded_and_releasable(spark, corpus):
     """salt_oversized_buckets must not accumulate pinned blocks across
     repeated calls (long-lived session), and releasing the cache must not
@@ -1224,6 +1225,7 @@ def test_ivf_topk_arrow_dispatch(spark):
     assert len(got & exact) / 10 >= 0.9
 
 
+@pytest.mark.full
 def test_semantic_dedup_groups_and_keep_rules(spark):
     """SemDeDup: within-cluster cosine groups collapse transitively to one
     representative; keep='centroid_far' retains the member least similar
@@ -2179,6 +2181,7 @@ def test_refresh_ivf_index_dv_delete(spark, tmp_path):
     assert rows.filter(F.col("count") > 1).count() == 0
 
 
+@pytest.mark.full
 def test_minhash_verify_candidates_exact_and_candidate_only(spark):
     """Verdict r11 next #5: the shipped exact-verify step. Verified
     incremental output equals the batch minhash_near_duplicates pairs on
@@ -2242,6 +2245,7 @@ def test_minhash_verify_candidates_exact_and_candidate_only(spark):
     assert verified2 == verified
 
 
+@pytest.mark.full
 def test_bpe_batched_and_collected_match_sequential(spark):
     """Verdict r11 next #4 (driver cadence): batched rounds and the
     collected in-memory trainer must be EXACTLY merge-for-merge equal to
@@ -2265,6 +2269,7 @@ def test_bpe_batched_and_collected_match_sequential(spark):
     assert loc == seq
 
 
+@pytest.mark.full
 def test_bpe_batched_random_small_alphabet_stress(spark):
     """Small-alphabet random corpora maximize chain overlaps, a == b
     pairs, and created-symbol collisions — the cases the batch-safety
@@ -3111,6 +3116,7 @@ def test_sample_to_mix_integral_rate_float_noise(spark):
     assert len(out2) == 300 and all(r["_copy"] == 0 for r in out2)
 
 
+@pytest.mark.full
 def test_end_to_end_curation_recipe(spark):
     """The full curation chain every stage of which this engine ships,
     composed end-to-end on the real fixture corpus: quality rules ->
@@ -3827,6 +3833,7 @@ def test_byte_bpe_handles_every_byte_and_empty(spark):
 # -- incremental curation recipe (round 13, verdict r12 next #6) --------------
 
 
+@pytest.mark.full
 def test_incremental_curation_recipe_matches_union(spark):
     """The daily-ingest curation story END-TO-END: a new batch runs
     quality -> incremental line dedup (persisted line-hash index) ->
@@ -4172,6 +4179,7 @@ def test_build_minhash_index_governed_probe(spark, tmp_path):
     assert gated == {(100, 1)}  # the de pair never reaches user u
 
 
+@pytest.mark.full
 def test_refresh_minhash_index_incremental_and_delete_aware(spark, tmp_path):
     """refresh_minhash_index appends only the new commits' signatures
     (scan spy), is a no-op when fresh, retracts deleted docs' signatures
@@ -4254,6 +4262,7 @@ def test_refresh_minhash_index_incremental_and_delete_aware(spark, tmp_path):
         eng.refresh_minhash_index(idx)
 
 
+@pytest.mark.full
 def test_verify_near_duplicates_governed(spark, tmp_path):
     """The governed exact-verify companion: candidates from the est-scored
     incremental probe re-verify with exact Jaccard, reading ONLY the
@@ -4287,6 +4296,7 @@ def test_verify_near_duplicates_governed(spark, tmp_path):
     assert gated == {(100, 1)}
 
 
+@pytest.mark.full
 def test_refresh_minhash_index_dv_source(spark, tmp_path):
     """Minhash refresh on a DELETION-VECTOR source: the DV commit re-adds
     the same parquet with a DV — the shared walk retracts the file's doc
@@ -4328,6 +4338,7 @@ def test_refresh_minhash_index_dv_source(spark, tmp_path):
     } == {(301, 2)}
 
 
+@pytest.mark.full
 def test_refresh_minhash_index_source_update(spark, tmp_path):
     """A source UPDATE (copy-on-write rewrite: remove + add in one
     commit) flows through the refresh as retract-then-resign: the doc's
@@ -4411,6 +4422,7 @@ def test_refresh_ivf_index_crash_between_retract_and_append(spark, tmp_path):
     assert {0, 1, 2, 4, 5, 6, 8} <= probe and not ({3, 7} & probe)
 
 
+@pytest.mark.full
 def test_build_simhash_index_governed_and_refresh(spark, tmp_path):
     """The SimHash kind of the governed dedup index: build pins
     max_hamming/bands as properties, the incremental probe returns EXACT
@@ -4621,6 +4633,7 @@ def test_dedup_index_build_single_source_scan(spark, tmp_path):
 # -- streaming index maintenance (round 14, verdict r13 next #4) --------------
 
 
+@pytest.mark.full
 def test_maintain_indexes_stream_converges_and_restarts(spark, tmp_path):
     """maintain_indexes_stream keeps a dedup index fresh while the source
     takes commits: an append pairs from the index without any manual
@@ -4699,6 +4712,7 @@ def test_maintain_indexes_stream_converges_and_restarts(spark, tmp_path):
     )
 
 
+@pytest.mark.full
 def test_maintain_indexes_stream_shared_source(spark, tmp_path):
     """Two indexes of DIFFERENT kinds over ONE source share a single
     maintenance stream (one log cursor, one foreachBatch invoking both
@@ -4745,6 +4759,7 @@ def test_maintain_indexes_stream_shared_source(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.full
 def test_maintain_indexes_stream_compacts(spark, tmp_path):
     """compact_every + vacuum_every fold the full maintenance loop into
     the stream: incremental appends are the index's small-file factory —
@@ -4903,6 +4918,7 @@ def test_embedding_index_refresh_cdf_source(spark, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.full
 def test_maintain_all_index_kinds_one_call(spark, tmp_path):
     """Capstone: one engine serving text + embedding + image + video
     sources, NINE index kinds (minhash, IVF, embedding-LSH, hashvec,
@@ -5231,6 +5247,7 @@ def test_maintain_indexes_stream_ivf_available_now(spark, tmp_path):
 # -- governed embedding index (round 14, verdict r13 next #3) -----------------
 
 
+@pytest.mark.full
 def test_build_embedding_index_governed(spark, tmp_path):
     """The EMBEDDING kind of the governed dedup index: build pins dim /
     numPlanes / axisPlanes as graft.dedup.* properties (the raw
@@ -5688,6 +5705,7 @@ def test_media_index_refresh_cdf_source_row_exact(spark, tmp_path):
     } == {(500, 20)}
 
 
+@pytest.mark.full
 def test_incremental_media_curation_governed(spark, tmp_path):
     """The MULTIMODAL leg of the daily-ingest curation story (verdict r13
     next #5, video leg r14 next #3): a mixed image+audio+VIDEO batch
@@ -5816,6 +5834,7 @@ def test_incremental_media_curation_governed(spark, tmp_path):
     assert survivors() == inc
 
 
+@pytest.mark.full
 def test_refresh_dedup_index_cdf_source_row_exact(spark, tmp_path):
     """A CDF source upgrades the refresh to ROW-exact feeds: a
     partial-file DELETE retracts only the dead doc (no enumerated file
@@ -6041,6 +6060,7 @@ def test_refresh_recovers_missing_remove_partition_values(spark, tmp_path):
     assert got.filter("doc_id = 1").count() == 16  # one row per band, intact
 
 
+@pytest.mark.full
 def test_cdf_refresh_feeds_validate_files_eagerly(spark, tmp_path):
     """Advice r13 #4: the CDF feeds are lazy — a change file vacuumed
     between table_changes() plan time and the delete/append jobs must flip
@@ -6085,6 +6105,7 @@ def test_cdf_refresh_feeds_validate_files_eagerly(spark, tmp_path):
 # -- review r13 regression pins ----------------------------------------------
 
 
+@pytest.mark.full
 def test_refresh_cdf_in_window_churn_netted(spark, tmp_path):
     """Review r13 #1: rows inserted AND deleted (or updated repeatedly)
     within one refresh window must net out of the CDF feeds — the walk's
@@ -6133,6 +6154,7 @@ def test_refresh_cdf_in_window_churn_netted(spark, tmp_path):
     assert eng.refresh_dedup_index(idx) == v
 
 
+@pytest.mark.full
 def test_refresh_ivf_cdf_in_window_churn_netted(spark, tmp_path):
     """The IVF side of review r13 #1: an in-window insert+delete vector
     never reaches the index; an in-window insert+update lands once, at
@@ -6171,6 +6193,7 @@ def test_refresh_ivf_cdf_in_window_churn_netted(spark, tmp_path):
     assert dupes == 0
 
 
+@pytest.mark.full
 def test_refresh_narrow_user_preserves_out_of_scope_survivors(spark, tmp_path):
     """Review r13 #2: a refresh run by a NARROWER user than the builder
     must not destroy previously-indexed content. A source DELETE rewrites
@@ -6300,6 +6323,7 @@ def test_dedup_index_build_refuses_reserved_partition_column(spark, tmp_path):
     assert "band" not in Engine._DEDUP_RESERVED_COLS["video"]
 
 
+@pytest.mark.full
 def test_maintain_indexes_stream_cadence_survives_restart(spark, tmp_path):
     """Advice r14 #3 / verdict r14 next #2: the compact_every cadence is
     derived from the CHECKPOINTED batch_id, not a driver-memory counter —
@@ -6380,6 +6404,7 @@ def test_adc_batch_arrow_equals_literal(spark):
         assert abs(lit_vals[rid] - arrow_vals[rid]) < 1e-9, rid
 
 
+@pytest.mark.full
 def test_ivf_probe_batch_pq_k256_arrow_path(spark, tmp_path):
     """Verdict r14 next #6 done-criterion: at the canonical Jegou k=256
     the batch ADC's codebook exceeds ARROW_CENTROID_CELLS, so the
@@ -6607,6 +6632,7 @@ def test_retrain_ivf_index_recovers_drift(spark, tmp_path):
     assert eng.read_table(idx, user="admin").count() == 120
 
 
+@pytest.mark.full
 def test_retrain_ivf_index_governed_and_watermark(spark, tmp_path):
     """Retrain preserves the maintenance contract: probes stay governed
     (source ACL injected, partition-restricted user unchanged), the
@@ -7156,6 +7182,7 @@ def test_bm25_probe_governed(spark, tmp_path):
     assert any(rows[i][0] == "de" for i in admin_ids)
 
 
+@pytest.mark.full
 def test_bm25_index_refresh_and_delete_aware_stats(spark, tmp_path):
     """refresh_dedup_index on the bm25 kind appends only the new commits'
     postings, retracts deleted docs' posting rows, and keeps the pinned
@@ -7285,6 +7312,7 @@ def test_bm25_index_reserved_partition_column_refuses(spark, tmp_path):
         eng.build_bm25_index("docs", str(tmp_path / "docs_bm25"))
 
 
+@pytest.mark.full
 def test_bm25_index_wrong_probe_refusals(spark, tmp_path):
     """Kind routing is explicit: the dedup pairer refuses a bm25 index
     and bm25_probe refuses a dedup index."""
@@ -7652,6 +7680,7 @@ def test_bm25_probe_batch_equals_single_probes(spark, tmp_path):
         eng.bm25_probe_batch(idx, queries, query_id_col="doc_id")
 
 
+@pytest.mark.full
 def test_hybrid_search_batch_equals_single(spark, tmp_path):
     """hybrid_search_batch == hybrid_search per query — both legs
     batched, per-query RRF (rrf_fuse_batch), MMR natively grouped — under
@@ -7701,6 +7730,7 @@ def test_hybrid_search_batch_equals_single(spark, tmp_path):
         assert got == want, qid
 
 
+@pytest.mark.full
 def test_batch_probe_driver_fast_path_equals_distributed(spark, tmp_path):
     """The r17 serving fast path: a DRIVER-RESIDENT query relation (the
     JVM-literal builders in functions._local_relation) gates the batch
@@ -8303,6 +8333,7 @@ def test_hist_rollup_dv_source_no_over_subtraction(spark, tmp_path):
     assert got["en"][0] == 6  # 8 en rows minus score 3 and score 5
 
 
+@pytest.mark.full
 def test_consolidate_rollup_sketch_and_hist(spark, tmp_path):
     """consolidate_rollup merges accumulated partial rows back to one
     row per group with estimates/quantiles unchanged, preserves the
@@ -8371,6 +8402,7 @@ def test_consolidate_rollup_sketch_and_hist(spark, tmp_path):
     assert got == {"en": 9, "de": 4}
 
 
+@pytest.mark.full
 def test_hist_rollup_refresh_refuses_narrow_user_on_delete(spark, tmp_path):
     """A delete-bearing hist refresh by a restricted user refuses (the
     negative partial would miss hidden rows, with the window consumed —
@@ -8510,6 +8542,7 @@ def test_hybrid_search_one_empty_leg(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+@pytest.mark.full
 def test_index_status_across_kinds(spark, tmp_path):
     """index_status answers freshness for every governed kind from
     driver-side metadata: lag 0 after build, lag = pending commits after
@@ -8565,6 +8598,7 @@ def test_index_status_ivf_retrain_pending(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.full
 def test_hybrid_search_refuses_cross_source_indexes(spark, tmp_path):
     """Hybrid fusion across indexes built from DIFFERENT source tables
     refuses (verdict r15 nit #1): nothing ties the two id spaces, so the
@@ -8602,6 +8636,7 @@ def test_hybrid_search_refuses_cross_source_indexes(spark, tmp_path):
     assert got  # the opt-out fuses; aligned ids are the caller's claim
 
 
+@pytest.mark.full
 def test_hybrid_mmr_keeps_candidates_missing_from_dense_index(spark, tmp_path):
     """An IVF index lagging the BM25 index by a refresh must not SHRINK
     the diversified result (advice r15 #2): fused candidates with no

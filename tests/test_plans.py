@@ -77,6 +77,31 @@ def test_text_stats_is_pure_codegen_single_pass(spark):
     assert "SortMergeJoin" not in p and "HashAggregate" not in p
 
 
+def test_pipeline_clean_corpus_single_pass_plan(spark):
+    """pipeline_clean_corpus (r17 fix, pinned r18 per verdict #2): the dedup
+    window + fused text-stats run as ONE plan — the two union-leg fixture
+    scans only, one dedup exchange, no join-back, and every text regex
+    evaluated at most once per row (the r16 defect re-ran them up to 49x)."""
+    import re
+
+    p = plan_of("pipeline_clean_corpus", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("FileScan") <= 2  # docs leg + dup-variant leg, nothing else
+    assert len(re.findall("regexp_extract_all", p)) <= 9
+    assert "SortMergeJoin" not in p  # stats ride the projection, no self-join
+    assert p.count("Exchange") == 1  # the dedup window shuffle only
+
+
+def test_text_stats_regexes_evaluated_once(spark):
+    """text_stats (r17 single-evaluation fix, pinned r18): one
+    regexp_extract_all per distinct pattern — 10 total — over ONE scan."""
+    import re
+
+    p = plan_of("text_stats", spark)
+    assert len(re.findall("regexp_extract_all", p)) <= 10
+    assert p.count("FileScan") == 1
+
+
 def test_agg_group_partial_final(spark):
     p = plan_of("agg_group", spark)
     assert p.count("HashAggregate") >= 2

@@ -633,6 +633,7 @@ def test_bigram_nll_property(spark, texts):
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.full
 def test_hamming_incremental_equals_batch_cross_pairs(spark, sigs, max_hamming, flips):
     """Property (r13): for ANY signature set and banding, the incremental
     path over the persisted index finds EXACTLY the batch pairer's
@@ -723,6 +724,7 @@ def test_rank_centroids_arrow_matches_lexsort_oracle(
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.full
 def test_assigned_sq_dist_matches_numpy_oracle(
     spark, seed, n_cents, dim, n_rows
 ):
@@ -769,6 +771,7 @@ hist_vals_st = st.lists(
        q=st.sampled_from([0.1, 0.5, 0.9]))
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.full
 def test_hist_rollup_merge_linear_and_quantile_bound(spark, vals, bins, cut, q):
     """Properties of the mergeable histogram (functions.sketches): for
     ANY value list, bin count and split point — (1) partials over an

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_proxy_spark import Engine, EngineConfig
@@ -95,6 +96,7 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, lineitem):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+@pytest.mark.full
 def test_stateful_spike_monitor_streaming(spark, tmp_path):
     from delta_lake_proxy_spark.streaming.stateful import monitor_spikes
 

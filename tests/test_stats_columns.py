@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_proxy_spark import Engine, EngineConfig, deltalog
@@ -67,6 +68,7 @@ def test_num_indexed_cols_property(spark, tmp_path):
         assert s["numRecords"] == 3
 
 
+@pytest.mark.full
 def test_unlimited_with_minus_one(spark, tmp_path):
     path = str(tmp_path / "all")
     write_governed_table(spark, wide_df(spark).repartition(1), path, [])
